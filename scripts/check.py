@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: compare Verify output
+parquet against DuckDB oracle results on the same tables.
+
+Usage: python3 scripts/check.py [sf_dir] [verify_out_dir]
+"""
+import json
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+    ok, bad = [], []
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+            want = con.execute(sql).df()
+        except Exception as e:
+            bad.append((name, f"load/oracle error: {e}"))
+            continue
+        if sorted(got.columns) != sorted(want.columns):
+            bad.append((name, f"columns differ: spark={sorted(got.columns)} oracle={sorted(want.columns)}"))
+            continue
+        g, w = canon(got), canon(want)
+        if len(g) != len(w):
+            bad.append((name, f"row count: spark={len(g)} oracle={len(w)}"))
+            continue
+        mism = []
+        for c in g.columns:
+            gv, wv = g[c], w[c]
+            if gv.dtype.kind == "f" or wv.dtype.kind == "f":
+                eq = np.isclose(gv.astype(float), wv.astype(float),
+                                rtol=0, atol=0, equal_nan=True)
+                exact = eq
+                close = np.isclose(gv.astype(float), wv.astype(float),
+                                   rtol=1e-9, atol=1e-12, equal_nan=True)
+                if not exact.all():
+                    n_exact = int((~exact).sum())
+                    n_close = int((~close).sum())
+                    mism.append(f"{c}: {n_exact} inexact ({n_close} beyond 1e-9)")
+            else:
+                gv2 = gv.astype(object).where(pd.notna(gv), None)
+                wv2 = wv.astype(object).where(pd.notna(wv), None)
+                neq = [i for i, (a, b) in enumerate(zip(gv2, wv2)) if a != b]
+                if neq:
+                    i = neq[0]
+                    mism.append(f"{c}: {len(neq)} diffs, first@{i}: spark={gv2[i]!r} oracle={wv2[i]!r}")
+        if mism:
+            bad.append((name, "; ".join(mism)))
+        else:
+            ok.append((name, len(g)))
+    # rows-only queries (no oracle)
+    import glob, os
+    declared = set()
+    for p in glob.glob(f"{OUT}/*/"):
+        declared.add(os.path.basename(p.rstrip("/")))
+    rows_only = declared - set(oracles)
+    for name in sorted(rows_only):
+        try:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{OUT}/{name}/*.parquet')").fetchone()[0]
+            print(f"ROWS-ONLY {name}: {n} rows" + ("  ** EMPTY **" if n == 0 else ""))
+        except Exception as e:
+            print(f"ROWS-ONLY {name}: ERROR {e}")
+    for name, n in ok:
+        print(f"PASS {name} ({n} rows)")
+    for name, msg in bad:
+        print(f"FAIL {name}: {msg}")
+    print(f"\n{len(ok)} pass / {len(bad)} fail / {len(rows_only)} rows-only")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** QARTOD / legacy-QC flagging, re-expressed as Catalyst column expressions.
+  *
+  * Semantics follow the reference implementation:
+  *   - gross range:  rca_data_tools/qaqc/calculate.py:100-115
+  *   - climatology:  rca_data_tools/qaqc/calculate.py:117-193
+  *   - flag combine: rca_data_tools/qaqc/advanced_qaqc/calculateFunctions.py:19-46
+  *   - bitmask decode: rca_data_tools/qaqc/dashboard.py:1998-2077
+  *   - positional-string coercion: rca_data_tools/qaqc/utils.py:20-33
+  *
+  * Everything here is a pure expression (whole-stage-codegen friendly); at
+  * 100 TB these run inside the scan stage with zero extra shuffles.
+  */
+object Qartod {
+
+  /** Flag values (QARTOD convention). */
+  val Pass = 1
+  val NotEvaluated = 2
+  val Suspect = 3
+  val Fail = 4
+  val Missing = 9
+
+  /** C8 gross-range test: 4 outside the fail span (inclusive bounds), 3
+    * outside the suspect span, else 1. NaN/null values compare false in the
+    * reference (numpy) and therefore stay 1 — replicated explicitly because
+    * Spark orders NaN *greater* than any double.
+    */
+  def grossRangeFlag(x: Column, failLo: Double, failHi: Double,
+                     susLo: Double, susHi: Double): Column = {
+    val valid = x.isNotNull && !x.isNaN
+    when(valid && (x <= failLo || x >= failHi), Fail)
+      .when(valid && (x <= susLo || x >= susHi), Suspect)
+      .otherwise(Pass)
+  }
+
+  /** Fixed (month-only) climatology suspect test. `clim` is a broadcast-size
+    * table `(month INT, sus_lo DOUBLE, sus_hi DOUBLE)`; rows whose month has
+    * no entry keep flag 1, null/NaN thresholds flag 9 (not-evaluated)
+    * following the binned-table convention.
+    * Returns `df` with `outCol` appended. One broadcast join, no shuffle.
+    */
+  def climatologyFixed(df: DataFrame, timeCol: String, valueCol: String,
+                       clim: DataFrame, outCol: String): DataFrame = {
+    val joined = df.join(broadcast(clim), month(df(timeCol)) === clim("month"), "left")
+    val x = df(valueCol)
+    val lo = clim("sus_lo")
+    val hi = clim("sus_hi")
+    val flag = when(clim("month").isNull, Pass)
+      .when(lo.isNull || hi.isNull || lo.isNaN || hi.isNaN, Missing)
+      .when(x.isNotNull && !x.isNaN && (x <= lo || x >= hi), Suspect)
+      .otherwise(Pass)
+    joined.withColumn(outCol, flag).drop("month", "sus_lo", "sus_hi")
+  }
+
+  /** Binned climatology: month equality + depth in `[depth_lo, depth_hi)`.
+    * `clim`: `(month INT, depth_lo, depth_hi, sus_lo, sus_hi)` broadcast-size.
+    * NaN/null spans for a matched (month, bin) → 9 for every row in the bin
+    * (reference behaviour for un-fitted bins).
+    */
+  def climatologyBinned(df: DataFrame, timeCol: String, valueCol: String,
+                        depthCol: String, clim: DataFrame, outCol: String): DataFrame = {
+    val d = df(depthCol)
+    val joined = df.join(
+      broadcast(clim),
+      month(df(timeCol)) === clim("month") && d >= clim("depth_lo") && d < clim("depth_hi"),
+      "left")
+    val x = df(valueCol)
+    val lo = clim("sus_lo")
+    val hi = clim("sus_hi")
+    val flag = when(clim("month").isNull, Pass)
+      .when(lo.isNull || hi.isNull || lo.isNaN || hi.isNaN, Missing)
+      .when(x.isNotNull && !x.isNaN && (x <= lo || x >= hi), Suspect)
+      .otherwise(Pass)
+    joined.withColumn(outCol, flag)
+      .drop("month", "depth_lo", "depth_hi", "sus_lo", "sus_hi")
+  }
+
+  /** C6 combine_qc_flags: fold ordered boolean fail-masks into one positional
+    * digit string — '1' pass / '3' fail per test, e.g. "13" for (pass, fail).
+    * Test names travel with the column via `withMetadata` ("tests_executed"),
+    * mirroring the reference's DataArray attr.
+    */
+  def combineFlags(tests: Seq[(String, Column)]): Column = {
+    val digits = tests.map { case (_, mask) => when(mask, "3").otherwise("1") }
+    concat(digits: _*)
+  }
+
+  /** Names metadata key used alongside [[combineFlags]]. */
+  val TestsExecutedKey = "tests_executed"
+
+  /** C11: decode one test's digit out of a positional flag string (0-based
+    * test index), e.g. flagDigit($"flags", 1) of "13" == 3.
+    */
+  def flagDigit(flagString: Column, testIndex: Int): Column =
+    substring(flagString, testIndex + 1, 1).cast("int")
+
+  /** C10 legacy bitmask decode for one test bit: given `qc_executed` and
+    * `qc_results` byte columns, returns the QARTOD-style flag for bit `i`:
+    * 0 if the test never ran (dominated by the initial=1 rollup), 1 on pass,
+    * 9 for the "problematic" tests (bits 2-7), 4 (fail) for bits 0-1.
+    */
+  def bitFlag(qcExecuted: Column, qcResults: Column, bit: Int): Column = {
+    val ran = (shiftright(qcExecuted, bit).cast("int").bitwiseAND(1)) === 1
+    val passed = (shiftright(qcResults, bit).cast("int").bitwiseAND(1)) === 1
+    val failFlag = if (bit >= 2) Missing else Fail
+    when(!ran, 0).when(passed, Pass).otherwise(failFlag)
+  }
+
+  /** C10 rollup: `*_qc_summary_flag` = max over the 8 per-bit flags with
+    * initial=1 (so all-unexecuted rows read "pass").
+    */
+  def qcSummaryFlag(qcExecuted: Column, qcResults: Column): Column = {
+    val flags = (0 until 8).map(bitFlag(qcExecuted, qcResults, _)) :+ lit(Pass)
+    greatest(flags: _*)
+  }
+
+  /** A4/A10-style rollup across already-decoded per-test flag columns. */
+  def summaryFlag(flagCols: Seq[Column]): Column =
+    greatest(flagCols :+ lit(Pass): _*)
+}

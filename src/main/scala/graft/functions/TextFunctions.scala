@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for the training-data pipeline surface: token
+  * counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure Catalyst expressions / higher-order functions —
+  * no UDFs, so they stay inside whole-stage codegen and scale linearly with
+  * the scan.
+  */
+object TextFunctions {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Whitespace tokens as an array (blank-safe). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: word chunks of ≤4 chars + digits + punctuation
+    * each count as one token — a cheap deterministic stand-in for a real
+    * tokenizer's token count.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of characters in `text` matching regex `charClass` (e.g.
+    * "[.,!?;:]"); 0 for empty text.
+    */
+  def charRatio(text: Column, charClass: String): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, charClass, ""))).cast("double") /
+        length(text))
+
+  /** Mean token length (0 for blank). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Fraction of tokens that appear in `stopwords` (lower-cased compare). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(sw, lower(t)))).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards moderate length and prose-like
+    * stopword density, penalizes punctuation/digit soup. Deterministic and
+    * documented so downstream filters are reproducible.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punct = charRatio(text, "[^A-Za-z0-9\\s]")
+    val digits = charRatio(text, "[0-9]")
+    val stop = stopwordRatio(text, stopwords)
+    round(
+      lit(0.25) * lenScore +
+        lit(0.25) * least(stop * 4.0, lit(1.0)) +
+        lit(0.25) * (lit(1.0) - least(punct * 5.0, lit(1.0))) +
+        lit(0.25) * (lit(1.0) - least(digits * 5.0, lit(1.0))), 6)
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Public common-word lists; extend per deployment.
+    */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"))
+
+  /** Language-ID heuristic: the language whose stopword list hits the most
+    * tokens; "und" (undetermined) when nothing hits.
+    */
+  def langIdHeuristic(text: Column,
+                      langs: Map[String, Seq[String]] = LangStopwords): Column = {
+    val toks = tokens(lower(text))
+    val scored = langs.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(sw, t))).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Document fingerprint: polynomial rolling hash over the normalized text
+    * (lower-cased, whitespace collapsed), kept below 2^40 by modular
+    * reduction each step so the value never overflows a signed 64-bit int in
+    * ANY engine (DuckDB raises on BIGINT overflow; Java wraps — modulo keeps
+    * the two in agreement). Computed with a higher-order aggregate over the
+    * character array.
+    */
+  val FingerprintMod: Long = 1L << 40
+  def fingerprint(text: Column): Column = {
+    val normalized = regexp_replace(lower(trim(text)), "\\s+", " ")
+    // Java-regex split("") can emit a trailing "" — drop empties so the char
+    // sequence matches other engines' character splits exactly.
+    val chars = filter(split(normalized, ""), c => length(c) > 0)
+    aggregate(chars, lit(7L),
+      (acc, c) => (acc * lit(31L) + coalesce(ascii(c).cast("long"), lit(0L))) % lit(FingerprintMod))
+  }
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Decimation operators (SURVEY §2.9 C1, §2.5 A2, §2.7 O3):
+  *
+  *  - [[strideSample]]: every k-th row (the reference's lazy pre-LTTB cap,
+  *    qaqc/decimate.py:201-213)
+  *  - [[coarsen]]: fixed-count bucket means with trim boundary
+  *    (qaqc/plots.py:193-201)
+  *  - [[lttb]]: exact Largest-Triangle-Three-Buckets
+  *    (qaqc/decimate.py:94-163), including the numpy `array_split` bin
+  *    sizing, the middle-of-bucket x / argmax-area y quirk, and
+  *    first-tie-wins argmax.
+  *
+  * Scale: stride and coarsen are pure window/groupBy plans. LTTB is
+  * inherently sequential per series (each selected point depends on the
+  * previous), so it runs as a per-series sorted-group kernel
+  * (`flatMapSortedGroups`). The reference bounds the per-series input to
+  * `threshold × 10` rows via pre-striding; we keep that contract, so a
+  * series always fits comfortably in one task even at 100 TB total.
+  */
+object Decimate {
+
+  /** O3 stride sampling per series: rows at ordered positions 0, k, 2k, …
+    * (numpy `slice(None, None, k)` semantics).
+    */
+  def strideSample(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   stride: Int): DataFrame = {
+    val w =
+      if (keyCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % stride === 0)
+      .drop("__rn")
+  }
+
+  /** A2 coarsen: non-overlapping buckets of `window` consecutive rows per
+    * series, mean of every value column (time included — xarray
+    * `coarsen(time=w, boundary="trim").mean()`). The trailing partial bucket
+    * is dropped ("trim").
+    */
+  def coarsen(df: DataFrame, keyCols: Seq[String], timeCol: String,
+              valueCols: Seq[String], window: Int,
+              tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(timeCol) +: tieBreak.map(col))
+    val w =
+      if (keyCols.isEmpty) Window.orderBy(order: _*)
+      else Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val bucketed = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__bucket", floor((col("__rn") - 1) / window))
+      .withColumn("__bucket_n", count(lit(1)).over(
+        if (keyCols.isEmpty) Window.partitionBy(col("__bucket"))
+        else Window.partitionBy((keyCols.map(col) :+ col("__bucket")): _*)))
+      .filter(col("__bucket_n") === window) // boundary="trim"
+    // Average epoch-micros relative to a fixed base so the partial sums stay
+    // below 2^53 and the double-precision mean is bit-identical across
+    // engines (a raw 2024-epoch µs sum over 50 rows already exceeds 2^53).
+    val tsBase = 1600000000000000L
+    val aggs = timestamp_micros(
+        (floor(avg(unix_micros(col(timeCol)) - tsBase)) + tsBase).cast("long")).as(timeCol) +:
+      valueCols.map(c => avg(col(c)).as(c))
+    bucketed
+      .groupBy((keyCols.map(col) :+ col("__bucket")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__bucket")
+  }
+
+  /** Exact LTTB kernel over one series sorted by x. Mirrors
+    * qaqc/decimate.py:94-163: first/last preserved; interior split into
+    * `threshold - 2` bins with numpy `array_split` sizing (first `L % n`
+    * bins one element larger); per bin the point maximizing the triangle
+    * (prev-output, candidate, next-bin-centroid) area is chosen (first tie
+    * wins) but emitted at the bucket-middle x.
+    */
+  private[graft] def lttbKernel(xs: Array[Double], ys: Array[Double],
+                                threshold: Int): Array[(Double, Double)] = {
+    val n = xs.length
+    if (threshold < 3 || n <= threshold) return xs.zip(ys)
+    val nBins = threshold - 2
+    val out = new Array[(Double, Double)](threshold)
+    out(0) = (xs(0), ys(0))
+    out(threshold - 1) = (xs(n - 1), ys(n - 1))
+    val interior = n - 2
+    val base = interior / nBins
+    val rem = interior % nBins
+    var start = 1
+    var i = 0
+    while (i < nBins) {
+      val sz = base + (if (i < rem) 1 else 0)
+      val end = start + sz
+      val (ax, ay) = out(i)
+      var cx = 0.0
+      var cy = 0.0
+      if (i < nBins - 1) {
+        val nsz = base + (if (i + 1 < rem) 1 else 0)
+        var j = end
+        var sx = 0.0
+        var sy = 0.0
+        while (j < end + nsz) { sx += xs(j); sy += ys(j); j += 1 }
+        cx = sx / nsz
+        cy = sy / nsz
+      } else { cx = xs(n - 1); cy = ys(n - 1) }
+      var best = start
+      var bestArea = Double.NegativeInfinity
+      var j = start
+      while (j < end) {
+        val area = 0.5 * math.abs((ax - cx) * (ys(j) - ay) - (ax - xs(j)) * (cy - ay))
+        if (area > bestArea) { bestArea = area; best = j }
+        j += 1
+      }
+      val middle = start + sz / 2
+      out(i + 1) = (xs(middle), ys(best))
+      start = end
+      i += 1
+    }
+    out
+  }
+
+  /** C1 distributed LTTB: decimate each series (identified by `keyCol`) to
+    * `threshold` points. Input columns: `keyCol` (string), `xCol`, `yCol`
+    * (numeric). Per-series data is gathered into its task via a sorted group
+    * — bounded by the pre-stride contract (`strideSample` first when a
+    * series exceeds `threshold * maxPointsFactor`).
+    */
+  def lttb(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+           threshold: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(keyCol).cast("string").as("key"),
+        col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"x") { (key: String, it: Iterator[(String, Double, Double)]) =>
+        val pts = it.toArray
+        lttbKernel(pts.map(_._2), pts.map(_._3), threshold)
+          .iterator.map { case (x, y) => (key, x, y) }
+      }
+      .toDF(keyCol, xCol, yCol)
+  }
+
+  /** The reference's full downsample contract (qaqc/decimate.py:166-229):
+    * pre-stride any series longer than `threshold * maxPointsFactor`, then
+    * exact LTTB to `threshold` points.
+    */
+  def downsample(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+                 threshold: Int, maxPointsFactor: Int = 10): DataFrame = {
+    val cap = threshold.toLong * maxPointsFactor
+    val counts = Window.partitionBy(col(keyCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol))
+    val strided = df
+      .withColumn("__n", count(lit(1)).over(counts))
+      .withColumn("__stride", ceil(col("__n") / cap).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % col("__stride") === 0)
+      .drop("__n", "__stride", "__rn")
+    lttb(strided, keyCol, xCol, yCol, threshold)
+  }
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators (SURVEY §2.4): interval/range joins (J1/J7),
+  * as-of joins (J2), validity-window construction (J3).
+  *
+  * Scale notes (100 TB design point):
+  *  - When the interval side is broadcast-size (profiles, calibrations,
+  *    annotations — always true in the reference), the theta-join is a
+  *    BroadcastNestedLoopJoin over a few-hundred-row build side: cheap and
+  *    shuffle-free.
+  *  - When both sides are large, use [[bucketizedIntervalJoin]]: intervals
+  *    are exploded into fixed-width time buckets and the join becomes an
+  *    equi-join on the bucket key (shuffle-hash/sort-merge capable), with the
+  *    exact range predicate applied as a post-filter.
+  *  - The as-of join is the union-sentinel + running `last` pattern: one
+  *    shuffle on the partition keys, no per-row lookups, scales linearly.
+  */
+object TemporalJoins {
+
+  /** J1/J7 containment join: rows of `facts` tagged with attributes of every
+    * interval `[startCol, endCol]` containing `facts(tCol)`. Interval side is
+    * broadcast (reference intervals are always small).
+    */
+  def intervalJoin(facts: DataFrame, tCol: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   joinType: String = "inner"): DataFrame =
+    facts.join(
+      broadcast(intervals),
+      facts(tCol) >= intervals(startCol) && facts(tCol) <= intervals(endCol),
+      joinType)
+
+  /** J7 interval-overlap join: `[aStart, aEnd]` overlapping the window
+    * `[wStart, wEnd]`, with null `aEnd` treated as open-ended (annotation
+    * semantics, ref qaqc/dashboard.py:324-338). Clips the interval to the
+    * window into `clip_start`/`clip_end`.
+    */
+  def overlapJoin(windows: DataFrame, wStart: String, wEnd: String,
+                  annos: DataFrame, aStart: String, aEnd: String): DataFrame = {
+    val cond = annos(aStart) < windows(wEnd) &&
+      (annos(aEnd).isNull || annos(aEnd) > windows(wStart))
+    windows.join(broadcast(annos), cond, "inner")
+      .withColumn("clip_start", greatest(annos(aStart), windows(wStart)))
+      .withColumn("clip_end", least(coalesce(annos(aEnd), windows(wEnd)), windows(wEnd)))
+  }
+
+  /** Large×large interval join: explode each interval into the fixed-width
+    * buckets it covers, equi-join on the bucket, then re-check the exact
+    * predicate. Turns a nested-loop join into a shuffle join; bucket width
+    * should be ≳ the median interval length so the explode factor stays
+    * small. Time columns must be TimestampType.
+    */
+  def bucketizedIntervalJoin(facts: DataFrame, tCol: String,
+                             intervals: DataFrame, startCol: String, endCol: String,
+                             bucketSeconds: Long): DataFrame = {
+    val b = lit(bucketSeconds)
+    val expanded = intervals.withColumn(
+      "__bucket",
+      explode(sequence(
+        (unix_timestamp(col(startCol)) / b).cast("long"),
+        (unix_timestamp(col(endCol)) / b).cast("long"))))
+    val withBucket = facts.withColumn(
+      "__bucket", (unix_timestamp(col(tCol)) / b).cast("long"))
+    withBucket
+      .join(expanded, Seq("__bucket"))
+      .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
+  /** J2 backward as-of join: for each left row, the most recent right row at
+    * or before it (per key), within `toleranceSeconds` if given.
+    *
+    * Implementation: union the two sides with a sentinel, one window sorted
+    * by (key, time) carrying the last non-null right values forward, then
+    * keep only left rows. Single shuffle on `keys`; no broadcast needed, so
+    * it works when both sides are huge.
+    *
+    * @param rightValueCols columns of `right` to carry onto `left`
+    *                       (emitted with an `asof_` prefix).
+    */
+  def asOfJoinBackward(left: DataFrame, lTime: String,
+                       right: DataFrame, rTime: String,
+                       keys: Seq[String], rightValueCols: Seq[String],
+                       toleranceSeconds: Option[Long] = None): DataFrame = {
+    val lCols = left.columns
+    val sentinel = "__is_left"
+    val t = "__t"
+    val leftTagged = left
+      .withColumn(sentinel, lit(1))
+      .withColumn(t, col(lTime))
+      .withColumn("__rt", lit(null).cast("timestamp"))
+      .select(
+        (keys.map(col) :+ col(sentinel) :+ col(t) :+ col("__rt")) ++
+          lCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
+          rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+    val rightTagged = right
+      .withColumn(sentinel, lit(0))
+      .withColumn(t, col(rTime))
+      .withColumn("__rt", col(rTime))
+      .select(
+        (keys.map(col) :+ col(sentinel) :+ col(t) :+ col("__rt")) ++
+          lCols.filterNot(keys.contains).map(c =>
+            lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+          rightValueCols.map(c => col(c).as(s"asof_$c")): _*)
+    // Right rows sort before left rows at equal timestamps so an exact-time
+    // match is visible to the left row (as-of is <=); value columns break
+    // remaining ties deterministically.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(t).asc +: col(sentinel).asc +:
+        rightValueCols.map(c => col(s"asof_$c").asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = leftTagged.unionByName(rightTagged)
+      .withColumn("__asof_t", last(col("__rt"), ignoreNulls = true).over(w))
+    val filled = rightValueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    val inTol = toleranceSeconds match {
+      case Some(tol) =>
+        col("__asof_t").isNotNull &&
+          unix_timestamp(col(t)) - unix_timestamp(col("__asof_t")) <= tol
+      case None => lit(true)
+    }
+    val result = filled
+      .filter(col(sentinel) === 1)
+      .select(
+        keys.map(col) ++
+          lCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
+          rightValueCols.map(c =>
+            when(inTol, col(s"asof_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
+    result
+  }
+
+  /** J3 validity-window construction: per `key`, each row's window runs from
+    * its own `tsCol` to the next row's (exclusive), the last row extending to
+    * `defaultEnd`. Optional clip bounds (deployment start/stop in the
+    * reference, qaqc/utils.py:182-191); empty windows are dropped.
+    */
+  def validityWindows(df: DataFrame, key: String, tsCol: String,
+                      defaultEnd: Column,
+                      clipLo: Option[Column] = None,
+                      clipHi: Option[Column] = None,
+                      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
+    val base = df
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", coalesce(lead(col(tsCol), 1).over(w), defaultEnd))
+    val clipped = (clipLo, clipHi) match {
+      case (Some(lo), Some(hi)) => base
+        .withColumn("valid_from", greatest(col("valid_from"), lo))
+        .withColumn("valid_to", least(col("valid_to"), hi))
+      case (Some(lo), None) => base.withColumn("valid_from", greatest(col("valid_from"), lo))
+      case (None, Some(hi)) => base.withColumn("valid_to", least(col("valid_to"), hi))
+      case _ => base
+    }
+    clipped.filter(col("valid_from") < col("valid_to"))
+  }
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Training-data-pipeline queries over `documents` and `embeddings`:
+  * dedup (exact / MinHash-LSH / SimHash), similarity search, text analysis.
+  */
+object QueriesDocs {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup audit: keeper id + copy count per distinct text
+    "q21_dedup_exact" -> ((s, d) =>
+      Dedup.exactDupGroups(Tables.documents(s, d), "text", "doc_id")),
+
+    // Token counting (whitespace tokenizer)
+    "q22_token_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        col("n_chars"))),
+
+    // Quality signals: digit / punctuation character ratios
+    "q23_char_ratios" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(TextFunctions.charRatio(col("text"), "[0-9]"), 6).as("digit_ratio"),
+        round(TextFunctions.charRatio(col("text"), "[.,!?;:]"), 6).as("punct_ratio"))),
+
+    // Rolling-hash document fingerprint (modular, engine-portable)
+    "q24_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // Language-ID heuristic (no oracle: stopword-vote heuristic)
+    "q25_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Brute-force cosine top-k similarity search
+    "q26_knn_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        corpus = emb.filter(col("vec_id") >= 5), corpusId = "vec_id", corpusVec = "embedding",
+        queries = emb.filter(col("vec_id") < 5), queryId = "vec_id", queryVec = "embedding",
+        k = 3)
+    }),
+
+    // SimHash fingerprints (no oracle: 64-way bit fold)
+    "q27_simhash" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), Dedup.simHash(col("text")).as("simhash"))),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified (no oracle)
+    "q28_minhash_pairs" -> ((s, d) =>
+      Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 1, numHashes = 64, bands = 16, rowsPerBand = 4, minJaccard = 0.5)),
+
+    // Embedding near-dup pairs via hyperplane LSH buckets (no oracle)
+    "q38_embedding_dups" -> ((s, d) =>
+      Dedup.embeddingDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, nBits = 4, minCosine = 0.25)),
+
+    // n-gram (word-unigram) Jaccard between documents of the same source
+    // (small per-source self-join exercising shingle set ops; oracle-checked)
+    "q40_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("source"), col("text"))
+      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, Seq("source"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("source"), col("id_a"), col("id_b"),
+          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 1), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text",
+    "q22_token_stats" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS n_tokens,
+         n_chars
+         FROM documents""",
+    "q23_char_ratios" ->
+      """SELECT doc_id,
+         round(CASE WHEN length(text) = 0 THEN 0.0
+           ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                / length(text) END, 6) AS digit_ratio,
+         round(CASE WHEN length(text) = 0 THEN 0.0
+           ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                / length(text) END, 6) AS punct_ratio
+         FROM documents""",
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(7 AS BIGINT), list_transform(
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+             c -> CAST(ascii(c) AS BIGINT))),
+           (a, c) -> (a * 31 + c) % 1099511627776) AS fp
+         FROM documents""",
+    "q26_knn_cosine" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id >= 5),
+           s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        list_dot_product(q.e, c.e) /
+                          (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+                 FROM q CROSS JOIN c)
+         SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+           FROM s)
+         WHERE rk <= 3""",
+    "q40_ngram_jaccard" ->
+      """WITH docs AS (
+           SELECT doc_id, source,
+                  list_distinct(string_split(
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents WHERE doc_id < 100)
+         SELECT * FROM (
+           SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.w, b.w))), 6) AS jaccard
+           FROM docs a JOIN docs b
+             ON a.source = b.source AND a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.5"""
+  )
+}
