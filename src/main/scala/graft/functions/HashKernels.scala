@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Tight-loop JVM kernels for the MinHash/LSH dedup path (SURVEY §2 dedup
+  * extension; ref has no equivalent — this is the training-data-pipeline
+  * surface).
+  *
+  * Why UDFs and not pure Catalyst expressions: the per-row work here is
+  * O(shingles × numHashes) — thousands of hash evaluations per document.
+  * Spark's higher-order functions (`transform`/`aggregate`) don't participate
+  * in whole-stage codegen, so expressing the signature as 64 nested
+  * `array_min(transform(...))` trees evaluates interpreted `xxhash64`
+  * expression objects per element (measured: ~660 s for 5k docs at sf0.1).
+  * A scalar UDF pays one boxing boundary per row and then runs straight JVM
+  * loops (~ms for the same input). All kernels are deterministic (seeded
+  * splitmix64), so Catalyst may still dedupe/reorder them freely.
+  */
+object HashKernels {
+
+  /** splitmix64 finalizer — a strong, cheap 64-bit mixer. */
+  @inline def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a 64-bit over the string's UTF-16 code units, splitmix-finalized. */
+  def hashString(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Whitespace tokens of the lower-cased, trimmed text — the same
+    * normalization as [[graft.operators.Dedup.shingles]].
+    */
+  private def tokens(text: String): Array[String] = {
+    val t = text.trim.toLowerCase
+    if (t.isEmpty) Array(t) else t.split("\\s+")
+  }
+
+  /** Sorted distinct 64-bit hashes of the k-word shingles of `text`.
+    * Documents shorter than k words contribute their whole token sequence as
+    * one shingle (matching [[graft.operators.Dedup.shingles]]).
+    */
+  def shingleHashSet(text: String, k: Int): Array[Long] = {
+    val toks = tokens(text)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (toks.length <= k) {
+      set.add(hashString(toks.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + k <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        set.add(hashString(sb.toString))
+        i += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** MinHash signature: sig(i) = min over shingle hashes h of
+    * mix64(h ^ seed_i), seeds derived from the hash-function index. One pass
+    * per (shingle, i) pair in a tight loop.
+    */
+  def minHashSig(shingleHashes: Seq[Long], numHashes: Int): Array[Long] = {
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val seeds = Array.tabulate(numHashes)(i => mix64(0x5851f42d4c957f2dL * (i + 1)))
+    val it = shingleHashes.iterator
+    while (it.hasNext) {
+      val h = it.next()
+      var i = 0
+      while (i < numHashes) {
+        val v = mix64(h ^ seeds(i))
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** One 64-bit key per LSH band: FNV over the band's signature slice,
+    * salted with the band index so identical slices in different bands never
+    * collide into one bucket.
+    */
+  def bandKeys(sig: Seq[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        var v = sig(b * rowsPerBand + r)
+        var byteI = 0
+        while (byteI < 8) {
+          h ^= (v & 0xffL)
+          h *= 0x100000001b3L
+          v >>>= 8
+          byteI += 1
+        }
+        r += 1
+      }
+      out(b) = mix64(h)
+      b += 1
+    }
+    out
+  }
+
+  /** Exact Jaccard of two sorted distinct long arrays (merge scan). */
+  def sortedJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    val aa = a.toArray
+    val bb = b.toArray
+    var i = 0; var j = 0; var inter = 0
+    while (i < aa.length && j < bb.length) {
+      if (aa(i) == bb(j)) { inter += 1; i += 1; j += 1 }
+      else if (aa(i) < bb(j)) i += 1
+      else j += 1
+    }
+    val union = aa.length + bb.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** All ordered pairs (a < b) from a sorted id array, capped at
+    * `maxBucket` ids to bound the quadratic blow-up of a skewed LSH bucket
+    * (ids beyond the cap are dropped — an explicit approximation; a bucket
+    * that size is one giant near-dup cluster and remains connected through
+    * the kept ids).
+    */
+  def bucketPairs(ids: Seq[Long], maxBucket: Int): Array[(Long, Long)] = {
+    val n = math.min(ids.length, maxBucket)
+    val out = new Array[(Long, Long)](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(idx) = (ids(i), ids(j))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Cosine similarity of two double arrays (single fused loop, left-to-right
+    * accumulation — same order as `aggregate(zip_with(...))` so results are
+    * bit-stable against the expression version).
+    */
+  def cosineKernel(a: Seq[Double], b: Seq[Double]): Double = {
+    val aa = a.toArray
+    val bb = b.toArray
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < aa.length) {
+      dot += aa(i) * bb(i)
+      na += aa(i) * aa(i)
+      nb += bb(i) * bb(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // ---- Column-level wrappers ----
+
+  def shingleHashSetUdf(k: Int): UserDefinedFunction =
+    udf((text: String) => shingleHashSet(text, k))
+
+  def minHashSigUdf(numHashes: Int): UserDefinedFunction =
+    udf((sh: Seq[Long]) => minHashSig(sh, numHashes))
+
+  def bandKeysUdf(bands: Int, rowsPerBand: Int): UserDefinedFunction =
+    udf((sig: Seq[Long]) => bandKeys(sig, bands, rowsPerBand))
+
+  private val jaccardUdf: UserDefinedFunction =
+    udf((a: Seq[Long], b: Seq[Long]) => sortedJaccard(a, b))
+
+  def sortedJaccardCol(a: Column, b: Column): Column = jaccardUdf(a, b)
+
+  def bucketPairsUdf(maxBucket: Int): UserDefinedFunction =
+    udf((ids: Seq[Long]) => bucketPairs(ids, maxBucket))
+
+  private val cosineUdf: UserDefinedFunction =
+    udf((a: Seq[Double], b: Seq[Double]) => cosineKernel(a, b))
+
+  def cosineCol(a: Column, b: Column): Column =
+    cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
+}

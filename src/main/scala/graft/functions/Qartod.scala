@@ -39,8 +39,14 @@ object Qartod {
 
   /** Fixed (month-only) climatology suspect test. `clim` is a broadcast-size
     * table `(month INT, sus_lo DOUBLE, sus_hi DOUBLE)`; rows whose month has
-    * no entry keep flag 1, null/NaN thresholds flag 9 (not-evaluated)
-    * following the binned-table convention.
+    * no entry keep flag 1, null/NaN thresholds flag 9 (not-evaluated).
+    *
+    * INTENTIONAL DEVIATION from the reference: calculate.py's *fixed* path
+    * leaves NaN-threshold months at flag 1 and only the *binned* path emits
+    * flag 9 for un-fitted bins (calculate.py:178-186 notes this). We unify on
+    * the binned convention — an un-fitted month is "not evaluated", not
+    * "pass" — and the q10 oracle encodes these semantics. Pass a clim table
+    * with NaN rows dropped to reproduce reference behaviour exactly.
     * Returns `df` with `outCol` appended. One broadcast join, no shuffle.
     */
   def climatologyFixed(df: DataFrame, timeCol: String, valueCol: String,

@@ -136,7 +136,10 @@ object Decimate {
         col(yCol).cast("double").as("y"))
       .as[(String, Double, Double)]
       .groupByKey(_._1)
-      .flatMapSortedGroups($"x") { (key: String, it: Iterator[(String, Double, Double)]) =>
+      // Sort by (x, y) — x alone leaves duplicate-x rows in nondeterministic
+      // relative order across runs, which would make the first-tie-wins
+      // argmax pick run-dependent.
+      .flatMapSortedGroups($"x", $"y") { (key: String, it: Iterator[(String, Double, Double)]) =>
         val pts = it.toArray
         lttbKernel(pts.map(_._2), pts.map(_._3), threshold)
           .iterator.map { case (x, y) => (key, x, y) }
@@ -152,7 +155,7 @@ object Decimate {
                  threshold: Int, maxPointsFactor: Int = 10): DataFrame = {
     val cap = threshold.toLong * maxPointsFactor
     val counts = Window.partitionBy(col(keyCol))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol), col(yCol))
     val strided = df
       .withColumn("__n", count(lit(1)).over(counts))
       .withColumn("__stride", ceil(col("__n") / cap).cast("long"))

@@ -81,40 +81,48 @@ object Dedup {
     * verification: returns (id_a, id_b, jaccard) with id_a < id_b and
     * jaccard ≥ `minJaccard`. `bands × rowsPerBand` must equal the signature
     * length.
+    *
+    * Execution shape (designed for the 100 TB fan-in):
+    *  1. one scan computes per doc the sorted shingle-hash set + signature
+    *    (tight-loop kernels, [[graft.functions.HashKernels]]); persisted so
+    *    the candidate and verification stages don't recompute text hashing;
+    *  2. candidates come from `groupBy(band, band_hash)` + per-bucket pair
+    *    expansion — the shuffle carries only (band_hash, id) pairs, never
+    *    documents, and there is no self-join;
+    *  3. a bucket larger than `maxBucket` ids is capped (sorted ids, first
+    *    `maxBucket` kept) to bound the quadratic pair blow-up of a skewed
+    *    bucket — the only approximation besides LSH banding itself;
+    *  4. verification joins the shingle sets for surviving pairs only and
+    *    computes exact Jaccard with a merge scan (no estimate prefilter —
+    *    every emitted pair satisfies the threshold exactly).
     */
   def minHashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, rowsPerBand: Int = 4,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5,
+                      maxBucket: Int = 1024): DataFrame = {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
-    val sigs = df.select(
-      col(idCol).as("id"),
-      shingleHashes(col(textCol), k).as("sh"),
-      minHashSignature(col(textCol), k, numHashes).as("sig"))
-    val buckets = sigs
-      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.band_hash"))
-    // candidate pairs from shared buckets (dedup across bands)
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val cands = a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    import graft.functions.HashKernels
+    val sigs = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        HashKernels.shingleHashSetUdf(k)(col(textCol)).as("sh"))
+      .withColumn("sig", HashKernels.minHashSigUdf(numHashes)(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sigs.select(col("id"),
+      posexplode(HashKernels.bandKeysUdf(bands, rowsPerBand)(col("sig"))))
+      .toDF("id", "band", "band_hash")
+    val cands = buckets
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(HashKernels.bucketPairsUdf(maxBucket)(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
-    // cheap signature-agreement estimate first (64 longs vs full shingle
-    // sets), then exact Jaccard only on plausible pairs — at scale the
-    // estimate prunes most of the candidate set before the set ops run
-    val shA = sigs.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
-    val shB = sigs.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
-    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-      b => b)).cast("double") / numHashes
-    cands.join(shA, "id_a").join(shB, "id_b")
-      .filter(est >= minJaccard - 0.2)
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(HashKernels.sortedJaccardCol(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
@@ -143,21 +151,31 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine ≥ `minCosine` among candidate pairs
-    * sharing an LSH bucket (random hyperplanes). Shuffles only
-    * (bucket, id, vector); at scale, raise `nBits` to shrink buckets.
+    * sharing an LSH bucket (random hyperplanes). Same execution shape as
+    * [[minHashDupPairs]]: pairs expand per bucket (capped at `maxBucket`)
+    * so the shuffle carries (bucket, id) — vectors are joined back for the
+    * surviving pairs only. At scale, raise `nBits` to shrink buckets.
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, nBits: Int = 8,
-                        minCosine: Double = 0.95): DataFrame = {
-    import graft.functions.VectorFunctions
+                        minCosine: Double = 0.95,
+                        maxBucket: Int = 4096): DataFrame = {
+    import graft.functions.{HashKernels, VectorFunctions}
     val withBucket = df.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.lshBucket(col(vecCol), dim, nBits).as("bucket"))
-    val a = withBucket.as("a")
-    val b = withBucket.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6))
+        col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        VectorFunctions.lshBucket(col(vecCol), dim, nBits).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = withBucket
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(HashKernels.bucketPairsUdf(maxBucket)(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    cands
+      .join(withBucket.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(withBucket.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cosine", round(HashKernels.cosineCol(col("v_a"), col("v_b")), 6))
       .filter(col("cosine") >= minCosine)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+      .select("id_a", "id_b", "cosine")
   }
 }

@@ -88,49 +88,53 @@ object TemporalJoins {
     val lCols = left.columns
     val sentinel = "__is_left"
     val t = "__t"
+    // The right row travels as ONE struct (match time + all value columns):
+    // a single `last(ignoreNulls)` carries it, so the emitted values always
+    // come from the same right row even when some of its columns are null.
+    val rvStruct = struct(
+      (col(rTime).as("__rt") +: rightValueCols.map(c => col(c).as(s"asof_$c"))): _*)
+    val nullRvType = {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      StructType(StructField("__rt", right.schema(rTime).dataType) +:
+        rightValueCols.map(c => StructField(s"asof_$c", right.schema(c).dataType)))
+    }
     val leftTagged = left
       .withColumn(sentinel, lit(1))
       .withColumn(t, col(lTime))
-      .withColumn("__rt", lit(null).cast("timestamp"))
       .select(
-        (keys.map(col) :+ col(sentinel) :+ col(t) :+ col("__rt")) ++
-          lCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
-          rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+        (keys.map(col) :+ col(sentinel) :+ col(t) :+
+          lit(null).cast(nullRvType).as("__rv")) ++
+          lCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
     val rightTagged = right
       .withColumn(sentinel, lit(0))
       .withColumn(t, col(rTime))
-      .withColumn("__rt", col(rTime))
       .select(
-        (keys.map(col) :+ col(sentinel) :+ col(t) :+ col("__rt")) ++
+        (keys.map(col) :+ col(sentinel) :+ col(t) :+ rvStruct.as("__rv")) ++
           lCols.filterNot(keys.contains).map(c =>
-            lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
-          rightValueCols.map(c => col(c).as(s"asof_$c")): _*)
+            lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
     // Right rows sort before left rows at equal timestamps so an exact-time
-    // match is visible to the left row (as-of is <=); value columns break
-    // remaining ties deterministically.
+    // match is visible to the left row (as-of is <=); the struct breaks
+    // remaining ties deterministically (last right row in struct order wins).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((col(t).asc +: col(sentinel).asc +:
-        rightValueCols.map(c => col(s"asof_$c").asc)): _*)
+      .orderBy(col(t).asc, col(sentinel).asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = leftTagged.unionByName(rightTagged)
-      .withColumn("__asof_t", last(col("__rt"), ignoreNulls = true).over(w))
-    val filled = rightValueCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    // Tolerance compared in microseconds — second-granularity unix_timestamp
+    // would admit matches up to ~1 s beyond the bound.
     val inTol = toleranceSeconds match {
       case Some(tol) =>
-        col("__asof_t").isNotNull &&
-          unix_timestamp(col(t)) - unix_timestamp(col("__asof_t")) <= tol
-      case None => lit(true)
+        col("__rv").isNotNull &&
+          unix_micros(col(t)) - unix_micros(col("__rv.__rt")) <= tol * 1000000L
+      case None => col("__rv").isNotNull
     }
-    val result = filled
+    carried
       .filter(col(sentinel) === 1)
       .select(
         keys.map(col) ++
           lCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
           rightValueCols.map(c =>
-            when(inTol, col(s"asof_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
-    result
+            when(inTol, col(s"__rv.asof_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
   }
 
   /** J3 validity-window construction: per `key`, each row's window runs from

@@ -211,7 +211,7 @@ object QueriesEvents {
 
   val oracleSql: Map[String, String] = Map(
     "q08_step_flags" -> s"""$evCte
-      SELECT user_id, sum(step) AS n_steps FROM (
+      SELECT user_id, CAST(sum(step) AS BIGINT) AS n_steps FROM (
         SELECT user_id,
                CASE WHEN abs(value - lag(value) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id)) > 50 THEN 1 ELSE 0 END AS step
@@ -268,7 +268,7 @@ object QueriesEvents {
              count(*) FILTER (WHERE event_type = 'view') AS n_view
       FROM e GROUP BY 1""",
     "q29_sessionize" -> s"""$evCte
-      SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+      SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         SELECT user_id,
                CASE WHEN lag(tsu) OVER w IS NULL
                          OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
