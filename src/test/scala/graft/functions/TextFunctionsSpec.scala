@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / meanTokenLength on normal, blank, and multi-space text") {
+    val df = Seq("hello world", "  ", "", "a  b\tc").toDF("t")
+    df.select(TextFunctions.tokenCount(col("t"))).as[Int].collect() shouldBe
+      Array(2, 0, 0, 3)
+    val mtl = df.select(TextFunctions.meanTokenLength(col("t"))).as[Double].collect()
+    mtl(0) shouldBe 5.0
+    mtl(1) shouldBe 0.0
+    mtl(3) shouldBe 1.0
+  }
+
+  test("charRatio counts regex-class characters") {
+    val df = Seq("a.b.c", "abc", "").toDF("t")
+    val r = df.select(TextFunctions.charRatio(col("t"), "[.]")).as[Double].collect()
+    r(0) shouldBe 0.4 +- 1e-12
+    r(1) shouldBe 0.0
+    r(2) shouldBe 0.0
+  }
+
+  test("stopwordRatio is case-insensitive fraction of stopword tokens") {
+    val df = Seq("The cat and THE dog").toDF("t")
+    val r = df.select(TextFunctions.stopwordRatio(col("t"), Seq("the", "and")))
+      .as[Double].collect()
+    r(0) shouldBe 0.6 +- 1e-12
+  }
+
+  test("qualityScore stays within [0,1] and ranks prose above digit soup") {
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog and it is a fine day for that.",
+      "919293 !!!! 848586 #### 121212 $$$$"
+    ).toDF("t")
+    val s = df.select(TextFunctions.qualityScore(col("t"), TextFunctions.LangStopwords("en")))
+      .as[Double].collect()
+    all(s) should (be >= 0.0 and be <= 1.0)
+    s(0) should be > s(1)
+  }
+
+  test("langIdHeuristic picks the dominant stopword language, und when none") {
+    val df = Seq(
+      "the cat is in the house and it is warm",
+      "el perro y el gato en la casa",
+      "zxcv qwer asdf"
+    ).toDF("t")
+    df.select(TextFunctions.langIdHeuristic(col("t"))).as[String].collect() shouldBe
+      Array("en", "es", "und")
+  }
+
+  test("fingerprint is deterministic, normalization-insensitive, bounded < 2^40") {
+    val df = Seq("Hello   World", "hello world", "hello worlds").toDF("t")
+    val f = df.select(TextFunctions.fingerprint(col("t"))).as[Long].collect()
+    f(0) shouldBe f(1) // case + whitespace normalization
+    f(0) should not be f(2)
+    all(f) should (be >= 0L and be < TextFunctions.FingerprintMod)
+  }
+
+  test("subwordCount splits long words and counts digits/punct singly") {
+    val df = Seq("hello, extraordinary 42").toDF("t")
+    // hello -> hell+o (2), "," (1), extraordinary -> 13 chars -> 4 chunks (extr aord inar y), 4+2 digits
+    df.select(TextFunctions.subwordCount(col("t"))).as[Int].collect()(0) shouldBe 9
+  }
+}

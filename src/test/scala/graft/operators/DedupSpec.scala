@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (3L, "completely unrelated text about catalyst optimizer rules and joins"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again"),
+    (5L, "the quick brown fox jumps over the lazy dog again and again")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps min-id row per identical text") {
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 2L, 3L)
+  }
+
+  test("exactDupGroups reports keep_id and copy counts") {
+    val groups = Dedup.exactDupGroups(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    groups shouldBe Array((1L, 3L), (2L, 1L), (3L, 1L))
+  }
+
+  test("minHashDupPairs finds exact and near duplicates with exact jaccard") {
+    val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, rowsPerBand = 4, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    byPair((1L, 4L)) shouldBe 1.0
+    byPair((1L, 5L)) shouldBe 1.0
+    byPair((4L, 5L)) shouldBe 1.0
+    byPair((1L, 2L)) should be > 0.85
+    // no pair involving doc 3
+    pairs.foreach { p => p._1 should not be 3L; p._2 should not be 3L }
+    // ordered pairs only
+    pairs.foreach(p => p._1 should be < p._2)
+  }
+
+  test("minHashDupPairs maxBucket caps the pair blow-up") {
+    val clones = (1L to 20L).map(i => (i, "identical text body for every clone row here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashDupPairs(clones, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, rowsPerBand = 4,
+      minJaccard = 0.5, maxBucket = 5)
+    capped.count() shouldBe 10 // 5*4/2 pairs among the first 5 kept ids
+  }
+
+  test("embeddingDupPairs finds cosine-near pairs via shared LSH bucket") {
+    val vecs = Seq(
+      (1L, Array(1.0, 2.0, 3.0, 4.0)),
+      (2L, Array(1.001, 2.001, 3.001, 4.001)),
+      (3L, Array(-4.0, 3.0, -2.0, 1.0))
+    ).toDF("id", "v")
+    val out = Dedup.embeddingDupPairs(vecs, "id", "v", dim = 4, nBits = 6,
+        minCosine = 0.999)
+      .as[(Long, Long, Double)].collect()
+    out.map(p => (p._1, p._2)) should contain((1L, 2L))
+    out.foreach(_._3 should be >= 0.999)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GapFillSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interpolateLinear fills interior nulls, leaves leading/trailing") {
+    val df = Seq(
+      ("a", 0.0, None: Option[Double]),
+      ("a", 1.0, Some(10.0)),
+      ("a", 2.0, None),
+      ("a", 3.0, None),
+      ("a", 4.0, Some(40.0)),
+      ("a", 5.0, None)
+    ).toDF("k", "t", "v")
+    val out = GapFill.interpolateLinear(df, Seq("k"), "t", "v", "f")
+      .orderBy("t").select("f").as[Option[Double]].collect()
+    out shouldBe Array(None, Some(10.0), Some(20.0), Some(30.0), Some(40.0), None)
+  }
+
+  test("interpolateLinear respects uneven time spacing") {
+    val df = Seq(("a", 0.0, Some(0.0)), ("a", 10.0, None: Option[Double]),
+        ("a", 40.0, Some(40.0)))
+      .toDF("k", "t", "v")
+    val out = GapFill.interpolateLinear(df, Seq("k"), "t", "v", "f")
+      .orderBy("t").select("f").as[Option[Double]].collect()
+    out(1) shouldBe Some(10.0)
+  }
+
+  test("maskGaps nulls values after a gap exceeding the threshold") {
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 2.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 3.0)
+    ).toDF("k", "ts", "v")
+    val out = GapFill.maskGaps(df, Seq("k"), "ts", "v", maxGapSeconds = 60)
+      .orderBy("ts").select("v").as[Option[Double]].collect()
+    out shouldBe Array(Some(1.0), Some(2.0), None)
+  }
+
+  test("timeGrid emits one row per step and joins observations") {
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 4.0)
+    ).toDF("k", "ts", "v")
+    val out = GapFill.timeGrid(df, Seq("k"), "ts", stepSeconds = 60)
+      .orderBy("ts").select("v").as[Option[Double]].collect()
+    out shouldBe Array(Some(1.0), None, None, Some(4.0))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("intervalJoin tags facts with containing intervals (inclusive bounds)") {
+    val facts = Seq(("2024-01-01 12:00:00", 1), ("2024-01-05 00:00:00", 2),
+        ("2024-01-02 00:00:00", 3))
+      .toDF("t", "id").withColumn("t", col("t").cast("timestamp"))
+    val ivs = Seq(("2024-01-01 00:00:00", "2024-01-02 00:00:00", "w1"))
+      .toDF("s", "e", "w").withColumn("s", col("s").cast("timestamp"))
+      .withColumn("e", col("e").cast("timestamp"))
+    val out = TemporalJoins.intervalJoin(facts, "t", ivs, "s", "e")
+      .select("id").as[Int].collect().sorted
+    out shouldBe Array(1, 3) // boundary t == e included
+  }
+
+  test("bucketizedIntervalJoin matches broadcast intervalJoin exactly") {
+    val facts = (0 until 500).map(i =>
+        (ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"), i))
+      .toDF("t", "id")
+    val ivs = Seq(
+      (ts("2024-01-01 03:00:00"), ts("2024-01-01 06:30:00"), "a"),
+      (ts("2024-01-01 20:15:00"), ts("2024-01-01 23:00:00"), "b"))
+      .toDF("s", "e", "w")
+    val expected = TemporalJoins.intervalJoin(facts, "t", ivs, "s", "e")
+      .select("id", "w").as[(Int, String)].collect().sorted
+    val got = TemporalJoins.bucketizedIntervalJoin(facts, "t", ivs, "s", "e", 3600)
+      .select("id", "w").as[(Int, String)].collect().sorted
+    got shouldBe expected
+  }
+
+  test("overlapJoin: open-ended annotations overlap and clip to window") {
+    val win = Seq((ts("2024-01-10 00:00:00"), ts("2024-01-20 00:00:00"), 1))
+      .toDF("ws", "we", "wid")
+    val annos = Seq(
+      (ts("2024-01-05 00:00:00"), Some(ts("2024-01-12 00:00:00")), "a"), // overlaps, clip start
+      (ts("2024-01-15 00:00:00"), None, "b"),                           // open-ended
+      (ts("2024-01-21 00:00:00"), None, "c"),                           // after window
+      (ts("2024-01-01 00:00:00"), Some(ts("2024-01-02 00:00:00")), "d") // before window
+    ).toDF("as", "ae", "aid")
+    val out = TemporalJoins.overlapJoin(win, "ws", "we", annos, "as", "ae")
+      .select("aid", "clip_start", "clip_end")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect().sortBy(_._1)
+    out.map(_._1) shouldBe Array("a", "b")
+    out(0)._2 shouldBe ts("2024-01-10 00:00:00")
+    out(0)._3 shouldBe ts("2024-01-12 00:00:00")
+    out(1)._3 shouldBe ts("2024-01-20 00:00:00")
+  }
+
+  test("asOfJoinBackward: latest right row at-or-before, consistent across null columns") {
+    val left = Seq(("u", ts("2024-01-01 00:00:10")), ("u", ts("2024-01-01 00:00:25")))
+      .toDF("k", "lt")
+    val right = Seq(
+      ("u", ts("2024-01-01 00:00:05"), Some(1.0), Option.empty[String]),
+      ("u", ts("2024-01-01 00:00:10"), Option.empty[Double], Some("b")))
+      .toDF("k", "rt", "v1", "v2")
+    val out = TemporalJoins.asOfJoinBackward(left, "lt", right, "rt",
+        keys = Seq("k"), rightValueCols = Seq("v1", "v2"))
+      .orderBy("lt")
+      .select("asof_v1", "asof_v2").as[(Option[Double], Option[String])].collect()
+    // exact-time match visible; whole row carried (v1 null, not mixed from row 1)
+    out(0) shouldBe ((None, Some("b")))
+    out(1) shouldBe ((None, Some("b")))
+  }
+
+  test("asOfJoinBackward tolerance is sub-second exact") {
+    val left = Seq(("u", ts("2024-01-01 00:00:10.500"))).toDF("k", "lt")
+    val right = Seq(("u", ts("2024-01-01 00:00:10.000"), 1.0)).toDF("k", "rt", "v")
+    def run(tol: Long) = TemporalJoins.asOfJoinBackward(left, "lt", right, "rt",
+        keys = Seq("k"), rightValueCols = Seq("v"), toleranceSeconds = Some(tol))
+      .select("asof_v").as[Option[Double]].collect()(0)
+    run(0L) shouldBe None    // 0.5 s gap > 0 s tolerance
+    run(1L) shouldBe Some(1.0)
+  }
+
+  test("validityWindows: lead-based windows, clip, empty dropped") {
+    val df = Seq(("a", ts("2024-01-01 00:00:00")), ("a", ts("2024-03-01 00:00:00")))
+      .toDF("k", "cal")
+    val out = TemporalJoins.validityWindows(df, "k", "cal",
+        defaultEnd = lit(ts("2024-12-31 00:00:00")),
+        clipLo = Some(lit(ts("2024-02-01 00:00:00"))))
+      .select("valid_from", "valid_to")
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].collect().sortBy(_._1.getTime)
+    out.length shouldBe 2
+    out(0)._1 shouldBe ts("2024-02-01 00:00:00") // clipped up
+    out(0)._2 shouldBe ts("2024-03-01 00:00:00")
+    out(1)._2 shouldBe ts("2024-12-31 00:00:00")
+  }
+}
