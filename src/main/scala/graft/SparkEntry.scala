@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{QueriesDocs, QueriesEvents, QueriesRelational}
+import graft.queries.{QueriesDocs, QueriesEvents, QueriesRelational, QueriesScience}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -35,12 +35,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesRelational.queries ++ QueriesEvents.queries ++ QueriesDocs.queries
+    QueriesRelational.queries ++ QueriesEvents.queries ++ QueriesDocs.queries ++
+      QueriesScience.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (LTTB, MinHash/SimHash, LSH, language-ID heuristic) → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    QueriesRelational.oracleSql ++ QueriesEvents.oracleSql ++ QueriesDocs.oracleSql
+    QueriesRelational.oracleSql ++ QueriesEvents.oracleSql ++ QueriesDocs.oracleSql ++
+      QueriesScience.oracleSql
 }

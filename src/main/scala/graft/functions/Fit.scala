@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-row least-squares fitting over `ArrayType` columns — the Spark
+  * re-expression of the reference's NUTNR nitrate fit shape
+  * (rca_data_tools/qaqc/advanced_qaqc/calculateFunctions.py:267-468: per
+  * sample, solve C = pinv(M)·A for a 3-column design matrix M and an
+  * absorbance vector A, then report coefficients + RMSE).
+  *
+  * The kernels are tight JVM loops behind scalar UDFs (one boxing boundary
+  * per row; the per-row work is O(len × basis²) — same rationale as
+  * [[HashKernels]]). Deterministic left-to-right accumulation so results are
+  * reproducible run-to-run; each row is independent, so the operator scales
+  * embarrassingly with the scan.
+  */
+object Fit {
+
+  /** Ordinary least squares y ≈ a + b·x via closed-form normal equations.
+    * Returns (slope, intercept, rmse); NaN-padded result when n < 2 or the
+    * design is degenerate (constant x).
+    */
+  def linFit(xs: Array[Double], ys: Array[Double]): (Double, Double, Double) = {
+    val n = math.min(xs.length, ys.length)
+    if (n < 2) return (Double.NaN, Double.NaN, Double.NaN)
+    var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+    var i = 0
+    while (i < n) {
+      sx += xs(i); sy += ys(i); sxx += xs(i) * xs(i); sxy += xs(i) * ys(i)
+      i += 1
+    }
+    val det = n * sxx - sx * sx
+    if (det == 0.0) return (Double.NaN, Double.NaN, Double.NaN)
+    val slope = (n * sxy - sx * sy) / det
+    val intercept = (sy - slope * sx) / n
+    var sse = 0.0
+    i = 0
+    while (i < n) {
+      val r = ys(i) - (intercept + slope * xs(i))
+      sse += r * r
+      i += 1
+    }
+    (slope, intercept, math.sqrt(sse / n))
+  }
+
+  /** Least squares over an arbitrary small basis: rows of `design` are the
+    * per-sample basis values (len × k, k ≤ 4ish), solved via normal
+    * equations + Gaussian elimination with partial pivoting. Returns
+    * (coeffs, rmse); NaN coeffs on singular systems. This is the 3-basis
+    * NUTNR fit generalized.
+    */
+  def lsqFit(design: Array[Array[Double]], ys: Array[Double]): (Array[Double], Double) = {
+    val n = math.min(design.length, ys.length)
+    if (n == 0) return (Array.empty, Double.NaN)
+    val k = design(0).length
+    val ata = Array.ofDim[Double](k, k)
+    val atb = new Array[Double](k)
+    var i = 0
+    while (i < n) {
+      val row = design(i)
+      var a = 0
+      while (a < k) {
+        atb(a) += row(a) * ys(i)
+        var b = 0
+        while (b < k) { ata(a)(b) += row(a) * row(b); b += 1 }
+        a += 1
+      }
+      i += 1
+    }
+    // Gaussian elimination with partial pivoting on [ata | atb]
+    val coef = new Array[Double](k)
+    var col0 = 0
+    var singular = false
+    while (col0 < k && !singular) {
+      var piv = col0
+      var r = col0 + 1
+      while (r < k) {
+        if (math.abs(ata(r)(col0)) > math.abs(ata(piv)(col0))) piv = r
+        r += 1
+      }
+      if (math.abs(ata(piv)(col0)) < 1e-12) singular = true
+      else {
+        if (piv != col0) {
+          val tmp = ata(piv); ata(piv) = ata(col0); ata(col0) = tmp
+          val tb = atb(piv); atb(piv) = atb(col0); atb(col0) = tb
+        }
+        r = col0 + 1
+        while (r < k) {
+          val f = ata(r)(col0) / ata(col0)(col0)
+          var c = col0
+          while (c < k) { ata(r)(c) -= f * ata(col0)(c); c += 1 }
+          atb(r) -= f * atb(col0)
+          r += 1
+        }
+        col0 += 1
+      }
+    }
+    if (singular) return (Array.fill(k)(Double.NaN), Double.NaN)
+    var r = k - 1
+    while (r >= 0) {
+      var acc = atb(r)
+      var c = r + 1
+      while (c < k) { acc -= ata(r)(c) * coef(c); c += 1 }
+      coef(r) = acc / ata(r)(r)
+      r -= 1
+    }
+    var sse = 0.0
+    i = 0
+    while (i < n) {
+      var pred = 0.0
+      var c = 0
+      while (c < k) { pred += design(i)(c) * coef(c); c += 1 }
+      val res = ys(i) - pred
+      sse += res * res
+      i += 1
+    }
+    (coef, math.sqrt(sse / n))
+  }
+
+  // ---- Column-level wrappers ----
+
+  /** Fit y[i] ≈ intercept + slope·i over the elements of an array column.
+    * Returns struct(slope, intercept, rmse).
+    */
+  def indexLinFitCol(ys: Column): Column = {
+    val f = udf { (y: Seq[Double]) =>
+      val xs = Array.tabulate(y.length)(_.toDouble)
+      val (s, a, r) = linFit(xs, y.toArray)
+      (s, a, r)
+    }
+    f(ys.cast("array<double>")).cast("struct<slope:double,intercept:double,rmse:double>")
+  }
+
+  /** Fit ys ≈ c0·basis0 + c1·basis1 + c2·basis2 where the bases are the
+    * NUTNR-shaped design ([ENO3-like curve, constant 1/100, wavelength/1000]
+    * in the reference): here parameterized as (e, ones/100, idx/1000).
+    * Returns struct(c0, c1, c2, rmse).
+    */
+  def nutnrFitCol(absorbance: Column, eno3: Column): Column = {
+    val f = udf { (a: Seq[Double], e: Seq[Double]) =>
+      val n = math.min(a.length, e.length)
+      val design = Array.tabulate(n)(i => Array(e(i), 0.01, i / 1000.0))
+      val (c, rmse) = lsqFit(design, a.toArray.take(n))
+      (c(0), c(1), c(2), rmse)
+    }
+    f(absorbance.cast("array<double>"), eno3.cast("array<double>"))
+      .cast("struct<c0:double,c1:double,c2:double,rmse:double>")
+  }
+}

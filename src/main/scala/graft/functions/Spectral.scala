@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Spectral / per-row array analytics — the OPTAA optical-product family
+  * (rca_data_tools/qaqc/advanced_qaqc/calculateFunctions.py:622-791:
+  * pigment ratios a412/a440, chlorophyll line height from medians around
+  * 650/676/715 nm, POC from median attenuation) re-expressed as pure
+  * higher-order Catalyst expressions over `ArrayType` columns. No UDFs —
+  * everything stays codegen-eligible and runs inside the scan stage.
+  *
+  * Indices are 0-based here (the reference finds them by nearest-wavelength
+  * search; index resolution happens at plan time from the wavelength grid).
+  */
+object Spectral {
+
+  /** element_at with 0-based index. */
+  def at(a: Column, i: Int): Column = element_at(a, i + 1)
+
+  /** Ratio of two spectrum elements, null-safe on zero denominator
+    * (reference guards the divide with `where(a440 != 0)`).
+    */
+  def bandRatio(a: Column, iNum: Int, iDen: Int): Column =
+    when(at(a, iDen) =!= 0.0, at(a, iNum) / at(a, iDen))
+
+  /** Exact median of 3 consecutive elements centered at `i` (the reference
+    * takes `nanmedian(abs[:, idx±1])` — a 3-window): sort and take the
+    * middle.
+    */
+  def median3(a: Column, i: Int): Column =
+    element_at(sort_array(slice(a, i, 3)), 2) // slice is 1-based: i-1 0-based start
+
+  /** Chlorophyll-style line height at index `iPeak` against the baseline
+    * interpolated between `iLo` and `iHi` (reference formula at
+    * calculateFunctions.py:764-774, with 3-point medians at each band).
+    */
+  def lineHeight(a: Column, iLo: Int, iPeak: Int, iHi: Int): Column = {
+    val mLo = median3(a, iLo)
+    val mPk = median3(a, iPeak)
+    val mHi = median3(a, iHi)
+    val frac = (iPeak - iLo).toDouble / (iHi - iLo).toDouble
+    mPk - (mLo + (mHi - mLo) * frac)
+  }
+
+  /** POC-style scaled median: median3 at `i` × `scale` (reference ×381). */
+  def scaledMedian(a: Column, i: Int, scale: Double): Column =
+    median3(a, i) * scale
+}

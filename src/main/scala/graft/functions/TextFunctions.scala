@@ -97,6 +97,18 @@ object TextFunctions {
     * the two in agreement). Computed with a higher-order aggregate over the
     * character array.
     */
+  /** C13 camera-size classifier parse (rca_data_tools/qaqc/visual_data.py:
+    * 26-37): human-readable size string ("1.2 MB", "800 KB", "2 GB") →
+    * megabytes as double; null when no unit matches.
+    */
+  def parseHumanSizeMb(s: Column): Column = {
+    val num = regexp_extract(s, "([0-9]+\\.?[0-9]*)", 1).cast("double")
+    val unit = regexp_extract(s, "(KB|MB|GB)\\s*$", 1)
+    when(unit === "KB", num / 1024.0)
+      .when(unit === "MB", num)
+      .when(unit === "GB", num * 1024.0)
+  }
+
   val FingerprintMod: Long = 1L << 40
   def fingerprint(text: Column): Column = {
     val normalized = regexp_replace(lower(trim(text)), "\\s+", " ")

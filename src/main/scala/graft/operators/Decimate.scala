@@ -26,15 +26,42 @@ object Decimate {
 
   /** O3 stride sampling per series: rows at ordered positions 0, k, 2k, …
     * (numpy `slice(None, None, k)` semantics).
+    *
+    * With keys the position is a per-key window (one shuffle). The global
+    * (`keyCols` empty) case does NOT use a global window — that would move
+    * every row to one partition. Instead: range-repartition by `orderCol`,
+    * count rows per partition (a cheap driver-side collect of one long per
+    * partition), and filter with per-partition offsets — two passes, fully
+    * parallel, exact global positions at any scale.
     */
   def strideSample(df: DataFrame, keyCols: Seq[String], orderCol: String,
                    stride: Int): DataFrame = {
-    val w =
-      if (keyCols.isEmpty) Window.orderBy(col(orderCol))
-      else Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter((col("__rn") - 1) % stride === 0)
-      .drop("__rn")
+    if (keyCols.nonEmpty) {
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+      df.withColumn("__rn", row_number().over(w))
+        .filter((col("__rn") - 1) % stride === 0)
+        .drop("__rn")
+    } else {
+      val ranged = df
+        .repartitionByRange(col(orderCol))
+        .sortWithinPartitions(col(orderCol))
+        .withColumn("__pid", spark_partition_id())
+      val wp = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      val withLocal = ranged.withColumn("__lrn", row_number().over(wp))
+      // per-partition counts: numPartitions rows — broadcast-size by design
+      val counts = withLocal.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__pid"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val offsets = counts.scanLeft((Int.MinValue, 0L)) {
+        case ((_, acc), (pid, cnt)) => (pid, acc + cnt)
+      }.sliding(2).map { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
+      val spark = df.sparkSession
+      import spark.implicits._
+      val offDf = broadcast(offsets.toDF("__pid", "__off"))
+      withLocal.join(offDf, "__pid")
+        .filter((col("__off") + col("__lrn") - 1) % stride === 0)
+        .drop("__pid", "__lrn", "__off")
+    }
   }
 
   /** A2 coarsen: non-overlapping buckets of `window` consecutive rows per

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArrayTests, Fit, Qartod, Spectral, TextFunctions}
+import graft.operators.{GapFill, Multimodal}
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Science-kernel and extension queries: grid interpolation (C2/A3),
+  * least-squares fits (C4), spectral products (C5), per-instrument array
+  * flag suites (C7/A6-A8), size-string parsing (C13), multimodal decode
+  * plumbing, and the Structured Streaming batch-parity query.
+  */
+object QueriesScience {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val HourUs = 3600000000L
+
+  val queries: Map[String, Q] = Map(
+    // C2/A3: observations interpolated onto a regular hourly grid per user
+    "q41_grid_interp" -> ((s, d) => {
+      val obs = Tables.events(s, d)
+        .groupBy(col("user_id"), unix_micros(col("ts")).cast("double").as("t"))
+        .agg(avg(col("value")).as("v"))
+        .withColumn("is_grid", lit(0))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(
+            floor(col("lo") / HourUs).cast("long"),
+            floor(col("hi") / HourUs).cast("long"))).as("hidx"))
+        .select(col("user_id"), (col("hidx") * HourUs).cast("double").as("t"),
+          lit(null).cast("double").as("v"), lit(1).as("is_grid"))
+      val filled = GapFill.interpolateLinear(
+        obs.unionByName(grid), Seq("user_id"), "t", "v", "v_interp",
+        tieBreak = Seq("is_grid"))
+      filled.filter(col("is_grid") === 1)
+        .select(col("user_id"), col("t"), round(col("v_interp"), 6).as("v_interp"))
+    }),
+
+    // C4: per-row least-squares fit of embedding[i] ~ a + b*i
+    "q42_linfit" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          Fit.indexLinFitCol(col("embedding")).as("f"))
+        .select(col("vec_id"),
+          round(col("f.slope"), 6).as("slope"),
+          round(col("f.intercept"), 6).as("intercept"),
+          round(col("f.rmse"), 6).as("rmse"))
+    }),
+
+    // C5: spectral band ratio, 3-point-median line height, scaled median
+    "q43_spectral" -> ((s, d) => {
+      val e = col("e")
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .select(col("vec_id"),
+          round(Spectral.bandRatio(e, 1, 4), 6).as("band_ratio"),
+          round(Spectral.lineHeight(e, 10, 11, 12), 6).as("line_height"),
+          round(Spectral.scaledMedian(e, 20, 381.0), 6).as("poc_proxy"))
+    }),
+
+    // C7/A6-A8: vote, range, flat-signal array tests folded to a digit string
+    "q44_array_flags" -> ((s, d) => {
+      val e = col("e")
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("flags", Qartod.combineFlags(Seq(
+          "vote" -> ArrayTests.voteFail(e, 0.1, 2, 8),
+          "range" -> ArrayTests.anyOutOfRange(e, -0.4, 0.4),
+          "flat" -> ArrayTests.flatSignal(e, 0.12))))
+        .groupBy(col("flags")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // C13: human-size string parse (synthesized from part attributes)
+    "q45_size_parse" -> ((s, d) => {
+      Tables.part(s, d)
+        .withColumn("size_str", concat(
+          format_string("%.1f", round(col("p_retailprice") / 7.0, 1)),
+          lit(" "),
+          when(col("p_partkey") % 3 === 0, "KB")
+            .when(col("p_partkey") % 3 === 1, "MB")
+            .otherwise("GB")))
+        .select(col("p_partkey"), col("size_str"),
+          round(TextFunctions.parseHumanSizeMb(col("size_str")), 6).as("size_mb"))
+    }),
+
+    // Structured Streaming batch-parity: bounded stream -> watermark ->
+    // tumbling hourly window -> memory sink (oracle checks the same agg)
+    "q46_stream_hourly" -> ((s, d) =>
+      StreamingOps.runHourlyTypeAggAvailableNow(s, d)),
+
+    // Multimodal plumbing: binary payload + metadata struct -> partition-
+    // batched stub decode (deterministic byte-derived features)
+    "q47_multimodal" -> ((s, d) =>
+      Multimodal.decodeStub(
+        Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q41_grid_interp" -> s"""
+      WITH e AS (SELECT user_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS t,
+                        avg(value) AS v, 0 AS is_grid
+                 FROM events GROUP BY 1, 2),
+      bounds AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM e GROUP BY 1),
+      grid AS (SELECT user_id,
+                      CAST(unnest(range(CAST(floor(lo/$HourUs) AS BIGINT),
+                                        CAST(floor(hi/$HourUs) AS BIGINT) + 1))
+                           * $HourUs AS DOUBLE) AS t,
+                      CAST(NULL AS DOUBLE) AS v, 1 AS is_grid
+               FROM bounds),
+      u AS (SELECT * FROM e UNION ALL SELECT * FROM grid),
+      w AS (SELECT user_id, t, is_grid, v,
+                   last_value(v IGNORE NULLS) OVER wb AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS pt,
+                   first_value(v IGNORE NULLS) OVER wf AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS nt
+            FROM u
+            WINDOW wb AS (PARTITION BY user_id ORDER BY t, is_grid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY t, is_grid
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, t,
+             round(CASE WHEN v IS NOT NULL THEN v
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                          CASE WHEN nt = pt THEN pv
+                               ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END
+                        ELSE NULL END, 6) AS v_interp
+      FROM w WHERE is_grid = 1""",
+    "q42_linfit" -> """
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      pts AS (SELECT vec_id, CAST(i AS DOUBLE) AS x, e[CAST(i AS INT) + 1] AS y
+              FROM base, unnest(range(len(e))) AS t(i)),
+      sums AS (SELECT vec_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                      sum(x*x) AS sxx, sum(x*y) AS sxy
+               FROM pts GROUP BY vec_id),
+      coefs AS (SELECT vec_id, n,
+                       (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope,
+                       (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n AS intercept
+                FROM sums)
+      SELECT c.vec_id, round(slope, 6) AS slope, round(intercept, 6) AS intercept,
+             round(sqrt(sum((y - (intercept + slope*x))^2)/c.n), 6) AS rmse
+      FROM coefs c JOIN pts p ON c.vec_id = p.vec_id
+      GROUP BY c.vec_id, c.n, slope, intercept""",
+    "q43_spectral" -> """
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      SELECT vec_id,
+             round(CASE WHEN e[5] != 0 THEN e[2] / e[5] END, 6) AS band_ratio,
+             round(list_sort(e[11:13])[2] -
+                   (list_sort(e[10:12])[2] +
+                    (list_sort(e[12:14])[2] - list_sort(e[10:12])[2]) * 0.5), 6) AS line_height,
+             round(list_sort(e[20:22])[2] * 381.0, 6) AS poc_proxy
+      FROM base""",
+    "q44_array_flags" -> """
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      t AS (SELECT vec_id,
+                   len(list_filter(e[1:8], x -> x > 0.1)) < 2 AS vote,
+                   len(list_filter(e, x -> x < -0.4 OR x > 0.4)) > 0 AS rng,
+                   sqrt(list_sum(list_transform(e, x -> x*x)) / len(e)
+                        - (list_sum(e) / len(e))^2) < 0.12 AS flat
+            FROM base)
+      SELECT concat(CASE WHEN vote THEN '3' ELSE '1' END,
+                    CASE WHEN rng THEN '3' ELSE '1' END,
+                    CASE WHEN flat THEN '3' ELSE '1' END) AS flags,
+             count(*) AS cnt
+      FROM t GROUP BY 1""",
+    "q45_size_parse" -> """
+      WITH p AS (SELECT p_partkey,
+                        printf('%.1f %s', round(p_retailprice / 7.0, 1),
+                               CASE WHEN p_partkey % 3 = 0 THEN 'KB'
+                                    WHEN p_partkey % 3 = 1 THEN 'MB'
+                                    ELSE 'GB' END) AS size_str
+                 FROM part)
+      SELECT p_partkey, size_str,
+             round(CASE regexp_extract(size_str, '(KB|MB|GB)\s*$', 1)
+                     WHEN 'KB' THEN CAST(regexp_extract(size_str, '([0-9]+\.?[0-9]*)', 1) AS DOUBLE) / 1024.0
+                     WHEN 'MB' THEN CAST(regexp_extract(size_str, '([0-9]+\.?[0-9]*)', 1) AS DOUBLE)
+                     WHEN 'GB' THEN CAST(regexp_extract(size_str, '([0-9]+\.?[0-9]*)', 1) AS DOUBLE) * 1024.0
+                   END, 6) AS size_mb
+      FROM p""",
+    "q46_stream_hourly" -> """
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
+             event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2""",
+    "q47_multimodal" -> """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                       ELSE ascii(substr(text, 1, 1)) END AS INT) AS first_byte,
+             CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                       ELSE ascii(substr(text, length(text), 1)) END AS INT) AS last_byte,
+             CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+             CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+      FROM documents"""
+  )
+}

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SpectralSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(Array(10.0, 2.0, 3.0, 4.0, 5.0, 1.0, 9.0, 8.0)).toDF("e")
+
+  test("at/bandRatio are 0-based and zero-denominator-safe") {
+    df.select(Spectral.at(col("e"), 0)).as[Double].collect()(0) shouldBe 10.0
+    df.select(Spectral.bandRatio(col("e"), 0, 4)).as[Double].collect()(0) shouldBe 2.0
+    val z = Seq(Array(1.0, 0.0)).toDF("e")
+      .select(Spectral.bandRatio(col("e"), 0, 1)).as[Option[Double]].collect()(0)
+    z shouldBe None
+  }
+
+  test("median3 takes the middle of the 3-window centered at i") {
+    // window centered at index 2 (0-based): (2.0, 3.0, 4.0) -> 3.0
+    df.select(Spectral.median3(col("e"), 2)).as[Double].collect()(0) shouldBe 3.0
+    // window centered at 6: (1.0, 9.0, 8.0) -> 8.0
+    df.select(Spectral.median3(col("e"), 6)).as[Double].collect()(0) shouldBe 8.0
+  }
+
+  test("lineHeight subtracts the interpolated baseline") {
+    // medians at 1,2,3: (2,3,4)->3? window@1=(10,2,3)->3; @2=(2,3,4)->3; @3=(3,4,5)->4
+    // baseline at peak 2 between 1 and 3: 3 + (4-3)*0.5 = 3.5; lh = 3 - 3.5
+    df.select(Spectral.lineHeight(col("e"), 1, 2, 3)).as[Double].collect()(0) shouldBe
+      -0.5 +- 1e-12
+  }
+}
+
+class ArrayTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    Array(1.0, 2.0, 3.0, 4.0),
+    Array(0.0, 0.0, 0.0, 5.0),
+    Array(2.0, 2.0, 2.0, 2.0)
+  ).toDF("a")
+
+  test("countAbove / voteFail count elements over the threshold") {
+    df.select(ArrayTests.countAbove(col("a"), 1.5)).as[Int].collect() shouldBe
+      Array(3, 1, 4)
+    df.select(ArrayTests.countAbove(col("a"), 1.5, take = 2)).as[Int].collect() shouldBe
+      Array(1, 0, 2)
+    df.select(ArrayTests.voteFail(col("a"), 1.5, k = 2, take = 4)).as[Boolean].collect() shouldBe
+      Array(false, true, false)
+  }
+
+  test("anyOutOfRange is exists() over the bounds") {
+    df.select(ArrayTests.anyOutOfRange(col("a"), 0.5, 4.5)).as[Boolean].collect() shouldBe
+      Array(false, true, false)
+  }
+
+  test("arrayStd is the population std; flatSignal thresholds it") {
+    val stds = df.select(ArrayTests.arrayStd(col("a"))).as[Double].collect()
+    stds(0) shouldBe math.sqrt(1.25) +- 1e-12 // std of 1,2,3,4
+    stds(2) shouldBe 0.0 +- 1e-12
+    df.select(ArrayTests.flatSignal(col("a"), 0.1)).as[Boolean].collect() shouldBe
+      Array(false, false, true)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("attachPayload + decodeStub: binary plumbing with deterministic features") {
+    val docs = Seq((1L, "AB"), (2L, ""), (3L, "hello world")).toDF("doc_id", "text")
+    val media = graft.operators.Multimodal.attachPayload(docs, "doc_id", "text")
+    media.schema("payload").dataType.typeName shouldBe "binary"
+    media.select("meta.n_bytes").as[Int].collect().sorted shouldBe Array(0, 2, 11)
+    val feats = graft.operators.Multimodal.decodeStub(media)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, Int, Int)].collect()
+    feats(0) shouldBe ((1L, 2, 'A'.toInt, 'B'.toInt, 2, 2))
+    feats(1) shouldBe ((2L, 0, -1, -1, 0, 0)) // empty payload -> sentinel
+    feats(2)._2 shouldBe 11
+  }
+
+  test("parseHumanSizeMb converts KB/MB/GB and rejects unknown units") {
+    val df = Seq("512 KB", "1.5 MB", "2 GB", "7 XB").toDF("s")
+    val r = df.select(TextFunctions.parseHumanSizeMb(col("s"))).as[Option[Double]].collect()
+    r(0).get shouldBe 0.5 +- 1e-12
+    r(1).get shouldBe 1.5
+    r(2).get shouldBe 2048.0
+    r(3) shouldBe None
+  }
+}

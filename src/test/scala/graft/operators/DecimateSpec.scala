@@ -14,6 +14,13 @@ class DecimateSpec extends SparkSpec {
     out shouldBe Array(0, 3, 6, 9)
   }
 
+  test("strideSample global path (no keys) gives exact global positions without a global window") {
+    val df = (0 until 1003).map(i => (i, s"v$i")).toDF("x", "v").repartition(7)
+    val out = Decimate.strideSample(df, Nil, "x", 100)
+      .select("x").as[Int].collect().sorted
+    out shouldBe (0 until 1003 by 100).toArray
+  }
+
   test("coarsen: fixed-count bucket means, trailing partial bucket trimmed") {
     val df = (0 until 7).map(i =>
         ("a", java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$i"), i.toDouble))
