@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Qartod
+import graft.operators.{Decimate, Reconcile}
+import graft.sources.ConfigRegistry.{SiteConfig, VariableResolver}
+
+/** The reference's main query path (SURVEY §3.1 steps 5-6,
+  * qaqc/plots.py:113-216) as one composable plan builder: scan → canonical
+  * name resolution → projection pruning → time slice → long-form melt →
+  * per-parameter QARTOD flags → decimation → plot-data table + artifact
+  * manifest, plus the K3 stale reconciliation against a prior manifest.
+  *
+  * Everything before decimation is a single narrow scan stage (no
+  * shuffles); decimation introduces the one per-series shuffle. The melt is
+  * a union of column projections, so Catalyst still prunes the parquet read
+  * to exactly the resolved physical columns.
+  */
+object Pipeline {
+
+  final case class GrossRange(failLo: Double, failHi: Double,
+                              susLo: Double, susHi: Double)
+
+  final case class PlotData(data: DataFrame, manifest: DataFrame)
+
+  /** Build the per-(site, span) plot-data table: one long-form row per
+    * (parameter, time) with value and gross-range flag, decimated per the
+    * site's algorithm. `timeParam` is the canonical time name; parameters
+    * that fail to resolve against the physical schema are skipped (the
+    * reference logs-and-continues, qaqc/plots.py:222-227).
+    */
+  def plotData(df: DataFrame, site: SiteConfig, resolver: VariableResolver,
+               timeParam: String, window: (Column, Column),
+               ranges: Map[String, GrossRange], threshold: Int): PlotData = {
+    val cols = df.columns.toSeq
+    val timeCol = resolver.resolve(timeParam, cols)
+      .getOrElse(sys.error(s"unresolvable time parameter: $timeParam"))
+    val params = site.dataParameters.filterNot(_ == timeParam)
+      .flatMap(p => resolver.resolve(p, cols).map(p -> _))
+    val sliced = df.filter(col(timeCol) >= window._1 && col(timeCol) <= window._2)
+    // melt to long form: one union branch per parameter — each branch
+    // projects (time, one value column), so the scan reads only what's used
+    val long = params.map { case (canonical, physical) =>
+      sliced.select(
+        lit(site.refDes).as("ref_des"),
+        lit(canonical).as("parameter"),
+        col(timeCol).cast("timestamp").as("t"),
+        col(physical).cast("double").as("value"))
+    }.reduce(_ unionByName _)
+    val decimated = site.decimationAlgo match {
+      case "lttb" =>
+        Decimate.downsample(
+            long.withColumn("x", unix_micros(col("t")).cast("double"))
+              .select(concat_ws("|", col("ref_des"), col("parameter")).as("series"),
+                col("x"), col("value")),
+            "series", "x", "value", threshold)
+          .select(
+            split(col("series"), "\\|").getItem(0).as("ref_des"),
+            split(col("series"), "\\|").getItem(1).as("parameter"),
+            timestamp_micros(col("x").cast("long")).as("t"),
+            col("value"))
+      case _ =>
+        // coarsen window = series length / threshold, like the reference
+        // (qaqc/plots.py:193-201 — it knows len(time); we pay one count)
+        val n = long.count()
+        val w = math.max(1, (n / math.max(1, params.size) / threshold).toInt)
+        Decimate.coarsen(long, Seq("ref_des", "parameter"), "t",
+          Seq("value"), window = w, tieBreak = Seq("value"))
+    }
+    // QARTOD overlay on the decimated series (flags keyed by canonical name)
+    val flagExpr = ranges.foldLeft(lit(Qartod.Pass).cast("int")) {
+      case (acc, (p, r)) =>
+        when(col("parameter") === p,
+          Qartod.grossRangeFlag(col("value"), r.failLo, r.failHi, r.susLo, r.susHi))
+          .otherwise(acc)
+    }
+    val flagged = decimated.withColumn("flag", flagExpr)
+    val manifest = flagged.select(col("ref_des"), col("parameter")).distinct()
+      .select(concat_ws("__", col("ref_des"), col("parameter")).as("artifact"))
+    PlotData(flagged, manifest)
+  }
+
+  /** K3 wrapper: artifacts present in the prior manifest but not
+    * regenerated this run.
+    */
+  def staleArtifacts(previous: DataFrame, current: DataFrame): DataFrame =
+    Reconcile.staleOutputs(previous, current, "artifact")
+}

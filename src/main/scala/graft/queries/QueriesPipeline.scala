@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Pipeline
+import graft.Pipeline.GrossRange
+import graft.operators.Reconcile
+import graft.sources.ConfigRegistry.{SiteConfig, VariableResolver}
+import graft.sources.Tables
+
+/** End-to-end pipeline queries: the reference's scan→prune→slice→melt→
+  * decimate→flag path (SURVEY §3.1) and the K3/K4 sink reconciliation,
+  * both against the synthetic tables.
+  */
+object QueriesPipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** lineitem viewed as a 2-parameter instrument: canonical names resolved
+    * through the variable map exactly like the reference's variableMap.csv.
+    */
+  private val site = SiteConfig(
+    refDes = "LINEITEM-SITE", stage = 1, instrument = "CTD-FIXED",
+    storeFile = "lineitem", nearestNeighbors = Nil,
+    dataParameters = Seq("time", "quantity", "price"),
+    depths = Nil, depthMinMax = None, decimationAlgo = "coarsen")
+
+  private val resolver = new VariableResolver(Map(
+    "time" -> Seq("l_shipdate"),
+    "quantity" -> Seq("l_quantity"),
+    "price" -> Seq("l_extendedprice")))
+
+  private val ranges = Map(
+    "quantity" -> GrossRange(24.0, 27.0, 25.0, 26.0),
+    "price" -> GrossRange(20000.0, 60000.0, 30000.0, 45000.0))
+
+  private val threshold = 100
+
+  val queries: Map[String, Q] = Map(
+    // §3.1 full path, coarsen algo (oracle-checked; the lttb path is
+    // exercised by q35 and the Pipeline spec)
+    "q48_pipeline" -> ((s, d) => {
+      val pd = Pipeline.plotData(
+        Tables.lineitem(s, d), site, resolver, "time",
+        (lit("1994-01-01").cast("timestamp"), lit("1998-12-31").cast("timestamp")),
+        ranges, threshold)
+      pd.data.select(col("ref_des"), col("parameter"), col("t"),
+        round(col("value"), 6).as("value"), col("flag"))
+    }),
+
+    // K4 duplicate-format reconciliation over a synthesized file listing
+    "q49_reconcile" -> ((s, d) => {
+      val files = Tables.orders(s, d)
+        .select(
+          format_string("plot_%d.%s", col("o_orderkey") % 300,
+            when(col("o_orderkey") % 2 === 0, "png").otherwise("svg")).as("name"),
+          col("o_orderdate").as("mtime"))
+        .groupBy(col("name")).agg(max(col("mtime")).as("mtime"))
+      Reconcile.duplicateFormatDeletes(files, "name", "mtime")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q48_pipeline" -> s"""
+      WITH sliced AS (
+        SELECT CAST(l_shipdate AS TIMESTAMP) AS t, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate <= TIMESTAMP '1998-12-31'),
+      long AS (
+        SELECT 'LINEITEM-SITE' AS ref_des, 'quantity' AS parameter, t,
+               CAST(l_quantity AS DOUBLE) AS value FROM sliced
+        UNION ALL
+        SELECT 'LINEITEM-SITE', 'price', t, CAST(l_extendedprice AS DOUBLE) FROM sliced),
+      w AS (SELECT greatest(1, CAST(count(*) // 2 // $threshold AS BIGINT)) AS w FROM long),
+      rn AS (SELECT ref_des, parameter, t, value,
+                    row_number() OVER (PARTITION BY ref_des, parameter
+                                       ORDER BY t, value) AS rn
+             FROM long),
+      bucketed AS (
+        SELECT ref_des, parameter,
+               make_timestamp(CAST(floor(avg(epoch_us(t) - 1600000000000000))
+                              + 1600000000000000 AS BIGINT)) AS t,
+               avg(value) AS value, count(*) AS n
+        FROM rn, w
+        GROUP BY ref_des, parameter, floor((rn - 1) / w.w), w.w
+        HAVING count(*) = w.w)
+      SELECT ref_des, parameter, t, round(value, 6) AS value,
+             CASE WHEN parameter = 'price' THEN
+                    CASE WHEN value <= 20000.0 OR value >= 60000.0 THEN 4
+                         WHEN value <= 30000.0 OR value >= 45000.0 THEN 3
+                         ELSE 1 END
+                  WHEN parameter = 'quantity' THEN
+                    CASE WHEN value <= 24.0 OR value >= 27.0 THEN 4
+                         WHEN value <= 25.0 OR value >= 26.0 THEN 3
+                         ELSE 1 END
+                  ELSE 1 END AS flag
+      FROM bucketed""",
+    "q49_reconcile" -> """
+      WITH files AS (
+        SELECT printf('plot_%d.%s', o_orderkey % 300,
+                      CASE WHEN o_orderkey % 2 = 0 THEN 'png' ELSE 'svg' END) AS name,
+               max(CAST(o_orderdate AS TIMESTAMP)) AS mtime
+        FROM orders GROUP BY 1),
+      tagged AS (
+        SELECT name, mtime,
+               regexp_extract(name, '\.(png|svg)$', 1) AS ext,
+               regexp_replace(name, '\.(png|svg)$', '') AS base
+        FROM files WHERE regexp_extract(name, '\.(png|svg)$', 1) IN ('png', 'svg')),
+      ranked AS (
+        SELECT name, mtime, base,
+               count(DISTINCT ext) OVER (PARTITION BY base) AS n_ext,
+               row_number() OVER (PARTITION BY base
+                                  ORDER BY mtime DESC, ext ASC, name ASC) AS rk
+        FROM tagged)
+      SELECT name, mtime FROM ranked WHERE n_ext = 2 AND rk > 1"""
+  )
+}
