@@ -54,38 +54,49 @@ object HashKernels {
     */
   def shingleHashSet(text: String, k: Int): Array[Long] = {
     val toks = tokens(text)
-    val set = new java.util.TreeSet[java.lang.Long]()
-    if (toks.length <= k) {
-      set.add(hashString(toks.mkString(" ")))
-    } else {
-      val sb = new java.lang.StringBuilder()
-      var i = 0
-      while (i + k <= toks.length) {
-        sb.setLength(0)
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
+    val raw =
+      if (toks.length <= k) Array(hashString(toks.mkString(" ")))
+      else {
+        val n = toks.length - k + 1
+        val out = new Array[Long](n)
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i < n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = hashString(sb.toString)
+          i += 1
         }
-        set.add(hashString(sb.toString))
-        i += 1
+        out
       }
+    // sorted-distinct in place (primitive sort beats a TreeSet by a lot)
+    java.util.Arrays.sort(raw)
+    var w = 0
+    var r = 0
+    while (r < raw.length) {
+      if (w == 0 || raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
+      r += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    out
+    if (w == raw.length) raw else java.util.Arrays.copyOf(raw, w)
   }
 
   /** MinHash signature: sig(i) = min over shingle hashes h of
     * mix64(h ^ seed_i), seeds derived from the hash-function index. One pass
     * per (shingle, i) pair in a tight loop.
     */
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seedsFor(numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHashes,
+      n => Array.tabulate(n)(i => mix64(0x5851f42d4c957f2dL * (i + 1))))
+
   def minHashSig(shingleHashes: Seq[Long], numHashes: Int): Array[Long] = {
     val out = Array.fill(numHashes)(Long.MaxValue)
-    val seeds = Array.tabulate(numHashes)(i => mix64(0x5851f42d4c957f2dL * (i + 1)))
+    val seeds = seedsFor(numHashes)
     val it = shingleHashes.iterator
     while (it.hasNext) {
       val h = it.next()
@@ -148,7 +159,10 @@ object HashKernels {
     */
   def bucketPairs(ids: Seq[Long], maxBucket: Int): Array[(Long, Long)] = {
     val n = math.min(ids.length, maxBucket)
-    val out = new Array[(Long, Long)](n * (n - 1) / 2)
+    val nPairs = n.toLong * (n - 1) / 2
+    require(nPairs <= Int.MaxValue,
+      s"bucketPairs: $n ids expand to $nPairs pairs; cap the bucket (maxBucket)")
+    val out = new Array[(Long, Long)](nPairs.toInt)
     var idx = 0
     var i = 0
     while (i < n) {
@@ -161,6 +175,68 @@ object HashKernels {
       i += 1
     }
     out
+  }
+
+  /** LSH bucket pair emission with two exact in-kernel prunes:
+    *
+    *  - **first-band dedup**: a pair colliding in several bands is emitted
+    *    only from the smallest matching band index, so the downstream plan
+    *    needs NO `distinct()` over the (band-count ×) duplicated pair
+    *    stream;
+    *  - **size bound**: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) — pairs whose
+    *    shingle-set sizes already forbid reaching `minJaccard` are dropped
+    *    before their sets are ever joined. This is a hard bound, not an
+    *    estimate: no qualifying pair is lost.
+    *
+    * `items` are (id, setSize, bandKeys) for every member of one bucket in
+    * band `band`; ids are sorted and capped at `maxBucket` like
+    * [[bucketPairs]].
+    */
+  def bucketPairsFirstBand(band: Int, ids: Seq[Long], sizes: Seq[Int],
+                           bandKeys: Seq[Seq[Long]], maxBucket: Int,
+                           minJaccard: Double): Array[(Long, Long)] = {
+    // unbox once into flat primitive arrays — the O(n² × bands) loop below
+    // must not touch boxed Seq accessors
+    val m = ids.length
+    val nBands = if (m == 0) 0 else bandKeys(0).length
+    val idArr = new Array[Long](m)
+    val szArr = new Array[Int](m)
+    val bkArr = new Array[Long](m * nBands)
+    var x = 0
+    while (x < m) {
+      idArr(x) = ids(x)
+      szArr(x) = sizes(x)
+      val row = bandKeys(x)
+      var b = 0
+      while (b < nBands) { bkArr(x * nBands + b) = row(b); b += 1 }
+      x += 1
+    }
+    val order = Array.range(0, m).sortBy(idArr)
+    val n = math.min(m, maxBucket)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var i = 0
+    while (i < n) {
+      val oi = order(i)
+      val szI = szArr(oi)
+      val baseI = oi * nBands
+      var j = i + 1
+      while (j < n) {
+        val oj = order(j)
+        val szJ = szArr(oj)
+        val lo = math.min(szI, szJ).toDouble
+        val hi = math.max(szI, szJ).toDouble
+        if (hi == 0.0 || lo / hi >= minJaccard) {
+          // first band in which the two signatures collide
+          val baseJ = oj * nBands
+          var first = 0
+          while (first < nBands && bkArr(baseI + first) != bkArr(baseJ + first)) first += 1
+          if (first == band) out += ((idArr(oi), idArr(oj)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.toArray
   }
 
   /** Cosine similarity of two double arrays (single fused loop, left-to-right
@@ -199,6 +275,10 @@ object HashKernels {
 
   def bucketPairsUdf(maxBucket: Int): UserDefinedFunction =
     udf((ids: Seq[Long]) => bucketPairs(ids, maxBucket))
+
+  def bucketPairsFirstBandUdf(maxBucket: Int, minJaccard: Double): UserDefinedFunction =
+    udf((band: Int, ids: Seq[Long], sizes: Seq[Int], bandKeys: Seq[Seq[Long]]) =>
+      bucketPairsFirstBand(band, ids, sizes, bandKeys, maxBucket, minJaccard))
 
   private val cosineUdf: UserDefinedFunction =
     udf((a: Seq[Double], b: Seq[Double]) => cosineKernel(a, b))

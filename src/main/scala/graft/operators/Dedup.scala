@@ -83,48 +83,90 @@ object Dedup {
     * length.
     *
     * Execution shape (designed for the 100 TB fan-in):
-    *  1. one scan computes per doc the sorted shingle-hash set + signature
-    *    (tight-loop kernels, [[graft.functions.HashKernels]]); persisted so
-    *    the candidate and verification stages don't recompute text hashing;
-    *  2. candidates come from `groupBy(band, band_hash)` + per-bucket pair
+    *  1. exact duplicates are collapsed FIRST (hash-groupBy on
+    *    (xxhash64, length) — the [[exactDedup]] key): all shingle hashing,
+    *    LSH banding, and candidate expansion run once per DISTINCT text.
+    *    On dup-heavy corpora (the common case for web-scale training data)
+    *    this removes the quadratic candidate blow-up entirely — identical
+    *    docs would otherwise collide in every band;
+    *  2. per distinct text, one scan computes the sorted shingle-hash set +
+    *    signature (tight-loop kernels, [[graft.functions.HashKernels]]);
+    *    persisted so candidate and verification stages don't recompute;
+    *  3. candidates come from `groupBy(band, band_hash)` + per-bucket pair
     *    expansion — the shuffle carries only (band_hash, id) pairs, never
-    *    documents, and there is no self-join;
-    *  3. a bucket larger than `maxBucket` ids is capped (sorted ids, first
-    *    `maxBucket` kept) to bound the quadratic pair blow-up of a skewed
-    *    bucket — the only approximation besides LSH banding itself;
+    *    documents, and there is no self-join. A bucket larger than
+    *    `maxBucket` ids is capped (sorted ids, first `maxBucket` kept) to
+    *    bound a skewed bucket — with exact dups pre-collapsed this now only
+    *    triggers on genuinely-near-duplicate mega-clusters;
     *  4. verification joins the shingle sets for surviving pairs only and
-    *    computes exact Jaccard with a merge scan (no estimate prefilter —
-    *    every emitted pair satisfies the threshold exactly).
+    *    computes exact Jaccard with a merge scan (no estimate prefilter);
+    *  5. verified representative pairs expand back through the duplicate
+    *    groups: within-group pairs emit jaccard 1.0, cross-group pairs
+    *    inherit their representatives' jaccard (identical text ⇒ identical
+    *    shingle set, so this is exact, not an approximation).
     */
   def minHashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, rowsPerBand: Int = 4,
                       minJaccard: Double = 0.5,
-                      maxBucket: Int = 1024): DataFrame = {
+                      maxBucket: Int = 8192): DataFrame = {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
     import graft.functions.HashKernels
-    val sigs = df
-      .select(
-        col(idCol).cast("long").as("id"),
-        HashKernels.shingleHashSetUdf(k)(col(textCol)).as("sh"))
+    // 1. collapse exact duplicates; shuffle carries (hash, len, id) + one
+    //    text per group (first() keeps the group's text for shingling)
+    val groups = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+      .groupBy(xxhash64(col("__text")).as("__k"), length(col("__text")).as("__len"))
+      .agg(min(col("id")).as("rep"),
+        sort_array(collect_list(col("id"))).as("members"),
+        first(col("__text")).as("text"))
+      .select("rep", "members", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2. signatures per distinct text
+    val sigs = groups
+      .select(col("rep").as("id"),
+        HashKernels.shingleHashSetUdf(k)(col("text")).as("sh"))
       .withColumn("sig", HashKernels.minHashSigUdf(numHashes)(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = sigs.select(col("id"),
-      posexplode(HashKernels.bandKeysUdf(bands, rowsPerBand)(col("sig"))))
-      .toDF("id", "band", "band_hash")
+    // 3. LSH candidate pairs among representatives. Each bucket member
+    //    carries its full band-key vector so the kernel can emit a pair
+    //    only from its FIRST colliding band (no distinct() needed) and
+    //    apply the exact size-ratio bound before any set join. The three
+    //    collect_lists run in one aggregation pass, so they stay aligned.
+    val withMeta = sigs.select(col("id"), size(col("sh")).as("sz"),
+      HashKernels.bandKeysUdf(bands, rowsPerBand)(col("sig")).as("bk"))
+    val buckets = withMeta
+      .select(col("id"), col("sz"), col("bk"), posexplode(col("bk")))
+      .toDF("id", "sz", "bk", "band", "band_hash")
     val cands = buckets
       .groupBy(col("band"), col("band_hash"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(collect_list(col("id")).as("ids"),
+        collect_list(col("sz")).as("szs"),
+        collect_list(col("bk")).as("bks"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(HashKernels.bucketPairsUdf(maxBucket)(col("ids"))).as("p"))
+      .select(explode(HashKernels.bucketPairsFirstBandUdf(maxBucket, minJaccard)(
+        col("band"), col("ids"), col("szs"), col("bks"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
-    cands
+    // 4. exact-Jaccard verification of representative pairs
+    val repPairs = cands
       .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(HashKernels.sortedJaccardCol(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+    // 5. expand duplicate groups back to doc-level pairs
+    val within = groups
+      .filter(size(col("members")) >= 2)
+      .select(explode(HashKernels.bucketPairsUdf(Int.MaxValue)(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(groups.select(col("rep").as("id_a"), col("members").as("__ma")), "id_a")
+      .join(groups.select(col("rep").as("id_b"), col("members").as("__mb")), "id_b")
+      .select(col("jaccard"), explode(col("__ma")).as("a"), col("__mb"))
+      .select(col("jaccard"), col("a"), explode(col("__mb")).as("b"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
+    within.unionByName(cross)
   }
 
   /** 64-bit SimHash over word tokens: bit b is 1 when the weighted sum of

@@ -59,10 +59,13 @@ object QueriesDocs {
       Tables.documents(s, d).select(
         col("doc_id"), Dedup.simHash(col("text")).as("simhash"))),
 
-    // MinHash+LSH near-dup pairs, exact-Jaccard verified (no oracle)
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified (no oracle).
+    // k=3 word shingles: the standard web-dedup parameterization — unigram
+    // shingles degenerate to bag-of-words similarity, which on a small
+    // shared vocabulary marks most of the corpus as near-duplicate.
     "q28_minhash_pairs" -> ((s, d) =>
       Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
-        k = 1, numHashes = 64, bands = 16, rowsPerBand = 4, minJaccard = 0.5)),
+        k = 3, numHashes = 64, bands = 16, rowsPerBand = 4, minJaccard = 0.5)),
 
     // Embedding near-dup pairs via hyperplane LSH buckets (no oracle)
     "q38_embedding_dups" -> ((s, d) =>

@@ -40,13 +40,28 @@ class DedupSpec extends SparkSpec {
     pairs.foreach(p => p._1 should be < p._2)
   }
 
-  test("minHashDupPairs maxBucket caps the pair blow-up") {
+  test("minHashDupPairs: identical texts always pair (exact-dup collapse bypasses LSH caps)") {
     val clones = (1L to 20L).map(i => (i, "identical text body for every clone row here"))
       .toDF("doc_id", "text")
-    val capped = Dedup.minHashDupPairs(clones, "doc_id", "text",
+    val out = Dedup.minHashDupPairs(clones, "doc_id", "text",
       k = 3, numHashes = 64, bands = 16, rowsPerBand = 4,
       minJaccard = 0.5, maxBucket = 5)
-    capped.count() shouldBe 10 // 5*4/2 pairs among the first 5 kept ids
+    out.count() shouldBe 190 // all 20*19/2 pairs, jaccard 1.0, despite maxBucket=5
+  }
+
+  test("minHashDupPairs maxBucket caps the pair blow-up across distinct near-dup texts") {
+    // 20 DISTINCT texts sharing a long common prefix -> same LSH buckets
+    val nearDups = (1L to 20L).map(i =>
+        (i, s"the same long shared prefix of words repeated across rows marker$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashDupPairs(nearDups, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, rowsPerBand = 4,
+      minJaccard = 0.5, maxBucket = 5)
+    val uncapped = Dedup.minHashDupPairs(nearDups, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, rowsPerBand = 4,
+      minJaccard = 0.5, maxBucket = 1024)
+    capped.count() should be < uncapped.count()
+    capped.count() should be >= 10L // at least the pairs among the first 5 ids
   }
 
   test("embeddingDupPairs finds cosine-near pairs via shared LSH bucket") {
