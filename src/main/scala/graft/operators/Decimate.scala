@@ -79,21 +79,19 @@ object Decimate {
     val bucketed = df
       .withColumn("__rn", row_number().over(w))
       .withColumn("__bucket", floor((col("__rn") - 1) / window))
-      .withColumn("__bucket_n", count(lit(1)).over(
-        if (keyCols.isEmpty) Window.partitionBy(col("__bucket"))
-        else Window.partitionBy((keyCols.map(col) :+ col("__bucket")): _*)))
-      .filter(col("__bucket_n") === window) // boundary="trim"
     // Average epoch-micros relative to a fixed base so the partial sums stay
     // below 2^53 and the double-precision mean is bit-identical across
     // engines (a raw 2024-epoch µs sum over 50 rows already exceeds 2^53).
     val tsBase = 1600000000000000L
     val aggs = timestamp_micros(
         (floor(avg(unix_micros(col(timeCol)) - tsBase)) + tsBase).cast("long")).as(timeCol) +:
-      valueCols.map(c => avg(col(c)).as(c))
+      valueCols.map(c => avg(col(c)).as(c)) :+
+      count(lit(1)).as("__bucket_n")
     bucketed
       .groupBy((keyCols.map(col) :+ col("__bucket")): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .drop("__bucket")
+      .filter(col("__bucket_n") === window) // boundary="trim"
+      .drop("__bucket", "__bucket_n")
   }
 
   /** Exact LTTB kernel over one series sorted by x. Mirrors

@@ -72,6 +72,17 @@ object QueriesDocs {
       Dedup.embeddingDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, nBits = 4, minCosine = 0.25)),
 
+    // IVF/LSH-bucketed approximate top-k ANN — the 2^nBits scan-reduction
+    // path (no oracle: bucket membership isn't SQL-expressible; results are
+    // a deterministic subset of q26's exact top-k)
+    "q50_ivf_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        corpus = emb.filter(col("vec_id") >= 5), corpusId = "vec_id", corpusVec = "embedding",
+        queries = emb.filter(col("vec_id") < 5), queryId = "vec_id", queryVec = "embedding",
+        dim = 64, k = 3, nBits = 2)
+    }),
+
     // n-gram (word-unigram) Jaccard between documents of the same source
     // (small per-source self-join exercising shingle set ops; oracle-checked)
     "q40_ngram_jaccard" -> ((s, d) => {

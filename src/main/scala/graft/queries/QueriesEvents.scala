@@ -197,6 +197,16 @@ object QueriesEvents {
         .select(col("event_type"), col("ts"), round(col("value"), 6).as("value"))
     }),
 
+    // A5 column-wise bitwise-OR rollup: which QC bits ever ran per type
+    "q51_bit_rollup" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("qc_executed", col("event_id") % 256)
+        .groupBy(col("event_type"))
+        .agg(expr("bit_or(qc_executed)").as("mask_or"),
+          expr("bit_and(qc_executed)").as("mask_and"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // §2.8 JSON parse: extract props.k and aggregate
     "q39_json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -322,6 +332,10 @@ object QueriesEvents {
             FROM e)
       GROUP BY event_type, floor((rn - 1) / 50)
       HAVING count(*) = 50""",
+    "q51_bit_rollup" -> s"""$evCte
+      SELECT event_type, bit_or(event_id % 256) AS mask_or,
+             bit_and(event_id % 256) AS mask_and, count(*) AS cnt
+      FROM e GROUP BY 1""",
     "q39_json_extract" -> s"""$evCte
       SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k
       FROM (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS INT) AS k FROM e)
