@@ -35,32 +35,19 @@ object Decimate {
     * parallel, exact global positions at any scale.
     */
   def strideSample(df: DataFrame, keyCols: Seq[String], orderCol: String,
-                   stride: Int): DataFrame = {
-    if (keyCols.nonEmpty) {
+                   stride: Int, fewSeries: Boolean = false): DataFrame = {
+    if (keyCols.nonEmpty && !fewSeries) {
+      // many small series: a plain per-key window is already parallel
       val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
       df.withColumn("__rn", row_number().over(w))
         .filter((col("__rn") - 1) % stride === 0)
         .drop("__rn")
     } else {
-      val ranged = df
-        .repartitionByRange(col(orderCol))
-        .sortWithinPartitions(col(orderCol))
-        .withColumn("__pid", spark_partition_id())
-      val wp = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-      val withLocal = ranged.withColumn("__lrn", row_number().over(wp))
-      // per-partition counts: numPartitions rows — broadcast-size by design
-      val counts = withLocal.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-        .orderBy(col("__pid"))
-        .collect().map(r => (r.getInt(0), r.getLong(1)))
-      val offsets = counts.scanLeft((Int.MinValue, 0L)) {
-        case ((_, acc), (pid, cnt)) => (pid, acc + cnt)
-      }.sliding(2).map { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
-      val spark = df.sparkSession
-      import spark.implicits._
-      val offDf = broadcast(offsets.toDF("__pid", "__off"))
-      withLocal.join(offDf, "__pid")
-        .filter((col("__off") + col("__lrn") - 1) % stride === 0)
-        .drop("__pid", "__lrn", "__off")
+      // few big series (or global): exact positions via the two-pass
+      // range-partitioned plan — no single-task series
+      OrderedPosition.withPosition(df, keyCols, Seq(orderCol), "__pos")
+        .filter(col("__pos") % stride === 0)
+        .drop("__pos")
     }
   }
 
@@ -72,13 +59,12 @@ object Decimate {
   def coarsen(df: DataFrame, keyCols: Seq[String], timeCol: String,
               valueCols: Seq[String], window: Int,
               tieBreak: Seq[String] = Nil): DataFrame = {
-    val order = (col(timeCol) +: tieBreak.map(col))
-    val w =
-      if (keyCols.isEmpty) Window.orderBy(order: _*)
-      else Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
-    val bucketed = df
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__bucket", floor((col("__rn") - 1) / window))
+    // decimation input is the few-big-series shape by construction, so
+    // positions come from the parallel two-pass plan, never a per-series
+    // single-task window
+    val bucketed = OrderedPosition
+      .withPosition(df, keyCols, timeCol +: tieBreak, "__pos")
+      .withColumn("__bucket", floor(col("__pos") / window))
     // Average epoch-micros relative to a fixed base so the partial sums stay
     // below 2^53 and the double-precision mean is bit-identical across
     // engines (a raw 2024-epoch µs sum over 50 rows already exceeds 2^53).
@@ -179,14 +165,16 @@ object Decimate {
   def downsample(df: DataFrame, keyCol: String, xCol: String, yCol: String,
                  threshold: Int, maxPointsFactor: Int = 10): DataFrame = {
     val cap = threshold.toLong * maxPointsFactor
-    val counts = Window.partitionBy(col(keyCol))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol), col(yCol))
-    val strided = df
-      .withColumn("__n", count(lit(1)).over(counts))
+    // per-series counts via hash agg (map-side partials, parallel) +
+    // broadcast join — NOT a partition-only window, which would move each
+    // series onto one task before the stride even runs
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val strided = OrderedPosition
+      .withPosition(df, Seq(keyCol), Seq(xCol, yCol), "__pos")
+      .join(broadcast(counts), keyCol)
       .withColumn("__stride", ceil(col("__n") / cap).cast("long"))
-      .withColumn("__rn", row_number().over(w))
-      .filter((col("__rn") - 1) % col("__stride") === 0)
-      .drop("__n", "__stride", "__rn")
+      .filter(col("__pos") % col("__stride") === 0)
+      .drop("__n", "__stride", "__pos")
     lttb(strided, keyCol, xCol, yCol, threshold)
   }
 }
