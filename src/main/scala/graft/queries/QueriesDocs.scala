@@ -39,7 +39,7 @@ object QueriesDocs {
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
 
-    // Language-ID heuristic (no oracle: stopword-vote heuristic)
+    // Language-ID heuristic (oracle replicates the stopword vote + tie rule)
     "q25_langid" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy(TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
@@ -99,7 +99,31 @@ object QueriesDocs {
     })
   )
 
+  /** DuckDB hits-counter for one language's stopword list (kept in sync
+    * with [[TextFunctions.LangStopwords]] by construction).
+    */
+  private def langHitsSql(lang: String): String = {
+    val words = TextFunctions.LangStopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, x -> x IN ($words))) AS hits_$lang"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // Spark's array_max over (hits, lang) structs breaks hit-ties toward the
+    // lexicographically LARGER language code; the CASE checks fr,es,en,de in
+    // that order with >= to replicate it.
+    "q25_langid" -> raw"""
+      WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+                 FROM documents),
+      s AS (SELECT ${Seq("de", "en", "es", "fr").map(langHitsSql).mkString(", ")} FROM t)
+      SELECT lang_pred, count(*) AS cnt FROM (
+        SELECT CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                    WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
+                    WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+                    WHEN hits_en >= hits_de THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM s)
+      GROUP BY 1""",
     "q21_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text",
     "q22_token_stats" ->

@@ -24,6 +24,62 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Stateful sessionization via `flatMapGroupsWithState` — the custom-state
+    * streaming surface: per user, events are folded into gap-based sessions
+    * (a new session starts after `gapSeconds` of silence). Emits one row per
+    * CLOSED session on event-time timeout; state per key is one open
+    * session (bounded).
+    *
+    * Batch parity: with a bounded AvailableNow run plus final-watermark
+    * flush the emitted sessions equal the batch q29-style sessionization.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+                 gapSeconds: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    def fn(userId: Long, it: Iterator[SessionEvent],
+           state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      val sorted = it.toArray.sortBy(e => (e.tsMs, e.eventId))
+      var open = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      sorted.foreach { e =>
+        open match {
+          case Some(s) if e.tsMs - s.lastMs <= gapMs =>
+            open = Some(s.copy(lastMs = math.max(s.lastMs, e.tsMs), n = s.n + 1))
+          case Some(s) =>
+            closed += SessionOut(userId, s.startMs, s.lastMs, s.n)
+            open = Some(OpenSession(e.tsMs, e.tsMs, 1))
+          case None =>
+            open = Some(OpenSession(e.tsMs, e.tsMs, 1))
+        }
+      }
+      if (state.hasTimedOut) {
+        val out = open.map(s => SessionOut(userId, s.startMs, s.lastMs, s.n))
+        state.remove()
+        out.iterator ++ closed.iterator
+      } else {
+        open.foreach { s =>
+          state.update(s)
+          // close the session once the event-time watermark passes last+gap
+          // (timeout must be set strictly beyond the current watermark)
+          state.setTimeoutTimestamp(
+            math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
+        }
+        closed.iterator
+      }
+    }
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn _)
+  }
+
+  final case class SessionEvent(userId: Long, ts: java.sql.Timestamp, eventId: Long) {
+    def tsMs: Long = ts.getTime
+  }
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  final case class SessionOut(userId: Long, startMs: Long, endMs: Long, n: Long)
+
   /** Run [[hourlyTypeAgg]] over the events parquet as a bounded stream
     * (Trigger.AvailableNow) into an in-memory sink and return the result —
     * the batch-parity harness. Schema is taken from a batch read of the
@@ -44,6 +100,35 @@ object StreamingOps {
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Run [[sessionize]] over the events parquet as a bounded stream (memory
+    * sink, Append). Sessions still open when the final watermark lands stay
+    * in state — the contract of streaming sessionization; the spec compares
+    * emitted sessions against the batch equivalent under that closure rule.
+    */
+  def runSessionizeAvailableNow(spark: SparkSession, dir: String, gapSeconds: Long,
+                                queryName: String = "graft_stream_sessions"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("userId"), col("ts"),
+        col("event_id").as("eventId"))
+      .as[SessionEvent]
+    val q = sessionize(stream, gapSeconds)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

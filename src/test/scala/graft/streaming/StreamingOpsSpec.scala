@@ -5,6 +5,40 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful sessionize matches batch gap-sessionization for watermark-closed sessions") {
+    val d = "/root/testdata/sf0.001"
+    val gap = 1800L
+    val streamed = StreamingOps.runSessionizeAvailableNow(spark, d, gap,
+        queryName = "graft_stream_sessions_test")
+      .select("userId", "startMs", "endMs", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // batch equivalent: per user, split on >gap silence
+    val events = graft.sources.Tables.events(spark, d)
+      .select(col("user_id"), (unix_micros(col("ts")) / 1000L).cast("long").as("tsMs"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val maxTs = events.map(_._2).max
+    val batchSessions = events.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      var start = sorted.head._2; var last = sorted.head._2; var n = 1L
+      sorted.tail.foreach { e =>
+        if (e._2 - last <= gap * 1000) { last = math.max(last, e._2); n += 1 }
+        else { sessions += ((uid, start, last, n)); start = e._2; last = e._2; n = 1 }
+      }
+      sessions += ((uid, start, last, n))
+      sessions
+    }.toSet
+    // sessions whose close point precedes the final watermark must be
+    // emitted; the remainder may legitimately still be open in state
+    val mustEmit = batchSessions.filter(s => s._3 + gap * 1000 < maxTs)
+    assert(mustEmit.subsetOf(streamed),
+      s"missing ${(mustEmit -- streamed).take(3)}")
+    assert(streamed.subsetOf(batchSessions),
+      s"unexpected ${(streamed -- batchSessions).take(3)}")
+  }
 
   test("bounded stream aggregation matches the batch equivalent exactly") {
     val d = "/root/testdata/sf0.001"
