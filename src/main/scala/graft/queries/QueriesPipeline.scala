@@ -49,6 +49,30 @@ object QueriesPipeline {
         round(col("value"), 6).as("value"), col("flag"))
     }),
 
+    // §3.1 profiler-scatter port (ProfileScatter): interval-tagged plot
+    // data with the reference's 5-minute profile mask and summary-union
+    "q52_profile_scatter" -> ((s, d) => {
+      import s.implicits._
+      val samples = Tables.events(s, d)
+        .select(col("ts"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("press"))
+      val profiles = Seq(
+        ("2024-01-16 00:00:00", "2024-01-16 12:00:00", "2024-01-17 00:00:00"),
+        ("2024-01-17 06:00:00", "2024-01-17 12:00:00", "2024-01-17 18:00:00"),
+        ("2024-01-19 00:00:00", "2024-01-19 06:00:00", "2024-01-19 12:00:00"))
+        .toDF("start", "peak", "end")
+        .select(col("start").cast("timestamp"), col("peak").cast("timestamp"),
+          col("end").cast("timestamp"))
+      val r = graft.ProfileScatter.run(
+        samples, "ts", "value", "press", profiles,
+        timeRef = java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), spanDays = 5,
+        fileNameBase = "QAQC_plots/EVENTS_value", spanString = "day",
+        descentSampled = false,
+        annoNonEmpty = true, climNonEmpty = true, flagNonEmpty = true)
+      r.data.select(col("plot_idx"), round(col("x"), 6).as("x"),
+        round(col("y"), 6).as("y"), col("z"))
+    }),
+
     // K4 duplicate-format reconciliation over a synthesized file listing
     "q49_reconcile" -> ((s, d) => {
       val files = Tables.orders(s, d)
@@ -96,6 +120,28 @@ object QueriesPipeline {
                          ELSE 1 END
                   ELSE 1 END AS flag
       FROM bucketed""",
+    "q52_profile_scatter" -> """
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+                        CAST(json_extract_string(props, '$.k') AS DOUBLE) AS press
+                 FROM events
+                 WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+                   AND ts <= TIMESTAMP '2024-01-20 00:00:00'),
+      ext AS (SELECT min(ts) AS lo, max(ts) AS hi FROM e),
+      p(start_t, peak, end_t) AS (VALUES
+        (TIMESTAMP '2024-01-16 00:00:00', TIMESTAMP '2024-01-16 12:00:00', TIMESTAMP '2024-01-17 00:00:00'),
+        (TIMESTAMP '2024-01-17 06:00:00', TIMESTAMP '2024-01-17 12:00:00', TIMESTAMP '2024-01-17 18:00:00'),
+        (TIMESTAMP '2024-01-19 00:00:00', TIMESTAMP '2024-01-19 06:00:00', TIMESTAMP '2024-01-19 12:00:00')),
+      masked AS (SELECT p.* FROM p, ext
+                 WHERE p.start_t > ext.lo - INTERVAL 5 MINUTE
+                   AND p.end_t <= ext.hi + INTERVAL 5 MINUTE),
+      tagged AS (SELECT m.peak, e.value AS x, -e.press AS y, e.ts AS z
+                 FROM e JOIN masked m ON e.ts >= m.start_t AND e.ts <= m.peak),
+      idx AS (SELECT peak, CAST(dense_rank() OVER (ORDER BY peak) AS INT) AS plot_idx
+              FROM (SELECT DISTINCT peak FROM tagged))
+      SELECT t.plot_idx, round(x, 6) AS x, round(y, 6) AS y, z
+      FROM (SELECT i.plot_idx, x, y, z FROM tagged tg JOIN idx i ON tg.peak = i.peak
+            UNION ALL
+            SELECT 0, x, y, z FROM tagged) t""",
     "q49_reconcile" -> """
       WITH files AS (
         SELECT printf('plot_%d.%s', o_orderkey % 300,
