@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.SortedJaccard
+
+/** Engine extension point, registered via
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
+  * `SparkSessionExtensions` API): injects the engine's native Catalyst
+  * expressions into the function registry so they're usable from both the
+  * DataFrame API (`expr("sorted_jaccard(a, b)")`) and SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("sorted_jaccard"),
+      new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sorted_jaccard(a, b) takes two arguments")
+        SortedJaccard(children.head, children(1))
+      }))
+  }
+}

@@ -147,11 +147,18 @@ object Dedup {
       .select(explode(HashKernels.bucketPairsFirstBandUdf(maxBucket, minJaccard)(
         col("band"), col("ids"), col("szs"), col("bks"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-    // 4. exact-Jaccard verification of representative pairs
+    // 4. exact-Jaccard verification of representative pairs — through the
+    //    codegen'd native expression when GraftExtensions is installed
+    //    (stays inside whole-stage codegen), else the JVM-kernel UDF
+    val jaccard =
+      if (df.sparkSession.sessionState.functionRegistry.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_jaccard")))
+        call_function("sorted_jaccard", col("sh_a"), col("sh_b"))
+      else HashKernels.sortedJaccardCol(col("sh_a"), col("sh_b"))
     val repPairs = cands
       .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(HashKernels.sortedJaccardCol(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard", round(jaccard, 6))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
     // 5. expand duplicate groups back to doc-level pairs
