@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.SortedJaccard
+import graft.functions.expressions.{CosineSimilarity, SortedJaccard}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "sorted_jaccard(a, b) takes two arguments")
         SortedJaccard(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim(a, b) takes two arguments")
+        CosineSimilarity(children.head, children(1))
       }))
   }
 }

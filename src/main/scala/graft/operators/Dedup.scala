@@ -223,7 +223,8 @@ object Dedup {
     cands
       .join(withBucket.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(withBucket.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cosine", round(HashKernels.cosineCol(col("v_a"), col("v_b")), 6))
+      .withColumn("cosine", round(graft.functions.VectorFunctions.cosineBest(
+        df.sparkSession, col("v_a"), col("v_b")), 6))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

@@ -29,7 +29,7 @@ object Similarity {
     val scored = corpus
       .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .join(q)
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", VectorFunctions.cosineBest(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rk", row_number().over(w))
@@ -51,7 +51,7 @@ object Similarity {
       col(queryId).as("query_id"), col(queryVec).as("qv"),
       VectorFunctions.lshBucket(col(queryVec), dim, nBits).as("bucket")))
     val scored = cb.join(qb, "bucket")
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", VectorFunctions.cosineBest(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rk", row_number().over(w))
