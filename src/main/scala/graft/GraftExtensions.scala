@@ -14,6 +14,7 @@ import graft.functions.expressions.{CosineSimilarity, SortedJaccard}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinNative.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("sorted_jaccard"),
       new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),

@@ -113,6 +113,21 @@ object QueriesEvents {
           col("asof_click_ts").as("prev_click_ts"))
     }),
 
+    // J2 again through the NATIVE sort-merge as-of operator (custom
+    // LogicalPlan + SparkStrategy + BinaryExecNode) — same oracle as q12
+    "q53_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.plans.AsOfJoinNative.asOfJoin(
+          purchases, "ts", clicks, "click_ts",
+          keys = Seq("user_id"), rightValueCols = Seq("click_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_click_ts").as("prev_click_ts"))
+    }),
+
     // J1/J7 pure interval join against inline maintenance windows
     "q14_interval_windows" -> ((s, d) => {
       import s.implicits._
@@ -251,6 +266,15 @@ object QueriesEvents {
        AND l.l_quantity >= c.depth_lo AND l.l_quantity < c.depth_hi
       GROUP BY 1""",
     "q12_asof_prev_click" -> s"""$evCte
+      SELECT event_id, user_id, ts, prev_click_ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_ts
+        FROM e WHERE event_type IN ('click', 'purchase'))
+      WHERE event_type = 'purchase'""",
+    "q53_asof_native" -> s"""$evCte
       SELECT event_id, user_id, ts, prev_click_ts FROM (
         SELECT event_id, user_id, event_type, ts,
                max(CASE WHEN event_type = 'click' THEN ts END) OVER (
