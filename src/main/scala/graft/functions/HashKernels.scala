@@ -239,6 +239,43 @@ object HashKernels {
     out.toArray
   }
 
+  /** Engine-portable 40-bit SimHash: per whitespace token of the
+    * lower-cased trimmed text, a polynomial rolling hash
+    * `h = (h*31 + codepoint) mod 2^40` (seed 7 — the
+    * [[graft.functions.TextFunctions.fingerprint]] recurrence, exactly
+    * reproducible in any engine's 64-bit integer SQL), then the classic
+    * per-bit majority vote. 40 bits keeps every intermediate below 2^45 so
+    * DuckDB's overflow-checked BIGINT math agrees bit-for-bit.
+    */
+  def simHash40(text: String): Long = {
+    val toks = tokens(text)
+    val mod = 1L << 40
+    val votes = new Array[Int](40)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      var h = 7L
+      var i = 0
+      while (i < tok.length) {
+        h = (h * 31L + tok.codePointAt(i)) % mod
+        i += Character.charCount(tok.codePointAt(i))
+      }
+      var b = 0
+      while (b < 40) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 40) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Cosine similarity of two double arrays (single fused loop, left-to-right
     * accumulation — same order as `aggregate(zip_with(...))` so results are
     * bit-stable against the expression version).
@@ -275,6 +312,8 @@ object HashKernels {
 
   def bucketPairsUdf(maxBucket: Int): UserDefinedFunction =
     udf((ids: Seq[Long]) => bucketPairs(ids, maxBucket))
+
+  val simHash40Udf: UserDefinedFunction = udf((text: String) => simHash40(text))
 
   def bucketPairsFirstBandUdf(maxBucket: Int, minJaccard: Double): UserDefinedFunction =
     udf((band: Int, ids: Seq[Long], sizes: Seq[Int], bandKeys: Seq[Seq[Long]]) =>

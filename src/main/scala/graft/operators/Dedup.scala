@@ -176,18 +176,15 @@ object Dedup {
     within.unionByName(cross)
   }
 
-  /** 64-bit SimHash over word tokens: bit b is 1 when the weighted sum of
-    * token-hash bit b is positive. Pure higher-order expressions.
+  /** 40-bit SimHash over word tokens: bit b is 1 when the majority vote of
+    * token-hash bit b is positive. Token hashes use the engine-portable
+    * rolling hash (mod 2^40), so the whole fingerprint is reproducible in
+    * plain SQL — q27 is value-checked against DuckDB, not rows-only. JVM
+    * kernel rather than HOFs: the per-bit aggregate tree would run
+    * interpreted (CodegenFallback) over tokens × 40 bits.
     */
-  def simHash(text: Column): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      val vote = aggregate(hashes, lit(0L),
-        (s, h) => s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      acc + when(vote > 0, lit(1L << b)).otherwise(0L)
-    }
-  }
+  def simHash(text: Column): Column =
+    graft.functions.HashKernels.simHash40Udf(text)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -54,7 +54,7 @@ object QueriesDocs {
         k = 3)
     }),
 
-    // SimHash fingerprints (no oracle: 64-way bit fold)
+    // 40-bit engine-portable SimHash fingerprints (oracle-checked)
     "q27_simhash" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), Dedup.simHash(col("text")).as("simhash"))),
@@ -126,6 +126,27 @@ object QueriesDocs {
       GROUP BY 1""",
     "q21_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text",
+    // 40-bit SimHash: token rolling hash (seed 7, *31, mod 2^40) -> per-bit
+    // majority vote -> sum of 2^b for positive bits
+    "q27_simhash" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      th AS (
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT), list_transform(
+                   string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 1099511627776) AS h
+        FROM toks),
+      votes AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, unnest(range(40)) AS t(b)
+        GROUP BY doc_id, b)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id""",
     "q22_token_stats" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0

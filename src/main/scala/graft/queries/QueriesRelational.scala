@@ -138,6 +138,17 @@ object QueriesRelational {
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
     }),
 
+    // §3.3 transpose surface: unpivot (melt) wide measures to long + agg
+    "q54_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+    }),
+
     // J3 validity-window construction via lead + default end
     "q36_validity_windows" -> ((s, d) => {
       TemporalJoins.validityWindows(
@@ -149,6 +160,12 @@ object QueriesRelational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q54_unpivot" -> """
+      SELECT 'l_quantity' AS measure, count(*) AS cnt, round(sum(l_quantity), 2) AS total FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', count(*), round(sum(l_extendedprice), 2) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', count(*), round(sum(l_discount), 2) FROM lineitem""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
