@@ -189,11 +189,32 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Exact n-gram Jaccard similarity between two text columns. */
+  /** Exact n-gram Jaccard similarity between two text columns. For
+    * pairwise use precompute [[sortedShingleHashes]] per document ONCE and
+    * compare with [[sortedSetJaccard]] — evaluating the shingle HOFs per
+    * pair row multiplies the hashing cost by the pair count.
+    */
   def ngramJaccard(a: Column, b: Column, k: Int): Column = {
     val sa = shingleHashes(a, k)
     val sb = shingleHashes(b, k)
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
+  }
+
+  /** Sorted distinct shingle hashes — precompute once per document. */
+  def sortedShingleHashes(text: Column, k: Int): Column =
+    sort_array(shingleHashes(text, k))
+
+  /** Jaccard of two pre-sorted hash-set columns, through the codegen'd
+    * `sorted_jaccard` expression when [[graft.GraftExtensions]] is
+    * installed (array_intersect/union HOFs run interpreted).
+    */
+  def sortedSetJaccard(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_jaccard")))
+      call_function("sorted_jaccard", a, b)
+    else
+      size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
   }
 
   /** Embedding near-dup pairs: cosine ≥ `minCosine` among candidate pairs

@@ -86,15 +86,18 @@ object QueriesDocs {
     // n-gram (word-unigram) Jaccard between documents of the same source
     // (small per-source self-join exercising shingle set ops; oracle-checked)
     "q40_ngram_jaccard" -> ((s, d) => {
+      // shingle-hash each doc ONCE, then compare pre-sorted sets per pair
+      // with the codegen'd sorted_jaccard
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") < 100)
-        .select(col("doc_id"), col("source"), col("text"))
-      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("text").as("text_a"))
-      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("text").as("text_b"))
+        .select(col("doc_id"), col("source"),
+          Dedup.sortedShingleHashes(col("text"), 1).as("w"))
+      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("w").as("w_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("w").as("w_b"))
       a.join(b, Seq("source"))
         .filter(col("id_a") < col("id_b"))
         .select(col("source"), col("id_a"), col("id_b"),
-          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 1), 6).as("jaccard"))
+          round(Dedup.sortedSetJaccard(col("w_a"), col("w_b")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     })
   )
