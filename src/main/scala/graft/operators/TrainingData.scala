@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-data pipeline operators beyond dedup/similarity: deterministic
+  * dataset splitting and sequence packing. Both are pure column/window
+  * plans and both are engine-portable (the split hash is the modular
+  * rolling fingerprint), so they're value-checked against the DuckDB
+  * oracle — reproducibility of the train/test split IS the product
+  * requirement here.
+  */
+object TrainingData {
+
+  /** Deterministic split assignment from the CONTENT hash (not the id):
+    * re-ingesting the same document always lands in the same split, across
+    * engines and runs. `fractions` are (label, weight) pairs; buckets are
+    * `fingerprint(text) mod 100` cut at cumulative percentages.
+    */
+  def hashSplit(text: Column, fractions: Seq[(String, Double)]): Column = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val bucket = TextFunctions.fingerprint(text) % 100
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail.map(f => math.round(f * 100).toInt)
+    fractions.map(_._1).zip(cuts).foldRight(lit(fractions.last._1): Column) {
+      case ((label, cut), acc) => when(bucket < cut, label).otherwise(acc)
+    }
+  }
+
+  /** Sequence packing (context-window fill): per `keys` series ordered by
+    * `orderCols`, documents are assigned to consecutive packs of ~`capacity`
+    * tokens using the streaming-fill rule `pack = floor(tokens_before /
+    * capacity)` — the window-expressible approximation of greedy packing
+    * (true greedy close-when-overflow needs sequential state; this one is a
+    * single window cumsum, scales with the shuffle, and overshoots a pack
+    * by at most one document). Appends `pack_id` and `pack_pos`.
+    */
+  def packSequences(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                    tokenCol: String, capacity: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(col(tokenCol)).over(w)
+    df.withColumn("__cum", cum)
+      .withColumn("pack_id", floor((col("__cum") - col(tokenCol)) / capacity).cast("long"))
+      .withColumn("pack_pos",
+        row_number().over(Window.partitionBy((keys.map(col) :+ col("pack_id")): _*)
+          .orderBy(orderCols.map(col): _*)))
+      .drop("__cum")
+  }
+}

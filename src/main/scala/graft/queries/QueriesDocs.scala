@@ -83,6 +83,26 @@ object QueriesDocs {
         dim = 64, k = 3, nBits = 2)
     }),
 
+    // Deterministic content-hash train/val/test split (reproducible across
+    // engines/runs — the oracle recomputes the same assignment)
+    "q55_hash_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("split", graft.operators.TrainingData.hashSplit(col("text"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))),
+
+    // Sequence packing: ~512-token context-window fill per source
+    "q57_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")))
+      graft.operators.TrainingData.packSequences(
+          docs, Seq("source"), Seq("doc_id"), "n_tokens", capacity = 512)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          max(col("pack_pos")).as("max_pos"))
+    }),
+
     // n-gram (word-unigram) Jaccard between documents of the same source
     // (small per-source self-join exercising shingle set ops; oracle-checked)
     "q40_ngram_jaccard" -> ((s, d) => {
@@ -150,6 +170,33 @@ object QueriesDocs {
       SELECT doc_id,
              CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id""",
+    "q55_hash_split" ->
+      """WITH b AS (SELECT source, n_chars,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT), list_transform(
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+             (a, c) -> (a * 31 + c) % 1099511627776) % 100 AS bucket
+           FROM documents)
+         SELECT source,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS cnt, sum(n_chars) AS sum_chars
+         FROM b GROUP BY 1, 2""",
+    "q57_pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS n_tokens
+           FROM documents),
+         c AS (SELECT source, doc_id, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM t)
+         SELECT source, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+                count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+                CAST(count(*) AS INT) AS max_pos
+         FROM c GROUP BY 1, 2""",
     "q22_token_stats" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit is deterministic, content-keyed, and respects fractions roughly") {
+    val docs = (0 until 2000).map(i => (i.toLong, s"document body number $i with words"))
+      .toDF("doc_id", "text")
+    val split = TrainingData.hashSplit(col("text"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = docs.withColumn("s", split).groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    counts.keySet shouldBe Set("train", "val", "test")
+    counts("train").toDouble / 2000 shouldBe 0.8 +- 0.05
+    // same text -> same split regardless of id (content-keyed)
+    val twice = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text").withColumn("s", split)
+      .select("s").as[String].collect()
+    twice(0) shouldBe twice(1)
+    // deterministic across runs
+    val r1 = docs.withColumn("s", split).select("doc_id", "s")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val r2 = docs.withColumn("s", split).select("doc_id", "s")
+      .as[(Long, String)].collect().sortBy(_._1)
+    r1 shouldBe r2
+  }
+
+  test("hashSplit rejects fractions that don't sum to 1") {
+    an[IllegalArgumentException] should be thrownBy
+      TrainingData.hashSplit(col("text"), Seq("a" -> 0.5, "b" -> 0.2))
+  }
+
+  test("packSequences fills consecutive packs of ~capacity tokens per series") {
+    val docs = (0 until 100).map(i => ("s1", i.toLong, 10)).toDF("source", "doc_id", "n_tokens")
+    val packed = TrainingData.packSequences(docs, Seq("source"), Seq("doc_id"),
+      "n_tokens", capacity = 100)
+    val perPack = packed.groupBy("pack_id")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("tok"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    perPack.length shouldBe 10
+    perPack.foreach { case (_, n, tok) => n shouldBe 10; tok shouldBe 100 }
+    // pack_pos is 1..n within each pack
+    packed.filter(col("pack_id") === 0).agg(max("pack_pos")).as[Int].collect()(0) shouldBe 10
+  }
+
+  test("packSequences keeps a document whole (overshoot, never split)") {
+    val docs = Seq(("s", 1L, 60), ("s", 2L, 60), ("s", 3L, 60))
+      .toDF("source", "doc_id", "n_tokens")
+    val packs = TrainingData.packSequences(docs, Seq("source"), Seq("doc_id"),
+        "n_tokens", capacity = 100)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().sortBy(_._1)
+    // cums: 60,120,180 -> before: 0,60,120 -> packs 0,0,1
+    packs.map(_._2).toSeq shouldBe Seq(0L, 0L, 1L)
+  }
+}
