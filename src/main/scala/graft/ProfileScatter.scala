@@ -79,12 +79,27 @@ object ProfileScatter {
       .collect().map(r => (r.getTimestamp(0), r.getLong(1))).sortBy(_._1.getTime)
     val nonEmptyPeaks = counts.filter(_._2 > 0).map(_._1)
 
-    val peakIdx = nonEmptyPeaks.zipWithIndex.toMap
+    // sub-plot grouping per span (reference group_profiles_by_span,
+    // dashboard.py:1277-1296): day → one plot per profile; week → per
+    // calendar day; month → per ISO (year, week); else per (year, month)
+    def groupOf(p: Timestamp): (Int, Int, Int) = {
+      val ld = p.toLocalDateTime
+      if (spanString.contains("day")) (0, 0, nonEmptyPeaks.indexWhere(_ == p))
+      else if (spanString.contains("week")) (ld.getYear, ld.getMonthValue, ld.getDayOfMonth)
+      else if (spanString.contains("month")) {
+        val iso = java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR
+        val isoYear = java.time.temporal.IsoFields.WEEK_BASED_YEAR
+        (ld.get(isoYear), ld.get(iso), 0)
+      } else (ld.getYear, ld.getMonthValue, 0)
+    }
+    val groupsOrdered = nonEmptyPeaks.map(groupOf).distinct.sorted
+    val groupIdxOf: Map[(Int, Int, Int), Int] = groupsOrdered.zipWithIndex.toMap
+    val peakIdx = nonEmptyPeaks.map(p => p -> (groupIdxOf(groupOf(p)) + 1)).toMap
     val idxDf = broadcast(
       spark.createDataFrame(
         spark.sparkContext.parallelize(
           peakIdx.toSeq.map { case (p, i) =>
-            org.apache.spark.sql.Row(p, i + 1)
+            org.apache.spark.sql.Row(p, i)
           }, 1),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("peak",
@@ -113,7 +128,7 @@ object ProfileScatter {
     val summaryHasData = nonEmptyPeaks.nonEmpty
     val manifest =
       files(0, summaryHasData) ++
-        nonEmptyPeaks.indices.flatMap(i => files(i + 1, withOverlays = true))
+        groupsOrdered.indices.flatMap(i => files(i + 1, withOverlays = true))
     Result(data, manifest)
   }
 }

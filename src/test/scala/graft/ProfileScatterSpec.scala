@@ -88,6 +88,19 @@ class ProfileScatterSpec extends SparkSpec {
       s"${base}_000profile_day_none_local.png")
   }
 
+  test("week span groups profiles by calendar day (one sub-plot per day)") {
+    // both profiles on 07-29 plus data needs a 7-day window
+    val r = ProfileScatter.run(
+      fixture(), "time", "pco2_seawater", "int_ctd_pressure",
+      profiles.toDF("start", "peak", "end"),
+      timeRef = ts("2025-07-30 00:00:00"), spanDays = 7,
+      fileNameBase = base, spanString = "week", descentSampled = true,
+      annoNonEmpty = true, climNonEmpty = true, flagNonEmpty = true)
+    // two profiles share one day -> summary + ONE day group = 2 plots
+    r.manifest.count(_.contains("profile_week_none_full")) shouldBe 2
+    r.data.select("plot_idx").distinct().as[Int].collect().sorted shouldBe Array(0, 1)
+  }
+
   test("missing overlay tables drop only their artifacts") {
     val r = ProfileScatter.run(
       fixture(), "time", "pco2_seawater", "int_ctd_pressure",
