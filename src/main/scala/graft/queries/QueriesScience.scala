@@ -75,6 +75,20 @@ object QueriesScience {
         .groupBy(col("flags")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // C7 named ADCP suite over synthesized beam arrays (thresholds scaled
+    // to the embedding value domain)
+    "q58_adcp_suite" -> ((s, d) => {
+      val e = col("e")
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("flags", Qartod.combineFlags(
+          graft.functions.InstrumentSuites.adcpFlags(
+            Spectral.at(e, 0), Spectral.at(e, 1), Spectral.at(e, 2), Spectral.at(e, 3),
+            slice(e, 6, 4), slice(e, 10, 4),
+            evFail = 0.2, vvFail = 0.15, hsFail = 0.25, cmPass = 0.0, pgPass = 0.05)))
+        .groupBy(col("flags")).agg(count(lit(1)).as("cnt"))
+    }),
+
     // C13: human-size string parse (synthesized from part attributes)
     "q45_size_parse" -> ((s, d) => {
       Tables.part(s, d)
@@ -165,6 +179,22 @@ object QueriesScience {
       SELECT concat(CASE WHEN vote THEN '3' ELSE '1' END,
                     CASE WHEN rng THEN '3' ELSE '1' END,
                     CASE WHEN flat THEN '3' ELSE '1' END) AS flags,
+             count(*) AS cnt
+      FROM t GROUP BY 1""",
+    "q58_adcp_suite" -> """
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      t AS (SELECT vec_id,
+                   abs(e[1]) > 0.2 AS f1,
+                   abs(e[2]) > 0.15 AS f2,
+                   (abs(e[3]) > 0.25 OR abs(e[4]) > 0.25) AS f3,
+                   len(list_filter(e[6:9], x -> x > 0.0)) < 2 AS f4,
+                   len(list_filter(e[10:13], x -> x > 0.05)) < 3 AS f5
+            FROM base)
+      SELECT concat(CASE WHEN f1 THEN '3' ELSE '1' END,
+                    CASE WHEN f2 THEN '3' ELSE '1' END,
+                    CASE WHEN f3 THEN '3' ELSE '1' END,
+                    CASE WHEN f4 THEN '3' ELSE '1' END,
+                    CASE WHEN f5 THEN '3' ELSE '1' END) AS flags,
              count(*) AS cnt
       FROM t GROUP BY 1""",
     "q45_size_parse" -> """
