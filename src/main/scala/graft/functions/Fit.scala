@@ -118,6 +118,59 @@ object Fit {
     (coef, math.sqrt(sse / n))
   }
 
+  /** Frame types the reference treats as dark frames (no fit, NaN outputs)
+    * — calculateFunctions.py:416-421.
+    */
+  val DarkFrames: Set[String] = Set("SDB", "SDF", "NDF")
+
+  /** Faithful port of the Plant et al. (2023) / Sakamoto (2009)
+    * temperature-and-salinity-corrected nitrate fit
+    * (calculateFunctions.py:267-468), one sample per call:
+    *
+    *  1. dark frames → NaN outputs;
+    *  2. wavelength window `wlLower ≤ wl ≤ wlUpper` selects the fit band;
+    *  3. `Absorbance = log10(DI / (SW − dark))`;
+    *  4. bromide/seawater correction `ESWA · exp(f'(wl) · (t − calTemp))`
+    *     with the published quartic `f'` in (wl − 210), scaled by practical
+    *     salinity, subtracted from the absorbance;
+    *  5. least squares on the design `[ENO3, 1/100, wl/1000]` (normal
+    *     equations — same minimizer as the reference's pinv for the
+    *     full-rank 3-column design); NO3 = first coefficient; RMSE over the
+    *     fitted band.
+    *
+    * Returns (no3, coefficients[3], rmse).
+    */
+  def nitrateFit(wl: Array[Double], eno3: Array[Double], eswa: Array[Double],
+                 di: Array[Double], sw: Array[Double], dark: Double,
+                 ctdT: Double, ctdSp: Double, calTemp: Double,
+                 wlLower: Double, wlUpper: Double,
+                 frameType: String): (Double, Array[Double], Double) = {
+    if (DarkFrames.contains(frameType))
+      return (Double.NaN, Array.fill(3)(Double.NaN), Double.NaN)
+    val c0 = 1.46380e-02; val c1 = 1.67660e-03; val c2 = 2.91898e-05
+    val c3 = -7.56395e-06; val c4 = 1.27353e-07
+    val idx = wl.indices.filter(i => wlLower <= wl(i) && wl(i) <= wlUpper)
+    val n = idx.length
+    if (n == 0) return (Double.NaN, Array.fill(3)(Double.NaN), Double.NaN)
+    val design = new Array[Array[Double]](n)
+    val acomp = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val i = idx(j)
+      val swCorr = sw(i) - dark
+      val absorbance = math.log10(di(i) / swCorr)
+      val wlPrime = wl(i) - 210.0
+      val fPrime = c0 + c1 * wlPrime + c2 * wlPrime * wlPrime +
+        c3 * math.pow(wlPrime, 3) + c4 * math.pow(wlPrime, 4)
+      val swaExtAtT = eswa(i) * math.exp(fPrime * (ctdT - calTemp))
+      acomp(j) = absorbance - ctdSp * swaExtAtT
+      design(j) = Array(eno3(i), 0.01, wl(i) / 1000.0)
+      j += 1
+    }
+    val (coef, rmse) = lsqFit(design, acomp)
+    (coef(0), coef, rmse)
+  }
+
   // ---- Column-level wrappers ----
 
   /** Fit y[i] ≈ intercept + slope·i over the elements of an array column.
@@ -137,6 +190,30 @@ object Fit {
     * in the reference): here parameterized as (e, ones/100, idx/1000).
     * Returns struct(c0, c1, c2, rmse).
     */
+  /** Column wrapper for [[nitrateFit]]: per-row arrays (spectrum + the
+    * as-of-joined calibration arrays) + scalars in, struct(no3, coeffs,
+    * rmse) out. Each row independent — scales with the scan.
+    */
+  def nitrateFitCol(wl: Column, eno3: Column, eswa: Column, di: Column,
+                    sw: Column, dark: Column, ctdT: Column, ctdSp: Column,
+                    calTemp: Column, wlLower: Column, wlUpper: Column,
+                    frameType: Column): Column = {
+    val f = udf { (spectra: Seq[Seq[Double]], dark: Double,
+                   t: Double, sp: Double, calT: Double,
+                   lo: Double, hi: Double, frame: String) =>
+      val (no3, c, rmse) = nitrateFit(
+        spectra(0).toArray, spectra(1).toArray, spectra(2).toArray,
+        spectra(3).toArray, spectra(4).toArray, dark, t, sp, calT, lo, hi, frame)
+      (no3, c.toSeq, rmse)
+    }
+    val spectra = array(wl.cast("array<double>"), eno3.cast("array<double>"),
+      eswa.cast("array<double>"), di.cast("array<double>"), sw.cast("array<double>"))
+    f(spectra, dark.cast("double"), ctdT.cast("double"),
+      ctdSp.cast("double"), calTemp.cast("double"), wlLower.cast("double"),
+      wlUpper.cast("double"), frameType)
+      .cast("struct<no3:double,coeffs:array<double>,rmse:double>")
+  }
+
   def nutnrFitCol(absorbance: Column, eno3: Column): Column = {
     val f = udf { (a: Seq[Double], e: Seq[Double]) =>
       val n = math.min(a.length, e.length)
