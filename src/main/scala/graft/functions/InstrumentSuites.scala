@@ -40,6 +40,71 @@ object InstrumentSuites {
     "correlation_magnitude" -> ArrayTests.voteFail(corr, cmPass, k = 2, take = 4),
     "percent_good" -> ArrayTests.voteFail(pctGood, pgPass, k = 3, take = 4))
 
+  // ---- Presence-conditional composition (the VEL3D/FLOR pattern) ----
+
+  /** The reference enables tests by column presence
+    * (calculateFunctions.py:1020-1074, :212-216): a test joins the bundle
+    * only when every column it reads exists in the physical schema.
+    * Resolution happens at PLAN time from `columns` — schema-driven, no
+    * runtime branching.
+    */
+  def presentTests(columns: Seq[String],
+                   tests: Seq[(String, Seq[String], Column)]): Seq[(String, Column)] = {
+    val have = columns.toSet
+    tests.collect { case (name, needs, mask) if needs.forall(have) => name -> mask }
+  }
+
+  // ---- FLOR (calculateFunctions.py:189-218) ----
+
+  /** FLOR raw-signal range tests; the CDOM test joins only when the CDOM
+    * variable exists (presence-conditional).
+    */
+  def florFlags(columns: Seq[String]): Seq[(String, Column)] = {
+    val maxCounts = 4125.0
+    def rangeTest(c: String): Column = col(c) <= 0 || col(c) > maxCounts
+    presentTests(columns, Seq(
+      ("raw_signal_beta", Seq("raw_signal_beta"), rangeTest("raw_signal_beta")),
+      ("raw_signal_chl", Seq("raw_signal_chl"), rangeTest("raw_signal_chl")),
+      ("raw_signal_cdom", Seq("raw_signal_cdom"), rangeTest("raw_signal_cdom"))))
+  }
+
+  // ---- VELPT / VEL3D (calculateFunctions.py:985-1074) ----
+
+  /** VELPT attitude/sound/pressure bundle (fixed schema). */
+  def velptFlags(pitch: Column, roll: Column, soundSpeed: Column,
+                 pressure: Column): Seq[(String, Column)] = Seq(
+    "suspect_pitch" -> (abs(pitch) > 20),
+    "failed_pitch" -> (abs(pitch) >= 30),
+    "suspect_roll" -> (abs(roll) > 20),
+    "failed_roll" -> (abs(roll) >= 30),
+    "failed_speed_of_sound" -> (soundSpeed <= 1400 || soundSpeed >= 1700),
+    "failed_pressure" -> (pressure <= 0))
+
+  /** VEL3D bundle: every test presence-conditional, including the vector
+    * vs aquadopp correlation variants and the `error_code & 1` test.
+    */
+  def vel3dFlags(columns: Seq[String]): Seq[(String, Column)] =
+    presentTests(columns, Seq(
+      ("suspect_pitch", Seq("pitch"), abs(col("pitch")) > 20),
+      ("failed_pitch", Seq("pitch"), abs(col("pitch")) >= 30),
+      ("suspect_roll", Seq("roll"), abs(col("roll")) > 20),
+      ("failed_roll", Seq("roll"), abs(col("roll")) >= 30),
+      ("failed_speed_of_sound", Seq("speed_of_sound"),
+        col("speed_of_sound") < 1400 || col("speed_of_sound") > 1700),
+      ("failed_pressure", Seq("sea_water_pressure"), col("sea_water_pressure") <= 15),
+      ("failed_error_code", Seq("error_code"),
+        col("error_code").cast("int").bitwiseAND(1) === 1),
+      ("failed_correlation", Seq("correlation_beam1", "correlation_beam2", "correlation_beam3"),
+        col("correlation_beam1") < 50 || col("correlation_beam2") < 50 ||
+          col("correlation_beam3") < 50),
+      ("failed_correlation", Seq("correlation_1", "correlation_2", "correlation_3"),
+        col("correlation_1") < 50 || col("correlation_2") < 50 || col("correlation_3") < 50),
+      ("failed_ambiguity",
+        Seq("ambiguity_velocity", "velocity_1", "velocity_2", "velocity_3"),
+        abs(col("velocity_1")) > col("ambiguity_velocity") ||
+          abs(col("velocity_2")) > col("ambiguity_velocity") ||
+          abs(col("velocity_3")) > col("ambiguity_velocity"))))
+
   // ---- PCO2W (calculateFunctions.py:809-890) ----
 
   /** PCO2W flag bundle over blanks + pCO2: low blanks (<20 % of the 16384

@@ -44,6 +44,38 @@ class InstrumentSuitesSpec extends SparkSpec {
       Array("1111", "3333", "1111")
   }
 
+  test("presence-conditional composition: tests join only when their columns exist") {
+    // FLOR without CDOM -> 2 tests; with CDOM -> 3
+    val without = Seq((2000.0, 2000.0)).toDF("raw_signal_beta", "raw_signal_chl")
+    val flagsW = Qartod.combineFlags(InstrumentSuites.florFlags(without.columns))
+    without.select(flagsW).as[String].collect()(0) shouldBe "11"
+    val withCdom = Seq((2000.0, 5000.0, -1.0))
+      .toDF("raw_signal_beta", "raw_signal_chl", "raw_signal_cdom")
+    val flagsC = Qartod.combineFlags(InstrumentSuites.florFlags(withCdom.columns))
+    withCdom.select(flagsC).as[String].collect()(0) shouldBe "133"
+  }
+
+  test("vel3dFlags picks the vector vs aquadopp correlation variant by schema") {
+    val vector = Seq((10.0, 5.0, 60.0, 40.0, 60.0))
+      .toDF("pitch", "roll", "correlation_beam1", "correlation_beam2", "correlation_beam3")
+    val names = InstrumentSuites.vel3dFlags(vector.columns).map(_._1)
+    names shouldBe Seq("suspect_pitch", "failed_pitch", "suspect_roll",
+      "failed_roll", "failed_correlation")
+    val flags = Qartod.combineFlags(InstrumentSuites.vel3dFlags(vector.columns))
+    // beam2 < 50 -> correlation fails; attitude fine
+    vector.select(flags).as[String].collect()(0) shouldBe "11113"
+  }
+
+  test("velptFlags thresholds follow the reference") {
+    val df = Seq(
+      (5.0, 5.0, 1500.0, 10.0),   // all pass
+      (25.0, 35.0, 1200.0, -1.0)  // suspect pitch, failed roll (+suspect), sos, pressure
+    ).toDF("pitch", "roll", "sos", "press")
+    val flags = Qartod.combineFlags(InstrumentSuites.velptFlags(
+      col("pitch"), col("roll"), col("sos"), col("press")))
+    df.select(flags).as[String].collect() shouldBe Array("111111", "313333")
+  }
+
   test("reshapeColumn extracts a (rows x 4) column from the flat array") {
     val flat = Array.tabulate(12)(_.toDouble) // 3 rows x 4 cols
     val df = Seq(Tuple1(flat)).toDF("a")
