@@ -46,4 +46,34 @@ object Spectral {
   /** POC-style scaled median: median3 at `i` × `scale` (reference ×381). */
   def scaledMedian(a: Column, i: Int, scale: Double): Column =
     median3(a, i) * scale
+
+  /** Nearest-wavelength index resolution (`argmin |wl − target|`,
+    * calculateFunctions.py:678-689) — plan-time, driver-side: the
+    * wavelength grid is per-deployment config, not per-row data.
+    */
+  def nearestIndex(wlGrid: Seq[Double], target: Double): Int =
+    wlGrid.indices.minBy(i => math.abs(wlGrid(i) - target))
+
+  /** The named OPTAA product bundle (calculateFunctions.py:622-791):
+    * pigment ratios a412/a440 and a443/a440, chlorophyll line height from
+    * 3-point medians at the 650/676/715 nm indices, and POC =
+    * median(c ≈ 660 nm ± 1) × 381 — indices resolved from the deployment's
+    * wavelength grid. Returns named (product, column) pairs over the
+    * absorption (`a`) and attenuation (`c`) spectra.
+    */
+  def opticalProducts(a: Column, c: Column,
+                      wlGrid: Seq[Double]): Seq[(String, Column)] = {
+    val i412 = nearestIndex(wlGrid, 412.0)
+    val i440 = nearestIndex(wlGrid, 440.0)
+    val i443 = nearestIndex(wlGrid, 443.0)
+    val i650 = nearestIndex(wlGrid, 650.0)
+    val i676 = nearestIndex(wlGrid, 676.0)
+    val i715 = nearestIndex(wlGrid, 715.0)
+    val i660 = nearestIndex(wlGrid, 660.0)
+    Seq(
+      "ratio_412_440" -> bandRatio(a, i412, i440),
+      "ratio_443_440" -> bandRatio(a, i443, i440),
+      "chl_line_height" -> lineHeight(a, i650, i676, i715),
+      "poc" -> scaledMedian(c, i660, 381.0))
+  }
 }

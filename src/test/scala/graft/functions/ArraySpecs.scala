@@ -24,6 +24,24 @@ class SpectralSpec extends SparkSpec {
     df.select(Spectral.median3(col("e"), 6)).as[Double].collect()(0) shouldBe 8.0
   }
 
+  test("nearestIndex and the named OPTAA bundle resolve wavelength targets") {
+    val wl = (400 to 750 by 2).map(_.toDouble)
+    Spectral.nearestIndex(wl, 412.0) shouldBe 6
+    Spectral.nearestIndex(wl, 441.0) shouldBe 20 // 440 closer than 442
+    val n = wl.length
+    val aSpec = Array.tabulate(n)(i => 1.0 + i * 0.01)
+    val cSpec = Array.tabulate(n)(i => 2.0 + i * 0.01)
+    val df = Seq((aSpec, cSpec)).toDF("a", "c")
+    val prods = Spectral.opticalProducts(col("a"), col("c"), wl)
+    prods.map(_._1) shouldBe Seq("ratio_412_440", "ratio_443_440", "chl_line_height", "poc")
+    val r = df.select(prods.map { case (nme, cl) => cl.as(nme) }: _*)
+      .as[(Double, Double, Double, Double)].collect()(0)
+    r._1 shouldBe (aSpec(6) / aSpec(20)) +- 1e-12
+    // linear spectrum -> line height 0 (baseline interpolation exact)
+    r._3 shouldBe 0.0 +- 1e-9
+    r._4 shouldBe (cSpec(Spectral.nearestIndex(wl, 660.0)) * 381.0) +- 1e-9
+  }
+
   test("lineHeight subtracts the interpolated baseline") {
     // medians at 1,2,3: (2,3,4)->3? window@1=(10,2,3)->3; @2=(2,3,4)->3; @3=(3,4,5)->4
     // baseline at peak 2 between 1 and 3: 3 + (4-3)*0.5 = 3.5; lh = 3 - 3.5
