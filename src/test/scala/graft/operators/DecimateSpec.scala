@@ -44,6 +44,53 @@ class DecimateSpec extends SparkSpec {
     out.map(_._1).toSeq shouldBe out.map(_._1).toSeq.sorted
   }
 
+  test("lttbKernel matches an independent straightforward implementation") {
+    // slow, obviously-correct re-implementation of the reference algorithm:
+    // numpy array_split bin sizing, prev-selected/next-centroid triangle,
+    // first-tie-wins argmax, bucket-middle x
+    def slowLttb(xs: Array[Double], ys: Array[Double], threshold: Int): Array[(Double, Double)] = {
+      val n = xs.length
+      if (threshold < 3 || n <= threshold) return xs.zip(ys)
+      val nBins = threshold - 2
+      val sizes = {
+        val base = (n - 2) / nBins; val rem = (n - 2) % nBins
+        (0 until nBins).map(i => base + (if (i < rem) 1 else 0))
+      }
+      val starts = sizes.scanLeft(1)(_ + _)
+      val out = scala.collection.mutable.ArrayBuffer[(Double, Double)]((xs(0), ys(0)))
+      var prev = (xs(0), ys(0))
+      for (b <- 0 until nBins) {
+        val s = starts(b); val e = starts(b) + sizes(b)
+        val (cx, cy) =
+          if (b < nBins - 1) {
+            val ns = starts(b + 1); val ne = starts(b + 1) + sizes(b + 1)
+            ((ns until ne).map(xs).sum / (ne - ns), (ns until ne).map(ys).sum / (ne - ns))
+          } else (xs(n - 1), ys(n - 1))
+        val best = (s until e).maxBy { j =>
+          val area = 0.5 * math.abs((prev._1 - cx) * (ys(j) - prev._2) -
+            (prev._1 - xs(j)) * (cy - prev._2))
+          (area, -j) // maxBy with -j => first index wins ties
+        }
+        val middle = s + sizes(b) / 2
+        val pt = (xs(middle), ys(best))
+        out += pt
+        prev = pt
+      }
+      out += ((xs(n - 1), ys(n - 1)))
+      out.toArray
+    }
+    val rng = new scala.util.Random(31)
+    for (trial <- 0 until 20) {
+      val n = 50 + rng.nextInt(500)
+      val xs = Array.tabulate(n)(_.toDouble)
+      val ys = Array.fill(n)(rng.nextInt(50).toDouble) // duplicates force ties
+      val t = 3 + rng.nextInt(40)
+      withClue(s"trial=$trial n=$n t=$t: ") {
+        Decimate.lttbKernel(xs, ys, t).toSeq shouldBe slowLttb(xs, ys, t).toSeq
+      }
+    }
+  }
+
   test("lttbKernel: short series returned unchanged") {
     val xs = Array(1.0, 2.0, 3.0)
     val ys = Array(9.0, 8.0, 7.0)
