@@ -106,11 +106,11 @@ object ProfileScatter {
             org.apache.spark.sql.types.TimestampType),
           org.apache.spark.sql.types.StructField("plot_idx",
             org.apache.spark.sql.types.IntegerType)))))
-    // plot 0 = summary over all profiles; plots 1..n per profile
+    // plot 0 = summary over all profiles; plots 1..n per group — one pass:
+    // each tagged row explodes into its group plot and the summary plot
     val data = tagged.join(idxDf, "peak")
-      .select(col("plot_idx"), col("x"), col("y"), col("z"))
-      .unionByName(tagged.join(idxDf, "peak")
-        .select(lit(0).as("plot_idx"), col("x"), col("y"), col("z")))
+      .select(explode(array(col("plot_idx"), lit(0))).as("plot_idx"),
+        col("x"), col("y"), col("z"))
 
     val overlaysPresent = Overlays.filter {
       case "anno" => annoNonEmpty
