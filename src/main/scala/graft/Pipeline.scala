@@ -87,4 +87,16 @@ object Pipeline {
     */
   def staleArtifacts(previous: DataFrame, current: DataFrame): DataFrame =
     Reconcile.staleOutputs(previous, current, "artifact")
+
+  /** K2/K5 sink: plot data laid out `<out>/data/ref_des=<site>/parameter=
+    * <p>/…` (the object-store organize step — partition values become the
+    * key prefix, qaqc/plots.py:438-464) plus the JSON artifact index
+    * (qaqc/index.py:20-50) at `<out>/index`.
+    */
+  def writePlotData(pd: PlotData, outDir: String): Unit = {
+    pd.data.write.mode("overwrite")
+      .partitionBy("ref_des", "parameter")
+      .parquet(s"$outDir/data")
+    pd.manifest.coalesce(1).write.mode("overwrite").json(s"$outDir/index")
+  }
 }

@@ -52,6 +52,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("writePlotData lays out partitioned parquet plus the JSON index") {
+    val pd = Pipeline.plotData(df, mkSite("coarsen"), resolver, "time",
+      (lit("2024-01-01 00:00:00").cast("timestamp"),
+        lit("2024-01-01 23:59:59").cast("timestamp")),
+      Map.empty, threshold = 10)
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    Pipeline.writePlotData(pd, out)
+    val dirs = new java.io.File(s"$out/data/ref_des=T-SITE").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    dirs shouldBe Array("parameter=pressure", "parameter=temperature")
+    val index = spark.read.json(s"$out/index").select("artifact")
+      .as[String].collect().sorted
+    index shouldBe Array("T-SITE__pressure", "T-SITE__temperature")
+    val back = spark.read.parquet(s"$out/data")
+    back.count() shouldBe pd.data.count()
+    // partition pruning reads only one directory
+    back.filter(col("parameter") === "pressure").count() shouldBe
+      pd.data.filter(col("parameter") === "pressure").count()
+  }
+
   test("staleArtifacts is the K3 set difference") {
     val prev = Seq("a", "b", "c").toDF("artifact")
     val cur = Seq("b", "c", "d").toDF("artifact")
