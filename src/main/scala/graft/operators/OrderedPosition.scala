@@ -32,26 +32,44 @@ object OrderedPosition {
     * (keyCols) series ordered by `orderCols` (global positions when
     * `keyCols` is empty).
     *
-    * No window anywhere: after the range-repartition + in-partition sort,
-    * `monotonically_increasing_id()` already encodes (partition id, local
-    * row index) — in sorted order — in its upper/lower bits. The offsets
-    * job and the caller's job each run the range shuffle (measured: two
-    * light passes beat materializing a cache of the full sorted data —
-    * columnar cache writes cost ~2× the shuffle itself at 20M rows, and at
-    * the 100 TB design point caching the input is a non-starter).
+    * No window anywhere: the range-repartitioned, in-partition-sorted data
+    * crosses an RDD boundary where a `mapPartitionsWithIndex` closure
+    * assigns (partition id, local sorted index) directly. The boundary is
+    * load-bearing twice over:
+    *  - Catalyst cannot see through it, so the local sort can't be
+    *    eliminated as "unnecessary" (an id projection's dependence on sort
+    *    order is invisible to the optimizer — with
+    *    `monotonically_increasing_id` over a `sortWithinPartitions`, the
+    *    sort WAS removed at larger inputs and positions followed
+    *    nondeterministic shuffle-fetch order);
+    *  - the offsets job and the caller's job share the SAME RDD, so the
+    *    shuffle map stage runs once and is reused across both jobs (no
+    *    cache materialization needed — measured ~2× cheaper than
+    *    persisting the sorted data at 20M rows).
     */
   def withPosition(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
                    outCol: String): DataFrame = {
     val spark = df.sparkSession
     val sortCols = (keyCols ++ orderCols).map(col)
-    val localMask = (1L << 33) - 1
-    val ranged = df
-      .repartitionByRange(sortCols: _*)
+    // explicit partition count pins the layout (REPARTITION_BY_NUM is not
+    // AQE-coalesced), keeping partition ids stable across the two jobs
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("int"))
-      .withColumn("__lrn", col("__mid").bitwiseAND(localMask))
-      .drop("__mid")
+    val baseSchema = sorted.schema
+    val augRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = 0L
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ pid :+ i)
+        i += 1
+        out
+      }
+    }
+    val augSchema = StructType(baseSchema.fields :+
+      StructField("__pid", IntegerType, nullable = false) :+
+      StructField("__lrn", LongType, nullable = false))
+    val ranged = spark.createDataFrame(augRdd, augSchema)
     val partKeys = col("__pid") +: keyCols.map(col)
     val counts = ranged
       .groupBy(partKeys: _*)

@@ -20,6 +20,28 @@ class OrderedPositionSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("positions stay an exact order-consistent permutation at 600k rows (regression: optimizer-dropped sort)") {
+    // the failure mode this guards: Catalyst removing the in-partition sort
+    // (invisible dependency of the position assignment) only showed up
+    // beyond toy sizes, when shuffle-fetch order stopped being in-order
+    val df = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .withColumn("__ord", col("l_orderkey") * 10 + col("l_linenumber"))
+    val got = OrderedPosition.withPosition(df, Nil, Seq("__ord"), "pos")
+      .select(col("__ord").cast("long"), col("pos"))
+      .as[(Long, Long)].collect()
+    got.length shouldBe 600000
+    // exact permutation of 0..n-1
+    got.map(_._2).sorted.toSeq shouldBe (0L until 600000L)
+    // order-consistent: sorting by position must yield nondecreasing keys
+    val keysByPos = got.sortBy(_._2).map(_._1)
+    keysByPos.toSeq shouldBe keysByPos.toSeq.sorted
+    // and identical across a second evaluation (job-to-job determinism
+    // of counts; tied keys may permute positions but stay order-consistent)
+    val again = OrderedPosition.withPosition(df, Nil, Seq("__ord"), "pos")
+      .select(col("pos")).as[Long].collect()
+    again.sorted.toSeq shouldBe (0L until 600000L)
+  }
+
   test("global positions (no keys) are a permutation of 0..n-1 in order") {
     val df = (0 until 1000).map(i => ((i * 31) % 1000, i)).toDF("ord", "tie")
       .repartition(7)
