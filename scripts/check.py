@@ -50,6 +50,12 @@ def main():
         mism = []
         for c in g.columns:
             gv, wv = g[c], w[c]
+            # the driver hashes dtype: int-vs-float kind mismatch is a fail
+            # even when every value compares equal
+            if gv.dtype.kind != wv.dtype.kind and {gv.dtype.kind, wv.dtype.kind} <= {"i", "u", "f"} \
+                    and "f" in {gv.dtype.kind, wv.dtype.kind}:
+                mism.append(f"{c}: DTYPE spark={gv.dtype} oracle={wv.dtype} (driver hash-fails on this)")
+                continue
             if gv.dtype.kind == "f" or wv.dtype.kind == "f":
                 eq = np.isclose(gv.astype(float), wv.astype(float),
                                 rtol=0, atol=0, equal_nan=True)
@@ -60,6 +66,16 @@ def main():
                     n_exact = int((~exact).sum())
                     n_close = int((~close).sum())
                     mism.append(f"{c}: {n_exact} inexact ({n_close} beyond 1e-9)")
+                else:
+                    # bit-level: the driver hashes raw float bits, so -0.0
+                    # vs 0.0 (sign-of-zero) is a fail despite value equality
+                    ga = gv.astype(float).to_numpy()
+                    wa = wv.astype(float).to_numpy()
+                    zmask = (ga == 0.0) & (wa == 0.0)
+                    sgn = np.signbit(ga) != np.signbit(wa)
+                    nz = int((zmask & sgn).sum())
+                    if nz:
+                        mism.append(f"{c}: {nz} sign-of-zero diffs (-0.0 vs 0.0; driver hash-fails)")
             else:
                 gv2 = gv.astype(object).where(pd.notna(gv), None)
                 wv2 = wv.astype(object).where(pd.notna(wv), None)

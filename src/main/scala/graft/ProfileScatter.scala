@@ -70,7 +70,9 @@ object ProfileScatter {
         col(timeCol) >= col(sliceLo) && col(timeCol) <= col(sliceHi))
       .select(col("peak"),
         col(xParam).as("x"),
-        (-col(pressParam)).as("y"),
+        // `+ 0.0` normalizes IEEE -0.0 (from negating a 0.0 pressure) to 0.0
+        // so downstream bit-level compares treat surface rows consistently
+        (-col(pressParam) + lit(0.0)).as("y"),
         col(timeCol).as("z"))
 
     // per-profile row counts: one tiny agg — drives plot numbering exactly

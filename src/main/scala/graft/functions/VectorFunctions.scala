@@ -24,8 +24,8 @@ object VectorFunctions {
 
   /** Cosine through the codegen'd native expression when GraftExtensions is
     * installed (the HOF version is CodegenFallback — interpreted per
-    * element), else the HOF formulation. Both accumulate left-to-right, so
-    * results are bit-identical.
+    * element), else the HOF formulation. Both accumulate left-to-right and
+    * both yield null on zero-norm input, so results are bit-identical.
     */
   def cosineBest(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
     if (spark.sessionState.functionRegistry.functionExists(

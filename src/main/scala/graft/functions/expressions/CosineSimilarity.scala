@@ -14,13 +14,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * bruteForceTopK/ivfTopK) pays tree-walking per multiply. This expression
   * emits the fused dot/norm loop inline in whole-stage codegen.
   *
-  * Semantics match [[graft.functions.HashKernels.cosineKernel]]: single
-  * left-to-right fused accumulation over the common prefix length (results
-  * are bit-identical to the HOF version on equal-length inputs), zero-norm
-  * or empty input → NaN, null input → null.
+  * Semantics match the HOF formulation exactly: single left-to-right fused
+  * accumulation over the common prefix length (results are bit-identical to
+  * the HOF version on equal-length inputs), zero-norm or empty input → null
+  * (the HOF's divide-by-zero yields NULL in ANSI-off Spark SQL, and NaN
+  * would sort ABOVE every real score in a top-k), null input → null.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // may return null for zero-norm inputs even when both children are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -53,7 +57,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -75,7 +80,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
           $na += $xv * $xv;
           $nb += $yv * $yv;
         }
-        ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+        if ($na == 0.0 || $nb == 0.0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+        }
       """
     })
 

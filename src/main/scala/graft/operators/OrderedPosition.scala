@@ -96,9 +96,18 @@ object OrderedPosition {
       StructField("__pid", IntegerType) +: keyFields :+ StructField("__off", LongType))
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offsetRows, 1), offSchema)
+    // null-safe (<=>) on the series keys: a null key forms its own series
+    // (window-partition semantics); plain equality would silently drop it
+    val offRenamed = (Seq("__pid") ++ keyCols).foldLeft(offDf) { (d, c) =>
+      d.withColumnRenamed(c, s"__o_$c")
+    }
+    val cond = (Seq("__pid") ++ keyCols)
+      .map(c => if (c == "__pid") ranged(c) === offRenamed("__o___pid")
+                else ranged(c) <=> offRenamed(s"__o_$c"))
+      .reduce(_ && _)
     ranged
-      .join(broadcast(offDf), Seq("__pid") ++ keyCols)
+      .join(broadcast(offRenamed), cond)
       .withColumn(outCol, col("__off") + col("__lrn"))
-      .drop("__pid", "__lrn", "__off")
+      .drop((Seq("__pid") ++ keyCols).map(c => s"__o_$c") :+ "__pid" :+ "__lrn" :+ "__off": _*)
   }
 }

@@ -72,9 +72,13 @@ object AsOfJoinNative {
       if (leftKeys.isEmpty) Seq(AllTuples, AllTuples)
       else Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
+    // The right side additionally sorts by its value columns so the LAST row
+    // among equal (key, time) is deterministic — matching the composed
+    // version's ascending-struct tie-break (max values win). Without it the
+    // surviving candidate would follow shuffle-fetch order.
     override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
       (leftKeys :+ lTime).map(a => SortOrder(a, Ascending)),
-      (rightKeys :+ rTime).map(a => SortOrder(a, Ascending)))
+      ((rightKeys :+ rTime) ++ rightValues).map(a => SortOrder(a, Ascending)))
 
     override def outputOrdering: Seq[SortOrder] =
       (leftKeys :+ lTime).map(a => SortOrder(a, Ascending))

@@ -182,7 +182,7 @@ object QueriesDocs {
                 CASE WHEN bucket < 80 THEN 'train'
                      WHEN bucket < 90 THEN 'val'
                      ELSE 'test' END AS split,
-                count(*) AS cnt, sum(n_chars) AS sum_chars
+                count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM b GROUP BY 1, 2""",
     "q57_pack_sequences" ->
       """WITH t AS (SELECT source, doc_id,
@@ -194,7 +194,7 @@ object QueriesDocs {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                FROM t)
          SELECT source, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
-                count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                 CAST(count(*) AS INT) AS max_pos
          FROM c GROUP BY 1, 2""",
     "q22_token_stats" ->

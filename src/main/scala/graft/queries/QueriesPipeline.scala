@@ -138,7 +138,7 @@ object QueriesPipeline {
                  FROM e JOIN masked m ON e.ts >= m.start_t AND e.ts <= m.peak),
       idx AS (SELECT peak, CAST(dense_rank() OVER (ORDER BY peak) AS INT) AS plot_idx
               FROM (SELECT DISTINCT peak FROM tagged))
-      SELECT t.plot_idx, round(x, 6) AS x, round(y, 6) AS y, z
+      SELECT t.plot_idx, round(x, 6) AS x, round(y, 6) + 0.0 AS y, z
       FROM (SELECT i.plot_idx, x, y, z FROM tagged tg JOIN idx i ON tg.peak = i.peak
             UNION ALL
             SELECT 0, x, y, z FROM tagged) t""",
