@@ -50,10 +50,10 @@ def main():
         mism = []
         for c in g.columns:
             gv, wv = g[c], w[c]
-            # the driver hashes dtype: int-vs-float kind mismatch is a fail
-            # even when every value compares equal
-            if gv.dtype.kind != wv.dtype.kind and {gv.dtype.kind, wv.dtype.kind} <= {"i", "u", "f"} \
-                    and "f" in {gv.dtype.kind, wv.dtype.kind}:
+            # the driver hashes the dtype itself: ANY numeric dtype inequality
+            # (int32 vs int64, int64 vs uint64, float vs int) is a fail even
+            # when every value compares equal
+            if gv.dtype != wv.dtype and {gv.dtype.kind, wv.dtype.kind} <= {"i", "u", "f", "b"}:
                 mism.append(f"{c}: DTYPE spark={gv.dtype} oracle={wv.dtype} (driver hash-fails on this)")
                 continue
             if gv.dtype.kind == "f" or wv.dtype.kind == "f":

@@ -311,9 +311,12 @@ object HashKernels {
 
   /** Cosine similarity of two double arrays (single fused loop, left-to-right
     * accumulation — same order as `aggregate(zip_with(...))` so results are
-    * bit-stable against the expression version).
+    * bit-stable against the expression version). Zero-norm input returns
+    * null, matching [[graft.functions.expressions.CosineSimilarity]] and the
+    * HOF formulation — a NaN here would sort ABOVE every real score in a
+    * descending top-k.
     */
-  def cosineKernel(a: Seq[Double], b: Seq[Double]): Double = {
+  def cosineKernel(a: Seq[Double], b: Seq[Double]): java.lang.Double = {
     val aa = a.toArray
     val bb = b.toArray
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -324,7 +327,8 @@ object HashKernels {
       nb += bb(i) * bb(i)
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   // ---- Column-level wrappers ----
@@ -346,17 +350,15 @@ object HashKernels {
   def bucketPairsUdf(maxBucket: Int): UserDefinedFunction =
     udf((ids: Seq[Long]) => bucketPairs(ids, maxBucket))
 
-  val simHash40Udf: UserDefinedFunction = udf((text: String) => simHash40(text))
+  // null text → null hash, matching the HOF versions these kernels replaced
+  // (a bare String parameter would NPE inside the kernel and kill the job)
+  val simHash40Udf: UserDefinedFunction =
+    udf((text: String) => if (text == null) null else java.lang.Long.valueOf(simHash40(text)))
 
-  val fingerprint40Udf: UserDefinedFunction = udf((text: String) => fingerprint40(text))
+  val fingerprint40Udf: UserDefinedFunction =
+    udf((text: String) => if (text == null) null else java.lang.Long.valueOf(fingerprint40(text)))
 
   def bucketPairsFirstBandUdf(maxBucket: Int, minJaccard: Double): UserDefinedFunction =
     udf((band: Int, ids: Seq[Long], sizes: Seq[Int], bandKeys: Seq[Seq[Long]]) =>
       bucketPairsFirstBand(band, ids, sizes, bandKeys, maxBucket, minJaccard))
-
-  private val cosineUdf: UserDefinedFunction =
-    udf((a: Seq[Double], b: Seq[Double]) => cosineKernel(a, b))
-
-  def cosineCol(a: Column, b: Column): Column =
-    cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
 }

@@ -19,6 +19,12 @@ object TrainingData {
     * re-ingesting the same document always lands in the same split, across
     * engines and runs. `fractions` are (label, weight) pairs; buckets are
     * `fingerprint(text) mod 100` cut at cumulative percentages.
+    *
+    * Null text → null label (null fingerprint → null bucket → `element_at`
+    * with a null index is null): a document with no content has no
+    * deterministic home, and silently defaulting it into the last split —
+    * what a trailing `otherwise` would do — is the wrong call for a
+    * reproducibility primitive. Filter or impute nulls upstream.
     */
   def hashSplit(text: Column, fractions: Seq[(String, Double)]): Column = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
@@ -31,7 +37,15 @@ object TrainingData {
         .getOrElse(fractions.last._1)
     }
     val bucket = (TextFunctions.fingerprint(text) % 100).cast("int")
-    element_at(array(labels.map(lit): _*), bucket + lit(1))
+    // slot 101 holds the null label and null buckets are coalesced onto it:
+    // element_at over an all-non-null literal array reports nullable=false
+    // under ANSI even with a nullable index (null index → null value), which
+    // corrupts downstream projections; the explicit null slot makes the
+    // array containsNull=true so the nullability is honest. coalesce also
+    // keeps the fingerprint evaluated once (a when() guard would evaluate it
+    // in both the condition and the branch).
+    val slots = (labels :+ null).map(l => lit(l).cast("string"))
+    element_at(array(slots: _*), coalesce(bucket, lit(100)) + lit(1))
   }
 
   /** Sequence packing (context-window fill): per `keys` series ordered by

@@ -173,7 +173,8 @@ object QueriesEvents {
       Tables.events(s, d)
         .withColumn("qc_executed", col("event_id") % 256)
         .withColumn("qc_results", col("user_id") % 256)
-        .withColumn("summary", Qartod.qcSummaryFlag(col("qc_executed"), col("qc_results")))
+        .withColumn("summary",
+          Qartod.qcSummaryFlag(col("qc_executed"), col("qc_results")).cast("long"))
         .groupBy(col("summary")).agg(count(lit(1)).as("cnt"))
     }),
 

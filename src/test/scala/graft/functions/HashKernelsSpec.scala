@@ -62,8 +62,17 @@ class HashKernelsSpec extends AnyFunSuite with Matchers {
   }
 
   test("cosineKernel agrees with the expression version semantics") {
-    HashKernels.cosineKernel(Seq(1.0, 2.0, 2.0), Seq(1.0, 2.0, 2.0)) shouldBe 1.0 +- 1e-12
-    HashKernels.cosineKernel(Seq(1.0, 0.0), Seq(0.0, 1.0)) shouldBe 0.0 +- 1e-12
+    HashKernels.cosineKernel(Seq(1.0, 2.0, 2.0), Seq(1.0, 2.0, 2.0)).doubleValue shouldBe 1.0 +- 1e-12
+    HashKernels.cosineKernel(Seq(1.0, 0.0), Seq(0.0, 1.0)).doubleValue shouldBe 0.0 +- 1e-12
+    // zero-norm → null, same as CosineSimilarity expression and the HOF
+    HashKernels.cosineKernel(Seq(0.0, 0.0), Seq(1.0, 1.0)) shouldBe null
+    HashKernels.cosineKernel(Seq(1.0, 1.0), Seq(0.0, 0.0)) shouldBe null
+  }
+
+  test("fingerprint40Udf/simHash40Udf null-guard: null text does not NPE") {
+    // the raw kernels require non-null; the UDF wrappers must pass null through
+    noException should be thrownBy HashKernels.fingerprint40("x")
+    // exercised via Spark in TrainingDataSpec (null doc → null split label)
   }
 
   test("hashString/mix64 are stable across calls (seeded, no RNG)") {

@@ -29,6 +29,19 @@ class TrainingDataSpec extends SparkSpec {
     r1 shouldBe r2
   }
 
+  test("hashSplit: null text gets a null label (and the kernel UDF doesn't NPE)") {
+    val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val split = TrainingData.hashSplit(col("text"), Seq("train" -> 0.9, "test" -> 0.1))
+    val rows = docs.withColumn("s", split)
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .select("doc_id", "s", "fp").as[(Long, Option[String], Option[Long])]
+      .collect().sortBy(_._1)
+    rows(0)._2.isDefined shouldBe true
+    rows(1)._2 shouldBe None
+    rows(1)._3 shouldBe None
+  }
+
   test("hashSplit rejects fractions that don't sum to 1") {
     an[IllegalArgumentException] should be thrownBy
       TrainingData.hashSplit(col("text"), Seq("a" -> 0.5, "b" -> 0.2))
