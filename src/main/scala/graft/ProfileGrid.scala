@@ -1,0 +1,192 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType, TimestampType}
+
+/** Port of the reference's profiler-grid query — its most-used plot path
+  * (rca_data_tools/qaqc/dashboard.py:399-920 `plotProfilesGrid`, gridding
+  * kernel `gridProfiles` at dashboard.py:154-228, grid assembly
+  * `create_interpolation_grid` at dashboard.py:923-1013). As with
+  * [[ProfileScatter]], the engine's deliverable is the plot-DATA table (the
+  * interpolated (time, depth, value) grid in long form) plus the
+  * deterministic artifact manifest; contour rendering stays a thin client.
+  *
+  * Semantics preserved from the reference (non-deploy, non-ADCP path):
+  *  - window = [timeRef − span, timeRef] with null (value, pressure) rows
+  *    dropped (dashboard.py:568-579); ≤5 samples in window → "No Data
+  *    Available" manifest, no data rows (dashboard.py:591,657-662);
+  *  - profile mask: start > first sample ∧ end ≤ last sample
+  *    (dashboard.py:175);
+  *  - descent-sampled parameters slice [peak, end], others [start, peak]
+  *    (dashboard.py:186-195);
+  *  - one grid column per profile at depth steps `arange(0, profileDepth,
+  *    depthStep)` (dashboard.py:197-198), linearly interpolated along
+  *    pressure with constant extrapolation at the edges (`np.interp`,
+  *    dashboard.py:213); profiles with <2 pressure samples produce no
+  *    column (dashboard.py:210,225-226 + zero-column deletion :999-1003);
+  *  - pressure masks: cells above the shallowest sample are nulled when
+  *    min pressure > 5, cells below the deepest when max pressure < 185
+  *    (dashboard.py:215-222);
+  *  - time-gap mask: when the gap between a column's seconds-truncated
+  *    peak and the NEXT column's exceeds the threshold (5 days for spans
+  *    > 45 days, else 1 day), the LEFT column of the gap is nulled —
+  *    `zi[np.where(np.diff(xiDT) > gapThreshold)] = NaN`
+  *    (dashboard.py:1004-1010);
+  *  - ≤1 surviving column → "Insufficient Profiles Found For Gridding"
+  *    manifest, no data rows (dashboard.py:1036,1071-1076);
+  *  - manifest: a populated grid emits `none` then `clim` artifacts at the
+  *    three scales (full, standard, local); the clim trio is recorded
+  *    whether climatology data is present, absent, or fails to grid
+  *    (dashboard.py:839,856-901,908 — all three clim branches append).
+  *    The reference SAVES `anno` overlay files but never appends them to
+  *    its fileNameList (dashboard.py:700-704,730-734,760-764 — no
+  *    `fileNameList.append`), so they are absent here too. An empty or
+  *    insufficient window instead emits `none` + `clim` + `anno` trios
+  *    (dashboard.py:911-918).
+  *
+  * Deliberate divergence: the reference feeds `np.interp` the profile's
+  * samples in reversed TIME order for ascent parameters (dashboard.py:
+  * 204-206), which is pressure-ascending only while the cast is monotonic —
+  * non-monotonic casts silently produce unsorted-xp garbage. This port
+  * sorts by pressure outright (ties broken by value), which is identical
+  * for monotonic profiles and well-defined for the rest.
+  *
+  * Scale shape: samples are never collected. The interpolation is the q41
+  * union+window pattern — grid rows unioned with samples, two running
+  * windows partitioned by profile (high-cardinality key: one per cast) —
+  * so the whole plan is shuffle-once-per-side and codegen-friendly. Only
+  * the per-profile stats (one row per cast in the window — broadcast-small
+  * by construction, same bound as [[ProfileScatter]]'s counts) and the
+  * 3-value extent reach the driver, where they also decide the manifest.
+  */
+object ProfileGrid {
+
+  final case class Result(data: DataFrame, manifest: Seq[String])
+
+  private val Scales = Seq("full", "standard", "local")
+
+  private def outSchema = StructType(Seq(
+    StructField("t", TimestampType),
+    StructField("depth", DoubleType),
+    StructField("value", DoubleType)))
+
+  def run(samples: DataFrame, timeCol: String, yParam: String, pressParam: String,
+          profiles: DataFrame, // (start, peak, end) timestamps
+          timeRef: Timestamp, spanDays: Int,
+          profileDepth: Double, depthStep: Double,
+          fileNameBase: String, spanString: String,
+          descentSampled: Boolean = false,
+          shallowMaskMin: Double = 5.0, deepMaskMax: Double = 185.0): Result = {
+    val spark = samples.sparkSession
+
+    def emptyResult = {
+      // dashboard.py:657-662 + 911-918: 'none' trio from the empty plot,
+      // then a trio per overlay (clim, anno) from the emptySlice branch
+      val manifest = Seq("none", "clim", "anno").flatMap(o =>
+        Scales.map(sc => s"${fileNameBase}_${spanString}_${o}_$sc.png"))
+      Result(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema), manifest)
+    }
+
+    val startDate = new Timestamp(timeRef.getTime - spanDays * 86400000L)
+    val base = samples
+      .filter(col(timeCol) >= lit(startDate) && col(timeCol) <= lit(timeRef) &&
+        col(yParam).isNotNull && col(pressParam).isNotNull)
+
+    val ext = base.agg(count(lit(1)), min(col(timeCol)), max(col(timeCol))).collect()(0)
+    if (ext.getLong(0) <= 5) return emptyResult
+
+    // profile mask against the data extent (dashboard.py:175 — strict on
+    // start, inclusive on end; no 5-minute pad, unlike the scatter path)
+    val inWin = profiles.filter(
+      col("start") > lit(ext.getTimestamp(1)) && col("end") <= lit(ext.getTimestamp(2)))
+    val sliceLo = if (descentSampled) "peak" else "start"
+    val sliceHi = if (descentSampled) "end" else "peak"
+
+    def pts = base.join(
+        broadcast(inWin),
+        col(timeCol) >= col(sliceLo) && col(timeCol) <= col(sliceHi))
+      .select(col("peak"),
+        col(pressParam).cast("double").as("p"),
+        col(yParam).cast("double").as("v"))
+
+    // per-profile stats: one tiny agg, one row per surviving cast. The gap
+    // mask needs each column's successor, so it is computed here on the
+    // profile dimension (not the sample dimension) — driver-side, like the
+    // reference's np.diff over gridX and ProfileScatter's plot numbering.
+    val gapSeconds = (if (spanDays > 45) 5L else 1L) * 86400L
+    val stats = pts.groupBy(col("peak"))
+      .agg(count(lit(1)).as("n"), min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+      .filter(col("n") >= 2)
+      .select(col("peak"), col("min_p"), col("max_p"))
+      .collect().sortBy(_.getTimestamp(0).getTime)
+    if (stats.length <= 1) return emptyResult
+
+    val kept = stats.zipWithIndex.map { case (r, i) =>
+      val peak = r.getTimestamp(0)
+      val gapMasked = i + 1 < stats.length &&
+        (stats(i + 1).getTimestamp(0).getTime / 1000L - peak.getTime / 1000L) > gapSeconds
+      Row(peak, r.getDouble(1), r.getDouble(2), gapMasked)
+    }
+    val keptDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(kept.toSeq, 1),
+      StructType(Seq(
+        StructField("peak", TimestampType),
+        StructField("min_p", DoubleType),
+        StructField("max_p", DoubleType),
+        StructField("gap_masked", org.apache.spark.sql.types.BooleanType)))))
+
+    // grid columns: arange(0, profileDepth, depthStep) per kept profile
+    val nSteps = math.ceil(profileDepth / depthStep).toInt
+    val grid = keptDf.select(col("peak"), col("min_p"), col("max_p"), col("gap_masked"),
+        explode(sequence(lit(0), lit(nSteps - 1))).as("gi"))
+      .select(col("peak"), col("min_p"), col("max_p"), col("gap_masked"),
+        (col("gi") * lit(depthStep)).as("gy"))
+
+    // np.interp along pressure as the q41 union+window pattern: samples and
+    // grid points interleave in pressure order; running last/first non-null
+    // values bracket each grid point; edges clamp (constant extrapolation)
+    val u = pts
+      .join(broadcast(keptDf.select(col("peak"))), Seq("peak")) // drop <2-sample profiles
+      .select(col("peak"), col("p"), col("v"), lit(0).as("is_grid"),
+        lit(null).cast("double").as("gy"),
+        lit(null).cast("double").as("min_p"), lit(null).cast("double").as("max_p"),
+        lit(null).cast("boolean").as("gap_masked"))
+      .unionByName(grid.select(col("peak"), col("gy").as("p"),
+        lit(null).cast("double").as("v"), lit(1).as("is_grid"), col("gy"),
+        col("min_p"), col("max_p"), col("gap_masked")))
+
+    val ord = Seq(col("p"), col("is_grid"), col("v"))
+    val back = Window.partitionBy(col("peak")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("peak")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col("v")
+    val pv = last(v, ignoreNulls = true).over(back)
+    val pp = last(when(v.isNotNull, col("p")), ignoreNulls = true).over(back)
+    val nv = first(v, ignoreNulls = true).over(fwd)
+    val np = first(when(v.isNotNull, col("p")), ignoreNulls = true).over(fwd)
+    val interp = when(pv.isNull, nv).when(nv.isNull, pv)
+      .when(np === pp, pv)
+      .otherwise(pv + (nv - pv) * (col("p") - pp) / (np - pp))
+    val masked = when(col("gap_masked"), lit(null))
+      .when(col("min_p") > lit(shallowMaskMin) && col("gy") < col("min_p"), lit(null))
+      .when(col("max_p") < lit(deepMaskMax) && col("gy") > col("max_p"), lit(null))
+      .otherwise(interp)
+
+    val data = u.withColumn("value", masked)
+      .filter(col("is_grid") === 1)
+      // xiDT is seconds-truncated (astype('datetime64[s]'), dashboard.py:1004)
+      .select(timestamp_seconds(unix_timestamp(col("peak"))).as("t"),
+        col("gy").as("depth"), round(col("value"), 6).as("value"))
+
+    // populated grid: 'none' trio then the always-recorded 'clim' trio;
+    // 'anno' files are saved but never recorded by the reference (see doc)
+    val manifest = Seq("none", "clim").flatMap(o =>
+      Scales.map(sc => s"${fileNameBase}_${spanString}_${o}_$sc.png"))
+    Result(data, manifest)
+  }
+}

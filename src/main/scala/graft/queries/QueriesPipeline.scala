@@ -73,6 +73,29 @@ object QueriesPipeline {
         round(col("y"), 6).as("y"), col("z"))
     }),
 
+    // §3.1 profiler-grid port (ProfileGrid): per-profile depth-grid
+    // interpolation with pressure masks and the 1-day gap mask — the
+    // reference's contour plot-data path (dashboard.py:399-920)
+    "q59_profile_grid" -> ((s, d) => {
+      import s.implicits._
+      val samples = Tables.events(s, d)
+        .select(col("ts"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("press"))
+      val profiles = Seq(
+        ("2024-01-16 00:00:00", "2024-01-16 12:00:00", "2024-01-17 00:00:00"),
+        ("2024-01-17 06:00:00", "2024-01-17 12:00:00", "2024-01-17 18:00:00"),
+        ("2024-01-19 00:00:00", "2024-01-19 06:00:00", "2024-01-19 12:00:00"))
+        .toDF("start", "peak", "end")
+        .select(col("start").cast("timestamp"), col("peak").cast("timestamp"),
+          col("end").cast("timestamp"))
+      val r = graft.ProfileGrid.run(
+        samples, "ts", "value", "press", profiles,
+        timeRef = java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), spanDays = 5,
+        profileDepth = 190.0, depthStep = 0.5,
+        fileNameBase = "QAQC_plots/EVENTS_value", spanString = "day")
+      r.data
+    }),
+
     // K4 duplicate-format reconciliation over a synthesized file listing
     "q49_reconcile" -> ((s, d) => {
       val files = Tables.orders(s, d)
@@ -142,6 +165,58 @@ object QueriesPipeline {
       FROM (SELECT i.plot_idx, x, y, z FROM tagged tg JOIN idx i ON tg.peak = i.peak
             UNION ALL
             SELECT 0, x, y, z FROM tagged) t""",
+    "q59_profile_grid" -> """
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(value AS DOUBLE) AS v,
+                        CAST(json_extract_string(props, '$.k') AS DOUBLE) AS p
+                 FROM events
+                 WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+                   AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00'
+                   AND value IS NOT NULL
+                   AND json_extract_string(props, '$.k') IS NOT NULL),
+      ext AS (SELECT min(ts) AS lo, max(ts) AS hi FROM e),
+      prof(start_t, peak, end_t) AS (VALUES
+        (TIMESTAMP '2024-01-16 00:00:00', TIMESTAMP '2024-01-16 12:00:00', TIMESTAMP '2024-01-17 00:00:00'),
+        (TIMESTAMP '2024-01-17 06:00:00', TIMESTAMP '2024-01-17 12:00:00', TIMESTAMP '2024-01-17 18:00:00'),
+        (TIMESTAMP '2024-01-19 00:00:00', TIMESTAMP '2024-01-19 06:00:00', TIMESTAMP '2024-01-19 12:00:00')),
+      inwin AS (SELECT pr.* FROM prof pr, ext
+                WHERE pr.start_t > ext.lo AND pr.end_t <= ext.hi),
+      pts AS (SELECT m.peak, e.p, e.v
+              FROM e JOIN inwin m ON e.ts >= m.start_t AND e.ts <= m.peak),
+      stats AS (SELECT peak, min(p) AS min_p, max(p) AS max_p
+                FROM pts GROUP BY 1 HAVING count(*) >= 2),
+      kept AS (SELECT peak, min_p, max_p,
+                      (lead(peak) OVER (ORDER BY peak) IS NOT NULL AND
+                       epoch(lead(peak) OVER (ORDER BY peak)) - epoch(peak) > 86400)
+                        AS gap_masked
+               FROM stats),
+      grid AS (SELECT peak, min_p, max_p, gap_masked, CAST(gi AS DOUBLE) * 0.5 AS gy
+               FROM kept, unnest(range(380)) AS t(gi)),
+      u AS (SELECT peak, p, v, 0 AS is_grid, CAST(NULL AS DOUBLE) AS gy,
+                   CAST(NULL AS DOUBLE) AS min_p, CAST(NULL AS DOUBLE) AS max_p,
+                   CAST(NULL AS BOOLEAN) AS gap_masked
+            FROM pts JOIN (SELECT peak FROM stats) k USING (peak)
+            UNION ALL
+            SELECT peak, gy, NULL, 1, gy, min_p, max_p, gap_masked FROM grid),
+      w AS (SELECT *,
+                   last_value(v IGNORE NULLS) OVER wb AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wb AS pp,
+                   first_value(v IGNORE NULLS) OVER wf AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wf AS np
+            FROM u
+            WINDOW wb AS (PARTITION BY peak ORDER BY p, is_grid, v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY peak ORDER BY p, is_grid, v
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT CAST(to_timestamp(CAST(floor(epoch(peak)) AS BIGINT)) AS TIMESTAMP) AS t,
+             gy AS depth,
+             round(CASE WHEN gap_masked THEN NULL
+                        WHEN min_p > 5.0 AND gy < min_p THEN NULL
+                        WHEN max_p < 185.0 AND gy > max_p THEN NULL
+                        WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        WHEN np = pp THEN pv
+                        ELSE pv + (nv - pv) * (p - pp) / (np - pp) END, 6) AS value
+      FROM w WHERE is_grid = 1""",
     "q49_reconcile" -> """
       WITH files AS (
         SELECT printf('plot_%d.%s', o_orderkey % 300,
