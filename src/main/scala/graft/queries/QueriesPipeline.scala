@@ -96,6 +96,24 @@ object QueriesPipeline {
       r.data
     }),
 
+    // §3.1 fixed-depth scatter port (FixedScatter): per-depth fan-out +
+    // time-machine traces (dashboard.py:1500-1994, plots.py:342-389);
+    // events spread over 3 synthetic years to exercise the year shift
+    "q60_fixed_scatter" -> ((s, d) => {
+      val samples = Tables.events(s, d)
+        .select(
+          (col("ts") - make_dt_interval(
+            ((col("event_id") % 3) * lit(365)).cast("int"))).as("ts"),
+          col("value"),
+          (get_json_object(col("props"), "$.k").cast("double") * lit(0.25)).as("press"))
+      val r = graft.FixedScatter.runDepths(
+        samples, "ts", "value", "press", depths = Seq(3, 7),
+        timeRef = java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), spanDays = 5,
+        fileNameBase = "QAQC_plots/EVENTS_value", spanString = "day")
+      r.data.select(col("depth"), col("trace"), col("legend"), col("plot_time"),
+        round(col("value"), 6).as("value"))
+    }),
+
     // K4 duplicate-format reconciliation over a synthesized file listing
     "q49_reconcile" -> ((s, d) => {
       val files = Tables.orders(s, d)
@@ -217,6 +235,35 @@ object QueriesPipeline {
                         WHEN np = pp THEN pv
                         ELSE pv + (nv - pv) * (p - pp) / (np - pp) END, 6) AS value
       FROM w WHERE is_grid = 1""",
+    "q60_fixed_scatter" -> """
+      WITH s AS (SELECT CAST(ts AS TIMESTAMP) - (event_id % 3) * 365 * INTERVAL '1 day' AS ts,
+                        CAST(value AS DOUBLE) AS v,
+                        CAST(json_extract_string(props, '$.k') AS DOUBLE) * 0.25 AS press
+                 FROM events),
+      ext AS (SELECT min(year(ts)) AS y0 FROM s),
+      traces AS (SELECT CAST(k AS INT) AS trace,
+                        TIMESTAMP '2024-01-20 00:00:00'
+                          - k * 365 * INTERVAL '1 day' - 5 * INTERVAL '1 day' AS lo,
+                        TIMESTAMP '2024-01-20 00:00:00'
+                          - k * 365 * INTERVAL '1 day' AS hi
+                 FROM ext, unnest(range(2024 - y0 + 1)) AS t(k)),
+      tagged AS (SELECT tr.trace, s.ts AS st, s.v, s.press
+                 FROM s JOIN traces tr ON s.ts >= tr.lo AND s.ts <= tr.hi),
+      leg AS (SELECT trace,
+                     CASE WHEN min(year(st)) = max(year(st))
+                          THEN CAST(max(year(st)) AS VARCHAR)
+                          ELSE CAST(min(year(st)) AS VARCHAR) || ' - ' ||
+                               CAST(max(year(st)) AS VARCHAR) END AS legend
+              FROM tagged GROUP BY 1),
+      shifted AS (SELECT t.trace, l.legend,
+                         t.st + t.trace * 365 * INTERVAL '1 day' AS plot_time,
+                         t.v, t.press
+                  FROM tagged t JOIN leg l USING (trace)),
+      d(depth) AS (VALUES (3), (7))
+      SELECT CAST(depth AS INT) AS depth, trace, legend,
+             CAST(plot_time AS TIMESTAMP) AS plot_time,
+             round(CASE WHEN press > depth AND press < depth + 0.5 THEN v END, 6) AS value
+      FROM shifted, d""",
     "q49_reconcile" -> """
       WITH files AS (
         SELECT printf('plot_%d.%s', o_orderkey % 300,
