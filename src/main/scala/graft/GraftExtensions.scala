@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarity, SortedJaccard}
+import graft.functions.expressions.{CosineSimilarity, SortedJaccard, TopKByScore}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "sorted_jaccard(a, b) takes two arguments")
         SortedJaccard(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "topk_by_score(score, id, k) takes three arguments")
+        TopKByScore(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

@@ -9,18 +9,47 @@ import graft.functions.VectorFunctions
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   *  - [[bruteForceTopK]]: exact cosine top-k — the small-query-set baseline.
-  *    The query side is broadcast; the corpus is scanned once with a
-  *    map-side partial top-k (window over the broadcast-joined product), so
-  *    the shuffle carries only (query, corpus_id, sim) triples.
+  *    The query side is broadcast; the corpus is scanned once.
   *  - [[ivfTopK]]: IVF-style scale path — corpus pre-bucketed by coarse LSH
-  *    bucket; queries probe only their own bucket (and optionally
-  *    neighbours), cutting the scanned fraction by ~2^nBits.
+  *    bucket; queries probe only their own bucket, cutting the scanned
+  *    fraction by ~2^nBits.
+  *
+  * Both reduce to per-query top-k through the `topk_by_score`
+  * TypedImperativeAggregate (partial heap per map task + final merge) when
+  * GraftExtensions is installed: the shuffle then carries at most k
+  * entries per map partition per query, and a 100× corpus scales the map
+  * side only. The previous `row_number` window formulation funneled the
+  * whole scored corpus for each query through ONE reducer task — fine at
+  * sf0.1, serial at scale. The window path is kept only as a fallback for
+  * sessions without the extension (identical results: score desc, id asc,
+  * null scores never rank).
   */
 object Similarity {
 
+  private def topKReduce(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    val native = spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by_score"))
+    if (native)
+      scored.groupBy(col("query_id"))
+        .agg(call_function("topk_by_score",
+          col("cosine"), col("neighbor_id").cast("long"), lit(k)).as("topk"))
+        .select(col("query_id"), explode(col("topk")).as("e"))
+        .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
+          round(col("e.cosine"), 6).as("cosine"))
+    else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k && col("cosine").isNotNull)
+        .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+    }
+  }
+
   /** Exact top-k by cosine: for each row of `queries` (id + vector), the `k`
-    * nearest corpus rows. `queries` must be broadcast-size; ties broken by
-    * corpus id for determinism.
+    * nearest corpus rows. `queries` must be broadcast-size; corpus ids must
+    * be integral; ties broken by corpus id for determinism.
     */
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,
@@ -30,11 +59,7 @@ object Similarity {
       .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .join(q)
       .withColumn("cosine", VectorFunctions.cosineBest(corpus.sparkSession, col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    topKReduce(scored, k)
   }
 
   /** IVF/LSH-bucketed approximate top-k: corpus and queries are assigned a
@@ -52,10 +77,6 @@ object Similarity {
       VectorFunctions.lshBucket(col(queryVec), dim, nBits).as("bucket")))
     val scored = cb.join(qb, "bucket")
       .withColumn("cosine", VectorFunctions.cosineBest(corpus.sparkSession, col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    topKReduce(scored, k)
   }
 }

@@ -33,6 +33,40 @@ class SimilaritySpec extends SparkSpec {
     out.map(r => (r._1, r._2)) shouldBe Array((100L, 1L), (200L, 4L))
   }
 
+  test("top-k runs as partial+final aggregation, not a per-query window") {
+    val q = Seq((100L, Array(1.0, 0.0, 0.0, 0.0))).toDF("qid", "qv")
+    val out = Similarity.bruteForceTopK(corpus, "id", "v", q, "qid", "qv", k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("ObjectHashAggregate")
+    plan should include("partial_topk_by_score")
+  }
+
+  test("aggregate top-k matches the window formulation across partitions") {
+    // 600 candidates over 8 partitions: partial heaps must merge correctly,
+    // including exact-score ties broken by ascending id
+    val big = spark.range(0, 600, 1, 8)
+      .selectExpr("id", "array(cast(1.0 - (id % 100) / 100.0 as double), cast((id % 7) / 10.0 as double)) as v")
+    val q = Seq((1L, Array(1.0, 0.0))).toDF("qid", "qv")
+    val agg = Similarity.bruteForceTopK(big, "id", "v", q, "qid", "qv", k = 25)
+      .as[(Long, Long, Double)].collect().toSeq
+    // reference result via the window fallback on a registry-free session
+    val scored = big.selectExpr("id as neighbor_id", "v as cv")
+      .crossJoin(q.selectExpr("qid as query_id", "qv"))
+      .selectExpr("query_id", "neighbor_id",
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), cast(0.0 as double), (a, b) -> a + b) " +
+          "/ (sqrt(aggregate(qv, cast(0.0 as double), (a, b) -> a + b * b)) * " +
+          "sqrt(aggregate(cv, cast(0.0 as double), (a, b) -> a + b * b)))  as cosine")
+    val win = scored
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"cosine".desc, $"neighbor_id".asc)))
+      .filter($"rk" <= 25)
+      .selectExpr("query_id", "neighbor_id", "round(cosine, 6) as cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    agg.sortBy(x => (-x._3, x._2)) shouldBe win.sortBy(x => (-x._3, x._2))
+  }
+
   test("ivfTopK finds the self-match (same vector shares its bucket)") {
     val q = Seq((100L, Array(0.9, 0.1, 0.0, 0.0))).toDF("qid", "qv")
     val out = Similarity.ivfTopK(corpus, "id", "v", q, "qid", "qv",
