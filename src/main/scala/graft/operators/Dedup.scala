@@ -103,13 +103,18 @@ object Dedup {
     *  5. verified representative pairs expand back through the duplicate
     *    groups: within-group pairs emit jaccard 1.0, cross-group pairs
     *    inherit their representatives' jaccard (identical text ⇒ identical
-    *    shingle set, so this is exact, not an approximation).
+    *    shingle set, so this is exact, not an approximation). Groups larger
+    *    than `maxGroup` members switch from all-pairs (O(m²) rows — a
+    *    boilerplate doc copied 1M times would emit 5×10¹¹ rows) to star
+    *    edges (rep, member, 1.0): O(m) rows carrying the same
+    *    connected-component information, which is what dedup consumes.
     */
   def minHashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, rowsPerBand: Int = 4,
                       minJaccard: Double = 0.5,
-                      maxBucket: Int = 8192): DataFrame = {
+                      maxBucket: Int = 8192,
+                      maxGroup: Int = 1024): DataFrame = {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
     import graft.functions.HashKernels
     // 1. collapse exact duplicates; shuffle carries (hash, len, id) + one
@@ -161,10 +166,17 @@ object Dedup {
       .withColumn("jaccard", round(jaccard, 6))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-    // 5. expand duplicate groups back to doc-level pairs
+    // 5. expand duplicate groups back to doc-level pairs; mega-groups
+    //    (> maxGroup members) emit bounded star edges instead of all pairs
+    val starEdges = transform(
+      slice(col("members"), lit(2), size(col("members")) - 1),
+      m => struct(element_at(col("members"), 1).as("_1"), m.as("_2")))
     val within = groups
       .filter(size(col("members")) >= 2)
-      .select(explode(HashKernels.bucketPairsUdf(Int.MaxValue)(col("members"))).as("p"))
+      .select(explode(
+        when(size(col("members")) <= lit(maxGroup),
+          HashKernels.bucketPairsUdf(Int.MaxValue)(col("members")))
+        .otherwise(starEdges)).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), lit(1.0).as("jaccard"))
     val cross = repPairs
       .join(groups.select(col("rep").as("id_a"), col("members").as("__ma")), "id_a")

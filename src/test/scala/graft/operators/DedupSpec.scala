@@ -64,6 +64,35 @@ class DedupSpec extends SparkSpec {
     capped.count() should be >= 10L // at least the pairs among the first 5 ids
   }
 
+  test("a 100k-copy exact-dup group emits bounded star edges, not all pairs") {
+    // 100_001 identical docs: all-pairs would be ~5e9 rows; star edges are
+    // 100_000 (rep -> member) rows carrying the same connectivity
+    val mega = spark.range(0L, 100001L, 1, 8)
+      .selectExpr("id as doc_id",
+        "'the same boilerplate footer text appearing on every single page' as text")
+    val pairs = Dedup.minHashDupPairs(mega, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, rowsPerBand = 4, minJaccard = 0.5)
+    val agg = pairs.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.min("id_a"),
+      org.apache.spark.sql.functions.max("id_a"),
+      org.apache.spark.sql.functions.countDistinct("id_b"),
+      org.apache.spark.sql.functions.min("jaccard")).collect()(0)
+    agg.getLong(0) shouldBe 100000L      // m - 1 star edges
+    agg.getLong(1) shouldBe 0L           // every edge anchored at the rep
+    agg.getLong(2) shouldBe 0L
+    agg.getLong(3) shouldBe 100000L      // every non-rep member connected
+    agg.getDouble(4) shouldBe 1.0
+  }
+
+  test("small groups still emit all pairs under the default maxGroup") {
+    val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, rowsPerBand = 4, minJaccard = 0.5)
+      .filter("jaccard = 1.0")
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).sorted
+    pairs shouldBe Array((1L, 4L), (1L, 5L), (4L, 5L)) // full clique for {1,4,5}
+  }
+
   test("embeddingDupPairs finds cosine-near pairs via shared LSH bucket") {
     val vecs = Seq(
       (1L, Array(1.0, 2.0, 3.0, 4.0)),
