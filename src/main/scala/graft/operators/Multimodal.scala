@@ -1,25 +1,30 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with a typed metadata struct; decode / feature-extract
   * runs as a partition-batched kernel over the binary column.
   *
-  * The Spark-side shape (schema, partitioning, batch iteration) is real and
-  * tested. The media decode itself is a DETERMINISTIC STUB — this
-  * environment has no image/audio codecs, so [[decodeStub]] derives fake
-  * "features" from the raw bytes. A production deployment replaces ONLY the
-  * `decodeOne` body with a real codec call (e.g. JPEG dimensions, PCM
-  * duration); everything around it — the mapPartitions batching, the output
-  * schema, the null/empty handling — is the production path.
+  * The decode kernel does REAL container parsing where pure byte reads
+  * suffice — PNG IHDR and JPEG SOF dimensions ([[decodeOne]]) — and falls
+  * back to deterministic byte-derived pseudo-features for unrecognized
+  * payloads (this environment has no media codecs; a production deployment
+  * extends only the fallback branch with codec calls). The Spark-side
+  * shape — mapPartitions batching, output schema, null/empty handling,
+  * partition preservation — is the production path either way.
   */
 object Multimodal {
 
-  /** Decoded-feature row (the kernel's output schema). */
+  /** Decoded-feature row (the kernel's output schema). `format` is the
+    * detected container; for `unknown` the width/height carry the
+    * byte-derived stub features (n % 640, n % 480).
+    */
   final case class MediaFeatures(doc_id: Long, n_bytes: Int, first_byte: Int,
-                                 last_byte: Int, fake_width: Int, fake_height: Int)
+                                 last_byte: Int, format: String,
+                                 width: Int, height: Int)
 
   /** Wrap a text table into the multimodal layout: `(doc_id, payload BINARY,
     * meta STRUCT<mime STRING, n_bytes INT>)`. In production the payload
@@ -35,16 +40,43 @@ object Multimodal {
         lit(mime).as("mime"),
         octet_length(col(textCol)).as("n_bytes")).as("meta"))
 
-  /** STUB decode of one payload. A real implementation would parse the
-    * container format here; the fake features are pure functions of the
-    * bytes so tests and oracles stay deterministic. Empty/null payloads
-    * yield -1 sentinel bytes (decode-failure convention).
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Decode one payload: PNG dimensions from the IHDR chunk (fixed offsets
+    * after the 8-byte signature), JPEG dimensions from the first SOF
+    * segment (markers C0-CF except C4/C8/CC), else the stub fallback.
+    * Empty/null payloads yield -1 sentinel bytes (decode-failure
+    * convention). Pure byte reads — no codec, no allocation.
     */
-  private def decodeOne(id: Long, payload: Array[Byte]): MediaFeatures = {
+  private[operators] def decodeOne(id: Long, payload: Array[Byte]): MediaFeatures = {
     val n = if (payload == null) 0 else payload.length
     val first = if (n == 0) -1 else payload(0) & 0xff
     val last = if (n == 0) -1 else payload(n - 1) & 0xff
-    MediaFeatures(id, n, first, last, n % 640, n % 480)
+    def fallback = MediaFeatures(id, n, first, last, "unknown", n % 640, n % 480)
+    if (n >= 24 && PngSig.indices.forall(i => payload(i) == PngSig(i)) &&
+        payload(12) == 'I' && payload(13) == 'H' && payload(14) == 'D' && payload(15) == 'R')
+      MediaFeatures(id, n, first, last, "png", be32(payload, 16), be32(payload, 20))
+    else if (n >= 4 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 8 < n) {
+        if ((payload(i) & 0xff) != 0xff) return fallback // desynced: not a marker
+        val m = payload(i + 1) & 0xff
+        if (m == 0xff) i += 1 // fill byte
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return MediaFeatures(id, n, first, last, "jpeg",
+            be16(payload, i + 7), be16(payload, i + 5))
+        else if (m == 0xd9 || m == 0xda) return fallback // EOI/SOS before any SOF
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // no-length markers
+        else i += 2 + be16(payload, i + 2)
+      }
+      fallback
+    } else fallback
   }
 
   /** Partition-batched decode over the binary column — the `mapInPandas`
@@ -52,7 +84,7 @@ object Multimodal {
     * through rows without materializing the partition; input partitioning
     * is preserved (no shuffle).
     */
-  def decodeStub(media: DataFrame): DataFrame = {
+  def decode(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))
@@ -60,4 +92,45 @@ object Multimodal {
       .mapPartitions(it => it.map { case (id, payload) => decodeOne(id, payload) })
       .toDF()
   }
+
+  /** Back-compat alias for the pre-round-4 name. */
+  def decodeStub(media: DataFrame): DataFrame = decode(media)
+
+  /** Fixture generator: wrap `body` text bytes in a minimal REAL container
+    * header so the parse path is exercised end-to-end — a PNG signature +
+    * IHDR (zeroed CRC; [[decodeOne]] doesn't verify CRCs, like any
+    * dimensions-only sniffer) or a JPEG SOI + SOF0 + trailing EOI.
+    */
+  val synthImageUdf: UserDefinedFunction =
+    udf((kind: String, w: Int, h: Int, body: String) => {
+      val text = if (body == null) Array.empty[Byte] else body.getBytes("UTF-8")
+      kind match {
+        case "png" =>
+          val out = new Array[Byte](33 + text.length)
+          PngSig.copyToArray(out)
+          out(11) = 13 // IHDR data length
+          out(12) = 'I'; out(13) = 'H'; out(14) = 'D'; out(15) = 'R'
+          out(16) = (w >> 24).toByte; out(17) = (w >> 16).toByte
+          out(18) = (w >> 8).toByte; out(19) = w.toByte
+          out(20) = (h >> 24).toByte; out(21) = (h >> 16).toByte
+          out(22) = (h >> 8).toByte; out(23) = h.toByte
+          out(24) = 8 // bit depth; color/compression/filter/interlace + crc stay 0
+          text.copyToArray(out, 33)
+          out
+        case "jpeg" =>
+          val out = new Array[Byte](14 + text.length)
+          out(0) = 0xff.toByte; out(1) = 0xd8.toByte // SOI
+          out(2) = 0xff.toByte; out(3) = 0xc0.toByte // SOF0
+          out(4) = 0; out(5) = 8 // segment length
+          out(6) = 8 // precision
+          out(7) = (h >> 8).toByte; out(8) = h.toByte
+          out(9) = (w >> 8).toByte; out(10) = w.toByte
+          out(11) = 0 // component count
+          text.copyToArray(out, 12)
+          out(12 + text.length) = 0xff.toByte
+          out(13 + text.length) = 0xd9.toByte // EOI
+          out
+        case _ => text
+      }
+    })
 }

@@ -107,11 +107,20 @@ object QueriesScience {
     "q46_stream_hourly" -> ((s, d) =>
       StreamingOps.runHourlyTypeAggAvailableNow(s, d)),
 
-    // Multimodal plumbing: binary payload + metadata struct -> partition-
-    // batched stub decode (deterministic byte-derived features)
-    "q47_multimodal" -> ((s, d) =>
-      Multimodal.decodeStub(
-        Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text")))
+    // Multimodal decode: payloads synthesized with REAL PNG/JPEG headers
+    // (one third each, remainder raw text) -> partition-batched kernel
+    // parses actual IHDR/SOF dimensions; raw text takes the stub fallback
+    "q47_multimodal" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").cast("long").as("doc_id"),
+        Multimodal.synthImageUdf(
+          when(col("doc_id") % 3 === 0, "png")
+            .when(col("doc_id") % 3 === 1, "jpeg").otherwise("text"),
+          (col("doc_id") % 800 + 1).cast("int"),
+          (col("doc_id") % 600 + 1).cast("int"),
+          col("text")).as("payload"))
+      Multimodal.decode(media)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -216,14 +225,29 @@ object QueriesScience {
              event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2""",
     "q47_multimodal" -> """
+      WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(doc_id % 3 AS INT) AS kind,
+               CAST(doc_id % 800 + 1 AS INT) AS w,
+               CAST(doc_id % 600 + 1 AS INT) AS h,
+               octet_length(encode(text)) AS olen, text
+        FROM documents)
       SELECT doc_id,
-             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-             CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
-                       ELSE ascii(substr(text, 1, 1)) END AS INT) AS first_byte,
-             CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
-                       ELSE ascii(substr(text, length(text), 1)) END AS INT) AS last_byte,
-             CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
-             CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
-      FROM documents"""
+             CAST(CASE kind WHEN 0 THEN olen + 33 WHEN 1 THEN olen + 14
+                  ELSE olen END AS INT) AS n_bytes,
+             CAST(CASE kind WHEN 0 THEN 137 WHEN 1 THEN 255
+                  ELSE CASE WHEN olen = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END
+                  END AS INT) AS first_byte,
+             CAST(CASE kind
+                  WHEN 0 THEN CASE WHEN olen = 0 THEN 0
+                                   ELSE ascii(substr(text, length(text), 1)) END
+                  WHEN 1 THEN 217
+                  ELSE CASE WHEN olen = 0 THEN -1
+                            ELSE ascii(substr(text, length(text), 1)) END
+                  END AS INT) AS last_byte,
+             CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format,
+             CAST(CASE kind WHEN 2 THEN olen % 640 ELSE w END AS INT) AS width,
+             CAST(CASE kind WHEN 2 THEN olen % 480 ELSE h END AS INT) AS height
+      FROM base"""
   )
 }

@@ -85,17 +85,32 @@ class ArrayTestsSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("attachPayload + decodeStub: binary plumbing with deterministic features") {
+  test("attachPayload + decode: binary plumbing with stub fallback features") {
     val docs = Seq((1L, "AB"), (2L, ""), (3L, "hello world")).toDF("doc_id", "text")
     val media = graft.operators.Multimodal.attachPayload(docs, "doc_id", "text")
     media.schema("payload").dataType.typeName shouldBe "binary"
     media.select("meta.n_bytes").as[Int].collect().sorted shouldBe Array(0, 2, 11)
-    val feats = graft.operators.Multimodal.decodeStub(media)
+    val feats = graft.operators.Multimodal.decode(media)
       .orderBy("doc_id")
-      .as[(Long, Int, Int, Int, Int, Int)].collect()
-    feats(0) shouldBe ((1L, 2, 'A'.toInt, 'B'.toInt, 2, 2))
-    feats(1) shouldBe ((2L, 0, -1, -1, 0, 0)) // empty payload -> sentinel
+      .as[(Long, Int, Int, Int, String, Int, Int)].collect()
+    feats(0) shouldBe ((1L, 2, 'A'.toInt, 'B'.toInt, "unknown", 2, 2))
+    feats(1) shouldBe ((2L, 0, -1, -1, "unknown", 0, 0)) // empty payload -> sentinel
     feats(2)._2 shouldBe 11
+  }
+
+  test("decode parses real PNG IHDR and JPEG SOF dimensions from bytes") {
+    val docs = Seq((1L, "png", 1920, 1080, "body"), (2L, "jpeg", 640, 480, "x"),
+      (3L, "jpeg", 33, 7, ""), (4L, "text", 0, 0, "plain")).toDF("id", "kind", "w", "h", "body")
+    val media = docs.select(col("id").as("doc_id"),
+      graft.operators.Multimodal.synthImageUdf(
+        col("kind"), col("w"), col("h"), col("body")).as("payload"))
+    val feats = graft.operators.Multimodal.decode(media)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, String, Int, Int)].collect()
+    feats(0) shouldBe ((1L, 37, 0x89, 'y'.toInt, "png", 1920, 1080))
+    feats(1) shouldBe ((2L, 15, 0xff, 0xd9, "jpeg", 640, 480))
+    feats(2) shouldBe ((3L, 14, 0xff, 0xd9, "jpeg", 33, 7))
+    feats(3)._5 shouldBe "unknown"
   }
 
   test("parseHumanSizeMb converts KB/MB/GB and rejects unknown units") {
