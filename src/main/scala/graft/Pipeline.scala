@@ -63,11 +63,12 @@ object Pipeline {
             col("value"))
       case _ =>
         // coarsen window = series length / threshold, like the reference
-        // (qaqc/plots.py:193-201 — it knows len(time); we pay one count)
-        val n = long.count()
-        val w = math.max(1, (n / math.max(1, params.size) / threshold).toInt)
-        Decimate.coarsen(long, Seq("ref_des", "parameter"), "t",
-          Seq("value"), window = w, tieBreak = Seq("value"))
+        // (qaqc/plots.py:193-201); the total comes out of the position
+        // pass's offset table, so the input is scanned once, not twice
+        Decimate.coarsenBy(long, Seq("ref_des", "parameter"), "t",
+          Seq("value"),
+          n => math.max(1, (n / math.max(1, params.size) / threshold).toInt),
+          tieBreak = Seq("value"))
     }
     // QARTOD overlay on the decimated series (flags keyed by canonical name)
     val flagExpr = ranges.foldLeft(lit(Qartod.Pass).cast("int")) {

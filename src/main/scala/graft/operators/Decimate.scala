@@ -58,12 +58,24 @@ object Decimate {
     */
   def coarsen(df: DataFrame, keyCols: Seq[String], timeCol: String,
               valueCols: Seq[String], window: Int,
-              tieBreak: Seq[String] = Nil): DataFrame = {
+              tieBreak: Seq[String] = Nil): DataFrame =
+    coarsenBy(df, keyCols, timeCol, valueCols, _ => window, tieBreak)
+
+  /** [[coarsen]] with the bucket width derived from the TOTAL row count —
+    * which the position pass's offset table already holds, so sizing the
+    * window costs no extra scan (the reference sizes it from `len(time)`,
+    * qaqc/plots.py:193-201).
+    */
+  def coarsenBy(df: DataFrame, keyCols: Seq[String], timeCol: String,
+                valueCols: Seq[String], windowFromTotal: Long => Int,
+                tieBreak: Seq[String] = Nil): DataFrame = {
     // decimation input is the few-big-series shape by construction, so
     // positions come from the parallel two-pass plan, never a per-series
     // single-task window
-    val bucketed = OrderedPosition
-      .withPosition(df, keyCols, timeCol +: tieBreak, "__pos")
+    val (positioned, total) = OrderedPosition
+      .withPositionCounted(df, keyCols, timeCol +: tieBreak, "__pos")
+    val window = windowFromTotal(total)
+    val bucketed = positioned
       .withColumn("__bucket", floor(col("__pos") / window))
     // Average epoch-micros relative to a fixed base so the partial sums stay
     // below 2^53 and the double-precision mean is bit-identical across

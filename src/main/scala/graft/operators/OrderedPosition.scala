@@ -48,7 +48,15 @@ object OrderedPosition {
     *    persisting the sorted data at 20M rows).
     */
   def withPosition(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
-                   outCol: String): DataFrame = {
+                   outCol: String): DataFrame =
+    withPositionCounted(df, keyCols, orderCols, outCol)._1
+
+  /** [[withPosition]] plus the TOTAL row count, which the offset table
+    * already knows — callers that would otherwise `count()` the input just
+    * to size downstream work (e.g. the coarsen bucket width) get it free.
+    */
+  def withPositionCounted(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                          outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val sortCols = (keyCols ++ orderCols).map(col)
     // explicit partition count pins the layout (REPARTITION_BY_NUM is not
@@ -105,9 +113,11 @@ object OrderedPosition {
       .map(c => if (c == "__pid") ranged(c) === offRenamed("__o___pid")
                 else ranged(c) <=> offRenamed(s"__o_$c"))
       .reduce(_ && _)
-    ranged
+    val out = ranged
       .join(broadcast(offRenamed), cond)
       .withColumn(outCol, col("__off") + col("__lrn"))
       .drop((Seq("__pid") ++ keyCols).map(c => s"__o_$c") :+ "__pid" :+ "__lrn" :+ "__off": _*)
+    val total = counts.iterator.map(_.getLong(keyCols.length + 1)).sum
+    (out, total)
   }
 }
