@@ -87,19 +87,59 @@ def main():
             bad.append((name, "; ".join(mism)))
         else:
             ok.append((name, len(g)))
-    # rows-only queries (no oracle)
+    # rows-only queries (no oracle): compare against committed golden
+    # outputs when one exists for this scale factor (run-to-run
+    # determinism gate), else report row counts only
     import glob, os
+    golden_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "golden", os.path.basename(SF.rstrip("/")))
     declared = set()
     for p in glob.glob(f"{OUT}/*/"):
         declared.add(os.path.basename(p.rstrip("/")))
     rows_only = declared - set(oracles)
     for name in sorted(rows_only):
+        gpath = os.path.join(golden_dir, f"{name}.parquet")
         try:
-            n = con.execute(
-                f"SELECT count(*) FROM read_parquet('{OUT}/{name}/*.parquet')").fetchone()[0]
-            print(f"ROWS-ONLY {name}: {n} rows" + ("  ** EMPTY **" if n == 0 else ""))
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
         except Exception as e:
             print(f"ROWS-ONLY {name}: ERROR {e}")
+            continue
+        if not os.path.exists(gpath):
+            print(f"ROWS-ONLY {name}: {len(got)} rows" +
+                  ("  ** EMPTY **" if len(got) == 0 else ""))
+            continue
+        want = con.execute(f"SELECT * FROM read_parquet('{gpath}')").df()
+        rows_only.discard(name)
+        if sorted(got.columns) != sorted(want.columns):
+            bad.append((name, f"golden columns differ: spark={sorted(got.columns)} golden={sorted(want.columns)}"))
+            continue
+        g, w = canon(got), canon(want)
+        if len(g) != len(w):
+            bad.append((name, f"golden row count: spark={len(g)} golden={len(w)}"))
+            continue
+        diffs = []
+        for c in g.columns:
+            gv, wv = g[c], w[c]
+            if gv.dtype != wv.dtype:
+                diffs.append(f"{c}: DTYPE spark={gv.dtype} golden={wv.dtype}")
+                continue
+            if gv.dtype.kind == "f":
+                eq = np.isclose(gv.astype(float), wv.astype(float),
+                                rtol=0, atol=0, equal_nan=True)
+                if not eq.all():
+                    diffs.append(f"{c}: {int((~eq).sum())} value diffs vs golden")
+            else:
+                gv2 = gv.astype(object).where(pd.notna(gv), None)
+                wv2 = wv.astype(object).where(pd.notna(wv), None)
+                neq = sum(1 for a, b in zip(gv2, wv2) if a != b)
+                if neq:
+                    diffs.append(f"{c}: {neq} value diffs vs golden")
+        if diffs:
+            bad.append((name, "golden mismatch: " + "; ".join(diffs)))
+        else:
+            ok.append((name, len(g)))
+            print(f"GOLDEN {name}: matches committed output ({len(g)} rows)")
     for name, n in ok:
         print(f"PASS {name} ({n} rows)")
     for name, msg in bad:
