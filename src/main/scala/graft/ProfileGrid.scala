@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType, TimestampType}
@@ -188,5 +188,119 @@ object ProfileGrid {
     val manifest = Seq("none", "clim").flatMap(o =>
       Scales.map(sc => s"${fileNameBase}_${spanString}_${o}_$sc.png"))
     Result(data, manifest)
+  }
+
+  /** C3 fallback grid — the reference's "old method" used when the profile
+    * index is empty or profile gridding fails (dashboard.py:944-967,
+    * 975-995): an hourly × depth mesh over the padded window
+    * `[start − span·0.002 d, end + span·0.002 d]`, scattered samples
+    * interpolated onto it, and cells inside >1-day sample gaps nulled.
+    *
+    * Divergence, documented: the reference runs `scipy.griddata` — 2-D
+    * linear interpolation over a Delaunay triangulation of the scattered
+    * points, which is neither separable nor expressible as a distributed
+    * plan without materializing the triangulation. This port grids
+    * SEPARABLY: samples snap to the nearest depth row, each depth row
+    * interpolates along time (no extrapolation past its first/last
+    * sample), then each time column fills remaining holes along depth
+    * (again no edge extrapolation) — the standard scalable re-expression;
+    * values agree with griddata on axis-aligned data and differ only in
+    * triangle-interior weighting. Two union+window passes, partitioned by
+    * depth row then by time column — both high-cardinality keys, fully
+    * parallel, no driver collection beyond the 3-value extent and the
+    * gap-interval table (bounded by the window's hour count).
+    *
+    * Gap-mask quirk preserved (dashboard.py:963): the reference only
+    * applies the mask when there is MORE THAN ONE gap
+    * (`len(timeGaps[0]) > 1`) — a single >1-day gap goes unmasked.
+    *
+    * Returns (t timestamp, depth double, value double) — one row per mesh
+    * cell.
+    */
+  def gridFallback(samples: DataFrame, timeCol: String, yParam: String,
+                   pressParam: String, timeRef: Timestamp, spanDays: Int,
+                   yMin: Double, yMax: Double, depthStep: Double): DataFrame = {
+    val spark = samples.sparkSession
+    val padUs = (spanDays * 0.002 * 86400e6).toLong
+    val startUs = timeRef.getTime * 1000L - spanDays * 86400000000L
+    val xMinUs = startUs - padUs
+    val xMaxUs = timeRef.getTime * 1000L + padUs
+    val hourUs = 3600000000L
+    val nT = ((xMaxUs - xMinUs + hourUs - 1) / hourUs).toInt // arange(xMin, xMax, 3600)
+    val nD = math.ceil((yMax - yMin) / depthStep).toInt
+
+    val base = samples
+      .filter(col(timeCol) >= lit(new Timestamp(startUs / 1000L)) &&
+        col(timeCol) <= lit(timeRef) &&
+        col(yParam).isNotNull && col(pressParam).isNotNull)
+      .select(unix_micros(col(timeCol)).as("tu"),
+        col(pressParam).cast("double").as("p"),
+        col(yParam).cast("double").as("v"))
+
+    // >1-day sample gaps via hourly pre-aggregation: a day-plus gap cannot
+    // hide inside one hour bucket, so consecutive non-empty buckets carry
+    // exactly the sample-level gap endpoints. The bucket table is
+    // mesh-sized (one row per non-empty hour), so the global lead() window
+    // over it is trivially small.
+    val hourly = base.groupBy((col("tu") / hourUs).cast("long").as("hb"))
+      .agg(min(col("tu")).as("mn"), max(col("tu")).as("mx"))
+    val wHb = Window.orderBy(col("hb"))
+    val gaps = hourly
+      .withColumn("nxt_mn", lead(col("mn"), 1).over(wHb))
+      .filter(col("nxt_mn").isNotNull && (col("nxt_mn") - col("mx")) > 86400000000L)
+      .select(col("mx").as("gap_lo"), col("nxt_mn").as("gap_hi"))
+    val gapRows = gaps.collect()
+    // reference quirk: masking only engages with MORE than one gap
+    val gapTable = if (gapRows.length > 1) gapRows.toSeq else Nil
+
+    // depth-row snap + time-axis interpolation per depth row
+    val binned = base
+      .withColumn("di", round((col("p") - lit(yMin)) / lit(depthStep)).cast("int"))
+      .filter(col("di") >= 0 && col("di") < nD)
+    val mesh = spark.range(0, nD.toLong)
+      .select(col("id").cast("int").as("di"))
+      .crossJoin(spark.range(0, nT.toLong).select(
+        (lit(xMinUs) + col("id") * hourUs).as("tu")))
+    val u1 = binned.select(col("di"), col("tu"), col("v"), lit(0).as("is_grid"))
+      .unionByName(mesh.select(col("di"), col("tu"),
+        lit(null).cast("double").as("v"), lit(1).as("is_grid")))
+    val ord1 = Seq(col("tu"), col("is_grid"), col("v"))
+    val b1 = Window.partitionBy(col("di")).orderBy(ord1: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f1 = Window.partitionBy(col("di")).orderBy(ord1: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def lerp(back: org.apache.spark.sql.expressions.WindowSpec,
+             fwd: org.apache.spark.sql.expressions.WindowSpec,
+             x: Column): Column = {
+      val v = col("v")
+      val pv = last(v, ignoreNulls = true).over(back)
+      val pt = last(when(v.isNotNull, x), ignoreNulls = true).over(back)
+      val nv = first(v, ignoreNulls = true).over(fwd)
+      val nt = first(when(v.isNotNull, x), ignoreNulls = true).over(fwd)
+      when(v.isNotNull, v)
+        .when(pv.isNotNull && nv.isNotNull,
+          when(nt === pt, pv)
+            .otherwise(pv + (nv - pv) * (x.cast("double") - pt) / (nt.cast("double") - pt)))
+    }
+    val pass1 = u1.withColumn("v1", lerp(b1, f1, col("tu")))
+      .filter(col("is_grid") === 1)
+      .select(col("di"), col("tu"), col("v1").as("v"), lit(0).as("is_grid"))
+
+    // depth-axis fill per time column (holes between populated depth rows)
+    val ord2 = Seq(col("di"), col("is_grid"))
+    val b2 = Window.partitionBy(col("tu")).orderBy(ord2: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f2 = Window.partitionBy(col("tu")).orderBy(ord2: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pass2 = pass1.withColumn("v2", lerp(b2, f2, col("di")))
+
+    val masked = gapTable.foldLeft(col("v2")) { (acc, r) =>
+      when(col("tu") > lit(r.getLong(0)) && col("tu") < lit(r.getLong(1)),
+        lit(null)).otherwise(acc)
+    }
+    pass2.select(
+      timestamp_micros(col("tu")).as("t"),
+      (lit(yMin) + col("di") * lit(depthStep)).as("depth"),
+      round(masked, 6).as("value"))
   }
 }

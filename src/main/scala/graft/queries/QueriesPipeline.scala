@@ -114,6 +114,18 @@ object QueriesPipeline {
         round(col("value"), 6).as("value"))
     }),
 
+    // C3 fallback mesh (ProfileGrid.gridFallback): hourly x depth grid
+    // over scattered samples, separable interpolation, day-gap masking
+    "q65_grid_fallback" -> ((s, d) => {
+      val samples = Tables.events(s, d)
+        .select(col("ts"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("press"))
+      graft.ProfileGrid.gridFallback(
+        samples, "ts", "value", "press",
+        timeRef = java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), spanDays = 5,
+        yMin = 0.0, yMax = 100.0, depthStep = 5.0)
+    }),
+
     // K4 duplicate-format reconciliation over a synthesized file listing
     "q49_reconcile" -> ((s, d) => {
       val files = Tables.orders(s, d)
@@ -264,6 +276,70 @@ object QueriesPipeline {
              CAST(plot_time AS TIMESTAMP) AS plot_time,
              round(CASE WHEN press > depth AND press < depth + 0.5 THEN v END, 6) AS value
       FROM shifted, d""",
+    "q65_grid_fallback" -> """
+      WITH base AS (
+        SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tu,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS p,
+               CAST(value AS DOUBLE) AS v
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+          AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00'
+          AND value IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL),
+      hourly AS (SELECT tu // 3600000000 AS hb, min(tu) AS mn, max(tu) AS mx
+                 FROM base GROUP BY 1),
+      gaps AS (SELECT gap_lo, gap_hi FROM (
+                 SELECT mx AS gap_lo, lead(mn) OVER (ORDER BY hb) AS gap_hi FROM hourly)
+               WHERE gap_hi IS NOT NULL AND gap_hi - gap_lo > 86400000000),
+      gapsq AS (SELECT * FROM gaps WHERE (SELECT count(*) FROM gaps) > 1),
+      binned AS (SELECT CAST(round(p / 5.0) AS INT) AS di, tu, v FROM base
+                 WHERE CAST(round(p / 5.0) AS INT) >= 0
+                   AND CAST(round(p / 5.0) AS INT) < 20),
+      mesh AS (SELECT CAST(d.di AS INT) AS di,
+                      epoch_us(TIMESTAMP '2024-01-15 00:00:00') - 864000000
+                        + CAST(t.i AS BIGINT) * 3600000000 AS tu
+               FROM unnest(range(20)) AS d(di), unnest(range(121)) AS t(i)),
+      u1 AS (SELECT di, tu, v, 0 AS is_grid FROM binned
+             UNION ALL
+             SELECT di, tu, NULL, 1 FROM mesh),
+      w1 AS (SELECT *,
+                    last_value(v IGNORE NULLS) OVER wb AS pv,
+                    last_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS) OVER wb AS pt,
+                    first_value(v IGNORE NULLS) OVER wf AS nv,
+                    first_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS) OVER wf AS nt
+             FROM u1
+             WINDOW wb AS (PARTITION BY di ORDER BY tu, is_grid, v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    wf AS (PARTITION BY di ORDER BY tu, is_grid, v
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      pass1 AS (SELECT di, tu,
+                       CASE WHEN v IS NOT NULL THEN v
+                            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                              CASE WHEN nt = pt THEN pv
+                                   ELSE pv + (nv - pv) * (tu - pt) / (nt - pt) END
+                       END AS v
+                FROM w1 WHERE is_grid = 1),
+      w2 AS (SELECT *,
+                    last_value(v IGNORE NULLS) OVER wb AS pv,
+                    last_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS) OVER wb AS pt,
+                    first_value(v IGNORE NULLS) OVER wf AS nv,
+                    first_value(CASE WHEN v IS NOT NULL THEN di END IGNORE NULLS) OVER wf AS nt
+             FROM pass1
+             WINDOW wb AS (PARTITION BY tu ORDER BY di
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    wf AS (PARTITION BY tu ORDER BY di
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      pass2 AS (SELECT di, tu,
+                       CASE WHEN v IS NOT NULL THEN v
+                            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                              CASE WHEN nt = pt THEN pv
+                                   ELSE pv + (nv - pv) * (di - pt) / (nt - pt) END
+                       END AS v2
+                FROM w2)
+      SELECT make_timestamp(tu) AS t, CAST(di AS DOUBLE) * 5.0 AS depth,
+             round(CASE WHEN EXISTS (SELECT 1 FROM gapsq g
+                                     WHERE pass2.tu > g.gap_lo AND pass2.tu < g.gap_hi)
+                        THEN NULL ELSE v2 END, 6) AS value
+      FROM pass2""",
     "q49_reconcile" -> """
       WITH files AS (
         SELECT printf('plot_%d.%s', o_orderkey % 300,

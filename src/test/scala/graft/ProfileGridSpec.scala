@@ -111,6 +111,65 @@ class ProfileGridSpec extends SparkSpec {
       s"${base}_day_clim_full.png", s"${base}_day_clim_standard.png", s"${base}_day_clim_local.png")
   }
 
+  test("gridFallback: separable interpolation fills time then depth, no extrapolation") {
+    // samples on two depth rows (0 and 10) at hours 0 and 2; depth row 5
+    // empty -> filled from neighbours; cells before first/after last
+    // sample stay null
+    val timeRef = ts("2025-07-02 00:00:00")
+    val h0 = ts("2025-07-01 00:30:00")
+    val h2 = ts("2025-07-01 02:30:00")
+    val df = Seq(
+      (h0, 10.0, 0.0), (h2, 30.0, 0.0),   // depth 0
+      (h0, 110.0, 10.0), (h2, 130.0, 10.0) // depth 10
+    ).toDF("time", "temp", "press")
+    val out = ProfileGrid.gridFallback(df, "time", "temp", "press",
+        timeRef, spanDays = 1, yMin = 0.0, yMax = 20.0, depthStep = 5.0)
+      .collect()
+      .map(r => ((r.getTimestamp(0), r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // mesh starts at 2025-07-01 00:00 - 1*0.002d = 23:57:07.2 prev day;
+    // second cell = +1h, within [h0, h2] for both rows
+    val cells = out.keys.map(_._1).toSeq.distinct.sortBy(_.getTime)
+    val t1 = cells(1) // first in-range grid time
+    val v0 = out((t1, 0.0)).get
+    val v10 = out((t1, 10.0)).get
+    v0 should be(10.0 +- 10.0)  // between the endpoints
+    v10 should be(110.0 +- 10.0)
+    // depth row 5 filled exactly midway between rows 0 and 10
+    out((t1, 5.0)).get shouldBe ((v0 + v10) / 2.0) +- 1e-9
+    // before any sample: null at every depth
+    out((cells.head, 0.0)) shouldBe None
+    out((cells.head, 5.0)) shouldBe None
+    // beyond the deepest sampled row: no extrapolation
+    out((t1, 15.0)) shouldBe None
+  }
+
+  test("gridFallback gap mask only engages with more than one gap (reference quirk)") {
+    val timeRef = ts("2025-07-10 00:00:00")
+    def samplesWith(gaps: Int) = {
+      // clusters of samples separated by >1-day gaps
+      val clusters = gaps + 1
+      (0 until clusters).flatMap { c =>
+        val base = ts("2025-07-01 00:00:00").getTime + c * 3L * 86400000L
+        Seq((new Timestamp(base), 1.0, 0.0),
+          (new Timestamp(base + 3600000L), 2.0, 0.0),
+          (new Timestamp(base), 5.0, 10.0),
+          (new Timestamp(base + 3600000L), 6.0, 10.0))
+      }.toDF("time", "temp", "press")
+    }
+    def nullCellsInGap(df: org.apache.spark.sql.DataFrame): Long = {
+      val out = ProfileGrid.gridFallback(df, "time", "temp", "press",
+        timeRef, spanDays = 9, yMin = 0.0, yMax = 15.0, depthStep = 5.0)
+      out.filter(col("t") > lit(ts("2025-07-01 02:00:00")) &&
+          col("t") < lit(ts("2025-07-03 23:00:00")) && col("value").isNull)
+        .count()
+    }
+    // one gap: unmasked (interpolated across) — len(timeGaps[0]) > 1 is false
+    nullCellsInGap(samplesWith(1)) shouldBe 0L
+    // two gaps: cells inside each gap are nulled
+    nullCellsInGap(samplesWith(2)) should be > 0L
+  }
+
   test("empty window and insufficient profiles emit the 9-file manifest") {
     val nine = Seq("none", "clim", "anno").flatMap(o =>
       Seq("full", "standard", "local").map(sc => s"${base}_day_${o}_$sc.png"))
