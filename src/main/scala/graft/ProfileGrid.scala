@@ -269,20 +269,7 @@ object ProfileGrid {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val f1 = Window.partitionBy(col("di")).orderBy(ord1: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def lerp(back: org.apache.spark.sql.expressions.WindowSpec,
-             fwd: org.apache.spark.sql.expressions.WindowSpec,
-             x: Column): Column = {
-      val v = col("v")
-      val pv = last(v, ignoreNulls = true).over(back)
-      val pt = last(when(v.isNotNull, x), ignoreNulls = true).over(back)
-      val nv = first(v, ignoreNulls = true).over(fwd)
-      val nt = first(when(v.isNotNull, x), ignoreNulls = true).over(fwd)
-      when(v.isNotNull, v)
-        .when(pv.isNotNull && nv.isNotNull,
-          when(nt === pt, pv)
-            .otherwise(pv + (nv - pv) * (x.cast("double") - pt) / (nt.cast("double") - pt)))
-    }
-    val pass1 = u1.withColumn("v1", lerp(b1, f1, col("tu")))
+    val pass1 = u1.withColumn("v1", lerpNoClamp(b1, f1, col("tu")))
       .filter(col("is_grid") === 1)
       .select(col("di"), col("tu"), col("v1").as("v"), lit(0).as("is_grid"))
 
@@ -292,7 +279,7 @@ object ProfileGrid {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val f2 = Window.partitionBy(col("tu")).orderBy(ord2: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val pass2 = pass1.withColumn("v2", lerp(b2, f2, col("di")))
+    val pass2 = pass1.withColumn("v2", lerpNoClamp(b2, f2, col("di")))
 
     val masked = gapTable.foldLeft(col("v2")) { (acc, r) =>
       when(col("tu") > lit(r.getLong(0)) && col("tu") < lit(r.getLong(1)),
@@ -302,5 +289,87 @@ object ProfileGrid {
       timestamp_micros(col("tu")).as("t"),
       (lit(yMin) + col("di") * lit(depthStep)).as("depth"),
       round(masked, 6).as("value"))
+  }
+
+  /** Linear interpolation onto grid rows interleaved in a union+window
+    * plan: value rows carry `v`, grid rows null — the grid value lerps
+    * between the bracketing non-null neighbours along `x`. No edge
+    * clamping: outside the data's hull the result is null (`scipy
+    * .griddata` semantics; the profile-grid `np.interp` path clamps
+    * instead and builds its own expression in [[run]]).
+    */
+  private def lerpNoClamp(back: org.apache.spark.sql.expressions.WindowSpec,
+                          fwd: org.apache.spark.sql.expressions.WindowSpec,
+                          x: Column): Column = {
+    val v = col("v")
+    val pv = last(v, ignoreNulls = true).over(back)
+    val pt = last(when(v.isNotNull, x), ignoreNulls = true).over(back)
+    val nv = first(v, ignoreNulls = true).over(fwd)
+    val nt = first(when(v.isNotNull, x), ignoreNulls = true).over(fwd)
+    when(v.isNotNull, v)
+      .when(pv.isNotNull && nv.isNotNull,
+        when(nt === pt, pv)
+          .otherwise(pv + (nv - pv) * (x.cast("double") - pt) / (nt.cast("double") - pt)))
+  }
+
+  /** J5 climatology-difference overlay for the profiler grid
+    * (dashboard.py:766-833): monthly climatology brackets become points
+    * at month-15 centers, duplicated to refYear−1 and refYear+1
+    * (dashboard.py:791-820), their midpoints `(lo+hi)/2` gridded onto the
+    * profile-grid cells — separably (time pass per clim depth, depth pass
+    * per grid column; same documented separable-vs-Delaunay divergence as
+    * [[gridFallback]], no extrapolation outside the climatology hull) —
+    * and `clim_diff = value − clim` appended. `clim` columns:
+    * (month 1-12, depth, lo, hi).
+    */
+  def climDiffOverlay(grid: DataFrame, clim: DataFrame, refYear: Int): DataFrame = {
+    val pts = clim.select(
+        col("month").cast("int").as("m"),
+        col("depth").cast("double").as("cd"),
+        ((col("lo") + col("hi")) / 2.0).as("cv"))
+      .select(col("cd"), col("cv"),
+        explode(array(lit(refYear - 1), lit(refYear), lit(refYear + 1))).as("yy"),
+        col("m"))
+      .select(col("cd"), col("cv"),
+        unix_micros(make_timestamp(col("yy"), col("m"), lit(15),
+          lit(0), lit(0), lit(0))).as("ctu"))
+
+    val gtimes = grid.select(unix_micros(col("t")).as("tu")).distinct()
+    // pass 1: per clim depth, interpolate along time onto the grid times
+    val u1 = pts.select(col("cd"), col("ctu").as("x"), col("cv").as("v"),
+        lit(0).as("is_grid"))
+      .unionByName(gtimes.crossJoin(pts.select(col("cd")).distinct())
+        .select(col("cd"), col("tu").as("x"), lit(null).cast("double").as("v"),
+          lit(1).as("is_grid")))
+    val ord1 = Seq(col("x"), col("is_grid"))
+    val b1 = Window.partitionBy(col("cd")).orderBy(ord1: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f1 = Window.partitionBy(col("cd")).orderBy(ord1: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pass1 = u1.withColumn("cv1", lerpNoClamp(b1, f1, col("x")))
+      .filter(col("is_grid") === 1)
+      .select(col("cd"), col("x").as("tu"), col("cv1"))
+
+    // pass 2: per grid column, interpolate along depth onto the grid depths
+    val u2 = pass1.select(col("tu"), col("cd").as("y"), col("cv1").as("v"),
+        lit(0).as("is_grid"), lit(null).cast("double").as("gy"))
+      .unionByName(grid.select(unix_micros(col("t")).as("tu"),
+        col("depth").cast("double").as("y"), lit(null).cast("double").as("v"),
+        lit(1).as("is_grid"), col("depth").cast("double").as("gy")))
+    val ord2 = Seq(col("y"), col("is_grid"))
+    val b2 = Window.partitionBy(col("tu")).orderBy(ord2: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f2 = Window.partitionBy(col("tu")).orderBy(ord2: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val climCells = u2.withColumn("climv", lerpNoClamp(b2, f2, col("y")))
+      .filter(col("is_grid") === 1)
+      .select(col("tu"), col("gy"), col("climv"))
+
+    grid.withColumn("__tu", unix_micros(col("t")))
+      .join(climCells,
+        col("__tu") === climCells("tu") && col("depth") === climCells("gy"))
+      .select(col("t"), col("depth"), col("value"),
+        round(col("climv"), 6).as("clim"),
+        round(col("value") - col("climv"), 6).as("clim_diff"))
   }
 }

@@ -114,6 +114,33 @@ object QueriesPipeline {
         round(col("value"), 6).as("value"))
     }),
 
+    // J5 composed on the grid path: climatology midpoints (±1-year
+    // month-15 centers) gridded onto the q59 profile grid, clim_diff out
+    "q66_grid_clim" -> ((s, d) => {
+      import s.implicits._
+      val samples = Tables.events(s, d)
+        .select(col("ts"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("press"))
+      val profiles = Seq(
+        ("2024-01-16 00:00:00", "2024-01-16 12:00:00", "2024-01-17 00:00:00"),
+        ("2024-01-17 06:00:00", "2024-01-17 12:00:00", "2024-01-17 18:00:00"),
+        ("2024-01-19 00:00:00", "2024-01-19 06:00:00", "2024-01-19 12:00:00"))
+        .toDF("start", "peak", "end")
+        .select(col("start").cast("timestamp"), col("peak").cast("timestamp"),
+          col("end").cast("timestamp"))
+      val r = graft.ProfileGrid.run(
+        samples, "ts", "value", "press", profiles,
+        timeRef = java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), spanDays = 5,
+        profileDepth = 190.0, depthStep = 0.5,
+        fileNameBase = "QAQC_plots/EVENTS_value", spanString = "day")
+      val clim = Tables.nation(s, d).select(
+        (col("n_nationkey") % 12 + 1).as("month"),
+        (expr("n_nationkey div 12") * 50).cast("double").as("depth"),
+        (col("n_nationkey") * 2.0).as("lo"),
+        (col("n_nationkey") * 2.0 + 4.0).as("hi"))
+      graft.ProfileGrid.climDiffOverlay(r.data, clim, refYear = 2024)
+    }),
+
     // C3 fallback mesh (ProfileGrid.gridFallback): hourly x depth grid
     // over scattered samples, separable interpolation, day-gap masking
     "q65_grid_fallback" -> ((s, d) => {
@@ -137,6 +164,62 @@ object QueriesPipeline {
       Reconcile.duplicateFormatDeletes(files, "name", "mtime")
     })
   )
+
+  /** q59's full pipeline as shareable oracle CTEs ending in
+    * `grid_out(t, depth, value)` — reused by the q66 clim overlay. */
+  private val profileGridOracleCtes: String = """
+      e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(value AS DOUBLE) AS v,
+                        CAST(json_extract_string(props, '$.k') AS DOUBLE) AS p
+                 FROM events
+                 WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+                   AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00'
+                   AND value IS NOT NULL
+                   AND json_extract_string(props, '$.k') IS NOT NULL),
+      ext AS (SELECT min(ts) AS lo, max(ts) AS hi FROM e),
+      prof(start_t, peak, end_t) AS (VALUES
+        (TIMESTAMP '2024-01-16 00:00:00', TIMESTAMP '2024-01-16 12:00:00', TIMESTAMP '2024-01-17 00:00:00'),
+        (TIMESTAMP '2024-01-17 06:00:00', TIMESTAMP '2024-01-17 12:00:00', TIMESTAMP '2024-01-17 18:00:00'),
+        (TIMESTAMP '2024-01-19 00:00:00', TIMESTAMP '2024-01-19 06:00:00', TIMESTAMP '2024-01-19 12:00:00')),
+      inwin AS (SELECT pr.* FROM prof pr, ext
+                WHERE pr.start_t > ext.lo AND pr.end_t <= ext.hi),
+      pts AS (SELECT m.peak, e.p, e.v
+              FROM e JOIN inwin m ON e.ts >= m.start_t AND e.ts <= m.peak),
+      stats AS (SELECT peak, min(p) AS min_p, max(p) AS max_p
+                FROM pts GROUP BY 1 HAVING count(*) >= 2),
+      kept AS (SELECT peak, min_p, max_p,
+                      (lead(peak) OVER (ORDER BY peak) IS NOT NULL AND
+                       epoch(lead(peak) OVER (ORDER BY peak)) - epoch(peak) > 86400)
+                        AS gap_masked
+               FROM stats),
+      grid AS (SELECT peak, min_p, max_p, gap_masked, CAST(gi AS DOUBLE) * 0.5 AS gy
+               FROM kept, unnest(range(380)) AS t(gi)),
+      u AS (SELECT peak, p, v, 0 AS is_grid, CAST(NULL AS DOUBLE) AS gy,
+                   CAST(NULL AS DOUBLE) AS min_p, CAST(NULL AS DOUBLE) AS max_p,
+                   CAST(NULL AS BOOLEAN) AS gap_masked
+            FROM pts JOIN (SELECT peak FROM stats) k USING (peak)
+            UNION ALL
+            SELECT peak, gy, NULL, 1, gy, min_p, max_p, gap_masked FROM grid),
+      w AS (SELECT *,
+                   last_value(v IGNORE NULLS) OVER wb AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wb AS pp,
+                   first_value(v IGNORE NULLS) OVER wf AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wf AS np
+            FROM u
+            WINDOW wb AS (PARTITION BY peak ORDER BY p, is_grid, v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY peak ORDER BY p, is_grid, v
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      grid_out AS (
+      SELECT CAST(to_timestamp(CAST(floor(epoch(peak)) AS BIGINT)) AS TIMESTAMP) AS t,
+             gy AS depth,
+             round(CASE WHEN gap_masked THEN NULL
+                        WHEN min_p > 5.0 AND gy < min_p THEN NULL
+                        WHEN max_p < 185.0 AND gy > max_p THEN NULL
+                        WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        WHEN np = pp THEN pv
+                        ELSE pv + (nv - pv) * (p - pp) / (np - pp) END, 6) AS value
+      FROM w WHERE is_grid = 1)"""
 
   val oracleSql: Map[String, String] = Map(
     "q48_pipeline" -> s"""
@@ -195,58 +278,8 @@ object QueriesPipeline {
       FROM (SELECT i.plot_idx, x, y, z FROM tagged tg JOIN idx i ON tg.peak = i.peak
             UNION ALL
             SELECT 0, x, y, z FROM tagged) t""",
-    "q59_profile_grid" -> """
-      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(value AS DOUBLE) AS v,
-                        CAST(json_extract_string(props, '$.k') AS DOUBLE) AS p
-                 FROM events
-                 WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
-                   AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00'
-                   AND value IS NOT NULL
-                   AND json_extract_string(props, '$.k') IS NOT NULL),
-      ext AS (SELECT min(ts) AS lo, max(ts) AS hi FROM e),
-      prof(start_t, peak, end_t) AS (VALUES
-        (TIMESTAMP '2024-01-16 00:00:00', TIMESTAMP '2024-01-16 12:00:00', TIMESTAMP '2024-01-17 00:00:00'),
-        (TIMESTAMP '2024-01-17 06:00:00', TIMESTAMP '2024-01-17 12:00:00', TIMESTAMP '2024-01-17 18:00:00'),
-        (TIMESTAMP '2024-01-19 00:00:00', TIMESTAMP '2024-01-19 06:00:00', TIMESTAMP '2024-01-19 12:00:00')),
-      inwin AS (SELECT pr.* FROM prof pr, ext
-                WHERE pr.start_t > ext.lo AND pr.end_t <= ext.hi),
-      pts AS (SELECT m.peak, e.p, e.v
-              FROM e JOIN inwin m ON e.ts >= m.start_t AND e.ts <= m.peak),
-      stats AS (SELECT peak, min(p) AS min_p, max(p) AS max_p
-                FROM pts GROUP BY 1 HAVING count(*) >= 2),
-      kept AS (SELECT peak, min_p, max_p,
-                      (lead(peak) OVER (ORDER BY peak) IS NOT NULL AND
-                       epoch(lead(peak) OVER (ORDER BY peak)) - epoch(peak) > 86400)
-                        AS gap_masked
-               FROM stats),
-      grid AS (SELECT peak, min_p, max_p, gap_masked, CAST(gi AS DOUBLE) * 0.5 AS gy
-               FROM kept, unnest(range(380)) AS t(gi)),
-      u AS (SELECT peak, p, v, 0 AS is_grid, CAST(NULL AS DOUBLE) AS gy,
-                   CAST(NULL AS DOUBLE) AS min_p, CAST(NULL AS DOUBLE) AS max_p,
-                   CAST(NULL AS BOOLEAN) AS gap_masked
-            FROM pts JOIN (SELECT peak FROM stats) k USING (peak)
-            UNION ALL
-            SELECT peak, gy, NULL, 1, gy, min_p, max_p, gap_masked FROM grid),
-      w AS (SELECT *,
-                   last_value(v IGNORE NULLS) OVER wb AS pv,
-                   last_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wb AS pp,
-                   first_value(v IGNORE NULLS) OVER wf AS nv,
-                   first_value(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wf AS np
-            FROM u
-            WINDOW wb AS (PARTITION BY peak ORDER BY p, is_grid, v
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                   wf AS (PARTITION BY peak ORDER BY p, is_grid, v
-                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-      SELECT CAST(to_timestamp(CAST(floor(epoch(peak)) AS BIGINT)) AS TIMESTAMP) AS t,
-             gy AS depth,
-             round(CASE WHEN gap_masked THEN NULL
-                        WHEN min_p > 5.0 AND gy < min_p THEN NULL
-                        WHEN max_p < 185.0 AND gy > max_p THEN NULL
-                        WHEN pv IS NULL THEN nv
-                        WHEN nv IS NULL THEN pv
-                        WHEN np = pp THEN pv
-                        ELSE pv + (nv - pv) * (p - pp) / (np - pp) END, 6) AS value
-      FROM w WHERE is_grid = 1""",
+    "q59_profile_grid" -> ("WITH " + profileGridOracleCtes + """
+      SELECT t, depth, value FROM grid_out"""),
     "q60_fixed_scatter" -> """
       WITH s AS (SELECT CAST(ts AS TIMESTAMP) - (event_id % 3) * 365 * INTERVAL '1 day' AS ts,
                         CAST(value AS DOUBLE) AS v,
@@ -276,6 +309,63 @@ object QueriesPipeline {
              CAST(plot_time AS TIMESTAMP) AS plot_time,
              round(CASE WHEN press > depth AND press < depth + 0.5 THEN v END, 6) AS value
       FROM shifted, d""",
+    "q66_grid_clim" -> ("WITH " + profileGridOracleCtes + """,
+      climp AS (SELECT (n_nationkey % 12) + 1 AS m,
+                       CAST((n_nationkey // 12) * 50 AS DOUBLE) AS cd,
+                       (CAST(n_nationkey AS DOUBLE) * 2.0 +
+                        (CAST(n_nationkey AS DOUBLE) * 2.0 + 4.0)) / 2.0 AS cv
+                FROM nation),
+      cpts AS (SELECT cd, cv,
+                      CAST(epoch_us(make_timestamp(CAST(yy AS BIGINT), CAST(m AS BIGINT),
+                        15, 0, 0, 0)) AS BIGINT) AS ctu
+               FROM climp, unnest([2023, 2024, 2025]) AS y(yy)),
+      gtimes AS (SELECT DISTINCT CAST(epoch_us(t) AS BIGINT) AS tu FROM grid_out),
+      u1c AS (SELECT cd, ctu AS x, cv AS v, 0 AS is_grid FROM cpts
+              UNION ALL
+              SELECT d.cd, g.tu, NULL, 1
+              FROM gtimes g, (SELECT DISTINCT cd FROM cpts) d),
+      w1c AS (SELECT *,
+                     last_value(v IGNORE NULLS) OVER wb AS pv,
+                     last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER wb AS pt,
+                     first_value(v IGNORE NULLS) OVER wf AS nv,
+                     first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER wf AS nt
+              FROM u1c
+              WINDOW wb AS (PARTITION BY cd ORDER BY x, is_grid
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY cd ORDER BY x, is_grid
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      p1c AS (SELECT cd, x AS tu,
+                     CASE WHEN v IS NOT NULL THEN v
+                          WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                            CASE WHEN nt = pt THEN pv
+                                 ELSE pv + (nv - pv) * (x - pt) / (nt - pt) END
+                     END AS cv1
+              FROM w1c WHERE is_grid = 1),
+      u2c AS (SELECT tu, cd AS y, cv1 AS v, 0 AS is_grid, CAST(NULL AS DOUBLE) AS gy
+              FROM p1c
+              UNION ALL
+              SELECT CAST(epoch_us(t) AS BIGINT), depth, NULL, 1, depth FROM grid_out),
+      w2c AS (SELECT *,
+                     last_value(v IGNORE NULLS) OVER wb AS pv,
+                     last_value(CASE WHEN v IS NOT NULL THEN y END IGNORE NULLS) OVER wb AS pt,
+                     first_value(v IGNORE NULLS) OVER wf AS nv,
+                     first_value(CASE WHEN v IS NOT NULL THEN y END IGNORE NULLS) OVER wf AS nt
+              FROM u2c
+              WINDOW wb AS (PARTITION BY tu ORDER BY y, is_grid
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY tu ORDER BY y, is_grid
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      p2c AS (SELECT tu, gy,
+                     CASE WHEN v IS NOT NULL THEN v
+                          WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                            CASE WHEN nt = pt THEN pv
+                                 ELSE pv + (nv - pv) * (y - pt) / (nt - pt) END
+                     END AS climv
+              FROM w2c WHERE is_grid = 1)
+      SELECT g.t, g.depth, g.value, round(c.climv, 6) AS clim,
+             round(g.value - c.climv, 6) AS clim_diff
+      FROM grid_out g
+      JOIN p2c c ON CAST(epoch_us(g.t) AS BIGINT) = c.tu AND g.depth = c.gy"""),
     "q65_grid_fallback" -> """
       WITH base AS (
         SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tu,
