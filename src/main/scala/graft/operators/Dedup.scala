@@ -234,22 +234,36 @@ object Dedup {
     * [[minHashDupPairs]]: pairs expand per bucket (capped at `maxBucket`)
     * so the shuffle carries (bucket, id) — vectors are joined back for the
     * surviving pairs only. At scale, raise `nBits` to shrink buckets.
+    *
+    * `multiProbe`: each vector is also entered into its nBits
+    * Hamming-distance-1 buckets for CANDIDATE generation (verification
+    * vectors keep one bucket), recovering near-dups split by a single
+    * hyperplane — the dominant recall loss at high nBits. Pairs reachable
+    * through two shared probe buckets are deduplicated.
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, nBits: Int = 8,
                         minCosine: Double = 0.95,
-                        maxBucket: Int = 4096): DataFrame = {
+                        maxBucket: Int = 4096,
+                        multiProbe: Boolean = false): DataFrame = {
     import graft.functions.{HashKernels, VectorFunctions}
     val withBucket = df.select(
         col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         VectorFunctions.lshBucket(col(vecCol), dim, nBits).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = withBucket
+    val assigned =
+      if (!multiProbe) withBucket
+      else withBucket.select(col("id"),
+        explode(array(col("bucket") +:
+          (0 until nBits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
+          .as("bucket"))
+    val rawCands = assigned
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(HashKernels.bucketPairsUdf(maxBucket)(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    val cands = if (multiProbe) rawCands.distinct() else rawCands
     cands
       .join(withBucket.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(withBucket.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")

@@ -65,16 +65,30 @@ object Similarity {
   /** IVF/LSH-bucketed approximate top-k: corpus and queries are assigned a
     * coarse random-hyperplane bucket; each query scans only its bucket.
     * Recall is traded for a ~2^nBits scan reduction — the 100 TB path.
+    *
+    * `multiProbe` additionally probes every Hamming-distance-1 bucket
+    * (nBits extra probes per query): a neighbour sitting just across one
+    * hyperplane — the dominant recall loss as nBits grows — is found at
+    * (nBits+1)/2^nBits of the scan cost, still far below a full scan.
+    * Corpus items keep exactly one bucket, so probes never duplicate a
+    * (query, neighbour) pair.
     */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              dim: Int, k: Int, nBits: Int = 4): DataFrame = {
+              dim: Int, k: Int, nBits: Int = 4,
+              multiProbe: Boolean = false): DataFrame = {
     val cb = corpus.select(
       col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"),
       VectorFunctions.lshBucket(col(corpusVec), dim, nBits).as("bucket"))
-    val qb = broadcast(queries.select(
+    val qbBase = queries.select(
       col(queryId).as("query_id"), col(queryVec).as("qv"),
-      VectorFunctions.lshBucket(col(queryVec), dim, nBits).as("bucket")))
+      VectorFunctions.lshBucket(col(queryVec), dim, nBits).as("bucket"))
+    val qb = broadcast(
+      if (!multiProbe) qbBase
+      else qbBase.select(col("query_id"), col("qv"),
+        explode(array(col("bucket") +:
+          (0 until nBits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
+          .as("bucket")))
     val scored = cb.join(qb, "bucket")
       .withColumn("cosine", VectorFunctions.cosineBest(corpus.sparkSession, col("qv"), col("cv")))
     topKReduce(scored, k)

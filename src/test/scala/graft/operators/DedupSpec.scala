@@ -93,6 +93,22 @@ class DedupSpec extends SparkSpec {
     pairs shouldBe Array((1L, 4L), (1L, 5L), (4L, 5L)) // full clique for {1,4,5}
   }
 
+  test("multi-probe embeddingDupPairs is a superset of single-probe, no duplicate pairs") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array(math.sin(i * 0.7), math.cos(i * 1.3),
+        math.sin(i * 2.1 + 1.0), math.cos(i * 0.9 + 2.0))))
+      .toDF("id", "v")
+    def pairs(multi: Boolean) =
+      Dedup.embeddingDupPairs(vecs, "id", "v", dim = 4, nBits = 4,
+          minCosine = 0.9, multiProbe = multi)
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSeq
+    val single = pairs(false)
+    val multi = pairs(true)
+    multi.distinct.length shouldBe multi.length // probe overlap deduplicated
+    single.toSet.subsetOf(multi.toSet) shouldBe true
+    multi.length should be >= single.length
+  }
+
   test("embeddingDupPairs finds cosine-near pairs via shared LSH bucket") {
     val vecs = Seq(
       (1L, Array(1.0, 2.0, 3.0, 4.0)),

@@ -67,6 +67,27 @@ class SimilaritySpec extends SparkSpec {
     agg.sortBy(x => (-x._3, x._2)) shouldBe win.sortBy(x => (-x._3, x._2))
   }
 
+  test("multi-probe ivfTopK is a superset and recovers cross-hyperplane neighbours") {
+    import org.apache.spark.sql.functions.{col => f}
+    // 60 corpus vectors in pairs (v, v + small noise): some pairs straddle
+    // exactly one hyperplane; single-probe misses those neighbours
+    val big = spark.range(0, 60)
+      .selectExpr("id",
+        """array(cast(sin(id * 0.7) as double), cast(cos(id * 1.3) as double),
+                 cast(sin(id * 2.1 + 1.0) as double), cast(cos(id * 0.9 + 2.0) as double)) as v""")
+    val queries = big.limit(8).selectExpr("id + 1000 as qid", "v as qv")
+    def ids(multi: Boolean) =
+      // k >= corpus size: no top-k truncation, so probing strictly adds
+      Similarity.ivfTopK(big, "id", "v", queries, "qid", "qv",
+          dim = 4, k = 60, nBits = 3, multiProbe = multi)
+        .select(f("query_id"), f("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+    val single = ids(false)
+    val multi = ids(true)
+    single.subsetOf(multi) shouldBe true
+    multi.size should be > single.size // fixture straddles >= 1 hyperplane
+  }
+
   test("ivfTopK finds the self-match (same vector shares its bucket)") {
     val q = Seq((100L, Array(0.9, 0.1, 0.0, 0.0))).toDF("qid", "qv")
     val out = Similarity.ivfTopK(corpus, "id", "v", q, "qid", "qv",
