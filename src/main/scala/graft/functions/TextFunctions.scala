@@ -77,17 +77,44 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"))
 
   /** Language-ID heuristic: the language whose stopword list hits the most
-    * tokens; "und" (undetermined) when nothing hits.
+    * tokens; "und" (undetermined) when nothing hits; ties go to the
+    * lexicographically largest language code (the `array_max` ordering of
+    * the original HOF formulation, preserved bit-for-bit).
+    *
+    * JVM kernel rather than HOFs: `filter(toks, t => array_contains(...))`
+    * per language is CodegenFallback — an interpreted expression tree per
+    * token × language. The kernel tokenizes once and does hash-set
+    * membership per token (q25 at sf0.1: 1.38 s → see PLANS.md).
     */
   def langIdHeuristic(text: Column,
                       langs: Map[String, Seq[String]] = LangStopwords): Column = {
-    val toks = tokens(lower(text))
-    val scored = langs.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val sw = array(words.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(sw, t))).as("hits"), lit(lang).as("lang"))
+    val ordered = langs.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toSet) }
+    val f = udf((s: String) => langIdKernel(s, ordered))
+    f(text)
+  }
+
+  /** Kernel for [[langIdHeuristic]]: `langs` ordered ascending by code so
+    * `>=` keeps the later (larger) code on hit ties, matching array_max.
+    * Null/blank text → "und" (the HOF's null hits never exceed 0).
+    */
+  private[functions] def langIdKernel(text: String,
+                                      langs: Seq[(String, Set[String])]): String = {
+    if (text == null) return "und"
+    val trimmed = text.trim
+    if (trimmed.isEmpty) return "und"
+    val toks = trimmed.toLowerCase.split("\\s+")
+    var best = "und"
+    var bestHits = 0
+    langs.foreach { case (lang, set) =>
+      var h = 0
+      var i = 0
+      while (i < toks.length) {
+        if (set.contains(toks(i))) h += 1
+        i += 1
+      }
+      if (h > 0 && h >= bestHits) { best = lang; bestHits = h }
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+    best
   }
 
   /** C13 camera-size classifier parse (rca_data_tools/qaqc/visual_data.py:
