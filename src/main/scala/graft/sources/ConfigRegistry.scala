@@ -112,6 +112,12 @@ object ConfigRegistry {
     * instruments are throttled to short spans (constants.py:41-44, the
     * in-code FIXME); everything else gets the full set (constants.py:26-32).
     */
+  /** span argument → artifact-name span string (constants.py:26-32
+    * SPAN_DICT; '0' is the deploy span).
+    */
+  val SpanStrings: Map[String, String] = Map(
+    "1" -> "day", "7" -> "week", "30" -> "month", "365" -> "year", "0" -> "deploy")
+
   val AllSpans: Set[String] = Set("1", "7", "30", "365", "deploy")
   val CamSpans: Set[String] = Set("7", "30", "365", "deploy")
   val HeavySpans: Set[String] = Set("1", "7")

@@ -109,6 +109,7 @@ object QaqcCli {
           "site" -> sc.refDes,
           "timeString" -> args.time,
           "span" -> args.span,
+          "spanString" -> ConfigRegistry.SpanStrings.getOrElse(args.span, args.span),
           "threshold" -> args.threshold.toString,
           "stage" -> sc.stage.toString,
           "homebrew_qartod" -> args.homebrewQartod.toString,
