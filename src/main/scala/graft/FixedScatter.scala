@@ -68,6 +68,54 @@ object FixedScatter {
     Result(r.data.drop("depth"), r.manifest)
   }
 
+  /** Deploy-span scatter (dashboard.py:1604-1611, 1738-1746): the base
+    * window is ±15 days around the FIRST deployment; the time machine gets
+    * one trace per deployment time, each a ±15-day window shifted forward
+    * by `365 · (yearRef − deployment year)` days (yearRef = first
+    * deployment's year). Two deployments in one year are separate traces
+    * with the same year_diff — the reference draws them in the same colour
+    * with duplicate legend entries, so the output carries both the trace
+    * index and year_diff. Data columns: (trace, year_diff, legend,
+    * plot_time, value); manifest uses spanString "deploy" with the same
+    * overlay shape as [[run]].
+    */
+  def runDeploy(samples: DataFrame, timeCol: String, valueCol: String,
+                deployTimes: Seq[Timestamp],
+                fileNameBase: String): Result = {
+    require(deployTimes.nonEmpty, "runDeploy needs at least one deployment time")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val t = col(timeCol)
+    val d15 = 15L * 86400000L
+    val yearRef = deployTimes.head.toLocalDateTime.getYear
+
+    val first = deployTimes.head
+    val ext = samples.agg(count(when(
+      t >= lit(new Timestamp(first.getTime - d15)) &&
+        t <= lit(new Timestamp(first.getTime + d15)), 1))).collect()(0)
+    val empty = ext.getLong(0) == 0L
+    val manifest = manifestFor(fileNameBase, "deploy", empty)
+
+    val traces = broadcast(deployTimes.zipWithIndex.map { case (dt, i) =>
+      (i, new Timestamp(dt.getTime - d15), new Timestamp(dt.getTime + d15),
+        yearRef - dt.toLocalDateTime.getYear)
+    }.toDF("trace", "lo", "hi", "year_diff"))
+
+    val tagged = samples.join(traces, t >= col("lo") && t <= col("hi"))
+      .select(col("trace"), col("year_diff"), t.as("st"),
+        col(valueCol).cast("double").as("v"))
+    val legend = tagged.groupBy(col("trace"))
+      .agg(min(year(col("st"))).as("y0"), max(year(col("st"))).as("y1"))
+      .select(col("trace"),
+        when(col("y0") === col("y1"), col("y1").cast("string"))
+          .otherwise(concat(col("y0"), lit(" - "), col("y1"))).as("legend"))
+    val data = tagged.join(broadcast(legend), "trace")
+      .select(col("trace"), col("year_diff"), col("legend"),
+        (col("st") + make_dt_interval(col("year_diff") * lit(365))).as("plot_time"),
+        col("v").as("value"))
+    Result(data, manifest)
+  }
+
   /** Per-depth fan-out: one plot per configured depth, data columns
     * (depth, trace, legend, plot_time, value). `depths = Nil` means a
     * "Single"-depth site: no pressure masking, no name suffix.

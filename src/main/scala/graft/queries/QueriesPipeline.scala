@@ -153,6 +153,23 @@ object QueriesPipeline {
         yMin = 0.0, yMax = 100.0, depthStep = 5.0)
     }),
 
+    // Deploy-span scatter (FixedScatter.runDeploy): per-deployment traces
+    // ±15d, shifted by 365*(yearRef - deploy year); two 2023 deployments
+    // share a year_diff but stay separate traces
+    "q67_deploy_scatter" -> ((s, d) => {
+      val samples = Tables.events(s, d).select(
+        (col("ts") - make_dt_interval(
+          ((col("event_id") % 3) * lit(365)).cast("int"))).as("ts"),
+        col("value"))
+      val r = graft.FixedScatter.runDeploy(samples, "ts", "value",
+        Seq(java.sql.Timestamp.valueOf("2024-01-17 12:00:00"),
+          java.sql.Timestamp.valueOf("2023-01-16 00:00:00"),
+          java.sql.Timestamp.valueOf("2023-01-10 00:00:00")),
+        fileNameBase = "QAQC_plots/EVENTS_value")
+      r.data.select(col("trace"), col("year_diff"), col("legend"),
+        col("plot_time"), round(col("value"), 6).as("value"))
+    }),
+
     // K4 duplicate-format reconciliation over a synthesized file listing
     "q49_reconcile" -> ((s, d) => {
       val files = Tables.orders(s, d)
@@ -366,6 +383,31 @@ object QueriesPipeline {
              round(g.value - c.climv, 6) AS clim_diff
       FROM grid_out g
       JOIN p2c c ON CAST(epoch_us(g.t) AS BIGINT) = c.tu AND g.depth = c.gy"""),
+    "q67_deploy_scatter" -> """
+      WITH s AS (SELECT CAST(ts AS TIMESTAMP) - (event_id % 3) * 365 * INTERVAL '1 day' AS ts,
+                        CAST(value AS DOUBLE) AS v
+                 FROM events),
+      tr(trace, anchor) AS (VALUES
+        (0, TIMESTAMP '2024-01-17 12:00:00'),
+        (1, TIMESTAMP '2023-01-16 00:00:00'),
+        (2, TIMESTAMP '2023-01-10 00:00:00')),
+      traces AS (SELECT trace, anchor - 15 * INTERVAL '1 day' AS lo,
+                        anchor + 15 * INTERVAL '1 day' AS hi,
+                        2024 - year(anchor) AS year_diff
+                 FROM tr),
+      tagged AS (SELECT t.trace, t.year_diff, s.ts AS st, s.v
+                 FROM s JOIN traces t ON s.ts >= t.lo AND s.ts <= t.hi),
+      leg AS (SELECT trace,
+                     CASE WHEN min(year(st)) = max(year(st))
+                          THEN CAST(max(year(st)) AS VARCHAR)
+                          ELSE CAST(min(year(st)) AS VARCHAR) || ' - ' ||
+                               CAST(max(year(st)) AS VARCHAR) END AS legend
+              FROM tagged GROUP BY 1)
+      SELECT CAST(t.trace AS INT) AS trace, CAST(t.year_diff AS INT) AS year_diff,
+             l.legend,
+             CAST(t.st + t.year_diff * 365 * INTERVAL '1 day' AS TIMESTAMP) AS plot_time,
+             round(t.v, 6) AS value
+      FROM tagged t JOIN leg l USING (trace)""",
     "q65_grid_fallback" -> """
       WITH base AS (
         SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tu,

@@ -72,6 +72,32 @@ class FixedScatterSpec extends SparkSpec {
     rows.filter(x => x._1 == 3 && x._2 == 1).flatMap(_._3).toSeq shouldBe Seq(11.0)
   }
 
+  test("deploy span: per-deployment traces, same-year deployments share year_diff") {
+    val df = Seq(
+      (ts("2024-01-16 06:00:00"), 10.0),
+      (ts("2023-01-15 06:00:00"), 20.0),
+      (ts("2023-01-05 06:00:00"), 30.0)).toDF("time", "temp")
+    val r = FixedScatter.runDeploy(df, "time", "temp",
+      Seq(ts("2024-01-17 12:00:00"), ts("2023-01-16 00:00:00"), ts("2023-01-10 00:00:00")),
+      fileNameBase = base)
+    val rows = r.data.collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getTimestamp(3), x.getDouble(4)))
+    // trace 0 anchored at the 2024 deployment, unshifted
+    rows.filter(_._1 == 0).map(_._4).toSeq shouldBe Seq(10.0)
+    rows.filter(_._1 == 0).head._2 shouldBe 0
+    // traces 1 and 2: distinct traces, both year_diff 1, shifted +365d
+    val t1 = rows.filter(_._1 == 1)
+    t1.map(_._4).sorted.toSeq shouldBe Seq(20.0, 30.0) // both Jan-2023 samples in ±15d
+    t1.head._2 shouldBe 1
+    val t2 = rows.filter(_._1 == 2)
+    t2.map(_._4).sorted.toSeq shouldBe Seq(20.0, 30.0)
+    t2.head._2 shouldBe 1
+    rows.filter(_._1 == 1).map(_._3).toSet shouldBe Set(
+      ts("2024-01-15 06:00:00"), ts("2024-01-05 06:00:00"))
+    r.manifest.head shouldBe s"${base}_deploy_none_full.png"
+    r.manifest.length shouldBe 12
+  }
+
   test("manifest: per-depth none/clim/flag/time trios; empty keeps none+time") {
     val r = FixedScatter.runDepths(fixture(), "time", "temp", "press", Seq(3, 7),
       timeRef, spanDays = 5, fileNameBase = base, spanString = "day")
