@@ -27,11 +27,19 @@ object Bench {
         "doc_id", "text", k = 3).count()
     } catch { case _: Throwable => }
     // min of two runs per query: steady-state throughput, standard
-    // best-of-N benchmark methodology (first run can pay stragglers/GC)
+    // best-of-N benchmark methodology (first run can pay stragglers/GC).
+    // The consumer aggregates hash(*) — NOT count(): Catalyst prunes
+    // columns a bare count never reads, silently skipping the window/
+    // interpolation work that produces them (measured: composed window
+    // plans under count() omit the windows entirely). hash(*) forces
+    // every output column of every row at negligible aggregate cost.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try {
+          fn(spark, sfDir)
+            .selectExpr("count(1)", "bit_xor(hash(*))").collect()
+        } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

@@ -162,13 +162,16 @@ object ProfileGrid {
     val ord = Seq(col("p"), col("is_grid"), col("v"))
     val back = Window.partitionBy(col("peak")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col("peak")).orderBy(ord: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // next-non-null via the REVERSED growing frame — a
+    // [CURRENT, UNBOUNDED FOLLOWING] frame is re-aggregated per row by
+    // Spark (O(n²) per partition); the desc prefix is the asc suffix
+    val fwd = Window.partitionBy(col("peak")).orderBy(ord.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val v = col("v")
     val pv = last(v, ignoreNulls = true).over(back)
     val pp = last(when(v.isNotNull, col("p")), ignoreNulls = true).over(back)
-    val nv = first(v, ignoreNulls = true).over(fwd)
-    val np = first(when(v.isNotNull, col("p")), ignoreNulls = true).over(fwd)
+    val nv = last(v, ignoreNulls = true).over(fwd)
+    val np = last(when(v.isNotNull, col("p")), ignoreNulls = true).over(fwd)
     val interp = when(pv.isNull, nv).when(nv.isNull, pv)
       .when(np === pp, pv)
       .otherwise(pv + (nv - pv) * (col("p") - pp) / (np - pp))
@@ -265,21 +268,13 @@ object ProfileGrid {
       .unionByName(mesh.select(col("di"), col("tu"),
         lit(null).cast("double").as("v"), lit(1).as("is_grid")))
     val ord1 = Seq(col("tu"), col("is_grid"), col("v"))
-    val b1 = Window.partitionBy(col("di")).orderBy(ord1: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val f1 = Window.partitionBy(col("di")).orderBy(ord1: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val pass1 = u1.withColumn("v1", lerpNoClamp(b1, f1, col("tu")))
+    val pass1 = u1.withColumn("v1", lerpNoClamp(col("di"), ord1, col("tu")))
       .filter(col("is_grid") === 1)
       .select(col("di"), col("tu"), col("v1").as("v"), lit(0).as("is_grid"))
 
     // depth-axis fill per time column (holes between populated depth rows)
     val ord2 = Seq(col("di"), col("is_grid"))
-    val b2 = Window.partitionBy(col("tu")).orderBy(ord2: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val f2 = Window.partitionBy(col("tu")).orderBy(ord2: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val pass2 = pass1.withColumn("v2", lerpNoClamp(b2, f2, col("di")))
+    val pass2 = pass1.withColumn("v2", lerpNoClamp(col("tu"), ord2, col("di")))
 
     val masked = gapTable.foldLeft(col("v2")) { (acc, r) =>
       when(col("tu") > lit(r.getLong(0)) && col("tu") < lit(r.getLong(1)),
@@ -296,16 +291,21 @@ object ProfileGrid {
     * between the bracketing non-null neighbours along `x`. No edge
     * clamping: outside the data's hull the result is null (`scipy
     * .griddata` semantics; the profile-grid `np.interp` path clamps
-    * instead and builds its own expression in [[run]]).
+    * instead and builds its own expression in [[run]]). Both neighbour
+    * lookups use GROWING frames (the "next" side over the reversed
+    * ordering): Spark re-aggregates shrinking frames per row — O(n²)
+    * per partition.
     */
-  private def lerpNoClamp(back: org.apache.spark.sql.expressions.WindowSpec,
-                          fwd: org.apache.spark.sql.expressions.WindowSpec,
-                          x: Column): Column = {
+  private def lerpNoClamp(partition: Column, ord: Seq[Column], x: Column): Column = {
+    val back = Window.partitionBy(partition).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(partition).orderBy(ord.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val v = col("v")
     val pv = last(v, ignoreNulls = true).over(back)
     val pt = last(when(v.isNotNull, x), ignoreNulls = true).over(back)
-    val nv = first(v, ignoreNulls = true).over(fwd)
-    val nt = first(when(v.isNotNull, x), ignoreNulls = true).over(fwd)
+    val nv = last(v, ignoreNulls = true).over(fwd)
+    val nt = last(when(v.isNotNull, x), ignoreNulls = true).over(fwd)
     when(v.isNotNull, v)
       .when(pv.isNotNull && nv.isNotNull,
         when(nt === pt, pv)
@@ -342,11 +342,7 @@ object ProfileGrid {
         .select(col("cd"), col("tu").as("x"), lit(null).cast("double").as("v"),
           lit(1).as("is_grid")))
     val ord1 = Seq(col("x"), col("is_grid"))
-    val b1 = Window.partitionBy(col("cd")).orderBy(ord1: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val f1 = Window.partitionBy(col("cd")).orderBy(ord1: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val pass1 = u1.withColumn("cv1", lerpNoClamp(b1, f1, col("x")))
+    val pass1 = u1.withColumn("cv1", lerpNoClamp(col("cd"), ord1, col("x")))
       .filter(col("is_grid") === 1)
       .select(col("cd"), col("x").as("tu"), col("cv1"))
 
@@ -357,11 +353,7 @@ object ProfileGrid {
         col("depth").cast("double").as("y"), lit(null).cast("double").as("v"),
         lit(1).as("is_grid"), col("depth").cast("double").as("gy")))
     val ord2 = Seq(col("y"), col("is_grid"))
-    val b2 = Window.partitionBy(col("tu")).orderBy(ord2: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val f2 = Window.partitionBy(col("tu")).orderBy(ord2: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val climCells = u2.withColumn("climv", lerpNoClamp(b2, f2, col("y")))
+    val climCells = u2.withColumn("climv", lerpNoClamp(col("tu"), ord2, col("y")))
       .filter(col("is_grid") === 1)
       .select(col("tu"), col("gy"), col("climv"))
 

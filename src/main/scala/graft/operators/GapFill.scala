@@ -25,15 +25,23 @@ object GapFill {
     val back = (if (part.isEmpty) Window.orderBy(order: _*)
                 else Window.partitionBy(part: _*).orderBy(order: _*))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = (if (part.isEmpty) Window.orderBy(order: _*)
-               else Window.partitionBy(part: _*).orderBy(order: _*))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next non-null" as a REVERSED growing frame, not
+    // [CURRENT ROW, UNBOUNDED FOLLOWING]: Spark evaluates shrinking
+    // frames by re-aggregating the remainder for every row — O(n²) per
+    // partition (measured: q41's 1.3k-row series took 8 s at sf0.1).
+    // The desc-ordered prefix holds exactly the asc-ordered suffix, and
+    // its last non-null is the asc-first non-null, so results are
+    // identical at O(n).
+    val orderDesc = order.map(_.desc)
+    val fwd = (if (part.isEmpty) Window.orderBy(orderDesc: _*)
+               else Window.partitionBy(part: _*).orderBy(orderDesc: _*))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val v = col(valueCol)
     val t = col(orderCol).cast("double")
     val prevV = last(when(v.isNotNull, v), ignoreNulls = true).over(back)
     val prevT = last(when(v.isNotNull, t), ignoreNulls = true).over(back)
-    val nextV = first(when(v.isNotNull, v), ignoreNulls = true).over(fwd)
-    val nextT = first(when(v.isNotNull, t), ignoreNulls = true).over(fwd)
+    val nextV = last(when(v.isNotNull, v), ignoreNulls = true).over(fwd)
+    val nextT = last(when(v.isNotNull, t), ignoreNulls = true).over(fwd)
     val lerp = prevV + (nextV - prevV) * (t - prevT) / (nextT - prevT)
     df.withColumn(outCol,
       when(v.isNotNull, v)
