@@ -50,6 +50,146 @@ object GapFill {
         .otherwise(lit(null)))
   }
 
+  /** [[interpolateLinear]] for the FEW-BIG-SERIES shape, where a per-key
+    * window would serialize each series onto one task (8 series of 2.5M
+    * rows = 8 tasks regardless of cluster size; measured warm at 20M on
+    * local[32]: 9.7 s for the window version vs 5.8 s here — and the
+    * window version cannot use more tasks than series on ANY cluster,
+    * while this path parallelizes by partition count).
+    *
+    * Same two-parallel-pass scheme as [[OrderedPosition]]:
+    *  1. range-repartition by (keys, order) + in-partition sort — each
+    *     partition holds a contiguous slice of one-or-more series;
+    *  2. per (partition, series), one tiny agg collects the first/last
+    *     non-null (t, v) — `partitions × series` rows on the driver
+    *     (guarded small) — from which each partition learns the non-null
+    *     neighbour values JUST ACROSS its boundaries;
+    *  3. one `mapPartitions` pass materializes the partition slice (same
+    *     bound as any sort buffer), scans backward for next-non-null and
+    *     forward for prev-non-null seeded with the carried boundary
+    *     values, and emits the lerp.
+    *
+    * Results are identical to [[interpolateLinear]] (equivalence-tested,
+    * including runs of nulls straddling partition boundaries);
+    * leading/trailing nulls of each SERIES stay null. `orderCol` must be
+    * numeric and non-null; ties on (keys, order) make the interpolation
+    * order-dependent in BOTH versions, so ties should be pre-aggregated
+    * away (as q41 does).
+    */
+  def interpolateLinearRanged(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                              valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sortCols = (keyCols :+ orderCol).map(col)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val baseSchema = sorted.schema
+    val keyIdx = keyCols.map(baseSchema.fieldIndex)
+    val tIdx = baseSchema.fieldIndex(orderCol)
+    val vIdx = baseSchema.fieldIndex(valueCol)
+    // RDD boundary: pins the sort against optimizer elimination AND lets
+    // the boundary-stats job reuse the shuffle map stage (OrderedPosition
+    // precedent)
+    val rdd = sorted.rdd
+    import org.apache.spark.sql.Row
+    def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
+    def tOf(r: Row): Double = r.get(tIdx).asInstanceOf[Number].doubleValue()
+    // per-(partition, series) first/last non-null (t, v)
+    val bounds = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[Any], ((Double, Double), (Double, Double))]
+      it.foreach { r =>
+        if (!r.isNullAt(vIdx)) {
+          val k = keyOf(r)
+          val tv = (tOf(r), r.get(vIdx).asInstanceOf[Number].doubleValue())
+          m.get(k) match {
+            case None => m(k) = (tv, tv)
+            case Some((first, _)) => m(k) = (first, tv)
+          }
+        }
+      }
+      m.iterator.map { case (k, (first, last)) => (pid, k, first, last) }
+    }.collect()
+    require(bounds.length <= 1000000,
+      "interpolateLinearRanged: too many (partition, series) groups; use interpolateLinear")
+    // broadcast the per-series partition-ordered boundary list; each
+    // partition range-looks-up its carries (partitions with no local
+    // non-null of a series still resolve carries this way)
+    val boundsB = spark.sparkContext.broadcast(
+      bounds.groupBy(_._2).map { case (k, rows) => k -> rows.sortBy(_._1) })
+    val augRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val buf = it.toArray
+      val n = buf.length
+      val out = new Array[Row](n)
+      // prev non-null scan (forward), seeded from earlier partitions
+      val prevT = new Array[Double](n); val prevV = new Array[Double](n)
+      val hasPrev = new Array[Boolean](n)
+      var curKey: Seq[Any] = null
+      var curHas = false; var curT = 0.0; var curV = 0.0
+      def seedPrev(k: Seq[Any]): Unit = {
+        val rows = boundsB.value.getOrElse(k, Array.empty[(Int, Seq[Any], (Double, Double), (Double, Double))])
+        val before = rows.filter(_._1 < pid)
+        if (before.nonEmpty) { curHas = true; curT = before.last._4._1; curV = before.last._4._2 }
+        else curHas = false
+      }
+      var i = 0
+      while (i < n) {
+        val r = buf(i)
+        val k = keyOf(r)
+        if (k != curKey) { curKey = k; seedPrev(k) }
+        if (!r.isNullAt(vIdx)) {
+          curHas = true; curT = tOf(r)
+          curV = r.get(vIdx).asInstanceOf[Number].doubleValue()
+        }
+        hasPrev(i) = curHas; prevT(i) = curT; prevV(i) = curV
+        i += 1
+      }
+      // next non-null scan (backward), seeded from later partitions
+      val nextT = new Array[Double](n); val nextV = new Array[Double](n)
+      val hasNext = new Array[Boolean](n)
+      curKey = null
+      def seedNext(k: Seq[Any]): Unit = {
+        val rows = boundsB.value.getOrElse(k, Array.empty[(Int, Seq[Any], (Double, Double), (Double, Double))])
+        val after = rows.filter(_._1 > pid)
+        if (after.nonEmpty) { curHas = true; curT = after.head._3._1; curV = after.head._3._2 }
+        else curHas = false
+      }
+      i = n - 1
+      while (i >= 0) {
+        val r = buf(i)
+        val k = keyOf(r)
+        if (k != curKey) { curKey = k; seedNext(k) }
+        if (!r.isNullAt(vIdx)) {
+          curHas = true; curT = tOf(r)
+          curV = r.get(vIdx).asInstanceOf[Number].doubleValue()
+        }
+        hasNext(i) = curHas; nextT(i) = curT; nextV(i) = curV
+        i -= 1
+      }
+      i = 0
+      while (i < n) {
+        val r = buf(i)
+        val v: Any =
+          if (!r.isNullAt(vIdx))
+            java.lang.Double.valueOf(
+              r.get(vIdx).asInstanceOf[Number].doubleValue())
+          else if (hasPrev(i) && hasNext(i)) {
+            if (nextT(i) == prevT(i)) java.lang.Double.valueOf(prevV(i))
+            else java.lang.Double.valueOf(
+              prevV(i) + (nextV(i) - prevV(i)) * (tOf(r) - prevT(i)) / (nextT(i) - prevT(i)))
+          } else null
+        out(i) = Row.fromSeq(r.toSeq :+ v)
+        i += 1
+      }
+      out.iterator
+    }
+    spark.createDataFrame(augRdd,
+      org.apache.spark.sql.types.StructType(baseSchema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.DoubleType)))
+  }
+
   /** W3 time-gap masking: null out `valueCol` where the gap to the previous
     * sample exceeds `maxGapSeconds` (the reference NaNs interpolated cells
     * between day-plus gaps, qaqc/dashboard.py:962-967).

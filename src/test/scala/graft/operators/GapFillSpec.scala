@@ -50,4 +50,30 @@ class GapFillSpec extends SparkSpec {
       .orderBy("ts").select("v").as[Option[Double]].collect()
     out shouldBe Array(Some(1.0), None, None, Some(4.0))
   }
+
+  test("interpolateLinearRanged matches the window version across partition boundaries") {
+    // 4 big series x 50k rows with null runs long enough to straddle the
+    // 4-partition range layout; includes all-null and leading/trailing-null
+    // series slices
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val df = spark.range(0, 200000)
+        .selectExpr("cast(id % 4 as string) as series",
+          "cast(id as double) as t",
+          // series 3 entirely null; others null in long runs
+          "case when id % 4 = 3 then cast(null as double) " +
+            "when (id div 4) % 5000 < 2000 then cast(null as double) " +
+            "else cast(id % 997 as double) end as v")
+      val win = GapFill.interpolateLinear(df, Seq("series"), "t", "v", "o")
+        .selectExpr("series", "t", "o")
+      val ranged = GapFill.interpolateLinearRanged(df, Seq("series"), "t", "v", "o")
+        .selectExpr("series", "t", "o")
+      win.exceptAll(ranged).count() shouldBe 0L
+      ranged.exceptAll(win).count() shouldBe 0L
+      // sanity: interpolation actually produced values the input lacked
+      ranged.filter("o is not null").count() should be >
+        df.filter("v is not null").count()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
