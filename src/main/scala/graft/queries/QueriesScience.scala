@@ -107,6 +107,11 @@ object QueriesScience {
     "q46_stream_hourly" -> ((s, d) =>
       StreamingOps.runHourlyTypeAggAvailableNow(s, d)),
 
+    // Streaming exact dedup at ingest: dropDuplicatesWithinWatermark on
+    // the content key; projecting text makes the result copy-agnostic
+    "q68_stream_dedup" -> ((s, d) =>
+      StreamingOps.runDedupDocsAvailableNow(s, d).select(col("text"))),
+
     // Multimodal decode: payloads synthesized with REAL PNG/JPEG headers
     // (one third each, remainder raw text) -> partition-batched kernel
     // parses actual IHDR/SOF dimensions; raw text takes the stub fallback
@@ -224,6 +229,8 @@ object QueriesScience {
       SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
              event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2""",
+    "q68_stream_dedup" -> """
+      SELECT DISTINCT text FROM documents""",
     "q47_multimodal" -> """
       WITH base AS (
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -74,6 +74,23 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout())(fn _)
   }
 
+  /** Streaming exact dedup — the training-data ingestion shape: documents
+    * deduplicate on their content key (xxhash64 + length, the
+    * [[graft.operators.Dedup.exactDedup]] key — the shuffle and the state
+    * store carry 12 bytes per distinct doc, never text) as they arrive.
+    * `dropDuplicatesWithinWatermark` bounds state to the watermark
+    * horizon: duplicates separated by more than `horizon` are the batch
+    * pass's job, exactly the at-ingest dedup contract.
+    */
+  def dedupDocs(stream: DataFrame, tsCol: String, textCol: String,
+                horizon: String): DataFrame =
+    stream
+      .withWatermark(tsCol, horizon)
+      .withColumn("__k", xxhash64(col(textCol)))
+      .withColumn("__len", length(col(textCol)))
+      .dropDuplicatesWithinWatermark("__k", "__len")
+      .drop("__k", "__len")
+
   final case class SessionEvent(userId: Long, ts: java.sql.Timestamp, eventId: Long) {
     def tsMs: Long = ts.getTime
   }
@@ -100,6 +117,31 @@ object StreamingOps {
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Run [[dedupDocs]] over the documents parquet as a bounded stream
+    * (arrival time synthesized from doc_id — the table carries no event
+    * time). Which COPY of a duplicate survives is arrival-order-dependent,
+    * so callers wanting a deterministic result project the content
+    * columns (identical across copies), as q68 does.
+    */
+  def runDedupDocsAvailableNow(spark: SparkSession, dir: String,
+                               queryName: String = "graft_stream_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val q = dedupDocs(stream, "ts", "text", "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

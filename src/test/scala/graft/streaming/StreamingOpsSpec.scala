@@ -54,4 +54,27 @@ class StreamingOpsSpec extends SparkSpec {
     streamed.length should be > 0
     streamed shouldBe batch
   }
+
+  test("streaming exact dedup drops in-horizon duplicates, batch-parity on content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    // testdata stores each table as a single FILE named <table>.parquet;
+    // replicate that layout (the harness globs on the file name)
+    val stage = new java.io.File(dir, "stage")
+    Seq(
+      (0L, "alpha text"), (1L, "beta text"), (2L, "alpha text"),
+      (3L, "gamma text"), (4L, "beta text"), (5L, "alpha text"))
+      .toDF("doc_id", "text")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dir, "documents.parquet").toPath)
+    val out = graft.streaming.StreamingOps
+      .runDedupDocsAvailableNow(spark, dir.getAbsolutePath, "graft_sdedup_spec")
+    out.count() shouldBe 3L
+    out.select("text").as[String].collect().sorted shouldBe
+      Array("alpha text", "beta text", "gamma text")
+  }
 }
