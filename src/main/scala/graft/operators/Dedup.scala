@@ -188,6 +188,70 @@ object Dedup {
     within.unionByName(cross)
   }
 
+  /** Connected components over an undirected duplicate-pair list — the
+    * final step of fuzzy dedup: near-dup PAIRS (from [[minHashDupPairs]] /
+    * [[embeddingDupPairs]]) become duplicate GROUPS, so one representative
+    * per component survives. Iterative min-label propagation: every node
+    * starts as its own component; each round takes the min label over
+    * itself and its neighbours; fixpoint after graph-diameter rounds
+    * Each round also POINTER-JUMPS (`comp ← comp(comp)`), which halves
+    * every label-chain length — convergence in O(log diameter) rounds, so
+    * even a pathological n-node chain graph resolves within `maxIter`
+    * (plain propagation would need n rounds). Each round is two joins +
+    * one agg, map-side combined; labels are checkpointed per round so
+    * lineage stays flat.
+    *
+    * Returns (id, component) for every id appearing in `pairs`, component
+    * = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // min label over the neighbourhood
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("nid"))
+        .agg(min(col("comp")).as("ncomp"))
+      val propagated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp1"))
+      // pointer jump: follow the label's own label (comp is always a node
+      // id of the same component, so this only ever shrinks)
+      val parents = propagated.select(col("id").as("pid"), col("comp1").as("pcomp"))
+      val jumped = propagated.join(parents, propagated("comp1") === parents("pid"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp1"), coalesce(col("pcomp"), col("comp1"))).as("comp2"))
+        .localCheckpoint()
+      converged = jumped.filter(col("comp2") < col("comp")).isEmpty
+      labels = jumped.select(col("id"), col("comp2").as("comp"))
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** End-to-end fuzzy-dedup canonicalization: every doc id mapped to its
+    * duplicate-component representative (min id); singletons map to
+    * themselves. `keep = (rep === id)` selects the surviving corpus.
+    */
+  def canonicalize(df: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("id"), col("comp"))
+    df.join(comp, df(idCol).cast("long") === comp("id"), "left")
+      .withColumn("rep", coalesce(col("comp"), df(idCol).cast("long")))
+      .drop("id", "comp")
+  }
+
   /** 40-bit SimHash over word tokens: bit b is 1 when the majority vote of
     * token-hash bit b is positive. Token hashes use the engine-portable
     * rolling hash (mod 2^40), so the whole fingerprint is reproducible in

@@ -119,6 +119,18 @@ object QueriesDocs {
         .select(col("source"), col("id_a"), col("id_b"),
           round(Dedup.sortedSetJaccard(col("w_a"), col("w_b")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
+    }),
+
+    // duplicate-pair connected components over synthetic CHAIN pairs
+    // (id-35 — id for multiples of 7): five long chains whose component
+    // is id % 35 — exercises transitive closure + pointer jumping; the
+    // oracle verifies the closed form
+    "q69_dedup_components" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("id"))
+        .filter(col("id") % 7 === 0 && col("id") >= 35)
+        .select((col("id") - 35).as("id_a"), col("id").as("id_b"))
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
     })
   )
 
@@ -131,6 +143,16 @@ object QueriesDocs {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the chain (id-35, id) over multiples of 7 partitions nodes into five
+    // chains by residue; each chain's minimum is id % 35 — the closed form
+    "q69_dedup_components" -> """
+      WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      pairs AS (SELECT id - 35 AS id_a, id AS id_b
+                FROM d WHERE id % 7 = 0 AND id >= 35),
+      nodes AS (SELECT DISTINCT id FROM (
+                  SELECT id_a AS id FROM pairs
+                  UNION ALL SELECT id_b FROM pairs))
+      SELECT id, id % 35 AS comp FROM nodes""",
     // Spark's array_max over (hits, lang) structs breaks hit-ties toward the
     // lexicographically LARGER language code; the CASE checks fr,es,en,de in
     // that order with >= to replicate it.

@@ -109,6 +109,38 @@ class DedupSpec extends SparkSpec {
     multi.length should be >= single.length
   }
 
+  test("connectedComponents propagates labels across chains and keeps components apart") {
+    // chain 1-2-3-4 (no direct 1-4 edge: transitivity required), pair 7-8,
+    // star 10-(11,12)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (7L, 8L),
+      (10L, 11L), (10L, 12L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    comp(1L) shouldBe 1L
+    comp(2L) shouldBe 1L
+    comp(3L) shouldBe 1L
+    comp(4L) shouldBe 1L // needed 3 propagation rounds
+    comp(7L) shouldBe 7L
+    comp(8L) shouldBe 7L
+    comp(11L) shouldBe 10L
+    comp(12L) shouldBe 10L
+    comp.size shouldBe 9
+  }
+
+  test("canonicalize maps every doc to its representative, singletons to themselves") {
+    val pairs = Seq((1L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalize(docs, "doc_id", pairs)
+      .selectExpr("cast(doc_id as long)", "rep")
+      .as[(Long, Long)].collect().toMap
+    out(1L) shouldBe 1L
+    out(4L) shouldBe 1L
+    out(5L) shouldBe 1L
+    out(2L) shouldBe 2L // singleton
+    out(3L) shouldBe 3L
+  }
+
   test("embeddingDupPairs finds cosine-near pairs via shared LSH bucket") {
     val vecs = Seq(
       (1L, Array(1.0, 2.0, 3.0, 4.0)),
