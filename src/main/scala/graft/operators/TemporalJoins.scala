@@ -162,4 +162,41 @@ object TemporalJoins {
     }
     clipped.filter(col("valid_from") < col("valid_to"))
   }
+
+  /** Annotation overlay data for a plot window — the table behind every
+    * plot path's `anno` overlay (rca_data_tools/qaqc/dashboard.py:324-346
+    * `annoInRange`/`annoXnormalize` + the per-plot loop at :666-677):
+    * annotations intersecting [startDate, endDate] are clipped to it
+    * (open-ended annotations run to the window end), x-normalized to
+    * window fractions, and reduced to ONE annotation per clipped start
+    * line — the reference keys a dict by start line so later entries
+    * overwrite earlier ones (:676-677); arrival order isn't meaningful on
+    * a DataFrame, so the survivor here is the deterministic max of
+    * (beginTime, annotation), documented divergence.
+    *
+    * Input columns: (beginTime timestamp, endTime nullable timestamp,
+    * annotation string). Output: (start_line, end_line, annotation,
+    * x_min, x_max) with fractions in [0, 1].
+    */
+  def annotationOverlay(annotations: DataFrame,
+                        startDate: Column, endDate: Column): DataFrame = {
+    val b = col("beginTime")
+    val e = col("endTime")
+    val inRange = !(b >= endDate || (e.isNotNull && e <= startDate))
+    val clipped = annotations.filter(inRange)
+      .withColumn("start_line", greatest(b, startDate))
+      .withColumn("end_line",
+        when(e.isNull || e > endDate, endDate).otherwise(e))
+    val w = Window.partitionBy(col("start_line"))
+      .orderBy(col("beginTime").desc, col("annotation").desc)
+    val span = unix_micros(endDate) - unix_micros(startDate)
+    clipped
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("start_line"), col("end_line"), col("annotation"),
+        round((unix_micros(col("start_line")) - unix_micros(startDate))
+          .cast("double") / span, 6).as("x_min"),
+        round((unix_micros(col("end_line")) - unix_micros(startDate))
+          .cast("double") / span, 6).as("x_max"))
+  }
 }

@@ -170,6 +170,20 @@ object QueriesPipeline {
         col("plot_time"), round(col("value"), 6).as("value"))
     }),
 
+    // Annotation overlay table (annoInRange + annoXnormalize): clipped
+    // spans with window-fraction coordinates, one per clipped start line
+    "q70_anno_overlay" -> ((s, d) => {
+      val annos = Tables.orders(s, d).select(
+        col("o_orderdate").cast("timestamp").as("beginTime"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("timestamp"))
+          .otherwise(col("o_orderdate").cast("timestamp") +
+            make_dt_interval((col("o_orderkey") % 20).cast("int"))).as("endTime"),
+        concat(lit("note-"), col("o_orderkey")).as("annotation"))
+      graft.operators.TemporalJoins.annotationOverlay(annos,
+        lit("1995-01-01 00:00:00").cast("timestamp"),
+        lit("1995-03-01 00:00:00").cast("timestamp"))
+    }),
+
     // K4 duplicate-format reconciliation over a synthesized file listing
     "q49_reconcile" -> ((s, d) => {
       val files = Tables.orders(s, d)
@@ -408,6 +422,33 @@ object QueriesPipeline {
              CAST(t.st + t.year_diff * 365 * INTERVAL '1 day' AS TIMESTAMP) AS plot_time,
              round(t.v, 6) AS value
       FROM tagged t JOIN leg l USING (trace)""",
+    "q70_anno_overlay" -> """
+      WITH win AS (SELECT TIMESTAMP '1995-01-01 00:00:00' AS lo,
+                          TIMESTAMP '1995-03-01 00:00:00' AS hi),
+      annos AS (
+        SELECT CAST(o_orderdate AS TIMESTAMP) AS beginTime,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE CAST(o_orderdate AS TIMESTAMP) +
+                         CAST(o_orderkey % 20 AS INT) * INTERVAL '1 day' END AS endTime,
+               'note-' || CAST(o_orderkey AS VARCHAR) AS annotation
+        FROM orders),
+      clipped AS (
+        SELECT greatest(beginTime, w.lo) AS start_line,
+               CASE WHEN endTime IS NULL OR endTime > w.hi THEN w.hi
+                    ELSE endTime END AS end_line,
+               annotation, beginTime, w.lo, w.hi
+        FROM annos, win w
+        WHERE NOT (beginTime >= w.hi OR (endTime IS NOT NULL AND endTime <= w.lo))),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY start_line
+                                     ORDER BY beginTime DESC, annotation DESC) AS rn
+        FROM clipped)
+      SELECT start_line, end_line, annotation,
+             round(CAST(epoch_us(start_line) - epoch_us(lo) AS DOUBLE) /
+                   (epoch_us(hi) - epoch_us(lo)), 6) AS x_min,
+             round(CAST(epoch_us(end_line) - epoch_us(lo) AS DOUBLE) /
+                   (epoch_us(hi) - epoch_us(lo)), 6) AS x_max
+      FROM ranked WHERE rn = 1""",
     "q65_grid_fallback" -> """
       WITH base AS (
         SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tu,

@@ -93,4 +93,35 @@ class TemporalJoinsSpec extends SparkSpec {
     out(0)._2 shouldBe ts("2024-03-01 00:00:00")
     out(1)._2 shouldBe ts("2024-12-31 00:00:00")
   }
+
+  test("annotationOverlay clips spans, normalizes fractions, keeps one per start line") {
+    import org.apache.spark.sql.functions.lit
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val annos = Seq(
+      // straddles window start: clipped, x_min 0
+      (ts("2023-12-20 00:00:00"), ts("2024-01-11 00:00:00"), "early"),
+      // open-ended: runs to the window end
+      (ts("2024-01-11 00:00:00"), null.asInstanceOf[java.sql.Timestamp], "open"),
+      // same clipped start as "early" (also pre-window): overwrite quirk ->
+      // the max-(beginTime, annotation) survivor wins
+      (ts("2023-12-25 00:00:00"), ts("2024-01-06 00:00:00"), "later"),
+      // entirely outside
+      (ts("2024-02-01 00:00:00"), ts("2024-02-02 00:00:00"), "after"),
+      (ts("2023-11-01 00:00:00"), ts("2023-12-01 00:00:00"), "before")
+    ).toDF("beginTime", "endTime", "annotation")
+    val out = TemporalJoins.annotationOverlay(annos,
+        lit("2024-01-01 00:00:00").cast("timestamp"),
+        lit("2024-01-21 00:00:00").cast("timestamp"))
+      .collect().map(r => (r.getString(2), r.getTimestamp(0), r.getTimestamp(1),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    out.length shouldBe 2
+    val later = out.find(_._1 == "later").get
+    later._2 shouldBe ts("2024-01-01 00:00:00") // clipped start
+    later._4 shouldBe 0.0
+    later._5 shouldBe 0.25 // Jan 6 of a 20-day window
+    val open = out.find(_._1 == "open").get
+    open._3 shouldBe ts("2024-01-21 00:00:00") // open end -> window end
+    open._4 shouldBe 0.5
+    open._5 shouldBe 1.0
+  }
 }
