@@ -96,6 +96,12 @@ def main():
     declared = set()
     for p in glob.glob(f"{OUT}/*/"):
         declared.add(os.path.basename(p.rstrip("/")))
+    # a golden-pinned query whose output never materialized is a FAILURE,
+    # not a silent absence
+    for gp in glob.glob(os.path.join(golden_dir, "*.parquet")):
+        gname = os.path.basename(gp)[:-len(".parquet")]
+        if gname not in declared and gname not in oracles:
+            bad.append((gname, "golden-pinned query produced no output directory"))
     rows_only = declared - set(oracles)
     for name in sorted(rows_only):
         gpath = os.path.join(golden_dir, f"{name}.parquet")
@@ -103,7 +109,11 @@ def main():
             got = con.execute(
                 f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
         except Exception as e:
-            print(f"ROWS-ONLY {name}: ERROR {e}")
+            if os.path.exists(gpath):
+                bad.append((name, f"golden-pinned output unreadable: {e}"))
+                rows_only.discard(name)
+            else:
+                print(f"ROWS-ONLY {name}: ERROR {e}")
             continue
         if not os.path.exists(gpath):
             print(f"ROWS-ONLY {name}: {len(got)} rows" +

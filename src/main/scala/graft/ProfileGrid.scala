@@ -322,7 +322,11 @@ object ProfileGrid {
     * and `clim_diff = value − clim` appended. `clim` columns:
     * (month 1-12, depth, lo, hi).
     */
-  def climDiffOverlay(grid: DataFrame, clim: DataFrame, refYear: Int): DataFrame = {
+  def climDiffOverlay(gridIn: DataFrame, clim: DataFrame, refYear: Int): DataFrame = {
+    // the grid feeds THREE plan branches (distinct times, the u2 union,
+    // the final cell join) and is itself a multi-scan union+window plan —
+    // materialize it once instead of recomputing the lineage three times
+    val grid = gridIn.localCheckpoint()
     val pts = clim.select(
         col("month").cast("int").as("m"),
         col("depth").cast("double").as("cd"),

@@ -121,6 +121,10 @@ object TextFunctions {
     * 26-37): human-readable size string ("1.2 MB", "800 KB", "2 GB") →
     * megabytes as double; null when no unit matches.
     */
+  /* NOTE: this parser implements q45's synthetic "n.n KB|MB|GB" contract
+   * (binary multipliers, spaced two-letter units). The faithful
+   * humanfriendly port for camera-archive sizes ("2.5M", decimal units,
+   * case-insensitive) is [[graft.operators.CameraQaqc.sizeMb]]. */
   def parseHumanSizeMb(s: Column): Column = {
     val num = regexp_extract(s, "([0-9]+\\.?[0-9]*)", 1).cast("double")
     val unit = regexp_extract(s, "(KB|MB|GB)\\s*$", 1)

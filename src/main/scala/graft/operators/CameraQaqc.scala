@@ -28,12 +28,17 @@ object CameraQaqc {
   final case class Result(data: DataFrame, manifest: Seq[String])
 
   /** humanfriendly.parse_size-compatible: "2.5M" → 2.5e6 bytes → MiB.
-    * Units B/K/KB/M/MB/G/GB, case-insensitive, decimal multipliers.
+    * Units B/K/KB/M/MB/G/GB, case-insensitive, decimal multipliers. (The
+    * other size parser, `TextFunctions.parseHumanSizeMb`, implements
+    * q45's synthetic "n.n KB|MB|GB" contract with binary multipliers —
+    * THIS one is the faithful port of the camera path's humanfriendly
+    * call, visual_data.py:26-37; each scaladoc points at the other.)
     */
   def sizeMb(s: Column): Column = {
     val num = regexp_extract(s, "^([0-9]+\\.?[0-9]*)", 1)
     val numD = when(num =!= "", num.cast("double"))
-    val unit = upper(regexp_extract(s, "([KMGB]+)\\s*$", 1))
+    // uppercase BEFORE extraction — the pattern itself is case-sensitive
+    val unit = regexp_extract(upper(s), "([KMGB]+)\\s*$", 1)
     val bytes = when(unit === "B", numD)
       .when(unit === "K" || unit === "KB", numD * 1e3)
       .when(unit === "M" || unit === "MB", numD * 1e6)

@@ -178,10 +178,20 @@ object Dedup {
           HashKernels.bucketPairsUdf(Int.MaxValue)(col("members")))
         .otherwise(starEdges)).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), lit(1.0).as("jaccard"))
+    //    cross-group expansion is |ma| × |mb| pairs — two near-dup mega
+    //    groups would reintroduce the quadratic blow-up the star edges
+    //    bound, so when EITHER side exceeds maxGroup only the (rep_a,
+    //    rep_b) edge is emitted: with the within-group edges it carries
+    //    the identical connected-component information
+    val bothSmall = size(col("__ma")) <= lit(maxGroup) &&
+      size(col("__mb")) <= lit(maxGroup)
     val cross = repPairs
       .join(groups.select(col("rep").as("id_a"), col("members").as("__ma")), "id_a")
       .join(groups.select(col("rep").as("id_b"), col("members").as("__mb")), "id_b")
-      .select(col("jaccard"), explode(col("__ma")).as("a"), col("__mb"))
+      .select(col("jaccard"),
+        explode(when(bothSmall, col("__ma"))
+          .otherwise(array(col("id_a")))).as("a"),
+        when(bothSmall, col("__mb")).otherwise(array(col("id_b"))).as("__mb"))
       .select(col("jaccard"), col("a"), explode(col("__mb")).as("b"))
       .select(least(col("a"), col("b")).as("id_a"),
         greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
@@ -245,11 +255,13 @@ object Dedup {
     */
   def canonicalize(df: DataFrame, idCol: String, pairs: DataFrame,
                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // prefixed column names so a caller id column literally named "id"
+    // survives the join + drop
     val comp = connectedComponents(pairs, aCol, bCol)
-      .select(col("id"), col("comp"))
-    df.join(comp, df(idCol).cast("long") === comp("id"), "left")
-      .withColumn("rep", coalesce(col("comp"), df(idCol).cast("long")))
-      .drop("id", "comp")
+      .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
+    df.join(comp, df(idCol).cast("long") === comp("__cc_id"), "left")
+      .withColumn("rep", coalesce(col("__cc_comp"), df(idCol).cast("long")))
+      .drop("__cc_id", "__cc_comp")
   }
 
   /** 40-bit SimHash over word tokens: bit b is 1 when the majority vote of

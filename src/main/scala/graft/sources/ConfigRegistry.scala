@@ -118,8 +118,11 @@ object ConfigRegistry {
   val SpanStrings: Map[String, String] = Map(
     "1" -> "day", "7" -> "week", "30" -> "month", "365" -> "year", "0" -> "deploy")
 
-  val AllSpans: Set[String] = Set("1", "7", "30", "365", "deploy")
-  val CamSpans: Set[String] = Set("7", "30", "365", "deploy")
+  // valid spans are SPAN_DICT KEYS in the reference (pipeline.py:80
+  // checks `span not in valid_spans` against the dict) — the deploy span
+  // is the ARGUMENT '0'; the string "deploy" is kept as an alias
+  val AllSpans: Set[String] = Set("1", "7", "30", "365", "0", "deploy")
+  val CamSpans: Set[String] = Set("7", "30", "365", "0", "deploy")
   val HeavySpans: Set[String] = Set("1", "7")
   val HeavyInstruments: Set[String] = Set("SPKIR", "OPTAA")
 

@@ -123,11 +123,15 @@ object StreamingOps {
     spark.table(queryName)
   }
 
-  /** Run [[dedupDocs]] over the documents parquet as a bounded stream
-    * (arrival time synthesized from doc_id — the table carries no event
-    * time). Which COPY of a duplicate survives is arrival-order-dependent,
-    * so callers wanting a deterministic result project the content
-    * columns (identical across copies), as q68 does.
+  /** Run [[dedupDocs]] over the documents parquet as a bounded stream.
+    * The table carries no event time, so every row gets the SAME
+    * synthesized arrival instant — one ingest burst, trivially inside any
+    * watermark horizon, so the result equals a GLOBAL dedup no matter how
+    * the source is split into batches (an id-derived time would silently
+    * re-emit cross-horizon duplicates under multi-batch reads and break
+    * the q68 oracle). Which COPY of a duplicate survives is
+    * arrival-order-dependent, so callers wanting a deterministic result
+    * project the content columns (identical across copies), as q68 does.
     */
   def runDedupDocsAvailableNow(spark: SparkSession, dir: String,
                                queryName: String = "graft_stream_dedup"): DataFrame = {
@@ -136,7 +140,7 @@ object StreamingOps {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L)))
     val q = dedupDocs(stream, "ts", "text", "1 hour")
       .writeStream
       .format("memory")

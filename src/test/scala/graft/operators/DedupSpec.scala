@@ -85,6 +85,24 @@ class DedupSpec extends SparkSpec {
     agg.getDouble(4) shouldBe 1.0
   }
 
+  test("cross-group expansion of two mega dup-groups emits one bounded rep edge") {
+    // two 50k-copy groups of near-identical texts: full cross expansion
+    // would be 2.5e9 pairs; the bounded form is the single rep-rep edge
+    // plus each group's star edges
+    val base = "the same boilerplate footer text appearing on every single page"
+    val mega = spark.range(0L, 100000L, 1, 8)
+      .selectExpr("id as doc_id",
+        s"case when id % 2 = 0 then '$base' else '$base now' end as text")
+    val pairs = Dedup.minHashDupPairs(mega, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, rowsPerBand = 4, minJaccard = 0.5)
+    pairs.count() shouldBe (2L * 49999L + 1L)
+    val cross = pairs.filter("jaccard < 1.0")
+      .as[(Long, Long, Double)].collect()
+    cross.length shouldBe 1
+    cross.head._1 shouldBe 0L // the two group representatives
+    cross.head._2 shouldBe 1L
+  }
+
   test("small groups still emit all pairs under the default maxGroup") {
     val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
       k = 3, numHashes = 64, bands = 16, rowsPerBand = 4, minJaccard = 0.5)

@@ -52,6 +52,8 @@ class ConfigRegistrySpec extends AnyFunSuite with Matchers {
 
   test("span validation mirrors the per-instrument-class rules") {
     validateSpan("CTD-FIXED", "1") shouldBe true
+    validateSpan("CTD-FIXED", "0") shouldBe true // '0' = the deploy span argument
+    validateSpan("CAM", "0") shouldBe true
     validateSpan("CAM", "1") shouldBe false
     validateSpan("CAM", "7") shouldBe true
     validateSpan("SPKIR", "365") shouldBe false
