@@ -184,6 +184,48 @@ object QueriesPipeline {
         lit("1995-03-01 00:00:00").cast("timestamp"))
     }),
 
+    // Scatter flag-overlay data (dashboard.py:1884-1958): flagged points
+    // per (flag type, level) with the reference's counted legend strings;
+    // zero-hit (type, level) combinations keep a legend-only row
+    "q71_scatter_flags" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+          col("ts") <= lit("2024-01-20 00:00:00").cast("timestamp"))
+        .select(col("ts"), col("value"))
+      val flagged = base.select(col("ts"), col("value"),
+        explode(array(
+          struct(lit("gross_range").as("flag_type"),
+            graft.functions.Qartod.grossRangeFlag(col("value"),
+              1.0, 18.0, 2.0, 15.0).as("flag")),
+          struct(lit("spike").as("flag_type"),
+            when(abs(col("value") - 10.0) >= 8.5, 4)
+              .when(abs(col("value") - 10.0) >= 7.0, 3)
+              .otherwise(1).as("flag")))).as("e"))
+        .select(col("ts"), col("value"), col("e.flag_type"), col("e.flag"))
+      val pts = flagged.filter(col("flag").isin(3, 4))
+      val counts = pts.groupBy(col("flag_type"), col("flag"))
+        .agg(count(lit(1)).as("n"))
+      val levels = Seq(("gross_range", 4), ("gross_range", 3),
+        ("spike", 4), ("spike", 3)).toDF("flag_type", "flag")
+      val legend = levels.join(counts, Seq("flag_type", "flag"), "left")
+        .select(col("flag_type"), col("flag"),
+          when(col("n").isNotNull,
+            format_string("%s %s: %d points", col("flag_type"),
+              when(col("flag") === 4, "fail").otherwise("suspect"), col("n")))
+          .otherwise(format_string("%s %s: no points flagged", col("flag_type"),
+            when(col("flag") === 4, "fail").otherwise("suspect"))).as("legend"),
+          col("n"))
+      val pointRows = pts.join(broadcast(legend.select("flag_type", "flag", "legend")),
+          Seq("flag_type", "flag"))
+        .select(col("flag_type"), col("flag"), col("legend"), col("ts").as("t"),
+          round(col("value"), 6).as("value"))
+      val legendOnly = legend.filter(col("n").isNull)
+        .select(col("flag_type"), col("flag"), col("legend"),
+          lit(null).cast("timestamp").as("t"), lit(null).cast("double").as("value"))
+      pointRows.unionByName(legendOnly)
+    }),
+
     // K4 duplicate-format reconciliation over a synthesized file listing
     "q49_reconcile" -> ((s, d) => {
       val files = Tables.orders(s, d)
@@ -422,6 +464,45 @@ object QueriesPipeline {
              CAST(t.st + t.year_diff * 365 * INTERVAL '1 day' AS TIMESTAMP) AS plot_time,
              round(t.v, 6) AS value
       FROM tagged t JOIN leg l USING (trace)""",
+    "q71_scatter_flags" -> """
+      WITH base AS (SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(value AS DOUBLE) AS value
+                    FROM events
+                    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+                      AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00'),
+      flagged AS (
+        SELECT ts, value, 'gross_range' AS flag_type,
+               CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                         AND (value <= 1.0 OR value >= 18.0) THEN 4
+                    WHEN value IS NOT NULL AND NOT isnan(value)
+                         AND (value <= 2.0 OR value >= 15.0) THEN 3
+                    ELSE 1 END AS flag
+        FROM base
+        UNION ALL
+        SELECT ts, value, 'spike',
+               CASE WHEN abs(value - 10.0) >= 8.5 THEN 4
+                    WHEN abs(value - 10.0) >= 7.0 THEN 3 ELSE 1 END
+        FROM base),
+      pts AS (SELECT * FROM flagged WHERE flag IN (3, 4)),
+      counts AS (SELECT flag_type, flag, count(*) AS n FROM pts GROUP BY 1, 2),
+      levels(flag_type, flag) AS (VALUES
+        ('gross_range', 4), ('gross_range', 3), ('spike', 4), ('spike', 3)),
+      legend AS (
+        SELECT l.flag_type, l.flag,
+               CASE WHEN c.n IS NOT NULL THEN
+                      printf('%s %s: %d points', l.flag_type,
+                             CASE WHEN l.flag = 4 THEN 'fail' ELSE 'suspect' END, c.n)
+                    ELSE printf('%s %s: no points flagged', l.flag_type,
+                                CASE WHEN l.flag = 4 THEN 'fail' ELSE 'suspect' END)
+               END AS legend, c.n
+        FROM levels l LEFT JOIN counts c
+          ON l.flag_type = c.flag_type AND l.flag = c.flag)
+      SELECT p.flag_type, CAST(p.flag AS INT) AS flag, g.legend, p.ts AS t,
+             round(p.value, 6) AS value
+      FROM pts p JOIN legend g ON p.flag_type = g.flag_type AND p.flag = g.flag
+      UNION ALL
+      SELECT flag_type, CAST(flag AS INT), legend,
+             CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+      FROM legend WHERE n IS NULL""",
     "q70_anno_overlay" -> """
       WITH win AS (SELECT TIMESTAMP '1995-01-01 00:00:00' AS lo,
                           TIMESTAMP '1995-03-01 00:00:00' AS hi),
