@@ -85,6 +85,70 @@ object Qartod {
       .drop("month", "depth_lo", "depth_hi", "sus_lo", "sus_hi")
   }
 
+  /** Fixed-depth climatology trace — the data behind the scatter clim
+    * overlay (dashboard.py:63-79 `pressureBracket` + :104-150
+    * `extractClim`): the depth selects ONE bracket (shallower than the
+    * first bracket clamps to it; deeper than `last.hi − 1` clamps to the
+    * last; otherwise the containing `[lo, hi)` bracket; no bracket at all
+    * → empty result), that bracket's monthly suspect span expands to
+    * month-15 points over refYear±1, and all three series (lo, hi,
+    * midpoint) interpolate linearly onto the hourly grid spanning the
+    * points — pandas `resample('H').interpolate()`.
+    *
+    * `clim` is the [[climatologyBinned]] table
+    * `(month, depth_lo, depth_hi, sus_lo, sus_hi)`, broadcast-size by
+    * construction; the result is bounded (≤ 12·3 points + ~3 years of
+    * hours), so the global interpolation windows are deliberately fine.
+    * Returns (t, clim_minus3std, clim_plus3std, clim_data).
+    */
+  def climTrace(clim: DataFrame, depth: Double, refYear: Int): DataFrame = {
+    val spark = clim.sparkSession
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("clim_minus3std",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("clim_plus3std",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("clim_data",
+          org.apache.spark.sql.types.DoubleType))))
+    val brackets = clim.select(col("depth_lo"), col("depth_hi")).distinct()
+      .orderBy(col("depth_lo")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    if (brackets.isEmpty) return empty
+    val chosen: Option[(Double, Double)] =
+      if (depth < brackets.head._1) Some(brackets.head)
+      else if (depth > brackets.last._2 - 1) Some(brackets.last)
+      else brackets.find { case (lo, hi) => depth >= lo && depth < hi }
+    chosen match {
+      case None => empty
+      case Some((blo, bhi)) =>
+        val points = clim
+          .filter(col("depth_lo") === lit(blo) && col("depth_hi") === lit(bhi))
+          .select(col("month").cast("int").as("m"),
+            col("sus_lo").cast("double").as("v_lo"),
+            col("sus_hi").cast("double").as("v_hi"))
+          .select(col("v_lo"), col("v_hi"),
+            explode(array(lit(refYear - 1), lit(refYear), lit(refYear + 1))).as("yy"),
+            col("m"))
+          .select(
+            make_timestamp(col("yy"), col("m"), lit(15), lit(0), lit(0), lit(0)).as("t"),
+            col("v_lo").as("clim_minus3std"), col("v_hi").as("clim_plus3std"),
+            ((col("v_lo") + col("v_hi")) / 2.0).as("clim_data"))
+        val grid = graft.operators.GapFill.timeGrid(points, Nil, "t", 3600L)
+        Seq("clim_minus3std", "clim_plus3std", "clim_data")
+          .foldLeft(grid) { (df, c) =>
+            graft.operators.GapFill.interpolateLinear(df, Nil, "t", c, c + "_i")
+          }
+          .select(col("t"),
+            round(col("clim_minus3std_i"), 6).as("clim_minus3std"),
+            round(col("clim_plus3std_i"), 6).as("clim_plus3std"),
+            round(col("clim_data_i"), 6).as("clim_data"))
+    }
+  }
+
   /** C6 combine_qc_flags: fold ordered boolean fail-masks into one positional
     * digit string — '1' pass / '3' fail per test, e.g. "13" for (pass, fail).
     * Test names travel with the column via `withMetadata` ("tests_executed"),

@@ -112,6 +112,19 @@ object QueriesScience {
     "q68_stream_dedup" -> ((s, d) =>
       StreamingOps.runDedupDocsAvailableNow(s, d).select(col("text"))),
 
+    // Fixed-depth climatology trace (pressureBracket + extractClim):
+    // bracket selection at 75 m, month-15 points over refYear±1, hourly
+    // linear interpolation of the lo/hi/mid series
+    "q72_clim_trace" -> ((s, d) => {
+      val clim = Tables.nation(s, d).select(
+        (col("n_nationkey") % 12 + 1).as("month"),
+        (expr("n_nationkey div 12") * 50).cast("double").as("depth_lo"),
+        (expr("n_nationkey div 12") * 50 + 50).cast("double").as("depth_hi"),
+        (col("n_nationkey") * 2.0).as("sus_lo"),
+        (col("n_nationkey") * 2.0 + 4.0).as("sus_hi"))
+      Qartod.climTrace(clim, depth = 75.0, refYear = 2024)
+    }),
+
     // Multimodal decode: payloads synthesized with REAL PNG/JPEG headers
     // (one third each, remainder raw text) -> partition-batched kernel
     // parses actual IHDR/SOF dimensions; raw text takes the stub fallback
@@ -229,6 +242,51 @@ object QueriesScience {
       SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
              event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2""",
+    "q72_clim_trace" -> """
+      WITH clim AS (
+        SELECT (n_nationkey % 12) + 1 AS m,
+               CAST(n_nationkey AS DOUBLE) * 2.0 AS v_lo,
+               CAST(n_nationkey AS DOUBLE) * 2.0 + 4.0 AS v_hi
+        FROM nation WHERE (n_nationkey // 12) = 1),
+      pts AS (
+        SELECT make_timestamp(CAST(yy AS BIGINT), CAST(m AS BIGINT), 15, 0, 0, 0) AS t,
+               v_lo, v_hi, (v_lo + v_hi) / 2.0 AS v_md
+        FROM clim, unnest([2023, 2024, 2025]) AS y(yy)),
+      bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM pts),
+      grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t FROM bounds),
+      g2 AS (SELECT g.t, p.v_lo, p.v_hi, p.v_md
+             FROM grid g LEFT JOIN pts p ON g.t = p.t),
+      w AS (SELECT *,
+                   last_value(v_lo IGNORE NULLS) OVER wb AS p_lo,
+                   last_value(v_hi IGNORE NULLS) OVER wb AS p_hi,
+                   last_value(v_md IGNORE NULLS) OVER wb AS p_md,
+                   first_value(v_lo IGNORE NULLS) OVER wf AS n_lo,
+                   first_value(v_hi IGNORE NULLS) OVER wf AS n_hi,
+                   first_value(v_md IGNORE NULLS) OVER wf AS n_md,
+                   last_value(CASE WHEN v_md IS NOT NULL THEN epoch(t) END IGNORE NULLS)
+                     OVER wb AS pt,
+                   first_value(CASE WHEN v_md IS NOT NULL THEN epoch(t) END IGNORE NULLS)
+                     OVER wf AS nt
+            FROM g2
+            WINDOW wb AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT t,
+             round(CASE WHEN v_lo IS NOT NULL THEN v_lo
+                        WHEN p_lo IS NOT NULL AND n_lo IS NOT NULL THEN
+                          CASE WHEN nt = pt THEN p_lo
+                               ELSE p_lo + (n_lo - p_lo) * (epoch(t) - pt) / (nt - pt) END
+                   END, 6) AS clim_minus3std,
+             round(CASE WHEN v_hi IS NOT NULL THEN v_hi
+                        WHEN p_hi IS NOT NULL AND n_hi IS NOT NULL THEN
+                          CASE WHEN nt = pt THEN p_hi
+                               ELSE p_hi + (n_hi - p_hi) * (epoch(t) - pt) / (nt - pt) END
+                   END, 6) AS clim_plus3std,
+             round(CASE WHEN v_md IS NOT NULL THEN v_md
+                        WHEN p_md IS NOT NULL AND n_md IS NOT NULL THEN
+                          CASE WHEN nt = pt THEN p_md
+                               ELSE p_md + (n_md - p_md) * (epoch(t) - pt) / (nt - pt) END
+                   END, 6) AS clim_data
+      FROM w""",
     "q68_stream_dedup" -> """
       SELECT DISTINCT text FROM documents""",
     "q47_multimodal" -> """

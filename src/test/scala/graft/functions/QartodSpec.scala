@@ -78,4 +78,32 @@ class QartodSpec extends SparkSpec {
       .as[Int].collect()
     out shouldBe Array(1, 1, 4, 9, 9)
   }
+
+  test("climTrace bracket selection: clamps, containment, notFound, interp endpoints") {
+    import org.apache.spark.sql.functions.col
+    val clim = Seq(
+      (1, 0.0, 50.0, 10.0, 14.0), (2, 0.0, 50.0, 20.0, 24.0),
+      (1, 50.0, 100.0, 110.0, 114.0), (2, 50.0, 100.0, 120.0, 124.0))
+      .toDF("month", "depth_lo", "depth_hi", "sus_lo", "sus_hi")
+    // shallower than the first bracket clamps to it
+    val shallow = Qartod.climTrace(clim, depth = -5.0, refYear = 2024)
+    shallow.filter(col("t") === java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      .select("clim_data").as[Double].collect() shouldBe Array(12.0)
+    // deeper than last.hi - 1 clamps to the last bracket
+    val deep = Qartod.climTrace(clim, depth = 250.0, refYear = 2024)
+    deep.filter(col("t") === java.sql.Timestamp.valueOf("2024-02-15 00:00:00"))
+      .select("clim_data").as[Double].collect() shouldBe Array(122.0)
+    // containment picks [lo, hi); midway between points interpolates
+    val mid = Qartod.climTrace(clim, depth = 25.0, refYear = 2024)
+    val jan = java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime
+    val feb = java.sql.Timestamp.valueOf("2024-02-15 00:00:00").getTime
+    val half = new java.sql.Timestamp((jan + feb) / 2)
+    mid.filter(col("t") === half).select("clim_data").as[Double]
+      .collect() shouldBe Array(17.0) // halfway between 12 and 22
+    // no brackets at all -> empty
+    Qartod.climTrace(clim.limit(0), depth = 10.0, refYear = 2024).count() shouldBe 0L
+    // grid spans exactly [first point, last point], hourly
+    mid.count() shouldBe ((java.sql.Timestamp.valueOf("2025-02-15 00:00:00").getTime -
+      java.sql.Timestamp.valueOf("2023-01-15 00:00:00").getTime) / 3600000L + 1L)
+  }
 }
