@@ -149,6 +149,21 @@ object Qartod {
     }
   }
 
+  /** Per-month climatology depth profiles — the profile-scatter clim
+    * overlay's data (dashboard.py:83-100 `extractClimProfiles`): for each
+    * requested month, one row per depth bracket at the bracket midpoint
+    * with the suspect span and its mean. Bracket order (the reference's
+    * dict iteration order) is made deterministic by sorting on depth.
+    */
+  def climProfiles(clim: DataFrame, months: Seq[Int]): DataFrame =
+    clim.filter(col("month").isin(months: _*))
+      .select(col("month").cast("int").as("month"),
+        ((col("depth_lo") + col("depth_hi")) / 2.0).as("depth"),
+        col("sus_lo").cast("double").as("clim_minus3std"),
+        col("sus_hi").cast("double").as("clim_plus3std"),
+        ((col("sus_lo") + col("sus_hi")) / 2.0).as("clim_data"))
+      .orderBy(col("month"), col("depth"))
+
   /** C6 combine_qc_flags: fold ordered boolean fail-masks into one positional
     * digit string — '1' pass / '3' fail per test, e.g. "13" for (pass, fail).
     * Test names travel with the column via `withMetadata` ("tests_executed"),

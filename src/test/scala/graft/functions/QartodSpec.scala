@@ -106,4 +106,16 @@ class QartodSpec extends SparkSpec {
     mid.count() shouldBe ((java.sql.Timestamp.valueOf("2025-02-15 00:00:00").getTime -
       java.sql.Timestamp.valueOf("2023-01-15 00:00:00").getTime) / 3600000L + 1L)
   }
+
+  test("climProfiles reshapes brackets to per-month depth profiles") {
+    val clim = Seq(
+      (1, 0.0, 50.0, 10.0, 14.0), (1, 50.0, 100.0, 110.0, 114.0),
+      (2, 0.0, 50.0, 20.0, 24.0))
+      .toDF("month", "depth_lo", "depth_hi", "sus_lo", "sus_hi")
+    val out = Qartod.climProfiles(clim, Seq(1))
+      .as[(Int, Double, Double, Double, Double)].collect()
+    out shouldBe Array(
+      (1, 25.0, 10.0, 14.0, 12.0),
+      (1, 75.0, 110.0, 114.0, 112.0))
+  }
 }
