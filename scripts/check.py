@@ -32,10 +32,29 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
     ok, bad = [], []
+    import glob as _glob
     for name, sql in sorted(oracles.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+            # read the Spark side with pyarrow→pandas, NOT duckdb: that is
+            # the driver's reader, and the two disagree on INT96/ns
+            # timestamps (pyarrow wraps year-9999 sentinels at the int64
+            # nanos boundary; duckdb reads them fine — a divergence this
+            # gate must reproduce, not paper over)
+            parts = sorted(_glob.glob(f"{OUT}/{name}/*.parquet"))
+            got = pd.concat([pd.read_parquet(p) for p in parts],
+                            ignore_index=True)
+            for c in got.columns:
+                # Spark stamps isAdjustedToUTC → pyarrow yields tz-aware;
+                # the session timezone is UTC, so dropping the tz is exact
+                if isinstance(got[c].dtype, pd.DatetimeTZDtype):
+                    got[c] = got[c].dt.tz_convert("UTC").dt.tz_localize(None)
+                elif got[c].dtype == object and len(got) and isinstance(
+                        got[c].dropna().iloc[0] if got[c].notna().any() else None,
+                        __import__("datetime").date):
+                    # parquet date32 → python date objects; the oracle df
+                    # yields datetime64 — the driver compares these equal
+                    # (q63 date_taken passed round 4), so align here too
+                    got[c] = pd.to_datetime(got[c])
             want = con.execute(sql).df()
         except Exception as e:
             bad.append((name, f"load/oracle error: {e}"))
@@ -56,6 +75,10 @@ def main():
             if gv.dtype != wv.dtype and {gv.dtype.kind, wv.dtype.kind} <= {"i", "u", "f", "b"}:
                 mism.append(f"{c}: DTYPE spark={gv.dtype} oracle={wv.dtype} (driver hash-fails on this)")
                 continue
+            if gv.dtype.kind == "M" and wv.dtype.kind == "M" and gv.dtype != wv.dtype:
+                # unify timestamp resolution for the value compare; values
+                # outside the finer range would already have wrapped at read
+                gv = gv.astype(wv.dtype)
             if gv.dtype.kind == "f" or wv.dtype.kind == "f":
                 eq = np.isclose(gv.astype(float), wv.astype(float),
                                 rtol=0, atol=0, equal_nan=True)

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT96 (the legacy default) round-trips through pyarrow as
+      // nanosecond timestamps, so the 9999-12-31 open-validity sentinel
+      // overflows int64 nanos and wraps to 1816 on the driver's reader;
+      // int64 micros represents year 9999 exactly
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
