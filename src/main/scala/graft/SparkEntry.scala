@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{QueriesCalibration, QueriesDocs, QueriesEvents, QueriesPipeline, QueriesQaqc, QueriesRelational, QueriesScience}
+import graft.queries.{QueriesCalibration, QueriesCuration, QueriesDocs, QueriesEvents, QueriesPipeline, QueriesQaqc, QueriesRelational, QueriesScience}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -36,7 +36,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesEvents.queries ++ QueriesDocs.queries ++
-      QueriesScience.queries ++ QueriesPipeline.queries ++ QueriesCalibration.queries ++ QueriesQaqc.queries
+      QueriesScience.queries ++ QueriesPipeline.queries ++ QueriesCalibration.queries ++ QueriesQaqc.queries ++
+      QueriesCuration.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -44,5 +45,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracleSql ++ QueriesEvents.oracleSql ++ QueriesDocs.oracleSql ++
-      QueriesScience.oracleSql ++ QueriesPipeline.oracleSql ++ QueriesCalibration.oracleSql ++ QueriesQaqc.oracleSql
+      QueriesScience.oracleSql ++ QueriesPipeline.oracleSql ++ QueriesCalibration.oracleSql ++ QueriesQaqc.oracleSql ++
+      QueriesCuration.oracleSql
 }

@@ -133,6 +133,42 @@ object TextFunctions {
       .when(unit === "GB", num * 1024.0)
   }
 
+  /** Distinct word n-grams of the normalized text (lower + trim + `\s+`
+    * split), joined with single spaces — the decontamination shingle unit.
+    * Texts with fewer than `n` tokens yield an empty array; null text too.
+    *
+    * JVM kernel for the same reason as [[fingerprint]]: the HOF spelling
+    * (`transform(sequence(...), i -> concat_ws(...))`) is CodegenFallback,
+    * interpreted per gram — this is a per-document hot loop on a corpus
+    * scan.
+    */
+  def wordNgramsUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      if (text == null) Array.empty[String]
+      else {
+        val t = text.trim.toLowerCase
+        if (t.isEmpty) Array.empty[String]
+        else {
+          val toks = t.split("\\s+")
+          if (toks.length < n) Array.empty[String]
+          else {
+            val seen = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i <= toks.length - n) {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+              seen.add(sb.toString)
+              i += 1
+            }
+            val out = new Array[String](seen.size)
+            seen.toArray(out)
+            out
+          }
+        }
+      }
+    })
+
   val FingerprintMod: Long = 1L << 40
 
   /** Rolling-hash document fingerprint: seed 7,

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators for the training-data pipeline surface:
+  * benchmark decontamination, per-domain quota selection, vocabulary
+  * statistics, and deterministic stratified sampling. These sit alongside
+  * [[Dedup]]/[[Similarity]]/[[TrainingData]] as the curation steps a
+  * 100 TB pretraining pipeline runs between dedup and packing.
+  *
+  * Scale design notes (the 1000-executor reading):
+  *  - [[decontaminate]] broadcasts the benchmark's n-gram set (benchmark
+  *    suites are MBs against a corpus of TBs) — the corpus side is one
+  *    scan + one hash-aggregate keyed by document id (high cardinality,
+  *    map-side partial aggregation).
+  *  - [[domainQuota]] reduces through the `topk_by_score`
+  *    TypedImperativeAggregate when GraftExtensions is installed: at most
+  *    k entries per map partition per domain cross the shuffle, and no
+  *    per-domain single-reducer window exists (same shape as
+  *    [[Similarity]]'s reduce; window fallback without the extension).
+  *  - [[vocabTopK]] is groupBy+count (map-side combine) followed by a
+  *    global ordered limit — Spark plans `TakeOrderedAndProject`, a
+  *    per-partition top-k merge on the driver, never a global sort.
+  *  - [[stratifiedSample]] is a pure per-row filter on a content hash —
+  *    no shuffle at all, and re-running it on a re-ingested (re-sharded,
+  *    re-ordered) corpus selects the SAME documents, which is the whole
+  *    point of hash-based sampling over `rand()`.
+  */
+object Curation {
+
+  /** Per-document benchmark contamination: the fraction of the document's
+    * distinct word `n`-grams that also occur anywhere in `benchmark`.
+    * Returns (`idCol`, n_grams, n_hit, contamination) — one row per corpus
+    * document, zero-gram documents included with contamination 0.
+    *
+    * This is the standard n-gram-overlap decontamination check run before
+    * training: a document sharing many shingles with an eval benchmark is
+    * contaminated and must be dropped or flagged.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val grams = TextFunctions.wordNgramsUdf(n)
+    val bench = benchmark
+      .select(explode(grams(col(textCol))).as("gram"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    corpus
+      .select(col(idCol), explode_outer(grams(col(textCol))).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("gram")).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        round(when(col("n_grams") === 0, 0.0)
+          .otherwise(col("n_hit").cast("double") / col("n_grams")), 6)
+          .as("contamination"))
+  }
+
+  /** Per-domain quota: the `k` highest-`scoreCol` rows of each `classCol`
+    * group, ties broken by ascending id — domain-balanced selection of the
+    * best documents. Returns (`classCol`, `idCol`, score).
+    *
+    * `idCol` must be integral (cast to long); `scoreCol` double. Null
+    * scores never rank.
+    */
+  def domainQuota(docs: DataFrame, classCol: String, idCol: String,
+                  scoreCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val native = spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by_score"))
+    if (native)
+      docs.groupBy(col(classCol))
+        .agg(call_function("topk_by_score",
+          col(scoreCol).cast("double"), col(idCol).cast("long"), lit(k)).as("topk"))
+        .select(col(classCol), explode(col("topk")).as("e"))
+        .select(col(classCol), col("e.neighbor_id").as(idCol),
+          col("e.cosine").as("score"))
+    else {
+      val w = Window.partitionBy(col(classCol))
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      docs.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k && col(scoreCol).isNotNull)
+        .select(col(classCol), col(idCol).cast("long").as(idCol),
+          col(scoreCol).cast("double").as("score"))
+    }
+  }
+
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens of the
+    * lower-cased corpus, ordered (count desc, token asc) so the boundary
+    * of the top-k is deterministic. Returns (token, cnt).
+    */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** Deterministic per-class sampling: keep a row when
+    * `fingerprint(text) mod denom < rate(class) * denom`. Content-hashed,
+    * not `rand()`-based: the same document (and every byte-identical
+    * duplicate of it) makes the same in/out decision on every run, every
+    * engine, every shard order — reproducible subsampling, and
+    * dedup-consistent by construction.
+    *
+    * Returns the input rows that survive, plus their `sample_bucket`
+    * (the hash residue, for auditing the realized rate).
+    */
+  def stratifiedSample(docs: DataFrame, textCol: String, classCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       denom: Int = 10000): DataFrame = {
+    val threshold = rates.foldRight(lit(math.round(defaultRate * denom)): Column) {
+      case ((cls, r), acc) =>
+        when(col(classCol) === cls, lit(math.round(r * denom))).otherwise(acc)
+    }
+    docs
+      .withColumn("sample_bucket",
+        pmod(TextFunctions.fingerprint(col(textCol)), lit(denom.toLong)))
+      .filter(col("sample_bucket") < threshold)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Curation
+import graft.sources.Tables
+
+/** Corpus-curation queries (training-data pipeline surface): benchmark
+  * decontamination, per-domain quota selection, vocabulary top-k, and
+  * deterministic stratified sampling — all on the `documents` table, all
+  * DuckDB-oracle-checked.
+  */
+object QueriesCuration {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val enStop = TextFunctions.LangStopwords("en")
+
+  val queries: Map[String, Q] = Map(
+    // Benchmark decontamination: word-trigram overlap of every corpus doc
+    // against the synthetic "benchmark" subset (doc_id % 97 == 0)
+    "q73_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.decontaminate(
+        corpus = docs.filter(col("doc_id") % 97 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 97 === 0),
+        idCol = "doc_id", textCol = "text", n = 3)
+    }),
+
+    // Domain-balanced quota: top-5 docs per source by quality score,
+    // reduced through the topk_by_score partial-heap aggregate
+    "q74_domain_quota" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        col("source"), col("doc_id"),
+        TextFunctions.qualityScore(col("text"), enStop).as("score"))
+      Curation.domainQuota(scored, "source", "doc_id", "score", k = 5)
+    }),
+
+    // Corpus vocabulary: 50 most frequent tokens (count desc, token asc)
+    "q75_vocab_topk" -> ((s, d) =>
+      Curation.vocabTopK(Tables.documents(s, d), "text", k = 50)),
+
+    // Deterministic per-source sampling on the content fingerprint
+    "q76_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(Tables.documents(s, d), "text", "source",
+        rates = Map("src0" -> 0.05, "src7" -> 0.5, "src13" -> 0.8),
+        defaultRate = 0.25)
+        .select(col("doc_id"), col("source"), col("sample_bucket")))
+  )
+
+  /** Shared oracle fragment: normalized token list per document. */
+  private val toksCte = raw"""
+      toks AS (
+        SELECT doc_id, source, text,
+               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS t
+        FROM documents)"""
+
+  /** Shared oracle fragment: the q24/q55 rolling-hash fingerprint. */
+  private val fpExpr = raw"""
+      list_reduce(
+        list_prepend(CAST(7 AS BIGINT), list_transform(
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+          c -> CAST(ascii(c) AS BIGINT))),
+        (a, c) -> (a * 31 + c) % 1099511627776)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q73_decontaminate" -> raw"""
+      WITH $toksCte,
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(list_transform(range(len(t) - 2),
+                           i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))
+               END AS grams
+        FROM toks),
+      bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+      corpus AS (SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0),
+      eg AS (SELECT doc_id, unnest(grams) AS gram FROM corpus),
+      hits AS (
+        SELECT e.doc_id, count(*) AS n_grams, count(b.gram) AS n_hit
+        FROM eg e LEFT JOIN bench b USING (gram)
+        GROUP BY 1)
+      SELECT c.doc_id,
+             CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             round(CASE WHEN coalesce(h.n_grams, 0) = 0 THEN 0.0
+                        ELSE CAST(h.n_hit AS DOUBLE) / h.n_grams END, 6)
+               AS contamination
+      FROM corpus c LEFT JOIN hits h USING (doc_id)""",
+    "q74_domain_quota" -> raw"""
+      WITH $toksCte,
+      s AS (
+        SELECT doc_id, source,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS punct,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS digits,
+               CASE WHEN len(t) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(t,
+                           x -> x IN (${enStop.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+                         / len(t) END AS stop
+        FROM toks),
+      sc AS (
+        SELECT doc_id, source,
+               round(0.25 * len_score + 0.25 * least(stop * 4.0, 1.0)
+                     + 0.25 * (1.0 - least(punct * 5.0, 1.0))
+                     + 0.25 * (1.0 - least(digits * 5.0, 1.0)), 6) AS score
+        FROM s)
+      SELECT source, doc_id, score FROM (
+        SELECT source, doc_id, score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM sc)
+      WHERE rk <= 5""",
+    "q75_vocab_topk" -> raw"""
+      WITH $toksCte,
+      c AS (SELECT tok AS token, count(*) AS cnt
+            FROM (SELECT unnest(t) AS tok FROM toks)
+            GROUP BY 1)
+      SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 50""",
+    "q76_stratified_sample" -> raw"""
+      WITH b AS (
+        SELECT doc_id, source, $fpExpr % 10000 AS bucket
+        FROM documents)
+      SELECT doc_id, source, CAST(bucket AS BIGINT) AS sample_bucket
+      FROM b
+      WHERE bucket < CASE source WHEN 'src0' THEN 500
+                                 WHEN 'src7' THEN 5000
+                                 WHEN 'src13' THEN 8000
+                                 ELSE 2500 END"""
+  )
+}

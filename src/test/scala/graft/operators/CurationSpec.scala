@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- decontaminate ---
+
+  test("decontaminate counts distinct trigram overlap per corpus doc") {
+    val corpus = Seq(
+      (1L, "a b c d e"),           // grams: "a b c","b c d","c d e"
+      (2L, "x y z w"),             // grams: "x y z","y z w" — no overlap
+      (3L, "a b c a b c d")        // distinct grams: "a b c","b c a","c a b","b c d"
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d")).toDF("doc_id", "text") // "a b c","b c d"
+    val out = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L, 3L, 2L, 0.666667))
+    out(1) shouldBe ((2L, 2L, 0L, 0.0))
+    out(2) shouldBe ((3L, 4L, 2L, 0.5))
+  }
+
+  test("decontaminate keeps zero-gram docs with contamination 0") {
+    val corpus = Seq((1L, "too short"), (2L, ""), (3L, "one two three")).toDF("doc_id", "text")
+    val bench = Seq((9L, "one two three")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L, 0L, 0L, 0.0))
+    out(1) shouldBe ((2L, 0L, 0L, 0.0))
+    out(2) shouldBe ((3L, 1L, 1L, 1.0))
+  }
+
+  test("decontaminate normalizes case and whitespace before shingling") {
+    val corpus = Seq((1L, "  The   QUICK brown fox ")).toDF("doc_id", "text")
+    val bench = Seq((9L, "the quick brown")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    out.head shouldBe ((1L, 2L, 1L, 0.5))
+  }
+
+  // --- domainQuota ---
+
+  private val scored = Seq(
+    ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.8), ("a", 4L, 0.7),
+    ("b", 5L, 0.5)
+  ).toDF("source", "doc_id", "score")
+
+  test("domainQuota takes k best per class, ties to the smaller id") {
+    val out = Curation.domainQuota(scored, "source", "doc_id", "score", k = 2)
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2))
+    out shouldBe Array(("a", 1L, 0.9), ("a", 2L, 0.8), ("b", 5L, 0.5))
+  }
+
+  test("domainQuota with k above the group size returns the whole group") {
+    val out = Curation.domainQuota(scored, "source", "doc_id", "score", k = 10)
+    out.count() shouldBe 5
+  }
+
+  test("domainQuota plan is window-free with the native aggregate installed") {
+    val plan = Curation.domainQuota(scored, "source", "doc_id", "score", k = 2)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("topk_by_score")
+  }
+
+  // --- vocabTopK ---
+
+  test("vocabTopK orders by count desc then token asc and limits") {
+    val docs = Seq("b b a a c", "B A d").toDF("text")
+    val out = Curation.vocabTopK(docs, "text", k = 3)
+      .as[(String, Long)].collect()
+    out shouldBe Array(("a", 3L), ("b", 3L), ("c", 1L))
+  }
+
+  // --- stratifiedSample ---
+
+  private val strat = Seq(
+    (1L, "alpha beta gamma", "keep"),
+    (2L, "delta epsilon zeta", "keep"),
+    (3L, "alpha beta gamma", "drop"),
+    (4L, "eta theta iota", "drop")
+  ).toDF("doc_id", "text", "source")
+
+  test("stratifiedSample rate 1.0 keeps all, rate 0.0 drops all") {
+    val out = Curation.stratifiedSample(strat, "text", "source",
+      rates = Map("keep" -> 1.0, "drop" -> 0.0), defaultRate = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    out shouldBe Array(1L, 2L)
+  }
+
+  test("stratifiedSample is content-deterministic: duplicates decide together") {
+    // same text in both classes at the same rate → identical bucket, and
+    // the in/out decision depends only on (bucket, rate)
+    val buckets = Curation.stratifiedSample(strat, "text", "source",
+        rates = Map.empty, defaultRate = 1.0)
+      .select("doc_id", "sample_bucket").as[(Long, Long)].collect().toMap
+    buckets(1L) shouldBe buckets(3L)
+    buckets.values.foreach { b => b should be >= 0L; b should be < 10000L }
+  }
+
+  test("stratifiedSample realized rate tracks the requested rate") {
+    val docs = (0 until 2000).map(i => (i.toLong, s"doc number $i words", "c"))
+      .toDF("doc_id", "text", "source")
+    val n = Curation.stratifiedSample(docs, "text", "source",
+      rates = Map("c" -> 0.3), defaultRate = 0.0).count()
+    n.toDouble / 2000 shouldBe 0.3 +- 0.05
+  }
+}
