@@ -96,6 +96,113 @@ object Multimodal {
   /** Back-compat alias for the pre-round-4 name. */
   def decodeStub(media: DataFrame): DataFrame = decode(media)
 
+  // ---- Audio (WAV/RIFF) ----
+
+  /** Decoded audio features. For non-WAV payloads `format` is "unknown"
+    * and the numeric fields are 0 (duration null-equivalent: -1.0 is NOT
+    * used — a failed decode is visible through the format column alone).
+    */
+  final case class AudioFeatures(doc_id: Long, n_bytes: Int, format: String,
+                                 channels: Int, sample_rate: Int, bits: Int,
+                                 n_frames: Long, duration_s: Double)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** Parse a WAV payload's fmt + data chunk headers: channels, sample
+    * rate, bit depth, frame count, duration. Chunk-walks the RIFF
+    * container (fmt may be preceded by LIST/JUNK chunks; sizes are
+    * little-endian, chunks word-aligned). Duration comes from the DECLARED
+    * data size — like any header-only prober, it trusts the container.
+    * Pure byte reads, no codec.
+    */
+  private[graft] def decodeAudioOne(id: Long, payload: Array[Byte]): AudioFeatures = {
+    val n = if (payload == null) 0 else payload.length
+    def fallback = AudioFeatures(id, n, "unknown", 0, 0, 0, 0L, 0.0)
+    if (n < 12 || payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' ||
+        payload(3) != 'F' || payload(8) != 'W' || payload(9) != 'A' ||
+        payload(10) != 'V' || payload(11) != 'E') return fallback
+    var channels = 0; var rate = 0; var bits = 0; var dataSize = -1L
+    var i = 12
+    while (i + 8 <= n && (channels == 0 || dataSize < 0)) {
+      val size = le32(payload, i + 4)
+      if (payload(i) == 'f' && payload(i + 1) == 'm' && payload(i + 2) == 't' &&
+          payload(i + 3) == ' ' && i + 8 + 16 <= n) {
+        channels = le16(payload, i + 10)
+        rate = le32(payload, i + 12).toInt
+        bits = le16(payload, i + 22)
+      } else if (payload(i) == 'd' && payload(i + 1) == 'a' &&
+                 payload(i + 2) == 't' && payload(i + 3) == 'a') {
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || bits <= 0 || dataSize < 0) fallback
+    else {
+      val frameBytes = channels * (bits / 8)
+      val frames = if (frameBytes == 0) 0L else dataSize / frameBytes
+      AudioFeatures(id, n, "wav", channels, rate, bits, frames,
+        frames.toDouble / rate)
+    }
+  }
+
+  /** Partition-batched audio decode — same execution shape as [[decode]]. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, payload) => decodeAudioOne(id, payload) })
+      .toDF()
+  }
+
+  /** Fixture generator: a minimal REAL 44-byte WAV header + zeroed PCM
+    * body of the declared size, so [[decodeAudioOne]] exercises the true
+    * parse path end-to-end.
+    */
+  val synthWavUdf: UserDefinedFunction =
+    udf((channels: Int, rate: Int, bits: Int, frames: Int) => {
+      val dataSize = frames * channels * (bits / 8)
+      val out = new Array[Byte](44 + dataSize)
+      def putLe32(i: Int, v: Long): Unit = {
+        out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+        out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+      }
+      def putLe16(i: Int, v: Int): Unit = {
+        out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      }
+      "RIFF".getBytes.copyToArray(out, 0); putLe32(4, 36L + dataSize)
+      "WAVE".getBytes.copyToArray(out, 8)
+      "fmt ".getBytes.copyToArray(out, 12); putLe32(16, 16L)
+      putLe16(20, 1) // PCM
+      putLe16(22, channels); putLe32(24, rate.toLong)
+      putLe32(28, rate.toLong * channels * (bits / 8)) // byte rate
+      putLe16(32, channels * (bits / 8)); putLe16(34, bits)
+      "data".getBytes.copyToArray(out, 36); putLe32(40, dataSize.toLong)
+      out
+    })
+
+  // ---- Video frame sampling (planning side) ----
+
+  /** Uniform frame-sample plan: for each video row, `k` sample points at
+    * the centers of equal duration buckets — `t_i = (i + 0.5) · dur / k`,
+    * mapped to a frame number at the video's fps. This is the Spark-side
+    * planning table a frame-extraction stage (codec UDF over the payload,
+    * stubbed in this environment) consumes; pure expressions, no UDF, no
+    * shuffle — the plan explodes k rows per video at scan rate.
+    */
+  def frameSamplePlan(videos: DataFrame, idCol: String, durCol: String,
+                      fpsCol: String, k: Int): DataFrame =
+    videos.select(col(idCol), col(durCol), col(fpsCol),
+        explode(sequence(lit(0), lit(k - 1))).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        round((col("frame_idx") + lit(0.5)) * col(durCol) / lit(k), 6).as("t_s"),
+        floor((col("frame_idx") + lit(0.5)) * col(durCol) / lit(k) * col(fpsCol))
+          .cast("long").as("frame_no"))
+
   /** Fixture generator: wrap `body` text bytes in a minimal REAL container
     * header so the parse path is exercised end-to-end — a PNG signature +
     * IHDR (zeroed CRC; [[decodeOne]] doesn't verify CRCs, like any

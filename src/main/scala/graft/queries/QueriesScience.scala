@@ -138,6 +138,35 @@ object QueriesScience {
           (col("doc_id") % 600 + 1).cast("int"),
           col("text")).as("payload"))
       Multimodal.decode(media)
+    }),
+
+    // Audio decode: payloads synthesized with REAL 44-byte WAV headers ->
+    // partition-batched kernel chunk-walks RIFF and reports fmt/data
+    // facts; the oracle recomputes every field from the synth arithmetic,
+    // so header write + parse must round-trip exactly
+    "q77_audio_decode" -> ((s, d) => {
+      val media = Tables.supplier(s, d).select(
+        col("s_suppkey").cast("long").as("doc_id"),
+        Multimodal.synthWavUdf(
+          (col("s_suppkey") % 2 + 1).cast("int"),
+          element_at(array(lit(8000), lit(16000), lit(44100)),
+            (col("s_suppkey") % 3 + 1).cast("int")),
+          ((col("s_suppkey") % 2 + 1) * 8).cast("int"),
+          (col("s_suppkey") % 100 + 1).cast("int")).as("payload"))
+      Multimodal.decodeAudio(media)
+        .withColumn("duration_s", round(col("duration_s"), 6))
+    }),
+
+    // Video frame-sample plan: k uniform bucket-center timestamps per
+    // video -> frame numbers at the video's fps (pure expressions, the
+    // planning table a codec stage consumes)
+    "q78_frame_plan" -> ((s, d) => {
+      val videos = Tables.supplier(s, d).select(
+        col("s_suppkey").as("video_id"),
+        (col("s_suppkey") % 120 + 10).cast("double").as("duration_s"),
+        element_at(array(lit(24), lit(30)),
+          (col("s_suppkey") % 2 + 1).cast("int")).as("fps"))
+      Multimodal.frameSamplePlan(videos, "video_id", "duration_s", "fps", k = 4)
     })
   )
 
@@ -313,6 +342,33 @@ object QueriesScience {
              CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format,
              CAST(CASE kind WHEN 2 THEN olen % 640 ELSE w END AS INT) AS width,
              CAST(CASE kind WHEN 2 THEN olen % 480 ELSE h END AS INT) AS height
-      FROM base"""
+      FROM base""",
+    // every field recomputed from the synth arithmetic: a parse bug or a
+    // header-write bug breaks the hash
+    "q77_audio_decode" -> """
+      WITH p AS (
+        SELECT CAST(s_suppkey AS BIGINT) AS doc_id,
+               CAST(s_suppkey % 2 + 1 AS INT) AS channels,
+               ([8000, 16000, 44100])[CAST(s_suppkey % 3 AS INT) + 1] AS rate,
+               CAST((s_suppkey % 2 + 1) * 8 AS INT) AS bits,
+               CAST(s_suppkey % 100 + 1 AS BIGINT) AS frames
+        FROM supplier)
+      SELECT doc_id,
+             CAST(44 + frames * channels * (bits // 8) AS INT) AS n_bytes,
+             'wav' AS format, channels,
+             CAST(rate AS INT) AS sample_rate, bits,
+             frames AS n_frames,
+             round(CAST(frames AS DOUBLE) / rate, 6) AS duration_s
+      FROM p""",
+    "q78_frame_plan" -> """
+      WITH v AS (
+        SELECT s_suppkey AS video_id,
+               CAST(s_suppkey % 120 + 10 AS DOUBLE) AS duration_s,
+               ([24, 30])[CAST(s_suppkey % 2 AS INT) + 1] AS fps
+        FROM supplier)
+      SELECT video_id, CAST(t.i AS INT) AS frame_idx,
+             round((t.i + 0.5) * duration_s / 4, 6) AS t_s,
+             CAST(floor((t.i + 0.5) * duration_s / 4 * fps) AS BIGINT) AS frame_no
+      FROM v, unnest(range(4)) AS t(i)"""
   )
 }

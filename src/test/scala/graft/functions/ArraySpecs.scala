@@ -113,6 +113,52 @@ class MultimodalSpec extends SparkSpec {
     feats(3)._5 shouldBe "unknown"
   }
 
+  test("decodeAudio parses a real WAV header round-trip") {
+    val specs = Seq((1L, 1, 8000, 8, 4000), (2L, 2, 44100, 16, 44100),
+      (3L, 2, 16000, 8, 1)).toDF("id", "ch", "rate", "bits", "frames")
+    val media = specs.select(col("id").as("doc_id"),
+      graft.operators.Multimodal.synthWavUdf(
+        col("ch"), col("rate"), col("bits"), col("frames")).as("payload"))
+    val feats = graft.operators.Multimodal.decodeAudio(media)
+      .orderBy("doc_id")
+      .as[(Long, Int, String, Int, Int, Int, Long, Double)].collect()
+    feats(0) shouldBe ((1L, 44 + 4000, "wav", 1, 8000, 8, 4000L, 0.5))
+    feats(1) shouldBe ((2L, 44 + 44100 * 4, "wav", 2, 44100, 16, 44100L, 1.0))
+    feats(2) shouldBe ((3L, 46, "wav", 2, 16000, 8, 1L, 1.0 / 16000))
+  }
+
+  test("decodeAudioOne walks preceding chunks and rejects non-WAV payloads") {
+    import graft.operators.Multimodal
+    // hand-build: RIFF/WAVE + a 6-byte JUNK chunk (odd size -> pad byte)
+    // before fmt, then data
+    val base = Multimodal.synthWavUdf
+    val spark2 = spark
+    import spark2.implicits._
+    val wav = Seq((1, 16000, 16, 10)).toDF("c", "r", "b", "f")
+      .select(base(col("c"), col("r"), col("b"), col("f"))).as[Array[Byte]].head()
+    val junk = "JUNK".getBytes ++ Array[Byte](5, 0, 0, 0) ++ Array.fill[Byte](6)(0)
+    val shifted = wav.take(12) ++ junk ++ wav.drop(12)
+    // fix RIFF size irrelevant to the parser; walk must skip JUNK (5 + pad)
+    val f = Multimodal.decodeAudioOne(7L, shifted)
+    (f.format, f.channels, f.sample_rate, f.bits, f.n_frames) shouldBe
+      (("wav", 1, 16000, 16, 10L))
+    Multimodal.decodeAudioOne(8L, "notawav".getBytes).format shouldBe "unknown"
+    Multimodal.decodeAudioOne(9L, Array.empty[Byte]).format shouldBe "unknown"
+    // RIFF/WAVE but truncated before any fmt chunk -> fallback, no crash
+    Multimodal.decodeAudioOne(10L, wav.take(12)).format shouldBe "unknown"
+  }
+
+  test("frameSamplePlan emits k bucket-center samples at the video's fps") {
+    val videos = Seq((1L, 10.0, 30)).toDF("video_id", "duration_s", "fps")
+    val plan = graft.operators.Multimodal
+      .frameSamplePlan(videos, "video_id", "duration_s", "fps", k = 4)
+      .orderBy("frame_idx")
+      .as[(Long, Int, Double, Long)].collect()
+    plan shouldBe Array(
+      (1L, 0, 1.25, 37L), (1L, 1, 3.75, 112L),
+      (1L, 2, 6.25, 187L), (1L, 3, 8.75, 262L))
+  }
+
   test("parseHumanSizeMb converts KB/MB/GB and rejects unknown units") {
     val df = Seq("512 KB", "1.5 MB", "2 GB", "7 XB").toDF("s")
     val r = df.select(TextFunctions.parseHumanSizeMb(col("s"))).as[Option[Double]].collect()
