@@ -143,31 +143,27 @@ object TextFunctions {
     * scan.
     */
   def wordNgramsUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((text: String) => {
-      if (text == null) Array.empty[String]
-      else {
-        val t = text.trim.toLowerCase
-        if (t.isEmpty) Array.empty[String]
-        else {
-          val toks = t.split("\\s+")
-          if (toks.length < n) Array.empty[String]
-          else {
-            val seen = new java.util.LinkedHashSet[String]()
-            var i = 0
-            while (i <= toks.length - n) {
-              val sb = new java.lang.StringBuilder(toks(i))
-              var j = 1
-              while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-              seen.add(sb.toString)
-              i += 1
-            }
-            val out = new Array[String](seen.size)
-            seen.toArray(out)
-            out
-          }
-        }
-      }
-    })
+    udf((text: String) => wordNgramsKernel(text, n))
+
+  private[graft] def wordNgramsKernel(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty[String]
+    val t = text.trim.toLowerCase
+    if (t.isEmpty) return Array.empty[String]
+    val toks = t.split("\\s+")
+    if (toks.length < n) return Array.empty[String]
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out
+  }
 
   val FingerprintMod: Long = 1L << 40
 

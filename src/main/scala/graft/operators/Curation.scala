@@ -111,14 +111,66 @@ object Curation {
     */
   def stratifiedSample(docs: DataFrame, textCol: String, classCol: String,
                        rates: Map[String, Double], defaultRate: Double,
-                       denom: Int = 10000): DataFrame = {
-    val threshold = rates.foldRight(lit(math.round(defaultRate * denom)): Column) {
-      case ((cls, r), acc) =>
-        when(col(classCol) === cls, lit(math.round(r * denom))).otherwise(acc)
-    }
+                       denom: Int = 10000): DataFrame =
     docs
       .withColumn("sample_bucket",
         pmod(TextFunctions.fingerprint(col(textCol)), lit(denom.toLong)))
-      .filter(col("sample_bucket") < threshold)
+      .filter(col("sample_bucket") < rateThreshold(classCol, rates, defaultRate, denom))
+
+  private def rateThreshold(classCol: String, rates: Map[String, Double],
+                            defaultRate: Double, denom: Int): Column =
+    rates.foldRight(lit(math.round(defaultRate * denom)): Column) {
+      case ((cls, r), acc) =>
+        when(col(classCol) === cls, lit(math.round(r * denom))).otherwise(acc)
+    }
+
+  /** Distinct word n-grams of the benchmark corpus, collected to the
+    * driver for broadcast. Bounded by the BENCHMARK size (eval suites are
+    * MBs against a corpus of TBs) — use the join formulation
+    * ([[decontaminate]]) when the reference set itself is large.
+    */
+  def benchmarkGramSet(benchmark: DataFrame, textCol: String, n: Int): Set[String] = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    benchmark
+      .select(explode(TextFunctions.wordNgramsUdf(n)(col(textCol))).as("g"))
+      .distinct().as[String].collect().toSet
+  }
+
+  /** The full curation chain as ONE stateless row gate — quality score,
+    * contamination against a driver-broadcast benchmark shingle set, and
+    * stratified content-hash sampling — emitting every input row with its
+    * diagnostics plus the `admitted` verdict. Stateless means the same
+    * operator runs unchanged over a batch table or a `readStream` source
+    * (no watermark, no state store): the streaming-ingest formulation of
+    * [[decontaminate]] + [[stratifiedSample]], batch/stream parity by
+    * construction.
+    */
+  def ingestGate(docs: DataFrame, textCol: String, classCol: String,
+                 benchGrams: org.apache.spark.broadcast.Broadcast[Set[String]],
+                 n: Int, stopwords: Seq[String],
+                 minQuality: Double, maxContamination: Double,
+                 rates: Map[String, Double], defaultRate: Double,
+                 denom: Int = 10000): DataFrame = {
+    val contamUdf = udf((text: String) => {
+      val grams = TextFunctions.wordNgramsKernel(text, n)
+      if (grams.isEmpty) 0.0
+      else {
+        val set = benchGrams.value
+        var hit = 0
+        var i = 0
+        while (i < grams.length) { if (set.contains(grams(i))) hit += 1; i += 1 }
+        hit.toDouble / grams.length
+      }
+    })
+    docs
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol), stopwords))
+      .withColumn("contamination", round(contamUdf(col(textCol)), 6))
+      .withColumn("sample_bucket",
+        pmod(TextFunctions.fingerprint(col(textCol)), lit(denom.toLong)))
+      .withColumn("admitted",
+        col("quality") >= minQuality &&
+          col("contamination") <= maxContamination &&
+          col("sample_bucket") < rateThreshold(classCol, rates, defaultRate, denom))
   }
 }

@@ -47,7 +47,14 @@ object QueriesCuration {
       Curation.stratifiedSample(Tables.documents(s, d), "text", "source",
         rates = Map("src0" -> 0.05, "src7" -> 0.5, "src13" -> 0.8),
         defaultRate = 0.25)
-        .select(col("doc_id"), col("source"), col("sample_bucket")))
+        .select(col("doc_id"), col("source"), col("sample_bucket"))),
+
+    // The full curation chain as a STREAMING ingest gate (stateless:
+    // quality + broadcast-set decontamination + hash sampling), run as a
+    // bounded stream — the oracle replays the identical chain in SQL, so
+    // this checks batch/stream parity of the whole pipeline
+    "q79_ingest_gate" -> ((s, d) =>
+      graft.streaming.StreamingOps.runIngestGateAvailableNow(s, d))
   )
 
   /** Shared oracle fragment: normalized token list per document. */
@@ -135,6 +142,57 @@ object QueriesCuration {
       WHERE bucket < CASE source WHEN 'src0' THEN 500
                                  WHEN 'src7' THEN 5000
                                  WHEN 'src13' THEN 8000
-                                 ELSE 2500 END"""
+                                 ELSE 2500 END""",
+    "q79_ingest_gate" -> raw"""
+      WITH $toksCte,
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(list_transform(range(len(t) - 2),
+                           i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))
+               END AS grams
+        FROM toks),
+      bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+      eg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      hits AS (
+        SELECT e.doc_id, count(*) AS n_grams, count(b.gram) AS n_hit
+        FROM eg e LEFT JOIN bench b USING (gram)
+        GROUP BY 1),
+      contam AS (
+        SELECT gg.doc_id,
+               round(CASE WHEN coalesce(h.n_grams, 0) = 0 THEN 0.0
+                          ELSE CAST(h.n_hit AS DOUBLE) / h.n_grams END, 6)
+                 AS contamination
+        FROM g gg LEFT JOIN hits h USING (doc_id)),
+      s AS (
+        SELECT doc_id,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS punct,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS digits,
+               CASE WHEN len(t) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(t,
+                           x -> x IN (${enStop.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+                         / len(t) END AS stop
+        FROM toks),
+      sc AS (
+        SELECT doc_id,
+               round(0.25 * len_score + 0.25 * least(stop * 4.0, 1.0)
+                     + 0.25 * (1.0 - least(punct * 5.0, 1.0))
+                     + 0.25 * (1.0 - least(digits * 5.0, 1.0)), 6) AS quality
+        FROM s),
+      fp AS (SELECT doc_id, $fpExpr % 10000 AS bucket FROM documents)
+      SELECT d.doc_id, d.source, sc.quality, c.contamination,
+             CAST(f.bucket AS BIGINT) AS sample_bucket,
+             (sc.quality >= 0.6 AND c.contamination <= 0.05 AND
+              f.bucket < CASE d.source WHEN 'src3' THEN 10000
+                                       WHEN 'src11' THEN 0
+                                       ELSE 5000 END) AS admitted
+      FROM documents d
+      JOIN sc USING (doc_id) JOIN contam c USING (doc_id) JOIN fp f USING (doc_id)"""
   )
 }

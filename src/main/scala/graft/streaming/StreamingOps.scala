@@ -152,6 +152,43 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Run the [[graft.operators.Curation.ingestGate]] curation chain over
+    * the documents parquet as a bounded stream: the at-ingest formulation
+    * of quality + decontamination + stratified sampling. The benchmark
+    * shingle set comes from a BATCH read of the same table (docs with
+    * `doc_id % 97 == 0` — the q73 convention) and is broadcast; the gate
+    * itself is stateless (no watermark, no state store), so the streamed
+    * result equals the batch run row-for-row — which is what the q79
+    * oracle checks.
+    */
+  def runIngestGateAvailableNow(spark: SparkSession, dir: String,
+                                queryName: String = "graft_stream_gate"): DataFrame = {
+    import graft.operators.Curation
+    import graft.functions.TextFunctions
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = Curation.benchmarkGramSet(
+      batch.filter(col("doc_id") % 97 === 0), "text", n = 3)
+    val benchBc = spark.sparkContext.broadcast(bench)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val gated = Curation.ingestGate(stream, "text", "source", benchBc, n = 3,
+        stopwords = TextFunctions.LangStopwords("en"),
+        minQuality = 0.6, maxContamination = 0.05,
+        rates = Map("src3" -> 1.0, "src11" -> 0.0), defaultRate = 0.5)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("contamination"), col("sample_bucket"), col("admitted"))
+    val q = gated.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run [[sessionize]] over the events parquet as a bounded stream (memory
     * sink, Append). Sessions still open when the final watermark lands stay
     * in state — the contract of streaming sessionization; the spec compares

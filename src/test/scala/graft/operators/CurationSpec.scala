@@ -99,6 +99,48 @@ class CurationSpec extends SparkSpec {
     buckets.values.foreach { b => b should be >= 0L; b should be < 10000L }
   }
 
+  test("ingestGate flags quality, contamination, and sampling in one pass") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then rests", "a"),
+      (2L, "benchmark question one exactly verbatim copied text here now", "a"),
+      (3L, "!!! ??? 123 456 !!!", "a")
+    ).toDF("doc_id", "text", "source")
+    val bench = spark.sparkContext.broadcast(
+      Curation.benchmarkGramSet(
+        Seq((9L, "benchmark question one exactly verbatim copied text here now"))
+          .toDF("doc_id", "text"), "text", 3))
+    val out = Curation.ingestGate(docs, "text", "source", bench, n = 3,
+        stopwords = graft.functions.TextFunctions.LangStopwords("en"),
+        minQuality = 0.3, maxContamination = 0.5,
+        rates = Map.empty, defaultRate = 1.0)
+      .select("doc_id", "contamination", "admitted")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toList
+    out(0)._2 shouldBe 0.0
+    out(0)._3 shouldBe true   // clean prose, no contamination
+    out(1)._2 shouldBe 1.0    // verbatim benchmark copy
+    out(1)._3 shouldBe false
+    out(2)._3 shouldBe false  // punctuation/digit soup fails quality
+  }
+
+  test("ingestGate batch/stream parity on the documents table") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingOps
+      .runIngestGateAvailableNow(spark, dir, queryName = "gate_parity_test")
+      .collect().map(_.toSeq).toSet
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = spark.sparkContext.broadcast(
+      Curation.benchmarkGramSet(
+        batchDocs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0), "text", 3))
+    val batch = Curation.ingestGate(batchDocs, "text", "source", bench, n = 3,
+        stopwords = graft.functions.TextFunctions.LangStopwords("en"),
+        minQuality = 0.6, maxContamination = 0.05,
+        rates = Map("src3" -> 1.0, "src11" -> 0.0), defaultRate = 0.5)
+      .select("doc_id", "source", "quality", "contamination", "sample_bucket", "admitted")
+      .collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed.nonEmpty shouldBe true
+  }
+
   test("stratifiedSample realized rate tracks the requested rate") {
     val docs = (0 until 2000).map(i => (i.toLong, s"doc number $i words", "c"))
       .toDF("doc_id", "text", "source")
