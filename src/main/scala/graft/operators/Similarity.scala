@@ -26,7 +26,7 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  private def topKReduce(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKReduce(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     val native = spark.sessionState.functionRegistry.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by_score"))
@@ -91,6 +91,111 @@ object Similarity {
           .as("bucket")))
     val scored = cb.join(qb, "bucket")
       .withColumn("cosine", VectorFunctions.cosineBest(corpus.sparkSession, col("qv"), col("cv")))
+    topKReduce(scored, k)
+  }
+
+  // ---- Trained IVF (k-means coarse quantizer) ----
+
+  /** Nearest centroid by squared L2, ties to the smaller index. */
+  private[operators] def nearestCentroid(v: Array[Double],
+                                         cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < ct.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nProbe` nearest centroid indices, ascending by (distance, index). */
+  private[operators] def nearestCentroids(v: Array[Double],
+                                          cents: Array[Array[Double]],
+                                          nProbe: Int): Array[Int] = {
+    val ds = cents.indices.map { c =>
+      val ct = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < ct.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
+      (d, c)
+    }
+    ds.sorted.take(nProbe).map(_._2).toArray
+  }
+
+  /** Distributed Lloyd's k-means for the IVF coarse quantizer —
+    * DETERMINISTIC by construction, which a gate that hash-compares
+    * run-to-run requires and a reproducible index build wants anyway:
+    *
+    *  - init: the vectors of the `k` smallest ids (no random seeds);
+    *  - assignment: broadcast centroids, per-row JVM kernel (scan-rate);
+    *  - update: per-(cluster, dim) means accumulated as FIXED-POINT longs
+    *    (`round(x·1e9)`) — integer sums are order-independent, so the
+    *    centroids are bit-identical however Spark schedules the partial
+    *    aggregates, unlike a double `avg` whose ULPs depend on merge
+    *    order. Exact while cluster sums stay under 2^63 (~10^8 unit-norm
+    *    vectors per cluster at this scaling; raise the quantum for more).
+    *  - fixed `iters` rounds (no data-dependent convergence test), each
+    *    one scan + one k×dim-row aggregate collected to the driver.
+    *
+    * Returns the k centroids; empty clusters keep their previous centroid.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids = corpus.orderBy(col(idCol))
+      .select(col(vecCol).cast("array<double>")).limit(k)
+      .as[Seq[Double]].collect().map(_.toArray)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignUdf = udf((v: Seq[Double]) => nearestCentroid(v.toArray, bc.value))
+      val stats = corpus
+        .select(assignUdf(col(vecCol)).as("c"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+        .groupBy(col("c"), col("d"))
+        .agg(sum(round(col("x") * 1e9).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .as[(Int, Int, Long, Long)].collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { case (c, d, s, n) =>
+        next(c)(d) = (s.toDouble / n) / 1e9
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF search against TRAINED centroids: the corpus is bucketed by its
+    * nearest centroid once; each query probes its `nProbe` nearest
+    * centroid buckets — scan fraction ≈ nProbe/k with data-adaptive
+    * buckets (vs the data-oblivious hyperplanes of [[ivfTopK]]). Same
+    * top-k reduction (partial heap aggregate, no per-query reducer).
+    */
+  def ivfTopKTrained(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     centroids: Array[Array[Double]], k: Int,
+                     nProbe: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Double]) => nearestCentroid(v.toArray, bc.value))
+    val probeUdf = udf((v: Seq[Double]) => nearestCentroids(v.toArray, bc.value, nProbe))
+    val cb = corpus.select(
+      col(corpusId).as("neighbor_id"),
+      col(corpusVec).cast("array<double>").as("cv"))
+      .withColumn("bucket", assignUdf(col("cv")))
+    val qb = broadcast(
+      queries.select(col(queryId).as("query_id"),
+          col(queryVec).cast("array<double>").as("qv"))
+        .withColumn("bucket", explode(probeUdf(col("qv")))))
+    val scored = cb.join(qb, "bucket")
+      .withColumn("cosine", VectorFunctions.cosineBest(spark, col("qv"), col("cv")))
     topKReduce(scored, k)
   }
 }

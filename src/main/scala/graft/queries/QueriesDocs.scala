@@ -121,6 +121,22 @@ object QueriesDocs {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // Trained IVF: deterministic k-means coarse quantizer (fixed-point
+    // centroid sums, id-seeded init) + nProbe-bucket search. Golden-pinned
+    // (the iterative trainer isn't ANSI-SQL-expressible); SimilaritySpec
+    // checks recall vs brute force and bit-determinism of the training.
+    "q80_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+        k = 8, iters = 3)
+      Similarity.ivfTopKTrained(
+        corpus, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        cents, k = 3, nProbe = 2)
+    }),
+
     // duplicate-pair connected components over synthetic CHAIN pairs
     // (id-35 — id for multiples of 7): five long chains whose component
     // is id % 35 — exercises transitive closure + pointer jumping; the

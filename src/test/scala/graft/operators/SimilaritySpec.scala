@@ -88,6 +88,51 @@ class SimilaritySpec extends SparkSpec {
     multi.size should be > single.size // fixture straddles >= 1 hyperplane
   }
 
+  test("trainIvfCentroids recovers separated clusters, bit-deterministically") {
+    // two tight clusters around (0,0,..) and (10,10,..)
+    val pts = ((0 until 20).map(i => (i.toLong, Array(0.0 + i * 0.01, 0.0, 1.0, 0.0))) ++
+      (20 until 40).map(i => (i.toLong, Array(10.0 + i * 0.01, 10.0, 1.0, 0.0))))
+      .toDF("id", "v")
+    val c1 = Similarity.trainIvfCentroids(pts, "id", "v", k = 2, iters = 4)
+    val c2 = Similarity.trainIvfCentroids(pts, "id", "v", k = 2, iters = 4)
+    c1.map(_.toSeq) shouldBe c2.map(_.toSeq) // fixed-point sums: identical bits
+    // one centroid per cluster, at the cluster means
+    val xs = c1.map(_(0)).sorted
+    xs(0) shouldBe 0.095 +- 1e-6
+    xs(1) shouldBe 10.295 +- 1e-6
+    // every point assigns to its own cluster's centroid
+    pts.as[(Long, Seq[Double])].collect().foreach { case (id, v) =>
+      val c = Similarity.nearestCentroid(v.toArray, c1)
+      val expected = if (id < 20) c1.map(_(0)).zipWithIndex.minBy(_._1)._2
+                     else c1.map(_(0)).zipWithIndex.maxBy(_._1)._2
+      c shouldBe expected
+    }
+  }
+
+  test("trainIvfCentroids keeps empty clusters at their seed centroid") {
+    val pts = Seq((1L, Array(0.0, 0.0)), (2L, Array(0.0, 0.1)),
+      (3L, Array(0.0, 0.2))).toDF("id", "v")
+    // k = 3 seeds but all points collapse to one cluster quickly; no NaNs
+    val c = Similarity.trainIvfCentroids(pts, "id", "v", k = 3, iters = 3)
+    c.length shouldBe 3
+    c.flatten.foreach(x => x.isNaN shouldBe false)
+  }
+
+  test("ivfTopKTrained matches brute force on well-separated clusters") {
+    val pts = ((0 until 20).map(i => (i.toLong, Array(1.0, 0.01 * i, 0.0, 0.0))) ++
+      (20 until 40).map(i => (i.toLong, Array(0.0, 0.01 * i, 1.0, 0.0))))
+      .toDF("id", "v")
+    val cents = Similarity.trainIvfCentroids(pts, "id", "v", k = 2, iters = 4)
+    val qs = Seq((100L, Array(1.0, 0.05, 0.0, 0.0)),
+      (101L, Array(0.0, 0.05, 1.0, 0.0))).toDF("qid", "qv")
+    val ivf = Similarity.ivfTopKTrained(pts, "id", "v", qs, "qid", "qv",
+        cents, k = 3, nProbe = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.bruteForceTopK(pts, "id", "v", qs, "qid", "qv", k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    ivf shouldBe exact // each query's true neighbours live in its probed bucket
+  }
+
   test("ivfTopK finds the self-match (same vector shares its bucket)") {
     val q = Seq((100L, Array(0.9, 0.1, 0.0, 0.0))).toDF("qid", "qv")
     val out = Similarity.ivfTopK(corpus, "id", "v", q, "qid", "qv",
