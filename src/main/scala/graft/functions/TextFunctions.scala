@@ -165,6 +165,21 @@ object TextFunctions {
     out
   }
 
+  /** PII / link indicators for pretraining redaction filters: counts of
+    * email addresses, URLs, and NANP-style phone numbers. Deliberately
+    * simple patterns with identical semantics under Java regex and RE2 so
+    * the counts are engine-portable (oracle-checkable).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** (n_email, n_url, n_phone) columns for `text`. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_email"),
+    size(regexp_extract_all(text, lit(UrlRe), lit(0))).as("n_url"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phone"))
+
   val FingerprintMod: Long = 1L << 40
 
   /** Rolling-hash document fingerprint: seed 7,

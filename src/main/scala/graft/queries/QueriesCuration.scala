@@ -49,6 +49,25 @@ object QueriesCuration {
         defaultRate = 0.25)
         .select(col("doc_id"), col("source"), col("sample_bucket"))),
 
+    // PII / link scan: per-doc email/URL/phone counts + has_pii verdict
+    // (documents salted with synthetic contacts so counts are nonzero)
+    "q81_pii_scan" -> ((s, d) => {
+      val salted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" see https://example.org/d/"), col("doc_id")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" call 555-867-5309"))
+            .otherwise(lit(""))).as("text"))
+      val counts = TextFunctions.piiCounts(col("text"))
+      salted.select(col("doc_id") +: counts: _*)
+        .withColumn("has_pii",
+          col("n_email") + col("n_url") + col("n_phone") > 0)
+    }),
+
     // The full curation chain as a STREAMING ingest gate (stateless:
     // quality + broadcast-set decontamination + hash sampling), run as a
     // bounded stream — the oracle replays the identical chain in SQL, so
@@ -143,6 +162,28 @@ object QueriesCuration {
                                  WHEN 'src7' THEN 5000
                                  WHEN 'src13' THEN 8000
                                  ELSE 2500 END""",
+    "q81_pii_scan" -> raw"""
+      WITH salted AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' see https://example.org/d/' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+                 AS text
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_url,
+               CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phone
+        FROM salted)
+      SELECT doc_id, n_email, n_url, n_phone,
+             (n_email + n_url + n_phone > 0) AS has_pii
+      FROM c""",
     "q79_ingest_gate" -> raw"""
       WITH $toksCte,
       g AS (

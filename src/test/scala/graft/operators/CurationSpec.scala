@@ -99,6 +99,20 @@ class CurationSpec extends SparkSpec {
     buckets.values.foreach { b => b should be >= 0L; b should be < 10000L }
   }
 
+  test("piiCounts finds emails, urls, and phone numbers") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      "write to a.b+c@mail.example.org or see https://x.y/z?q=1 now",
+      "call 555-123-4567 or 555-123-4568",
+      "no pii here, 1234-5678 is not a phone, user@localhost is not an email"
+    ).toDF("text")
+    val out = df.select(TextFunctions.piiCounts(org.apache.spark.sql.functions.col("text")): _*)
+      .as[(Int, Int, Int)].collect()
+    out(0) shouldBe ((1, 1, 0))
+    out(1) shouldBe ((0, 0, 2))
+    out(2) shouldBe ((0, 0, 0))
+  }
+
   test("ingestGate flags quality, contamination, and sampling in one pass") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and then rests", "a"),
