@@ -43,6 +43,11 @@ object Bench {
         } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      // untimed GC between queries: localCheckpoint blocks and broadcasts
+      // from earlier queries are only released when the driver GC lets the
+      // ContextCleaner see them — without this, block-manager pressure
+      // from 80×2 query runs bleeds into whichever queries run late
+      System.gc()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
