@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ScaleJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedEquiJoin equals the unsalted join and spreads the hot key") {
+    // pathological skew: 1000 of 1010 rows share one key
+    val left = ((0 until 1000).map(i => ("hot", i.toLong)) ++
+      (0 until 10).map(i => (s"k$i", i.toLong + 1000))).toDF("key", "event_id")
+    val right = (Seq(("hot", "H")) ++ (0 until 10).map(i => (s"k$i", s"V$i")))
+      .toDF("key", "payload")
+    val salted = ScaleJoins.saltedEquiJoin(left, right, "key",
+        saltFactor = 8, entropyCol = "event_id")
+      .select("key", "event_id", "payload")
+    val plain = left.join(right, "key").select("key", "event_id", "payload")
+    salted.collect().toSet shouldBe plain.collect().toSet
+    // the salt column must actually split the hot key into several sub-keys
+    val saltCard = left.filter($"key" === "hot")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"event_id"),
+        org.apache.spark.sql.functions.lit(8L)))
+      .distinct().count()
+    saltCard should be > 4L
+  }
+
+  test("saltedEquiJoin is deterministic across runs (hash salt, not rand)") {
+    val left = (0 until 100).map(i => ("k", i.toLong)).toDF("key", "event_id")
+    val right = Seq(("k", "v")).toDF("key", "payload")
+    val a = ScaleJoins.saltedEquiJoin(left, right, "key", 4, "event_id").collect().toSet
+    val b = ScaleJoins.saltedEquiJoin(left, right, "key", 4, "event_id").collect().toSet
+    a shouldBe b
+  }
+
+  test("identically bucketed tables join with zero exchanges") {
+    // tables land in the session's default warehouse (spark-warehouse/,
+    // gitignored); DROP TABLE below removes the files
+    val facts = (0 until 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "a")
+    val dims = (0 until 500).map(i => (i.toLong % 50, s"d$i")).toDF("k", "b")
+    ScaleJoins.writeBucketed(facts, "bkt_facts", "k", 8, sortCol = Some("k"))
+    ScaleJoins.writeBucketed(dims, "bkt_dims", "k", 8, sortCol = Some("k"))
+    try {
+      val joined = spark.table("bkt_facts")
+        .hint("merge") // force sort-merge so the assertion is about exchanges
+        .join(spark.table("bkt_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+      joined.count() shouldBe 10000L // 50 keys x 20 fact x 10 dim rows
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    }
+  }
+}
