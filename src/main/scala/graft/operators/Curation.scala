@@ -168,9 +168,13 @@ object Curation {
       .withColumn("contamination", round(contamUdf(col(textCol)), 6))
       .withColumn("sample_bucket",
         pmod(TextFunctions.fingerprint(col(textCol)), lit(denom.toLong)))
+      // coalesce: null text yields null quality/bucket, and a null verdict
+      // is not a verdict — a doc the gate can't score is NOT admitted
       .withColumn("admitted",
-        col("quality") >= minQuality &&
-          col("contamination") <= maxContamination &&
-          col("sample_bucket") < rateThreshold(classCol, rates, defaultRate, denom))
+        coalesce(
+          col("quality") >= minQuality &&
+            col("contamination") <= maxContamination &&
+            col("sample_bucket") < rateThreshold(classCol, rates, defaultRate, denom),
+          lit(false)))
   }
 }

@@ -129,6 +129,9 @@ object Multimodal {
     var i = 12
     while (i + 8 <= n && (channels == 0 || dataSize < 0)) {
       val size = le32(payload, i + 4)
+      // malformed/hostile size (would move the cursor backwards or past
+      // any plausible chunk) → stop walking, fall back
+      if (size < 0 || size > Int.MaxValue - 16) return fallback
       if (payload(i) == 'f' && payload(i + 1) == 'm' && payload(i + 2) == 't' &&
           payload(i + 3) == ' ' && i + 8 + 16 <= n) {
         channels = le16(payload, i + 10)
@@ -195,13 +198,15 @@ object Multimodal {
     * shuffle — the plan explodes k rows per video at scan rate.
     */
   def frameSamplePlan(videos: DataFrame, idCol: String, durCol: String,
-                      fpsCol: String, k: Int): DataFrame =
+                      fpsCol: String, k: Int): DataFrame = {
+    require(k > 0, s"frameSamplePlan needs k > 0 samples per video, got $k")
     videos.select(col(idCol), col(durCol), col(fpsCol),
         explode(sequence(lit(0), lit(k - 1))).as("frame_idx"))
       .select(col(idCol), col("frame_idx"),
         round((col("frame_idx") + lit(0.5)) * col(durCol) / lit(k), 6).as("t_s"),
         floor((col("frame_idx") + lit(0.5)) * col(durCol) / lit(k) * col(fpsCol))
           .cast("long").as("frame_no"))
+  }
 
   /** Fixture generator: wrap `body` text bytes in a minimal REAL container
     * header so the parse path is exercised end-to-end — a PNG signature +

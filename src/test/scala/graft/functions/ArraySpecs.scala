@@ -146,6 +146,12 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.decodeAudioOne(9L, Array.empty[Byte]).format shouldBe "unknown"
     // RIFF/WAVE but truncated before any fmt chunk -> fallback, no crash
     Multimodal.decodeAudioOne(10L, wav.take(12)).format shouldBe "unknown"
+    // hostile chunk size (0xFFFFFFFF -> negative as int) must not loop or
+    // walk the cursor backwards
+    val evil = wav.clone()
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    Multimodal.decodeAudioOne(11L, evil).format shouldBe "unknown"
   }
 
   test("frameSamplePlan emits k bucket-center samples at the video's fps") {

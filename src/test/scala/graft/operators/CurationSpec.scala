@@ -136,6 +136,18 @@ class CurationSpec extends SparkSpec {
     out(2)._3 shouldBe false  // punctuation/digit soup fails quality
   }
 
+  test("ingestGate rejects (not null-verdicts) unscorable null text") {
+    val docs = Seq((1L, null.asInstanceOf[String], "a"), (2L, "fine text here", "a"))
+      .toDF("doc_id", "text", "source")
+    val bench = spark.sparkContext.broadcast(Set.empty[String])
+    val out = Curation.ingestGate(docs, "text", "source", bench, n = 3,
+        stopwords = Nil, minQuality = 0.0, maxContamination = 1.0,
+        rates = Map.empty, defaultRate = 1.0)
+      .select("doc_id", "admitted").as[(Long, Boolean)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L, false))
+    out(1) shouldBe ((2L, true))
+  }
+
   test("ingestGate batch/stream parity on the documents table") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingOps
