@@ -120,4 +120,82 @@ object OrderedPosition {
     val total = counts.iterator.map(_.getLong(keyCols.length + 1)).sum
     (out, total)
   }
+
+  /** Append `outCol` = EXCLUSIVE running sum of `valueCol` (sum of all
+    * PRIOR rows in `(keyCols, orderCols)` order; first row of a series
+    * gets 0; global when `keyCols` is empty) — the prefix-sum analog of
+    * [[withPosition]], with the same two-pass no-window execution: a
+    * `Window.orderBy` running sum serializes EVERYTHING onto one task,
+    * which is exactly what token-balanced shard assignment over a corpus
+    * must not do.
+    *
+    * Null values count as 0. Handles any sign: the per-(partition,
+    * series) base is the prefix at the series' FIRST local row
+    * (`min_by(prefix, localRowNumber)`), not a min over prefixes.
+    */
+  def withRunningSum(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                     valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val withV = df.withColumn("__v", coalesce(col(valueCol).cast("long"), lit(0L)))
+    val sortCols = (keyCols ++ orderCols).map(col)
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = withV
+      .repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val baseSchema = sorted.schema
+    val vPos = baseSchema.fieldIndex("__v")
+    val augRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = 0L
+      var s = 0L
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ pid :+ i :+ s)
+        i += 1
+        s += r.getLong(vPos)
+        out
+      }
+    }
+    val augSchema = StructType(baseSchema.fields :+
+      StructField("__pid", IntegerType, nullable = false) :+
+      StructField("__lrn", LongType, nullable = false) :+
+      StructField("__lps", LongType, nullable = false))
+    val ranged = spark.createDataFrame(augRdd, augSchema)
+    val partKeys = col("__pid") +: keyCols.map(col)
+    val stats = ranged
+      .groupBy(partKeys: _*)
+      .agg(sum(col("__v")).as("__tot"),
+        min_by(col("__lps"), col("__lrn")).as("__first"))
+      .collect()
+    require(stats.length <= MaxOffsetRows,
+      s"OrderedPosition: ${stats.length} (partition, series) groups — key " +
+        "cardinality too high for the offset table; use a plain window instead")
+    val byKey = stats.groupBy(r => (1 to keyCols.length).map(r.get))
+    val offsetRows = byKey.valuesIterator.flatMap { rows =>
+      val sortedRows = rows.sortBy(_.getInt(0))
+      var acc = 0L
+      sortedRows.map { r =>
+        // series running total entering this partition, minus the local
+        // prefix already accumulated before the series started here
+        val off = acc - r.getLong(keyCols.length + 2)
+        acc += r.getLong(keyCols.length + 1)
+        Row.fromSeq(r.toSeq.dropRight(2) :+ off)
+      }
+    }.toSeq
+    val keyFields = keyCols.map(c => df.schema(c))
+    val offSchema = StructType(
+      StructField("__pid", IntegerType) +: keyFields :+ StructField("__off", LongType))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offSchema)
+    val offRenamed = (Seq("__pid") ++ keyCols).foldLeft(offDf) { (d, c) =>
+      d.withColumnRenamed(c, s"__o_$c")
+    }
+    val cond = (Seq("__pid") ++ keyCols)
+      .map(c => if (c == "__pid") ranged(c) === offRenamed("__o___pid")
+                else ranged(c) <=> offRenamed(s"__o_$c"))
+      .reduce(_ && _)
+    ranged
+      .join(broadcast(offRenamed), cond)
+      .withColumn(outCol, col("__off") + col("__lps"))
+      .drop((Seq("__pid") ++ keyCols).map(c => s"__o_$c")
+        :+ "__pid" :+ "__lrn" :+ "__lps" :+ "__off" :+ "__v": _*)
+  }
 }

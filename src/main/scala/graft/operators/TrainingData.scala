@@ -69,4 +69,23 @@ object TrainingData {
           .orderBy(orderCols.map(col): _*)))
       .drop("__cum")
   }
+
+  /** Token-balanced GLOBAL shard assignment: `shard_id = floor(global
+    * exclusive token prefix / targetTokens)` in `orderCols` order — the
+    * write-side partitioner for training shards of roughly equal token
+    * mass (row-count partitioning skews when document lengths do).
+    *
+    * [[packSequences]] is the per-key version and uses a per-key window;
+    * the GLOBAL prefix here would serialize the corpus onto one task as a
+    * window, so it runs through
+    * [[OrderedPosition.withRunningSum]] (range repartition + per-partition
+    * prefix + broadcast offset table) — fully parallel.
+    */
+  def shardByTokens(df: DataFrame, orderCols: Seq[String], tokenCol: String,
+                    targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    OrderedPosition.withRunningSum(df, Nil, orderCols, tokenCol, "__pfx")
+      .withColumn("shard_id", floor(col("__pfx") / targetTokens).cast("long"))
+      .drop("__pfx")
+  }
 }

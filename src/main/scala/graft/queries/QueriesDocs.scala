@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TrainingData}
 import graft.sources.Tables
 
 /** Training-data-pipeline queries over `documents` and `embeddings`:
@@ -121,6 +121,18 @@ object QueriesDocs {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // Token-balanced global shards: floor(global exclusive token prefix /
+    // 2000) in doc_id order, via the window-free running sum (a global
+    // ORDER BY window would serialize the corpus onto one task)
+    "q82_token_shards" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      TrainingData.shardByTokens(docs, Seq("doc_id"), "n_tokens", targetTokens = 2000)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+    }),
+
     // Trained IVF: deterministic k-means coarse quantizer (fixed-point
     // centroid sums, id-seeded init) + nProbe-bucket search. Golden-pinned
     // (the iterative trainer isn't ANSI-SQL-expressible); SimilaritySpec
@@ -235,6 +247,18 @@ object QueriesDocs {
                 count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                 CAST(count(*) AS INT) AS max_pos
          FROM c GROUP BY 1, 2""",
+    "q82_token_shards" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+               FROM t)
+         SELECT CAST(floor(pfx / 2000) AS BIGINT) AS shard_id,
+                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM c GROUP BY 1""",
     "q22_token_stats" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0

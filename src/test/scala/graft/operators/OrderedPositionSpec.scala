@@ -50,4 +50,43 @@ class OrderedPositionSpec extends SparkSpec {
     got.map(_._2).toSeq shouldBe (0L until 1000L)
     got.map(_._1).toSeq shouldBe got.map(_._1).toSeq.sorted
   }
+
+  test("withRunningSum matches the window cumsum across many partitions") {
+    val data = (0 until 5000).map(i => ((i * 37) % 5000, (i % 13).toLong))
+    val df = data.toDF("ord", "v").repartition(11)
+    val got = OrderedPosition.withRunningSum(df, Nil, Seq("ord"), "v", "pfx")
+      .select("ord", "pfx").as[(Int, Long)].collect().sortBy(_._1)
+    val expected = data.sortBy(_._1).map(_._2).scanLeft(0L)(_ + _).init
+    got.map(_._2).toSeq shouldBe expected
+  }
+
+  test("withRunningSum resets per series, across partition boundaries") {
+    // 3 series x 600 rows: each partition slice of a series must continue
+    // its own series' prefix, not the partition's
+    val df = (0 until 1800).map(i => (s"s${i % 3}", i / 3, 2L))
+      .toDF("series", "ord", "v").repartition(13)
+    val got = OrderedPosition.withRunningSum(df, Seq("series"), Seq("ord"), "v", "pfx")
+      .select("series", "ord", "pfx").as[(String, Int, Long)].collect()
+    got.length shouldBe 1800
+    got.foreach { case (_, ord, pfx) => pfx shouldBe ord * 2L }
+  }
+
+  test("withRunningSum handles negative values and null values (as 0)") {
+    val df = Seq((1, Some(5L)), (2, Some(-3L)), (3, None), (4, Some(2L)))
+      .toDF("ord", "v").repartition(3)
+    val got = OrderedPosition.withRunningSum(df, Nil, Seq("ord"), "v", "pfx")
+      .select("ord", "pfx").as[(Int, Long)].collect().sortBy(_._1)
+    got.map(_._2).toSeq shouldBe Seq(0L, 5L, 2L, 2L)
+  }
+
+  test("shardByTokens balances token mass, not row count") {
+    val docs = (0 until 100).map(i => (i.toLong, if (i < 10) 1000 else 10))
+      .toDF("doc_id", "n_tokens")
+    val shards = TrainingData.shardByTokens(docs, Seq("doc_id"), "n_tokens", 1000L)
+      .groupBy("shard_id").sum("n_tokens")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // ten 1000-token docs -> one shard each; the 90 short docs fill the rest
+    shards.take(10).foreach(_._2 shouldBe 1000L)
+    shards.map(_._2).sum shouldBe (10 * 1000L + 90 * 10L)
+  }
 }
