@@ -32,30 +32,48 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
     ok, bad = [], []
-    import glob as _glob
+    import glob
+    import os
+
+    def load_spark_output(path_glob):
+        # read the Spark side with pyarrow→pandas, NOT duckdb: that is
+        # the driver's reader, and the two disagree on INT96/ns
+        # timestamps (pyarrow wraps year-9999 sentinels at the int64
+        # nanos boundary; duckdb reads them fine — a divergence this
+        # gate must reproduce, not paper over)
+        parts = sorted(glob.glob(path_glob))
+        got = pd.concat([pd.read_parquet(p) for p in parts],
+                        ignore_index=True)
+        for c in got.columns:
+            # Spark stamps isAdjustedToUTC → pyarrow yields tz-aware;
+            # the session timezone is UTC, so dropping the tz is exact
+            if isinstance(got[c].dtype, pd.DatetimeTZDtype):
+                got[c] = got[c].dt.tz_convert("UTC").dt.tz_localize(None)
+            elif got[c].dtype == object and len(got) and isinstance(
+                    got[c].dropna().iloc[0] if got[c].notna().any() else None,
+                    __import__("datetime").date):
+                # parquet date32 → python date objects; the oracle df
+                # yields datetime64 — the driver compares these equal
+                # (q63 date_taken passed round 4), so align here too.
+                # Dates beyond the ns range (year-9999 sentinels) can't
+                # convert — leave as objects; the want side is aligned to
+                # date objects at compare time instead
+                try:
+                    got[c] = pd.to_datetime(got[c])
+                except (ValueError, OverflowError, pd.errors.OutOfBoundsDatetime):
+                    pass
+        return got
+
     for name, sql in sorted(oracles.items()):
         try:
-            # read the Spark side with pyarrow→pandas, NOT duckdb: that is
-            # the driver's reader, and the two disagree on INT96/ns
-            # timestamps (pyarrow wraps year-9999 sentinels at the int64
-            # nanos boundary; duckdb reads them fine — a divergence this
-            # gate must reproduce, not paper over)
-            parts = sorted(_glob.glob(f"{OUT}/{name}/*.parquet"))
-            got = pd.concat([pd.read_parquet(p) for p in parts],
-                            ignore_index=True)
-            for c in got.columns:
-                # Spark stamps isAdjustedToUTC → pyarrow yields tz-aware;
-                # the session timezone is UTC, so dropping the tz is exact
-                if isinstance(got[c].dtype, pd.DatetimeTZDtype):
-                    got[c] = got[c].dt.tz_convert("UTC").dt.tz_localize(None)
-                elif got[c].dtype == object and len(got) and isinstance(
-                        got[c].dropna().iloc[0] if got[c].notna().any() else None,
-                        __import__("datetime").date):
-                    # parquet date32 → python date objects; the oracle df
-                    # yields datetime64 — the driver compares these equal
-                    # (q63 date_taken passed round 4), so align here too
-                    got[c] = pd.to_datetime(got[c])
+            got = load_spark_output(f"{OUT}/{name}/*.parquet")
             want = con.execute(sql).df()
+            for c in want.columns:
+                # align want→date objects where got kept out-of-range dates
+                if (got[c].dtype == object and want[c].dtype.kind == "M"
+                        and got[c].notna().any() and isinstance(
+                            got[c].dropna().iloc[0], __import__("datetime").date)):
+                    want[c] = want[c].dt.date
         except Exception as e:
             bad.append((name, f"load/oracle error: {e}"))
             continue
@@ -113,7 +131,6 @@ def main():
     # rows-only queries (no oracle): compare against committed golden
     # outputs when one exists for this scale factor (run-to-run
     # determinism gate), else report row counts only
-    import glob, os
     golden_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "golden", os.path.basename(SF.rstrip("/")))
     declared = set()
@@ -129,8 +146,9 @@ def main():
     for name in sorted(rows_only):
         gpath = os.path.join(golden_dir, f"{name}.parquet")
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+            # same driver-faithful pyarrow reader as the oracle path —
+            # both sides here are Spark-written parquet
+            got = load_spark_output(f"{OUT}/{name}/*.parquet")
         except Exception as e:
             if os.path.exists(gpath):
                 bad.append((name, f"golden-pinned output unreadable: {e}"))
@@ -142,7 +160,7 @@ def main():
             print(f"ROWS-ONLY {name}: {len(got)} rows" +
                   ("  ** EMPTY **" if len(got) == 0 else ""))
             continue
-        want = con.execute(f"SELECT * FROM read_parquet('{gpath}')").df()
+        want = load_spark_output(gpath)
         rows_only.discard(name)
         if sorted(got.columns) != sorted(want.columns):
             bad.append((name, f"golden columns differ: spark={sorted(got.columns)} golden={sorted(want.columns)}"))

@@ -147,7 +147,14 @@ object TextFunctions {
 
   private[graft] def wordNgramsKernel(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty[String]
-    val t = text.trim.toLowerCase
+    // SQL-trim semantics (spaces only — Java trim also strips \t\n, which
+    // the DuckDB oracle's trim() does not) and Locale.ROOT lowercase, the
+    // same normalization contract as HashKernels.fingerprint40
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    val t = text.substring(lo, hi).toLowerCase(java.util.Locale.ROOT)
     if (t.isEmpty) return Array.empty[String]
     val toks = t.split("\\s+")
     if (toks.length < n) return Array.empty[String]
@@ -174,11 +181,16 @@ object TextFunctions {
   val UrlRe = "https?://[^\\s]+"
   val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
-  /** (n_email, n_url, n_phone) columns for `text`. */
+  /** (n_email, n_url, n_phone) columns for `text`; null text → null
+    * counts (explicit guard — `size` of a null array is -1 or null
+    * depending on ANSI/legacy settings, and the oracle's `len` is NULL).
+    */
   def piiCounts(text: Column): Seq[Column] = Seq(
-    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_email"),
-    size(regexp_extract_all(text, lit(UrlRe), lit(0))).as("n_url"),
-    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phone"))
+    ("n_email", EmailRe), ("n_url", UrlRe), ("n_phone", PhoneRe)).map {
+    case (name, re) =>
+      when(text.isNotNull,
+        size(regexp_extract_all(text, lit(re), lit(0)))).as(name)
+  }
 
   val FingerprintMod: Long = 1L << 40
 

@@ -79,10 +79,14 @@ object Curation {
         .select(col(classCol), col("e.neighbor_id").as(idCol),
           col("e.cosine").as("score"))
     else {
+      // drop NaN before ranking: Spark sorts NaN above every real double,
+      // but the native topk_by_score skips NaN — the fallback must select
+      // the same rows
+      val clean = docs.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
       val w = Window.partitionBy(col(classCol))
         .orderBy(col(scoreCol).desc, col(idCol).asc)
-      docs.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= k && col(scoreCol).isNotNull)
+      clean.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
         .select(col(classCol), col(idCol).cast("long").as(idCol),
           col(scoreCol).cast("double").as("score"))
     }
@@ -164,12 +168,17 @@ object Curation {
       }
     })
     docs
-      .withColumn("quality", TextFunctions.qualityScore(col(textCol), stopwords))
-      .withColumn("contamination", round(contamUdf(col(textCol)), 6))
+      // explicit null-text guard: pieces of qualityScore individually
+      // tolerate null (least() skips it) and would yield a misleading
+      // mid-scale score — an unscorable doc gets null diagnostics
+      .withColumn("quality",
+        when(col(textCol).isNotNull,
+          TextFunctions.qualityScore(col(textCol), stopwords)))
+      .withColumn("contamination",
+        when(col(textCol).isNotNull, round(contamUdf(col(textCol)), 6)))
       .withColumn("sample_bucket",
         pmod(TextFunctions.fingerprint(col(textCol)), lit(denom.toLong)))
-      // coalesce: null text yields null quality/bucket, and a null verdict
-      // is not a verdict — a doc the gate can't score is NOT admitted
+      // and a null verdict is not a verdict: unscorable → NOT admitted
       .withColumn("admitted",
         coalesce(
           col("quality") >= minQuality &&

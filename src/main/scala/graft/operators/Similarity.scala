@@ -162,6 +162,9 @@ object Similarity {
         .agg(sum(round(col("x") * 1e9).cast("long")).as("s"),
           count(lit(1)).as("n"))
         .as[(Int, Int, Long, Long)].collect()
+      // the assignment UDF has fully evaluated (collect above) — release
+      // the iteration's broadcast instead of waiting for a driver GC
+      bc.destroy()
       val next = centroids.map(_.clone())
       stats.foreach { case (c, d, s, n) =>
         next(c)(d) = (s.toDouble / n) / 1e9

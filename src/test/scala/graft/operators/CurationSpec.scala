@@ -31,6 +31,17 @@ class CurationSpec extends SparkSpec {
     out(2) shouldBe ((3L, 1L, 1L, 1.0))
   }
 
+  test("wordNgramsKernel uses SQL-trim (spaces only) and Locale.ROOT lowercase") {
+    import graft.functions.TextFunctions.wordNgramsKernel
+    // a leading tab is NOT trimmed (SQL trim strips spaces only), so the
+    // split yields a leading empty token — matching the DuckDB oracle's
+    // trim()/regexp_split_to_array exactly
+    wordNgramsKernel("\ta b", 3).toSeq shouldBe Seq(" a b")
+    wordNgramsKernel("  a b c  ", 3).toSeq shouldBe Seq("a b c")
+    wordNgramsKernel("A B C", 3).toSeq shouldBe Seq("a b c")
+    wordNgramsKernel(null, 3).toSeq shouldBe Seq.empty
+  }
+
   test("decontaminate normalizes case and whitespace before shingling") {
     val corpus = Seq((1L, "  The   QUICK brown fox ")).toDF("doc_id", "text")
     val bench = Seq((9L, "the quick brown")).toDF("doc_id", "text")
