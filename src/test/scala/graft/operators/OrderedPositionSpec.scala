@@ -71,6 +71,23 @@ class OrderedPositionSpec extends SparkSpec {
     got.foreach { case (_, ord, pfx) => pfx shouldBe ord * 2L }
   }
 
+  test("withRunningSum stays exact at 600k rows (regression: optimizer-dropped sort)") {
+    // the same multi-mapper shuffle-fetch-order trap the position pass
+    // guards against: only visible beyond toy sizes
+    val df = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .withColumn("__ord", col("l_orderkey") * 10 + col("l_linenumber"))
+      .withColumn("__w", col("l_linenumber").cast("long"))
+    val got = OrderedPosition.withRunningSum(df, Nil, Seq("__ord"), "__w", "pfx")
+      .select(col("__ord").cast("long"), col("__w"), col("pfx"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    got.length shouldBe 600000
+    var acc = 0L
+    got.foreach { case (_, w, pfx) =>
+      pfx shouldBe acc
+      acc += w
+    }
+  }
+
   test("withRunningSum handles negative values and null values (as 0)") {
     val df = Seq((1, Some(5L)), (2, Some(-3L)), (3, None), (4, Some(2L)))
       .toDF("ord", "v").repartition(3)
