@@ -192,6 +192,54 @@ object TextFunctions {
         size(regexp_extract_all(text, lit(re), lit(0)))).as(name)
   }
 
+  /** Repetition statistics — the Gopher/C4-style repetition quality
+    * filters: `(dup_token_frac, top_bigram, top_bigram_frac)` where
+    * dup_token_frac = 1 − distinct/total tokens, top_bigram is the most
+    * frequent word 2-gram (ties to the lexicographically smallest), and
+    * top_bigram_frac = its occurrences × its character length / the RAW
+    * text length (the "fraction of characters in the most common 2-gram"
+    * rule). Fewer than 2 tokens → (dup, null, 0.0); null/blank → all-zero
+    * with null bigram. Same normalization contract as
+    * [[wordNgramsKernel]]; JVM kernel for the usual CodegenFallback
+    * reason.
+    */
+  val repetitionStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      if (text == null) (0.0, null: String, 0.0)
+      else {
+        var lo = 0
+        var hi = text.length
+        while (lo < hi && text.charAt(lo) == ' ') lo += 1
+        while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+        val t = text.substring(lo, hi).toLowerCase(java.util.Locale.ROOT)
+        if (t.isEmpty) (0.0, null: String, 0.0)
+        else {
+          val toks = t.split("\\s+")
+          val distinct = new java.util.HashSet[String]()
+          toks.foreach(distinct.add)
+          val dupFrac = 1.0 - distinct.size.toDouble / toks.length
+          if (toks.length < 2) (dupFrac, null: String, 0.0)
+          else {
+            val counts = new java.util.HashMap[String, Int]()
+            var i = 0
+            while (i < toks.length - 1) {
+              val g = toks(i) + " " + toks(i + 1)
+              counts.merge(g, 1, Integer.sum)
+              i += 1
+            }
+            var topG: String = null
+            var topC = 0
+            counts.forEach { (g, c) =>
+              if (c > topC || (c == topC && (topG == null || g.compareTo(topG) < 0))) {
+                topG = g; topC = c
+              }
+            }
+            (dupFrac, topG, topC.toDouble * topG.length / text.length)
+          }
+        }
+      }
+    })
+
   val FingerprintMod: Long = 1L << 40
 
   /** Rolling-hash document fingerprint: seed 7,

@@ -49,6 +49,17 @@ object QueriesCuration {
         defaultRate = 0.25)
         .select(col("doc_id"), col("source"), col("sample_bucket"))),
 
+    // Repetition filters (Gopher/C4 rules): duplicate-token fraction and
+    // most-frequent-bigram character fraction per document
+    "q83_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.repetitionStatsUdf(col("text")).as("r"))
+        .select(col("doc_id"),
+          round(col("r._1"), 6).as("dup_token_frac"),
+          col("r._2").as("top_bigram"),
+          round(col("r._3"), 6).as("top_bigram_frac"))),
+
     // PII / link scan: per-doc email/URL/phone counts + has_pii verdict
     // (documents salted with synthetic contacts so counts are nonzero)
     "q81_pii_scan" -> ((s, d) => {
@@ -162,6 +173,28 @@ object QueriesCuration {
                                  WHEN 'src7' THEN 5000
                                  WHEN 'src13' THEN 8000
                                  ELSE 2500 END""",
+    "q83_repetition" -> raw"""
+      WITH $toksCte,
+      base AS (
+        SELECT doc_id, t, length(text) AS n_raw,
+               CASE WHEN len(t) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+               END AS dup_frac
+        FROM toks),
+      bg AS (
+        SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS gram
+        FROM toks, unnest(range(len(t) - 1)) AS u(i)),
+      cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+      top AS (
+        SELECT doc_id, gram, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rk
+        FROM cnt)
+      SELECT b.doc_id, round(b.dup_frac, 6) AS dup_token_frac,
+             t2.gram AS top_bigram,
+             round(coalesce(CAST(t2.c AS DOUBLE) * length(t2.gram) / b.n_raw, 0.0), 6)
+               AS top_bigram_frac
+      FROM base b LEFT JOIN (SELECT doc_id, gram, c FROM top WHERE rk = 1) t2
+        USING (doc_id)""",
     "q81_pii_scan" -> raw"""
       WITH salted AS (
         SELECT doc_id,

@@ -110,6 +110,25 @@ class CurationSpec extends SparkSpec {
     buckets.values.foreach { b => b should be >= 0L; b should be < 10000L }
   }
 
+  test("repetitionStats computes dup-token and top-bigram fractions") {
+    import graft.functions.TextFunctions.repetitionStatsUdf
+    val out = Seq(
+      "a b a b a b",       // dup 1-2/6; top bigram "a b" x3 of len 3, raw len 11
+      "all distinct words here",
+      "x",                 // single token: no bigram
+      ""
+    ).toDF("text")
+      .select(repetitionStatsUdf(org.apache.spark.sql.functions.col("text")).as("r"))
+      .select("r._1", "r._2", "r._3")
+      .as[(Double, String, Double)].collect()
+    out(0)._1 shouldBe (1.0 - 2.0 / 6) +- 1e-9
+    out(0)._2 shouldBe "a b"
+    out(0)._3 shouldBe (3.0 * 3 / 11) +- 1e-9
+    out(1)._1 shouldBe 0.0
+    out(2) shouldBe ((0.0, null, 0.0))
+    out(3) shouldBe ((0.0, null, 0.0))
+  }
+
   test("piiCounts finds emails, urls, and phone numbers") {
     import graft.functions.TextFunctions
     val df = Seq(
