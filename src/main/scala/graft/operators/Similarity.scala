@@ -97,7 +97,7 @@ object Similarity {
   // ---- Trained IVF (k-means coarse quantizer) ----
 
   /** Nearest centroid by squared L2, ties to the smaller index. */
-  private[operators] def nearestCentroid(v: Array[Double],
+  private[graft] def nearestCentroid(v: Array[Double],
                                          cents: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
@@ -114,7 +114,7 @@ object Similarity {
   }
 
   /** The `nProbe` nearest centroid indices, ascending by (distance, index). */
-  private[operators] def nearestCentroids(v: Array[Double],
+  private[graft] def nearestCentroids(v: Array[Double],
                                           cents: Array[Array[Double]],
                                           nProbe: Int): Array[Int] = {
     val ds = cents.indices.map { c =>

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the pure JVM kernels (no Spark session needed):
+  * normalization contracts, output ranges, and determinism invariants
+  * that the example-based specs can't sweep.
+  */
+object KernelProps extends Properties("Kernels") {
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val ws = Gen.oneOf(" ", "  ", "\t", " \t ")
+  private val text: Gen[String] = for {
+    words <- Gen.listOfN(8, word)
+    seps <- Gen.listOfN(8, ws)
+  } yield words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  property("wordNgrams: every gram has exactly n space-joined tokens") =
+    forAll(text, Gen.choose(1, 4)) { (t, n) =>
+      TextFunctions.wordNgramsKernel(t, n)
+        .forall(_.split(" ", -1).length == n)
+    }
+
+  property("wordNgrams: distinct, and bounded by token count") =
+    forAll(text, Gen.choose(1, 4)) { (t, n) =>
+      val grams = TextFunctions.wordNgramsKernel(t, n)
+      grams.distinct.length == grams.length && {
+        val toks = t.trim.split("\\s+").filter(_ => true)
+        grams.length <= math.max(0, toks.length - n + 1)
+      }
+    }
+
+  property("wordNgrams: invariant to leading/trailing SPACES (SQL trim)") =
+    forAll(text) { t =>
+      TextFunctions.wordNgramsKernel("  " + t + " ", 3).toSeq ==
+        TextFunctions.wordNgramsKernel(t, 3).toSeq
+    }
+
+  property("wordNgrams: case-insensitive") =
+    forAll(text) { t =>
+      TextFunctions.wordNgramsKernel(t.toUpperCase(java.util.Locale.ROOT), 2).toSeq ==
+        TextFunctions.wordNgramsKernel(t, 2).toSeq
+    }
+
+  property("fingerprint40: always in [0, 2^40)") =
+    forAll(text) { t =>
+      val fp = HashKernels.fingerprint40(t)
+      fp >= 0L && fp < (1L << 40)
+    }
+
+  property("fingerprint40: invariant to leading/trailing spaces and case") =
+    forAll(text) { t =>
+      HashKernels.fingerprint40(" " + t + "  ") == HashKernels.fingerprint40(t) &&
+        HashKernels.fingerprint40(t.toUpperCase(java.util.Locale.ROOT)) ==
+          HashKernels.fingerprint40(t)
+    }
+
+  private val vec = Gen.listOfN(4, Gen.choose(-10.0, 10.0)).map(_.toArray)
+
+  property("nearestCentroid: returns the true argmin, ties to smaller index") =
+    forAll(vec, Gen.nonEmptyListOf(vec)) { (v, cents) =>
+      val cs = cents.toArray
+      def d2(c: Array[Double]) =
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+      val got = graft.operators.Similarity.nearestCentroid(v, cs)
+      val best = cs.map(d2).zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      got == best
+    }
+
+  property("simHash40: always in [0, 2^40)") =
+    forAll(text) { t =>
+      val h = HashKernels.simHash40(t)
+      h >= 0L && h < (1L << 40)
+    }
+}
