@@ -112,6 +112,11 @@ object QueriesScience {
     "q68_stream_dedup" -> ((s, d) =>
       StreamingOps.runDedupDocsAvailableNow(s, d).select(col("text"))),
 
+    // Stream-stream interval join with watermark-bounded state: clicks
+    // joined to same-user views within 30 minutes (oracle = batch join)
+    "q84_stream_interval_join" -> ((s, d) =>
+      StreamingOps.runStreamIntervalJoinAvailableNow(s, d)),
+
     // Fixed-depth climatology trace (pressureBracket + extractClim):
     // bracket selection at 75 m, month-15 points over refYear±1, hourly
     // linear interpolation of the lo/hi/mid series
@@ -318,6 +323,15 @@ object QueriesScience {
       FROM w""",
     "q68_stream_dedup" -> """
       SELECT DISTINCT text FROM documents""",
+    "q84_stream_interval_join" -> """
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+                 FROM events)
+      SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+             l.ts AS l_ts, r.ts AS r_ts
+      FROM e l JOIN e r
+        ON l.event_type = 'click' AND r.event_type = 'view'
+       AND l.user_id = r.user_id
+       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '30 minutes'""",
     "q47_multimodal" -> """
       WITH base AS (
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

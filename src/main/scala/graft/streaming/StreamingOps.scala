@@ -152,6 +152,55 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval join: for every left event, the right events
+    * of the same key whose time falls in `[left.ts, left.ts + window]` —
+    * the streaming counterpart of
+    * [[graft.operators.TemporalJoins.intervalJoin]]. Both sides carry
+    * watermarks, and the time-range predicate is what lets Spark bound
+    * the join state: right rows older than the watermark minus the window
+    * are evicted, so state is O(rate × window), not O(stream).
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                         window: String, horizon: String): DataFrame = {
+    val l = left.withWatermark("ts", horizon)
+      .select(col(keyCol).as("__lk"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", horizon)
+      .select(col(keyCol).as("__rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r, expr(
+      s"__lk = __rk AND r_ts >= l_ts AND r_ts <= l_ts + interval $window"))
+      .select(col("__lk").as(keyCol), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
+  /** Run [[streamIntervalJoin]] over the events parquet: clicks joined to
+    * the same user's views within 30 minutes. The single-file source
+    * arrives as one micro-batch, so no row is ever late against the
+    * watermark and the result equals the batch join — the q84 oracle.
+    */
+  def runStreamIntervalJoinAvailableNow(spark: SparkSession, dir: String,
+                                        queryName: String = "graft_stream_ij"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val joined = streamIntervalJoin(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "view"),
+      keyCol = "user_id", window = "30 minutes", horizon = "1 hour")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run the [[graft.operators.Curation.ingestGate]] curation chain over
     * the documents parquet as a bounded stream: the at-ingest formulation
     * of quality + decontamination + stratified sampling. The benchmark

@@ -55,6 +55,25 @@ class StreamingOpsSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingOps
+      .runStreamIntervalJoinAvailableNow(spark, dir, "graft_sij_spec")
+      .collect().map(_.toSeq).toSet
+    val e = graft.sources.Tables.events(spark, dir)
+    import org.apache.spark.sql.functions.{col => f, expr}
+    val l = e.filter(f("event_type") === "click")
+      .select(f("user_id"), f("event_id").as("l_id"), f("ts").as("l_ts"))
+    val r = e.filter(f("event_type") === "view")
+      .select(f("user_id").as("__ru"), f("event_id").as("r_id"), f("ts").as("r_ts"))
+    val batch = l.join(r, l("user_id") === f("__ru") &&
+        expr("r_ts >= l_ts AND r_ts <= l_ts + interval 30 minutes"))
+      .select("user_id", "l_id", "r_id", "l_ts", "r_ts")
+      .collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed.nonEmpty shouldBe true
+  }
+
   test("streaming exact dedup drops in-horizon duplicates, batch-parity on content") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toFile
     dir.deleteOnExit()
