@@ -70,7 +70,10 @@ def main():
             want = con.execute(sql).df()
             for c in want.columns:
                 # align want→date objects where got kept out-of-range dates
-                if (got[c].dtype == object and want[c].dtype.kind == "M"
+                # (guard on membership: a missing column should surface as
+                # the columns-differ diagnostic below, not a KeyError here)
+                if (c in got.columns and got[c].dtype == object
+                        and want[c].dtype.kind == "M"
                         and got[c].notna().any() and isinstance(
                             got[c].dropna().iloc[0], __import__("datetime").date)):
                     want[c] = want[c].dt.date

@@ -156,7 +156,10 @@ object TextFunctions {
     while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
     val t = text.substring(lo, hi).toLowerCase(java.util.Locale.ROOT)
     if (t.isEmpty) return Array.empty[String]
-    val toks = t.split("\\s+")
+    // limit -1 KEEPS trailing empty tokens, matching both Spark's split
+    // and DuckDB's regexp_split_to_array on trailing non-space whitespace
+    // (Java's default limit 0 silently drops them)
+    val toks = t.split("\\s+", -1)
     if (toks.length < n) return Array.empty[String]
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
@@ -198,14 +201,16 @@ object TextFunctions {
     * frequent word 2-gram (ties to the lexicographically smallest), and
     * top_bigram_frac = its occurrences × its character length / the RAW
     * text length (the "fraction of characters in the most common 2-gram"
-    * rule). Fewer than 2 tokens → (dup, null, 0.0); null/blank → all-zero
-    * with null bigram. Same normalization contract as
-    * [[wordNgramsKernel]]; JVM kernel for the usual CodegenFallback
-    * reason.
+    * rule). Fewer than 2 tokens → (dup, null, 0.0); blank → all-zero with
+    * null bigram; null text → null struct (the oracle's NULL
+    * propagation). Character counts are CODEPOINTS (SQL `length()`
+    * parity). Same normalization contract as [[wordNgramsKernel]]; JVM
+    * kernel for the usual CodegenFallback reason.
     */
   val repetitionStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => {
-      if (text == null) (0.0, null: String, 0.0)
+      // null text → null struct (the oracle's NULL propagation)
+      if (text == null) null
       else {
         var lo = 0
         var hi = text.length
@@ -214,7 +219,10 @@ object TextFunctions {
         val t = text.substring(lo, hi).toLowerCase(java.util.Locale.ROOT)
         if (t.isEmpty) (0.0, null: String, 0.0)
         else {
-          val toks = t.split("\\s+")
+          // limit -1: keep trailing empty tokens (Spark/DuckDB split
+          // semantics); a nonempty string always yields ≥ 1 token, so the
+          // fraction below cannot divide by zero
+          val toks = t.split("\\s+", -1)
           val distinct = new java.util.HashSet[String]()
           toks.foreach(distinct.add)
           val dupFrac = 1.0 - distinct.size.toDouble / toks.length
@@ -234,7 +242,12 @@ object TextFunctions {
                 topG = g; topC = c
               }
             }
-            (dupFrac, topG, topC.toDouble * topG.length / text.length)
+            // codepoint counts, not UTF-16 units: SQL length() counts
+            // codepoints (same engine-parity reason fingerprint40 walks
+            // codePointAt)
+            val gLen = topG.codePointCount(0, topG.length)
+            val tLen = text.codePointCount(0, text.length)
+            (dupFrac, topG, topC.toDouble * gLen / tLen)
           }
         }
       }

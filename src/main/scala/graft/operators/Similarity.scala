@@ -114,7 +114,7 @@ object Similarity {
   }
 
   /** The `nProbe` nearest centroid indices, ascending by (distance, index). */
-  private[graft] def nearestCentroids(v: Array[Double],
+  private[operators] def nearestCentroids(v: Array[Double],
                                           cents: Array[Array[Double]],
                                           nProbe: Int): Array[Int] = {
     val ds = cents.indices.map { c =>

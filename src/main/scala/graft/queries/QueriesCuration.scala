@@ -191,8 +191,10 @@ object QueriesCuration {
         FROM cnt)
       SELECT b.doc_id, round(b.dup_frac, 6) AS dup_token_frac,
              t2.gram AS top_bigram,
-             round(coalesce(CAST(t2.c AS DOUBLE) * length(t2.gram) / b.n_raw, 0.0), 6)
-               AS top_bigram_frac
+             CASE WHEN b.t IS NULL THEN NULL
+                  ELSE round(coalesce(CAST(t2.c AS DOUBLE) * length(t2.gram) / b.n_raw,
+                             0.0), 6)
+             END AS top_bigram_frac
       FROM base b LEFT JOIN (SELECT doc_id, gram, c FROM top WHERE rk = 1) t2
         USING (doc_id)""",
     "q81_pii_scan" -> raw"""

@@ -26,7 +26,11 @@ object KernelProps extends Properties("Kernels") {
     forAll(text, Gen.choose(1, 4)) { (t, n) =>
       val grams = TextFunctions.wordNgramsKernel(t, n)
       grams.distinct.length == grams.length && {
-        val toks = t.trim.split("\\s+").filter(_ => true)
+        // reference tokenization = the kernel's contract: SQL trim
+        // (spaces only) then split KEEPING trailing empties
+        val sqlTrimmed = t.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        val toks = if (sqlTrimmed.isEmpty) Array.empty[String]
+                   else sqlTrimmed.split("\\s+", -1)
         grams.length <= math.max(0, toks.length - n + 1)
       }
     }

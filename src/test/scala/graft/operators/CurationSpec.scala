@@ -129,6 +129,25 @@ class CurationSpec extends SparkSpec {
     out(3) shouldBe ((0.0, null, 0.0))
   }
 
+  test("repetitionStats matches SQL split semantics on degenerate whitespace") {
+    import graft.functions.TextFunctions.repetitionStatsUdf
+    val out = Seq("\t", "a a\t")
+      .toDF("text")
+      .select(repetitionStatsUdf(org.apache.spark.sql.functions.col("text")).as("r"))
+      .select("r._1", "r._2", "r._3")
+      .as[(Double, String, Double)].collect()
+    // "\t": SQL trim keeps it; split(-1) → ["", ""] like
+    // regexp_split_to_array — dup 0.5, bigram " " (1 cp) over 1 raw cp
+    out(0) shouldBe ((0.5, " ", 1.0))
+    // trailing tab keeps a trailing empty token: 3 tokens, 2 distinct
+    out(1)._1 shouldBe (1.0 - 2.0 / 3) +- 1e-9
+    // null text → null struct, not a fabricated zero row
+    val nulls = Seq((1, null.asInstanceOf[String])).toDF("id", "text")
+      .select(repetitionStatsUdf(org.apache.spark.sql.functions.col("text")).as("r"))
+      .select("r._1").collect()
+    nulls(0).isNullAt(0) shouldBe true
+  }
+
   test("piiCounts finds emails, urls, and phone numbers") {
     import graft.functions.TextFunctions
     val df = Seq(
