@@ -52,6 +52,17 @@ object FixedScatter {
 
   private val Scales = Seq("full", "standard", "local")
 
+  /** Per-trace legend string from the in-window sample years: a single
+    * year collapses to "y", a range renders "y0 - y1"
+    * (dashboard.py:1765-1770 — shared by both trace modes).
+    */
+  private def legendFor(tagged: DataFrame): DataFrame =
+    tagged.groupBy(col("trace"))
+      .agg(min(year(col("st"))).as("y0"), max(year(col("st"))).as("y1"))
+      .select(col("trace"),
+        when(col("y0") === col("y1"), col("y1").cast("string"))
+          .otherwise(concat(col("y0"), lit(" - "), col("y1"))).as("legend"))
+
   private def manifestFor(base: String, spanString: String, empty: Boolean): Seq[String] = {
     val overlays = if (empty) Seq("none", "time") else Seq("none", "clim", "flag", "time")
     overlays.flatMap(o => Scales.map(sc => s"${base}_${spanString}_${o}_$sc.png"))
@@ -87,7 +98,7 @@ object FixedScatter {
     import spark.implicits._
     val t = col(timeCol)
     val d15 = 15L * 86400000L
-    val yearRef = deployTimes.head.toLocalDateTime.getYear
+    val yearRef = deployTimes.head.toInstant.atZone(java.time.ZoneOffset.UTC).getYear
 
     val first = deployTimes.head
     val ext = samples.agg(count(when(
@@ -98,17 +109,13 @@ object FixedScatter {
 
     val traces = broadcast(deployTimes.zipWithIndex.map { case (dt, i) =>
       (i, new Timestamp(dt.getTime - d15), new Timestamp(dt.getTime + d15),
-        yearRef - dt.toLocalDateTime.getYear)
+        yearRef - dt.toInstant.atZone(java.time.ZoneOffset.UTC).getYear)
     }.toDF("trace", "lo", "hi", "year_diff"))
 
     val tagged = samples.join(traces, t >= col("lo") && t <= col("hi"))
       .select(col("trace"), col("year_diff"), t.as("st"),
         col(valueCol).cast("double").as("v"))
-    val legend = tagged.groupBy(col("trace"))
-      .agg(min(year(col("st"))).as("y0"), max(year(col("st"))).as("y1"))
-      .select(col("trace"),
-        when(col("y0") === col("y1"), col("y1").cast("string"))
-          .otherwise(concat(col("y0"), lit(" - "), col("y1"))).as("legend"))
+    val legend = legendFor(tagged)
     val data = tagged.join(broadcast(legend), "trace")
       .select(col("trace"), col("year_diff"), col("legend"),
         (col("st") + make_dt_interval(col("year_diff") * lit(365))).as("plot_time"),
@@ -136,7 +143,7 @@ object FixedScatter {
       min(year(t)),
       count(when(t >= lit(startDate) && t <= lit(timeRef), 1))).collect()(0)
     val empty = ext.isNullAt(0) || ext.getLong(1) == 0L
-    val refYear = timeRef.toLocalDateTime.getYear
+    val refYear = timeRef.toInstant.atZone(java.time.ZoneOffset.UTC).getYear
     val numYears = if (ext.isNullAt(0)) 0 else math.max(0, refYear - ext.getInt(0))
 
     val baseNames = if (depths.isEmpty) Seq(fileNameBase)
@@ -154,11 +161,7 @@ object FixedScatter {
         (if (pressCol == null) lit(null).cast("double") else col(pressCol).cast("double")).as("press"))
 
     // legend per trace from the in-window sample years (depth-agnostic)
-    val legend = tagged.groupBy(col("trace"))
-      .agg(min(year(col("st"))).as("y0"), max(year(col("st"))).as("y1"))
-      .select(col("trace"),
-        when(col("y0") === col("y1"), col("y1").cast("string"))
-          .otherwise(concat(col("y0"), lit(" - "), col("y1"))).as("legend"))
+    val legend = legendFor(tagged)
 
     val shifted = tagged.join(broadcast(legend), "trace")
       .select(col("trace"), col("legend"),

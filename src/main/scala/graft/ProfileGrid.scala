@@ -106,12 +106,18 @@ object ProfileGrid {
     val sliceLo = if (descentSampled) "peak" else "start"
     val sliceHi = if (descentSampled) "end" else "peak"
 
-    def pts = base.join(
+    // localCheckpoint: the slice feeds BOTH the driver-side stats collect
+    // below and every downstream branch of the returned plan — without it
+    // the sample scan + profile join execute twice (or four times in the
+    // q66 overlay composition). The materialized slice is one (site, span)
+    // window, the same working set the reference holds in memory
+    val pts = base.join(
         broadcast(inWin),
         col(timeCol) >= col(sliceLo) && col(timeCol) <= col(sliceHi))
       .select(col("peak"),
         col(pressParam).cast("double").as("p"),
         col(yParam).cast("double").as("v"))
+      .localCheckpoint()
 
     // per-profile stats: one tiny agg, one row per surviving cast. The gap
     // mask needs each column's successor, so it is computed here on the

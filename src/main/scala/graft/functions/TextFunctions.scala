@@ -102,7 +102,9 @@ object TextFunctions {
     if (text == null) return "und"
     val trimmed = text.trim
     if (trimmed.isEmpty) return "und"
-    val toks = trimmed.toLowerCase.split("\\s+")
+    // Locale.ROOT: locale-sensitive lowercasing (tr-TR dotless ı) would
+    // diverge from the locale-independent Spark lower() this replaced
+    val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     var best = "und"
     var bestHits = 0
     langs.foreach { case (lang, set) =>

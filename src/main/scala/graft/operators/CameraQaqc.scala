@@ -37,12 +37,21 @@ object CameraQaqc {
   def sizeMb(s: Column): Column = {
     val num = regexp_extract(s, "^([0-9]+\\.?[0-9]*)", 1)
     val numD = when(num =!= "", num.cast("double"))
-    // uppercase BEFORE extraction — the pattern itself is case-sensitive
-    val unit = regexp_extract(upper(s), "([KMGB]+)\\s*$", 1)
+    // uppercase BEFORE extraction — the pattern itself is case-sensitive.
+    // Extract ALL trailing letters, then map only the known units: a
+    // partial-suffix pattern like [KMGB]+$ would grab the final "B" of
+    // "GIB"/"TB" and misparse a full-size file as a few bytes
+    val unit = regexp_extract(upper(s), "([A-Z]+)\\s*$", 1)
     val bytes = when(unit === "B", numD)
       .when(unit === "K" || unit === "KB", numD * 1e3)
       .when(unit === "M" || unit === "MB", numD * 1e6)
       .when(unit === "G" || unit === "GB", numD * 1e9)
+      .when(unit === "T" || unit === "TB", numD * 1e12)
+      .when(unit === "KIB", numD * 1024.0)
+      .when(unit === "MIB", numD * 1024.0 * 1024)
+      .when(unit === "GIB", numD * 1024.0 * 1024 * 1024)
+      .when(unit === "TIB", numD * 1024.0 * 1024 * 1024 * 1024)
+    // unknown units fall through to null → "not_blank" via the NaN quirk
     bytes / (1024.0 * 1024.0)
   }
 

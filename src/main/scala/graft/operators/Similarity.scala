@@ -38,10 +38,14 @@ object Similarity {
         .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
           round(col("e.cosine"), 6).as("cosine"))
     else {
+      // pre-filter NaN: the native aggregate skips NaN scores, and Spark
+      // would otherwise rank NaN ABOVE every real cosine in desc order —
+      // the fallback must return the same rows
+      val clean = scored.filter(col("cosine").isNotNull && !isnan(col("cosine")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      scored.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= k && col("cosine").isNotNull)
+      clean.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
         .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
     }

@@ -54,7 +54,13 @@ object QaqcCli {
       case "--s3-bucket" :: v :: t => loop(t, acc.copy(bucket = v))
       case "--prefix" :: v :: t => loop(t, acc.copy(prefix = v))
       case "--span" :: v :: t => loop(t, acc.copy(span = v))
-      case "--threshold" :: v :: t => loop(t, acc.copy(threshold = v.toInt))
+      case "--threshold" :: v :: t =>
+        // keep the Either contract total: a malformed int must surface as
+        // Left, not an uncaught NumberFormatException
+        v.toIntOption match {
+          case Some(n) => loop(t, acc.copy(threshold = n))
+          case None => Left(s"--threshold needs an integer, got: $v")
+        }
       case other :: _ => Left(s"unknown argument: $other")
     }
     loop(argv.toList, CliArgs(time = defaultTime))

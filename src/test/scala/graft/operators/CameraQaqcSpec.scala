@@ -25,6 +25,19 @@ class CameraQaqcSpec extends SparkSpec {
     out("CAMHDA301_e.jpg") shouldBe "not_blank" // np.nan < cutoff is False
   }
 
+  test("sizeMb maps binary units and refuses unknown ones (no B-suffix grab)") {
+    val sizes = Seq("1 GiB", "2 TB", "512 KiB", "3 XB", "7 PB")
+      .toDF("s").select(CameraQaqc.sizeMb(org.apache.spark.sql.functions.col("s")))
+      .as[Option[Double]].collect()
+    sizes(0).get shouldBe 1024.0 +- 1e-9           // GiB is binary
+    sizes(1).get shouldBe (2e12 / 1024 / 1024) +- 1e-3
+    sizes(2).get shouldBe 0.5 +- 1e-9
+    // unknown units must be null (→ not_blank), NOT parsed as bytes via
+    // their trailing 'B'
+    sizes(3) shouldBe None
+    sizes(4) shouldBe None
+  }
+
   test("dailyWide pivots with both columns and the one-file manifest") {
     val listing = Seq(
       (d, "CAMDS_a.jpg", "1M"),

@@ -29,6 +29,12 @@ class QaqcCliSpec extends AnyFunSuite with Matchers {
     parseArgs(Seq("--bogus"), "t").isLeft shouldBe true
   }
 
+  test("malformed --threshold returns Left, not an exception") {
+    val r = QaqcCli.parseArgs(Seq("--site", "X", "--threshold", "5e6"), "2024-01-01")
+    r.isLeft shouldBe true
+    r.left.toOption.get should include("--threshold")
+  }
+
   test("site and stage arguments are mutually exclusive") {
     val args = CliArgs(stage1 = true, site = Some("RS01-CTD"), time = "t")
     buildPlan(args, sites).left.toOption.get should include("Do not use")
