@@ -191,13 +191,22 @@ object StreamingOps {
       src.filter(col("event_type") === "click"),
       src.filter(col("event_type") === "view"),
       keyCol = "user_id", window = "30 minutes", horizon = "1 hour")
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stream-stream join state-store count = shuffle partitions (per side,
+    // per store type): a bounded single-file replay pays store init/commit
+    // × partitions as pure fixed cost, so size it to the replay, not the
+    // session default; a production deployment sizes it to key cardinality
+    // at its own checkpoint. Scoped + restored: queries run sequentially.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
 
