@@ -112,14 +112,16 @@ object StreamingOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = hourlyTypeAgg(stream)
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayPartitions(spark) {
+      val q = hourlyTypeAgg(stream)
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -141,15 +143,29 @@ object StreamingOps {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_seconds(lit(1700000000L)))
-    val q = dedupDocs(stream, "ts", "text", "1 hour")
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayPartitions(spark) {
+      val q = dedupDocs(stream, "ts", "text", "1 hour")
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
+  }
+
+  /** Stateful-operator state-store count = shuffle partitions, and a
+    * bounded single-file replay pays store init/commit × partitions as
+    * pure fixed cost — size it to the replay, not the session default.
+    * Scoped + restored (queries run sequentially); a production
+    * deployment sizes partitions to key cardinality at its checkpoint.
+    */
+  private def withReplayPartitions[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Stream-stream interval join: for every left event, the right events
@@ -191,14 +207,7 @@ object StreamingOps {
       src.filter(col("event_type") === "click"),
       src.filter(col("event_type") === "view"),
       keyCol = "user_id", window = "30 minutes", horizon = "1 hour")
-    // stream-stream join state-store count = shuffle partitions (per side,
-    // per store type): a bounded single-file replay pays store init/commit
-    // × partitions as pure fixed cost, so size it to the replay, not the
-    // session default; a production deployment sizes it to key cardinality
-    // at its own checkpoint. Scoped + restored: queries run sequentially.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withReplayPartitions(spark) {
       val q = joined.writeStream
         .format("memory")
         .queryName(queryName)
@@ -206,7 +215,7 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(queryName)
   }
 
