@@ -39,6 +39,27 @@ object Pipeline {
       .getOrElse(sys.error(s"unresolvable time parameter: $timeParam"))
     val params = site.dataParameters.filterNot(_ == timeParam)
       .flatMap(p => resolver.resolve(p, cols).map(p -> _))
+    // no resolvable parameter → an EMPTY PlotData with the full schema,
+    // honoring the documented logs-and-continues contract (an
+    // empty.reduce below would crash the whole site instead)
+    if (params.isEmpty) {
+      val spark = df.sparkSession
+      val emptyData = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ref_des",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("parameter",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("flag",
+            org.apache.spark.sql.types.IntegerType))))
+      return PlotData(emptyData,
+        emptyData.select(concat_ws("__", col("ref_des"), col("parameter")).as("artifact")))
+    }
     val sliced = df.filter(col(timeCol) >= window._1 && col(timeCol) <= window._2)
     // melt to long form: one union branch per parameter — each branch
     // projects (time, one value column), so the scan reads only what's used

@@ -51,9 +51,22 @@ object ProfileScatter {
 
     val extent = base.agg(min(col(timeCol)), max(col(timeCol))).collect()(0)
     if (extent.isNullAt(0)) {
-      // no data in window: three "none" artifacts for plot 000, no data rows
+      // no data in window: three "none" artifacts for plot 000, no data
+      // rows — but with the ADVERTISED (plot_idx, x, y, z) schema, so
+      // consumers projecting those columns don't fail only on this branch
       val manifest = Scales.map(s => s"${fileNameBase}_000profile_${spanString}_none_$s.png")
-      return Result(spark.emptyDataFrame, manifest)
+      val emptyData = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("plot_idx",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("y",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("z",
+            org.apache.spark.sql.types.TimestampType))))
+      return Result(emptyData, manifest)
     }
     val maskStart = new Timestamp(extent.getTimestamp(0).getTime - 5 * 60000L)
     val maskEnd = new Timestamp(extent.getTimestamp(1).getTime + 5 * 60000L)
@@ -79,13 +92,18 @@ object ProfileScatter {
     // like the reference (empty groups produce no plot and no index)
     val counts = tagged.groupBy(col("peak")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getTimestamp(0), r.getLong(1))).sortBy(_._1.getTime)
-    val nonEmptyPeaks = counts.filter(_._2 > 0).map(_._1)
+    // groupBy only emits groups with ≥1 row, so every collected peak is
+    // non-empty by construction (empty profiles were dropped by the join)
+    val nonEmptyPeaks = counts.map(_._1)
 
     // sub-plot grouping per span (reference group_profiles_by_span,
     // dashboard.py:1277-1296): day → one plot per profile; week → per
     // calendar day; month → per ISO (year, week); else per (year, month)
     def groupOf(p: Timestamp): (Int, Int, Int) = {
-      val ld = p.toLocalDateTime
+      // explicit UTC: toLocalDateTime uses the JVM default timezone, which
+      // would shift day/week/month membership near boundaries on non-UTC
+      // drivers (the reference groups in UTC)
+      val ld = p.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
       if (spanString.contains("day")) (0, 0, nonEmptyPeaks.indexWhere(_ == p))
       else if (spanString.contains("week")) (ld.getYear, ld.getMonthValue, ld.getDayOfMonth)
       else if (spanString.contains("month")) {

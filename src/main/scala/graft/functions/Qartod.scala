@@ -51,15 +51,21 @@ object Qartod {
     */
   def climatologyFixed(df: DataFrame, timeCol: String, valueCol: String,
                        clim: DataFrame, outCol: String): DataFrame = {
-    val joined = df.join(broadcast(clim), month(df(timeCol)) === clim("month"), "left")
+    // prefix the clim columns: dropping "month"/"sus_lo" by NAME after the
+    // join would also delete same-named columns the caller's df carries
+    val c = clim.select(col("month").as("__clim_month"),
+      col("sus_lo").as("__clim_lo"), col("sus_hi").as("__clim_hi"))
+    val joined = df.join(broadcast(c),
+      month(df(timeCol)) === col("__clim_month"), "left")
     val x = df(valueCol)
-    val lo = clim("sus_lo")
-    val hi = clim("sus_hi")
-    val flag = when(clim("month").isNull, Pass)
+    val lo = col("__clim_lo")
+    val hi = col("__clim_hi")
+    val flag = when(col("__clim_month").isNull, Pass)
       .when(lo.isNull || hi.isNull || lo.isNaN || hi.isNaN, Missing)
       .when(x.isNotNull && !x.isNaN && (x <= lo || x >= hi), Suspect)
       .otherwise(Pass)
-    joined.withColumn(outCol, flag).drop("month", "sus_lo", "sus_hi")
+    joined.withColumn(outCol, flag)
+      .drop("__clim_month", "__clim_lo", "__clim_hi")
   }
 
   /** Binned climatology: month equality + depth in `[depth_lo, depth_hi)`.
@@ -70,19 +76,25 @@ object Qartod {
   def climatologyBinned(df: DataFrame, timeCol: String, valueCol: String,
                         depthCol: String, clim: DataFrame, outCol: String): DataFrame = {
     val d = df(depthCol)
+    // prefixed clim columns — same caller-column-collision guard as
+    // [[climatologyFixed]]
+    val c = clim.select(col("month").as("__clim_month"),
+      col("depth_lo").as("__clim_dlo"), col("depth_hi").as("__clim_dhi"),
+      col("sus_lo").as("__clim_lo"), col("sus_hi").as("__clim_hi"))
     val joined = df.join(
-      broadcast(clim),
-      month(df(timeCol)) === clim("month") && d >= clim("depth_lo") && d < clim("depth_hi"),
+      broadcast(c),
+      month(df(timeCol)) === col("__clim_month") &&
+        d >= col("__clim_dlo") && d < col("__clim_dhi"),
       "left")
     val x = df(valueCol)
-    val lo = clim("sus_lo")
-    val hi = clim("sus_hi")
-    val flag = when(clim("month").isNull, Pass)
+    val lo = col("__clim_lo")
+    val hi = col("__clim_hi")
+    val flag = when(col("__clim_month").isNull, Pass)
       .when(lo.isNull || hi.isNull || lo.isNaN || hi.isNaN, Missing)
       .when(x.isNotNull && !x.isNaN && (x <= lo || x >= hi), Suspect)
       .otherwise(Pass)
     joined.withColumn(outCol, flag)
-      .drop("month", "depth_lo", "depth_hi", "sus_lo", "sus_hi")
+      .drop("__clim_month", "__clim_dlo", "__clim_dhi", "__clim_lo", "__clim_hi")
   }
 
   /** Fixed-depth climatology trace — the data behind the scatter clim

@@ -157,6 +157,10 @@ object Decimate {
         col(keyCol).cast("string").as("key"),
         col(xCol).cast("double").as("x"),
         col(yCol).cast("double").as("y"))
+      // null points are unplottable and would crash the non-nullable
+      // tuple deserializer below; dropping them mirrors the coarsen
+      // path, whose avg() skips nulls
+      .filter(col("key").isNotNull && col("x").isNotNull && col("y").isNotNull)
       .as[(String, Double, Double)]
       .groupByKey(_._1)
       // Sort by (x, y) — x alone leaves duplicate-x rows in nondeterministic

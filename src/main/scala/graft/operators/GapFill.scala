@@ -16,10 +16,20 @@ object GapFill {
     * nearest non-null neighbours; leading/trailing nulls stay null
     * (xarray `interpolate_na(method="linear")` default).
     * `orderCol` must be numeric (e.g. epoch micros).
+    *
+    * NaN values are treated as MISSING, like pandas/xarray interpolate —
+    * a NaN anchor would otherwise poison every cell it brackets.
+    *
+    * `maxGap` (in `orderCol` units): when set, cells whose bracketing
+    * real observations are further apart than this stay null instead of
+    * lerping across the void — the reference's interpolated-cell gap
+    * masking (qaqc/dashboard.py:962-967), expressed where the
+    * interpolation anchors are already known.
     */
   def interpolateLinear(df: DataFrame, keyCols: Seq[String], orderCol: String,
                         valueCol: String, outCol: String,
-                        tieBreak: Seq[String] = Nil): DataFrame = {
+                        tieBreak: Seq[String] = Nil,
+                        maxGap: Option[Double] = None): DataFrame = {
     val part: Seq[Column] = keyCols.map(col)
     val order = col(orderCol) +: tieBreak.map(col)
     val back = (if (part.isEmpty) Window.orderBy(order: _*)
@@ -36,16 +46,22 @@ object GapFill {
     val fwd = (if (part.isEmpty) Window.orderBy(orderDesc: _*)
                else Window.partitionBy(part: _*).orderBy(orderDesc: _*))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val v = col(valueCol)
+    val raw = col(valueCol)
+    // effective value: NaN is missing, not an anchor
+    val v = when(raw.isNotNull && !raw.isNaN, raw)
     val t = col(orderCol).cast("double")
     val prevV = last(when(v.isNotNull, v), ignoreNulls = true).over(back)
     val prevT = last(when(v.isNotNull, t), ignoreNulls = true).over(back)
     val nextV = last(when(v.isNotNull, v), ignoreNulls = true).over(fwd)
     val nextT = last(when(v.isNotNull, t), ignoreNulls = true).over(fwd)
     val lerp = prevV + (nextV - prevV) * (t - prevT) / (nextT - prevT)
+    val inGap = maxGap match {
+      case Some(g) => nextT - prevT <= g
+      case None => lit(true)
+    }
     df.withColumn(outCol,
       when(v.isNotNull, v)
-        .when(prevV.isNotNull && nextV.isNotNull,
+        .when(prevV.isNotNull && nextV.isNotNull && inGap,
           when(nextT === prevT, prevV).otherwise(lerp))
         .otherwise(lit(null)))
   }
@@ -95,12 +111,16 @@ object GapFill {
     import org.apache.spark.sql.Row
     def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
     def tOf(r: Row): Double = r.get(tIdx).asInstanceOf[Number].doubleValue()
+    // real observation = non-null AND non-NaN (same missing-value
+    // contract as interpolateLinear)
+    def isReal(r: Row): Boolean = !r.isNullAt(vIdx) &&
+      !java.lang.Double.isNaN(r.get(vIdx).asInstanceOf[Number].doubleValue())
     // per-(partition, series) first/last non-null (t, v)
     val bounds = rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap
         .empty[Seq[Any], ((Double, Double), (Double, Double))]
       it.foreach { r =>
-        if (!r.isNullAt(vIdx)) {
+        if (isReal(r)) {
           val k = keyOf(r)
           val tv = (tOf(r), r.get(vIdx).asInstanceOf[Number].doubleValue())
           m.get(k) match {
@@ -138,7 +158,7 @@ object GapFill {
         val r = buf(i)
         val k = keyOf(r)
         if (k != curKey) { curKey = k; seedPrev(k) }
-        if (!r.isNullAt(vIdx)) {
+        if (isReal(r)) {
           curHas = true; curT = tOf(r)
           curV = r.get(vIdx).asInstanceOf[Number].doubleValue()
         }
@@ -160,7 +180,7 @@ object GapFill {
         val r = buf(i)
         val k = keyOf(r)
         if (k != curKey) { curKey = k; seedNext(k) }
-        if (!r.isNullAt(vIdx)) {
+        if (isReal(r)) {
           curHas = true; curT = tOf(r)
           curV = r.get(vIdx).asInstanceOf[Number].doubleValue()
         }
@@ -171,7 +191,7 @@ object GapFill {
       while (i < n) {
         val r = buf(i)
         val v: Any =
-          if (!r.isNullAt(vIdx))
+          if (isReal(r))
             java.lang.Double.valueOf(
               r.get(vIdx).asInstanceOf[Number].doubleValue())
           else if (hasPrev(i) && hasNext(i)) {
@@ -190,9 +210,16 @@ object GapFill {
           org.apache.spark.sql.types.DoubleType)))
   }
 
-  /** W3 time-gap masking: null out `valueCol` where the gap to the previous
-    * sample exceeds `maxGapSeconds` (the reference NaNs interpolated cells
-    * between day-plus gaps, qaqc/dashboard.py:962-967).
+  /** W3 time-gap masking over RAW (ungridded) series: null out `valueCol`
+    * on the first sample whose gap to the previous sample exceeds
+    * `maxGapSeconds` — a visual break marker for line plots drawn from
+    * raw data. NOTE this is NOT the reference's interpolated-cell masking
+    * (qaqc/dashboard.py:962-967, nulling grid cells that BRIDGE a
+    * day-plus gap): on a regular grid every step equals `stepSeconds`,
+    * so this predicate never fires there. For gridded series pass
+    * `maxGap` to [[interpolateLinear]], which masks at the anchors;
+    * the profiler-grid composition ([[graft.ProfileGrid]]) carries its
+    * own reference-faithful day-gap mask.
     */
   def maskGaps(df: DataFrame, keyCols: Seq[String], timeCol: String,
                valueCol: String, maxGapSeconds: Long): DataFrame = {
@@ -206,6 +233,14 @@ object GapFill {
     * series' min and max time, observed values joined on, everything else
     * null — ready for [[interpolateLinear]]. Grid generation is
     * `sequence()` + `explode` (distributed, no driver loop).
+    *
+    * CONTRACT: observations must sit ON grid points (`min + k·step`, as a
+    * resample/bin step guarantees and [[graft.functions.Qartod.climTrace]]'s
+    * whole-hour month points do) — an off-grid observation matches no grid
+    * row and does NOT contribute, not even as an interpolation anchor.
+    * For scattered data use the union-with-samples pattern
+    * ([[graft.ProfileGrid]], q41): anchors ride along as non-grid rows
+    * and are filtered after interpolation.
     */
   def timeGrid(df: DataFrame, keyCols: Seq[String], timeCol: String,
                stepSeconds: Long): DataFrame = {

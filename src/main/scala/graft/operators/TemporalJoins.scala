@@ -106,6 +106,10 @@ object TemporalJoins {
           lit(null).cast(nullRvType).as("__rv")) ++
           lCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
     val rightTagged = right
+      // a null right time has no place on the as-of axis: it would sort
+      // FIRST (nulls-first asc) and become the carried match for every
+      // left row before the first real right row
+      .filter(col(rTime).isNotNull)
       .withColumn(sentinel, lit(0))
       .withColumn(t, col(rTime))
       .select(

@@ -38,6 +38,30 @@ class PipelineSpec extends SparkSpec {
       .select("flag").distinct().as[Int].collect() shouldBe Array(1)
   }
 
+  test("no resolvable parameter yields an EMPTY PlotData with the full schema") {
+    val site = mkSite("lttb").copy(dataParameters = Seq("time", "ghost"))
+    val pd = Pipeline.plotData(df, site, resolver, "time",
+      (lit("2024-01-01 00:00:00").cast("timestamp"),
+        lit("2024-01-01 23:59:59").cast("timestamp")),
+      Map.empty, threshold = 50)
+    pd.data.count() shouldBe 0
+    pd.data.columns.toSeq shouldBe Seq("ref_des", "parameter", "t", "value", "flag")
+    pd.manifest.count() shouldBe 0
+  }
+
+  test("lttb path tolerates null measurements (dropped like coarsen's avg)") {
+    val withNulls = df.withColumn("temp",
+      when(col("press") % 7 === 0, lit(null)).otherwise(col("temp")))
+    val pd = Pipeline.plotData(withNulls, mkSite("lttb"), resolver, "time",
+      (lit("2024-01-01 00:00:00").cast("timestamp"),
+        lit("2024-01-01 23:59:59").cast("timestamp")),
+      Map.empty, threshold = 50)
+    // must not crash on the non-nullable deserializer; both series decimate
+    val byParam = pd.data.groupBy("parameter").count().as[(String, Long)].collect().toMap
+    byParam("temperature") shouldBe 50L
+    byParam("pressure") shouldBe 50L
+  }
+
   test("coarsen path: bucket means with flags applied after decimation") {
     val pd = Pipeline.plotData(df, mkSite("coarsen"), resolver, "time",
       (lit("2024-01-01 00:00:00").cast("timestamp"),

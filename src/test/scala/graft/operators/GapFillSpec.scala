@@ -21,6 +21,37 @@ class GapFillSpec extends SparkSpec {
     out shouldBe Array(None, Some(10.0), Some(20.0), Some(30.0), Some(40.0), None)
   }
 
+  test("interpolateLinear treats NaN as missing, not an anchor") {
+    val df = Seq(
+      ("a", 0.0, Some(0.0)),
+      ("a", 1.0, Some(Double.NaN)), // would otherwise poison 0..2
+      ("a", 2.0, None: Option[Double]),
+      ("a", 3.0, Some(30.0))
+    ).toDF("k", "t", "v")
+    val out = GapFill.interpolateLinear(df, Seq("k"), "t", "v", "f")
+      .orderBy("t").select("f").as[Option[Double]].collect()
+    out shouldBe Array(Some(0.0), Some(10.0), Some(20.0), Some(30.0))
+    // the ranged version shares the missing-value contract
+    val ranged = GapFill.interpolateLinearRanged(df, Seq("k"), "t", "v", "f")
+      .orderBy("t").select("f").as[Option[Double]].collect()
+    ranged shouldBe out
+  }
+
+  test("interpolateLinear maxGap leaves cells bridging long gaps null") {
+    val df = Seq(
+      ("a", 0.0, Some(0.0)),
+      ("a", 1.0, None: Option[Double]),   // gap 0..2 = 2 <= 5: filled
+      ("a", 2.0, Some(20.0)),
+      ("a", 5.0, None),                   // gap 2..10 = 8 > 5: masked
+      ("a", 8.0, None),
+      ("a", 10.0, Some(100.0))
+    ).toDF("k", "t", "v")
+    val out = GapFill.interpolateLinear(df, Seq("k"), "t", "v", "f",
+        maxGap = Some(5.0))
+      .orderBy("t").select("f").as[Option[Double]].collect()
+    out shouldBe Array(Some(0.0), Some(10.0), Some(20.0), None, None, Some(100.0))
+  }
+
   test("interpolateLinear respects uneven time spacing") {
     val df = Seq(("a", 0.0, Some(0.0)), ("a", 10.0, None: Option[Double]),
         ("a", 40.0, Some(40.0)))
