@@ -45,9 +45,15 @@ object ArrayTests {
         (st.getField("s") + x.cast("double")).as("s"),
         (st.getField("ss") + x.cast("double") * x.cast("double")).as("ss"),
         (st.getField("n") + 1L).as("n")))
+    // clamp before sqrt: the one-pass E[x²]−E[x]² variance cancels to a
+    // TINY NEGATIVE for flat arrays (measured −1.7e-18 for [0.1,0.1,0.1]),
+    // and sqrt(negative) = NaN would make flatSignal miss exactly the
+    // stuck-sensor signals it exists to catch
     when(acc.getField("n") > 0,
-      sqrt(acc.getField("ss") / acc.getField("n") -
-        (acc.getField("s") / acc.getField("n")) * (acc.getField("s") / acc.getField("n"))))
+      sqrt(greatest(
+        acc.getField("ss") / acc.getField("n") -
+          (acc.getField("s") / acc.getField("n")) * (acc.getField("s") / acc.getField("n")),
+        lit(0.0))))
   }
 
   /** A8 flat-signal test: std below `minStd` (sensor stuck). */

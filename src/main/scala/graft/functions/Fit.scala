@@ -149,7 +149,10 @@ object Fit {
       return (Double.NaN, Array.fill(3)(Double.NaN), Double.NaN)
     val c0 = 1.46380e-02; val c1 = 1.67660e-03; val c2 = 2.91898e-05
     val c3 = -7.56395e-06; val c4 = 1.27353e-07
-    val idx = wl.indices.filter(i => wlLower <= wl(i) && wl(i) <= wlUpper)
+    // clamp to the shortest calibration array: a wavelength grid longer
+    // than a mid-deployment cal revision must not index past it
+    val maxLen = Seq(wl.length, eno3.length, eswa.length, di.length, sw.length).min
+    val idx = (0 until maxLen).filter(i => wlLower <= wl(i) && wl(i) <= wlUpper)
     val n = idx.length
     if (n == 0) return (Double.NaN, Array.fill(3)(Double.NaN), Double.NaN)
     val design = new Array[Array[Double]](n)
@@ -174,22 +177,21 @@ object Fit {
   // ---- Column-level wrappers ----
 
   /** Fit y[i] ≈ intercept + slope·i over the elements of an array column.
-    * Returns struct(slope, intercept, rmse).
+    * Returns struct(slope, intercept, rmse). Null array → null struct
+    * (Spark does not auto-null-check Seq udf params).
     */
   def indexLinFitCol(ys: Column): Column = {
     val f = udf { (y: Seq[Double]) =>
-      val xs = Array.tabulate(y.length)(_.toDouble)
-      val (s, a, r) = linFit(xs, y.toArray)
-      (s, a, r)
+      if (y == null) null
+      else {
+        val xs = Array.tabulate(y.length)(_.toDouble)
+        val (s, a, r) = linFit(xs, y.toArray)
+        (s, a, r)
+      }
     }
     f(ys.cast("array<double>")).cast("struct<slope:double,intercept:double,rmse:double>")
   }
 
-  /** Fit ys ≈ c0·basis0 + c1·basis1 + c2·basis2 where the bases are the
-    * NUTNR-shaped design ([ENO3-like curve, constant 1/100, wavelength/1000]
-    * in the reference): here parameterized as (e, ones/100, idx/1000).
-    * Returns struct(c0, c1, c2, rmse).
-    */
   /** Column wrapper for [[nitrateFit]]: per-row arrays (spectrum + the
     * as-of-joined calibration arrays) + scalars in, struct(no3, coeffs,
     * rmse) out. Each row independent — scales with the scan.
@@ -201,10 +203,13 @@ object Fit {
     val f = udf { (spectra: Seq[Seq[Double]], dark: Double,
                    t: Double, sp: Double, calT: Double,
                    lo: Double, hi: Double, frame: String) =>
-      val (no3, c, rmse) = nitrateFit(
-        spectra(0).toArray, spectra(1).toArray, spectra(2).toArray,
-        spectra(3).toArray, spectra(4).toArray, dark, t, sp, calT, lo, hi, frame)
-      (no3, c.toSeq, rmse)
+      if (spectra == null || spectra.exists(_ == null)) null
+      else {
+        val (no3, c, rmse) = nitrateFit(
+          spectra(0).toArray, spectra(1).toArray, spectra(2).toArray,
+          spectra(3).toArray, spectra(4).toArray, dark, t, sp, calT, lo, hi, frame)
+        (no3, c.toSeq, rmse)
+      }
     }
     val spectra = array(wl.cast("array<double>"), eno3.cast("array<double>"),
       eswa.cast("array<double>"), di.cast("array<double>"), sw.cast("array<double>"))
@@ -214,12 +219,24 @@ object Fit {
       .cast("struct<no3:double,coeffs:array<double>,rmse:double>")
   }
 
+  /** Fit ys ≈ c0·basis0 + c1·basis1 + c2·basis2 with the NUTNR-shaped
+    * design ([ENO3-like curve, constant 1/100, index/1000]). Returns
+    * struct(c0, c1, c2, rmse); null or empty inputs → null / all-NaN
+    * (lsqFit returns an EMPTY coefficient array for n = 0, which must
+    * not be indexed).
+    */
   def nutnrFitCol(absorbance: Column, eno3: Column): Column = {
     val f = udf { (a: Seq[Double], e: Seq[Double]) =>
-      val n = math.min(a.length, e.length)
-      val design = Array.tabulate(n)(i => Array(e(i), 0.01, i / 1000.0))
-      val (c, rmse) = lsqFit(design, a.toArray.take(n))
-      (c(0), c(1), c(2), rmse)
+      if (a == null || e == null) null
+      else {
+        val n = math.min(a.length, e.length)
+        if (n == 0) (Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+        else {
+          val design = Array.tabulate(n)(i => Array(e(i), 0.01, i / 1000.0))
+          val (c, rmse) = lsqFit(design, a.toArray.take(n))
+          (c(0), c(1), c(2), rmse)
+        }
+      }
     }
     f(absorbance.cast("array<double>"), eno3.cast("array<double>"))
       .cast("struct<c0:double,c1:double,c2:double,rmse:double>")

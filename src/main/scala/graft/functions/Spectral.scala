@@ -24,22 +24,35 @@ object Spectral {
   def bandRatio(a: Column, iNum: Int, iDen: Int): Column =
     when(at(a, iDen) =!= 0.0, at(a, iNum) / at(a, iDen))
 
-  /** Exact median of 3 consecutive elements centered at `i` (the reference
-    * takes `nanmedian(abs[:, idx±1])` — a 3-window): sort and take the
-    * middle.
+  /** Exact median of the (up to) 3 consecutive elements centered at `i`
+    * (the reference takes `nanmedian(abs[:, idx±1])` — a 3-window): sort
+    * and take the middle. Windows truncated at the array EDGES follow
+    * numpy median semantics — mean of 2 elements, the element itself for
+    * 1 — and an index-0 center no longer builds the illegal
+    * `slice(a, 0, 3)` (SQL slice is 1-based).
     */
-  def median3(a: Column, i: Int): Column =
-    element_at(sort_array(slice(a, i, 3)), 2) // slice is 1-based: i-1 0-based start
+  def median3(a: Column, i: Int): Column = {
+    val start1 = math.max(i, 1) // 1-based window start (0-based i−1)
+    val len = least(lit(i + 2), size(a)) - lit(start1) + 1
+    val s = sort_array(slice(a, lit(start1), len))
+    when(size(s) === 3, element_at(s, 2))
+      .when(size(s) === 2, (element_at(s, 1) + element_at(s, 2)) / 2.0)
+      .when(size(s) === 1, element_at(s, 1))
+  }
 
   /** Chlorophyll-style line height at index `iPeak` against the baseline
     * interpolated between `iLo` and `iHi` (reference formula at
     * calculateFunctions.py:764-774, with 3-point medians at each band).
+    * The baseline fraction uses the NOMINAL band wavelengths — the
+    * reference computes `((a715−a650)/(715−650))·(676−650) + a650` with
+    * those constants, NOT an index or grid fraction.
     */
-  def lineHeight(a: Column, iLo: Int, iPeak: Int, iHi: Int): Column = {
+  def lineHeight(a: Column, iLo: Int, iPeak: Int, iHi: Int,
+                 wlLo: Double, wlPeak: Double, wlHi: Double): Column = {
     val mLo = median3(a, iLo)
     val mPk = median3(a, iPeak)
     val mHi = median3(a, iHi)
-    val frac = (iPeak - iLo).toDouble / (iHi - iLo).toDouble
+    val frac = (wlPeak - wlLo) / (wlHi - wlLo)
     mPk - (mLo + (mHi - mLo) * frac)
   }
 
@@ -73,7 +86,7 @@ object Spectral {
     Seq(
       "ratio_412_440" -> bandRatio(a, i412, i440),
       "ratio_443_440" -> bandRatio(a, i443, i440),
-      "chl_line_height" -> lineHeight(a, i650, i676, i715),
+      "chl_line_height" -> lineHeight(a, i650, i676, i715, 650.0, 676.0, 715.0),
       "poc" -> scaledMedian(c, i660, 381.0))
   }
 }

@@ -20,6 +20,9 @@ object HitlNotes {
     "Stage2" -> Seq("CAMHD", "OPTAA", "PREST", "THSPH", "TMPSF", "TRHPH", "VEL3D", "ZPLSC"),
     "Stage3" -> Seq("CAMDS", "HPIES", "HYDBB", "HYDLF", "MASSP", "OBSBB", "OBSSP"),
     "Stage4" -> Seq("FLOBNC", "FLOBNM", "OSMOIA", "PPS", "RAS", "D1000"),
+    // "CEO2SHBP" (letter O) preserves the reference's OWN typo for
+    // CE02SHBP (notes.py:111) — a note labelled with the real site code
+    // never matches there either; fixing it here would diverge
     "Sites" -> Seq("CEO2SHBP", "CE04OSBP", "CE04OSPD", "CE04OSPS", "RS01SBPD",
       "RS01SBPS", "RS01SLBS", "RS01SUM1", "RS01SUM2", "RS03AXBS", "RS03AXPD",
       "RS03AXPS", "RS03INT1", "RS03INT2", "RS03CCAL", "RS03ECAL", "RS03ASHS"))

@@ -59,7 +59,8 @@ object QueriesScience {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         .select(col("vec_id"),
           round(Spectral.bandRatio(e, 1, 4), 6).as("band_ratio"),
-          round(Spectral.lineHeight(e, 10, 11, 12), 6).as("line_height"),
+          round(Spectral.lineHeight(e, 10, 11, 12, 650.0, 676.0, 715.0), 6)
+            .as("line_height"),
           round(Spectral.scaledMedian(e, 20, 381.0), 6).as("poc_proxy"))
     }),
 
@@ -226,7 +227,8 @@ object QueriesScience {
              round(CASE WHEN e[5] != 0 THEN e[2] / e[5] END, 6) AS band_ratio,
              round(list_sort(e[11:13])[2] -
                    (list_sort(e[10:12])[2] +
-                    (list_sort(e[12:14])[2] - list_sort(e[10:12])[2]) * 0.5), 6) AS line_height,
+                    (list_sort(e[12:14])[2] - list_sort(e[10:12])[2])
+                      * ((676.0 - 650.0) / (715.0 - 650.0))), 6) AS line_height,
              round(list_sort(e[20:22])[2] * 381.0, 6) AS poc_proxy
       FROM base""",
     "q44_array_flags" -> """
@@ -234,8 +236,8 @@ object QueriesScience {
       t AS (SELECT vec_id,
                    len(list_filter(e[1:8], x -> x > 0.1)) < 2 AS vote,
                    len(list_filter(e, x -> x < -0.4 OR x > 0.4)) > 0 AS rng,
-                   sqrt(list_sum(list_transform(e, x -> x*x)) / len(e)
-                        - (list_sum(e) / len(e))^2) < 0.12 AS flat
+                   sqrt(greatest(list_sum(list_transform(e, x -> x*x)) / len(e)
+                        - (list_sum(e) / len(e))^2, 0.0)) < 0.12 AS flat
             FROM base)
       SELECT concat(CASE WHEN vote THEN '3' ELSE '1' END,
                     CASE WHEN rng THEN '3' ELSE '1' END,

@@ -24,6 +24,17 @@ class SpectralSpec extends SparkSpec {
     df.select(Spectral.median3(col("e"), 6)).as[Double].collect()(0) shouldBe 8.0
   }
 
+  test("median3 truncated edge windows use numpy median semantics") {
+    val d2 = Seq(Array(4.0, 1.0, 3.0)).toDF("e")
+    // center 0: window (4,1) -> mean 2.5 (and no illegal slice(a,0,3))
+    d2.select(Spectral.median3(col("e"), 0)).as[Double].collect()(0) shouldBe 2.5
+    // center = last index: window (1,3) -> mean 2.0
+    d2.select(Spectral.median3(col("e"), 2)).as[Double].collect()(0) shouldBe 2.0
+    // single element
+    Seq(Array(7.0)).toDF("e")
+      .select(Spectral.median3(col("e"), 0)).as[Double].collect()(0) shouldBe 7.0
+  }
+
   test("nearestIndex and the named OPTAA bundle resolve wavelength targets") {
     val wl = (400 to 750 by 2).map(_.toDouble)
     Spectral.nearestIndex(wl, 412.0) shouldBe 6
@@ -37,16 +48,22 @@ class SpectralSpec extends SparkSpec {
     val r = df.select(prods.map { case (nme, cl) => cl.as(nme) }: _*)
       .as[(Double, Double, Double, Double)].collect()(0)
     r._1 shouldBe (aSpec(6) / aSpec(20)) +- 1e-12
-    // linear spectrum -> line height 0 (baseline interpolation exact)
-    r._3 shouldBe 0.0 +- 1e-9
+    // reference baseline fraction is the NOMINAL (676-650)/(715-650) = 0.4,
+    // not the index fraction: on this 2 nm grid (715 resolves to 714) a
+    // linear-in-index spectrum leaves a small positive residual
+    val (i650, i676, i715) = (Spectral.nearestIndex(wl, 650.0),
+      Spectral.nearestIndex(wl, 676.0), Spectral.nearestIndex(wl, 715.0))
+    val expectedLh = aSpec(i676) -
+      (aSpec(i650) + (aSpec(i715) - aSpec(i650)) * ((676.0 - 650.0) / (715.0 - 650.0)))
+    r._3 shouldBe expectedLh +- 1e-9
     r._4 shouldBe (cSpec(Spectral.nearestIndex(wl, 660.0)) * 381.0) +- 1e-9
   }
 
-  test("lineHeight subtracts the interpolated baseline") {
-    // medians at 1,2,3: (2,3,4)->3? window@1=(10,2,3)->3; @2=(2,3,4)->3; @3=(3,4,5)->4
-    // baseline at peak 2 between 1 and 3: 3 + (4-3)*0.5 = 3.5; lh = 3 - 3.5
-    df.select(Spectral.lineHeight(col("e"), 1, 2, 3)).as[Double].collect()(0) shouldBe
-      -0.5 +- 1e-12
+  test("lineHeight subtracts the nominal-wavelength-interpolated baseline") {
+    // medians: @1=(10,2,3)->3; @2=(2,3,4)->3; @3=(3,4,5)->4
+    // baseline at peak between lo and hi: 3 + (4-3)*(676-650)/(715-650) = 3.4
+    df.select(Spectral.lineHeight(col("e"), 1, 2, 3, 650.0, 676.0, 715.0))
+      .as[Double].collect()(0) shouldBe -0.4 +- 1e-12
   }
 }
 
