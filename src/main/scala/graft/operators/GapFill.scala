@@ -96,7 +96,7 @@ object GapFill {
                               valueCol: String, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val sortCols = (keyCols :+ orderCol).map(col)
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPart = OrderedPosition.shufflePartitions(df)
     val sorted = df
       .repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

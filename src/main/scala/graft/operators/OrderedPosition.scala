@@ -51,6 +51,14 @@ object OrderedPosition {
                    outCol: String): DataFrame =
     withPositionCounted(df, keyCols, orderCols, outCol)._1
 
+  /** `spark.sql.shuffle.partitions` as an Int, degrading to the input's
+    * current partitioning when the conf is non-numeric (e.g. "auto" under
+    * externally-managed shuffle) instead of throwing at plan time.
+    */
+  private[operators] def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(math.max(df.rdd.getNumPartitions, 1))
+
   /** [[withPosition]] plus the TOTAL row count, which the offset table
     * already knows — callers that would otherwise `count()` the input just
     * to size downstream work (e.g. the coarsen bucket width) get it free.
@@ -61,7 +69,7 @@ object OrderedPosition {
     val sortCols = (keyCols ++ orderCols).map(col)
     // explicit partition count pins the layout (REPARTITION_BY_NUM is not
     // AQE-coalesced), keeping partition ids stable across the two jobs
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPart = shufflePartitions(df)
     val sorted = df
       .repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -138,7 +146,7 @@ object OrderedPosition {
     val spark = df.sparkSession
     val withV = df.withColumn("__v", coalesce(col(valueCol).cast("long"), lit(0L)))
     val sortCols = (keyCols ++ orderCols).map(col)
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPart = shufflePartitions(df)
     val sorted = withV
       .repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

@@ -63,14 +63,20 @@ object QueriesCalibration {
           col("k") % 4, lit(","), col("k") + 1, lit(","), col("k") % 9)).as("mat"))
 
   val queries: Map[String, Q] = Map(
-    // C12: full assembly — windows + SheetRef + coercion, exploded long form
+    // C12: full assembly — windows + SheetRef + coercion, exploded long form.
+    // valid_stop's open-validity sentinel (9999-12-31, reference-faithful in
+    // the library) is clamped to 2200-01-01 in this OUTPUT only: INT96
+    // parquet timestamps are read as int64 nanoseconds by the driver's
+    // pyarrow reader, and year 9999 overflows ns and wraps to 1816.
     "q61_cal_assembly" -> ((s, d) => {
       val out = Calibration.explodeLong(
         deployments(s, d),
         supBase(s, d).select("asset_uid", "cal_date").distinct(),
         coefs(s, d), exts(s, d))
       out.select(col("asset_uid"), col("cal_date"), col("valid_start"),
-        col("valid_stop"), col("name"), col("row_idx"), col("col_idx"),
+        least(col("valid_stop"),
+          lit("2200-01-01 00:00:00").cast("timestamp")).as("valid_stop"),
+        col("name"), col("row_idx"), col("col_idx"),
         round(col("value"), 6).as("value"), col("value_str"))
     }),
 
@@ -186,8 +192,9 @@ object QueriesCalibration {
         SELECT asset_uid, cal_date, name, CAST(NULL AS INT), CAST(NULL AS INT),
                scalar, value_str
         FROM coerced WHERE arr IS NULL AND mat IS NULL)
-      SELECT w.asset_uid, w.cal_date, w.valid_start, w.valid_stop, l.name,
-             l.row_idx, l.col_idx, round(l.value, 6) AS value, l.value_str
+      SELECT w.asset_uid, w.cal_date, w.valid_start,
+             least(w.valid_stop, TIMESTAMP '2200-01-01 00:00:00') AS valid_stop,
+             l.name, l.row_idx, l.col_idx, round(l.value, 6) AS value, l.value_str
       FROM longf l JOIN wins w ON l.asset_uid = w.asset_uid AND l.cal_date = w.cal_date""",
     "q62_cal_apply" -> raw"""
       WITH $oracleBase,

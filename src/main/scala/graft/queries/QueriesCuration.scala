@@ -262,12 +262,17 @@ object QueriesCuration {
                      + 0.25 * (1.0 - least(digits * 5.0, 1.0)), 6) AS quality
         FROM s),
       fp AS (SELECT doc_id, $fpExpr % 10000 AS bucket FROM documents)
-      SELECT d.doc_id, d.source, sc.quality, c.contamination,
+      SELECT d.doc_id, d.source, sc.quality,
+             -- unscorable (null text) stays NULL, matching ingestGate;
+             -- the n_grams=0 branch would otherwise map it to 0.0
+             CASE WHEN d.text IS NULL THEN NULL
+                  ELSE c.contamination END AS contamination,
              CAST(f.bucket AS BIGINT) AS sample_bucket,
-             (sc.quality >= 0.6 AND c.contamination <= 0.05 AND
+             -- unscorable means rejected, not NULL (ingestGate coalesces)
+             coalesce(sc.quality >= 0.6 AND c.contamination <= 0.05 AND
               f.bucket < CASE d.source WHEN 'src3' THEN 10000
                                        WHEN 'src11' THEN 0
-                                       ELSE 5000 END) AS admitted
+                                       ELSE 5000 END, FALSE) AS admitted
       FROM documents d
       JOIN sc USING (doc_id) JOIN contam c USING (doc_id) JOIN fp f USING (doc_id)"""
   )
