@@ -255,6 +255,65 @@ object TextFunctions {
       }
     })
 
+  /** Gopher-style document-shape statistics (Rae et al. 2021 §A1.1, public
+    * paper; also the C4/RefinedWeb line heuristics). All engine-portable
+    * expressions — `(?m)` multiline anchors work identically under Java
+    * regex and RE2, and nothing uses lookaround (RE2 has none):
+    *
+    *  - `n_words` — whitespace token count
+    *  - `mean_word_len` — mean token length
+    *  - `symbol_ratio` — (# + ellipsis occurrences) / words ("symbol-to-
+    *    word ratio ≤ 0.1")
+    *  - `bullet_frac` — fraction of lines starting with a bullet
+    *    ("≤ 90% of lines may start with a bullet point")
+    *  - `ellipsis_frac` — fraction of lines ending with an ellipsis (≤ 30%)
+    *  - `alpha_frac` — fraction of words containing ≥1 alphabetic char
+    *    (≥ 80%)
+    *
+    * Null text propagates null stats (gate callers coalesce the verdict).
+    */
+  def gopherStats(text: Column): Seq[Column] = {
+    val nWords = tokenCount(text)
+    val docLines = split(text, "\n")
+    val nLines = size(docLines)
+    Seq(
+      nWords.as("n_words"),
+      round(meanTokenLength(text), 6).as("mean_word_len"),
+      round(when(nWords === 0, 0.0).otherwise(
+        size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("double") /
+          nWords), 6).as("symbol_ratio"),
+      round(size(regexp_extract_all(text, lit("(?m)^[ \\t]*[-*•]"), lit(0)))
+        .cast("double") / nLines, 6).as("bullet_frac"),
+      round(size(regexp_extract_all(text, lit("(?m)\\.\\.\\.$"), lit(0)))
+        .cast("double") / nLines, 6).as("ellipsis_frac"),
+      round(when(nWords === 0, 0.0).otherwise(
+        size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double") /
+          nWords), 6).as("alpha_frac"))
+  }
+
+  /** All URL occurrences in `text` (the [[UrlRe]] pattern). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** Normalized host of a URL: the authority up to the first `/ : ? #`,
+    * lower-cased, with one leading `www.` stripped — the canonical key for
+    * per-domain corpus statistics. Non-URLs yield null.
+    */
+  def urlHost(url: Column): Column = {
+    val raw = regexp_extract(url, "^[Hh][Tt][Tt][Pp][Ss]?://([^/:?#]+)", 1)
+    val host = regexp_replace(lower(raw), "^www\\.", "")
+    when(raw === "", null).otherwise(host)
+  }
+
+  /** Registrable domain: the last two dot-labels of a host (example.com of
+    * a.b.example.com). A public-suffix list would refine co.uk-style
+    * suffixes; two labels is the deterministic, engine-portable core.
+    */
+  def registrableDomain(host: Column): Column = {
+    val dom = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(dom === "", host).otherwise(dom)
+  }
+
   val FingerprintMod: Long = 1L << 40
 
   /** Rolling-hash document fingerprint: seed 7,

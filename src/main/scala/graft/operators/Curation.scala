@@ -128,6 +128,71 @@ object Curation {
         when(col(classCol) === cls, lit(math.round(r * denom))).otherwise(acc)
     }
 
+  /** Gopher document-shape gate (Rae et al. 2021 §A1.1): every input row
+    * with the [[TextFunctions.gopherStats]] diagnostics plus the `admitted`
+    * verdict at the published thresholds (parameterized; defaults are the
+    * paper's). Stateless per-row expressions — no shuffle, runs inside the
+    * scan's whole-stage codegen span, batch or stream. Null text → null
+    * diagnostics, admitted = false (a null verdict is not a verdict).
+    */
+  def gopherGate(docs: DataFrame, textCol: String,
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                 maxEllipsisFrac: Double = 0.3,
+                 minAlphaFrac: Double = 0.8): DataFrame = {
+    val stats = TextFunctions.gopherStats(col(textCol))
+    docs.select(docs.columns.map(col) ++ stats: _*)
+      .withColumn("admitted", coalesce(
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("alpha_frac") >= minAlphaFrac,
+        lit(false)))
+  }
+
+  /** C4/RefinedWeb line-level exact dedup: drop every line whose corpus-wide
+    * occurrence count exceeds `maxOccurrences` (boilerplate — nav text,
+    * cookie banners, signatures — repeats across thousands of pages; prose
+    * doesn't), then reassemble each document from its surviving lines in
+    * order. Documents left with NO surviving lines drop out entirely.
+    * Returns (`idCol`, text, n_kept, n_removed).
+    *
+    * Scale shape: the global count groups by `(xxhash64(line), length)` —
+    * the [[Dedup.exactDedup]] convention — so the counting shuffle carries
+    * 16 bytes per line, not line text; the count join is a co-partitioned
+    * shuffle join on the same key (both sides partition identically — one
+    * exchange each, no broadcast needed at corpus scale); reassembly
+    * aggregates by document id (high cardinality, map-side combine).
+    * 64-bit+length collisions conflate distinct lines' counts (odds
+    * negligible below ~10^9 DISTINCT lines; above that, widen to two
+    * independent hashes).
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 maxOccurrences: Long): DataFrame = {
+    val lines = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+      .withColumn("__len", length(col("__line")))
+    val counts = lines.groupBy(col("__h"), col("__len"))
+      .agg(count(lit(1)).as("__cnt"))
+    lines.join(counts, Seq("__h", "__len"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("__cnt") <= maxOccurrences,
+            struct(col("__pos"), col("__line"))))),
+          e => e.getField("__line"))).as("text"),
+        count(when(col("__cnt") <= maxOccurrences, 1)).as("n_kept"),
+        count(when(col("__cnt") > maxOccurrences, 1)).as("n_removed"))
+      .filter(col("n_kept") > 0)
+  }
+
   /** Distinct word n-grams of the benchmark corpus, collected to the
     * driver for broadcast. Bounded by the BENCHMARK size (eval suites are
     * MBs against a corpus of TBs) — use the join formulation

@@ -85,12 +85,96 @@ object TemporalJoins {
                        right: DataFrame, rTime: String,
                        keys: Seq[String], rightValueCols: Seq[String],
                        toleranceSeconds: Option[Long] = None): DataFrame = {
+    val tagged = asOfTagged(left, lTime, right, rTime, keys, rightValueCols)
+    // Right rows sort before left rows at equal timestamps so an exact-time
+    // match is visible to the left row (as-of is <=); the struct breaks
+    // remaining ties deterministically (last right row in struct order wins).
+    val carried = tagged.withColumn("__rv",
+      last(col("__rv"), ignoreNulls = true).over(asOfWindow(keys, forward = false)))
+    // Tolerance compared in microseconds — second-granularity unix_timestamp
+    // would admit matches up to ~1 s beyond the bound.
+    val inTol = toleranceSeconds match {
+      case Some(tol) =>
+        col("__rv").isNotNull &&
+          unix_micros(col("__t")) - unix_micros(col("__rv.__rt")) <= tol * 1000000L
+      case None => col("__rv").isNotNull
+    }
+    finishAsOf(carried, left, keys,
+      rightValueCols.map(c => when(inTol, col(s"__rv.asof_$c")).as(s"asof_$c")))
+  }
+
+  /** J2 forward as-of join: for each left row, the EARLIEST right row at or
+    * after it (per key), within `toleranceSeconds` if given — the mirror of
+    * [[asOfJoinBackward]], same single-shuffle union-sentinel plan.
+    *
+    * The carry runs over the REVERSED time ordering with a growing frame:
+    * the direct spelling ([CURRENT ROW, UNBOUNDED FOLLOWING] over ascending
+    * time) is a shrinking frame, which Spark evaluates by re-aggregating the
+    * remainder per row — O(n²) per partition (measured on q41, PLANS.md).
+    */
+  def asOfJoinForward(left: DataFrame, lTime: String,
+                      right: DataFrame, rTime: String,
+                      keys: Seq[String], rightValueCols: Seq[String],
+                      toleranceSeconds: Option[Long] = None): DataFrame = {
+    val tagged = asOfTagged(left, lTime, right, rTime, keys, rightValueCols)
+    val carried = tagged.withColumn("__rv",
+      last(col("__rv"), ignoreNulls = true).over(asOfWindow(keys, forward = true)))
+    val inTol = toleranceSeconds match {
+      case Some(tol) =>
+        col("__rv").isNotNull &&
+          unix_micros(col("__rv.__rt")) - unix_micros(col("__t")) <= tol * 1000000L
+      case None => col("__rv").isNotNull
+    }
+    finishAsOf(carried, left, keys,
+      rightValueCols.map(c => when(inTol, col(s"__rv.asof_$c")).as(s"asof_$c")))
+  }
+
+  /** J2 nearest as-of join: for each left row, whichever of the backward and
+    * forward matches is closer in time (ties go BACKWARD — the conventional
+    * "prefer the past" rule), each side subject to `toleranceSeconds`.
+    * Emits the value columns plus `asof_direction` ('b'/'f', null when
+    * neither side matches within tolerance).
+    *
+    * One tagging pass, two window carries over the SAME partitioning (one
+    * exchange; the asc and desc carries each sort once) — not two separate
+    * joins, so the left side shuffles once.
+    */
+  def asOfJoinNearest(left: DataFrame, lTime: String,
+                      right: DataFrame, rTime: String,
+                      keys: Seq[String], rightValueCols: Seq[String],
+                      toleranceSeconds: Option[Long] = None): DataFrame = {
+    val tagged = asOfTagged(left, lTime, right, rTime, keys, rightValueCols)
+    val carried = tagged
+      .withColumn("__rvb",
+        last(col("__rv"), ignoreNulls = true).over(asOfWindow(keys, forward = false)))
+      .withColumn("__rvf",
+        last(col("__rv"), ignoreNulls = true).over(asOfWindow(keys, forward = true)))
+    val db = unix_micros(col("__t")) - unix_micros(col("__rvb.__rt"))
+    val df = unix_micros(col("__rvf.__rt")) - unix_micros(col("__t"))
+    val tolUs = toleranceSeconds.map(t => lit(t * 1000000L))
+    val okB = col("__rvb").isNotNull && tolUs.map(db <= _).getOrElse(lit(true))
+    val okF = col("__rvf").isNotNull && tolUs.map(df <= _).getOrElse(lit(true))
+    val useB = okB && (!okF || db <= df)
+    finishAsOf(carried, left, keys,
+      rightValueCols.map(c =>
+        when(useB, col(s"__rvb.asof_$c"))
+          .when(okF, col(s"__rvf.asof_$c")).as(s"asof_$c")) :+
+        when(useB, "b").when(okF, "f").as("asof_direction"))
+  }
+
+  /** Union-sentinel tagging shared by the as-of family: left rows tagged 1
+    * carrying their payload as `__l_*` columns with a null right struct;
+    * right rows tagged 0 carrying ONE struct `__rv` of (match time + value
+    * columns), so a single `last(ignoreNulls)` always emits values from the
+    * same right row even when some of its columns are null. Null right
+    * times are dropped (they have no place on the as-of axis: sorted
+    * nulls-first, one would become the carried match for every left row
+    * before the first real right row).
+    */
+  private def asOfTagged(left: DataFrame, lTime: String,
+                         right: DataFrame, rTime: String,
+                         keys: Seq[String], rightValueCols: Seq[String]): DataFrame = {
     val lCols = left.columns
-    val sentinel = "__is_left"
-    val t = "__t"
-    // The right row travels as ONE struct (match time + all value columns):
-    // a single `last(ignoreNulls)` carries it, so the emitted values always
-    // come from the same right row even when some of its columns are null.
     val rvStruct = struct(
       (col(rTime).as("__rt") +: rightValueCols.map(c => col(c).as(s"asof_$c"))): _*)
     val nullRvType = {
@@ -99,47 +183,46 @@ object TemporalJoins {
         rightValueCols.map(c => StructField(s"asof_$c", right.schema(c).dataType)))
     }
     val leftTagged = left
-      .withColumn(sentinel, lit(1))
-      .withColumn(t, col(lTime))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__t", col(lTime))
       .select(
-        (keys.map(col) :+ col(sentinel) :+ col(t) :+
+        (keys.map(col) :+ col("__is_left") :+ col("__t") :+
           lit(null).cast(nullRvType).as("__rv")) ++
           lCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
     val rightTagged = right
-      // a null right time has no place on the as-of axis: it would sort
-      // FIRST (nulls-first asc) and become the carried match for every
-      // left row before the first real right row
       .filter(col(rTime).isNotNull)
-      .withColumn(sentinel, lit(0))
-      .withColumn(t, col(rTime))
+      .withColumn("__is_left", lit(0))
+      .withColumn("__t", col(rTime))
       .select(
-        (keys.map(col) :+ col(sentinel) :+ col(t) :+ rvStruct.as("__rv")) ++
+        (keys.map(col) :+ col("__is_left") :+ col("__t") :+ rvStruct.as("__rv")) ++
           lCols.filterNot(keys.contains).map(c =>
             lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
-    // Right rows sort before left rows at equal timestamps so an exact-time
-    // match is visible to the left row (as-of is <=); the struct breaks
-    // remaining ties deterministically (last right row in struct order wins).
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(t).asc, col(sentinel).asc, col("__rv").asc)
+    leftTagged.unionByName(rightTagged)
+  }
+
+  /** The as-of carry window: growing frame over time ascending (backward
+    * match) or descending (forward match). Right rows (sentinel 0) sort
+    * before left rows at equal timestamps in BOTH directions, so an
+    * exact-time match is visible to the left row; the struct breaks
+    * remaining right-row ties deterministically (last in struct order wins).
+    */
+  private def asOfWindow(keys: Seq[String], forward: Boolean) =
+    Window.partitionBy(keys.map(col): _*)
+      .orderBy(if (forward) col("__t").desc else col("__t").asc,
+        col("__is_left").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = leftTagged.unionByName(rightTagged)
-      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
-    // Tolerance compared in microseconds — second-granularity unix_timestamp
-    // would admit matches up to ~1 s beyond the bound.
-    val inTol = toleranceSeconds match {
-      case Some(tol) =>
-        col("__rv").isNotNull &&
-          unix_micros(col(t)) - unix_micros(col("__rv.__rt")) <= tol * 1000000L
-      case None => col("__rv").isNotNull
-    }
+
+  /** Keep only left rows of a carried as-of union and restore the left
+    * payload columns, appending `outputCols`.
+    */
+  private def finishAsOf(carried: DataFrame, left: DataFrame, keys: Seq[String],
+                         outputCols: Seq[Column]): DataFrame =
     carried
-      .filter(col(sentinel) === 1)
+      .filter(col("__is_left") === 1)
       .select(
         keys.map(col) ++
-          lCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
-          rightValueCols.map(c =>
-            when(inTol, col(s"__rv.asof_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
-  }
+          left.columns.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
+          outputCols: _*)
 
   /** J3 validity-window construction: per `key`, each row's window runs from
     * its own `tsCol` to the next row's (exclusive), the last row extending to

@@ -70,6 +70,36 @@ object TrainingData {
       .drop("__cum")
   }
 
+  /** Fixed-token-window document chunking with overlap — the "split long
+    * documents into context-window pieces" step before packing. Tokens are
+    * whitespace tokens (swap in a real tokenizer's pieces upstream if
+    * needed); chunk `i` covers tokens `[i*stride, i*stride + window)`, the
+    * last chunk may be short, and a document of ≤ `window` tokens yields
+    * exactly one chunk. Blank/null documents yield none. Appends
+    * (chunk_idx, n_tokens, chunk); one output row per chunk.
+    *
+    * Pure per-row expressions (split + sequence + explode + slice): no
+    * shuffle, no state — scales with the scan. With stride < window,
+    * consecutive chunks overlap by `window - stride` tokens (the usual
+    * training-data striding).
+    */
+  def chunkByTokens(df: DataFrame, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive")
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    // 1 + ceil((n - window) / stride) chunks, integer arithmetic identical
+    // in any engine: 1 + (n - window + stride - 1) div stride
+    val nChunks = when(n <= lit(window), lit(1))
+      .otherwise(lit(1) + floor((n - window + stride - 1) / lit(stride.toDouble)).cast("int"))
+    df.filter(col(textCol).isNotNull && n > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("__ctoks", slice(toks, col("chunk_idx") * stride + 1, lit(window)))
+      .withColumn("n_tokens", size(col("__ctoks")))
+      .withColumn("chunk", array_join(col("__ctoks"), " "))
+      .drop("__ctoks")
+  }
+
   /** Token-balanced GLOBAL shard assignment: `shard_id = floor(global
     * exclusive token prefix / targetTokens)` in `orderCols` order — the
     * write-side partitioner for training shards of roughly equal token

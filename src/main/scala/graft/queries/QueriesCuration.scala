@@ -79,6 +79,44 @@ object QueriesCuration {
           col("n_email") + col("n_url") + col("n_phone") > 0)
     }),
 
+    // Gopher document-shape gate (Rae 2021 §A1.1) over documents given
+    // line structure + bullet/ellipsis/symbol salts (corpus text is
+    // single-line; the salts exercise every rule — see structuredText)
+    "q85_gopher_gate" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), structuredText.as("text"))
+      Curation.gopherGate(base, "text", minWords = 50).drop("text")
+    }),
+
+    // C4/RefinedWeb line-level dedup: boilerplate lines (injected on a
+    // doc_id lattice, like real nav/footer text) repeat corpus-wide and
+    // are dropped; prose lines survive; docs are reassembled in order
+    "q86_line_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), boilerplated.as("text"))
+      Curation.dedupLines(base, "doc_id", "text", maxOccurrences = 5)
+    }),
+
+    // Per-domain corpus statistics over URLs extracted from (salted)
+    // text: normalized host, registrable domain, TLD, url/doc/query counts
+    "q87_domain_stats" -> ((s, d) => {
+      val salted = Tables.documents(s, d)
+        .select(col("doc_id"), urlSaltedText.as("text"))
+      val urls = salted.select(col("doc_id"),
+        explode(TextFunctions.extractUrls(col("text"))).as("url"))
+      urls
+        .select(col("doc_id"), col("url"),
+          TextFunctions.urlHost(col("url")).as("host"))
+        .groupBy(col("host"))
+        .agg(
+          count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(when(col("url").contains("?"), 1)).as("n_with_query"))
+        .select(col("host"),
+          TextFunctions.registrableDomain(col("host")).as("domain"),
+          regexp_extract(col("host"), "\\.([^.]+)$", 1).as("tld"),
+          col("n_urls"), col("n_docs"), col("n_with_query"))
+    }),
+
     // The full curation chain as a STREAMING ingest gate (stateless:
     // quality + broadcast-set decontamination + hash sampling), run as a
     // bounded stream — the oracle replays the identical chain in SQL, so
@@ -86,6 +124,79 @@ object QueriesCuration {
     "q79_ingest_gate" -> ((s, d) =>
       graft.streaming.StreamingOps.runIngestGateAvailableNow(s, d))
   )
+
+  import org.apache.spark.sql.Column
+
+  /** Corpus text given deterministic LINE structure — a newline after every
+    * 8th token, bulleted lines on doc_id%3, line-ending ellipses on
+    * doc_id%5, a symbol salt on doc_id%7. The synthetic corpus is
+    * single-line, which would leave every Gopher line rule untested; the
+    * identical transform is a CTE in the oracle (`structuredTextSql`).
+    */
+  private def structuredText: Column = {
+    val nl = regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n")
+    val el = when(col("doc_id") % 5 === 0,
+      replace(nl, lit("\n"), lit("...\n"))).otherwise(nl)
+    val bu = when(col("doc_id") % 3 === 0,
+      concat(lit("- "), replace(el, lit("\n"), lit("\n- ")))).otherwise(el)
+    when(col("doc_id") % 7 === 0, concat(bu, lit(" ###"))).otherwise(bu)
+  }
+
+  private val structuredTextSql = raw"""
+      st0 AS (SELECT doc_id,
+                regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS t0
+              FROM documents),
+      st1 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+                THEN replace(t0, chr(10), '...' || chr(10)) ELSE t0 END AS t1 FROM st0),
+      st2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                THEN '- ' || replace(t1, chr(10), chr(10) || '- ') ELSE t1 END AS t2 FROM st1),
+      st AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+                THEN t2 || ' ###' ELSE t2 END AS text FROM st2)"""
+
+  /** Line-structured text with boilerplate lines injected on a doc_id
+    * lattice (the real-web shape: identical nav/footer lines across many
+    * pages) — what [[graft.operators.Curation.dedupLines]] must remove.
+    */
+  private def boilerplated: Column = {
+    val nl = regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n")
+    val pre = when(col("doc_id") % 3 === 0,
+      concat(lit("subscribe to our newsletter\n"), nl)).otherwise(nl)
+    when(col("doc_id") % 4 === 0,
+      concat(pre, lit("\nall rights reserved"))).otherwise(pre)
+  }
+
+  private val boilerplatedSql = raw"""
+      bl0 AS (SELECT doc_id,
+                regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS t0
+              FROM documents),
+      bl1 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                THEN 'subscribe to our newsletter' || chr(10) || t0 ELSE t0 END AS t1 FROM bl0),
+      bl AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+                THEN t1 || chr(10) || 'all rights reserved' ELSE t1 END AS text FROM bl1)"""
+
+  /** Text salted with one or two synthetic URLs per document (mixed case,
+    * www prefixes, ports, query strings) for the domain-statistics path.
+    */
+  private def urlSaltedText: Column = concat(
+    col("text"), lit(" see https://"),
+    when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    col("source"), (col("doc_id") % 5).cast("string"), lit(".Example.COM"),
+    when(col("doc_id") % 4 === 0, lit(":8080")).otherwise(lit("")),
+    lit("/p/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 2 === 0, lit("?utm_source=feed")).otherwise(lit("")),
+    when(col("doc_id") % 6 === 0,
+      lit(" and http://MIRROR.example.net/x")).otherwise(lit("")))
+
+  private val urlSaltedSql = raw"""
+      u0 AS (SELECT doc_id, text ||
+               ' see https://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+               source || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' ||
+               CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END ||
+               '/p/' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '' END ||
+               CASE WHEN doc_id % 6 = 0 THEN ' and http://MIRROR.example.net/x' ELSE '' END
+               AS text
+             FROM documents)"""
 
   /** Shared oracle fragment: normalized token list per document. */
   private val toksCte = raw"""
@@ -105,6 +216,71 @@ object QueriesCuration {
         (a, c) -> (a * 31 + c) % 1099511627776)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q85_gopher_gate" -> raw"""
+      WITH $structuredTextSql,
+      tk AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
+               string_split(text, chr(10)) AS ln
+        FROM st),
+      g AS (
+        SELECT doc_id,
+               CAST(len(t) AS INT) AS n_words,
+               round(CASE WHEN len(t) = 0 THEN 0.0
+                 ELSE CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+                      / len(t) END, 6) AS mean_word_len,
+               round(CASE WHEN len(t) = 0 THEN 0.0
+                 ELSE CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+                      / len(t) END, 6) AS symbol_ratio,
+               round(CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS DOUBLE)
+                     / len(ln), 6) AS bullet_frac,
+               round(CAST(len(regexp_extract_all(text, '(?m)\.\.\.$$')) AS DOUBLE)
+                     / len(ln), 6) AS ellipsis_frac,
+               round(CASE WHEN len(t) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                      / len(t) END, 6) AS alpha_frac
+        FROM tk)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+             ellipsis_frac, alpha_frac,
+             coalesce(n_words >= 50 AND n_words <= 100000
+               AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+               AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+               AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8, FALSE) AS admitted
+      FROM g""",
+    "q86_line_dedup" -> raw"""
+      WITH $boilerplatedSql,
+      sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM bl),
+      l AS (SELECT doc_id, CAST(t.i AS INT) AS pos, ls[CAST(t.i AS INT) + 1] AS line
+            FROM sp, unnest(range(len(ls))) AS t(i)),
+      c AS (SELECT line, count(*) AS cnt FROM l GROUP BY 1),
+      k AS (SELECT l.doc_id, l.pos, l.line, c.cnt FROM l JOIN c USING (line))
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE cnt <= 5) AS text,
+             count(*) FILTER (WHERE cnt <= 5) AS n_kept,
+             count(*) FILTER (WHERE cnt > 5) AS n_removed
+      FROM k GROUP BY doc_id
+      HAVING count(*) FILTER (WHERE cnt <= 5) > 0""",
+    "q87_domain_stats" -> raw"""
+      WITH $urlSaltedSql,
+      uu AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+             FROM u0),
+      h0 AS (SELECT doc_id, url,
+                    regexp_extract(url, '^[Hh][Tt][Tt][Pp][Ss]?://([^/:?#]+)', 1) AS rawh
+             FROM uu),
+      h AS (SELECT doc_id, url,
+                   CASE WHEN rawh = '' THEN NULL
+                        ELSE regexp_replace(lower(rawh), '^www\.', '') END AS host
+            FROM h0),
+      g AS (SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+                   count(*) FILTER (WHERE url LIKE '%?%') AS n_with_query
+            FROM h GROUP BY host)
+      SELECT host,
+             CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$$', 1) = '' THEN host
+                  ELSE regexp_extract(host, '([^.]+\.[^.]+)$$', 1) END AS domain,
+             regexp_extract(host, '\.([^.]+)$$', 1) AS tld,
+             n_urls, n_docs, n_with_query
+      FROM g""",
     "q73_decontaminate" -> raw"""
       WITH $toksCte,
       g AS (

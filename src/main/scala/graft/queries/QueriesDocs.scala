@@ -103,6 +103,30 @@ object QueriesDocs {
           max(col("pack_pos")).as("max_pos"))
     }),
 
+    // Per-source document-length distribution: exact interpolated
+    // quantiles of the token count. `percentile` buffers each group's
+    // values (sources are few and bounded); the 100 TB path swaps in
+    // approx_percentile, same call shape
+    "q88_length_quantiles" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 6).as("mean_tokens"),
+          round(percentile(col("n_tokens"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("n_tokens"), lit(0.9)), 6).as("p90"),
+          round(percentile(col("n_tokens"), lit(0.99)), 6).as("p99"))),
+
+    // Fixed-token-window chunking with overlap (window 20, stride 15):
+    // one row per chunk, short final chunks kept, ≤20-token docs whole
+    "q90_chunk_tokens" -> ((s, d) =>
+      TrainingData.chunkByTokens(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", window = 20, stride = 15)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("chunk"))),
+
     // n-gram (word-unigram) Jaccard between documents of the same source
     // (small per-source self-join exercising shingle set ops; oracle-checked)
     "q40_ngram_jaccard" -> ((s, d) => {
@@ -259,6 +283,32 @@ object QueriesDocs {
          SELECT CAST(floor(pfx / 2000) AS BIGINT) AS shard_id,
                 count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM c GROUP BY 1""",
+    "q88_length_quantiles" ->
+      """WITH t AS (SELECT source,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS n_tokens
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+                round(avg(n_tokens), 6) AS mean_tokens,
+                round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+                round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+                round(quantile_cont(n_tokens, 0.99), 6) AS p99
+         FROM t GROUP BY source""",
+    "q90_chunk_tokens" ->
+      """WITH sp AS (SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+           FROM documents WHERE text IS NOT NULL),
+         n AS (SELECT doc_id, t, CAST(len(t) AS INT) AS n FROM sp WHERE len(t) > 0),
+         c AS (SELECT doc_id, t, n,
+                      CASE WHEN n <= 20 THEN 1 ELSE 1 + (n - 20 + 14) // 15 END AS nch
+               FROM n),
+         u AS (SELECT doc_id, t, n, CAST(tt.i AS INT) AS chunk_idx
+               FROM c, unnest(range(nch)) AS tt(i))
+         SELECT doc_id, chunk_idx,
+                CAST(least(20, n - chunk_idx * 15) AS INT) AS n_tokens,
+                array_to_string(t[chunk_idx * 15 + 1 : least(chunk_idx * 15 + 20, n)], ' ') AS chunk
+         FROM u""",
     "q22_token_stats" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0

@@ -113,6 +113,24 @@ object QueriesEvents {
           col("asof_click_ts").as("prev_click_ts"))
     }),
 
+    // J2 nearest-direction as-of: closest click before OR after each
+    // purchase within 2 h, ties backward — one tagging pass, two window
+    // carries over one exchange (see TemporalJoins.asOfJoinNearest)
+    "q89_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      TemporalJoins.asOfJoinNearest(
+          purchases, "ts", clicks, "click_ts",
+          keys = Seq("user_id"), rightValueCols = Seq("click_ts"),
+          toleranceSeconds = Some(7200L))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_click_ts").as("nearest_click_ts"),
+          col("asof_direction").as("direction"))
+    }),
+
     // J2 again through the NATIVE sort-merge as-of operator (custom
     // LogicalPlan + SparkStrategy + BinaryExecNode) — same oracle as q12
     "q53_asof_native" -> ((s, d) => {
@@ -274,6 +292,33 @@ object QueriesEvents {
                  ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_ts
         FROM e WHERE event_type IN ('click', 'purchase'))
+      WHERE event_type = 'purchase'""",
+    "q89_asof_nearest" -> s"""$evCte
+      SELECT event_id, user_id, ts,
+             CASE WHEN okb IS NOT NULL AND (okf IS NULL OR
+                       epoch_us(ts) - epoch_us(okb) <= epoch_us(okf) - epoch_us(ts))
+                  THEN okb ELSE okf END AS nearest_click_ts,
+             CASE WHEN okb IS NOT NULL AND (okf IS NULL OR
+                       epoch_us(ts) - epoch_us(okb) <= epoch_us(okf) - epoch_us(ts))
+                  THEN 'b'
+                  WHEN okf IS NOT NULL THEN 'f' END AS direction
+      FROM (
+        SELECT event_id, user_id, event_type, ts,
+               CASE WHEN bt IS NOT NULL AND epoch_us(ts) - epoch_us(bt) <= 7200000000
+                    THEN bt END AS okb,
+               CASE WHEN ft IS NOT NULL AND epoch_us(ft) - epoch_us(ts) <= 7200000000
+                    THEN ft END AS okf
+        FROM (
+          SELECT event_id, user_id, event_type, ts,
+                 max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bt,
+                 min(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ft
+          FROM e WHERE event_type IN ('click', 'purchase')))
       WHERE event_type = 'purchase'""",
     "q53_asof_native" -> s"""$evCte
       SELECT event_id, user_id, ts, prev_click_ts FROM (

@@ -66,4 +66,34 @@ class TextFunctionsSpec extends SparkSpec {
     // hello -> hell+o (2), "," (1), extraordinary -> 13 chars -> 4 chunks (extr aord inar y), 4+2 digits
     df.select(TextFunctions.subwordCount(col("t"))).as[Int].collect()(0) shouldBe 9
   }
+
+  test("urlHost normalizes case, strips www. and port, rejects non-URLs") {
+    val df = Seq(
+      "https://WWW.Example.COM:8080/p?q=1",
+      "http://sub.a.example.org/x",
+      "https://www.www.example.net/", // only ONE www. stripped
+      "not a url").toDF("u")
+    val out = df.select(TextFunctions.urlHost(col("u"))).as[Option[String]].collect()
+    out shouldBe Array(Some("example.com"), Some("sub.a.example.org"),
+      Some("www.example.net"), None)
+  }
+
+  test("registrableDomain takes the last two labels, single-label passthrough") {
+    val df = Seq("sub.a.example.org", "example.com", "localhost").toDF("h")
+    val out = df.select(TextFunctions.registrableDomain(col("h"))).as[String].collect()
+    out shouldBe Array("example.org", "example.com", "localhost")
+  }
+
+  test("gopherStats: line fractions and alpha/symbol ratios on a crafted doc") {
+    val text = "- bullet one two\nplain line here...\nlast 42 words"
+    val df = Seq(text).toDF("t")
+    val r = df.select(TextFunctions.gopherStats(col("t")): _*).collect()(0)
+    r.getAs[Int]("n_words") shouldBe 10
+    r.getAs[Double]("bullet_frac") shouldBe 1.0 / 3 +- 1e-6
+    r.getAs[Double]("ellipsis_frac") shouldBe 1.0 / 3 +- 1e-6
+    // "-" and "42" carry no letters → 8/10 alphabetic words
+    r.getAs[Double]("alpha_frac") shouldBe 0.8 +- 1e-6
+    // one "..." among 10 words
+    r.getAs[Double]("symbol_ratio") shouldBe 0.1 +- 1e-6
+  }
 }

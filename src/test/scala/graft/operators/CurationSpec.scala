@@ -223,4 +223,50 @@ class CurationSpec extends SparkSpec {
       rates = Map("c" -> 0.3), defaultRate = 0.0).count()
     n.toDouble / 2000 shouldBe 0.3 +- 0.05
   }
+
+  test("gopherGate: each rule rejects its shape; prose passes; null text rejected") {
+    val prose = ("the quick brown fox jumps over the lazy dog and then " * 6).trim
+    val docs = Seq(
+      (1L, prose),                                    // 60 plain words → pass
+      (2L, "too short"),                              // min-words
+      (3L, prose.split(" ").map("- " + _).mkString("\n")), // every line bulleted
+      (4L, prose.split(" ").map(_ + "...").mkString("\n")), // every line ellipsed
+      (5L, (prose + " ") * 1 + ("# " * 20).trim),     // symbol soup
+      (6L, ("12 34 56 78 90 " * 12).trim),            // no alphabetic words
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Curation.gopherGate(docs, "text")
+      .select("doc_id", "admitted").as[(Long, Boolean)].collect().sortBy(_._1)
+    out.map(_._2).toSeq shouldBe Seq(true, false, false, false, false, false, false)
+    // null text: null diagnostics, non-null verdict
+    val r7 = Curation.gopherGate(docs, "text")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 7)
+      .select("n_words").collect()(0)
+    r7.isNullAt(0) shouldBe true
+  }
+
+  test("dedupLines drops corpus-frequent lines, keeps order, drops emptied docs") {
+    val boiler = "all rights reserved"
+    val docs = (0 until 20).map { i =>
+      (i.toLong, s"unique prose line $i\n$boiler\nsecond unique $i")
+    } :+ (99L, boiler) // a doc that is ONLY boilerplate
+    val df = docs.toDF("doc_id", "text")
+    val out = Curation.dedupLines(df, "doc_id", "text", maxOccurrences = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_kept", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+    out.length shouldBe 20 // doc 99 emptied and dropped
+    out.head shouldBe ((0L, "unique prose line 0\nsecond unique 0", 2L, 1L))
+    out.foreach { case (_, t, k, r) =>
+      t.contains(boiler) shouldBe false; k shouldBe 2L; r shouldBe 1L
+    }
+  }
+
+  test("dedupLines keeps lines at exactly the occurrence threshold") {
+    val df = Seq((1L, "shared\nmine"), (2L, "shared\nyours"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupLines(df, "doc_id", "text", maxOccurrences = 2)
+      .orderBy("doc_id").select("text").as[String].collect()
+    out shouldBe Array("shared\nmine", "shared\nyours")
+  }
 }

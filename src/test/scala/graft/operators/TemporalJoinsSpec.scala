@@ -70,6 +70,57 @@ class TemporalJoinsSpec extends SparkSpec {
     out(1) shouldBe ((None, Some("b")))
   }
 
+  test("asOfJoinForward: earliest right row at-or-after, tolerance bounds") {
+    val left = Seq(
+      ("u", ts("2024-01-01 00:00:10")),  // exact-time right match
+      ("u", ts("2024-01-01 00:00:12")),  // next right at :20
+      ("u", ts("2024-01-01 00:00:30"))). // nothing after
+      toDF("k", "lt")
+    val right = Seq(
+      ("u", ts("2024-01-01 00:00:10"), 1.0),
+      ("u", ts("2024-01-01 00:00:20"), 2.0)).toDF("k", "rt", "v")
+    val out = TemporalJoins.asOfJoinForward(left, "lt", right, "rt",
+        keys = Seq("k"), rightValueCols = Seq("v"))
+      .orderBy("lt").select("asof_v").as[Option[Double]].collect()
+    out shouldBe Array(Some(1.0), Some(2.0), None)
+    val tol = TemporalJoins.asOfJoinForward(left, "lt", right, "rt",
+        keys = Seq("k"), rightValueCols = Seq("v"), toleranceSeconds = Some(5L))
+      .orderBy("lt").select("asof_v").as[Option[Double]].collect()
+    tol shouldBe Array(Some(1.0), None, None) // 8 s gap > 5 s tolerance
+  }
+
+  test("asOfJoinNearest: closer side wins, ties backward, per-side tolerance") {
+    val left = Seq(
+      ("u", ts("2024-01-01 00:00:13")),  // back 3 s vs fwd 7 s → backward
+      ("u", ts("2024-01-01 00:00:18")),  // back 8 s vs fwd 2 s → forward
+      ("u", ts("2024-01-01 00:00:15")),  // 5 s both ways → tie → backward
+      ("u", ts("2024-01-01 00:05:00"))). // nothing within tolerance
+      toDF("k", "lt")
+    val right = Seq(
+      ("u", ts("2024-01-01 00:00:10"), 1.0),
+      ("u", ts("2024-01-01 00:00:20"), 2.0)).toDF("k", "rt", "v")
+    val out = TemporalJoins.asOfJoinNearest(left, "lt", right, "rt",
+        keys = Seq("k"), rightValueCols = Seq("v"), toleranceSeconds = Some(60L))
+      .orderBy("lt")
+      .select("asof_v", "asof_direction")
+      .as[(Option[Double], Option[String])].collect()
+    out shouldBe Array(
+      (Some(1.0), Some("b")), (Some(1.0), Some("b")),
+      (Some(2.0), Some("f")), (None, None))
+  }
+
+  test("asOfJoinNearest falls to the other side when one is out of tolerance") {
+    val left = Seq(("u", ts("2024-01-01 00:01:00"))).toDF("k", "lt")
+    val right = Seq(
+      ("u", ts("2024-01-01 00:00:00"), 1.0),   // 60 s back — out of tol
+      ("u", ts("2024-01-01 00:01:30"), 2.0)).toDF("k", "rt", "v") // 30 s fwd
+    val out = TemporalJoins.asOfJoinNearest(left, "lt", right, "rt",
+        keys = Seq("k"), rightValueCols = Seq("v"), toleranceSeconds = Some(45L))
+      .select("asof_v", "asof_direction")
+      .as[(Option[Double], Option[String])].collect()(0)
+    out shouldBe ((Some(2.0), Some("f")))
+  }
+
   test("asOfJoinBackward tolerance is sub-second exact") {
     val left = Seq(("u", ts("2024-01-01 00:00:10.500"))).toDF("k", "lt")
     val right = Seq(("u", ts("2024-01-01 00:00:10.000"), 1.0)).toDF("k", "rt", "v")

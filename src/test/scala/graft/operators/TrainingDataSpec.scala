@@ -69,4 +69,35 @@ class TrainingDataSpec extends SparkSpec {
     // cums: 60,120,180 -> before: 0,60,120 -> packs 0,0,1
     packs.map(_._2).toSeq shouldBe Seq(0L, 0L, 1L)
   }
+
+  test("chunkByTokens: exact boundaries, overlap, short final chunk") {
+    // 25 tokens, window 10, stride 8 → chunks at 0,8,16: 10+10+9 tokens
+    val text = (1 to 25).map(i => s"w$i").mkString(" ")
+    val out = TrainingData.chunkByTokens(Seq((1L, text)).toDF("id", "text"),
+        "text", window = 10, stride = 8)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_tokens", "chunk").as[(Int, Int, String)].collect()
+    out.map(c => (c._1, c._2)).toSeq shouldBe Seq((0, 10), (1, 10), (2, 9))
+    out(0)._3 shouldBe (1 to 10).map("w" + _).mkString(" ")
+    out(1)._3 shouldBe (9 to 18).map("w" + _).mkString(" ")  // 2-token overlap
+    out(2)._3 shouldBe (17 to 25).map("w" + _).mkString(" ")
+  }
+
+  test("chunkByTokens: short docs yield one whole chunk; blank/null yield none") {
+    val df = Seq((1L, "a b c"), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = TrainingData.chunkByTokens(df, "text", window = 10, stride = 10)
+      .select("id", "chunk_idx", "n_tokens", "chunk")
+      .as[(Long, Int, Int, String)].collect()
+    out.toSeq shouldBe Seq((1L, 0, 3, "a b c"))
+  }
+
+  test("chunkByTokens covers every token exactly when stride == window") {
+    val text = (1 to 100).map("t" + _).mkString(" ")
+    val out = TrainingData.chunkByTokens(Seq((1L, text)).toDF("id", "text"),
+        "text", window = 7, stride = 7)
+      .orderBy("chunk_idx").select("chunk").as[String].collect()
+    out.mkString(" ") shouldBe text
+    out.length shouldBe 15 // ceil(100/7)
+  }
 }
