@@ -277,6 +277,91 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Cross-corpus NEAR-dup decontamination (the RefinedWeb/fuzzy variant of
+    * [[Curation.decontaminate]]'s exact n-gram overlap): corpus documents
+    * whose MinHash-estimated Jaccard against ANY benchmark document clears
+    * `minJaccard`. Returns one row per contaminated corpus doc:
+    * (corpus_id, benchmark_id, jaccard) with the highest-Jaccard benchmark
+    * match (ties to the smallest benchmark id).
+    *
+    * Composes [[minHashDupPairs]] over the tagged union — the corpus never
+    * shuffles more than its LSH band keys — then keeps only cross-side
+    * pairs. Benchmark ids are offset into negative space (`-1 - id`) so
+    * the two id ranges cannot collide inside the shared pair mining, and
+    * are restored on output.
+    */
+  def crossCorpusNearDups(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val b = benchmark.select((lit(-1L) - col(idCol).cast("long")).as("id"),
+      col(textCol).as("t"))
+    require(c.schema == b.schema, "tagged union schema mismatch")
+    val pairs = minHashDupPairs(c.unionByName(b), "id", "t",
+      k = k, minJaccard = minJaccard)
+    // pair ids are (min, max); benchmark ids are negative, so a cross pair
+    // is exactly (id_a < 0 <= id_b)
+    val cross = pairs.filter(col("id_a") < 0 && col("id_b") >= 0)
+      .select(col("id_b").as("corpus_id"),
+        (lit(-1L) - col("id_a")).as("benchmark_id"),
+        col("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("corpus_id"))
+      .orderBy(col("jaccard").desc, col("benchmark_id").asc)
+    cross.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
+  /** SimHash near-dup pairs by banded Hamming mining: the 40-bit signature
+    * splits into `bands` equal slices, candidate pairs equi-join on any
+    * exact band slice, and survivors filter on true Hamming distance.
+    * By pigeonhole this is EXACT (full recall, not probabilistic) for
+    * `maxHamming < bands`: a pair differing in ≤ bands−1 bits cannot
+    * differ in every band. Returns (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Scale shape: the self-join is an equi-join on (band, slice) — shuffle
+    * partitioned by bucket, never all-pairs. Each pair emits from its FIRST
+    * shared band only (earlier-band inequality predicates), so no
+    * distinct-dedup pass over the candidate stream. Buckets cap at
+    * `maxBucket` ascending ids (the [[minHashDupPairs]] convention) to
+    * bound the worst-case quadratic bucket; the cap never binds below
+    * maxBucket-row buckets and is an explicit recall trade above.
+    */
+  def simHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, bands: Int = 4,
+                      maxBucket: Int = 8192): DataFrame = {
+    require(maxHamming < bands, s"pigeonhole exactness needs maxHamming < bands")
+    require(40 % bands == 0, s"bands must divide 40")
+    val width = 40 / bands
+    val mask = (1L << width) - 1
+    def slice(sig: Column, b: Column): Column =
+      call_function("shiftright", sig, b * width).bitwiseAND(lit(mask))
+    val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val banded = sigs
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("slice", slice(col("sig"), col("band")))
+    val capped = banded.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("slice")).orderBy(col("id"))))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val a = capped.select(col("band"), col("slice"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("slice"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    // first-shared-band emission: at this band the slices are equal (join
+    // key); require inequality at every EARLIER band so each pair appears
+    // exactly once without a distinct pass
+    val firstBand = (0 until bands).map { bp =>
+      col("band") <= bp ||
+        slice(col("sig_a"), lit(bp)) =!= slice(col("sig_b"), lit(bp))
+    }.reduce(_ && _)
+    a.join(b, Seq("band", "slice"))
+      .filter(col("id_a") < col("id_b") && firstBand)
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns. For
     * pairwise use precompute [[sortedShingleHashes]] per document ONCE and
     * compare with [[sortedSetJaccard]] — evaluating the shingle HOFs per

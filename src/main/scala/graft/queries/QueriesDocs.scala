@@ -127,6 +127,32 @@ object QueriesDocs {
           "text", window = 20, stride = 15)
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("chunk"))),
 
+    // Cross-corpus NEAR-dup decontamination (fuzzy variant of q73): the
+    // benchmark is a perturbed copy of every 83rd corpus doc (the "eval
+    // item leaked into the training set, lightly edited" scenario — a
+    // suffix edit that exact n-gram overlap would dilute but MinHash
+    // Jaccard still clears). Not SQL-expressible (MinHash banding) →
+    // golden-pinned like q28
+    "q92_cross_contam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.crossCorpusNearDups(
+        corpus = docs,
+        benchmark = docs.filter(col("doc_id") % 83 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" eval item tag")).as("text")),
+        idCol = "doc_id", textCol = "text", k = 3, minJaccard = 0.5)
+    }),
+
+    // SimHash near-dup pair mining: banded Hamming join (pigeonhole-exact
+    // for maxHamming < bands), first-shared-band emission, capped buckets.
+    // Subset like q40: the synthetic corpus's shared vocabulary makes MOST
+    // doc pairs near-identical in simhash space (16k pairs at hamming≤3
+    // over 500 docs) — the subset keeps the oracle result bounded
+    "q91_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashDupPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 200),
+        "doc_id", "text", maxHamming = 2, bands = 4)),
+
     // n-gram (word-unigram) Jaccard between documents of the same source
     // (small per-source self-join exercising shingle set ops; oracle-checked)
     "q40_ngram_jaccard" -> ((s, d) => {
@@ -244,6 +270,38 @@ object QueriesDocs {
       SELECT doc_id,
              CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id""",
+    "q91_simhash_pairs" -> raw"""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM d),
+      th AS (
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT), list_transform(
+                   string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 1099511627776) AS h
+        FROM toks),
+      votes AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, unnest(range(40)) AS t(b)
+        GROUP BY doc_id, b),
+      sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sig
+        FROM votes GROUP BY doc_id),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sh a, sh b, unnest(range(4)) AS t(b)
+        WHERE a.doc_id < b.doc_id
+          AND ((a.sig >> (CAST(t.b AS INT) * 10)) & 1023)
+              = ((b.sig >> (CAST(t.b AS INT) * 10)) & 1023)
+          AND (t.b <= 0 OR ((a.sig >> 0) & 1023) <> ((b.sig >> 0) & 1023))
+          AND (t.b <= 1 OR ((a.sig >> 10) & 1023) <> ((b.sig >> 10) & 1023))
+          AND (t.b <= 2 OR ((a.sig >> 20) & 1023) <> ((b.sig >> 20) & 1023)))
+      SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 2""",
     "q55_hash_split" ->
       """WITH b AS (SELECT source, n_chars,
            list_reduce(

@@ -159,6 +159,53 @@ class DedupSpec extends SparkSpec {
     out(3L) shouldBe 3L
   }
 
+  test("simHashDupPairs equals the brute-force Hamming filter (pigeonhole exact)") {
+    val docs = Seq.tabulate(60) { i =>
+      // clusters of 3 near-identical docs (shared prefix, tiny suffix edit)
+      (i.toLong, s"shared prose body number ${i / 3} with common words " +
+        ("x" * (i % 3)))
+    }.toDF("doc_id", "text")
+    val mined = Dedup.simHashDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, bands = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().sorted
+    // brute force over all pairs
+    val sigs = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        Dedup.simHash(org.apache.spark.sql.functions.col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).toArray.sorted
+    mined shouldBe brute
+    mined.nonEmpty shouldBe true // the clusters really collide
+  }
+
+  test("simHashDupPairs emits each pair exactly once (first shared band)") {
+    // identical texts share EVERY band; must still appear once
+    val docs = Seq((1L, "same text here"), (2L, "same text here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simHashDupPairs(docs, "doc_id", "text").collect()
+    out.length shouldBe 1
+  }
+
+  test("crossCorpusNearDups: best benchmark match per contaminated corpus doc") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),   // near bench 1
+      (11L, "totally unrelated content words here now"),
+      (12L, "alpha beta gamma delta epsilon zeta"))   // exact dup of 10
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "other benchmark item entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDups(corpus, bench, "doc_id", "text",
+        k = 3, minJaccard = 0.5)
+      .select("corpus_id", "benchmark_id", "jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    out.map(_._1).toSeq shouldBe Seq(10L, 12L) // 11 is clean
+    out.foreach { case (_, b, j) => b shouldBe 1L; j shouldBe 1.0 }
+  }
+
   test("embeddingDupPairs finds cosine-near pairs via shared LSH bucket") {
     val vecs = Seq(
       (1L, Array(1.0, 2.0, 3.0, 4.0)),

@@ -52,4 +52,26 @@ class ScaleJoinsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_dims")
     }
   }
+
+  test("bloomPrunedJoin equals the plain join and prunes before the shuffle") {
+    val probe = (0 until 10000).map(i => (i.toLong, s"p$i")).toDF("k", "a")
+    val build = (0 until 100).map(i => (i.toLong * 97, s"b$i")).toDF("k", "b")
+    val plain = probe.join(build, Seq("k"))
+      .as[(Long, String, String)].collect().sorted
+    val pruned = ScaleJoins.bloomPrunedJoin(probe, build, "k",
+        expectedItems = 100, fpp = 0.01)
+      .as[(Long, String, String)].collect().sorted
+    pruned shouldBe plain
+    plain.length shouldBe 100 // every build key 97*i (i<100) < 10000 matches
+  }
+
+  test("bloomPrunedJoin on string keys and null probe keys") {
+    val probe = Seq(Some("a"), Some("b"), None, Some("zz"))
+      .zipWithIndex.map { case (k, i) => (k.orNull, i) }.toDF("k", "i")
+    val build = Seq(("a", 1), ("zz", 2)).toDF("k", "j")
+    val out = ScaleJoins.bloomPrunedJoin(probe, build, "k",
+        expectedItems = 10)
+      .select("k").as[String].collect().sorted
+    out shouldBe Array("a", "zz")
+  }
 }
