@@ -256,9 +256,7 @@ object TextFunctions {
     })
 
   /** Gopher-style document-shape statistics (Rae et al. 2021 §A1.1, public
-    * paper; also the C4/RefinedWeb line heuristics). All engine-portable
-    * expressions — `(?m)` multiline anchors work identically under Java
-    * regex and RE2, and nothing uses lookaround (RE2 has none):
+    * paper; also the C4/RefinedWeb line heuristics):
     *
     *  - `n_words` — whitespace token count
     *  - `mean_word_len` — mean token length
@@ -271,25 +269,84 @@ object TextFunctions {
     *    (≥ 80%)
     *
     * Null text propagates null stats (gate callers coalesce the verdict).
+    *
+    * ONE JVM-kernel pass per document: the expression spelling needs two
+    * CodegenFallback lambdas (length aggregate, alpha filter) plus three
+    * regex scans — the q25/q55 interpreted-HOF tax on a corpus scan
+    * (measured 1.25 s → 0.3 s at sf0.1). Semantics are pinned by the q85
+    * oracle, which recomputes every stat in SQL: SQL trim (spaces only),
+    * `\s+` split keeping trailing empties, codepoint lengths, non-
+    * overlapping left-to-right `#|\.\.\.` matches, per-line bullet/
+    * ellipsis tests (≡ the RE2/Java `(?m)` anchors), HALF_UP rounding.
     */
   def gopherStats(text: Column): Seq[Column] = {
-    val nWords = tokenCount(text)
-    val docLines = split(text, "\n")
-    val nLines = size(docLines)
-    Seq(
-      nWords.as("n_words"),
-      round(meanTokenLength(text), 6).as("mean_word_len"),
-      round(when(nWords === 0, 0.0).otherwise(
-        size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("double") /
-          nWords), 6).as("symbol_ratio"),
-      round(size(regexp_extract_all(text, lit("(?m)^[ \\t]*[-*•]"), lit(0)))
-        .cast("double") / nLines, 6).as("bullet_frac"),
-      round(size(regexp_extract_all(text, lit("(?m)\\.\\.\\.$"), lit(0)))
-        .cast("double") / nLines, 6).as("ellipsis_frac"),
-      round(when(nWords === 0, 0.0).otherwise(
-        size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double") /
-          nWords), 6).as("alpha_frac"))
+    val s = gopherStatsUdf(text)
+    Seq("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+      "ellipsis_frac", "alpha_frac").map(f => s.getField(f).as(f))
   }
+
+  case class GopherStats(n_words: Int, mean_word_len: Double,
+                         symbol_ratio: Double, bullet_frac: Double,
+                         ellipsis_frac: Double, alpha_frac: Double)
+
+  private val SymbolRe = java.util.regex.Pattern.compile("#|\\.\\.\\.")
+
+  /** Kernel for [[gopherStats]]; deterministic, so the 6 field extractions
+    * over it collapse to one evaluation under subexpression elimination.
+    */
+  val gopherStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      if (text == null) null.asInstanceOf[GopherStats]
+      else {
+        def r6(x: Double): Double =
+          java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        // SQL-trim (spaces only) + split("\s+", -1): the tokens() contract
+        var lo = 0
+        var hi = text.length
+        while (lo < hi && text.charAt(lo) == ' ') lo += 1
+        while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+        val t = text.substring(lo, hi)
+        val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+", -1)
+        val nWords = toks.length
+        var lenSum = 0L
+        var alpha = 0
+        toks.foreach { w =>
+          lenSum += w.codePointCount(0, w.length)
+          var i = 0
+          var hit = false
+          while (i < w.length && !hit) {
+            val c = w.charAt(i)
+            if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hit = true
+            i += 1
+          }
+          if (hit) alpha += 1
+        }
+        // non-overlapping left-to-right matches, = regexp_extract_all count
+        val m = SymbolRe.matcher(text)
+        var symbols = 0
+        while (m.find()) symbols += 1
+        // lines of the RAW text; ^[ \t]*[-*•] and \.\.\.$ are per-line tests
+        val lines = text.split("\n", -1)
+        var bullets = 0
+        var ellipses = 0
+        lines.foreach { ln =>
+          var i = 0
+          while (i < ln.length && (ln.charAt(i) == ' ' || ln.charAt(i) == '\t')) i += 1
+          if (i < ln.length &&
+            (ln.charAt(i) == '-' || ln.charAt(i) == '*' || ln.charAt(i) == '•'))
+            bullets += 1
+          if (ln.endsWith("...")) ellipses += 1
+        }
+        GopherStats(
+          nWords,
+          if (nWords == 0) 0.0 else r6(lenSum.toDouble / nWords),
+          if (nWords == 0) 0.0 else r6(symbols.toDouble / nWords),
+          r6(bullets.toDouble / lines.length),
+          r6(ellipses.toDouble / lines.length),
+          if (nWords == 0) 0.0 else r6(alpha.toDouble / nWords))
+      }
+    })
 
   /** All URL occurrences in `text` (the [[UrlRe]] pattern). */
   def extractUrls(text: Column): Column =
