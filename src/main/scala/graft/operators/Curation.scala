@@ -193,6 +193,41 @@ object Curation {
       .filter(col("n_kept") > 0)
   }
 
+  /** Per-document duplicated-span fraction — the corpus-internal
+    * complement of [[decontaminate]] and the cheap cousin of
+    * suffix-array exact-substring dedup (Lee et al. 2021): the fraction
+    * of a document's distinct word `n`-grams whose corpus document
+    * frequency is ≥ `minDocFreq`. High values mark boilerplate-heavy or
+    * near-copied documents that survive doc-level exact dedup. Returns
+    * (`idCol`, n_grams, n_dup, dup_frac); documents with fewer than `n`
+    * tokens score 0.
+    *
+    * Scale shape: grams shuffle as `xxhash64` keys (8 bytes, not gram
+    * text) into a map-side-combined document-frequency count, joined back
+    * co-partitioned on the same key — the [[dedupLines]] pattern one level
+    * down (n-gram instead of line).
+    */
+  def dupGramFraction(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8, minDocFreq: Int = 2): DataFrame = {
+    val grams = docs
+      .select(col(idCol),
+        explode_outer(TextFunctions.wordNgramsUdf(n)(col(textCol))).as("__g"))
+      // explicit null guard: xxhash64(null) is the (non-null) seed hash,
+      // which would count every zero-gram document as one shared "gram"
+      .withColumn("__h", when(col("__g").isNotNull, xxhash64(col("__g"))))
+      .drop("__g")
+    val freq = grams.filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    grams.join(freq, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__h")).as("n_grams"),
+        count(when(col("__df") >= minDocFreq, 1)).as("n_dup"))
+      .select(col(idCol), col("n_grams"), col("n_dup"),
+        round(when(col("n_grams") === 0, 0.0)
+          .otherwise(col("n_dup").cast("double") / col("n_grams")), 6)
+          .as("dup_frac"))
+  }
+
   /** Distinct word n-grams of the benchmark corpus, collected to the
     * driver for broadcast. Bounded by the BENCHMARK size (eval suites are
     * MBs against a corpus of TBs) — use the join formulation

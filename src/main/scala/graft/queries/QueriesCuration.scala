@@ -117,6 +117,13 @@ object QueriesCuration {
           col("n_urls"), col("n_docs"), col("n_with_query"))
     }),
 
+    // Duplicated-span fraction: distinct 8-grams with corpus document
+    // frequency >= 2 (exact-substring-dedup signal; doc-level exact dups
+    // and injected boilerplate score high, unique prose scores 0)
+    "q93_dup_spans" -> ((s, d) =>
+      Curation.dupGramFraction(Tables.documents(s, d), "doc_id", "text",
+        n = 8, minDocFreq = 2)),
+
     // The full curation chain as a STREAMING ingest gate (stateless:
     // quality + broadcast-set decontamination + hash sampling), run as a
     // bounded stream — the oracle replays the identical chain in SQL, so
@@ -281,6 +288,29 @@ object QueriesCuration {
              regexp_extract(host, '\.([^.]+)$$', 1) AS tld,
              n_urls, n_docs, n_with_query
       FROM g""",
+    "q93_dup_spans" -> raw"""
+      WITH $toksCte,
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(list_transform(range(len(t) - 7),
+                           i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' ||
+                                t[i + 4] || ' ' || t[i + 5] || ' ' || t[i + 6] || ' ' ||
+                                t[i + 7] || ' ' || t[i + 8]))
+               END AS grams
+        FROM toks),
+      eg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      f AS (SELECT gram, count(*) AS df FROM eg GROUP BY 1),
+      j AS (SELECT e.doc_id, f.df FROM eg e JOIN f USING (gram)),
+      agg AS (SELECT doc_id, count(*) AS n_grams,
+                     count(CASE WHEN df >= 2 THEN 1 END) AS n_dup
+              FROM j GROUP BY 1)
+      SELECT g.doc_id,
+             CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+             round(CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0.0
+                        ELSE CAST(a.n_dup AS DOUBLE) / a.n_grams END, 6) AS dup_frac
+      FROM g LEFT JOIN agg a USING (doc_id)""",
     "q73_decontaminate" -> raw"""
       WITH $toksCte,
       g AS (

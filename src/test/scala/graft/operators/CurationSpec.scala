@@ -224,6 +224,24 @@ class CurationSpec extends SparkSpec {
     n.toDouble / 2000 shouldBe 0.3 +- 0.05
   }
 
+  test("dupGramFraction: shared spans count, unique prose scores 0, short docs 0") {
+    val shared = "one two three four five six seven eight" // exactly one 8-gram
+    val docs = Seq(
+      (1L, shared),                       // gram shared with doc 2 → frac 1
+      (2L, s"$shared nine"),              // grams: shared(df2) + one unique → 1/2
+      (3L, "totally different words in this eight gram span"), // unique → 0
+      (4L, "too short"))                  // < 8 tokens → 0 grams, frac 0
+      .toDF("doc_id", "text")
+    val out = Curation.dupGramFraction(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    out(0) shouldBe ((1L, 1L, 1L, 1.0))
+    out(1) shouldBe ((2L, 2L, 1L, 0.5))
+    out(2)._4 shouldBe 0.0
+    out(3) shouldBe ((4L, 0L, 0L, 0.0))
+  }
+
   test("gopherGate: each rule rejects its shape; prose passes; null text rejected") {
     val prose = ("the quick brown fox jumps over the lazy dog and then " * 6).trim
     val docs = Seq(
