@@ -21,6 +21,26 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
+  /** Deterministic text normalization for hashing/dedup pipelines — the
+    * canonical form every content hash ([[fingerprint]], MinHash, SimHash)
+    * should be computed over, so cosmetic whitespace/control-char variants
+    * of the same document collapse to one hash. Steps, in order: CRLF/CR →
+    * LF; control characters other than newline/tab stripped; tabs →
+    * spaces; space runs collapsed; line-edge spaces trimmed; 3+ blank
+    * lines collapsed to one blank line; outer whitespace trimmed. A pure
+    * regexp_replace chain — codegen'd, no shuffle, engine-portable (every
+    * pattern is plain RE2).
+    */
+  def normalizeText(text: Column): Column = {
+    val crlf = regexp_replace(text, "\r\n?", "\n")
+    val ctrl = regexp_replace(crlf, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val tabs = regexp_replace(ctrl, "\t", " ")
+    val spaces = regexp_replace(tabs, " {2,}", " ")
+    val edges = regexp_replace(spaces, " *\n *", "\n")
+    val blanks = regexp_replace(edges, "\n{3,}", "\n\n")
+    regexp_replace(blanks, "^[\n ]+|[\n ]+$", "")
+  }
+
   /** BPE-ish subword count: word chunks of ≤4 chars + digits + punctuation
     * each count as one token — a cheap deterministic stand-in for a real
     * tokenizer's token count.

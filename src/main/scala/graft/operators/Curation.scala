@@ -159,7 +159,9 @@ object Curation {
     * cookie banners, signatures — repeats across thousands of pages; prose
     * doesn't), then reassemble each document from its surviving lines in
     * order. Documents left with NO surviving lines drop out entirely.
-    * Returns (`idCol`, text, n_kept, n_removed).
+    * Returns (`idCol`, text, n_kept, n_removed). `separator` (a LITERAL,
+    * not a regex) selects the span granularity: "\n" = lines (default),
+    * "\n\n" = the RefinedWeb paragraph-level variant.
     *
     * Scale shape: the global count groups by `(xxhash64(line), length)` —
     * the [[Dedup.exactDedup]] convention — so the counting shuffle carries
@@ -172,11 +174,12 @@ object Curation {
     * independent hashes).
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
-                 maxOccurrences: Long): DataFrame = {
+                 maxOccurrences: Long, separator: String = "\n"): DataFrame = {
     val lines = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(separator)))
+          .as(Seq("__pos", "__line")))
       .withColumn("__h", xxhash64(col("__line")))
       .withColumn("__len", length(col("__line")))
     val counts = lines.groupBy(col("__h"), col("__len"))
@@ -184,7 +187,7 @@ object Curation {
     lines.join(counts, Seq("__h", "__len"))
       .groupBy(col(idCol))
       .agg(
-        concat_ws("\n", transform(
+        concat_ws(separator, transform(
           array_sort(collect_list(when(col("__cnt") <= maxOccurrences,
             struct(col("__pos"), col("__line"))))),
           e => e.getField("__line"))).as("text"),
@@ -285,5 +288,92 @@ object Curation {
             col("contamination") <= maxContamination &&
             col("sample_bucket") < rateThreshold(classCol, rates, defaultRate, denom),
           lit(false)))
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, with word unigrams
+    * in place of hashed n-grams): per-document average log-likelihood
+    * ratio `mean_tok ln(p_target(tok)/p_raw(tok))` between a target
+    * (high-quality / in-domain) corpus and the raw corpus, add-`alpha`
+    * smoothed over the joint vocabulary. Positive = target-like; sampling
+    * proportional to exp(weight) reshapes raw data toward the target
+    * distribution. Returns (`idCol`, n_tokens, logratio) for every corpus
+    * row; zero-token documents get n_tokens 0 and null logratio.
+    *
+    * Scale shape: two map-side-combined token counts (target is small by
+    * assumption, raw shuffles 8-byte-hashable tokens), a full-outer vocab
+    * merge, then ONE keyed join of exploded corpus tokens against the
+    * weight table — co-partitioned on token, no broadcast of anything
+    * corpus-sized. The three scalars (token totals + vocab size) are a
+    * bounded driver collect.
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    def toks(df: DataFrame) =
+      df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+    val tCnt = toks(target).groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val rCnt = toks(corpus).groupBy(col("tok")).agg(count(lit(1)).as("cr"))
+    val vocab = tCnt.join(rCnt, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = vocab.agg(sum(col("ct")), sum(col("cr")), count(lit(1))).head()
+    val (nT, nR, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    val weights = vocab.select(col("tok"),
+      (log((col("ct") + alpha) / lit(nT + alpha * v)) -
+        log((col("cr") + alpha) / lit(nR + alpha * v))).as("w"))
+    val scored = corpus
+      .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+      .join(weights, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("w")), 6).as("logratio"))
+    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("logratio"))
+  }
+
+  /** CCNet-style LM quality scoring with a bigram model: per-document
+    * cross-entropy `-mean ln p(tok_i | tok_{i-1})` under an add-`alpha`
+    * smoothed bigram LM trained on `reference` (the high-quality corpus).
+    * Low cross-entropy = reference-like prose; high = OOV-heavy or
+    * disfluent text — the head/middle/tail split CCNet buckets on.
+    * Returns (`idCol`, n_bigrams, cross_entropy) for every corpus row;
+    * documents with <2 tokens get n_bigrams 0 and null cross_entropy.
+    *
+    * Scale shape: reference n-gram counts are keyed aggregates (map-side
+    * combined); the corpus explodes to (bigram, prefix) rows joined
+    * against them — two co-partitioned keyed joins, bounded by corpus
+    * token count, no driver-side model object. The vocabulary size is the
+    * only scalar collected.
+    */
+  def bigramCrossEntropy(corpus: DataFrame, reference: DataFrame,
+                         idCol: String, textCol: String,
+                         alpha: Double = 0.5): DataFrame = {
+    def bigrams(tc: Column): Column =
+      zip_with(
+        slice(tc, lit(1), greatest(size(tc) - 1, lit(0))),
+        slice(tc, lit(2), greatest(size(tc) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    val t = TextFunctions.tokens(lower(col(textCol)))
+    val refBi = reference.select(explode(bigrams(t)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val refUni = reference.select(explode(t).as("prefix"))
+      .groupBy(col("prefix")).agg(count(lit(1)).as("cu"))
+    val v = refUni.count()
+    val scored = corpus
+      .select(col(idCol), explode(bigrams(t)).as("bg"))
+      .withColumn("prefix", element_at(split(col("bg"), " ", 2), 1))
+      .join(refBi, Seq("bg"), "left")
+      .join(refUni, Seq("prefix"), "left")
+      .withColumn("lp",
+        log((coalesce(col("cb"), lit(0L)) + alpha) /
+          (coalesce(col("cu"), lit(0L)) + lit(alpha * v))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("lp")), 6).as("cross_entropy"))
+    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("cross_entropy"))
   }
 }

@@ -433,4 +433,81 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup (Abbas et al. 2023) semantic near-dedup: vectors are
+    * partitioned by their nearest centroid (a k-means coarse quantizer —
+    * [[Similarity.trainIvfCentroids]] output, or any fixed codebook), and
+    * a row is DROPPED when any smaller-id member of its own cluster is
+    * within cosine `tau` — the paper's keep-one-per-semantic-duplicate
+    * rule with a deterministic (smallest-id) survivor. Returns every input
+    * row: (id, cluster, n_dups_lower, max_cos_lower, kept); `max_cos_lower`
+    * is null for the smallest id of each cluster.
+    *
+    * Scale shape: the pairwise cosine runs WITHIN clusters only — a
+    * self-equi-join shuffle-partitioned by cluster, never all-pairs.
+    * Per-cluster work is O(m²); k is chosen so m ≈ N/k stays bounded
+    * (SemDeDup runs k ∝ N — e.g. 50k clusters over 100M embeddings), so
+    * a 100× corpus grows k, not m. The verdict aggregate is map-side
+    * combinable and keyed by (cluster, id) — high cardinality, no hot
+    * reducer.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]],
+                    tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Double]) =>
+      Similarity.nearestCentroid(v.toArray, bc.value))
+    val assigned = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cluster", assignUdf(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lower = assigned.select(col("cluster"),
+      col("id").as("id_lo"), col("v").as("v_lo"))
+    // rounded BEFORE the tau comparison so the verdict matches the
+    // reported 6-decimal cosine at the threshold boundary
+    val pairs = assigned.join(lower, Seq("cluster"))
+      .filter(col("id_lo") < col("id"))
+      .withColumn("cos",
+        round(VectorFunctions.cosineBest(spark, col("v"), col("v_lo")), 6))
+    val stats = pairs.groupBy(col("cluster"), col("id"))
+      .agg(max(col("cos")).as("max_cos_lower"),
+        count(when(col("cos") >= tau, 1)).as("n_dups_lower"))
+    assigned.select(col("id"), col("cluster"))
+      .join(stats, Seq("cluster", "id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"),
+        col("max_cos_lower"),
+        coalesce(col("n_dups_lower") === 0, lit(true)).as("kept"))
+  }
+
+  /** Fuzzy-dedup retention policy: duplicate pairs → connected components
+    * ([[connectedComponents]]) → ONE survivor per component, the
+    * highest-`scoreCol` member (ties → smallest id; null scores rank
+    * below every real score). Where [[canonicalize]] keeps the smallest
+    * id, this keeps the BEST document — the standard retention rule when
+    * quality scores exist. Singletons survive as their own component.
+    * Returns (id, score, component, kept_id, kept) for every input row.
+    *
+    * Scale shape: one winner-aggregate over (component) — map-side
+    * combined `max(struct(score, -id))`, no per-component window — and a
+    * co-partitioned join back on component.
+    */
+  def keepBest(docs: DataFrame, idCol: String, scoreCol: String,
+               pairs: DataFrame,
+               aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val canon = canonicalize(
+      docs.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score")),
+      "id", pairs, aCol, bCol)
+    val winners = canon.groupBy(col("rep"))
+      .agg(max(struct(
+        coalesce(col("score"), lit(Double.NegativeInfinity)).as("s"),
+        (-col("id")).as("negid"))).as("w"))
+      .select(col("rep"), (-col("w.negid")).as("kept_id"))
+    canon.join(winners, Seq("rep"))
+      .select(col("id"), col("score"), col("rep").as("component"),
+        col("kept_id"), (col("id") === col("kept_id")).as("kept"))
+  }
 }

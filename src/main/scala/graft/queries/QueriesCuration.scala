@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 import graft.sources.Tables
 
 /** Corpus-curation queries (training-data pipeline surface): benchmark
@@ -129,7 +129,61 @@ object QueriesCuration {
     // bounded stream — the oracle replays the identical chain in SQL, so
     // this checks batch/stream parity of the whole pipeline
     "q79_ingest_gate" -> ((s, d) =>
-      graft.streaming.StreamingOps.runIngestGateAvailableNow(s, d))
+      graft.streaming.StreamingOps.runIngestGateAvailableNow(s, d)),
+
+    // Fuzzy-dedup retention: connected components over a closed-form
+    // chain lattice (edges (i-1, i) unless i%5==0 → components are the
+    // 5-runs floor(id/5)*5, which the oracle verifies), keeping the
+    // highest-quality member of each component
+    "q95_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), enStop).as("score"))
+      val pairs = docs.select(col("doc_id").cast("long").as("id"))
+        .filter(col("id") % 5 =!= 0)
+        .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
+      Dedup.keepBest(scored, "doc_id", "score", pairs)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Canonical text normalization over whitespace/control-char-mangled
+    // input (CRLF line breaks, doubled spaces, BEL+tab prefixes, blank-run
+    // padding — injected on a doc_id lattice; see messyText)
+    "q96_normalize_text" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), messyText.as("text"))
+        .select(col("doc_id"), length(col("text")).as("n_before"),
+          TextFunctions.normalizeText(col("text")).as("text_norm"))
+        .withColumn("n_after", length(col("text_norm")))),
+
+    // DSIR-style importance weights: per-doc mean log-likelihood ratio of
+    // the target LM (doc_id%97==0 subset) over the raw-corpus LM
+    "q97_importance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.importanceWeights(
+        corpus = docs.filter(col("doc_id") % 97 =!= 0),
+        target = docs.filter(col("doc_id") % 97 === 0),
+        idCol = "doc_id", textCol = "text", alpha = 0.5)
+    }),
+
+    // RefinedWeb paragraph-level dedup: same engine as q86 at "\n\n"
+    // granularity, over paragraph-structured text with boilerplate
+    // paragraphs injected on a doc_id lattice
+    "q98_paragraph_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), paragraphed.as("text"))
+      Curation.dedupLines(base, "doc_id", "text",
+        maxOccurrences = 5, separator = "\n\n")
+    }),
+
+    // CCNet-style LM quality: per-doc cross-entropy under an add-0.5
+    // smoothed bigram model trained on the doc_id%97==0 reference subset
+    "q99_lm_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.bigramCrossEntropy(
+        corpus = docs.filter(col("doc_id") % 97 =!= 0),
+        reference = docs.filter(col("doc_id") % 97 === 0),
+        idCol = "doc_id", textCol = "text", alpha = 0.5)
+    })
   )
 
   import org.apache.spark.sql.Column
@@ -181,6 +235,56 @@ object QueriesCuration {
       bl AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
                 THEN t1 || chr(10) || 'all rights reserved' ELSE t1 END AS text FROM bl1)"""
 
+  /** Whitespace/control-char-mangled text for the normalization path:
+    * CRLF breaks every 8 tokens, doubled spaces on doc_id%2, a BEL+tab
+    * prefix on doc_id%3, leading spaces + a 4-newline tail on doc_id%5.
+    */
+  private def messyText: Column = {
+    val nl = regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\r\n")
+    val sp = when(col("doc_id") % 2 === 0,
+      regexp_replace(nl, " ", "  ")).otherwise(nl)
+    val ctl = when(col("doc_id") % 3 === 0,
+      concat(lit("\u0007\t"), sp)).otherwise(sp)
+    when(col("doc_id") % 5 === 0,
+      concat(lit("  "), ctl, lit("\n\n\n\n"))).otherwise(ctl)
+  }
+
+  private val messyTextSql = raw"""
+      m0 AS (SELECT doc_id,
+               regexp_replace(text, '((?:\S+ ){7}\S+) ',
+                 '\1' || chr(13) || chr(10), 'g') AS t0
+             FROM documents),
+      m1 AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+               THEN replace(t0, ' ', '  ') ELSE t0 END AS t1 FROM m0),
+      m2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+               THEN chr(7) || chr(9) || t1 ELSE t1 END AS t2 FROM m1),
+      m AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+              THEN '  ' || t2 || repeat(chr(10), 4) ELSE t2 END AS text FROM m2)"""
+
+  /** Paragraph-structured text (blank-line breaks every 6 tokens) with
+    * boilerplate PARAGRAPHS injected on a doc_id lattice — the input shape
+    * for the "\n\n"-separator dedup variant.
+    */
+  private def paragraphed: Column = {
+    val pp = regexp_replace(col("text"), "((?:\\S+ ){5}\\S+) ", "$1\n\n")
+    val pre = when(col("doc_id") % 3 === 0,
+      concat(lit("cookie notice please accept\n\n"), pp)).otherwise(pp)
+    when(col("doc_id") % 4 === 0,
+      concat(pre, lit("\n\nfollow us on social media"))).otherwise(pre)
+  }
+
+  private val paragraphedSql = raw"""
+      p0 AS (SELECT doc_id,
+               regexp_replace(text, '((?:\S+ ){5}\S+) ',
+                 '\1' || chr(10) || chr(10), 'g') AS t0
+             FROM documents),
+      p1 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+               THEN 'cookie notice please accept' || chr(10) || chr(10) || t0
+               ELSE t0 END AS t1 FROM p0),
+      pl AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+               THEN t1 || chr(10) || chr(10) || 'follow us on social media'
+               ELSE t1 END AS text FROM p1)"""
+
   /** Text salted with one or two synthetic URLs per document (mixed case,
     * www prefixes, ports, query strings) for the domain-statistics path.
     */
@@ -222,7 +326,123 @@ object QueriesCuration {
           c -> CAST(ascii(c) AS BIGINT))),
         (a, c) -> (a * 31 + c) % 1099511627776)"""
 
+  /** Shared oracle fragment: the q74/q79 quality score per document
+    * (requires `toksCte` in scope).
+    */
+  private val scoreCte = raw"""
+      qs0 AS (
+        SELECT doc_id,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS punct,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS digits,
+               CASE WHEN len(t) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(t,
+                           x -> x IN (${enStop.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+                         / len(t) END AS stop
+        FROM toks),
+      qs AS (
+        SELECT doc_id,
+               round(0.25 * len_score + 0.25 * least(stop * 4.0, 1.0)
+                     + 0.25 * (1.0 - least(punct * 5.0, 1.0))
+                     + 0.25 * (1.0 - least(digits * 5.0, 1.0)), 6) AS score
+        FROM qs0)"""
+
   val oracleSql: Map[String, String] = Map(
+    "q95_keep_best" -> raw"""
+      WITH $toksCte,
+      $scoreCte,
+      cp AS (SELECT doc_id, doc_id - doc_id % 5 AS component FROM documents),
+      j AS (SELECT cp.doc_id AS doc_id, qs.score, cp.component
+            FROM cp JOIN qs USING (doc_id)),
+      w AS (SELECT component, doc_id AS kept_id FROM (
+              SELECT component, doc_id,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY score DESC, doc_id) AS rk
+              FROM j) WHERE rk = 1)
+      SELECT CAST(j.doc_id AS BIGINT) AS doc_id, j.score,
+             CAST(j.component AS BIGINT) AS component,
+             CAST(w.kept_id AS BIGINT) AS kept_id,
+             j.doc_id = w.kept_id AS kept
+      FROM j JOIN w USING (component)""",
+    "q96_normalize_text" -> raw"""
+      WITH $messyTextSql,
+      n0 AS (SELECT doc_id, text,
+               regexp_replace(text, '\r\n?', chr(10), 'g') AS s0 FROM m),
+      n1 AS (SELECT doc_id, text,
+               regexp_replace(s0, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS s1 FROM n0),
+      n2 AS (SELECT doc_id, text, regexp_replace(s1, '\t', ' ', 'g') AS s2 FROM n1),
+      n3 AS (SELECT doc_id, text, regexp_replace(s2, ' {2,}', ' ', 'g') AS s3 FROM n2),
+      n4 AS (SELECT doc_id, text, regexp_replace(s3, ' *\n *', chr(10), 'g') AS s4 FROM n3),
+      n5 AS (SELECT doc_id, text,
+               regexp_replace(s4, '\n{3,}', chr(10) || chr(10), 'g') AS s5 FROM n4)
+      SELECT doc_id, CAST(length(text) AS INT) AS n_before,
+             regexp_replace(s5, '^[\n ]+|[\n ]+$$', '', 'g') AS text_norm,
+             CAST(length(regexp_replace(s5, '^[\n ]+|[\n ]+$$', '', 'g')) AS INT) AS n_after
+      FROM n5""",
+    "q97_importance" -> raw"""
+      WITH $toksCte,
+      tt AS (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 97 = 0),
+      rt AS (SELECT doc_id, unnest(t) AS tok FROM toks WHERE doc_id % 97 <> 0),
+      tc AS (SELECT tok, count(*) AS ct FROM tt GROUP BY 1),
+      rc AS (SELECT tok, count(*) AS cr FROM rt GROUP BY 1),
+      vv AS (SELECT coalesce(tc.tok, rc.tok) AS tok,
+                    coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+             FROM tc FULL OUTER JOIN rc ON tc.tok = rc.tok),
+      tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM vv),
+      w AS (SELECT tok,
+                   ln((ct + 0.5) / (nt + 0.5 * v)) -
+                   ln((cr + 0.5) / (nr + 0.5 * v)) AS w
+            FROM vv, tot),
+      ds AS (SELECT r.doc_id, count(*) AS n_tokens, round(avg(w.w), 6) AS logratio
+             FROM rt r JOIN w USING (tok) GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(ds.n_tokens, 0) AS BIGINT) AS n_tokens,
+             ds.logratio
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+      LEFT JOIN ds USING (doc_id)""",
+    "q98_paragraph_dedup" -> raw"""
+      WITH $paragraphedSql,
+      sp AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ls FROM pl),
+      l AS (SELECT doc_id, CAST(t.i AS INT) AS pos, ls[CAST(t.i AS INT) + 1] AS line
+            FROM sp, unnest(range(len(ls))) AS t(i)),
+      c AS (SELECT line, count(*) AS cnt FROM l GROUP BY 1),
+      k AS (SELECT l.doc_id, l.pos, l.line, c.cnt FROM l JOIN c USING (line))
+      SELECT doc_id,
+             string_agg(line, chr(10) || chr(10) ORDER BY pos)
+               FILTER (WHERE cnt <= 5) AS text,
+             count(*) FILTER (WHERE cnt <= 5) AS n_kept,
+             count(*) FILTER (WHERE cnt > 5) AS n_removed
+      FROM k GROUP BY doc_id
+      HAVING count(*) FILTER (WHERE cnt <= 5) > 0""",
+    "q99_lm_quality" -> raw"""
+      WITH $toksCte,
+      ref AS (SELECT t FROM toks WHERE doc_id % 97 = 0),
+      cor AS (SELECT doc_id, t FROM toks WHERE doc_id % 97 <> 0),
+      rbg AS (SELECT t[CAST(u.i AS INT) + 1] || ' ' || t[CAST(u.i AS INT) + 2] AS bg
+              FROM ref, unnest(range(len(t) - 1)) AS u(i)),
+      rbc AS (SELECT bg, count(*) AS cb FROM rbg GROUP BY 1),
+      run AS (SELECT unnest(t) AS tok FROM ref),
+      ruc AS (SELECT tok, count(*) AS cu FROM run GROUP BY 1),
+      vv AS (SELECT count(*) AS v FROM ruc),
+      cbg AS (SELECT doc_id, t[CAST(u.i AS INT) + 1] AS prefix,
+                     t[CAST(u.i AS INT) + 1] || ' ' || t[CAST(u.i AS INT) + 2] AS bg
+              FROM cor, unnest(range(len(t) - 1)) AS u(i)),
+      lp AS (SELECT c.doc_id,
+                    ln((coalesce(rbc.cb, 0) + 0.5) /
+                       (coalesce(ruc.cu, 0) + 0.5 * vv.v)) AS lp
+             FROM cbg c
+             LEFT JOIN rbc USING (bg)
+             LEFT JOIN ruc ON c.prefix = ruc.tok, vv),
+      agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                     round(-avg(lp), 6) AS cross_entropy
+              FROM lp GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             a.cross_entropy
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+      LEFT JOIN agg a USING (doc_id)""",
     "q85_gopher_gate" -> raw"""
       WITH $structuredTextSql,
       tk AS (

@@ -209,6 +209,20 @@ object QueriesDocs {
         .filter(col("id") % 7 === 0 && col("id") >= 35)
         .select((col("id") - 35).as("id_a"), col("id").as("id_b"))
       Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
+
+    // SemDeDup semantic near-dedup: nearest-centroid clusters + the
+    // keep-smallest-id-within-tau verdict. The codebook is the first 8
+    // standard basis vectors, so nearest-by-L2 reduces to argmax of the
+    // first 8 components (ties → smaller index) — a closed form the
+    // oracle replicates with list_position(list_max); the within-cluster
+    // pairwise cosine is exact in both engines.
+    "q94_semantic_dedup" -> ((s, d) => {
+      val basis = Array.tabulate(8)(j =>
+        Array.tabulate(64)(i => if (i == j) 1.0 else 0.0))
+      Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          basis, tau = 0.35)
+        .withColumnRenamed("id", "vec_id")
     })
   )
 
@@ -231,6 +245,28 @@ object QueriesDocs {
                   SELECT id_a AS id FROM pairs
                   UNION ALL SELECT id_b FROM pairs))
       SELECT id, id % 35 AS comp FROM nodes""",
+    // basis-vector codebook: nearest-by-L2 = argmax of the first 8
+    // components, ties to the smaller index (list_position returns the
+    // FIRST occurrence of the max — same tie-break as nearestCentroid)
+    "q94_semantic_dedup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      a AS (SELECT vec_id, v,
+              CAST(list_position(v[1:8], list_max(v[1:8])) - 1 AS INT) AS cluster
+            FROM e),
+      p AS (SELECT hi.vec_id AS vec_id,
+                   round(list_dot_product(hi.v, lo.v) /
+                     (sqrt(list_dot_product(hi.v, hi.v)) *
+                      sqrt(list_dot_product(lo.v, lo.v))), 6) AS cos
+            FROM a hi JOIN a lo ON hi.cluster = lo.cluster
+                               AND lo.vec_id < hi.vec_id),
+      st AS (SELECT vec_id, max(cos) AS max_cos_lower,
+                    count(CASE WHEN cos >= 0.35 THEN 1 END) AS n_dups_lower
+             FROM p GROUP BY 1)
+      SELECT a.vec_id, a.cluster,
+             CAST(coalesce(st.n_dups_lower, 0) AS BIGINT) AS n_dups_lower,
+             st.max_cos_lower,
+             coalesce(st.n_dups_lower = 0, TRUE) AS kept
+      FROM a LEFT JOIN st USING (vec_id)""",
     // Spark's array_max over (hits, lang) structs breaks hit-ties toward the
     // lexicographically LARGER language code; the CASE checks fr,es,en,de in
     // that order with >= to replicate it.

@@ -96,4 +96,17 @@ class TextFunctionsSpec extends SparkSpec {
     // one "..." among 10 words
     r.getAs[Double]("symbol_ratio") shouldBe 0.1 +- 1e-6
   }
+
+  test("normalizeText: CRLF, control chars, tabs, space runs, blank runs, edges") {
+    val messy = " a\tb\r\nc  d \n\n\n\ne "
+    val df = Seq(messy).toDF("t")
+    val out = df.select(TextFunctions.normalizeText(col("t"))).as[String].head()
+    out shouldBe "a b\nc d\n\ne"
+  }
+
+  test("normalizeText is idempotent and blank-collapsing") {
+    val df = Seq("a b\nc d\n\ne", "\r\n \t \r\n", "").toDF("t")
+    val out = df.select(TextFunctions.normalizeText(col("t"))).as[String].collect()
+    out shouldBe Array("a b\nc d\n\ne", "", "")
+  }
 }

@@ -287,4 +287,56 @@ class CurationSpec extends SparkSpec {
       .orderBy("doc_id").select("text").as[String].collect()
     out shouldBe Array("shared\nmine", "shared\nyours")
   }
+
+  test("dedupLines with \\n\\n separator dedups at paragraph granularity") {
+    val boiler = "follow us\non social media" // multi-LINE paragraph
+    val df = Seq(
+      (1L, s"unique one\nstill one\n\n$boiler"),
+      (2L, s"unique two\n\n$boiler"),
+      (3L, s"unique three\n\n$boiler"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupLines(df, "doc_id", "text",
+        maxOccurrences = 2, separator = "\n\n")
+      .orderBy("doc_id")
+      .select("text", "n_kept", "n_removed")
+      .as[(String, Long, Long)].collect()
+    // the repeated paragraph (3 occurrences) drops; inner newlines survive
+    out shouldBe Array(
+      ("unique one\nstill one", 1L, 1L),
+      ("unique two", 1L, 1L),
+      ("unique three", 1L, 1L))
+  }
+
+  test("importanceWeights: hand-computed smoothed log-likelihood ratios") {
+    val target = Seq((100L, "apple apple banana")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "apple cherry"), (2L, "")).toDF("doc_id", "text")
+    val out = Curation.importanceWeights(corpus, target, "doc_id", "text",
+        alpha = 0.5)
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    // vocab {apple, banana, cherry}: v=3, nT=3, nR=2
+    val wApple = math.log(2.5 / 4.5) - math.log(1.5 / 3.5)
+    val wCherry = math.log(0.5 / 4.5) - math.log(1.5 / 3.5)
+    val expected = BigDecimal((wApple + wCherry) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out shouldBe Array(
+      (1L, 2L, Some(expected)),
+      (2L, 0L, None)) // zero-token doc: counted, unscored
+  }
+
+  test("bigramCrossEntropy: hand-computed smoothed bigram surprisal") {
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b"), (2L, "c"), (3L, "a z")).toDF("doc_id", "text")
+    val out = Curation.bigramCrossEntropy(corpus, ref, "doc_id", "text",
+        alpha = 0.5)
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ref: bigrams {a b: 2, b a: 1}, unigrams {a: 2, b: 2}, V=2
+    val ce1 = r6(-math.log(2.5 / 3.0)) // "a b" seen twice
+    val ce3 = r6(-math.log(0.5 / 3.0)) // "a z" unseen bigram, known prefix
+    out shouldBe Array(
+      (1L, 1L, Some(ce1)),
+      (2L, 0L, None), // single-token doc: no bigrams
+      (3L, 1L, Some(ce3)))
+  }
 }

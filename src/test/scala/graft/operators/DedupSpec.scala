@@ -218,4 +218,44 @@ class DedupSpec extends SparkSpec {
     out.map(p => (p._1, p._2)) should contain((1L, 2L))
     out.foreach(_._3 should be >= 0.999)
   }
+
+  test("semanticDedup drops later near-dups within a cluster, keeps cluster minima") {
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val vecs = Seq(
+      (1L, Array(1.0, 0.1, 0.0, 0.0)),   // cluster 0, first -> kept
+      (2L, Array(0.99, 0.12, 0.0, 0.0)), // cluster 0, ~dup of 1 -> dropped
+      (3L, Array(0.1, 1.0, 0.0, 0.0)),   // cluster 1, first -> kept
+      (4L, Array(-1.0, 0.1, 0.0, 0.0)),  // cluster 1 (far from e0), unlike 3 -> kept
+      (5L, Array(1.0, 0.1, 0.0, 0.0))    // cluster 0, exact dup of 1 -> dropped
+    ).toDF("id", "v")
+    val out = Dedup.semanticDedup(vecs, "id", "v", cents, tau = 0.95)
+      .select("id", "cluster", "n_dups_lower", "max_cos_lower", "kept")
+      .as[(Long, Int, Long, Option[Double], Boolean)].collect()
+      .sortBy(_._1)
+    out.map(r => r._1 -> r._2).toMap shouldBe
+      Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0)
+    out.map(r => r._1 -> r._5).toMap shouldBe
+      Map(1L -> true, 2L -> false, 3L -> true, 4L -> true, 5L -> false)
+    // cluster minima have no lower-id member
+    out.find(_._1 == 1L).get._4 shouldBe None
+    out.find(_._1 == 3L).get._4 shouldBe None
+    out.find(_._1 == 5L).get._4.get shouldBe 1.0 // exact dup of id 1
+  }
+
+  test("keepBest keeps the highest-score member per component, ties to min id") {
+    val docs = Seq(
+      (1L, Some(0.5)), (2L, Some(0.9)), (3L, Some(0.9)), (4L, None),
+      (10L, Some(0.1))
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBest(docs, "doc_id", "score", pairs)
+      .select("id", "component", "kept_id", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // component {1,2,3,4}: best score 0.9 held by 2 and 3 -> min id 2 wins
+    out.filter(_._2 == 1L).map(_._3).distinct.toSeq shouldBe Seq(2L)
+    out.map(r => r._1 -> r._4).toMap shouldBe
+      Map(1L -> false, 2L -> true, 3L -> false, 4L -> false, 10L -> true)
+    // singleton survives as its own component
+    out.find(_._1 == 10L).get._2 shouldBe 10L
+  }
 }
