@@ -118,6 +118,15 @@ object QueriesScience {
     "q84_stream_interval_join" -> ((s, d) =>
       StreamingOps.runStreamIntervalJoinAvailableNow(s, d)),
 
+    // Stateful streaming sessionization (flatMapGroupsWithState +
+    // event-time timeout): 30-min-gap sessions per user. The oracle is
+    // the batch gap-sessionization RESTRICTED to sessions the final
+    // watermark has closed (endMs + gap < watermark) — the exact
+    // append-mode emission contract; still-open state is not output
+    "q100_stream_sessionize" -> ((s, d) =>
+      StreamingOps.runSessionizeAvailableNow(s, d, gapSeconds = 1800,
+        queryName = "graft_q100_sessions")),
+
     // Fixed-depth climatology trace (pressureBracket + extractClim):
     // bracket selection at 75 m, month-15 points over refYear±1, hourly
     // linear interpolation of the lo/hi/mid series
@@ -278,6 +287,28 @@ object QueriesScience {
       SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
              event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2""",
+    // batch gap-sessionization (millisecond clock, the kernel's
+    // (tsMs, eventId) ordering) restricted to watermark-closed sessions
+    "q100_stream_sessionize" -> """
+      WITH e AS (SELECT user_id, event_id,
+                        epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tsms
+                 FROM events),
+      m AS (SELECT user_id, event_id, tsms,
+                   CASE WHEN lag(tsms) OVER w IS NULL
+                             OR tsms - lag(tsms) OVER w > 1800000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsms, event_id)),
+      s AS (SELECT user_id, tsms,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY tsms, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m),
+      g AS (SELECT user_id, sid, min(tsms) AS s_ms, max(tsms) AS e_ms,
+                   count(*) AS n
+            FROM s GROUP BY 1, 2),
+      wm AS (SELECT max(tsms) AS wmms FROM e)
+      SELECT user_id AS "userId", CAST(s_ms AS BIGINT) AS "startMs",
+             CAST(e_ms AS BIGINT) AS "endMs", CAST(n AS BIGINT) AS n
+      FROM g, wm WHERE e_ms + 1800000 < wmms""",
     "q72_clim_trace" -> """
       WITH clim AS (
         SELECT (n_nationkey % 12) + 1 AS m,
