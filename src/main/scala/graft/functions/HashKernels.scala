@@ -331,7 +331,45 @@ object HashKernels {
     else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Hashed-feature linear classifier inference (the fastText/quality-
+    * classifier shape): mean over tokens of `weights(h(tok) mod dim)`
+    * plus `bias`, squashed by a sigmoid. Token hash is the engine-portable
+    * 40-bit rolling hash (seed 7, ×31, mod 2^40 — the [[simHash40]] /
+    * fingerprint recurrence), so a trained weight vector scores
+    * identically in any engine with 64-bit integer SQL. Blank/null text →
+    * null (unscorable). Summation is in token order — reproduced by the
+    * oracle's list fold, keeping the doubles bit-identical.
+    */
+  def linearScore(text: String, dim: Int, weights: Array[Double],
+                  bias: Double): java.lang.Double = {
+    if (text == null) return null
+    val t = text.trim.toLowerCase
+    if (t.isEmpty) return null
+    val toks = t.split("\\s+")
+    val mod = 1L << 40
+    var s = 0.0
+    var ti = 0
+    while (ti < toks.length) {
+      val tok = toks(ti)
+      var h = 7L
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        h = (h * 31L + cp) % mod
+        i += Character.charCount(cp)
+      }
+      s += weights((h % dim).toInt)
+      ti += 1
+    }
+    val logit = bias + s / toks.length
+    1.0 / (1.0 + math.exp(-logit))
+  }
+
   // ---- Column-level wrappers ----
+
+  def linearScoreUdf(dim: Int, weights: Array[Double],
+                     bias: Double): UserDefinedFunction =
+    udf((text: String) => linearScore(text, dim, weights, bias))
 
   def shingleHashSetUdf(k: Int): UserDefinedFunction =
     udf((text: String) => shingleHashSet(text, k))

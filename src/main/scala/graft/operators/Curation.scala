@@ -231,6 +231,105 @@ object Curation {
           .as("dup_frac"))
   }
 
+  /** Duplicated-span REMOVAL — the acting form of [[dupGramFraction]]'s
+    * signal and the scalable approximation of suffix-array exact-substring
+    * dedup (Lee et al. 2021): every token position covered by a word
+    * `n`-gram whose corpus document frequency is ≥ `minDocFreq` is dropped,
+    * and the document is rebuilt from the surviving tokens (lower-cased,
+    * single-space joined — the normalized token stream downstream hashing
+    * consumes). Returns (`idCol`, text, n_tokens, n_removed) for every
+    * input row; documents shorter than `n` tokens pass through whole, and
+    * a fully-duplicated document survives as an empty string (drop on
+    * n_tokens == n_removed downstream if desired).
+    *
+    * Scale shape: positioned grams shuffle as xxhash64 keys into a
+    * document-frequency count over DISTINCT (doc, gram) pairs, join back
+    * co-partitioned on the hash, and the covered-position set aggregates
+    * per doc (bounded by the document's own length). The rebuild is a
+    * local array filter — no token-level shuffle.
+    */
+  def trimDupGrams(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8, minDocFreq: Int = 2): DataFrame = {
+    val toks = coalesce(TextFunctions.tokens(lower(col(textCol))),
+      array().cast("array<string>"))
+    val base = docs.select(col(idCol), toks.as("__t"))
+    // start positions 0..size-n (sequence would COUNT DOWN for size<n)
+    val starts = when(size(col("__t")) >= n,
+      sequence(lit(0), size(col("__t")) - n))
+      .otherwise(array().cast("array<int>"))
+    val posGrams = base
+      .select(col(idCol), col("__t"),
+        explode(transform(starts, i =>
+          struct(i.as("pos"),
+            xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n)))).as("h"))))
+          .as("pg"))
+      .select(col(idCol), col("pg.pos").as("__pos"), col("pg.h").as("__h"))
+    val freq = posGrams.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+    val covered = posGrams.join(freq, Seq("__h"))
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__cp"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__cp"))).as("__cov"))
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", when(col("__cov").isNull, col("__t")).otherwise(
+          transform(
+            filter(
+              transform(col("__t"), (tok, i) =>
+                struct(i.as("i"), tok.as("tok"))),
+              s => !array_contains(col("__cov"), s.getField("i"))),
+            s => s.getField("tok")))).as("text"),
+        size(col("__t")).as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).as("n_removed"))
+  }
+
+  /** Domain-mixture reweighting (the Pile / DoReMi-static shape): given
+    * per-class target fractions of a `budgetTokens` training budget,
+    * compute each class's sampling rate `min(1, budget·target / available)`
+    * from its available token mass. Classes absent from `targets` get rate
+    * 0. Returns (`classCol`, n_docs, n_tokens, target_frac, rate) — the
+    * rate table [[stratifiedSample]] then applies for a deterministic,
+    * dedup-consistent realization of the mixture. One map-side-combined
+    * aggregate over the corpus; the targets are a broadcast literal.
+    */
+  def mixtureRates(docs: DataFrame, classCol: String, textCol: String,
+                   targets: Map[String, Double],
+                   budgetTokens: Long): DataFrame = {
+    val targetFrac = targets.foldRight(lit(0.0): Column) {
+      case ((cls, f), acc) => when(col(classCol) === cls, lit(f)).otherwise(acc)
+    }
+    docs
+      .select(col(classCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"))
+      .groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      .select(col(classCol), col("n_docs"), col("n_tokens"),
+        targetFrac.as("target_frac"),
+        round(least(lit(1.0),
+          lit(budgetTokens.toDouble) * targetFrac /
+            col("n_tokens").cast("double")), 6).as("rate"))
+  }
+
+  /** Hashed-feature linear classifier scoring at scan rate (fastText-style
+    * quality-classifier inference): sigmoid of `bias + mean_tok
+    * weights(h(tok) mod dim)` via the engine-portable
+    * [[graft.functions.HashKernels.linearScore]] kernel. `label` applies
+    * the 0.5 decision threshold; blank/null text → null score, label
+    * false (unscorable ≠ high-quality). A per-row kernel over a broadcast
+    * weight vector — no shuffle, batch or stream.
+    */
+  def linearScore(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int, weights: Array[Double],
+                  bias: Double): DataFrame = {
+    require(weights.length == dim, "weights must have length dim")
+    val scoreUdf = graft.functions.HashKernels.linearScoreUdf(dim, weights, bias)
+    docs.select(col(idCol),
+      round(scoreUdf(col(textCol)), 6).as("score"))
+      .withColumn("label", coalesce(col("score") >= 0.5, lit(false)))
+  }
+
   /** Distinct word n-grams of the benchmark corpus, collected to the
     * driver for broadcast. Bounded by the BENCHMARK size (eval suites are
     * MBs against a corpus of TBs) — use the join formulation

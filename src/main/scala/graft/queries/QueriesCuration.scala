@@ -183,6 +183,28 @@ object QueriesCuration {
         corpus = docs.filter(col("doc_id") % 97 =!= 0),
         reference = docs.filter(col("doc_id") % 97 === 0),
         idCol = "doc_id", textCol = "text", alpha = 0.5)
+    }),
+
+    // Duplicated-span REMOVAL (q93's acting form): tokens covered by any
+    // corpus-duplicated 8-gram are dropped, documents rebuilt from the
+    // survivors (exact doc dups trim to empty; unique prose passes whole)
+    "q101_trim_spans" -> ((s, d) =>
+      Curation.trimDupGrams(Tables.documents(s, d), "doc_id", "text",
+        n = 8, minDocFreq = 2)),
+
+    // Domain-mixture reweighting: per-source sampling rates realizing
+    // target mixture fractions of a 2000-token budget
+    "q102_mixture_rates" -> ((s, d) =>
+      Curation.mixtureRates(Tables.documents(s, d), "source", "text",
+        targets = Map("src0" -> 0.3, "src7" -> 0.25, "src13" -> 0.05),
+        budgetTokens = 2000L)),
+
+    // Hashed-feature linear classifier inference (fastText shape) with a
+    // closed-form weight vector the oracle replicates token-by-token
+    "q103_classifier" -> ((s, d) => {
+      val w = Array.tabulate(64)(j => ((j * 37) % 21 - 10) / 10.0)
+      Curation.linearScore(Tables.documents(s, d), "doc_id", "text",
+        dim = 64, weights = w, bias = 0.1)
     })
   )
 
@@ -352,6 +374,60 @@ object QueriesCuration {
         FROM qs0)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q101_trim_spans" -> raw"""
+      WITH $toksCte,
+      pg AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+                    t[CAST(u.i AS INT) + 1] || ' ' || t[CAST(u.i AS INT) + 2] || ' ' ||
+                    t[CAST(u.i AS INT) + 3] || ' ' || t[CAST(u.i AS INT) + 4] || ' ' ||
+                    t[CAST(u.i AS INT) + 5] || ' ' || t[CAST(u.i AS INT) + 6] || ' ' ||
+                    t[CAST(u.i AS INT) + 7] || ' ' || t[CAST(u.i AS INT) + 8] AS gram
+             FROM toks, unnest(range(len(t) - 7)) AS u(i)),
+      dg AS (SELECT DISTINCT doc_id, gram FROM pg),
+      f AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 2),
+      dp AS (SELECT DISTINCT p.doc_id, p.pos + CAST(o.j AS INT) AS cp
+             FROM pg p JOIN f USING (gram), unnest(range(8)) AS o(j)),
+      tp AS (SELECT doc_id, CAST(u.i AS INT) AS pos, t[CAST(u.i AS INT) + 1] AS tok
+             FROM toks, unnest(range(len(t))) AS u(i)),
+      kt AS (SELECT tp.doc_id, tp.pos, tp.tok
+             FROM tp LEFT JOIN dp ON tp.doc_id = dp.doc_id AND tp.pos = dp.cp
+             WHERE dp.cp IS NULL),
+      ag AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+             FROM kt GROUP BY 1),
+      cv AS (SELECT doc_id, count(*) AS n_removed FROM dp GROUP BY 1)
+      SELECT tk.doc_id, coalesce(ag.text, '') AS text,
+             CAST(len(tk.t) AS INT) AS n_tokens,
+             CAST(coalesce(cv.n_removed, 0) AS INT) AS n_removed
+      FROM toks tk LEFT JOIN ag USING (doc_id) LEFT JOIN cv USING (doc_id)""",
+    "q102_mixture_rates" -> raw"""
+      WITH $toksCte,
+      ag AS (SELECT source, count(*) AS n_docs, sum(len(t)) AS n_tokens
+             FROM toks GROUP BY 1),
+      tf AS (SELECT *, CASE source WHEN 'src0' THEN 0.3 WHEN 'src7' THEN 0.25
+                                   WHEN 'src13' THEN 0.05 ELSE 0.0 END AS target_frac
+             FROM ag)
+      SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, target_frac,
+             round(least(1.0, 2000.0 * target_frac / CAST(n_tokens AS DOUBLE)), 6)
+               AS rate
+      FROM tf""",
+    "q103_classifier" -> raw"""
+      WITH $toksCte,
+      sc AS (SELECT doc_id, len(t) AS n,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(t, tok ->
+                   (CAST(((list_reduce(list_prepend(CAST(7 AS BIGINT),
+                       list_transform(string_split(tok, ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 1099511627776) % 64) * 37) % 21
+                     AS DOUBLE) - 10) / 10.0)),
+                 (a, x) -> a + x) AS s
+             FROM toks)
+      SELECT doc_id,
+             round(CASE WHEN n = 0 THEN NULL
+                        ELSE 1.0 / (1.0 + exp(-(0.1 + s / n))) END, 6) AS score,
+             coalesce((CASE WHEN n = 0 THEN NULL
+                            ELSE 1.0 / (1.0 + exp(-(0.1 + s / n))) END) >= 0.5,
+                      FALSE) AS label
+      FROM sc""",
     "q95_keep_best" -> raw"""
       WITH $toksCte,
       $scoreCte,

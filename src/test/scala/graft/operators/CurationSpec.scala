@@ -323,6 +323,62 @@ class CurationSpec extends SparkSpec {
       (2L, 0L, None)) // zero-token doc: counted, unscored
   }
 
+  test("trimDupGrams removes corpus-duplicated spans, passes unique and short docs") {
+    val span = "one two three four five six seven eight" // the shared 8-gram
+    val docs = Seq(
+      (1L, s"alpha $span omega"),
+      (2L, s"beta gamma $span"),
+      (3L, "totally unique prose that repeats nowhere in this corpus at all"),
+      (4L, "short doc only")) // < 8 tokens: passes whole
+      .toDF("doc_id", "text")
+    val out = Curation.trimDupGrams(docs, "doc_id", "text",
+        n = 8, minDocFreq = 2)
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L, "alpha omega", 10, 8))
+    out(1) shouldBe ((2L, "beta gamma", 10, 8))
+    out(2)._4 shouldBe 0 // unique doc untouched
+    out(2)._2 shouldBe docs.filter($"doc_id" === 3L).select("text").as[String].head()
+    out(3) shouldBe ((4L, "short doc only", 3, 0))
+  }
+
+  test("trimDupGrams trims exact-duplicate documents to empty") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),
+      (2L, "a b c d e f g h i")) // every position covered by a df-2 gram
+      .toDF("doc_id", "text")
+    val out = Curation.trimDupGrams(docs, "doc_id", "text", n = 8)
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    out.foreach { r => r._2 shouldBe ""; r._3 shouldBe 9; r._4 shouldBe 9 }
+  }
+
+  test("mixtureRates computes min(1, budget*target/available) per class") {
+    val docs = Seq(
+      ("a", "one two three four"), ("a", "five six"),   // a: 6 tokens
+      ("b", "uno dos"), ("b", "tres"))                  // b: 3 tokens
+      .toDF("source", "text")
+    val out = Curation.mixtureRates(docs, "source", "text",
+        targets = Map("a" -> 0.5, "b" -> 0.9), budgetTokens = 10L)
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    out(0) shouldBe (("a", 2L, 6L, 0.5, 0.833333)) // 10*0.5/6
+    out(1) shouldBe (("b", 2L, 3L, 0.9, 1.0))      // capped at 1
+  }
+
+  test("linearScore: pinned hash-bucket weights, blank/null unscorable") {
+    // token "a": h = 7*31+97 = 314, 314 % 4 = 2; "b": 315 % 4 = 3
+    val w = Array(0.1, 0.2, 0.3, 0.4)
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val out = Curation.linearScore(docs, "doc_id", "text",
+        dim = 4, weights = w, bias = 0.0)
+      .as[(Long, Option[Double], Boolean)].collect().sortBy(_._1)
+    def sig(x: Double) = BigDecimal(1.0 / (1.0 + math.exp(-x)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(0) shouldBe ((1L, Some(sig(0.3)), true))
+    out(1) shouldBe ((2L, Some(sig(0.35)), true))
+    out(2) shouldBe ((3L, None, false))
+    out(3) shouldBe ((4L, None, false))
+  }
+
   test("bigramCrossEntropy: hand-computed smoothed bigram surprisal") {
     val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
     val corpus = Seq((1L, "a b"), (2L, "c"), (3L, "a z")).toDF("doc_id", "text")
