@@ -246,7 +246,10 @@ object Curation {
     * document-frequency count over DISTINCT (doc, gram) pairs, join back
     * co-partitioned on the hash, and the covered-position set aggregates
     * per doc (bounded by the document's own length). The rebuild is a
-    * local array filter — no token-level shuffle.
+    * local array filter — no token-level shuffle. 64-bit gram-hash
+    * collisions conflate distinct grams' frequencies (the [[dedupLines]]
+    * convention: negligible below ~10^9 distinct grams; widen to two
+    * hashes above).
     */
   def trimDupGrams(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 8, minDocFreq: Int = 2): DataFrame = {
@@ -307,9 +310,12 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
       .select(col(classCol), col("n_docs"), col("n_tokens"),
         targetFrac.as("target_frac"),
-        round(least(lit(1.0),
-          lit(budgetTokens.toDouble) * targetFrac /
-            col("n_tokens").cast("double")), 6).as("rate"))
+        // explicit zero-token guard: nothing available → rate 0, not the
+        // engine-dependent NaN/Inf of a 0/0 or x/0 division
+        round(when(col("n_tokens") === 0, 0.0).otherwise(
+          least(lit(1.0),
+            lit(budgetTokens.toDouble) * targetFrac /
+              col("n_tokens").cast("double"))), 6).as("rate"))
   }
 
   /** Hashed-feature linear classifier scoring at scan rate (fastText-style

@@ -395,7 +395,9 @@ object QueriesCuration {
              FROM kt GROUP BY 1),
       cv AS (SELECT doc_id, count(*) AS n_removed FROM dp GROUP BY 1)
       SELECT tk.doc_id, coalesce(ag.text, '') AS text,
-             CAST(len(tk.t) AS INT) AS n_tokens,
+             -- null-text docs: toksCte leaves t NULL, the Spark side
+             -- coalesces to an empty token array -> align on 0
+             CAST(coalesce(len(tk.t), 0) AS INT) AS n_tokens,
              CAST(coalesce(cv.n_removed, 0) AS INT) AS n_removed
       FROM toks tk LEFT JOIN ag USING (doc_id) LEFT JOIN cv USING (doc_id)""",
     "q102_mixture_rates" -> raw"""
@@ -406,8 +408,9 @@ object QueriesCuration {
                                    WHEN 'src13' THEN 0.05 ELSE 0.0 END AS target_frac
              FROM ag)
       SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, target_frac,
-             round(least(1.0, 2000.0 * target_frac / CAST(n_tokens AS DOUBLE)), 6)
-               AS rate
+             round(CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE least(1.0, 2000.0 * target_frac / CAST(n_tokens AS DOUBLE))
+                   END, 6) AS rate
       FROM tf""",
     "q103_classifier" -> raw"""
       WITH $toksCte,

@@ -363,6 +363,15 @@ class CurationSpec extends SparkSpec {
     out(1) shouldBe (("b", 2L, 3L, 0.9, 1.0))      // capped at 1
   }
 
+  test("mixtureRates: zero-token class gets rate 0, not NaN/Inf") {
+    val docs = Seq(("a", "one two"), ("b", ""), ("b", " "))
+      .toDF("source", "text")
+    val out = Curation.mixtureRates(docs, "source", "text",
+        targets = Map("a" -> 0.5, "b" -> 0.5), budgetTokens = 10L)
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    out(1) shouldBe (("b", 2L, 0L, 0.5, 0.0))
+  }
+
   test("linearScore: pinned hash-bucket weights, blank/null unscorable") {
     // token "a": h = 7*31+97 = 314, 314 % 4 = 2; "b": 315 % 4 = 3
     val w = Array(0.1, 0.2, 0.3, 0.4)
