@@ -40,12 +40,43 @@ object HashKernels {
     mix64(h)
   }
 
+  /** Space-only trim — Spark/DuckDB `trim` semantics, NOT Java
+    * `String.trim` (which also strips tabs/newlines and would diverge
+    * from every `trim(lower(text))` oracle on tab-edged text).
+    */
+  private def trimSpaces(text: String): String = {
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    text.substring(lo, hi)
+  }
+
   /** Whitespace tokens of the lower-cased, trimmed text — the same
-    * normalization as [[graft.operators.Dedup.shingles]].
+    * normalization as [[graft.operators.Dedup.shingles]] and the SQL
+    * oracles' `regexp_split_to_array(trim(lower(text)), '\s+')`:
+    * space-only trim, locale-independent lower-case, split keeping
+    * trailing empties (Spark `split` limit -1 semantics).
     */
   private def tokens(text: String): Array[String] = {
-    val t = text.trim.toLowerCase
-    if (t.isEmpty) Array(t) else t.split("\\s+")
+    val t = trimSpaces(text).toLowerCase(java.util.Locale.ROOT)
+    if (t.isEmpty) Array(t) else t.split("\\s+", -1)
+  }
+
+  /** The engine-portable 40-bit rolling token hash shared by
+    * [[simHash40]], [[linearScore]], and (over whole normalized text)
+    * [[fingerprint40]]: seed 7, `h = (h*31 + codepoint) mod 2^40`.
+    */
+  private[functions] def tokenHash40(tok: String): Long = {
+    val mod = 1L << 40
+    var h = 7L
+    var i = 0
+    while (i < tok.length) {
+      val cp = tok.codePointAt(i)
+      h = (h * 31L + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
   }
 
   /** Sorted distinct 64-bit hashes of the k-word shingles of `text`.
@@ -253,24 +284,10 @@ object HashKernels {
     * 54 s bench re-evaluating it up to 3× per row). This is one JVM loop
     * per row.
     */
-  def fingerprint40(text: String): Long = {
-    var lo = 0
-    var hi = text.length
-    while (lo < hi && text.charAt(lo) == ' ') lo += 1
-    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
-    val normalized = text.substring(lo, hi)
+  def fingerprint40(text: String): Long =
+    tokenHash40(trimSpaces(text)
       .toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("\\s+", " ")
-    val mod = 1L << 40
-    var h = 7L
-    var i = 0
-    while (i < normalized.length) {
-      val cp = normalized.codePointAt(i)
-      h = (h * 31L + cp) % mod
-      i += Character.charCount(cp)
-    }
-    h
-  }
+      .replaceAll("\\s+", " "))
 
   /** Engine-portable 40-bit SimHash: per whitespace token of the
     * lower-cased trimmed text, a polynomial rolling hash
@@ -282,17 +299,10 @@ object HashKernels {
     */
   def simHash40(text: String): Long = {
     val toks = tokens(text)
-    val mod = 1L << 40
     val votes = new Array[Int](40)
     var t = 0
     while (t < toks.length) {
-      val tok = toks(t)
-      var h = 7L
-      var i = 0
-      while (i < tok.length) {
-        h = (h * 31L + tok.codePointAt(i)) % mod
-        i += Character.charCount(tok.codePointAt(i))
-      }
+      val h = tokenHash40(toks(t))
       var b = 0
       while (b < 40) {
         votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
@@ -343,22 +353,16 @@ object HashKernels {
   def linearScore(text: String, dim: Int, weights: Array[Double],
                   bias: Double): java.lang.Double = {
     if (text == null) return null
-    val t = text.trim.toLowerCase
+    // toksCte normalization: space-only trim, Locale.ROOT lower, \s+
+    // split keeping trailing empties — NOT Java trim/default locale,
+    // which diverge on tab-edged text and Turkish-locale 'I'
+    val t = trimSpaces(text).toLowerCase(java.util.Locale.ROOT)
     if (t.isEmpty) return null
-    val toks = t.split("\\s+")
-    val mod = 1L << 40
+    val toks = t.split("\\s+", -1)
     var s = 0.0
     var ti = 0
     while (ti < toks.length) {
-      val tok = toks(ti)
-      var h = 7L
-      var i = 0
-      while (i < tok.length) {
-        val cp = tok.codePointAt(i)
-        h = (h * 31L + cp) % mod
-        i += Character.charCount(cp)
-      }
-      s += weights((h % dim).toInt)
+      s += weights((tokenHash40(toks(ti)) % dim).toInt)
       ti += 1
     }
     val logit = bias + s / toks.length

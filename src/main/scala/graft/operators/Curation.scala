@@ -275,15 +275,29 @@ object Curation {
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__cp"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__cp"))).as("__cov"))
+    // rebuild kernel: linear merge walk of the token array against the
+    // SORTED covered positions — an array_contains per token would be
+    // O(len × |covered|), quadratic for a long fully-duplicated document
+    val rebuildUdf = udf((toks: Seq[String], cov: Seq[Int]) => {
+      if (cov == null || cov.isEmpty) toks.mkString(" ")
+      else {
+        val sb = new java.lang.StringBuilder
+        var ci = 0
+        var i = 0
+        while (i < toks.length) {
+          if (ci < cov.length && cov(ci) == i) ci += 1
+          else {
+            if (sb.length > 0) sb.append(' ')
+            sb.append(toks(i))
+          }
+          i += 1
+        }
+        sb.toString
+      }
+    })
     base.join(covered, Seq(idCol), "left")
       .select(col(idCol),
-        concat_ws(" ", when(col("__cov").isNull, col("__t")).otherwise(
-          transform(
-            filter(
-              transform(col("__t"), (tok, i) =>
-                struct(i.as("i"), tok.as("tok"))),
-              s => !array_contains(col("__cov"), s.getField("i"))),
-            s => s.getField("tok")))).as("text"),
+        rebuildUdf(col("__t"), col("__cov")).as("text"),
         size(col("__t")).as("n_tokens"),
         coalesce(size(col("__cov")), lit(0)).as("n_removed"))
   }
@@ -307,7 +321,10 @@ object Curation {
       .select(col(classCol),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"))
       .groupBy(col(classCol))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      // coalesce: an all-null-text class sums to NULL, which would slip
+      // past the === 0 guard below and emit a NULL rate
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__nt")), lit(0L)).as("n_tokens"))
       .select(col(classCol), col("n_docs"), col("n_tokens"),
         targetFrac.as("target_frac"),
         // explicit zero-token guard: nothing available → rate 0, not the
@@ -461,10 +478,16 @@ object Curation {
         slice(tc, lit(2), greatest(size(tc) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b))
     val t = TextFunctions.tokens(lower(col(textCol)))
-    val refBi = reference.select(explode(bigrams(t)).as("bg"))
+    // tokenize the reference ONCE: the token arrays feed both count
+    // tables and the vocab-size action (bounded by the reference corpus,
+    // small by assumption — the q97 vocab-cache convention)
+    val refToks = reference.select(t.as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refBi = refToks.select(explode(bigrams(col("__t"))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val refUni = reference.select(explode(t).as("prefix"))
+    val refUni = refToks.select(explode(col("__t")).as("prefix"))
       .groupBy(col("prefix")).agg(count(lit(1)).as("cu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v = refUni.count()
     val scored = corpus
       .select(col(idCol), explode(bigrams(t)).as("bg"))

@@ -427,8 +427,11 @@ object QueriesCuration {
       SELECT doc_id,
              round(CASE WHEN n = 0 THEN NULL
                         ELSE 1.0 / (1.0 + exp(-(0.1 + s / n))) END, 6) AS score,
-             coalesce((CASE WHEN n = 0 THEN NULL
-                            ELSE 1.0 / (1.0 + exp(-(0.1 + s / n))) END) >= 0.5,
+             -- label from the ROUNDED score, matching linearScore (the
+             -- semanticDedup convention: the verdict agrees with the
+             -- reported 6-decimal value at the threshold boundary)
+             coalesce(round(CASE WHEN n = 0 THEN NULL
+                            ELSE 1.0 / (1.0 + exp(-(0.1 + s / n))) END, 6) >= 0.5,
                       FALSE) AS label
       FROM sc""",
     "q95_keep_best" -> raw"""
@@ -636,26 +639,9 @@ object QueriesCuration {
       FROM corpus c LEFT JOIN hits h USING (doc_id)""",
     "q74_domain_quota" -> raw"""
       WITH $toksCte,
-      s AS (
-        SELECT doc_id, source,
-               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
-               CASE WHEN length(text) = 0 THEN 0.0
-                    ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-                         / length(text) END AS punct,
-               CASE WHEN length(text) = 0 THEN 0.0
-                    ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-                         / length(text) END AS digits,
-               CASE WHEN len(t) = 0 THEN 0.0
-                    ELSE CAST(len(list_filter(t,
-                           x -> x IN (${enStop.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
-                         / len(t) END AS stop
-        FROM toks),
-      sc AS (
-        SELECT doc_id, source,
-               round(0.25 * len_score + 0.25 * least(stop * 4.0, 1.0)
-                     + 0.25 * (1.0 - least(punct * 5.0, 1.0))
-                     + 0.25 * (1.0 - least(digits * 5.0, 1.0)), 6) AS score
-        FROM s)
+      $scoreCte,
+      sc AS (SELECT t.doc_id, t.source, qs.score
+             FROM qs JOIN toks t USING (doc_id))
       SELECT source, doc_id, score FROM (
         SELECT source, doc_id, score,
                row_number() OVER (PARTITION BY source
@@ -746,26 +732,8 @@ object QueriesCuration {
                           ELSE CAST(h.n_hit AS DOUBLE) / h.n_grams END, 6)
                  AS contamination
         FROM g gg LEFT JOIN hits h USING (doc_id)),
-      s AS (
-        SELECT doc_id,
-               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
-               CASE WHEN length(text) = 0 THEN 0.0
-                    ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-                         / length(text) END AS punct,
-               CASE WHEN length(text) = 0 THEN 0.0
-                    ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-                         / length(text) END AS digits,
-               CASE WHEN len(t) = 0 THEN 0.0
-                    ELSE CAST(len(list_filter(t,
-                           x -> x IN (${enStop.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
-                         / len(t) END AS stop
-        FROM toks),
-      sc AS (
-        SELECT doc_id,
-               round(0.25 * len_score + 0.25 * least(stop * 4.0, 1.0)
-                     + 0.25 * (1.0 - least(punct * 5.0, 1.0))
-                     + 0.25 * (1.0 - least(digits * 5.0, 1.0)), 6) AS quality
-        FROM s),
+      $scoreCte,
+      sc AS (SELECT doc_id, score AS quality FROM qs),
       fp AS (SELECT doc_id, $fpExpr % 10000 AS bucket FROM documents)
       SELECT d.doc_id, d.source, sc.quality,
              -- unscorable (null text) stays NULL, matching ingestGate;

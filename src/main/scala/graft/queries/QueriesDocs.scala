@@ -247,7 +247,11 @@ object QueriesDocs {
       SELECT id, id % 35 AS comp FROM nodes""",
     // basis-vector codebook: nearest-by-L2 = argmax of the first 8
     // components, ties to the smaller index (list_position returns the
-    // FIRST occurrence of the max — same tie-break as nearestCentroid)
+    // FIRST occurrence of the max — nearestCentroid's strict-< keeps the
+    // first minimum too; note the equivalence holds in exact arithmetic
+    // and for distinct component values — an EXACT tie of two maximal
+    // components could flip under the kernel's sequential-L2 rounding,
+    // unobservable for continuous-valued embeddings)
     "q94_semantic_dedup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       a AS (SELECT vec_id, v,
