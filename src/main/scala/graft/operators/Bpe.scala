@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Distributed BPE (byte-pair-encoding) vocabulary induction + tokenizer
+  * application (Sennrich et al. 2016) — the piece that turns the engine's
+  * "BPE-ish" token heuristics into a LEARNED subword vocabulary.
+  *
+  * Scale shape: training first reduces the corpus ONCE to its
+  * word-frequency table (distinct words × counts — VOCABULARY-bounded,
+  * not corpus-bounded; the standard BPE trick). Every merge round then
+  * runs on that table alone: one map-side-combined weighted pair-count
+  * aggregate, one argmax (a driver collect of exactly ONE row), and one
+  * per-word kernel merge pass, with `localCheckpoint` keeping lineage
+  * flat across rounds — the [[Dedup.connectedComponents]] /
+  * [[Similarity.trainIvfCentroids]] iterative convention. Deterministic
+  * by construction: integer count sums are schedule-independent and the
+  * argmax tie-breaks (count desc, pair lexicographic asc), so the learned
+  * merge table is bit-identical run to run — which the golden gate
+  * requires and a reproducible tokenizer build wants anyway.
+  *
+  * Surrogate-pair caveat: initial symbols are UTF-16 code units (corpus
+  * contract: BMP text); widen to code points for astral alphabets.
+  */
+object Bpe {
+
+  val EndOfWord = "</w>"
+
+  /** Corpus word-frequency table: (w, cnt) over whitespace tokens of the
+    * lower-cased text. The ONLY corpus-sized pass in training.
+    */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  private def zipAdjacent(sym: Column): Column =
+    zip_with(
+      slice(sym, lit(1), greatest(size(sym) - 1, lit(0))),
+      slice(sym, lit(2), greatest(size(sym) - 1, lit(0))),
+      (a, b) => struct(a.as("a"), b.as("b")))
+
+  /** One left-to-right merge pass of the pair (a, b) over a symbol
+    * sequence — greedy, non-overlapping, the reference BPE semantics.
+    */
+  private[operators] def mergeOnce(sym: Seq[String], a: String,
+                                   b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn `numMerges` merges. Returns them in rank order. Stops early if
+    * no adjacent pair remains.
+    */
+  def train(docs: DataFrame, textCol: String,
+            numMerges: Int): Seq[(String, String)] = {
+    var words = wordFreq(docs, textCol)
+      .select(col("cnt"),
+        concat(
+          transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))),
+          array(lit(EndOfWord))).as("sym"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val top = words
+        .select(col("cnt"), explode(zipAdjacent(col("sym"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val mergeUdf = udf((sym: Seq[String]) => mergeOnce(sym, a, b))
+        words = words.select(col("cnt"), mergeUdf(col("sym")).as("sym"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** Apply a learned merge table to one word (rank order, the reference
+    * encoder semantics).
+    */
+  private[operators] def encodeWord(word: String,
+                                    merges: Seq[(String, String)]): Seq[String] = {
+    var sym: Seq[String] = word.map(_.toString) :+ EndOfWord
+    merges.foreach { case (a, b) => sym = mergeOnce(sym, a, b) }
+    sym
+  }
+
+  /** Subword tokenizer over a text column: whitespace-split the
+    * lower-cased text, BPE-encode each word. A per-row kernel over the
+    * broadcast merge table — scan rate, no shuffle, batch or stream.
+    * Null/blank text → null.
+    */
+  def encodeUdf(merges: Seq[(String, String)]): UserDefinedFunction =
+    udf((text: String) => {
+      if (text == null) null
+      else {
+        val t = text.trim.toLowerCase(java.util.Locale.ROOT)
+        if (t.isEmpty) null
+        else t.split("\\s+").toSeq.flatMap(w => encodeWord(w, merges))
+      }
+    })
+
+  /** Corpus tokenization: (`idCol`, bpe_tokens, n_bpe) per document. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val enc = encodeUdf(merges)
+    docs.select(col(idCol), enc(col(textCol)).as("bpe_tokens"))
+      .withColumn("n_bpe", coalesce(size(col("bpe_tokens")), lit(0)))
+  }
+}

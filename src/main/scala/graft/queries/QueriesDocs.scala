@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Similarity, TrainingData}
+import graft.operators.{Bpe, Dedup, Similarity, TrainingData}
 import graft.sources.Tables
 
 /** Training-data-pipeline queries over `documents` and `embeddings`:
@@ -209,6 +209,30 @@ object QueriesDocs {
         .filter(col("id") % 7 === 0 && col("id") >= 35)
         .select((col("id") - 35).as("id_a"), col("id").as("id_b"))
       Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
+
+    // Distributed BPE vocabulary induction: 20 merges learned from the
+    // corpus word-frequency table. Iterative (one argmax per round) →
+    // not SQL-expressible; golden-pinned, bit-deterministic by the
+    // (count desc, pair asc) tie-break + integer count sums
+    "q104_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      Bpe.train(Tables.documents(s, d), "text", numMerges = 20)
+        .zipWithIndex
+        .map { case ((a, b), r) => (r, a, b, a + b) }
+        .toDF("rank", "left", "right", "merged")
+    }),
+
+    // BPE tokenizer application: merges trained on the doc_id<100 slice,
+    // applied to the whole corpus (the train-once / encode-everything
+    // deployment shape). Golden-pinned like q104
+    "q105_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs.filter(col("doc_id") < 100), "text",
+        numMerges = 10)
+      Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_bpe"),
+          concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
     }),
 
     // SemDeDup semantic near-dedup: nearest-centroid clusters + the
