@@ -46,7 +46,7 @@ object Bpe {
   /** One left-to-right merge pass of the pair (a, b) over a symbol
     * sequence — greedy, non-overlapping, the reference BPE semantics.
     */
-  private[operators] def mergeOnce(sym: Seq[String], a: String,
+  private[graft] def mergeOnce(sym: Seq[String], a: String,
                                    b: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
@@ -96,7 +96,7 @@ object Bpe {
   /** Apply a learned merge table to one word (rank order, the reference
     * encoder semantics).
     */
-  private[operators] def encodeWord(word: String,
+  private[graft] def encodeWord(word: String,
                                     merges: Seq[(String, String)]): Seq[String] = {
     var sym: Seq[String] = word.map(_.toString) :+ EndOfWord
     merges.foreach { case (a, b) => sym = mergeOnce(sym, a, b) }
@@ -112,7 +112,10 @@ object Bpe {
     udf((text: String) => {
       if (text == null) null
       else {
-        val t = text.trim.toLowerCase(java.util.Locale.ROOT)
+        // space-only trim (SQL trim semantics, the TextFunctions.tokens
+        // contract) — not Java trim, which also strips tabs/newlines
+        val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+          .reverse.toLowerCase(java.util.Locale.ROOT)
         if (t.isEmpty) null
         else t.split("\\s+").toSeq.flatMap(w => encodeWord(w, merges))
       }

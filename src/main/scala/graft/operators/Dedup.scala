@@ -68,6 +68,31 @@ object Dedup {
       .drop("__k", "__len", "__rn")
   }
 
+  /** Incremental at-ingest exact dedup — the continuous-pipeline shape:
+    * de-duplicate the NEW batch internally ([[exactDedup]], min-id
+    * survivor), then drop every row whose content key already exists in
+    * the SEEN corpus. Returns the surviving new rows.
+    *
+    * Scale shape: the anti-join shuffles 12-byte `(xxhash64, length)`
+    * keys, never text, co-partitioned on both sides; at corpus scale
+    * pre-prune the batch with [[ScaleJoins.bloomPrunedJoin]]'s filter
+    * over the seen keys before the shuffle, or maintain the seen-key set
+    * as its own compact table instead of re-keying the corpus per batch.
+    * Same 64-bit+length collision convention as [[exactDedup]]. The
+    * streaming twin (state-store keys within a watermark horizon) is
+    * [[graft.streaming.StreamingOps.dedupDocs]].
+    */
+  def incrementalDedup(newDocs: DataFrame, seen: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    def keyed(df: DataFrame) = df
+      .withColumn("__k", xxhash64(col(textCol)))
+      .withColumn("__len", length(col(textCol)))
+    val seenKeys = keyed(seen).select(col("__k"), col("__len")).distinct()
+    keyed(exactDedup(newDocs, textCol, idCol))
+      .join(seenKeys, Seq("__k", "__len"), "left_anti")
+      .drop("__k", "__len")
+  }
+
   /** Exact-dup groups: (keep_id, copies) per distinct text — the audit view
     * of [[exactDedup]].
     */

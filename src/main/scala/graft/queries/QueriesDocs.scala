@@ -211,6 +211,18 @@ object QueriesDocs {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // Incremental at-ingest exact dedup: the doc_id>=400 "new batch"
+    // deduped within itself (min-id survivor) and against the seen
+    // corpus (doc_id<400) by content key
+    "q106_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+          newDocs = docs.filter(col("doc_id") >= 400),
+          seen = docs.filter(col("doc_id") < 400),
+          idCol = "doc_id", textCol = "text")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Distributed BPE vocabulary induction: 20 merges learned from the
     // corpus word-frequency table. Iterative (one argmax per round) →
     // not SQL-expressible; golden-pinned, bit-deterministic by the
@@ -269,6 +281,13 @@ object QueriesDocs {
                   SELECT id_a AS id FROM pairs
                   UNION ALL SELECT id_b FROM pairs))
       SELECT id, id % 35 AS comp FROM nodes""",
+    "q106_incremental_dedup" -> """
+      WITH nw AS (SELECT * FROM documents WHERE doc_id >= 400),
+      seen AS (SELECT DISTINCT text FROM documents WHERE doc_id < 400),
+      uniq AS (SELECT min(doc_id) AS doc_id, text FROM nw GROUP BY text)
+      SELECT d.doc_id, d.source, d.n_chars
+      FROM uniq u JOIN documents d USING (doc_id)
+      WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = u.text)""",
     // basis-vector codebook: nearest-by-L2 = argmax of the first 8
     // components, ties to the smaller index (list_position returns the
     // FIRST occurrence of the max — nearestCentroid's strict-< keeps the

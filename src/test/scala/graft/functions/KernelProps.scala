@@ -77,4 +77,27 @@ object KernelProps extends Properties("Kernels") {
       val h = HashKernels.simHash40(t)
       h >= 0L && h < (1L << 40)
     }
+
+  property("linearScore: in (0,1), deterministic, space-trim invariant") =
+    forAll(text) { t =>
+      val w = Array.tabulate(16)(j => ((j * 37) % 21 - 10) / 10.0)
+      val s = HashKernels.linearScore(t, 16, w, 0.0)
+      val s2 = HashKernels.linearScore("  " + t + " ", 16, w, 0.0)
+      (s == null && s2 == null) ||
+        (s > 0.0 && s < 1.0 && s == s2)
+    }
+
+  property("bpe mergeOnce: concatenation is preserved, length never grows") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "ab", "c"))) { sym =>
+      val merged = graft.operators.Bpe.mergeOnce(sym, "a", "b")
+      merged.mkString == sym.mkString && merged.length <= sym.length &&
+        !merged.iterator.sliding(2).withPartial(false)
+          .exists(p => p.head == "a" && p.last == "b")
+    }
+
+  property("bpe encodeWord: subwords always reconstruct word + </w>") =
+    forAll(word, Gen.listOfN(3, Gen.zip(word, word))) { (w, merges) =>
+      graft.operators.Bpe.encodeWord(w, merges).mkString ==
+        w + graft.operators.Bpe.EndOfWord
+    }
 }

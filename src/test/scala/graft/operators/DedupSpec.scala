@@ -219,6 +219,20 @@ class DedupSpec extends SparkSpec {
     out.foreach(_._3 should be >= 0.999)
   }
 
+  test("incrementalDedup drops seen content and intra-batch copies") {
+    val seen = Seq((1L, "known text alpha"), (2L, "known text beta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "known text alpha"),  // seen -> dropped
+      (11L, "fresh text one"),    // survives
+      (12L, "fresh text two"),    // survives (min id of its pair)
+      (13L, "fresh text two"))    // intra-batch copy -> dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, seen, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    out shouldBe Array(11L, 12L)
+  }
+
   test("semanticDedup drops later near-dups within a cluster, keeps cluster minima") {
     val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
     val vecs = Seq(
