@@ -205,6 +205,25 @@ object QueriesCuration {
       val w = Array.tabulate(64)(j => ((j * 37) % 21 - 10) / 10.0)
       Curation.linearScore(Tables.documents(s, d), "doc_id", "text",
         dim = 64, weights = w, bias = 0.1)
+    }),
+
+    // The end-to-end corpus-preparation pipeline as ONE declarative plan,
+    // fully value-checked: quality gate → exact dedup → token-balanced
+    // global shards → per-shard stats. Every stage is an existing
+    // operator; the oracle composes the same chain in SQL
+    "q107_prepare_corpus" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("quality", TextFunctions.qualityScore(col("text"), enStop))
+      val admitted = scored.filter(col("quality") >= 0.6)
+      val deduped = Dedup.exactDedup(admitted, "text", "doc_id")
+        .select(col("doc_id"), col("quality"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.TrainingData.shardByTokens(
+          deduped, Seq("doc_id"), "n_tokens", targetTokens = 2000)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          round(avg(col("quality")), 6).as("mean_quality"))
     })
   )
 
@@ -434,6 +453,24 @@ object QueriesCuration {
                             ELSE 1.0 / (1.0 + exp(-(0.1 + s / n))) END, 6) >= 0.5,
                       FALSE) AS label
       FROM sc""",
+    "q107_prepare_corpus" -> raw"""
+      WITH $toksCte,
+      $scoreCte,
+      adm AS (SELECT t.doc_id, t.text, qs.score AS quality,
+                     CAST(len(t.t) AS INT) AS n_tokens
+              FROM toks t JOIN qs USING (doc_id)
+              WHERE qs.score >= 0.6),
+      ded AS (SELECT min(doc_id) AS doc_id FROM adm GROUP BY text),
+      dd AS (SELECT a.doc_id, a.quality, a.n_tokens
+             FROM adm a JOIN ded USING (doc_id)),
+      c AS (SELECT doc_id, quality, n_tokens,
+                   coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+            FROM dd)
+      SELECT CAST(floor(pfx / 2000) AS BIGINT) AS shard_id, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             round(avg(quality), 6) AS mean_quality
+      FROM c GROUP BY 1""",
     "q95_keep_best" -> raw"""
       WITH $toksCte,
       $scoreCte,
