@@ -218,12 +218,17 @@ object QueriesCuration {
       val deduped = Dedup.exactDedup(admitted, "text", "doc_id")
         .select(col("doc_id"), col("quality"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      // shard stats stay integer-exact: averaging the per-doc ROUNDED
+      // quality would surface the documented cross-engine round-half
+      // caveat (one sf0.1 doc rounds a 6-dp half differently) in every
+      // shard containing such a doc
       graft.operators.TrainingData.shardByTokens(
           deduped, Seq("doc_id"), "n_tokens", targetTokens = 2000)
         .groupBy(col("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("n_tokens"),
-          round(avg(col("quality")), 6).as("mean_quality"))
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
     })
   )
 
@@ -469,7 +474,7 @@ object QueriesCuration {
             FROM dd)
       SELECT CAST(floor(pfx / 2000) AS BIGINT) AS shard_id, count(*) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-             round(avg(quality), 6) AS mean_quality
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY 1""",
     "q95_keep_best" -> raw"""
       WITH $toksCte,
