@@ -211,6 +211,24 @@ object QueriesDocs {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // Sketch statistics — the 100 TB formulations of distinct-count and
+    // quantiles: HLL++ approx_count_distinct and t-digest-style
+    // approx_percentile per source, next to their exact counterparts.
+    // Sketch values are Spark-deterministic but not SQL-replicable →
+    // golden-pinned; DocsSketchSpec bounds approx-vs-exact error
+    "q108_sketch_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("text"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("exact_distinct"),
+          approx_count_distinct(col("text")).as("approx_distinct"),
+          round(percentile(col("n_tokens"), lit(0.5)), 6).as("exact_p50"),
+          round(percentile_approx(col("n_tokens"), lit(0.5), lit(1000))
+            .cast("double"), 6).as("approx_p50"))),
+
     // Incremental at-ingest exact dedup: the doc_id>=400 "new batch"
     // deduped within itself (min-id survivor) and against the seen
     // corpus (doc_id<400) by content key
