@@ -31,10 +31,15 @@ object Bpe {
   val EndOfWord = "</w>"
 
   /** Corpus word-frequency table: (w, cnt) over whitespace tokens of the
-    * lower-cased text. The ONLY corpus-sized pass in training.
+    * lower-cased text. The ONLY corpus-sized pass in training. Empty
+    * tokens (artifacts of non-space edge whitespace: split keeps
+    * leading/trailing empties) are excluded — they are not words, and an
+    * empty w would make `sequence(1, length(w))` count DOWN to [1, 0]
+    * and corrupt the symbol array. [[encodeUdf]] drops them identically.
     */
   def wordFreq(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
   private def zipAdjacent(sym: Column): Column =
@@ -112,12 +117,16 @@ object Bpe {
     udf((text: String) => {
       if (text == null) null
       else {
-        // space-only trim (SQL trim semantics, the TextFunctions.tokens
-        // contract) — not Java trim, which also strips tabs/newlines
+        // the EXACT wordFreq token stream: space-only trim (SQL trim
+        // semantics, not Java trim), Locale.ROOT lower, \s+ split
+        // keeping edge empties (Spark split limit -1), empties dropped —
+        // so the tokenizer applies to precisely the words the
+        // vocabulary was induced from
         val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
           .reverse.toLowerCase(java.util.Locale.ROOT)
         if (t.isEmpty) null
-        else t.split("\\s+").toSeq.flatMap(w => encodeWord(w, merges))
+        else t.split("\\s+", -1).toSeq.filter(_.nonEmpty)
+          .flatMap(w => encodeWord(w, merges))
       }
     })
 

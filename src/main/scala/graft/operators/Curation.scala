@@ -260,6 +260,9 @@ object Curation {
     val starts = when(size(col("__t")) >= n,
       sequence(lit(0), size(col("__t")) - n))
       .otherwise(array().cast("array<int>"))
+    // persisted: feeds BOTH the frequency count and the covered join —
+    // without it the corpus-wide explode+hash (the operator's dominant
+    // cost) evaluates twice per action
     val posGrams = base
       .select(col(idCol), col("__t"),
         explode(transform(starts, i =>
@@ -267,6 +270,7 @@ object Curation {
             xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n)))).as("h"))))
           .as("pg"))
       .select(col(idCol), col("pg.pos").as("__pos"), col("pg.h").as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = posGrams.select(col(idCol), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocFreq)
@@ -440,7 +444,10 @@ object Curation {
         coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = vocab.agg(sum(col("ct")), sum(col("cr")), count(lit(1))).head()
+    // coalesce: an empty joint vocabulary (all-null/blank corpora) sums
+    // to NULL, and getLong on a null cell would NPE the driver
+    val totals = vocab.agg(coalesce(sum(col("ct")), lit(0L)),
+      coalesce(sum(col("cr")), lit(0L)), count(lit(1))).head()
     val (nT, nR, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
     val weights = vocab.select(col("tok"),
       (log((col("ct") + alpha) / lit(nT + alpha * v)) -

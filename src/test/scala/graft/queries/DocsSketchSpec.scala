@@ -22,8 +22,11 @@ class DocsSketchSpec extends SparkSpec {
       // default rsd 5% is an ASYMPTOTIC bound; tiny groups (tens of
       // values at sf0.001) see proportionally larger wobble
       approxD shouldBe exactD +- math.max(5.0, exactD * 0.20)
-      // groups here are far below the accuracy parameter → exact match
-      r.getAs[Double]("approx_p50") shouldBe r.getAs[Double]("exact_p50")
+      // exact percentile INTERPOLATES the even-cardinality middle while
+      // approx_percentile returns an actual element — assert proximity,
+      // not equality (equality would only hold for odd-sized groups)
+      val ep50 = r.getAs[Double]("exact_p50")
+      r.getAs[Double]("approx_p50") shouldBe ep50 +- math.max(1.0, ep50 * 0.25)
     }
   }
 }
