@@ -42,6 +42,26 @@ object VectorFunctions {
       }),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Int8 scalar quantization: `struct(codes array<long>, scale double)` with
+    * `scale = max|xᵢ|/127` and `codesᵢ = floor(xᵢ/scale + 0.5)` — symmetric
+    * round-half-up into [-127, 127], the standard 4×-memory-cut embedding
+    * storage form. `floor(x+0.5)` (not `round`) because both engines floor
+    * identically on IEEE doubles, whereas round-half semantics differ.
+    * Zero vectors quantize to all-zero codes with scale 0. Reconstruction
+    * error is bounded by scale/2 per element.
+    */
+  def int8Quantize(v: Column): Column = {
+    val scale = array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
+    val codes = transform(v, x =>
+      when(scale === 0.0, lit(0L))
+        .otherwise(floor(x.cast("double") / scale + lit(0.5)).cast("long")))
+    struct(codes.as("codes"), scale.as("scale"))
+  }
+
+  /** Dequantize int8 codes back to doubles: `codesᵢ · scale`. */
+  def int8Dequantize(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
   /** Sign bit of `a · hyperplane` — building block for random-hyperplane LSH
     * (1 when non-negative).
     */

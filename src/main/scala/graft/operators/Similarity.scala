@@ -98,6 +98,30 @@ object Similarity {
     topKReduce(scored, k)
   }
 
+  /** Top-k by INT8-QUANTIZED cosine: both sides are scalar-quantized
+    * ([[VectorFunctions.int8Quantize]]) and scored on the integer code
+    * vectors — the 100 TB memory form (4× smaller than float32, 8× smaller
+    * than the double working form; a 100 TB float corpus scans as 25 TB).
+    *
+    * The per-vector scales CANCEL in the cosine, so the quantized cosine is
+    * `Σc_q·c_c / (‖c_q‖·‖c_c‖)` over integer codes only: every product is
+    * ≤ 127², every partial sum an integer well under 2⁵³, so the double
+    * accumulation is EXACT and order-independent — bit-identical across
+    * engines and schedules, which the hash gate requires. Same partial-heap
+    * top-k reduction as [[bruteForceTopK]] (no per-query reducer).
+    */
+  def quantizedTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    queries: DataFrame, queryId: String, queryVec: String,
+                    k: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      VectorFunctions.int8Quantize(col(corpusVec)).getField("codes").as("cv"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      VectorFunctions.int8Quantize(col(queryVec)).getField("codes").as("qv")))
+    val scored = c.join(q)
+      .withColumn("cosine", VectorFunctions.cosineBest(corpus.sparkSession, col("qv"), col("cv")))
+    topKReduce(scored, k)
+  }
+
   // ---- Trained IVF (k-means coarse quantizer) ----
 
   /** Nearest centroid by squared L2, ties to the smaller index. */

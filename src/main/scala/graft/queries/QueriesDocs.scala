@@ -265,6 +265,18 @@ object QueriesDocs {
           concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
     }),
 
+    // Int8-scalar-quantized ANN: both sides quantized to integer codes
+    // (the 4×-smaller 100 TB storage form), scored on the codes — the
+    // scales cancel in the cosine, so the score is integer-derived and
+    // bit-exact cross-engine. Same split as q26 for recall comparison
+    "q109_quantized_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(
+        corpus = emb.filter(col("vec_id") >= 5), corpusId = "vec_id", corpusVec = "embedding",
+        queries = emb.filter(col("vec_id") < 5), queryId = "vec_id", queryVec = "embedding",
+        k = 3)
+    }),
+
     // SemDeDup semantic near-dedup: nearest-centroid clusters + the
     // keep-smallest-id-within-tau verdict. The codebook is the first 8
     // standard basis vectors, so nearest-by-L2 reduces to argmax of the
@@ -500,6 +512,31 @@ object QueriesDocs {
                         list_dot_product(q.e, c.e) /
                           (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
                  FROM q CROSS JOIN c)
+         SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+           FROM s)
+         WHERE rk <= 3""",
+    // scale = max|x|/127 and codes = floor(x/scale + 0.5) replicate
+    // int8Quantize exactly (identical IEEE ops both engines); the scales
+    // cancel in the cosine so the score is a ratio of exact integer sums
+    "q109_quantized_ann" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           sc AS (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+                  FROM base),
+           codes AS (SELECT vec_id,
+                            list_transform(e, x ->
+                              CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+                                   ELSE floor(x / scale + 0.5) END) AS c
+                     FROM sc),
+           q AS (SELECT vec_id, c FROM codes WHERE vec_id < 5),
+           cp AS (SELECT vec_id, c FROM codes WHERE vec_id >= 5),
+           s AS (SELECT q.vec_id AS query_id, cp.vec_id AS neighbor_id,
+                        list_dot_product(q.c, cp.c) /
+                          (sqrt(list_dot_product(q.c, q.c)) * sqrt(list_dot_product(cp.c, cp.c))) AS cos
+                 FROM q CROSS JOIN cp)
          SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
            SELECT query_id, neighbor_id, cos,
                   row_number() OVER (PARTITION BY query_id

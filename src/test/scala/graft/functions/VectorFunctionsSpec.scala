@@ -33,6 +33,35 @@ class VectorFunctionsSpec extends SparkSpec {
     rows(2)._3 shouldBe (1.0 / math.sqrt(2.0)) +- 1e-12
   }
 
+  test("int8Quantize bounds codes in [-127,127] and reconstructs within scale/2") {
+    val d = Seq(
+      Tuple1(Array(0.3, -1.7, 0.002, 1.7)),
+      Tuple1(Array(-0.5, 0.25, 0.125, 0.0))
+    ).toDF("v")
+    val rows = d.select(
+        VectorFunctions.int8Quantize(col("v")).as("q"), col("v"))
+      .select(col("q.codes"), col("q.scale"),
+        VectorFunctions.int8Dequantize(col("q")).as("r"), col("v"))
+      .as[(Seq[Long], Double, Seq[Double], Seq[Double])].collect()
+    rows.foreach { case (codes, scale, recon, orig) =>
+      all(codes) should (be >= -127L and be <= 127L)
+      codes.map(math.abs).max shouldBe 127L // max-abs element saturates
+      scale shouldBe orig.map(math.abs).max / 127.0
+      recon.zip(orig).foreach { case (r, o) =>
+        math.abs(r - o) should be <= scale / 2 + 1e-12
+      }
+    }
+  }
+
+  test("int8Quantize maps the zero vector to zero codes with scale 0") {
+    val d = Seq(Tuple1(Array(0.0, 0.0, 0.0))).toDF("v")
+    val (codes, scale) = d.select(VectorFunctions.int8Quantize(col("v")).as("q"))
+      .select(col("q.codes"), col("q.scale"))
+      .as[(Seq[Long], Double)].head()
+    codes shouldBe Seq(0L, 0L, 0L)
+    scale shouldBe 0.0
+  }
+
   test("lshBucket is deterministic and within [0, 2^nBits)") {
     val b1 = df.select(VectorFunctions.lshBucket(col("a"), 3, 4).as("k")).as[Long].collect()
     val b2 = df.select(VectorFunctions.lshBucket(col("a"), 3, 4).as("k")).as[Long].collect()

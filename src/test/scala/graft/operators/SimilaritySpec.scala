@@ -42,6 +42,28 @@ class SimilaritySpec extends SparkSpec {
     plan should include("partial_topk_by_score")
   }
 
+  test("quantizedTopK agrees with exact top-k on well-separated vectors") {
+    val q = Seq((100L, Array(1.0, 0.0, 0.0, 0.0))).toDF("qid", "qv")
+    val exact = Similarity.bruteForceTopK(corpus, "id", "v", q, "qid", "qv", k = 3)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    val quant = Similarity.quantizedTopK(corpus, "id", "v", q, "qid", "qv", k = 3)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    // same neighbor set and rank order; scores within quantization error
+    quant.map(_._2).toSeq shouldBe exact.map(_._2).toSeq
+    quant.zip(exact).foreach { case (qr, er) =>
+      qr._3 shouldBe er._3 +- 0.02
+    }
+  }
+
+  test("quantized cosine is scale-invariant (scales cancel)") {
+    // 3x-scaled copy of a vector must score cosine 1.0 against the original
+    val c = Seq((1L, Array(0.3, -0.6, 0.9))).toDF("id", "v")
+    val q = Seq((100L, Array(0.1, -0.2, 0.3))).toDF("qid", "qv")
+    val out = Similarity.quantizedTopK(c, "id", "v", q, "qid", "qv", k = 1)
+      .as[(Long, Long, Double)].head()
+    out._3 shouldBe 1.0
+  }
+
   test("aggregate top-k matches the window formulation across partitions") {
     // 600 candidates over 8 partitions: partial heaps must merge correctly,
     // including exact-score ties broken by ascending id
