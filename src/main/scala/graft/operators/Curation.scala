@@ -511,4 +511,55 @@ object Curation {
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("cross_entropy"))
   }
+
+  /** BM25 keyword retrieval: for each query (a small set of terms), the
+    * top-`k` documents by the Robertson/Sparck-Jones BM25 score
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avgdl))` with
+    * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)` — the retrieval primitive
+    * behind query-based decontamination and targeted corpus audits.
+    *
+    * Scale shape: the corpus tokenizes in one scan; the term filter is
+    * applied BEFORE the tf aggregation, so only query-term hits (a sliver
+    * of the token stream) cross the shuffle; df and the corpus stats are
+    * broadcast-size; the query-term table is a broadcast literal; the
+    * final per-query top-k reduces through the `topk_by_score` partial
+    * heap — no per-query reducer. At 100 TB the stats scan would be a
+    * precomputed corpus statistic; here it is one extra 1-row aggregate.
+    * Document length uses the whitespace-token convention of
+    * [[TextFunctions.tokens]] (lowercased), matching the oracle's CTE.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[(Long, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(lower(col(textCol))).as("ws"))
+      .withColumn("len", coalesce(size(col("ws")), lit(0)))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).cast("long").as("tot"))
+    val allTerms = queryTerms.flatMap(_._2).distinct
+    val qt = broadcast(queryTerms.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term"))
+    val tf = base.select(col("doc_id"), col("len"), explode(col("ws")).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(qt, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ts",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
+            lit(b) * col("len") / (col("tot").cast("double") / col("n_docs")))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ts")).as("cosine"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("cosine"))
+    Similarity.topKReduce(scored, k)
+      .withColumnRenamed("neighbor_id", "doc_id")
+      .withColumnRenamed("cosine", "score")
+  }
 }

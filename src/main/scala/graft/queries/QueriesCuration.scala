@@ -229,7 +229,17 @@ object QueriesCuration {
           sum(col("n_tokens")).cast("long").as("n_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
-    })
+    }),
+
+    // BM25 keyword retrieval: two term-set queries against the corpus,
+    // top-10 each — the retrieval primitive behind query-based
+    // decontamination ("which documents answer this benchmark prompt?")
+    "q110_bm25" -> ((s, d) =>
+      Curation.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq(
+          0L -> Seq("dup", "vector"),
+          1L -> Seq("spark", "key", "fast")),
+        k = 10))
   )
 
   import org.apache.spark.sql.Column
@@ -476,6 +486,34 @@ object QueriesCuration {
              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY 1""",
+    // BM25 constants are written as the SAME arithmetic the Scala side
+    // evaluates ((1.2 + 1.0), (1.0 - 0.75)) so both engines produce the
+    // identical IEEE doubles before any multiply
+    "q110_bm25" -> raw"""
+      WITH $toksCte,
+      lens AS (SELECT doc_id, COALESCE(len(t), 0) AS len, t FROM toks),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tot FROM lens),
+      qt(query_id, term) AS (VALUES
+        (0, 'dup'), (0, 'vector'), (1, 'spark'), (1, 'key'), (1, 'fast')),
+      tf AS (SELECT doc_id, len, term, count(*) AS tf
+             FROM (SELECT doc_id, len, unnest(t) AS term FROM lens)
+             WHERE term IN ('dup', 'vector', 'spark', 'key', 'fast')
+             GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (SELECT qt.query_id, tf.doc_id,
+                        sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                            * (tf * (1.2 + 1.0))
+                            / (tf + 1.2 * ((1.0 - 0.75)
+                               + 0.75 * len / (CAST(tot AS DOUBLE) / n_docs)))) AS score
+                 FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats
+                 GROUP BY 1, 2)
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
+      FROM (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rk
+            FROM scored)
+      WHERE rk <= 10""",
     "q95_keep_best" -> raw"""
       WITH $toksCte,
       $scoreCte,

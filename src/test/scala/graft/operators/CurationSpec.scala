@@ -5,6 +5,49 @@ import graft.SparkSpec
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  // --- bm25TopK ---
+
+  private val bm25Corpus = Seq(
+    (1L, "apple banana apple"),          // len 3
+    (2L, "banana cherry"),               // len 2
+    (3L, "cherry cherry cherry cherry")  // len 4
+  ).toDF("doc_id", "text")               // N=3, tot=9, avgdl=3
+
+  test("bm25TopK matches the hand-computed score") {
+    // query "apple": df=1, only doc 1 (tf=2, len=3):
+    //   idf = ln((3-1+0.5)/(1+0.5)+1) = ln(8/3)
+    //   score = idf * 2*2.2 / (2 + 1.2*(0.25 + 0.75*3/3)) = idf * 4.4/3.2
+    val out = Curation.bm25TopK(bm25Corpus, "doc_id", "text",
+      Seq(0L -> Seq("apple")), k = 5)
+      .as[(Long, Long, Double)].collect()
+    out.length shouldBe 1
+    out.head._2 shouldBe 1L
+    out.head._3 shouldBe math.log(8.0 / 3.0) * 4.4 / 3.2 +- 1e-6
+  }
+
+  test("bm25TopK length normalization ranks the shorter doc first at equal tf") {
+    // "banana" has tf=1 in docs 1 (len 3) and 2 (len 2): doc 2 wins
+    val out = Curation.bm25TopK(bm25Corpus, "doc_id", "text",
+      Seq(0L -> Seq("banana")), k = 5)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    out.map(_._2).toSeq shouldBe Seq(2L, 1L)
+  }
+
+  test("bm25TopK sums per-term scores and keeps queries independent") {
+    val both = Curation.bm25TopK(bm25Corpus, "doc_id", "text",
+      Seq(0L -> Seq("apple", "banana"), 1L -> Seq("cherry")), k = 5)
+      .as[(Long, Long, Double)].collect()
+    val d1 = both.filter(r => r._1 == 0L && r._2 == 1L).head._3
+    val apple = Curation.bm25TopK(bm25Corpus, "doc_id", "text",
+      Seq(0L -> Seq("apple")), k = 5).as[(Long, Long, Double)].head()._3
+    val banana = Curation.bm25TopK(bm25Corpus, "doc_id", "text",
+      Seq(0L -> Seq("banana")), k = 5)
+      .as[(Long, Long, Double)].collect().filter(_._2 == 1L).head._3
+    d1 shouldBe apple + banana +- 2e-6 // each addend 6-dp rounded
+    // query 1 sees only the cherry docs, ranked 3 (tf=4) above 2 (tf=1)
+    both.filter(_._1 == 1L).sortBy(-_._3).map(_._2).toSeq shouldBe Seq(3L, 2L)
+  }
+
   // --- decontaminate ---
 
   test("decontaminate counts distinct trigram overlap per corpus doc") {
