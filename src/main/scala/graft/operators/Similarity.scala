@@ -203,6 +203,104 @@ object Similarity {
     centroids
   }
 
+  // ---- Product quantization (PQ / ADC) ----
+
+  /** Train PQ codebooks: `m` subspaces of `dim/m` dims, `ksub` centroids
+    * each, every codebook via the same BIT-DETERMINISTIC distributed
+    * k-means as [[trainIvfCentroids]] (id-seeded init, fixed-point sums).
+    * Returns `codebooks(s)(c)` = centroid `c` of subspace `s`.
+    *
+    * Each subspace trains on one slice-projection of the corpus — `m`
+    * passes of `iters` scans here; a 100 TB build would train on a
+    * driver-side sample (codebooks need ~100k vectors, not the corpus)
+    * and keep the scan budget for [[pqEncode]], which is one pass.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), s * sub + 1, sub).as("__sub"))
+      trainIvfCentroids(sliced, idCol, "__sub", ksub, iters)
+    }
+  }
+
+  /** PQ-encode: per vector, the nearest sub-centroid index in each
+    * subspace — `m` small ints per vector (8 bytes at m=8/ksub≤256: a 32×
+    * compression of float32×64, the form a 100 TB corpus actually stores).
+    * One scan, per-row kernel against the broadcast codebooks.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val m = codebooks.length
+    val encodeUdf = udf((v: Seq[Double]) => {
+      val cb = bc.value
+      val sub = cb(0)(0).length
+      val a = v.toArray
+      Array.tabulate(m) { s =>
+        nearestCentroid(java.util.Arrays.copyOfRange(a, s * sub, (s + 1) * sub), cb(s))
+      }
+    })
+    df.select(col(idCol), encodeUdf(col(vecCol).cast("array<double>")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query precomputes
+    * its m×ksub table of squared sub-distances ONCE (driver-side — queries
+    * are broadcast-size by contract), then every corpus row scores with m
+    * table lookups instead of a dim-length loop. Scores are negated
+    * squared L2 distances (larger = closer) reduced through the same
+    * partial-heap top-k as [[bruteForceTopK]]. Deterministic: the ADC sum
+    * folds the m sub-terms in subspace order, and ties break by id.
+    */
+  def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val qRows = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    // table(s*ksub + c) = ||q_s − codebook(s)(c)||²
+    val tables: Map[Long, Array[Double]] = qRows.map { case (qid, qv) =>
+      val t = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ksub) {
+          val cent = codebooks(s)(c)
+          var d = 0.0
+          var i = 0
+          while (i < sub) { val x = qv(s * sub + i) - cent(i); d += x * x; i += 1 }
+          t(s * ksub + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      qid -> t
+    }.toMap
+    val bc = spark.sparkContext.broadcast(tables)
+    val adcUdf = udf((qid: Long, codes: Seq[Int]) => {
+      val t = bc.value(qid)
+      var d = 0.0
+      var s = 0
+      while (s < m) { d += t(s * ksub + codes(s)); s += 1 }
+      -d
+    })
+    val enc = pqEncode(corpus, corpusId, corpusVec, codebooks)
+      .withColumnRenamed(corpusId, "neighbor_id")
+    val scored = enc
+      .crossJoin(broadcast(qRows.map(_._1).toSeq.toDF("query_id")))
+      .withColumn("cosine", adcUdf(col("query_id"), col("codes")))
+    topKReduce(scored, k)
+      .withColumnRenamed("cosine", "neg_sq_dist")
+  }
+
   /** IVF search against TRAINED centroids: the corpus is bucketed by its
     * nearest centroid once; each query probes its `nProbe` nearest
     * centroid buckets — scan fraction ≈ nProbe/k with data-adaptive

@@ -277,6 +277,22 @@ object QueriesDocs {
         k = 3)
     }),
 
+    // Product-quantized ANN (PQ/ADC): 8 subspaces × 16 centroids trained
+    // by the bit-deterministic k-means, corpus stored as 8 small ints per
+    // vector (32× smaller than float32), queries scored by table lookups.
+    // Iterative training → not SQL-expressible → golden-pinned; recall
+    // and exact-reconstruction properties in SimilaritySpec
+    "q111_pq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, iters = 4)
+      Similarity.pqTopK(
+        corpus = corpus, corpusId = "vec_id", corpusVec = "embedding",
+        queries = emb.filter(col("vec_id") < 5), queryId = "vec_id", queryVec = "embedding",
+        codebooks = books, k = 3)
+    }),
+
     // SemDeDup semantic near-dedup: nearest-centroid clusters + the
     // keep-smallest-id-within-tau verdict. The codebook is the first 8
     // standard basis vectors, so nearest-by-L2 reduces to argmax of the

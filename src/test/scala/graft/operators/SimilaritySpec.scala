@@ -64,6 +64,54 @@ class SimilaritySpec extends SparkSpec {
     out._3 shouldBe 1.0
   }
 
+  test("pqTopK is exact when every vector is its own sub-centroid") {
+    // 4 corpus vectors, ksub=4, m=2: k-means with k = #points converges to
+    // the points themselves, so ADC distance == exact squared L2
+    val c = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0, 0.0)),
+      (3L, Array(0.0, 0.0, 1.0, 0.0)),
+      (4L, Array(0.0, 0.0, 0.0, 1.0))
+    ).toDF("id", "v")
+    val books = Similarity.pqTrain(c, "id", "v", dim = 4, m = 2, ksub = 4, iters = 3)
+    val q = Seq((100L, Array(0.9, 0.1, 0.0, 0.0))).toDF("qid", "qv")
+    val out = Similarity.pqTopK(c, "id", "v", q, "qid", "qv", books, k = 4)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    out.head._2 shouldBe 1L // nearest by L2
+    // exact: -||q - e1||² = -(0.1² + 0.1²) = -0.02
+    out.head._3 shouldBe -0.02 +- 1e-9
+    out.map(_._2).toSeq shouldBe Seq(1L, 2L, 3L, 4L) // full exact ranking
+  }
+
+  test("pqEncode is deterministic and bounds codes by ksub") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).abs)))
+    val df = vecs.toDF("id", "v")
+    val books = Similarity.pqTrain(df, "id", "v", dim = 8, m = 4, ksub = 4, iters = 3)
+    val e1 = Similarity.pqEncode(df, "id", "v", books)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    val e2 = Similarity.pqEncode(df, "id", "v", books)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    e1 shouldBe e2
+    e1.foreach { case (_, codes) =>
+      codes.length shouldBe 4
+      all(codes) should (be >= 0 and be < 4)
+    }
+  }
+
+  test("pqTopK recovers cluster structure (recall on separated clusters)") {
+    // two tight clusters far apart; queries near cluster A must rank all
+    // of A above any of B
+    val a = (0 until 10).map(i => (i.toLong, Array(10.0 + i * 0.01, 10.0, 0.0, 0.0)))
+    val b = (10 until 20).map(i => (i.toLong, Array(-10.0, -10.0 - (i - 10) * 0.01, 0.0, 0.0)))
+    val c = (a ++ b).toDF("id", "v")
+    val books = Similarity.pqTrain(c, "id", "v", dim = 4, m = 2, ksub = 8, iters = 4)
+    val q = Seq((100L, Array(10.05, 10.0, 0.0, 0.0))).toDF("qid", "qv")
+    val out = Similarity.pqTopK(c, "id", "v", q, "qid", "qv", books, k = 10)
+      .as[(Long, Long, Double)].collect()
+    all(out.map(_._2)) should be < 10L
+  }
+
   test("aggregate top-k matches the window formulation across partitions") {
     // 600 candidates over 8 partitions: partial heaps must merge correctly,
     // including exact-score ties broken by ascending id
