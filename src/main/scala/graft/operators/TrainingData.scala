@@ -118,4 +118,46 @@ object TrainingData {
       .withColumn("shard_id", floor(col("__pfx") / targetTokens).cast("long"))
       .drop("__pfx")
   }
+
+  /** Per-group robust feature normalization — the standard numeric-feature
+    * preparation stage: exact-percentile winsorization bounds plus a
+    * z-score, emitted per input row.
+    *
+    * Determinism notes (the cross-engine hash gate):
+    *  - std comes from `(n, Σx, Σx²)` with the textbook formula written
+    *    IDENTICALLY on both engines — never from a `stddev` aggregate,
+    *    whose partial-merge recurrences differ between engines;
+    *  - the winsorization bounds are ROUNDED (6 dp) before use, so the
+    *    clip and the outlier verdict compare against the same constant in
+    *    both engines (the rounded-threshold convention);
+    *  - null values propagate (null z / null verdict), matching SQL.
+    *
+    * Scale shape: ONE aggregate over the group keys (exact `percentile`
+    * is a sort-based aggregate — at 100 TB swap in `approx_percentile`,
+    * same call shape), broadcast back — no second shuffle of the data.
+    */
+  def normalizeValues(df: DataFrame, groupCol: String, valueCol: String,
+                      idCols: Seq[String], pLo: Double = 0.05,
+                      pHi: Double = 0.95): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(v).as("__n"),
+      sum(v).as("__sx"),
+      sum(v * v).as("__sxx"),
+      round(percentile(v, lit(pLo)), 6).as("__lo"),
+      round(percentile(v, lit(pHi)), 6).as("__hi"))
+    df.join(broadcast(stats), groupCol)
+      .select(idCols.map(col) ++ Seq(
+        col(groupCol), v,
+        round((v - col("__sx") / col("__n")) /
+          sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n")) /
+            (col("__n") - 1)), 6).as("z"),
+        // explicit null guard: Spark's least/greatest IGNORE nulls (they
+        // would return the bound for a null value), and engines disagree
+        // on null-vs-ignore semantics here — never rely on either
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(round(least(greatest(v, col("__lo")), col("__hi")), 6))
+          .as("winsorized"),
+        (v < col("__lo") || v > col("__hi")).as("is_outlier")): _*)
+  }
 }

@@ -247,7 +247,14 @@ object QueriesEvents {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy(col("event_type"))
         .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
-    })
+    }),
+
+    // Per-group robust feature normalization: p05/p95 winsorization +
+    // z-score from (n, Σx, Σx²) — the numeric-feature preparation stage
+    "q112_normalize_values" -> ((s, d) =>
+      graft.operators.TrainingData.normalizeValues(
+        Tables.events(s, d), groupCol = "event_type", valueCol = "value",
+        idCols = Seq("event_id")))
   )
 
   private val evCte =
@@ -409,6 +416,21 @@ object QueriesEvents {
     "q39_json_extract" -> s"""$evCte
       SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k
       FROM (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS INT) AS k FROM e)
-      GROUP BY event_type"""
+      GROUP BY event_type""",
+    // std from (n, Σx, Σx²) with the IDENTICAL formula Spark evaluates
+    // (never a stddev aggregate — engines merge those differently);
+    // winsorization bounds rounded to 6 dp BEFORE use on both sides
+    "q112_normalize_values" -> s"""$evCte,
+      st AS (SELECT event_type, count(value) AS n,
+                    sum(value) AS sx, sum(value * value) AS sxx,
+                    round(quantile_cont(value, 0.05), 6) AS lo,
+                    round(quantile_cont(value, 0.95), 6) AS hi
+             FROM e GROUP BY 1)
+      SELECT event_id, e.event_type, value,
+             round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z,
+             CASE WHEN value IS NULL THEN NULL
+                  ELSE round(least(greatest(value, lo), hi), 6) END AS winsorized,
+             value < lo OR value > hi AS is_outlier
+      FROM e JOIN st USING (event_type)"""
   )
 }

@@ -100,4 +100,37 @@ class TrainingDataSpec extends SparkSpec {
     out.mkString(" ") shouldBe text
     out.length shouldBe 15 // ceil(100/7)
   }
+
+  test("normalizeValues: hand-computed z, winsorization bounds, outlier flags") {
+    // group g: values 0..10 — n=11, Σx=55, Σx²=385, mean=5,
+    // var=(385−55²/11)/10=11, p05=0.5, p95=9.5
+    val df = (0 to 10).map(i => (i.toLong, "g", i.toDouble)).toDF("event_id", "grp", "value")
+    val out = TrainingData.normalizeValues(df, "grp", "value", Seq("event_id"))
+      .as[(Long, String, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+    out.length shouldBe 11
+    val z0 = out.head
+    z0._4 shouldBe -5.0 / math.sqrt(11.0) +- 1e-6
+    z0._5 shouldBe 0.5   // winsorized up to p05
+    z0._6 shouldBe true  // below the lower bound
+    val z5 = out(5)
+    z5._4 shouldBe 0.0
+    z5._5 shouldBe 5.0
+    z5._6 shouldBe false
+    val z10 = out(10)
+    z10._5 shouldBe 9.5
+    z10._6 shouldBe true
+  }
+
+  test("normalizeValues propagates null values as null z / null verdict") {
+    val df = Seq((1L, "g", Some(1.0)), (2L, "g", Some(2.0)), (3L, "g", Some(3.0)),
+      (4L, "g", Option.empty[Double]))
+      .toDF("event_id", "grp", "value")
+    val out = TrainingData.normalizeValues(df, "grp", "value", Seq("event_id"))
+    val nulls = out.filter("event_id = 4")
+      .selectExpr("z IS NULL", "winsorized IS NULL", "is_outlier IS NULL")
+      .as[(Boolean, Boolean, Boolean)].head()
+    nulls shouldBe ((true, true, true))
+    // stats ignore the null: n=3 not 4
+    out.filter("event_id = 2").select("z").as[Double].head() shouldBe 0.0
+  }
 }
