@@ -206,6 +206,20 @@ object TextFunctions {
   val UrlRe = "https?://[^\\s]+"
   val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
+  /** PII redaction — the acting form of [[piiCounts]]: emails, then URLs,
+    * then phone numbers replaced by typed placeholders, in that fixed
+    * order (the order is part of the contract: an email inside a URL is
+    * redacted first and the URL match then swallows the placeholder —
+    * identical on both engines because the order is identical). Null
+    * propagates. Pure regexp chain, zero shuffle, scan-rate.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      PhoneRe, "<PHONE>")
+
   /** (n_email, n_url, n_phone) columns for `text`; null text → null
     * counts (explicit guard — `size` of a null array is -1 or null
     * depending on ANSI/legacy settings, and the oracle's `len` is NULL).

@@ -562,4 +562,34 @@ object Curation {
       .withColumnRenamed("neighbor_id", "doc_id")
       .withColumnRenamed("cosine", "score")
   }
+
+  /** Reciprocal-rank fusion of two retrieval result sets (the hybrid
+    * keyword+vector search pattern): each input is a per-query top-k
+    * table `(query_id, doc_id, score)`; ranks are assigned within each
+    * list by `(score desc, doc_id)` and fused as `Σ 1/(c + rank)`.
+    *
+    * Determinism: ranks are computed on the lists' 6-dp-ROUNDED scores
+    * (what [[bm25TopK]]/[[Similarity]] emit — already hash-verified
+    * cross-engine), ties break by doc id, and the two RRF addends sum
+    * commutatively (IEEE addition is order-safe for exactly two terms).
+    * The rank windows run over top-k RESULT sets (k·queries rows), never
+    * the corpus — per-query partitions are bounded by k, so the window
+    * is not a scale concern here.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    // inputs are positional: (query id, doc id, score) whatever the names
+    def ranked(df: DataFrame) = {
+      val Array(q, dId, sc) = df.columns
+      df.select(col(q).as("query_id"), col(dId).as("doc_id"),
+        row_number().over(Window.partitionBy(col(q))
+          .orderBy(col(sc).desc, col(dId))).as("rank"))
+    }
+    val fused = ranked(a).unionByName(ranked(b))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(lit(1.0) / (lit(c.toDouble) + col("rank"))).as("cosine"))
+    Similarity.topKReduce(
+        fused.select(col("query_id"), col("neighbor_id"), col("cosine")), k)
+      .withColumnRenamed("neighbor_id", "doc_id")
+      .withColumnRenamed("cosine", "rrf")
+  }
 }

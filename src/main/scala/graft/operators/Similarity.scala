@@ -203,6 +203,29 @@ object Similarity {
     centroids
   }
 
+  /** Hard-negative mining for embedding/contrastive training: for each
+    * query, the `k` MOST similar corpus rows with a DIFFERENT label —
+    * the negatives that actually move a contrastive loss. Same broadcast
+    * + partial-heap shape as [[bruteForceTopK]]; the label-mismatch
+    * predicate rides the broadcast join, so same-label pairs never reach
+    * the scorer. Null labels never match `=!=` and are excluded on
+    * either side (SQL `<>` semantics).
+    */
+  def hardNegatives(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    corpusLabel: String,
+                    queries: DataFrame, queryId: String, queryVec: String,
+                    queryLabel: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("qv"), col(queryLabel).as("__ql")))
+    val scored = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"),
+        col(corpusLabel).as("__cl"))
+      .join(q, col("__cl") =!= col("__ql"))
+      .withColumn("cosine",
+        VectorFunctions.cosineBest(corpus.sparkSession, col("qv"), col("cv")))
+    topKReduce(scored, k)
+  }
+
   // ---- Product quantization (PQ / ADC) ----
 
   /** Train PQ codebooks: `m` subspaces of `dim/m` dims, `ksub` centroids
@@ -237,11 +260,14 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(codebooks)
     val m = codebooks.length
     val encodeUdf = udf((v: Seq[Double]) => {
-      val cb = bc.value
-      val sub = cb(0)(0).length
-      val a = v.toArray
-      Array.tabulate(m) { s =>
-        nearestCentroid(java.util.Arrays.copyOfRange(a, s * sub, (s + 1) * sub), cb(s))
+      if (v == null) null
+      else {
+        val cb = bc.value
+        val sub = cb(0)(0).length
+        val a = v.toArray
+        Array.tabulate(m) { s =>
+          nearestCentroid(java.util.Arrays.copyOfRange(a, s * sub, (s + 1) * sub), cb(s))
+        }
       }
     })
     df.select(col(idCol), encodeUdf(col(vecCol).cast("array<double>")).as("codes"))
@@ -285,13 +311,15 @@ object Similarity {
       qid -> t
     }.toMap
     val bc = spark.sparkContext.broadcast(tables)
-    val adcUdf = udf((qid: Long, codes: Seq[Int]) => {
-      val t = bc.value(qid)
-      var d = 0.0
-      var s = 0
-      while (s < m) { d += t(s * ksub + codes(s)); s += 1 }
-      -d
-    })
+    val adcUdf = udf((qid: Long, codes: Seq[Int]) =>
+      if (codes == null) null
+      else {
+        val t = bc.value(qid)
+        var d = 0.0
+        var s = 0
+        while (s < m) { d += t(s * ksub + codes(s)); s += 1 }
+        java.lang.Double.valueOf(-d)
+      })
     val enc = pqEncode(corpus, corpusId, corpusVec, codebooks)
       .withColumnRenamed(corpusId, "neighbor_id")
     val scored = enc

@@ -63,16 +63,7 @@ object QueriesCuration {
     // PII / link scan: per-doc email/URL/phone counts + has_pii verdict
     // (documents salted with synthetic contacts so counts are nonzero)
     "q81_pii_scan" -> ((s, d) => {
-      val salted = Tables.documents(s, d).select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 5 === 0,
-            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
-            .otherwise(lit("")),
-          when(col("doc_id") % 7 === 0,
-            concat(lit(" see https://example.org/d/"), col("doc_id")))
-            .otherwise(lit("")),
-          when(col("doc_id") % 11 === 0, lit(" call 555-867-5309"))
-            .otherwise(lit(""))).as("text"))
+      val salted = piiSalted(s, d)
       val counts = TextFunctions.piiCounts(col("text"))
       salted.select(col("doc_id") +: counts: _*)
         .withColumn("has_pii",
@@ -239,7 +230,30 @@ object QueriesCuration {
         queryTerms = Seq(
           0L -> Seq("dup", "vector"),
           1L -> Seq("spark", "key", "fast")),
-        k = 10))
+        k = 10)),
+
+    // PII redaction — q81's acting form: typed placeholders substituted
+    // in the fixed email→URL→phone order over the same salted corpus
+    "q115_pii_redact" -> ((s, d) =>
+      piiSalted(s, d).select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("redacted"))),
+
+    // Hybrid retrieval: BM25 keyword lists fused with embedding-cosine
+    // lists by reciprocal-rank fusion — ranks assigned on the 6-dp
+    // rounded scores both engines already agree on, RRF = Σ 1/(60+rank)
+    "q113_hybrid_rrf" -> ((s, d) => {
+      val bm = Curation.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq(
+          0L -> Seq("dup", "vector"),
+          1L -> Seq("spark", "key", "fast")),
+        k = 10)
+      val emb = Tables.embeddings(s, d)
+      val knn = graft.operators.Similarity.bruteForceTopK(
+        corpus = emb, corpusId = "vec_id", corpusVec = "embedding",
+        queries = emb.filter(col("vec_id") < 2), queryId = "vec_id", queryVec = "embedding",
+        k = 10)
+      Curation.rrfFuse(bm, knn, k = 10)
+    })
   )
 
   import org.apache.spark.sql.Column
@@ -353,6 +367,35 @@ object QueriesCuration {
     when(col("doc_id") % 2 === 0, lit("?utm_source=feed")).otherwise(lit("")),
     when(col("doc_id") % 6 === 0,
       lit(" and http://MIRROR.example.net/x")).otherwise(lit("")))
+
+  /** Documents salted with synthetic contacts (q81/q115 input): an email
+    * on doc_id%5, a URL on doc_id%7, a phone number on doc_id%11.
+    */
+  private def piiSalted(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" see https://example.org/d/"), col("doc_id")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-867-5309"))
+          .otherwise(lit(""))).as("text"))
+
+  private val piiSaltedSql = raw"""
+      salted AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' see https://example.org/d/' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+                 AS text
+        FROM documents)"""
 
   private val urlSaltedSql = raw"""
       u0 AS (SELECT doc_id, text ||
@@ -513,6 +556,79 @@ object QueriesCuration {
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, doc_id) AS rk
             FROM scored)
+      WHERE rk <= 10""",
+    // same regexes as q81 (RE2/Java-portable by construction), same
+    // fixed email→URL→phone order as TextFunctions.redactPii
+    "q115_pii_redact" -> raw"""
+      WITH $piiSaltedSql
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+               '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+      FROM salted""",
+    // ranks are assigned on each list's 6-dp ROUNDED scores (the values
+    // the engines already hash-agree on); the two RRF addends sum
+    // commutatively, so the fused order is engine-identical
+    "q113_hybrid_rrf" -> raw"""
+      WITH $toksCte,
+      lens AS (SELECT doc_id, COALESCE(len(t), 0) AS len, t FROM toks),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tot FROM lens),
+      qt(query_id, term) AS (VALUES
+        (0, 'dup'), (0, 'vector'), (1, 'spark'), (1, 'key'), (1, 'fast')),
+      tf AS (SELECT doc_id, len, term, count(*) AS tf
+             FROM (SELECT doc_id, len, unnest(t) AS term FROM lens)
+             WHERE term IN ('dup', 'vector', 'spark', 'key', 'fast')
+             GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      bm_scored AS (SELECT qt.query_id, tf.doc_id,
+                           sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                               * (tf * (1.2 + 1.0))
+                               / (tf + 1.2 * ((1.0 - 0.75)
+                                  + 0.75 * len / (CAST(tot AS DOUBLE) / n_docs)))) AS score
+                    FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats
+                    GROUP BY 1, 2),
+      bm_top AS (SELECT query_id, doc_id, round(score, 6) AS score
+                 FROM (SELECT query_id, doc_id, score,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY score DESC, doc_id) AS rk
+                       FROM bm_scored)
+                 WHERE rk <= 10),
+      q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < 2),
+      cp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      kn_scored AS (SELECT q.vec_id AS query_id, cp.vec_id AS doc_id,
+                           list_dot_product(q.e, cp.e) /
+                             (sqrt(list_dot_product(q.e, q.e))
+                              * sqrt(list_dot_product(cp.e, cp.e))) AS cos
+                    FROM q CROSS JOIN cp),
+      kn_top AS (SELECT query_id, doc_id, round(cos, 6) AS score
+                 FROM (SELECT query_id, doc_id, cos,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, doc_id) AS rk
+                       FROM kn_scored)
+                 WHERE rk <= 10),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM bm_top
+        UNION ALL
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM kn_top),
+      fused AS (SELECT query_id, doc_id,
+                       sum(1.0 / (60.0 + CAST(rank AS DOUBLE))) AS rrf
+                FROM ranked GROUP BY 1, 2)
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(doc_id AS BIGINT) AS doc_id, round(rrf, 6) AS rrf
+      FROM (SELECT query_id, doc_id, rrf,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf DESC, doc_id) AS rk
+            FROM fused)
       WHERE rk <= 10""",
     "q95_keep_best" -> raw"""
       WITH $toksCte,

@@ -293,6 +293,16 @@ object QueriesDocs {
         codebooks = books, k = 3)
     }),
 
+    // Hard-negative mining: per query, the top-5 most-similar corpus
+    // vectors with a DIFFERENT label — the contrastive-training sampler
+    "q114_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(
+        corpus = emb, corpusId = "vec_id", corpusVec = "embedding", corpusLabel = "label",
+        queries = emb.filter(col("vec_id") < 5), queryId = "vec_id", queryVec = "embedding",
+        queryLabel = "label", k = 5)
+    }),
+
     // SemDeDup semantic near-dedup: nearest-centroid clusters + the
     // keep-smallest-id-within-tau verdict. The codebook is the first 8
     // standard basis vectors, so nearest-by-L2 reduces to argmax of the
@@ -559,6 +569,21 @@ object QueriesDocs {
                                      ORDER BY cos DESC, neighbor_id) AS rk
            FROM s)
          WHERE rk <= 3""",
+    "q114_hard_negatives" ->
+      """WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+           s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        list_dot_product(q.e, c.e) /
+                          (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+                 FROM q JOIN c ON c.label <> q.label)
+         SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+           FROM s)
+         WHERE rk <= 5""",
     "q40_ngram_jaccard" ->
       """WITH docs AS (
            SELECT doc_id, source,

@@ -48,6 +48,45 @@ class CurationSpec extends SparkSpec {
     both.filter(_._1 == 1L).sortBy(-_._3).map(_._2).toSeq shouldBe Seq(3L, 2L)
   }
 
+  test("bm25TopK plans the term filter before the tf aggregate, no corpus window") {
+    val out = Curation.bm25TopK(bm25Corpus, "doc_id", "text",
+      Seq(0L -> Seq("apple", "banana")), k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    // top-k reduces through the partial heap aggregate, not a window
+    plan should include("partial_topk_by_score")
+    plan should not include "Window"
+    // the scored side never shuffles unfiltered tokens: the isin filter
+    // sits under the tf aggregate in the optimized plan
+    out.queryExecution.optimizedPlan.toString should include("IN (apple,banana)")
+  }
+
+  // --- rrfFuse ---
+
+  test("rrfFuse sums reciprocal ranks across lists, hand-computed") {
+    // list A ranks: d1=1, d2=2; list B ranks: d2=1, d3=2
+    val a = Seq((0L, 1L, 0.9), (0L, 2L, 0.8)).toDF("query_id", "doc_id", "score")
+    val b = Seq((0L, 2L, 0.7), (0L, 3L, 0.6)).toDF("query_id", "neighbor_id", "cosine")
+    val out = Curation.rrfFuse(a, b, k = 10)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    // d2: 1/62 + 1/61 (both lists) beats d1: 1/61 beats d3: 1/62
+    out.map(_._2).toSeq shouldBe Seq(2L, 1L, 3L)
+    out(0)._3 shouldBe 1.0 / 62 + 1.0 / 61 +- 1e-6
+    out(1)._3 shouldBe 1.0 / 61 +- 1e-6
+    out(2)._3 shouldBe 1.0 / 62 +- 1e-6
+  }
+
+  test("rrfFuse ranks by score desc with doc-id tie-break, per query") {
+    // equal scores: rank order falls back to doc_id asc; queries independent
+    val a = Seq((0L, 5L, 1.0), (0L, 3L, 1.0), (1L, 7L, 0.5))
+      .toDF("query_id", "doc_id", "score")
+    val b = Seq.empty[(Long, Long, Double)].toDF("query_id", "doc_id", "score")
+    val out = Curation.rrfFuse(a, b, k = 10)
+      .as[(Long, Long, Double)].collect()
+    val q0 = out.filter(_._1 == 0L).sortBy(-_._3)
+    q0.map(_._2).toSeq shouldBe Seq(3L, 5L) // tie → smaller id ranks first
+    out.filter(_._1 == 1L).head._3 shouldBe 1.0 / 61 +- 1e-6
+  }
+
   // --- decontaminate ---
 
   test("decontaminate counts distinct trigram overlap per corpus doc") {
@@ -203,6 +242,24 @@ class CurationSpec extends SparkSpec {
     out(0) shouldBe ((1, 1, 0))
     out(1) shouldBe ((0, 0, 2))
     out(2) shouldBe ((0, 0, 0))
+  }
+
+  test("redactPii substitutes placeholders in the fixed email→URL→phone order") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      "write to a.b+c@mail.example.org or see https://x.y/z?q=1 now",
+      "call 555-123-4567 or 555-123-4568",
+      // an email inside a URL: the email is redacted FIRST, then the URL
+      // match swallows the placeholder — the documented order contract
+      "ftp via https://user@example.com/path today",
+      "no pii here"
+    ).toDF("text")
+    val out = df.select(TextFunctions.redactPii(col("text"))).as[String].collect()
+    out(0) shouldBe "write to <EMAIL> or see <URL> now"
+    out(1) shouldBe "call <PHONE> or <PHONE>"
+    out(2) shouldBe "ftp via <URL> today"
+    out(3) shouldBe "no pii here"
   }
 
   test("ingestGate flags quality, contamination, and sampling in one pass") {

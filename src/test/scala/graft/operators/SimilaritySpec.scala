@@ -64,6 +64,20 @@ class SimilaritySpec extends SparkSpec {
     out._3 shouldBe 1.0
   }
 
+  test("hardNegatives excludes same-label rows and null labels") {
+    val c = Seq(
+      (1L, Array(1.0, 0.0), Some(0)),  // same label as query — excluded
+      (2L, Array(0.9, 0.1), Some(1)),  // different label — the hard negative
+      (3L, Array(0.0, 1.0), Some(1)),  // different label, far
+      (4L, Array(1.0, 0.0), None)      // null label — excluded (SQL <>)
+    ).toDF("id", "v", "label")
+    val q = Seq((100L, Array(1.0, 0.0), 0)).toDF("qid", "qv", "qlabel")
+    val out = Similarity.hardNegatives(c, "id", "v", "label",
+        q, "qid", "qv", "qlabel", k = 10)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    out.map(_._2).toSeq shouldBe Seq(2L, 3L) // ids 1 and 4 never scored
+  }
+
   test("pqTopK is exact when every vector is its own sub-centroid") {
     // 4 corpus vectors, ksub=4, m=2: k-means with k = #points converges to
     // the points themselves, so ADC distance == exact squared L2
