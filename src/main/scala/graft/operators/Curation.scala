@@ -563,6 +563,33 @@ object Curation {
       .withColumnRenamed("cosine", "score")
   }
 
+  /** Snapshot diff for incremental corpus refresh: classify every doc id
+    * across two snapshots as added / removed / changed / unchanged by the
+    * engine-portable content fingerprint. Presence is tracked by explicit
+    * markers (NOT by fingerprint nullity — a null-text document has a
+    * null fingerprint yet still exists), and content equality is
+    * null-safe, so two null-text snapshots of a doc compare unchanged.
+    *
+    * Scale shape: each side reduces to `(id, 8-byte fingerprint, marker)`
+    * BEFORE the full-outer shuffle — document text never crosses the
+    * wire, and the join carries ~17 bytes/row however wide the corpus.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).cast("long").as("doc_id"),
+      TextFunctions.fingerprint(col(textCol)).as("old_fp"),
+      lit(true).as("__in_old"))
+    val n = newDocs.select(col(idCol).cast("long").as("doc_id"),
+      TextFunctions.fingerprint(col(textCol)).as("new_fp"),
+      lit(true).as("__in_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_fp"), col("new_fp"),
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("old_fp") <=> col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Reciprocal-rank fusion of two retrieval result sets (the hybrid
     * keyword+vector search pattern): each input is a per-query top-k
     * table `(query_id, doc_id, score)`; ranks are assigned within each

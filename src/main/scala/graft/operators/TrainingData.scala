@@ -136,6 +136,37 @@ object TrainingData {
     * is a sort-based aggregate — at 100 TB swap in `approx_percentile`,
     * same call shape), broadcast back — no second shuffle of the data.
     */
+  /** Per-group distribution audit: mean / std / skewness / kurtosis
+    * derived from the POWER SUMS `(n, Σx, Σx², Σx³, Σx⁴)` — one
+    * map-side-combined aggregate, never the engines' builtin moment
+    * aggregates (their partial-merge recurrences differ engine to
+    * engine). The population-moment formulas are written identically on
+    * both sides; `m2^1.5` is spelled `sqrt(m2)·m2` (pow implementations
+    * differ in ULPs, sqrt is IEEE-exact). Zero-variance groups yield
+    * null skew/kurtosis via an explicit guard.
+    *
+    * The excess-kurtosis convention: kurt = m4/m2² − 3 (normal → 0).
+    */
+  def momentStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val sums = df.groupBy(col(groupCol)).agg(
+      count(v).as("n"), sum(v).as("sx"), sum(v * v).as("sxx"),
+      sum(v * v * v).as("sxxx"), sum(v * v * v * v).as("sxxxx"))
+    val mu = col("sx") / col("n")
+    val m2 = col("sxx") / col("n") - mu * mu
+    val m3 = col("sxxx") / col("n") - lit(3) * mu * (col("sxx") / col("n")) +
+      lit(2) * mu * mu * mu
+    val m4 = col("sxxxx") / col("n") - lit(4) * mu * (col("sxxx") / col("n")) +
+      lit(6) * mu * mu * (col("sxx") / col("n")) - lit(3) * mu * mu * mu * mu
+    sums.select(col(groupCol), col("n"),
+      round(mu, 6).as("mean"),
+      round(sqrt(m2), 6).as("std"),
+      when(m2 <= 0, lit(null).cast("double"))
+        .otherwise(round(m3 / (sqrt(m2) * m2), 6)).as("skewness"),
+      when(m2 <= 0, lit(null).cast("double"))
+        .otherwise(round(m4 / (m2 * m2) - lit(3), 6)).as("kurtosis"))
+  }
+
   def normalizeValues(df: DataFrame, groupCol: String, valueCol: String,
                       idCols: Seq[String], pLo: Double = 0.05,
                       pHi: Double = 0.95): DataFrame = {

@@ -232,6 +232,19 @@ object QueriesCuration {
           1L -> Seq("spark", "key", "fast")),
         k = 10)),
 
+    // Corpus snapshot diff: old = ids <450, new = ids >=50 with content
+    // edits on id%13 — classifies added/removed/changed/unchanged by
+    // the portable content fingerprint (the incremental-refresh audit)
+    "q116_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") < 450)
+      val newSnap = docs.filter(col("doc_id") >= 50)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Curation.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
     // PII redaction — q81's acting form: typed placeholders substituted
     // in the fixed email→URL→phone order over the same salted corpus
     "q115_pii_redact" -> ((s, d) =>
@@ -557,6 +570,22 @@ object QueriesCuration {
                                       ORDER BY score DESC, doc_id) AS rk
             FROM scored)
       WHERE rk <= 10""",
+    // presence via explicit markers (a null-text doc exists but has a
+    // null fingerprint); content equality is null-safe on both engines
+    "q116_corpus_diff" -> raw"""
+      WITH o AS (SELECT doc_id, $fpExpr AS fp, TRUE AS in_old
+                 FROM documents WHERE doc_id < 450),
+      nsrc AS (SELECT doc_id,
+                      text || CASE WHEN doc_id % 13 = 0 THEN ' v2' ELSE '' END AS text
+               FROM documents WHERE doc_id >= 50),
+      n AS (SELECT doc_id, $fpExpr AS fp, TRUE AS in_new FROM nsrc)
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             o.fp AS old_fp, n.fp AS new_fp,
+             CASE WHEN o.in_old IS NULL THEN 'added'
+                  WHEN n.in_new IS NULL THEN 'removed'
+                  WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
     // same regexes as q81 (RE2/Java-portable by construction), same
     // fixed email→URL→phone order as TextFunctions.redactPii
     "q115_pii_redact" -> raw"""

@@ -254,7 +254,13 @@ object QueriesEvents {
     "q112_normalize_values" -> ((s, d) =>
       graft.operators.TrainingData.normalizeValues(
         Tables.events(s, d), groupCol = "event_type", valueCol = "value",
-        idCols = Seq("event_id")))
+        idCols = Seq("event_id"))),
+
+    // Per-group distribution audit: mean/std/skew/kurtosis from power
+    // sums (one map-side-combined aggregate — no builtin moment aggs)
+    "q117_moment_stats" -> ((s, d) =>
+      graft.operators.TrainingData.momentStats(
+        Tables.events(s, d), groupCol = "event_type", valueCol = "value"))
   )
 
   private val evCte =
@@ -431,6 +437,30 @@ object QueriesEvents {
              CASE WHEN value IS NULL THEN NULL
                   ELSE round(least(greatest(value, lo), hi), 6) END AS winsorized,
              value < lo OR value > hi AS is_outlier
-      FROM e JOIN st USING (event_type)"""
+      FROM e JOIN st USING (event_type)""",
+    // population-moment formulas written EXACTLY as the Scala side
+    // evaluates them (same literals, same association); m2^1.5 spelled
+    // sqrt(m2)*m2; zero-variance guard identical
+    "q117_moment_stats" -> s"""$evCte,
+      su AS (SELECT event_type, count(value) AS n, sum(value) AS sx,
+                    sum(value * value) AS sxx,
+                    sum(value * value * value) AS sxxx,
+                    sum(value * value * value * value) AS sxxxx
+             FROM e GROUP BY 1)
+      SELECT event_type, n,
+             round(sx / n, 6) AS mean,
+             round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS std,
+             CASE WHEN sxx / n - (sx / n) * (sx / n) <= 0 THEN NULL
+                  ELSE round((sxxx / n - 3 * (sx / n) * (sxx / n)
+                              + 2 * (sx / n) * (sx / n) * (sx / n))
+                             / (sqrt(sxx / n - (sx / n) * (sx / n))
+                                * (sxx / n - (sx / n) * (sx / n))), 6) END AS skewness,
+             CASE WHEN sxx / n - (sx / n) * (sx / n) <= 0 THEN NULL
+                  ELSE round((sxxxx / n - 4 * (sx / n) * (sxxx / n)
+                              + 6 * (sx / n) * (sx / n) * (sxx / n)
+                              - 3 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
+                             / ((sxx / n - (sx / n) * (sx / n))
+                                * (sxx / n - (sx / n) * (sx / n))) - 3, 6) END AS kurtosis
+      FROM su"""
   )
 }

@@ -87,6 +87,22 @@ class CurationSpec extends SparkSpec {
     out.filter(_._1 == 1L).head._3 shouldBe 1.0 / 61 +- 1e-6
   }
 
+  // --- corpusDiff ---
+
+  test("corpusDiff classifies added/removed/changed/unchanged, null-text safe") {
+    val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, Some("b2")), (3L, Option.empty[String]), (4L, Some("d")))
+      .toDF("doc_id", "text")
+    val out = Curation.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().sortBy(_._1)
+    out.toSeq shouldBe Seq(
+      (1L, "removed"),
+      (2L, "changed"),
+      (3L, "unchanged"), // null text on both sides: exists, content equal
+      (4L, "added"))
+  }
+
   // --- decontaminate ---
 
   test("decontaminate counts distinct trigram overlap per corpus doc") {

@@ -121,6 +121,28 @@ class TrainingDataSpec extends SparkSpec {
     z10._6 shouldBe true
   }
 
+  test("momentStats: hand-computed population moments from power sums") {
+    // values 1..4: μ=2.5, m2=1.25, m3=0, m4=2.5625 →
+    // std=√1.25, skew=0, kurt=2.5625/1.5625−3=−1.36
+    val df = Seq((1.0, "g"), (2.0, "g"), (3.0, "g"), (4.0, "g"))
+      .toDF("value", "grp")
+    val out = TrainingData.momentStats(df, "grp", "value")
+      .as[(String, Long, Double, Double, Double, Double)].head()
+    out._2 shouldBe 4L
+    out._3 shouldBe 2.5
+    out._4 shouldBe math.sqrt(1.25) +- 1e-6
+    out._5 shouldBe 0.0
+    out._6 shouldBe -1.36 +- 1e-6
+  }
+
+  test("momentStats: zero-variance group yields null skew/kurtosis, std 0") {
+    val df = Seq((5.0, "g"), (5.0, "g")).toDF("value", "grp")
+    val r = TrainingData.momentStats(df, "grp", "value")
+      .selectExpr("std", "skewness IS NULL", "kurtosis IS NULL")
+      .as[(Double, Boolean, Boolean)].head()
+    r shouldBe ((0.0, true, true))
+  }
+
   test("normalizeValues propagates null values as null z / null verdict") {
     val df = Seq((1L, "g", Some(1.0)), (2L, "g", Some(2.0)), (3L, "g", Some(3.0)),
       (4L, "g", Option.empty[Double]))
