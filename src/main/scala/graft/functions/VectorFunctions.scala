@@ -42,6 +42,9 @@ object VectorFunctions {
       }),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Quantized vector: integer codes + the per-vector scale. */
+  case class Int8Quantized(codes: Array[Long], scale: Double)
+
   /** Int8 scalar quantization: `struct(codes array<long>, scale double)` with
     * `scale = max|xᵢ|/127` and `codesᵢ = floor(xᵢ/scale + 0.5)` — symmetric
     * round-half-up into [-127, 127], the standard 4×-memory-cut embedding
@@ -49,14 +52,31 @@ object VectorFunctions {
     * identically on IEEE doubles, whereas round-half semantics differ.
     * Zero vectors quantize to all-zero codes with scale 0. Reconstruction
     * error is bounded by scale/2 per element.
+    *
+    * One-pass JVM kernel, NOT a `transform` lambda: a HOF lambda
+    * re-evaluates every non-lambda subexpression PER ELEMENT, so the
+    * max-abs scan inside it runs dim times — O(dim²)/row, measured 12×
+    * SLOWER than the unquantized cosine at 2M×64 (PLANS.md probe). The
+    * kernel does the identical IEEE arithmetic in O(dim).
     */
-  def int8Quantize(v: Column): Column = {
-    val scale = array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
-    val codes = transform(v, x =>
-      when(scale === 0.0, lit(0L))
-        .otherwise(floor(x.cast("double") / scale + lit(0.5)).cast("long")))
-    struct(codes.as("codes"), scale.as("scale"))
-  }
+  def int8Quantize(v: Column): Column =
+    int8QuantizeUdf(v.cast("array<double>"))
+
+  private val int8QuantizeUdf = udf((v: Seq[Double]) =>
+    if (v == null) null
+    else {
+      val n = v.length
+      var mx = 0.0
+      var i = 0
+      while (i < n) { val a = math.abs(v(i)); if (a > mx) mx = a; i += 1 }
+      val scale = mx / 127.0
+      val codes = new Array[Long](n)
+      if (scale != 0.0) {
+        i = 0
+        while (i < n) { codes(i) = math.floor(v(i) / scale + 0.5).toLong; i += 1 }
+      }
+      Int8Quantized(codes, scale)
+    })
 
   /** Dequantize int8 codes back to doubles: `codesᵢ · scale`. */
   def int8Dequantize(q: Column): Column =

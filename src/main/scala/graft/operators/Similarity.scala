@@ -113,10 +113,14 @@ object Similarity {
   def quantizedTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                     queries: DataFrame, queryId: String, queryVec: String,
                     k: Int): DataFrame = {
+    // codes cast to double ONCE in the projection — inside the join the
+    // cast would re-run per (query, corpus) pair, not per corpus row
     val c = corpus.select(col(corpusId).as("neighbor_id"),
-      VectorFunctions.int8Quantize(col(corpusVec)).getField("codes").as("cv"))
+      VectorFunctions.int8Quantize(col(corpusVec)).getField("codes")
+        .cast("array<double>").as("cv"))
     val q = broadcast(queries.select(col(queryId).as("query_id"),
-      VectorFunctions.int8Quantize(col(queryVec)).getField("codes").as("qv")))
+      VectorFunctions.int8Quantize(col(queryVec)).getField("codes")
+        .cast("array<double>").as("qv")))
     val scored = c.join(q)
       .withColumn("cosine", VectorFunctions.cosineBest(corpus.sparkSession, col("qv"), col("cv")))
     topKReduce(scored, k)
