@@ -3,8 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `ArrayType` embedding columns, as higher-order
-  * Catalyst expressions (`zip_with` / `aggregate`) — codegen'd, no UDFs.
+/** Dense-vector math over `ArrayType` embedding columns — higher-order
+  * Catalyst expressions (`zip_with` / `aggregate`) for the per-pair
+  * scoring math, plus one JVM kernel ([[int8Quantize]]) where a lambda
+  * spelling would re-evaluate a whole-vector subexpression per element.
   * Accumulation is in double regardless of the storage element type so
   * results are engine-stable.
   */

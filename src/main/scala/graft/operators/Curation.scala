@@ -556,7 +556,14 @@ object Curation {
           (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
             lit(b) * col("len") / (col("tot").cast("double") / col("n_docs")))))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("ts")).as("cosine"))
+      // order-exact fold in term order, NOT sum(): IEEE addition is only
+      // order-safe for two addends, and a 3+-term query's per-doc score
+      // would otherwise depend on partial-aggregate merge order — an ULP
+      // wobble the cross-engine hash gate can't tolerate at a rounding
+      // boundary (per-group lists are bounded by the query's term count)
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("ts")))),
+        lit(0.0), (acc, s) => acc + s.getField("ts")).as("cosine"))
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("cosine"))
     Similarity.topKReduce(scored, k)
       .withColumnRenamed("neighbor_id", "doc_id")

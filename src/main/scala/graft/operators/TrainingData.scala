@@ -135,7 +135,39 @@ object TrainingData {
     * Scale shape: ONE aggregate over the group keys (exact `percentile`
     * is a sort-based aggregate — at 100 TB swap in `approx_percentile`,
     * same call shape), broadcast back — no second shuffle of the data.
+    *
+    * Degenerate groups (one row, or zero variance) yield null z via an
+    * explicit guard on `n` and the variance NUMERATOR — the guard must
+    * not itself divide by `n−1`, which is 0 for singletons and, under
+    * this build's ANSI default, would abort the job rather than null.
     */
+  def normalizeValues(df: DataFrame, groupCol: String, valueCol: String,
+                      idCols: Seq[String], pLo: Double = 0.05,
+                      pHi: Double = 0.95): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(v).as("__n"),
+      sum(v).as("__sx"),
+      sum(v * v).as("__sxx"),
+      round(percentile(v, lit(pLo)), 6).as("__lo"),
+      round(percentile(v, lit(pHi)), 6).as("__hi"))
+    // sign(variance) == sign(this numerator) since n−1 > 0 when n > 1
+    val varNum = col("__sxx") - col("__sx") * col("__sx") / col("__n")
+    df.join(broadcast(stats), groupCol)
+      .select(idCols.map(col) ++ Seq(
+        col(groupCol), v,
+        when(col("__n") === 1 || varNum <= 0, lit(null).cast("double"))
+          .otherwise(round((v - col("__sx") / col("__n")) /
+            sqrt(varNum / (col("__n") - 1)), 6)).as("z"),
+        // explicit null guard: Spark's least/greatest IGNORE nulls (they
+        // would return the bound for a null value), and engines disagree
+        // on null-vs-ignore semantics here — never rely on either
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(round(least(greatest(v, col("__lo")), col("__hi")), 6))
+          .as("winsorized"),
+        (v < col("__lo") || v > col("__hi")).as("is_outlier")): _*)
+  }
+
   /** Per-group distribution audit: mean / std / skewness / kurtosis
     * derived from the POWER SUMS `(n, Σx, Σx², Σx³, Σx⁴)` — one
     * map-side-combined aggregate, never the engines' builtin moment
@@ -160,35 +192,13 @@ object TrainingData {
       lit(6) * mu * mu * (col("sxx") / col("n")) - lit(3) * mu * mu * mu * mu
     sums.select(col(groupCol), col("n"),
       round(mu, 6).as("mean"),
-      round(sqrt(m2), 6).as("std"),
+      // guard the sqrt too: catastrophic cancellation can leave m2 a
+      // tiny NEGATIVE for constant groups — Spark sqrt(−ε) is NaN and
+      // DuckDB raises; a non-positive m2 means the true std is 0
+      when(m2 <= 0, lit(0.0)).otherwise(round(sqrt(m2), 6)).as("std"),
       when(m2 <= 0, lit(null).cast("double"))
         .otherwise(round(m3 / (sqrt(m2) * m2), 6)).as("skewness"),
       when(m2 <= 0, lit(null).cast("double"))
         .otherwise(round(m4 / (m2 * m2) - lit(3), 6)).as("kurtosis"))
-  }
-
-  def normalizeValues(df: DataFrame, groupCol: String, valueCol: String,
-                      idCols: Seq[String], pLo: Double = 0.05,
-                      pHi: Double = 0.95): DataFrame = {
-    val v = col(valueCol)
-    val stats = df.groupBy(col(groupCol)).agg(
-      count(v).as("__n"),
-      sum(v).as("__sx"),
-      sum(v * v).as("__sxx"),
-      round(percentile(v, lit(pLo)), 6).as("__lo"),
-      round(percentile(v, lit(pHi)), 6).as("__hi"))
-    df.join(broadcast(stats), groupCol)
-      .select(idCols.map(col) ++ Seq(
-        col(groupCol), v,
-        round((v - col("__sx") / col("__n")) /
-          sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n")) /
-            (col("__n") - 1)), 6).as("z"),
-        // explicit null guard: Spark's least/greatest IGNORE nulls (they
-        // would return the bound for a null value), and engines disagree
-        // on null-vs-ignore semantics here — never rely on either
-        when(v.isNull, lit(null).cast("double"))
-          .otherwise(round(least(greatest(v, col("__lo")), col("__hi")), 6))
-          .as("winsorized"),
-        (v < col("__lo") || v > col("__hi")).as("is_outlier")): _*)
   }
 }

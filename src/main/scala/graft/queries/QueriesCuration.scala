@@ -253,7 +253,11 @@ object QueriesCuration {
 
     // Hybrid retrieval: BM25 keyword lists fused with embedding-cosine
     // lists by reciprocal-rank fusion — ranks assigned on the 6-dp
-    // rounded scores both engines already agree on, RRF = Σ 1/(60+rank)
+    // rounded scores both engines already agree on, RRF = Σ 1/(60+rank).
+    // Id contract: embeddings.vec_id IS the documents.doc_id of the same
+    // entity (the fixture generates one embedding per document over the
+    // same 0..N-1 ids), so both retrievers rank the SAME corpus and the
+    // fusion key is well-defined
     "q113_hybrid_rrf" -> ((s, d) => {
       val bm = Curation.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         queryTerms = Seq(
@@ -556,13 +560,16 @@ object QueriesCuration {
              WHERE term IN ('dup', 'vector', 'spark', 'key', 'fast')
              GROUP BY 1, 2, 3),
       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      scored AS (SELECT qt.query_id, tf.doc_id,
-                        sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                            * (tf * (1.2 + 1.0))
-                            / (tf + 1.2 * ((1.0 - 0.75)
-                               + 0.75 * len / (CAST(tot AS DOUBLE) / n_docs)))) AS score
-                 FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats
-                 GROUP BY 1, 2)
+      tsc AS (SELECT qt.query_id, tf.doc_id, tf.term,
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * len / (CAST(tot AS DOUBLE) / n_docs))) AS ts
+              FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats),
+      scored AS (SELECT query_id, doc_id,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list(ts ORDER BY term)), (a, x) -> a + x) AS score
+                 FROM tsc GROUP BY 1, 2)
       SELECT CAST(query_id AS BIGINT) AS query_id,
              CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
       FROM (SELECT query_id, doc_id, score,
@@ -612,13 +619,16 @@ object QueriesCuration {
              WHERE term IN ('dup', 'vector', 'spark', 'key', 'fast')
              GROUP BY 1, 2, 3),
       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      bm_scored AS (SELECT qt.query_id, tf.doc_id,
-                           sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                               * (tf * (1.2 + 1.0))
-                               / (tf + 1.2 * ((1.0 - 0.75)
-                                  + 0.75 * len / (CAST(tot AS DOUBLE) / n_docs)))) AS score
-                    FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats
-                    GROUP BY 1, 2),
+      bm_tsc AS (SELECT qt.query_id, tf.doc_id, tf.term,
+                        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                          * (tf * (1.2 + 1.0))
+                          / (tf + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * len / (CAST(tot AS DOUBLE) / n_docs))) AS ts
+                 FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats),
+      bm_scored AS (SELECT query_id, doc_id,
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(ts ORDER BY term)), (a, x) -> a + x) AS score
+                    FROM bm_tsc GROUP BY 1, 2),
       bm_top AS (SELECT query_id, doc_id, round(score, 6) AS score
                  FROM (SELECT query_id, doc_id, score,
                               row_number() OVER (PARTITION BY query_id

@@ -433,7 +433,9 @@ object QueriesEvents {
                     round(quantile_cont(value, 0.95), 6) AS hi
              FROM e GROUP BY 1)
       SELECT event_id, e.event_type, value,
-             round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z,
+             CASE WHEN n = 1 OR sxx - sx * sx / n <= 0 THEN NULL
+                  ELSE round((value - sx / n)
+                             / sqrt((sxx - sx * sx / n) / (n - 1)), 6) END AS z,
              CASE WHEN value IS NULL THEN NULL
                   ELSE round(least(greatest(value, lo), hi), 6) END AS winsorized,
              value < lo OR value > hi AS is_outlier
@@ -449,7 +451,8 @@ object QueriesEvents {
              FROM e GROUP BY 1)
       SELECT event_type, n,
              round(sx / n, 6) AS mean,
-             round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS std,
+             CASE WHEN sxx / n - (sx / n) * (sx / n) <= 0 THEN 0.0
+                  ELSE round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) END AS std,
              CASE WHEN sxx / n - (sx / n) * (sx / n) <= 0 THEN NULL
                   ELSE round((sxxx / n - 3 * (sx / n) * (sxx / n)
                               + 2 * (sx / n) * (sx / n) * (sx / n))

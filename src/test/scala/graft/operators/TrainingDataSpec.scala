@@ -143,6 +143,19 @@ class TrainingDataSpec extends SparkSpec {
     r shouldBe ((0.0, true, true))
   }
 
+  test("normalizeValues: singleton and zero-variance groups yield null z, no error") {
+    // n=1 → n−1=0; constant group → variance 0: both must null the z
+    // rather than divide by zero (ANSI aborts) or sqrt a negative
+    val df = Seq((1L, "single", 7.0), (2L, "const", 3.0), (3L, "const", 3.0))
+      .toDF("event_id", "grp", "value")
+    val out = TrainingData.normalizeValues(df, "grp", "value", Seq("event_id"))
+      .selectExpr("event_id", "z IS NULL", "winsorized", "is_outlier")
+      .as[(Long, Boolean, Double, Boolean)].collect().sortBy(_._1)
+    out.map(_._2).toSeq shouldBe Seq(true, true, true)
+    out(0)._3 shouldBe 7.0 // p05 == p95 == the value itself
+    out(0)._4 shouldBe false
+  }
+
   test("normalizeValues propagates null values as null z / null verdict") {
     val df = Seq((1L, "g", Some(1.0)), (2L, "g", Some(2.0)), (3L, "g", Some(3.0)),
       (4L, "g", Option.empty[Double]))
