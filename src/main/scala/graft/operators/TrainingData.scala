@@ -168,6 +168,82 @@ object TrainingData {
         (v < col("__lo") || v > col("__hi")).as("is_outlier")): _*)
   }
 
+  /** Mean-pooled group embedding — the chunk→document pooling step of an
+    * embedding pipeline: the element-wise mean of each group's vectors
+    * plus its L2-normalized (unit) form. Returns one row per group with
+    * `pooled` and `unit` arrays (null unit for a zero-norm pool, guarded
+    * — ANSI would abort on the division).
+    *
+    * Determinism: vectors fold in `orderCol` order from a ZERO seed
+    * (`0.0 + x == x`, so the seed is free and the spelling matches the
+    * oracle's `list_reduce(list_prepend(0.0, list(... ORDER BY ...)))`
+    * exactly); the norm folds the means in dim order. Per-group work is
+    * bounded by the group's chunk count — no window, one aggregate.
+    */
+  def meanPoolEmbeddings(df: DataFrame, groupCol: String, vecCol: String,
+                         orderCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol)).agg(
+      sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(vecCol).cast("array<double>").as("e")))).as("vs"),
+      count(lit(1)).as("n"))
+    val zero = transform(element_at(col("vs"), 1).getField("e"), _ => lit(0.0))
+    val pooled = transform(
+      aggregate(col("vs"), zero, (acc, s) =>
+        zip_with(acc, s.getField("e"), (a, x) => a + x)),
+      x => x / col("n"))
+    // normalize in a one-pass kernel: a transform-lambda would re-fold
+    // the O(dim) norm per element (the int8Quantize O(dim²) lesson)
+    g.select(col(groupCol), col("n"), pooled.as("pooled"))
+      .withColumn("unit", l2NormalizeUdf(col("pooled")))
+  }
+
+  /** `v/‖v‖₂`, norm folded in dim order from 0.0 (matches the SQL
+    * spelling); zero-norm and null input → null.
+    */
+  private val l2NormalizeUdf = udf((p: Seq[Double]) =>
+    if (p == null) null
+    else {
+      var i = 0
+      var s = 0.0
+      while (i < p.length) { s += p(i) * p(i); i += 1 }
+      val nrm = math.sqrt(s)
+      if (nrm == 0.0) null
+      else {
+        val out = new Array[Double](p.length)
+        i = 0
+        while (i < p.length) { out(i) = p(i) / nrm; i += 1 }
+        out
+      }
+    })
+
+  /** Global quantile-bucket assignment WITHOUT `ntile` — the curriculum/
+    * difficulty-binning step. `ntile(n) OVER (ORDER BY v)` funnels the
+    * entire table through ONE reducer; this computes the n−1 exact
+    * interpolated quantile thresholds in one aggregate (a single row),
+    * broadcasts them, and assigns `bucket = #{thresholds < value}` at
+    * scan rate. Value-based semantics (ties share a bucket; bucket
+    * populations are only approximately equal), which is what a
+    * reproducible curriculum wants anyway — a re-shuffled corpus gets
+    * identical buckets, unlike ntile's row-number splits.
+    *
+    * Thresholds are ROUNDED (6 dp) before the comparison — the
+    * rounded-threshold convention, so both engines compare against the
+    * same constants. Null values get null buckets.
+    */
+  def quantileBuckets(df: DataFrame, valueCol: String, nBuckets: Int,
+                      idCols: Seq[String]): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val v = col(valueCol)
+    val ps = array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)
+    val ths = df.agg(
+      transform(percentile(v, ps), t => round(t, 6)).as("__ths"))
+    df.crossJoin(broadcast(ths))
+      .select(idCols.map(col) :+ v :+
+        when(v.isNull, lit(null).cast("long"))
+          .otherwise(aggregate(col("__ths"), lit(0L),
+            (acc, t) => acc + when(v > t, 1L).otherwise(0L))).as("bucket"): _*)
+  }
+
   /** Per-group distribution audit: mean / std / skewness / kurtosis
     * derived from the POWER SUMS `(n, Σx, Σx², Σx³, Σx⁴)` — one
     * map-side-combined aggregate, never the engines' builtin moment

@@ -293,6 +293,21 @@ object QueriesDocs {
         codebooks = books, k = 3)
     }),
 
+    // Chunk→document embedding pooling: vectors grouped 10-per-doc
+    // (vec_id % 50), element-wise mean + unit form, exploded to
+    // (doc, dim, pooled, unit) scalar rows for the oracle compare
+    "q118_mean_pool" -> ((s, d) => {
+      val chunks = Tables.embeddings(s, d)
+        .select((col("vec_id") % 50).as("doc_id"), col("vec_id"), col("embedding"))
+      graft.operators.TrainingData
+        .meanPoolEmbeddings(chunks, "doc_id", "embedding", "vec_id")
+        .select(col("doc_id"), col("n"),
+          posexplode(col("pooled")).as(Seq("dim", "p")), col("unit"))
+        .select(col("doc_id"), col("n"), col("dim"),
+          round(col("p"), 6).as("pooled"),
+          round(element_at(col("unit"), col("dim") + 1), 6).as("unit"))
+    }),
+
     // Hard-negative mining: per query, the top-5 most-similar corpus
     // vectors with a DIFFERENT label — the contrastive-training sampler
     "q114_hard_negatives" -> ((s, d) => {
@@ -569,6 +584,31 @@ object QueriesDocs {
                                      ORDER BY cos DESC, neighbor_id) AS rk
            FROM s)
          WHERE rk <= 3""",
+    // folds seeded from 0.0 in vec_id order (pool) and dim order (norm)
+    // replicate the Scala zero-seeded aggregate folds bit-for-bit
+    "q118_mean_pool" ->
+      """WITH chunks AS (SELECT vec_id % 50 AS doc_id, vec_id,
+                                CAST(embedding AS DOUBLE[]) AS e
+                         FROM embeddings),
+           ex AS (SELECT doc_id, vec_id, CAST(u.i AS INT) AS dim,
+                         e[CAST(u.i AS INT) + 1] AS x
+                  FROM chunks, unnest(range(len(e))) AS u(i)),
+           m AS (SELECT doc_id, dim,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list(x ORDER BY vec_id)), (a, b) -> a + b)
+                          / count(*) AS mean,
+                        count(*) AS n
+                 FROM ex GROUP BY 1, 2),
+           nr AS (SELECT doc_id,
+                         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(list(mean ORDER BY dim), v -> v * v)),
+                           (a, b) -> a + b)) AS nrm
+                  FROM m GROUP BY doc_id)
+         SELECT m.doc_id, CAST(m.n AS BIGINT) AS n, m.dim,
+                round(m.mean, 6) AS pooled,
+                CASE WHEN nr.nrm = 0 THEN NULL
+                     ELSE round(m.mean / nr.nrm, 6) END AS unit
+         FROM m JOIN nr ON m.doc_id = nr.doc_id""",
     "q114_hard_negatives" ->
       """WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings WHERE vec_id < 5),

@@ -260,7 +260,14 @@ object QueriesEvents {
     // sums (one map-side-combined aggregate — no builtin moment aggs)
     "q117_moment_stats" -> ((s, d) =>
       graft.operators.TrainingData.momentStats(
-        Tables.events(s, d), groupCol = "event_type", valueCol = "value"))
+        Tables.events(s, d), groupCol = "event_type", valueCol = "value")),
+
+    // Global decile assignment WITHOUT ntile: 9 exact quantile
+    // thresholds broadcast, bucket = #{thresholds < value} at scan rate
+    "q119_quantile_buckets" -> ((s, d) =>
+      graft.operators.TrainingData.quantileBuckets(
+        Tables.events(s, d), valueCol = "value", nBuckets = 10,
+        idCols = Seq("event_id", "event_type")))
   )
 
   private val evCte =
@@ -464,6 +471,18 @@ object QueriesEvents {
                               - 3 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
                              / ((sxx / n - (sx / n) * (sx / n))
                                 * (sxx / n - (sx / n) * (sx / n))) - 3, 6) END AS kurtosis
-      FROM su"""
+      FROM su""",
+    // thresholds rounded to 6 dp BEFORE the comparison on both engines
+    // (the rounded-threshold convention); bucket = #{thresholds < value}
+    "q119_quantile_buckets" -> s"""$evCte,
+      th AS (SELECT list_transform(
+                      quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                      t -> round(t, 6)) AS ths
+             FROM e)
+      SELECT event_id, event_type, value,
+             CASE WHEN value IS NULL THEN NULL
+                  ELSE CAST(len(list_filter(ths, t -> value > t)) AS BIGINT)
+             END AS bucket
+      FROM e, th"""
   )
 }

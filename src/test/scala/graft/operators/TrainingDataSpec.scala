@@ -121,6 +121,42 @@ class TrainingDataSpec extends SparkSpec {
     z10._6 shouldBe true
   }
 
+  test("quantileBuckets assigns value-based buckets from broadcast thresholds") {
+    // 1..4, 2 buckets: p50 = 2.5 → {1,2}→0, {3,4}→1
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "value")
+    val out = TrainingData.quantileBuckets(df, "value", 2, Seq("id"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    out.map(_._3).toSeq shouldBe Seq(0L, 0L, 1L, 1L)
+    // deciles over 1..100: every bucket 0..9 appears, ~10 values each
+    val big = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "value")
+    val buckets = TrainingData.quantileBuckets(big, "value", 10, Seq("id"))
+      .groupBy("bucket").count().as[(Long, Long)].collect().sortBy(_._1)
+    buckets.map(_._1).toSeq shouldBe (0L to 9L)
+    all(buckets.map(_._2)) should (be >= 9L and be <= 11L)
+    // no window anywhere: the plan must not contain a global sort reducer
+    val plan = TrainingData.quantileBuckets(big, "value", 10, Seq("id"))
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
+
+  test("meanPoolEmbeddings pools element-wise and unit-normalizes") {
+    val df = Seq(
+      (10L, 1L, Array(1.0, 2.0)),
+      (10L, 2L, Array(3.0, 4.0)),
+      (20L, 3L, Array(0.0, 0.0))
+    ).toDF("doc", "ord", "v")
+    val out = TrainingData.meanPoolEmbeddings(df, "doc", "v", "ord")
+      .as[(Long, Long, Seq[Double], Option[Seq[Double]])].collect().sortBy(_._1)
+    val (d1, n1, p1, u1) = out(0)
+    (d1, n1) shouldBe ((10L, 2L))
+    p1 shouldBe Seq(2.0, 3.0)
+    val nrm = math.sqrt(13.0)
+    u1.get(0) shouldBe 2.0 / nrm +- 1e-12
+    u1.get(1) shouldBe 3.0 / nrm +- 1e-12
+    out(1)._3 shouldBe Seq(0.0, 0.0)
+    out(1)._4 shouldBe None // zero-norm pool → null unit, not an error
+  }
+
   test("momentStats: hand-computed population moments from power sums") {
     // values 1..4: μ=2.5, m2=1.25, m3=0, m4=2.5625 →
     // std=√1.25, skew=0, kurt=2.5625/1.5625−3=−1.36
