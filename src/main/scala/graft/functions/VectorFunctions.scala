@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Dense-vector math over `ArrayType` embedding columns — higher-order
   * Catalyst expressions (`zip_with` / `aggregate`) for the per-pair
-  * scoring math, plus one JVM kernel ([[int8Quantize]]) where a lambda
-  * spelling would re-evaluate a whole-vector subexpression per element.
-  * Accumulation is in double regardless of the storage element type so
-  * results are engine-stable.
+  * scoring math, plus JVM kernels ([[int8Quantize]], [[l2Normalize]])
+  * where a lambda spelling would re-evaluate a whole-vector
+  * subexpression per element. Accumulation is in double regardless of
+  * the storage element type so results are engine-stable.
   */
 object VectorFunctions {
 
@@ -83,6 +83,29 @@ object VectorFunctions {
   /** Dequantize int8 codes back to doubles: `codesᵢ · scale`. */
   def int8Dequantize(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
+  /** `v/‖v‖₂` as a one-pass kernel (a transform-lambda would re-fold the
+    * O(dim) norm per element); norm accumulates in dim order from 0.0,
+    * matching the SQL `list_reduce(list_prepend(0.0, ...))` spelling.
+    * Zero-norm and null input → null.
+    */
+  def l2Normalize(v: Column): Column = l2NormalizeUdf(v.cast("array<double>"))
+
+  private val l2NormalizeUdf = udf((p: Seq[Double]) =>
+    if (p == null) null
+    else {
+      var i = 0
+      var s = 0.0
+      while (i < p.length) { s += p(i) * p(i); i += 1 }
+      val nrm = math.sqrt(s)
+      if (nrm == 0.0) null
+      else {
+        val out = new Array[Double](p.length)
+        i = 0
+        while (i < p.length) { out(i) = p(i) / nrm; i += 1 }
+        out
+      }
+    })
 
   /** Sign bit of `a · hyperplane` — building block for random-hyperplane LSH
     * (1 when non-negative).

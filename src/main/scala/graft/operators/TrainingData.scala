@@ -179,10 +179,15 @@ object TrainingData {
     * oracle's `list_reduce(list_prepend(0.0, list(... ORDER BY ...)))`
     * exactly); the norm folds the means in dim order. Per-group work is
     * bounded by the group's chunk count — no window, one aggregate.
+    *
+    * Contract: vectors must share one dimensionality (`zip_with` nulls a
+    * ragged fold — caller error); NULL vectors are DROPPED before
+    * pooling, and `n` counts only pooled rows, so one bad chunk never
+    * nulls its whole group.
     */
   def meanPoolEmbeddings(df: DataFrame, groupCol: String, vecCol: String,
                          orderCol: String): DataFrame = {
-    val g = df.groupBy(col(groupCol)).agg(
+    val g = df.filter(col(vecCol).isNotNull).groupBy(col(groupCol)).agg(
       sort_array(collect_list(struct(col(orderCol).as("o"),
         col(vecCol).cast("array<double>").as("e")))).as("vs"),
       count(lit(1)).as("n"))
@@ -194,27 +199,8 @@ object TrainingData {
     // normalize in a one-pass kernel: a transform-lambda would re-fold
     // the O(dim) norm per element (the int8Quantize O(dim²) lesson)
     g.select(col(groupCol), col("n"), pooled.as("pooled"))
-      .withColumn("unit", l2NormalizeUdf(col("pooled")))
+      .withColumn("unit", graft.functions.VectorFunctions.l2Normalize(col("pooled")))
   }
-
-  /** `v/‖v‖₂`, norm folded in dim order from 0.0 (matches the SQL
-    * spelling); zero-norm and null input → null.
-    */
-  private val l2NormalizeUdf = udf((p: Seq[Double]) =>
-    if (p == null) null
-    else {
-      var i = 0
-      var s = 0.0
-      while (i < p.length) { s += p(i) * p(i); i += 1 }
-      val nrm = math.sqrt(s)
-      if (nrm == 0.0) null
-      else {
-        val out = new Array[Double](p.length)
-        i = 0
-        while (i < p.length) { out(i) = p(i) / nrm; i += 1 }
-        out
-      }
-    })
 
   /** Global quantile-bucket assignment WITHOUT `ntile` — the curriculum/
     * difficulty-binning step. `ntile(n) OVER (ORDER BY v)` funnels the

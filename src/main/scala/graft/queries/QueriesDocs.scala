@@ -293,8 +293,9 @@ object QueriesDocs {
         codebooks = books, k = 3)
     }),
 
-    // Chunk→document embedding pooling: vectors grouped 10-per-doc
-    // (vec_id % 50), element-wise mean + unit form, exploded to
+    // Chunk→document embedding pooling: vectors grouped into 50 docs by
+    // vec_id % 50 (n_vectors/50 chunks per doc — 10 at sf0.01, 40 at
+    // sf0.1), element-wise mean + unit form, exploded to
     // (doc, dim, pooled, unit) scalar rows for the oracle compare
     "q118_mean_pool" -> ((s, d) => {
       val chunks = Tables.embeddings(s, d)
