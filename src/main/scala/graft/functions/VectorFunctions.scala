@@ -64,21 +64,22 @@ object VectorFunctions {
   def int8Quantize(v: Column): Column =
     int8QuantizeUdf(v.cast("array<double>"))
 
+  private[functions] def int8QuantizeKernel(v: Seq[Double]): Int8Quantized = {
+    val n = v.length
+    var mx = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(v(i)); if (a > mx) mx = a; i += 1 }
+    val scale = mx / 127.0
+    val codes = new Array[Long](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) { codes(i) = math.floor(v(i) / scale + 0.5).toLong; i += 1 }
+    }
+    Int8Quantized(codes, scale)
+  }
+
   private val int8QuantizeUdf = udf((v: Seq[Double]) =>
-    if (v == null) null
-    else {
-      val n = v.length
-      var mx = 0.0
-      var i = 0
-      while (i < n) { val a = math.abs(v(i)); if (a > mx) mx = a; i += 1 }
-      val scale = mx / 127.0
-      val codes = new Array[Long](n)
-      if (scale != 0.0) {
-        i = 0
-        while (i < n) { codes(i) = math.floor(v(i) / scale + 0.5).toLong; i += 1 }
-      }
-      Int8Quantized(codes, scale)
-    })
+    if (v == null) null else int8QuantizeKernel(v))
 
   /** Dequantize int8 codes back to doubles: `codesᵢ · scale`. */
   def int8Dequantize(q: Column): Column =
@@ -91,21 +92,22 @@ object VectorFunctions {
     */
   def l2Normalize(v: Column): Column = l2NormalizeUdf(v.cast("array<double>"))
 
-  private val l2NormalizeUdf = udf((p: Seq[Double]) =>
-    if (p == null) null
+  private[functions] def l2NormalizeKernel(p: Seq[Double]): Array[Double] = {
+    var i = 0
+    var s = 0.0
+    while (i < p.length) { s += p(i) * p(i); i += 1 }
+    val nrm = math.sqrt(s)
+    if (nrm == 0.0) null
     else {
-      var i = 0
-      var s = 0.0
-      while (i < p.length) { s += p(i) * p(i); i += 1 }
-      val nrm = math.sqrt(s)
-      if (nrm == 0.0) null
-      else {
-        val out = new Array[Double](p.length)
-        i = 0
-        while (i < p.length) { out(i) = p(i) / nrm; i += 1 }
-        out
-      }
-    })
+      val out = new Array[Double](p.length)
+      i = 0
+      while (i < p.length) { out(i) = p(i) / nrm; i += 1 }
+      out
+    }
+  }
+
+  private val l2NormalizeUdf = udf((p: Seq[Double]) =>
+    if (p == null) null else l2NormalizeKernel(p))
 
   /** Sign bit of `a · hyperplane` — building block for random-hyperplane LSH
     * (1 when non-negative).

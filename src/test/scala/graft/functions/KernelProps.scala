@@ -100,4 +100,31 @@ object KernelProps extends Properties("Kernels") {
       graft.operators.Bpe.encodeWord(w, merges).mkString ==
         w + graft.operators.Bpe.EndOfWord
     }
+
+  private val dvec: Gen[List[Double]] =
+    Gen.choose(1, 64).flatMap(d =>
+      Gen.listOfN(d, Gen.choose(-10.0, 10.0)))
+
+  property("int8Quantize: codes bounded, max saturates, reconstruction <= scale/2") =
+    forAll(dvec) { v =>
+      val q = VectorFunctions.int8QuantizeKernel(v)
+      val zero = v.forall(_ == 0.0)
+      q.codes.forall(c => c >= -127L && c <= 127L) &&
+        (zero || q.codes.map(math.abs).max == 127L) &&
+        (zero || v.zip(q.codes).forall { case (x, c) =>
+          math.abs(x - c * q.scale) <= q.scale / 2 + 1e-12
+        }) &&
+        (!zero || (q.scale == 0.0 && q.codes.forall(_ == 0L)))
+    }
+
+  property("l2Normalize: unit norm, parallel to input (non-negative dot)") =
+    forAll(dvec) { v =>
+      val u = VectorFunctions.l2NormalizeKernel(v)
+      if (v.forall(_ == 0.0)) u == null
+      else {
+        val n = math.sqrt(u.map(x => x * x).sum)
+        val dot = v.zip(u).map { case (a, b) => a * b }.sum
+        math.abs(n - 1.0) < 1e-9 && dot >= 0.0
+      }
+    }
 }
