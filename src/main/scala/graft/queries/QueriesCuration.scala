@@ -251,6 +251,30 @@ object QueriesCuration {
       piiSalted(s, d).select(col("doc_id"),
         TextFunctions.redactPii(col("text")).as("redacted"))),
 
+    // Retrieval-based decontamination, end-to-end in ONE plan: benchmark
+    // probe term-sets retrieve their most-relevant docs (BM25, k=25),
+    // hits at or above the rounded-score threshold are dropped by
+    // anti-join (flagged set is k·queries rows → broadcast), per-source
+    // before/after/dropped stats emitted — q73's n-gram decontamination
+    // re-expressed through the retrieval surface
+    "q120_retrieval_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hits = Curation.bm25TopK(docs, "doc_id", "text",
+        queryTerms = Seq(
+          0L -> Seq("dup", "vector"),
+          1L -> Seq("spark", "key", "fast")),
+        k = 25)
+      val flagged = hits.filter(col("score") >= 2.0)
+        .select(col("doc_id")).distinct()
+      val clean = docs.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_before"))
+        .join(clean.groupBy(col("source")).agg(count(lit(1)).as("n_after")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_dropped"))
+    }),
+
     // Hybrid retrieval: BM25 keyword lists fused with embedding-cosine
     // lists by reciprocal-rank fusion — ranks assigned on the 6-dp
     // rounded scores both engines already agree on, RRF = Σ 1/(60+rank).
@@ -577,6 +601,44 @@ object QueriesCuration {
                                       ORDER BY score DESC, doc_id) AS rk
             FROM scored)
       WHERE rk <= 10""",
+    // the q110 pipeline at k=25 + rounded-threshold flagging + anti-join
+    "q120_retrieval_decontam" -> raw"""
+      WITH $toksCte,
+      lens AS (SELECT doc_id, COALESCE(len(t), 0) AS len, t FROM toks),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tot FROM lens),
+      qt(query_id, term) AS (VALUES
+        (0, 'dup'), (0, 'vector'), (1, 'spark'), (1, 'key'), (1, 'fast')),
+      tf AS (SELECT doc_id, len, term, count(*) AS tf
+             FROM (SELECT doc_id, len, unnest(t) AS term FROM lens)
+             WHERE term IN ('dup', 'vector', 'spark', 'key', 'fast')
+             GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      tsc AS (SELECT qt.query_id, tf.doc_id, tf.term,
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * len / (CAST(tot AS DOUBLE) / n_docs))) AS ts
+              FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats),
+      scored AS (SELECT query_id, doc_id,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list(ts ORDER BY term)), (a, x) -> a + x) AS score
+                 FROM tsc GROUP BY 1, 2),
+      top AS (SELECT doc_id, round(score, 6) AS score
+              FROM (SELECT query_id, doc_id, score,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, doc_id) AS rk
+                    FROM scored)
+              WHERE rk <= 25),
+      flagged AS (SELECT DISTINCT doc_id FROM top WHERE score >= 2.0),
+      clean AS (SELECT d.source FROM documents d
+                LEFT JOIN flagged f USING (doc_id)
+                WHERE f.doc_id IS NULL),
+      before AS (SELECT source, count(*) AS n_before FROM documents GROUP BY 1),
+      aft AS (SELECT source, count(*) AS n_after FROM clean GROUP BY 1)
+      SELECT b.source, b.n_before,
+             COALESCE(a.n_after, CAST(0 AS BIGINT)) AS n_after,
+             b.n_before - COALESCE(a.n_after, CAST(0 AS BIGINT)) AS n_dropped
+      FROM before b LEFT JOIN aft a USING (source)""",
     // presence via explicit markers (a null-text doc exists but has a
     // null fingerprint); content equality is null-safe on both engines
     "q116_corpus_diff" -> raw"""
