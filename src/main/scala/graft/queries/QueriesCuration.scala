@@ -227,10 +227,7 @@ object QueriesCuration {
     // decontamination ("which documents answer this benchmark prompt?")
     "q110_bm25" -> ((s, d) =>
       Curation.bm25TopK(Tables.documents(s, d), "doc_id", "text",
-        queryTerms = Seq(
-          0L -> Seq("dup", "vector"),
-          1L -> Seq("spark", "key", "fast")),
-        k = 10)),
+        queryTerms = probeTerms, k = 10)),
 
     // Corpus snapshot diff: old = ids <450, new = ids >=50 with content
     // edits on id%13 — classifies added/removed/changed/unchanged by
@@ -256,14 +253,14 @@ object QueriesCuration {
     // hits at or above the rounded-score threshold are dropped by
     // anti-join (flagged set is k·queries rows → broadcast), per-source
     // before/after/dropped stats emitted — q73's n-gram decontamination
-    // re-expressed through the retrieval surface
+    // re-expressed through the retrieval surface. The 2.0 threshold is
+    // verified non-vacuous: it splits the probe queries (only the
+    // rare-term query-0 hits exceed it), dropping 25 docs at BOTH
+    // sf0.01 and sf0.1 while query-1's ~1.4-score hits all survive
     "q120_retrieval_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val hits = Curation.bm25TopK(docs, "doc_id", "text",
-        queryTerms = Seq(
-          0L -> Seq("dup", "vector"),
-          1L -> Seq("spark", "key", "fast")),
-        k = 25)
+        queryTerms = probeTerms, k = 25)
       val flagged = hits.filter(col("score") >= 2.0)
         .select(col("doc_id")).distinct()
       val clean = docs.join(broadcast(flagged), Seq("doc_id"), "left_anti")
@@ -284,10 +281,7 @@ object QueriesCuration {
     // fusion key is well-defined
     "q113_hybrid_rrf" -> ((s, d) => {
       val bm = Curation.bm25TopK(Tables.documents(s, d), "doc_id", "text",
-        queryTerms = Seq(
-          0L -> Seq("dup", "vector"),
-          1L -> Seq("spark", "key", "fast")),
-        k = 10)
+        queryTerms = probeTerms, k = 10)
       val emb = Tables.embeddings(s, d)
       val knn = graft.operators.Similarity.bruteForceTopK(
         corpus = emb, corpusId = "vec_id", corpusVec = "embedding",
@@ -449,6 +443,45 @@ object QueriesCuration {
                AS text
              FROM documents)"""
 
+  /** The benchmark probe term-sets shared by q110/q113/q120 — one
+    * constant so the Scala queries and the oracle VALUES/IN lists can
+    * never drift apart.
+    */
+  private val probeTerms: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup", "vector"),
+    1L -> Seq("spark", "key", "fast"))
+
+  private val probeValuesSql = probeTerms
+    .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+
+  private val probeInSql =
+    probeTerms.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+
+  /** Shared oracle fragment: the BM25 scoring chain over the probe
+    * term-sets, ending in `scored(query_id, doc_id, score)` — one copy
+    * for q110/q113/q120 (requires `toksCte` in scope). The order-exact
+    * `list_reduce` fold replicates `Curation.bm25TopK`'s sorted struct
+    * fold bit-for-bit.
+    */
+  private val bm25ScoredCte = raw"""      lens AS (SELECT doc_id, COALESCE(len(t), 0) AS len, t FROM toks),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tot FROM lens),
+      qt(query_id, term) AS (VALUES $probeValuesSql),
+      tf AS (SELECT doc_id, len, term, count(*) AS tf
+             FROM (SELECT doc_id, len, unnest(t) AS term FROM lens)
+             WHERE term IN ($probeInSql)
+             GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      tsc AS (SELECT qt.query_id, tf.doc_id, tf.term,
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * len / (CAST(tot AS DOUBLE) / n_docs))) AS ts
+              FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats),
+      scored AS (SELECT query_id, doc_id,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list(ts ORDER BY term)), (a, x) -> a + x) AS score
+                 FROM tsc GROUP BY 1, 2)"""
+
   /** Shared oracle fragment: normalized token list per document. */
   private val toksCte = raw"""
       toks AS (
@@ -575,25 +608,7 @@ object QueriesCuration {
     // identical IEEE doubles before any multiply
     "q110_bm25" -> raw"""
       WITH $toksCte,
-      lens AS (SELECT doc_id, COALESCE(len(t), 0) AS len, t FROM toks),
-      stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tot FROM lens),
-      qt(query_id, term) AS (VALUES
-        (0, 'dup'), (0, 'vector'), (1, 'spark'), (1, 'key'), (1, 'fast')),
-      tf AS (SELECT doc_id, len, term, count(*) AS tf
-             FROM (SELECT doc_id, len, unnest(t) AS term FROM lens)
-             WHERE term IN ('dup', 'vector', 'spark', 'key', 'fast')
-             GROUP BY 1, 2, 3),
-      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      tsc AS (SELECT qt.query_id, tf.doc_id, tf.term,
-                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                       * (tf * (1.2 + 1.0))
-                       / (tf + 1.2 * ((1.0 - 0.75)
-                          + 0.75 * len / (CAST(tot AS DOUBLE) / n_docs))) AS ts
-              FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats),
-      scored AS (SELECT query_id, doc_id,
-                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                          list(ts ORDER BY term)), (a, x) -> a + x) AS score
-                 FROM tsc GROUP BY 1, 2)
+      $bm25ScoredCte
       SELECT CAST(query_id AS BIGINT) AS query_id,
              CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score
       FROM (SELECT query_id, doc_id, score,
@@ -604,25 +619,7 @@ object QueriesCuration {
     // the q110 pipeline at k=25 + rounded-threshold flagging + anti-join
     "q120_retrieval_decontam" -> raw"""
       WITH $toksCte,
-      lens AS (SELECT doc_id, COALESCE(len(t), 0) AS len, t FROM toks),
-      stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tot FROM lens),
-      qt(query_id, term) AS (VALUES
-        (0, 'dup'), (0, 'vector'), (1, 'spark'), (1, 'key'), (1, 'fast')),
-      tf AS (SELECT doc_id, len, term, count(*) AS tf
-             FROM (SELECT doc_id, len, unnest(t) AS term FROM lens)
-             WHERE term IN ('dup', 'vector', 'spark', 'key', 'fast')
-             GROUP BY 1, 2, 3),
-      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      tsc AS (SELECT qt.query_id, tf.doc_id, tf.term,
-                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                       * (tf * (1.2 + 1.0))
-                       / (tf + 1.2 * ((1.0 - 0.75)
-                          + 0.75 * len / (CAST(tot AS DOUBLE) / n_docs))) AS ts
-              FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats),
-      scored AS (SELECT query_id, doc_id,
-                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                          list(ts ORDER BY term)), (a, x) -> a + x) AS score
-                 FROM tsc GROUP BY 1, 2),
+      $bm25ScoredCte,
       top AS (SELECT doc_id, round(score, 6) AS score
               FROM (SELECT query_id, doc_id, score,
                            row_number() OVER (PARTITION BY query_id
@@ -672,30 +669,12 @@ object QueriesCuration {
     // commutatively, so the fused order is engine-identical
     "q113_hybrid_rrf" -> raw"""
       WITH $toksCte,
-      lens AS (SELECT doc_id, COALESCE(len(t), 0) AS len, t FROM toks),
-      stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tot FROM lens),
-      qt(query_id, term) AS (VALUES
-        (0, 'dup'), (0, 'vector'), (1, 'spark'), (1, 'key'), (1, 'fast')),
-      tf AS (SELECT doc_id, len, term, count(*) AS tf
-             FROM (SELECT doc_id, len, unnest(t) AS term FROM lens)
-             WHERE term IN ('dup', 'vector', 'spark', 'key', 'fast')
-             GROUP BY 1, 2, 3),
-      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      bm_tsc AS (SELECT qt.query_id, tf.doc_id, tf.term,
-                        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                          * (tf * (1.2 + 1.0))
-                          / (tf + 1.2 * ((1.0 - 0.75)
-                             + 0.75 * len / (CAST(tot AS DOUBLE) / n_docs))) AS ts
-                 FROM tf JOIN dfreq USING (term) JOIN qt USING (term), stats),
-      bm_scored AS (SELECT query_id, doc_id,
-                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                             list(ts ORDER BY term)), (a, x) -> a + x) AS score
-                    FROM bm_tsc GROUP BY 1, 2),
+      $bm25ScoredCte,
       bm_top AS (SELECT query_id, doc_id, round(score, 6) AS score
                  FROM (SELECT query_id, doc_id, score,
                               row_number() OVER (PARTITION BY query_id
                                                  ORDER BY score DESC, doc_id) AS rk
-                       FROM bm_scored)
+                       FROM scored)
                  WHERE rk <= 10),
       q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings WHERE vec_id < 2),
