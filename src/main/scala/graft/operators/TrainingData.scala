@@ -202,6 +202,30 @@ object TrainingData {
       .withColumn("unit", graft.functions.VectorFunctions.l2Normalize(col("pooled")))
   }
 
+  /** Deterministic epoch shuffle — reproducible training-data ordering:
+    * every epoch gets a different but REPRODUCIBLE permutation (same
+    * corpus, same epoch → same order, on any cluster, any partitioning —
+    * the property `rand(seed)` loses the moment partitioning changes).
+    *
+    * The shuffle key is `md5("id:epoch")` (lowercase hex, ordered as a
+    * binary-collated string) — full avalanche, so neighbouring ids land
+    * anywhere, and every SQL engine produces the identical digest.
+    * Weaker spellings caught by the permutation spec before they
+    * shipped: a rolling polynomial hash of the short "id:epoch" string
+    * never wraps its modulus (key stays MONOTONE in the id — zero
+    * shuffling), and an affine `(id·P+c) mod 2⁴⁰` with an
+    * overflow-safe P only wraps for ids above M/P (small corpora again
+    * order by id). The global position is assigned window-free through
+    * [[OrderedPosition.withPosition]] (range partition + per-partition
+    * offsets) — no single-reducer `row_number` over the corpus.
+    */
+  def epochOrder(df: DataFrame, idCol: String, epoch: Int): DataFrame = {
+    val keyed = df.withColumn("shuffle_key",
+      md5(concat(col(idCol).cast("string"), lit(":"), lit(epoch.toString))
+        .cast("binary")))
+    OrderedPosition.withPosition(keyed, Nil, Seq("shuffle_key", idCol), "position")
+  }
+
   /** Global quantile-bucket assignment WITHOUT `ntile` — the curriculum/
     * difficulty-binning step. `ntile(n) OVER (ORDER BY v)` funnels the
     * entire table through ONE reducer; this computes the n−1 exact

@@ -293,6 +293,19 @@ object QueriesDocs {
         codebooks = books, k = 3)
     }),
 
+    // Deterministic epoch shuffle: two epochs of reproducible
+    // pseudo-random ordering (fingerprint of "id:epoch"), positions
+    // assigned window-free — the training-data ordering primitive
+    "q121_epoch_order" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val e0 = graft.operators.TrainingData.epochOrder(docs, "doc_id", epoch = 0)
+        .withColumn("epoch", lit(0))
+      val e1 = graft.operators.TrainingData.epochOrder(docs, "doc_id", epoch = 1)
+        .withColumn("epoch", lit(1))
+      e0.unionByName(e1)
+        .select(col("epoch"), col("doc_id"), col("shuffle_key"), col("position"))
+    }),
+
     // Chunk→document embedding pooling: vectors grouped into 50 docs by
     // vec_id % 50 (n_vectors/50 chunks per doc — 10 at sf0.01, 40 at
     // sf0.1), element-wise mean + unit form, exploded to
@@ -585,6 +598,19 @@ object QueriesDocs {
                                      ORDER BY cos DESC, neighbor_id) AS rk
            FROM s)
          WHERE rk <= 3""",
+    // md5("id:epoch") lowercase hex on both engines; position replicated
+    // by row_number over (key, id) minus 1 (engine positions are 0-based)
+    "q121_epoch_order" ->
+      """WITH keyed AS (
+             SELECT e.epoch, d.doc_id,
+                    md5(CAST(d.doc_id AS VARCHAR) || ':'
+                        || CAST(e.epoch AS VARCHAR)) AS shuffle_key
+             FROM documents d CROSS JOIN (VALUES (0), (1)) AS e(epoch))
+         SELECT epoch, doc_id, shuffle_key,
+                CAST(row_number() OVER (PARTITION BY epoch
+                                        ORDER BY shuffle_key, doc_id) - 1
+                     AS BIGINT) AS position
+         FROM keyed""",
     // folds seeded from 0.0 in vec_id order (pool) and dim order (norm)
     // replicate the Scala zero-seeded aggregate folds bit-for-bit
     "q118_mean_pool" ->

@@ -121,6 +121,23 @@ class TrainingDataSpec extends SparkSpec {
     z10._6 shouldBe true
   }
 
+  test("epochOrder: reproducible permutation per epoch, different across epochs") {
+    val docs = (0L until 200L).map(Tuple1(_)).toDF("doc_id")
+    def order(epoch: Int): Seq[Long] =
+      TrainingData.epochOrder(docs, "doc_id", epoch)
+        .orderBy("position").select("doc_id").as[Long].collect().toSeq
+    val e0a = order(0)
+    val e0b = order(0)
+    val e1 = order(1)
+    e0a shouldBe e0b                      // same epoch → identical order
+    e0a should not be e1                  // different epoch → reshuffled
+    e0a.sorted shouldBe (0L until 200L)   // a permutation, nothing lost
+    e1.sorted shouldBe (0L until 200L)
+    // positions are a contiguous 0-based range
+    TrainingData.epochOrder(docs, "doc_id", 0)
+      .select("position").as[Long].collect().sorted shouldBe (0L until 200L).toArray
+  }
+
   test("quantileBuckets assigns value-based buckets from broadcast thresholds") {
     // 1..4, 2 buckets: p50 = 2.5 → {1,2}→0, {3,4}→1
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "value")
