@@ -219,11 +219,26 @@ object TrainingData {
     * [[OrderedPosition.withPosition]] (range partition + per-partition
     * offsets) — no single-reducer `row_number` over the corpus.
     */
-  def epochOrder(df: DataFrame, idCol: String, epoch: Int): DataFrame = {
-    val keyed = df.withColumn("shuffle_key",
-      md5(concat(col(idCol).cast("string"), lit(":"), lit(epoch.toString))
-        .cast("binary")))
-    OrderedPosition.withPosition(keyed, Nil, Seq("shuffle_key", idCol), "position")
+  def epochOrder(df: DataFrame, idCol: String, epoch: Int): DataFrame =
+    epochOrders(df, idCol, Seq(epoch)).drop("epoch")
+
+  /** All `epochs` in ONE pass: the epoch fans out as a column before
+    * keying, and the position runs per-epoch through a single
+    * epoch-keyed [[OrderedPosition]] (one scan, one range exchange, one
+    * offset job — not one per epoch). NULL ids are dropped: a document
+    * without an identity has no reproducible place in any order, and a
+    * null key would sort NULLS FIRST on one engine and NULLS LAST on
+    * the other, shifting every position.
+    */
+  def epochOrders(df: DataFrame, idCol: String, epochs: Seq[Int]): DataFrame = {
+    require(epochs.nonEmpty, "epochs must be non-empty")
+    val keyed = df.filter(col(idCol).isNotNull)
+      .withColumn("epoch", explode(array(epochs.map(lit): _*)))
+      .withColumn("shuffle_key",
+        md5(concat(col(idCol).cast("string"), lit(":"),
+          col("epoch").cast("string")).cast("binary")))
+    OrderedPosition.withPosition(keyed, Seq("epoch"),
+      Seq("shuffle_key", idCol), "position")
   }
 
   /** Global quantile-bucket assignment WITHOUT `ntile` — the curriculum/

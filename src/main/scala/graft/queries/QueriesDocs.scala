@@ -296,15 +296,11 @@ object QueriesDocs {
     // Deterministic epoch shuffle: two epochs of reproducible
     // pseudo-random ordering (fingerprint of "id:epoch"), positions
     // assigned window-free — the training-data ordering primitive
-    "q121_epoch_order" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"))
-      val e0 = graft.operators.TrainingData.epochOrder(docs, "doc_id", epoch = 0)
-        .withColumn("epoch", lit(0))
-      val e1 = graft.operators.TrainingData.epochOrder(docs, "doc_id", epoch = 1)
-        .withColumn("epoch", lit(1))
-      e0.unionByName(e1)
-        .select(col("epoch"), col("doc_id"), col("shuffle_key"), col("position"))
-    }),
+    "q121_epoch_order" -> ((s, d) =>
+      graft.operators.TrainingData
+        .epochOrders(Tables.documents(s, d).select(col("doc_id")),
+          "doc_id", epochs = Seq(0, 1))
+        .select(col("epoch"), col("doc_id"), col("shuffle_key"), col("position"))),
 
     // Chunk→document embedding pooling: vectors grouped into 50 docs by
     // vec_id % 50 (n_vectors/50 chunks per doc — 10 at sf0.01, 40 at
@@ -605,7 +601,8 @@ object QueriesDocs {
              SELECT e.epoch, d.doc_id,
                     md5(CAST(d.doc_id AS VARCHAR) || ':'
                         || CAST(e.epoch AS VARCHAR)) AS shuffle_key
-             FROM documents d CROSS JOIN (VALUES (0), (1)) AS e(epoch))
+             FROM documents d CROSS JOIN (VALUES (0), (1)) AS e(epoch)
+             WHERE d.doc_id IS NOT NULL)
          SELECT epoch, doc_id, shuffle_key,
                 CAST(row_number() OVER (PARTITION BY epoch
                                         ORDER BY shuffle_key, doc_id) - 1
