@@ -128,6 +128,48 @@ object Curation {
         when(col(classCol) === cls, lit(math.round(r * denom))).otherwise(acc)
     }
 
+  /** Deterministic exact-N per-class sample: the `n` rows of each
+    * `classCol` group with the SMALLEST content fingerprints of `textCol`
+    * — a uniform-feeling yet fully reproducible pick. The fingerprint is a
+    * content hash, so the same documents are selected on every run, every
+    * engine, and every shard order, and byte-identical duplicates make the
+    * same in/out decision. Complements [[stratifiedSample]]: that realizes
+    * an expected RATE with zero shuffle, this realizes an exact COUNT.
+    * Returns (`classCol`, `idCol`, fp, sample_rank) with sample_rank
+    * 1..n ordered by (fp asc, id asc).
+    *
+    * Scale shape: per-class bounded heaps via the `topk_by_score`
+    * TypedImperativeAggregate (score = −fp; fp < 2^40 < 2^53 so the
+    * double round-trips exactly) — at most n entries per map partition
+    * per class cross the shuffle, no per-class single-reducer window, no
+    * global sort. Null text (null fingerprint) never ranks; window
+    * fallback without the extension.
+    */
+  def sampleExactN(docs: DataFrame, classCol: String, idCol: String,
+                   textCol: String, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val native = spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by_score"))
+    if (native)
+      docs.groupBy(col(classCol))
+        .agg(call_function("topk_by_score",
+          negate(fp.cast("double")), col(idCol).cast("long"), lit(n)).as("topk"))
+        .select(col(classCol), posexplode(col("topk")).as(Seq("pos", "e")))
+        .select(col(classCol), col("e.neighbor_id").as(idCol),
+          negate(col("e.cosine")).cast("long").as("fp"),
+          (col("pos") + 1).cast("int").as("sample_rank"))
+    else {
+      val clean = docs.withColumn("__fp", fp).filter(col("__fp").isNotNull)
+      val w = Window.partitionBy(col(classCol))
+        .orderBy(col("__fp").asc, col(idCol).asc)
+      clean.withColumn("sample_rank", row_number().over(w).cast("int"))
+        .filter(col("sample_rank") <= n)
+        .select(col(classCol), col(idCol).cast("long").as(idCol),
+          col("__fp").as("fp"), col("sample_rank"))
+    }
+  }
+
   /** Gopher document-shape gate (Rae et al. 2021 §A1.1): every input row
     * with the [[TextFunctions.gopherStats]] diagnostics plus the `admitted`
     * verdict at the published thresholds (parameterized; defaults are the

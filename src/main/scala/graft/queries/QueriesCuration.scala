@@ -49,6 +49,12 @@ object QueriesCuration {
         defaultRate = 0.25)
         .select(col("doc_id"), col("source"), col("sample_bucket"))),
 
+    // Exact-N deterministic sample: the 3 smallest-fingerprint docs per
+    // source (reproducible exact-count pick; rank checked by the oracle)
+    "q122_exact_sample" -> ((s, d) =>
+      Curation.sampleExactN(Tables.documents(s, d), "source", "doc_id",
+        "text", n = 3)),
+
     // Repetition filters (Gopher/C4 rules): duplicate-token fraction and
     // most-frequent-bigram character fraction per document
     "q83_repetition" -> ((s, d) =>
@@ -940,6 +946,14 @@ object QueriesCuration {
                                  WHEN 'src7' THEN 5000
                                  WHEN 'src13' THEN 8000
                                  ELSE 2500 END""",
+    "q122_exact_sample" -> raw"""
+      WITH f AS (SELECT source, doc_id, $fpExpr AS fp FROM documents),
+      r AS (SELECT source, doc_id, fp,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY fp, doc_id) AS INT)
+                     AS sample_rank
+            FROM f WHERE fp IS NOT NULL)
+      SELECT source, doc_id, fp, sample_rank FROM r WHERE sample_rank <= 3""",
     "q83_repetition" -> raw"""
       WITH $toksCte,
       base AS (

@@ -173,6 +173,40 @@ class CurationSpec extends SparkSpec {
     plan should include("topk_by_score")
   }
 
+  // --- sampleExactN ---
+
+  private val sampleDocs = Seq(
+    ("a", 1L, "alpha beta"), ("a", 2L, "gamma delta"), ("a", 3L, "epsilon"),
+    ("a", 4L, "zeta eta"), ("b", 5L, "theta"), ("b", 6L, null.asInstanceOf[String])
+  ).toDF("source", "doc_id", "text")
+
+  test("sampleExactN keeps exactly n smallest-fingerprint rows per class, ranked") {
+    val out = Curation.sampleExactN(sampleDocs, "source", "doc_id", "text", n = 2)
+      .as[(String, Long, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    out.count(_._1 == "a") shouldBe 2
+    // null text never ranks: class b has one scorable row
+    out.filter(_._1 == "b").map(_._2).toSeq shouldBe Seq(5L)
+    // ranks are 1..n in ascending fingerprint order
+    out.filter(_._1 == "a").map(_._4).toSeq shouldBe Seq(1, 2)
+    val aFps = out.filter(_._1 == "a").map(_._3)
+    aFps shouldBe aFps.sorted
+  }
+
+  test("sampleExactN is reshard-stable (same pick at any parallelism)") {
+    val base = Curation.sampleExactN(sampleDocs, "source", "doc_id", "text", n = 2)
+      .as[(String, Long, Long, Int)].collect().toSet
+    val reshard = Curation.sampleExactN(sampleDocs.repartition(7), "source",
+      "doc_id", "text", n = 2).as[(String, Long, Long, Int)].collect().toSet
+    reshard shouldBe base
+  }
+
+  test("sampleExactN plan is window-free with the native aggregate installed") {
+    val plan = Curation.sampleExactN(sampleDocs, "source", "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("topk_by_score")
+  }
+
   // --- vocabTopK ---
 
   test("vocabTopK orders by count desc then token asc and limits") {
