@@ -612,6 +612,63 @@ object Curation {
       .withColumnRenamed("cosine", "score")
   }
 
+  /** Materialized inverted index: one row per distinct token of the
+    * lower-cased corpus with document frequency (`df`), corpus frequency
+    * (`cf`), and the first `maxPostings` postings `"doc:tf"` ordered by
+    * ascending doc id — the explicit index-BUILD counterpart of
+    * [[bm25TopK]]'s on-the-fly scoring (a real deployment writes this
+    * table once, partitioned by term hash, and serves retrieval from it).
+    *
+    * Scale shape: one tokenize scan feeds ONE (term, doc) hash aggregate
+    * (map-side combine; the shuffle carries (term, doc_id, tf) triples,
+    * never text); df/cf and the capped posting selection reduce in ONE
+    * per-term aggregate whose posting pick is a `topk_by_score` bounded
+    * heap (score = −doc_id, exact below 2^53) — a stop-word with a
+    * million-document posting list costs `maxPostings` heap entries, not
+    * a collect_list of the corpus. The selected (term, doc) pairs then
+    * join back to the persisted tf table for their tf values:
+    * |vocab|·maxPostings rows against a co-partitioned equi join.
+    * `truncated` marks terms whose posting list was capped (df still
+    * counts every document).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val native = spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by_score"))
+    val sel =
+      if (native)
+        tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+            call_function("topk_by_score",
+              negate(col("doc_id").cast("double")), col("doc_id"),
+              lit(maxPostings)).as("sel"))
+          .select(col("term"), col("df"), col("cf"),
+            explode(col("sel.neighbor_id")).as("doc_id"))
+      else {
+        val w = Window.partitionBy(col("term")).orderBy(col("doc_id").asc)
+        val stats = tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        tf.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= maxPostings)
+          .join(stats, Seq("term"))
+          .select(col("term"), col("df"), col("cf"), col("doc_id"))
+      }
+    sel.join(tf, Seq("term", "doc_id"))
+      .groupBy(col("term"), col("df"), col("cf"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+        s => concat(s.getField("doc_id").cast("string"), lit(":"),
+          s.getField("tf").cast("string"))), " ").as("postings"))
+      .select(col("term"), col("df"), col("cf"), col("postings"),
+        (col("df") > maxPostings).as("truncated"))
+  }
+
   /** Snapshot diff for incremental corpus refresh: classify every doc id
     * across two snapshots as added / removed / changed / unchanged by the
     * engine-portable content fingerprint. Presence is tracked by explicit

@@ -55,6 +55,12 @@ object QueriesCuration {
       Curation.sampleExactN(Tables.documents(s, d), "source", "doc_id",
         "text", n = 3)),
 
+    // Materialized inverted index: per-token df/cf + the first 16
+    // "doc:tf" postings by doc id, heap-capped (truncated flag checked)
+    "q123_inverted_index" -> ((s, d) =>
+      Curation.invertedIndex(Tables.documents(s, d), "doc_id", "text",
+        maxPostings = 16)),
+
     // Repetition filters (Gopher/C4 rules): duplicate-token fraction and
     // most-frequent-bigram character fraction per document
     "q83_repetition" -> ((s, d) =>
@@ -954,6 +960,23 @@ object QueriesCuration {
                      AS sample_rank
             FROM f WHERE fp IS NOT NULL)
       SELECT source, doc_id, fp, sample_rank FROM r WHERE sample_rank <= 3""",
+    "q123_inverted_index" -> raw"""
+      WITH $toksCte,
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+             GROUP BY 1, 2),
+      agg AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+              FROM tf GROUP BY 1),
+      sel AS (SELECT term, doc_id, tf,
+                     row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+              FROM tf),
+      post AS (SELECT term,
+                      string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                                 CAST(tf AS VARCHAR), ' ' ORDER BY doc_id)
+                        AS postings
+               FROM sel WHERE rk <= 16 GROUP BY term)
+      SELECT a.term, a.df, a.cf, p.postings, a.df > 16 AS truncated
+      FROM agg a JOIN post p USING (term)""",
     "q83_repetition" -> raw"""
       WITH $toksCte,
       base AS (

@@ -207,6 +207,29 @@ class CurationSpec extends SparkSpec {
     plan should include("topk_by_score")
   }
 
+  // --- invertedIndex ---
+
+  test("invertedIndex builds df/cf and doc-ordered capped postings") {
+    val docs = Seq(
+      (3L, "apple banana apple"), (1L, "Banana cherry"), (2L, "banana")
+    ).toDF("doc_id", "text")
+    val out = Curation.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .as[(String, Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    out("apple") shouldBe (("apple", 1L, 2L, "3:2", false))
+    // banana: df=3 > cap 2 → first two doc ids kept, truncated
+    out("banana") shouldBe (("banana", 3L, 3L, "1:1 2:1", true))
+    out("cherry") shouldBe (("cherry", 1L, 1L, "1:1", false))
+  }
+
+  test("invertedIndex posting selection is window-free with the native aggregate") {
+    val docs = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val plan = Curation.invertedIndex(docs, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("topk_by_score")
+  }
+
   // --- vocabTopK ---
 
   test("vocabTopK orders by count desc then token asc and limits") {
