@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph analytics for corpus curation. PageRank over the
+  * crawl's host link graph is the classic page/domain quality prior
+  * (Page et al. 1999; Common Crawl publishes exactly this host-level
+  * ranking), used to weight or gate documents by the standing of the
+  * site they came from — it sits beside the Gopher/C4 shape filters as a
+  * graph-derived quality signal.
+  */
+object GraphOps {
+
+  /** Fixed-point PageRank: `iterations` synchronous power iterations of
+    * `r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + dangling/N)` carried
+    * out entirely in scaled INTEGER arithmetic (ranks are longs in units
+    * of `scale⁻¹`; d = dampNum/dampDen). Integer sums are associative and
+    * commutative regardless of partial-aggregation merge order, so the
+    * result is BIT-DETERMINISTIC across runs, parallelism, and engines —
+    * a floating-point PageRank's ranks differ in ulps between schedules,
+    * which a cross-engine hash gate cannot tolerate. Truncating integer
+    * division leaks a few units of mass per step (bounded by
+    * edges + 2 per iteration, out of `scale` ≈ 10¹²); every engine
+    * replaying the same operations leaks identically.
+    *
+    * Self-loops and duplicate edges are removed; null endpoints never
+    * enter the graph. Dangling mass (nodes with no out-edges) is
+    * redistributed uniformly, the standard correction. Returns
+    * (node, rank) with Σ rank ≈ scale.
+    *
+    * Scale shape: the edge table (with its precomputed out-degree)
+    * shuffles ONCE into the iteration's join key and is reused by every
+    * round; each iteration is one equi-join (src = node) + one map-side-
+    * combined sum by dst — contributions cross the shuffle as 8-byte
+    * longs. Ranks persist per round (lineage cut); the only driver-side
+    * values are the node count and the per-round dangling scalar. No
+    * collect of anything proportional to the graph.
+    */
+  def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, scale: Long = 1000000000000L,
+               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1, "pageRank: iterations must be >= 1")
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ew = edges.join(outdeg, Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.withColumn("rank", lit(0L))
+    val r0 = scale / n
+    val base = ((dampDen - dampNum) * (scale / n)) / dampDen
+    val srcs = outdeg.select(col("src").as("node"))
+    var ranks = nodes.withColumn("r", lit(r0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iterations) {
+      // dangling mass: one scalar per round (ranks are cached, so this
+      // anti-join + 1-row aggregate does not recompute the iteration)
+      val dang = ranks.join(srcs, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
+      val dangShare = dang / n
+      val in = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      val next = nodes.join(in, Seq("node"), "left")
+        .selectExpr("node",
+          s"CAST($base AS BIGINT) + ($dampNum * (coalesce(m, CAST(0 AS BIGINT)) + " +
+            s"CAST($dangShare AS BIGINT))) div $dampDen AS r")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+}

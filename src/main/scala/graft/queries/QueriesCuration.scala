@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, GraphOps}
 import graft.sources.Tables
 
 /** Corpus-curation queries (training-data pipeline surface): benchmark
@@ -60,6 +60,21 @@ object QueriesCuration {
     "q123_inverted_index" -> ((s, d) =>
       Curation.invertedIndex(Tables.documents(s, d), "doc_id", "text",
         maxPostings = 16)),
+
+    // Host-graph PageRank: the crawl-quality prior. Link graph = first
+    // URL host of each (link-salted) doc -> every other host it cites;
+    // 10 fixed-point power iterations, bit-deterministic integer ranks
+    "q124_host_pagerank" -> ((s, d) => {
+      val salted = Tables.documents(s, d)
+        .select(col("doc_id"), linkSaltedText.as("text"))
+      val hosts = salted.select(
+        TextFunctions.urlHost(
+          regexp_extract(col("text"), TextFunctions.UrlRe, 0)).as("src"),
+        explode(TextFunctions.extractUrls(col("text"))).as("url"))
+      val edges = hosts.select(col("src"),
+        TextFunctions.urlHost(col("url")).as("dst"))
+      GraphOps.pageRank(edges, "src", "dst", iterations = 10)
+    }),
 
     // Repetition filters (Gopher/C4 rules): duplicate-token fraction and
     // most-frequent-bigram character fraction per document
@@ -414,6 +429,82 @@ object QueriesCuration {
     when(col("doc_id") % 2 === 0, lit("?utm_source=feed")).otherwise(lit("")),
     when(col("doc_id") % 6 === 0,
       lit(" and http://MIRROR.example.net/x")).otherwise(lit("")))
+
+  /** Text salted with synthetic outlinks for the host-graph path: every
+    * doc gets an "own" host (h{id%23}.example.org) and one citation
+    * (h{(7·id+3)%29}.example.org — the mod-29 family makes h23..h28
+    * dangling), docs with id%6 == 0 also cite a hub. Any URLs already in
+    * the base text join the graph identically on both engines.
+    */
+  private def linkSaltedText: Column = concat(
+    col("text"),
+    lit(" from https://h"), (col("doc_id") % 23).cast("string"),
+    lit(".example.org/p/"), col("doc_id").cast("string"),
+    lit(" link https://h"), ((col("doc_id") * 7 + 3) % 29).cast("string"),
+    lit(".example.org/x"),
+    when(col("doc_id") % 6 === 0, lit(" hub https://hub.example.net/t"))
+      .otherwise(lit("")))
+
+  private val linkSaltedSql = raw"""
+      ls AS (
+        SELECT doc_id, text ||
+               ' from https://h' || CAST(doc_id % 23 AS VARCHAR) ||
+               '.example.org/p/' || CAST(doc_id AS VARCHAR) ||
+               ' link https://h' || CAST((doc_id * 7 + 3) % 29 AS VARCHAR) ||
+               '.example.org/x' ||
+               CASE WHEN doc_id % 6 = 0 THEN ' hub https://hub.example.net/t'
+                    ELSE '' END AS text
+        FROM documents)"""
+
+  /** The q124 oracle: the edge build mirrors the Scala chain, then the 10
+    * fixed-point PageRank rounds are UNROLLED as generated CTE triples
+    * (contributions, dangling scalar, next ranks) — recursive CTEs can't
+    * aggregate in the recursive term, and generating the rounds from one
+    * template keeps all ten bit-identical to [[GraphOps.pageRank]]'s loop
+    * (same `//` truncating division, same 15/85/100 integer damping).
+    */
+  private val pageRankOracle: String = {
+    val S = "1000000000000"
+    val hostOf = (c: String) => raw"""
+          CASE WHEN regexp_extract($c, '^[Hh][Tt][Tt][Pp][Ss]?://([^/:?#]+)', 1) = ''
+               THEN NULL
+               ELSE regexp_replace(lower(
+                 regexp_extract($c, '^[Hh][Tt][Tt][Pp][Ss]?://([^/:?#]+)', 1)),
+                 '^www\.', '') END"""
+    val iters = (1 to 10).map { k =>
+      val p = k - 1
+      raw"""
+      c$k AS (SELECT e.dst AS node, CAST(sum(r.r // e.outdeg) AS BIGINT) AS m
+              FROM ew e JOIN r$p r ON r.node = e.src GROUP BY e.dst),
+      d$k AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang
+              FROM r$p r WHERE r.node NOT IN (SELECT src FROM ew)),
+      r$k AS MATERIALIZED (SELECT n.node,
+                     ((15 * ($S // nn.n)) // 100) +
+                     ((85 * (coalesce(c.m, 0) + (d.dang // nn.n))) // 100) AS r
+              FROM nodes n
+              LEFT JOIN c$k c ON c.node = n.node
+              CROSS JOIN d$k d CROSS JOIN ncount nn)"""
+    }.mkString(",")
+    raw"""
+      WITH $linkSaltedSql,
+      fu AS (SELECT doc_id,
+                    regexp_extract(text, 'https?://[^\s]+') AS first_url,
+                    unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+             FROM ls),
+      eh AS (SELECT ${hostOf("first_url")} AS src, ${hostOf("url")} AS dst
+             FROM fu),
+      edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM eh
+                WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+      od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+      ew AS MATERIALIZED (SELECT e.src, e.dst, o.outdeg
+                          FROM edges e JOIN od o USING (src)),
+      nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                             UNION SELECT dst FROM edges),
+      ncount AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+      r0 AS MATERIALIZED (SELECT node, $S // nn.n AS r
+                          FROM nodes CROSS JOIN ncount nn),$iters
+      SELECT node, CAST(r AS BIGINT) AS "rank" FROM r10"""
+  }
 
   /** Documents salted with synthetic contacts (q81/q115 input): an email
     * on doc_id%5, a URL on doc_id%7, a phone number on doc_id%11.
@@ -977,6 +1068,7 @@ object QueriesCuration {
                FROM sel WHERE rk <= 16 GROUP BY term)
       SELECT a.term, a.df, a.cf, p.postings, a.df > 16 AS truncated
       FROM agg a JOIN post p USING (term)""",
+    "q124_host_pagerank" -> pageRankOracle,
     "q83_repetition" -> raw"""
       WITH $toksCte,
       base AS (
