@@ -109,6 +109,70 @@ object VectorFunctions {
   private val l2NormalizeUdf = udf((p: Seq[Double]) =>
     if (p == null) null else l2NormalizeKernel(p))
 
+  /** One selected row of an MMR re-rank (see [[mmrSelect]]). */
+  case class MmrPick(pick_rank: Int, doc_id: Long, rel: Double, mmr: Double)
+
+  /** Greedy maximal-marginal-relevance selection over ONE query's bounded
+    * candidate list (Carbonell & Goldstein 1998): repeatedly take the
+    * candidate maximizing `λ·rel − (1−λ)·max_{s∈selected} cos(cand, s)`
+    * (the diversity penalty is 0 for the first pick). Ties break to the
+    * smaller doc id; every comparison is a strict (score, id) order, so
+    * the result is independent of the input list's order — collect_list's
+    * nondeterministic ordering cannot change the picks. Pairwise cosine is
+    * the same fused left-to-right dot/norm loop as the `cosine_sim`
+    * kernel, so an oracle replaying `list_dot_product` arithmetic matches
+    * bit-for-bit. `rel` should be the (rounded) retrieval score; `mmr` is
+    * returned unrounded.
+    */
+  private[graft] def mmrSelect(lambda: Double, m: Int,
+      cands: Seq[(Long, Double, Seq[Double])]): Seq[MmrPick] = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var i = 0
+      var d = 0.0
+      var na = 0.0
+      var nb = 0.0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+    while (out.length < m && remaining.nonEmpty) {
+      var bestIdx = -1
+      var bestScore = 0.0
+      var bestId = 0L
+      var j = 0
+      while (j < remaining.length) {
+        val (id, rel, emb) = remaining(j)
+        var maxSim = 0.0
+        var k = 0
+        while (k < selected.length) {
+          val s = cos(emb, selected(k)._2)
+          if (k == 0 || s > maxSim) maxSim = s
+          k += 1
+        }
+        val score = lambda * rel - (1.0 - lambda) * maxSim
+        if (bestIdx < 0 || score > bestScore ||
+            (score == bestScore && id < bestId)) {
+          bestIdx = j; bestScore = score; bestId = id
+        }
+        j += 1
+      }
+      val (id, rel, emb) = remaining.remove(bestIdx)
+      selected += ((id, emb))
+      out += MmrPick(out.length + 1, id, rel, bestScore)
+    }
+    out.toSeq
+  }
+
+  private[graft] def mmrSelectUdf(lambda: Double, m: Int) =
+    udf((cands: Seq[org.apache.spark.sql.Row]) =>
+      if (cands == null) Seq.empty[MmrPick]
+      else mmrSelect(lambda, m, cands.map(r =>
+        (r.getLong(0), r.getDouble(1), r.getSeq[Double](2)))))
+
   /** Sign bit of `a · hyperplane` — building block for random-hyperplane LSH
     * (1 when non-negative).
     */

@@ -66,6 +66,46 @@ object Similarity {
     topKReduce(scored, k)
   }
 
+  /** MMR-diversified retrieval: exact top-`kCandidates` cosine candidates
+    * per query ([[bruteForceTopK]]), then greedy maximal-marginal-relevance
+    * selection of `m` results — `λ·rel − (1−λ)·max sim-to-already-picked`
+    * — so near-duplicate hits don't crowd the result list (the standard
+    * diversified re-rank for retrieval-augmented sampling). Returns
+    * (query_id, pick_rank 1..m, doc_id, rel, mmr round 6).
+    *
+    * Scale shape: candidate generation is the partial-heap top-k (no
+    * per-query reducer); the re-rank joins the `Q·kCandidates` candidate
+    * rows to the embedding table on its id (plain equi join — the corpus
+    * scan side is pruned to id+vector), then runs the greedy loop per
+    * query over a BOUNDED list (kCandidates entries) — the O(m·k) pairwise
+    * work never touches the corpus. The `+ 0.0` on the rounded score
+    * normalizes IEEE −0.0 (both engines apply it identically).
+    *
+    * `mmr` rounds at 7 dp, NOT 6: the first pick's score is λ·rel with
+    * rel already rounded to 6 dp, so at λ = 0.7 the true product has
+    * EXACTLY 7 decimal digits — a 6-dp round sits on the half boundary
+    * whenever the 7th digit is 5 (~10% of rows), where Spark (HALF_UP on
+    * the shortest decimal) and DuckDB (C-style on the binary value)
+    * disagree. At 7 dp the product is never a boundary case.
+    */
+  def mmrRerank(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                kCandidates: Int, m: Int, lambda: Double): DataFrame = {
+    val cands = bruteForceTopK(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, kCandidates)
+    val emb = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+      col(corpusVec).cast("array<double>").as("emb"))
+    cands.join(emb, Seq("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("neighbor_id"), col("cosine"),
+        col("emb"))).as("cands"))
+      .select(col("query_id"),
+        explode(VectorFunctions.mmrSelectUdf(lambda, m)(col("cands"))).as("p"))
+      .select(col("query_id"), col("p.pick_rank").as("pick_rank"),
+        col("p.doc_id").as("doc_id"), col("p.rel").as("rel"),
+        (round(col("p.mmr"), 7) + lit(0.0)).as("mmr"))
+  }
+
   /** IVF/LSH-bucketed approximate top-k: corpus and queries are assigned a
     * coarse random-hyperplane bucket; each query scans only its bucket.
     * Recall is traded for a ~2^nBits scan reduction — the 100 TB path.

@@ -54,6 +54,18 @@ object QueriesDocs {
         k = 3)
     }),
 
+    // MMR-diversified retrieval: exact top-8 candidates, then greedy
+    // maximal-marginal-relevance pick of 3 (λ = 0.7)
+    "q125_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrRerank(
+        corpus = emb.filter(col("vec_id") >= 5),
+        corpusId = "vec_id", corpusVec = "embedding",
+        queries = emb.filter(col("vec_id") < 5),
+        queryId = "vec_id", queryVec = "embedding",
+        kCandidates = 8, m = 3, lambda = 0.7)
+    }),
+
     // 40-bit engine-portable SimHash fingerprints (oracle-checked)
     "q27_simhash" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -569,6 +581,74 @@ object QueriesDocs {
                                      ORDER BY cos DESC, neighbor_id) AS rk
            FROM s)
          WHERE rk <= 3""",
+    // The 3 MMR rounds unrolled (recursive CTEs can't aggregate in the
+    // recursive term): each round scores remaining candidates with the
+    // q26 cosine arithmetic (bit-identical to the mmrSelect kernel) and
+    // picks the (score DESC, doc_id) top-1. λ spelled CAST(0.7 AS DOUBLE)
+    // so DuckDB can't route the literal through DECIMAL; `+ CAST(0 AS
+    // DOUBLE)` normalizes −0.0 on both engines identically.
+    "q125_mmr_rerank" -> {
+      val lam = "CAST(0.7 AS DOUBLE)"
+      val oml = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+      raw"""
+      WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id >= 5),
+      s AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id, c.e AS e,
+                   list_dot_product(q.e, c.e) /
+                     (sqrt(list_dot_product(q.e, q.e)) *
+                      sqrt(list_dot_product(c.e, c.e))) AS cos
+            FROM q CROSS JOIN c),
+      cand AS MATERIALIZED (
+        SELECT query_id, doc_id, round(cos, 6) AS rel, e FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, doc_id) AS rk
+          FROM s)
+        WHERE rk <= 8),
+      p1 AS MATERIALIZED (
+        SELECT query_id, doc_id, rel, e, $lam * rel AS mmr FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY $lam * rel DESC, doc_id) AS rk
+          FROM cand)
+        WHERE rk = 1),
+      r2 AS MATERIALIZED (
+        SELECT cand.query_id, cand.doc_id, cand.rel, cand.e,
+               list_dot_product(cand.e, p1.e) /
+                 (sqrt(list_dot_product(cand.e, cand.e)) *
+                  sqrt(list_dot_product(p1.e, p1.e))) AS s1
+        FROM cand JOIN p1 USING (query_id)
+        WHERE cand.doc_id <> p1.doc_id),
+      p2 AS MATERIALIZED (
+        SELECT query_id, doc_id, rel, e, s1,
+               $lam * rel - $oml * s1 AS mmr FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY $lam * rel - $oml * s1 DESC,
+                                                doc_id) AS rk
+          FROM r2)
+        WHERE rk = 1),
+      r3 AS MATERIALIZED (
+        SELECT r2.query_id, r2.doc_id, r2.rel,
+               $lam * r2.rel - $oml * greatest(r2.s1,
+                 list_dot_product(r2.e, p2.e) /
+                   (sqrt(list_dot_product(r2.e, r2.e)) *
+                    sqrt(list_dot_product(p2.e, p2.e)))) AS sc
+        FROM r2 JOIN p2 USING (query_id)
+        WHERE r2.doc_id <> p2.doc_id),
+      p3 AS (SELECT query_id, doc_id, rel, sc AS mmr FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sc DESC, doc_id) AS rk
+          FROM r3)
+        WHERE rk = 1)
+      SELECT query_id, CAST(1 AS INT) AS pick_rank, doc_id, rel,
+             round(mmr, 7) + CAST(0 AS DOUBLE) AS mmr FROM p1
+      UNION ALL
+      SELECT query_id, CAST(2 AS INT), doc_id, rel,
+             round(mmr, 7) + CAST(0 AS DOUBLE) FROM p2
+      UNION ALL
+      SELECT query_id, CAST(3 AS INT), doc_id, rel,
+             round(mmr, 7) + CAST(0 AS DOUBLE) FROM p3"""
+    },
     // scale = max|x|/127 and codes = floor(x/scale + 0.5) replicate
     // int8Quantize exactly (identical IEEE ops both engines); the scales
     // cancel in the cosine so the score is a ratio of exact integer sums

@@ -23,6 +23,35 @@ class SimilaritySpec extends SparkSpec {
     out.map(_._2).toSet shouldBe Set(1L, 5L, 2L) // the three closest
   }
 
+  test("mmrRerank picks max-rel first, then trades relevance for diversity") {
+    // a and b are identical directions; at λ = 0.3 the diversity penalty
+    // pushes the duplicate below the weaker-but-orthogonal-ish c
+    val mc = Seq(
+      (10L, Array(1.0, 0.0)), (11L, Array(1.0, 0.0)), (12L, Array(0.6, 0.8))
+    ).toDF("id", "v")
+    val q = Seq((0L, Array(1.0, 0.0))).toDF("qid", "qv")
+    val out = Similarity.mmrRerank(mc, "id", "v", q, "qid", "qv",
+      kCandidates = 8, m = 3, lambda = 0.3)
+      .as[(Long, Int, Long, Double, Double)].collect().sortBy(_._2)
+    out.map(_._3).toSeq shouldBe Seq(10L, 12L, 11L)
+    out(0)._4 shouldBe 1.0 // rank-1 rel is the max
+    out(0)._5 shouldBe 0.3 +- 1e-9 // λ·rel, no penalty on the first pick
+    // duplicate's final score pays the full similarity penalty: 0.3·1 − 0.7·1
+    out(2)._5 shouldBe -0.4 +- 1e-9
+  }
+
+  test("mmrRerank returns min(m, candidates) rows and is reshard-stable") {
+    val q = Seq((0L, Array(1.0, 0.0, 0.0, 0.0))).toDF("qid", "qv")
+    val base = Similarity.mmrRerank(corpus, "id", "v", q, "qid", "qv",
+      kCandidates = 2, m = 5, lambda = 0.7)
+      .as[(Long, Int, Long, Double, Double)].collect().toSet
+    base.size shouldBe 2 // only 2 candidates survive the top-k
+    val reshard = Similarity.mmrRerank(corpus.repartition(7), "id", "v",
+      q, "qid", "qv", kCandidates = 2, m = 5, lambda = 0.7)
+      .as[(Long, Int, Long, Double, Double)].collect().toSet
+    reshard shouldBe base
+  }
+
   test("bruteForceTopK handles multiple queries independently") {
     val q = Seq(
       (100L, Array(1.0, 0.0, 0.0, 0.0)),
