@@ -669,6 +669,42 @@ object Curation {
         (col("df") > maxPostings).as("truncated"))
   }
 
+  /** Per-document TF-IDF keyword extraction: the `k` highest
+    * `tf · ln(N/df)` tokens of each document (ties to the
+    * lexicographically smaller term) — the classic corpus-audit signal
+    * ("what is this document about") and the feature base of TF-IDF
+    * retrieval. Returns (doc_id, kw_rank 1..k, term, tf, df, score).
+    *
+    * Scale shape: ONE tokenize scan into the (term, doc) tf aggregate
+    * (map-side combined, persisted — it feeds both df and the scoring
+    * join); df is a per-term aggregate joined back on term (broadcast
+    * while the vocabulary is; co-partitioned hash join when not); N is
+    * one scalar row cross-joined in. The top-k is a per-DOCUMENT
+    * `row_number` window — doc_id is maximally high-cardinality, so every
+    * partition carries many small groups and no reducer serializes (the
+    * string tie-break rules out the long-id `topk_by_score` heap).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log(col("n").cast("double") / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("kw_rank", row_number().over(w).cast("int"))
+      .filter(col("kw_rank") <= k)
+      .select(col("doc_id"), col("kw_rank"), col("term"), col("tf"),
+        col("df"), round(col("score"), 6).as("score"))
+  }
+
   /** Snapshot diff for incremental corpus refresh: classify every doc id
     * across two snapshots as added / removed / changed / unchanged by the
     * engine-portable content fingerprint. Presence is tracked by explicit

@@ -76,6 +76,10 @@ object QueriesCuration {
       GraphOps.pageRank(edges, "src", "dst", iterations = 10)
     }),
 
+    // TF-IDF keywords: top-3 tf·ln(N/df) tokens per document
+    "q126_tfidf_keywords" -> ((s, d) =>
+      Curation.tfidfKeywords(Tables.documents(s, d), "doc_id", "text", k = 3)),
+
     // Repetition filters (Gopher/C4 rules): duplicate-token fraction and
     // most-frequent-bigram character fraction per document
     "q83_repetition" -> ((s, d) =>
@@ -1069,6 +1073,23 @@ object QueriesCuration {
       SELECT a.term, a.df, a.cf, p.postings, a.df > 16 AS truncated
       FROM agg a JOIN post p USING (term)""",
     "q124_host_pagerank" -> pageRankOracle,
+    "q126_tfidf_keywords" -> raw"""
+      WITH $toksCte,
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+             GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM documents),
+      sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                    tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df) AS score
+             FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+      r AS (SELECT doc_id, term, tf, df, score,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term) AS INT)
+                     AS kw_rank
+            FROM sc)
+      SELECT doc_id, kw_rank, term, tf, df, round(score, 6) AS score
+      FROM r WHERE kw_rank <= 3""",
     "q83_repetition" -> raw"""
       WITH $toksCte,
       base AS (

@@ -230,6 +230,23 @@ class CurationSpec extends SparkSpec {
     plan should include("topk_by_score")
   }
 
+  // --- tfidfKeywords ---
+
+  test("tfidfKeywords ranks tf*ln(N/df) per doc, ties to the smaller term") {
+    val docs = Seq(
+      (1L, "apple apple banana"), (2L, "banana cherry"), (3L, "cherry")
+    ).toDF("doc_id", "text")
+    val out = Curation.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toSeq }
+    out(1L) shouldBe Seq("apple", "banana") // 2·ln3 > ln1.5
+    out(2L) shouldBe Seq("banana", "cherry") // equal scores -> term order
+    out(3L) shouldBe Seq("cherry")
+    val apple = Curation.tfidfKeywords(docs, "doc_id", "text", 2)
+      .filter($"term" === "apple").select("score").as[Double].head()
+    apple shouldBe math.rint(2.0 * math.log(3.0) * 1e6) / 1e6 +- 1e-9
+  }
+
   // --- vocabTopK ---
 
   test("vocabTopK orders by count desc then token asc and limits") {
