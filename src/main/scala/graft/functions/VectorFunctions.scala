@@ -109,6 +109,49 @@ object VectorFunctions {
   private val l2NormalizeUdf = udf((p: Seq[Double]) =>
     if (p == null) null else l2NormalizeKernel(p))
 
+  /** Rademacher sign for (input dim `i`, output dim `j`): ±1 from pure
+    * integer arithmetic — `1 − 2·(((i+1)·2654435761 + (j+1)·40503) mod 97
+    * mod 2)` — so ANY engine regenerates the identical projection matrix
+    * from the formula alone (no RNG state to ship, unlike a seeded
+    * gaussian). Knuth's multiplicative constants; the mod-97 pass decouples
+    * the parity from the low bits of the linear form.
+    */
+  private[graft] def rademacherSign(i: Int, j: Int): Double =
+    if ((((i + 1).toLong * 2654435761L + (j + 1).toLong * 40503L) % 97 % 2) == 0L)
+      1.0
+    else -1.0
+
+  private[functions] def hashProjectKernel(v: Seq[Double], outDim: Int): Array[Double] = {
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        acc += v(i) * rademacherSign(i, j)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    out
+  }
+
+  private def hashProjectUdf(outDim: Int) =
+    udf((v: Seq[Double]) => if (v == null) null else hashProjectKernel(v, outDim))
+
+  /** Sparse random projection (Achlioptas 2003 / feature hashing): maps a
+    * `dim`-vector to `outDim` sums `yⱼ = Σᵢ vᵢ·s(i,j)` with deterministic
+    * ±1 [[rademacherSign]]s — the Johnson-Lindenstrauss distance-sketch
+    * that compresses embeddings (e.g. 64→8 dims) for coarse clustering
+    * and LSH at a fraction of the scan width. A JVM kernel (one O(dim·
+    * outDim) pass per row, accumulated in input-index order): the HOF
+    * spelling re-evaluates non-lambda subexpressions per element. Pure
+    * per-row math — no shuffle; null vectors project to null.
+    */
+  def hashProject(v: Column, outDim: Int): Column =
+    hashProjectUdf(outDim)(v.cast("array<double>"))
+
   /** One selected row of an MMR re-rank (see [[mmrSelect]]). */
   case class MmrPick(pick_rank: Int, doc_id: Long, rel: Double, mmr: Double)
 

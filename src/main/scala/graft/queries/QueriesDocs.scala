@@ -66,6 +66,15 @@ object QueriesDocs {
         kCandidates = 8, m = 3, lambda = 0.7)
     }),
 
+    // Sparse random projection (deterministic ±1 feature hashing):
+    // 64-dim embeddings sketched to 8 dims, long form (vec_id, dim, value)
+    "q127_hash_project" -> ((s, d) =>
+      Tables.embeddings(s, d).select(col("vec_id"),
+          posexplode(VectorFunctions.hashProject(col("embedding"), 8))
+            .as(Seq("dim_idx", "value")))
+        .select(col("vec_id"), col("dim_idx"),
+          round(col("value"), 6).as("value"))),
+
     // 40-bit engine-portable SimHash fingerprints (oracle-checked)
     "q27_simhash" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -581,6 +590,20 @@ object QueriesDocs {
                                      ORDER BY cos DESC, neighbor_id) AS rk
            FROM s)
          WHERE rk <= 3""",
+    // The ±1 sign is regenerated from the same integer formula as
+    // rademacherSign; the fold is the kernel's input-index-order sum
+    "q127_hash_project" -> raw"""
+      SELECT vec_id, CAST(j AS INT) AS dim_idx,
+             round(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(len(embedding)), i ->
+                   CAST(embedding[i + 1] AS DOUBLE) *
+                   (CASE WHEN ((i + 1) * 2654435761 + (j + 1) * 40503)
+                              % 97 % 2 = 0
+                         THEN CAST(1 AS DOUBLE)
+                         ELSE CAST(-1 AS DOUBLE) END))),
+               (a, b) -> a + b), 6) AS value
+      FROM embeddings CROSS JOIN range(8) t(j)""",
     // The 3 MMR rounds unrolled (recursive CTEs can't aggregate in the
     // recursive term): each round scores remaining candidates with the
     // q26 cosine arithmetic (bit-identical to the mmrSelect kernel) and

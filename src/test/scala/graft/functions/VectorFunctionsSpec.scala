@@ -62,6 +62,23 @@ class VectorFunctionsSpec extends SparkSpec {
     scale shouldBe 0.0
   }
 
+  test("hashProject matches hand-computed Rademacher signs and is linear") {
+    // signs for dim 2: j=0 -> (+1, +1), j=1 -> (-1, -1)
+    VectorFunctions.hashProjectKernel(Seq(1.0, 2.0), 2).toSeq shouldBe Seq(3.0, -3.0)
+    // linearity: P(2v) = 2 P(v)
+    val v = Seq(0.5, -1.25, 2.0, 0.125)
+    val p1 = VectorFunctions.hashProjectKernel(v, 8)
+    val p2 = VectorFunctions.hashProjectKernel(v.map(_ * 2), 8)
+    p2.toSeq shouldBe p1.map(_ * 2).toSeq
+    // null vectors project to null through the column form
+    val d = Seq((1L, Array(1.0, 2.0)), (2L, null.asInstanceOf[Array[Double]]))
+      .toDF("id", "v")
+    val out = d.select(col("id"), VectorFunctions.hashProject(col("v"), 2).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    out(1L) shouldBe Seq(3.0, -3.0)
+    out(2L) shouldBe null
+  }
+
   test("lshBucket is deterministic and within [0, 2^nBits)") {
     val b1 = df.select(VectorFunctions.lshBucket(col("a"), 3, 4).as("k")).as[Long].collect()
     val b2 = df.select(VectorFunctions.lshBucket(col("a"), 3, 4).as("k")).as[Long].collect()
