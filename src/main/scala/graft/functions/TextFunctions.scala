@@ -382,6 +382,34 @@ object TextFunctions {
       }
     })
 
+  /** Normalized sliding-window token pairs for collocation statistics:
+    * for each position i and offset 1..w, the unordered pair
+    * `"min max"` of `t(i)` and `t(i+k)` — equal tokens skipped (a
+    * repeated word is not a collocation of itself). Pairs keep
+    * MULTIPLICITY (each co-occurrence event counts once), which is what
+    * PMI's joint probability wants. Null token arrays yield no pairs.
+    */
+  def windowPairsUdf(w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: Seq[String]) => windowPairsKernel(t, w))
+
+  private[graft] def windowPairsKernel(t: Seq[String], w: Int): Array[String] = {
+    if (t == null) return Array.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < t.length - 1) {
+      var k = 1
+      val lim = math.min(w, t.length - 1 - i)
+      while (k <= lim) {
+        val a = t(i)
+        val b = t(i + k)
+        if (a != b) out += (if (a < b) a + " " + b else b + " " + a)
+        k += 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** All URL occurrences in `text` (the [[UrlRe]] pattern). */
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit(UrlRe), lit(0))

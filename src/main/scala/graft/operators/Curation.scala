@@ -705,6 +705,52 @@ object Curation {
         col("df"), round(col("score"), 6).as("score"))
   }
 
+  /** PMI collocation mining: the `k` strongest token collocations of the
+    * corpus — unordered within-±`window` token pairs scored by pointwise
+    * mutual information `ln( (c_ab/N_pairs) / ((c_a/N_tok)·(c_b/N_tok)) )`
+    * with a `minCount` support floor (PMI is noise-dominated at low
+    * counts). The classic collocation/phrase-discovery statistic
+    * (Church & Hanks 1990), and the signal behind phrase-aware
+    * tokenization. Returns (pair, c_ab, c_a, c_b, pmi) — top `k` by
+    * (pmi desc, pair asc).
+    *
+    * Scale shape: pair generation is a per-row KERNEL (O(len·window) per
+    * doc, zero shuffle) feeding a map-side-combined pair count — windowed
+    * pairs, not the O(len²) all-pairs blow-up. Marginal token counts and
+    * the two scalar totals reduce from the same persisted token table;
+    * the scoring joins are keyed on term (broadcastable vocabulary). The
+    * final top-k is a global ordered limit — Spark plans
+    * TakeOrderedAndProject (per-partition heads + driver merge), never a
+    * global sort.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, window: Int = 5,
+                      minCount: Long = 5, k: Int = 50): DataFrame = {
+    val toks = docs
+      .select(TextFunctions.tokens(lower(col(textCol))).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cab = toks
+      .select(explode(TextFunctions.windowPairsUdf(window)(col("t"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ct = toks.select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nTok = toks.agg(sum(coalesce(size(col("t")), lit(0)))
+      .cast("long").as("n_tok"))
+    val nPairs = cab.agg(sum(col("c_ab")).cast("long").as("n_pairs"))
+    cab.filter(col("c_ab") >= minCount)
+      .withColumn("a", element_at(split(col("pair"), " "), 1))
+      .withColumn("b", element_at(split(col("pair"), " "), 2))
+      .join(ct.withColumnRenamed("term", "a").withColumnRenamed("c", "c_a"), Seq("a"))
+      .join(ct.withColumnRenamed("term", "b").withColumnRenamed("c", "c_b"), Seq("b"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPairs))
+      .withColumn("pmi", round(log(
+        (col("c_ab").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("c_a").cast("double") * col("c_b") * col("n_pairs"))), 6))
+      .select(col("pair"), col("c_ab"), col("c_a"), col("c_b"), col("pmi"))
+      .orderBy(col("pmi").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Snapshot diff for incremental corpus refresh: classify every doc id
     * across two snapshots as added / removed / changed / unchanged by the
     * engine-portable content fingerprint. Presence is tracked by explicit

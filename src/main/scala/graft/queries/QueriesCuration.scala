@@ -76,6 +76,12 @@ object QueriesCuration {
       GraphOps.pageRank(edges, "src", "dst", iterations = 10)
     }),
 
+    // PMI collocations: top-50 within-±5-window token pairs by pointwise
+    // mutual information, support floor 5
+    "q128_pmi_collocations" -> ((s, d) =>
+      Curation.pmiCollocations(Tables.documents(s, d), "text",
+        window = 5, minCount = 5, k = 50)),
+
     // TF-IDF keywords: top-3 tf·ln(N/df) tokens per document
     "q126_tfidf_keywords" -> ((s, d) =>
       Curation.tfidfKeywords(Tables.documents(s, d), "doc_id", "text", k = 3)),
@@ -1073,6 +1079,34 @@ object QueriesCuration {
       SELECT a.term, a.df, a.cf, p.postings, a.df > 16 AS truncated
       FROM agg a JOIN post p USING (term)""",
     "q124_host_pagerank" -> pageRankOracle,
+    "q128_pmi_collocations" -> raw"""
+      WITH $toksCte,
+      pr AS (SELECT unnest(flatten(list_transform(
+               range(CASE WHEN len(t) > 1 THEN len(t) - 1 ELSE 0 END), i ->
+               list_filter(list_transform(range(least(5, len(t) - 1 - i)), kk ->
+                 CASE WHEN t[i + 1] = t[i + kk + 2] THEN NULL
+                      WHEN t[i + 1] < t[i + kk + 2]
+                        THEN t[i + 1] || ' ' || t[i + kk + 2]
+                      ELSE t[i + kk + 2] || ' ' || t[i + 1] END),
+                 p -> p IS NOT NULL)))) AS pair
+             FROM toks),
+      cab AS (SELECT pair, count(*) AS c_ab FROM pr GROUP BY 1),
+      ct AS (SELECT term, count(*) AS c
+             FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1),
+      st AS (SELECT CAST(sum(coalesce(len(t), 0)) AS BIGINT) AS n_tok
+             FROM toks),
+      sp AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_pairs FROM cab),
+      j AS (SELECT cab.pair, cab.c_ab, ca.c AS c_a, cb.c AS c_b,
+                   round(ln((CAST(cab.c_ab AS DOUBLE) * st.n_tok * st.n_tok) /
+                            (CAST(ca.c AS DOUBLE) * cb.c * sp.n_pairs)), 6)
+                     AS pmi
+            FROM cab
+            JOIN ct ca ON ca.term = string_split(cab.pair, ' ')[1]
+            JOIN ct cb ON cb.term = string_split(cab.pair, ' ')[2]
+            CROSS JOIN st CROSS JOIN sp
+            WHERE cab.c_ab >= 5)
+      SELECT pair, c_ab, c_a, c_b, pmi FROM j
+      ORDER BY pmi DESC, pair LIMIT 50""",
     "q126_tfidf_keywords" -> raw"""
       WITH $toksCte,
       tf AS (SELECT doc_id, term, count(*) AS tf

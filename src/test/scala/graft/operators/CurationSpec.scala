@@ -230,6 +230,26 @@ class CurationSpec extends SparkSpec {
     plan should include("topk_by_score")
   }
 
+  // --- pmiCollocations ---
+
+  test("windowPairs kernel emits normalized pairs, skips self-pairs") {
+    graft.functions.TextFunctions.windowPairsKernel(
+      Seq("x", "y", "x", "y"), 2).toSeq shouldBe Seq("x y", "x y", "x y")
+    graft.functions.TextFunctions.windowPairsKernel(null, 2).toSeq shouldBe Seq()
+  }
+
+  test("pmiCollocations scores the hand-computed corpus") {
+    // pairs(window 2): "x y"×4, "x z"×1, "y z"×1; c_x=3 c_y=3 c_z=1;
+    // N_tok=7, N_pairs=6 → pmi("x y") = ln(4·49 / (9·6))
+    val docs = Seq("x y x y", "x y z").toDF("text")
+    val out = Curation.pmiCollocations(docs, "text", window = 2,
+      minCount = 2, k = 10).as[(String, Long, Long, Long, Double)].collect()
+    out.length shouldBe 1
+    out.head._1 shouldBe "x y"
+    out.head._2 shouldBe 4L
+    out.head._5 shouldBe math.rint(math.log(4.0 * 7 * 7 / (3.0 * 3 * 6)) * 1e6) / 1e6 +- 1e-9
+  }
+
   // --- tfidfKeywords ---
 
   test("tfidfKeywords ranks tf*ln(N/df) per doc, ties to the smaller term") {
