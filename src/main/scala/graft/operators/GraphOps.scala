@@ -61,26 +61,27 @@ object GraphOps {
     val r0 = scale / n
     val base = ((dampDen - dampNum) * (scale / n)) / dampDen
     val srcs = outdeg.select(col("src").as("node"))
-    var ranks = nodes.withColumn("r", lit(r0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint per round (the BPE/k-means iterative convention):
+    // ONE eager action per iteration, lineage cut so round k's plan does
+    // not replay rounds 1..k−1. The dangling mass rides the plan as a
+    // broadcast 1-row aggregate — no per-round driver collect.
+    var ranks = nodes.withColumn("r", lit(r0)).localCheckpoint()
     for (_ <- 1 to iterations) {
-      // dangling mass: one scalar per round (ranks are cached, so this
-      // anti-join + 1-row aggregate does not recompute the iteration)
       val dang = ranks.join(srcs, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
-      val dangShare = dang / n
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       val in = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
-      val next = nodes.join(in, Seq("node"), "left")
+      ranks = nodes.join(in, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
         .selectExpr("node",
           s"CAST($base AS BIGINT) + ($dampNum * (coalesce(m, CAST(0 AS BIGINT)) + " +
-            s"CAST($dangShare AS BIGINT))) div $dampDen AS r")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      ranks.unpersist()
-      ranks = next
+            s"(dang div CAST($n AS BIGINT)))) div $dampDen AS r")
+        .localCheckpoint()
     }
+    edges.unpersist()
+    ew.unpersist()
+    nodes.unpersist()
     ranks.select(col("node"), col("r").as("rank"))
   }
 }
