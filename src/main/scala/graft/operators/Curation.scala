@@ -128,6 +128,53 @@ object Curation {
         when(col(classCol) === cls, lit(math.round(r * denom))).otherwise(acc)
     }
 
+  /** Zipf rank–frequency fit: least squares of ln(freq) on ln(rank) over
+    * the corpus's `topK` most frequent tokens — natural text follows
+    * Zipf's law with slope ≈ −1, so the fitted (slope, r²) is a cheap
+    * corpus-health diagnostic (template/boilerplate floods flatten the
+    * curve, truncated vocabularies steepen it). Returns ONE row
+    * (n_terms, slope, intercept, r2); degenerate fits (fewer than two
+    * points, or zero variance) yield nulls, never a division error.
+    *
+    * Scale shape: the only corpus-sized work is [[vocabTopK]]'s map-side-
+    * combined count + ordered limit (TakeOrderedAndProject). The fit
+    * itself runs over ≤ topK points: the sums fold an x-sorted bounded
+    * array left-to-right, so every Σ is order-exact and an engine
+    * replaying the same fold gets bit-identical moments — a plain sum's
+    * merge order would wobble the regression in ulps.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    val ranked = vocabTopK(docs, textCol, topK)
+      .withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    // x = ln(rank) is strictly increasing, so the struct sort IS rank order
+    val folded = ranked
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("a"))
+      .select(
+        size(col("a")).cast("double").as("n"),
+        aggregate(col("a"), lit(0.0), (acc, e) => acc + e.getField("x")).as("sx"),
+        aggregate(col("a"), lit(0.0), (acc, e) => acc + e.getField("y")).as("sy"),
+        aggregate(col("a"), lit(0.0),
+          (acc, e) => acc + e.getField("x") * e.getField("y")).as("sxy"),
+        aggregate(col("a"), lit(0.0),
+          (acc, e) => acc + e.getField("x") * e.getField("x")).as("sxx"),
+        aggregate(col("a"), lit(0.0),
+          (acc, e) => acc + e.getField("y") * e.getField("y")).as("syy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    folded.select(
+      col("n").cast("long").as("n_terms"),
+      round(when(dx === 0.0, lit(null)).otherwise(num / dx), 6).as("slope"),
+      round(when(dx === 0.0, lit(null))
+        .otherwise((col("sy") - (num / dx) * col("sx")) / col("n")), 6)
+        .as("intercept"),
+      round(when(dx === 0.0 || dy === 0.0, lit(null))
+        .otherwise((num * num) / (dx * dy)), 6).as("r2"))
+  }
+
   /** Deterministic exact-N per-class sample: the `n` rows of each
     * `classCol` group with the SMALLEST content fingerprints of `textCol`
     * — a uniform-feeling yet fully reproducible pick. The fingerprint is a
@@ -636,6 +683,9 @@ object Curation {
     val spark = docs.sparkSession
     val tf = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      // null ids never post: the heap aggregate skips them, so the window
+      // fallback must too
+      .where(col("doc_id").isNotNull)
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

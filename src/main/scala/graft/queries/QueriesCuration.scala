@@ -76,6 +76,10 @@ object QueriesCuration {
       GraphOps.pageRank(edges, "src", "dst", iterations = 10)
     }),
 
+    // Zipf rank-frequency fit over the top-1000 tokens: slope/intercept/r2
+    "q129_zipf_fit" -> ((s, d) =>
+      Curation.zipfFit(Tables.documents(s, d), "text", topK = 1000)),
+
     // PMI collocations: top-50 within-±5-window token pairs by pointwise
     // mutual information, support floor 5
     "q128_pmi_collocations" -> ((s, d) =>
@@ -1079,6 +1083,46 @@ object QueriesCuration {
       SELECT a.term, a.df, a.cf, p.postings, a.df > 16 AS truncated
       FROM agg a JOIN post p USING (term)""",
     "q124_host_pagerank" -> pageRankOracle,
+    // The folds replay zipfFit's x-ordered left folds; slope/intercept/r2
+    // spelled with the identical arithmetic order and zero-variance guards
+    "q129_zipf_fit" -> raw"""
+      WITH $toksCte,
+      c AS (SELECT tok AS token, count(*) AS cnt
+            FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+      top AS (SELECT token, cnt,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT)
+                       AS r
+              FROM (SELECT token, cnt FROM c
+                    ORDER BY cnt DESC, token LIMIT 1000)),
+      xy AS (SELECT list(struct_pack(x := ln(CAST(r AS DOUBLE)),
+                                     y := ln(CAST(cnt AS DOUBLE)))
+                         ORDER BY r) AS a
+             FROM top),
+      s AS (SELECT CAST(len(a) AS DOUBLE) AS n,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(a, e -> e.x)), (p, q) -> p + q) AS sx,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(a, e -> e.y)), (p, q) -> p + q) AS sy,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(a, e -> e.x * e.y)), (p, q) -> p + q) AS sxy,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(a, e -> e.x * e.x)), (p, q) -> p + q) AS sxx,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(a, e -> e.y * e.y)), (p, q) -> p + q) AS syy
+            FROM xy)
+      SELECT CAST(n AS BIGINT) AS n_terms,
+             round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+               AS slope,
+             round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                              * sx) / n END, 6) AS intercept,
+             round(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                        THEN NULL
+                        ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+                             ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+               AS r2
+      FROM s""",
     "q128_pmi_collocations" -> raw"""
       WITH $toksCte,
       pr AS (SELECT unnest(flatten(list_transform(

@@ -230,6 +230,29 @@ class CurationSpec extends SparkSpec {
     plan should include("topk_by_score")
   }
 
+  // --- zipfFit ---
+
+  test("zipfFit recovers slope -1 on an exactly Zipfian corpus") {
+    // counts 12, 6, 4, 3 = 12/rank -> ln(freq) is collinear with -ln(rank)
+    val docs = Seq(("a " * 12 + "b " * 6 + "c " * 4 + "d " * 3).trim)
+      .toDF("text")
+    val out = Curation.zipfFit(docs, "text", topK = 10)
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    out._1 shouldBe 4L
+    out._2.get shouldBe -1.0 +- 1e-6
+    out._3.get shouldBe math.log(12.0) +- 1e-6
+    out._4.get should be >= 0.999999
+  }
+
+  test("zipfFit yields nulls, not errors, on degenerate input") {
+    val one = Curation.zipfFit(Seq("a a a").toDF("text"), "text", 10)
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    one shouldBe ((1L, None, None, None))
+    val empty = Curation.zipfFit(Seq.empty[String].toDF("text"), "text", 10)
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    empty shouldBe ((0L, None, None, None))
+  }
+
   // --- pmiCollocations ---
 
   test("windowPairs kernel emits normalized pairs, skips self-pairs") {
