@@ -207,7 +207,11 @@ object Curation {
           negate(col("e.cosine")).cast("long").as("fp"),
           (col("pos") + 1).cast("int").as("sample_rank"))
     else {
-      val clean = docs.withColumn("__fp", fp).filter(col("__fp").isNotNull)
+      // null ids never rank: the heap aggregate skips them, so the window
+      // fallback must too (nulls sort FIRST ascending and would displace
+      // a real row at the n boundary)
+      val clean = docs.withColumn("__fp", fp)
+        .filter(col("__fp").isNotNull && col(idCol).isNotNull)
       val w = Window.partitionBy(col(classCol))
         .orderBy(col("__fp").asc, col(idCol).asc)
       clean.withColumn("sample_rank", row_number().over(w).cast("int"))

@@ -56,8 +56,13 @@ object GraphOps {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
-    if (n == 0)
-      return nodes.withColumn("rank", lit(0L))
+    if (n == 0) {
+      edges.unpersist()
+      ew.unpersist()
+      val out = nodes.withColumn("rank", lit(0L))
+      nodes.unpersist()
+      return out
+    }
     val r0 = scale / n
     val base = ((dampDen - dampNum) * (scale / n)) / dampDen
     val srcs = outdeg.select(col("src").as("node"))

@@ -1098,17 +1098,19 @@ object QueriesCuration {
                                      y := ln(CAST(cnt AS DOUBLE)))
                          ORDER BY r) AS a
              FROM top),
-      s AS (SELECT CAST(len(a) AS DOUBLE) AS n,
-                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                     list_transform(a, e -> e.x)), (p, q) -> p + q) AS sx,
-                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                     list_transform(a, e -> e.y)), (p, q) -> p + q) AS sy,
-                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                     list_transform(a, e -> e.x * e.y)), (p, q) -> p + q) AS sxy,
-                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                     list_transform(a, e -> e.x * e.x)), (p, q) -> p + q) AS sxx,
-                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                     list_transform(a, e -> e.y * e.y)), (p, q) -> p + q) AS syy
+      -- coalesce: DuckDB's list() over ZERO rows is NULL where Spark's
+      -- collect_list is an empty array — align the empty-corpus fit
+      s AS (SELECT CAST(coalesce(len(a), 0) AS DOUBLE) AS n,
+                   coalesce(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(a, e -> e.x)), (p, q) -> p + q), 0.0) AS sx,
+                   coalesce(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(a, e -> e.y)), (p, q) -> p + q), 0.0) AS sy,
+                   coalesce(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(a, e -> e.x * e.y)), (p, q) -> p + q), 0.0) AS sxy,
+                   coalesce(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(a, e -> e.x * e.x)), (p, q) -> p + q), 0.0) AS sxx,
+                   coalesce(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(a, e -> e.y * e.y)), (p, q) -> p + q), 0.0) AS syy
             FROM xy)
       SELECT CAST(n AS BIGINT) AS n_terms,
              round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL

@@ -603,7 +603,8 @@ object QueriesDocs {
                          THEN CAST(1 AS DOUBLE)
                          ELSE CAST(-1 AS DOUBLE) END))),
                (a, b) -> a + b), 6) AS value
-      FROM embeddings CROSS JOIN range(8) t(j)""",
+      FROM embeddings CROSS JOIN range(8) t(j)
+      WHERE embedding IS NOT NULL""",
     // The 3 MMR rounds unrolled (recursive CTEs can't aggregate in the
     // recursive term): each round scores remaining candidates with the
     // q26 cosine arithmetic (bit-identical to the mmrSelect kernel) and
