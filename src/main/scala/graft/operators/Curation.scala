@@ -175,6 +175,60 @@ object Curation {
         .otherwise((num * num) / (dx * dy)), 6).as("r2"))
   }
 
+  /** Per-class distribution drift: Jensen–Shannon divergence between each
+    * class's token distribution and the whole corpus's, computed over the
+    * corpus's `topK` tokens plus ONE out-of-vocabulary residual bucket —
+    * the truncation both bounds the work and smooths the tail, the
+    * standard move for distribution tests on open vocabularies. JSD is
+    * symmetric and bounded by ln 2; a source whose jsd spikes is drifting
+    * (template flood, language shift, scraper breakage). Returns one row
+    * per class: (class, tot_tokens, jsd).
+    *
+    * Scale shape: the corpus-sized work is two map-side-combined token
+    * counts; everything after runs on the |classes|·(topK+1) grid (cross
+    * join of the broadcast vocabulary). Probabilities divide INTEGER
+    * counts once each, and the divergence folds a token-sorted bounded
+    * array left-to-right with the OOV bucket appended LAST — every sum
+    * order-exact, zero-count buckets contribute exactly 0 (no ln(0)).
+    */
+  def sourceDivergence(docs: DataFrame, classCol: String, textCol: String,
+                       topK: Int): DataFrame = {
+    val toks = docs.select(col(classCol).as("cls"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = toks.groupBy(col("cls"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("qcnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = corpus.orderBy(col("qcnt").desc, col("token").asc).limit(topK)
+    val totS = toks.groupBy(col("cls")).agg(count(lit(1)).as("tot_s"))
+    val totC = toks.agg(count(lit(1)).as("tot_c"))
+    val grid = totS.crossJoin(broadcast(vocab))
+      .join(counts, Seq("cls", "token"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .crossJoin(broadcast(totC))
+    def contrib(p: Column, q: Column): Column = {
+      val m = (p + q) / lit(2)
+      lit(0.5) * when(p === 0.0, lit(0.0)).otherwise(p * log(p / m)) +
+        lit(0.5) * when(q === 0.0, lit(0.0)).otherwise(q * log(q / m))
+    }
+    val withC = grid
+      .withColumn("p", col("cnt").cast("double") / col("tot_s"))
+      .withColumn("q", col("qcnt").cast("double") / col("tot_c"))
+      .withColumn("c", contrib(col("p"), col("q")))
+    val folded = withC.groupBy(col("cls"), col("tot_s"), col("tot_c"))
+      .agg(
+        aggregate(sort_array(collect_list(struct(col("token"), col("c")))),
+          lit(0.0), (acc, e) => acc + e.getField("c")).as("in_vocab"),
+        sum(col("cnt")).as("cov_s"),
+        sum(col("qcnt")).as("cov_c"))
+    folded
+      .withColumn("p0", (col("tot_s") - col("cov_s")).cast("double") / col("tot_s"))
+      .withColumn("q0", (col("tot_c") - col("cov_c")).cast("double") / col("tot_c"))
+      .select(col("cls").as(classCol), col("tot_s").as("tot_tokens"),
+        round(col("in_vocab") + contrib(col("p0"), col("q0")), 6).as("jsd"))
+  }
+
   /** Deterministic exact-N per-class sample: the `n` rows of each
     * `classCol` group with the SMALLEST content fingerprints of `textCol`
     * — a uniform-feeling yet fully reproducible pick. The fingerprint is a

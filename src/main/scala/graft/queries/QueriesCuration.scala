@@ -76,6 +76,12 @@ object QueriesCuration {
       GraphOps.pageRank(edges, "src", "dst", iterations = 10)
     }),
 
+    // Per-source distribution drift: Jensen-Shannon divergence vs the
+    // corpus over the top-20 vocabulary + OOV residual bucket
+    "q130_source_divergence" -> ((s, d) =>
+      Curation.sourceDivergence(Tables.documents(s, d), "source", "text",
+        topK = 20)),
+
     // Zipf rank-frequency fit over the top-1000 tokens: slope/intercept/r2
     "q129_zipf_fit" -> ((s, d) =>
       Curation.zipfFit(Tables.documents(s, d), "text", topK = 1000)),
@@ -1083,6 +1089,53 @@ object QueriesCuration {
       SELECT a.term, a.df, a.cf, p.postings, a.df > 16 AS truncated
       FROM agg a JOIN post p USING (term)""",
     "q124_host_pagerank" -> pageRankOracle,
+    // Mirrors sourceDivergence bucket-for-bucket: token-sorted fold, OOV
+    // appended last, same association (in_vocab + (0.5·X + 0.5·Y))
+    "q130_source_divergence" -> raw"""
+      WITH $toksCte,
+      tk AS (SELECT source AS cls, unnest(t) AS token FROM toks),
+      counts AS (SELECT cls, token, count(*) AS cnt FROM tk GROUP BY 1, 2),
+      corpus AS (SELECT token, count(*) AS qcnt FROM tk GROUP BY 1),
+      vocab AS (SELECT token, qcnt FROM corpus
+                ORDER BY qcnt DESC, token LIMIT 20),
+      tots AS (SELECT cls, count(*) AS tot_s FROM tk GROUP BY 1),
+      totc AS (SELECT count(*) AS tot_c FROM tk),
+      grid AS (SELECT ts.cls, ts.tot_s, v.token, v.qcnt,
+                      coalesce(c.cnt, 0) AS cnt, tc.tot_c
+               FROM tots ts CROSS JOIN vocab v
+               LEFT JOIN counts c ON c.cls = ts.cls AND c.token = v.token
+               CROSS JOIN totc tc),
+      wc AS (SELECT cls, tot_s, tot_c, token, cnt, qcnt,
+                    CAST(cnt AS DOUBLE) / tot_s AS p,
+                    CAST(qcnt AS DOUBLE) / tot_c AS q
+             FROM grid),
+      cc AS (SELECT cls, tot_s, tot_c, token, cnt, qcnt,
+                    0.5 * (CASE WHEN p = 0 THEN 0
+                                ELSE p * ln(p / ((p + q) / 2)) END) +
+                    0.5 * (CASE WHEN q = 0 THEN 0
+                                ELSE q * ln(q / ((p + q) / 2)) END) AS c
+             FROM wc),
+      f AS (SELECT cls, tot_s, tot_c,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(
+                       list(struct_pack(token := token, c := c)
+                            ORDER BY token),
+                       e -> e.c)), (x, y) -> x + y) AS in_vocab,
+                   CAST(sum(cnt) AS BIGINT) AS cov_s,
+                   CAST(sum(qcnt) AS BIGINT) AS cov_c
+            FROM cc GROUP BY 1, 2, 3),
+      oo AS (SELECT cls, tot_s, in_vocab,
+                    CAST(tot_s - cov_s AS DOUBLE) / tot_s AS p0,
+                    CAST(tot_c - cov_c AS DOUBLE) / tot_c AS q0
+             FROM f)
+      SELECT cls AS source, tot_s AS tot_tokens,
+             round(in_vocab +
+               (0.5 * (CASE WHEN p0 = 0 THEN 0
+                            ELSE p0 * ln(p0 / ((p0 + q0) / 2)) END) +
+                0.5 * (CASE WHEN q0 = 0 THEN 0
+                            ELSE q0 * ln(q0 / ((p0 + q0) / 2)) END)), 6)
+               AS jsd
+      FROM oo""",
     // The folds replay zipfFit's x-ordered left folds; slope/intercept/r2
     // spelled with the identical arithmetic order and zero-variance guards
     "q129_zipf_fit" -> raw"""

@@ -230,6 +230,32 @@ class CurationSpec extends SparkSpec {
     plan should include("topk_by_score")
   }
 
+  // --- sourceDivergence ---
+
+  test("sourceDivergence: single-class corpus has exactly zero drift") {
+    val docs = Seq(("a", "x y z"), ("a", "x x")).toDF("source", "text")
+    val out = Curation.sourceDivergence(docs, "source", "text", topK = 2)
+      .as[(String, Long, Double)].collect()
+    out shouldBe Array(("a", 5L, 0.0))
+  }
+
+  test("sourceDivergence: mirrored classes diverge symmetrically, OOV counted") {
+    // a = "x x y", b = "x y y": corpus x3 y3; topK=1 keeps x, y is OOV.
+    // By the x<->y mirror symmetry jsd(a) == jsd(b) > 0
+    val docs = Seq(("a", "x x y"), ("b", "x y y")).toDF("source", "text")
+    val out = Curation.sourceDivergence(docs, "source", "text", topK = 1)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    out("a") shouldBe out("b")
+    out("a") should be > 0.0
+    // hand value: buckets (p=2/3,q=1/2) and (p=1/3,q=1/2)
+    def c(p: Double, q: Double): Double = {
+      val m = (p + q) / 2
+      0.5 * (if (p == 0) 0.0 else p * math.log(p / m)) +
+        0.5 * (if (q == 0) 0.0 else q * math.log(q / m))
+    }
+    out("a") shouldBe math.rint((c(2.0 / 3, 0.5) + c(1.0 / 3, 0.5)) * 1e6) / 1e6 +- 1e-9
+  }
+
   // --- zipfFit ---
 
   test("zipfFit recovers slope -1 on an exactly Zipfian corpus") {
