@@ -127,4 +127,42 @@ object KernelProps extends Properties("Kernels") {
         math.abs(n - 1.0) < 1e-9 && dot >= 0.0
       }
     }
+
+  private val toks: Gen[List[String]] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+
+  property("windowPairs: count bounded, each pair sorted, no self-pairs") =
+    forAll(toks, Gen.choose(1, 4)) { (t, w) =>
+      val pairs = TextFunctions.windowPairsKernel(t, w)
+      pairs.length <= math.max(0, t.length - 1) * w &&
+        pairs.forall { p =>
+          val Array(a, b) = p.split(" ", 2)
+          a < b
+        }
+    }
+
+  property("hashProject: additive (P(u+v) = P(u)+P(v)) and output-dim sized") =
+    forAll(dvec, Gen.choose(1, 8)) { (v, od) =>
+      val u = v.map(_ * 0.5)
+      val pu = VectorFunctions.hashProjectKernel(u, od)
+      val pv = VectorFunctions.hashProjectKernel(v, od)
+      val psum = VectorFunctions.hashProjectKernel(
+        u.zip(v).map { case (a, b) => a + b }, od)
+      pu.length == od &&
+        psum.zip(pu.zip(pv)).forall { case (s, (a, b)) =>
+          math.abs(s - (a + b)) <= 1e-9 * (1 + math.abs(s))
+        }
+    }
+
+  property("mmrSelect: picks independent of candidate list order") =
+    forAll(Gen.choose(2, 8), Gen.long) { (n, seed) =>
+      val rng = new scala.util.Random(seed)
+      val cands = (0 until n).map { i =>
+        (i.toLong, rng.nextDouble(),
+          Seq.fill(4)(rng.nextDouble() * 2 - 1): Seq[Double])
+      }
+      val base = VectorFunctions.mmrSelect(0.7, 3, cands)
+      val shuffled = VectorFunctions.mmrSelect(0.7, 3, rng.shuffle(cands))
+      base == shuffled
+    }
 }
