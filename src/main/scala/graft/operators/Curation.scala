@@ -859,6 +859,46 @@ object Curation {
       .limit(k)
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971 flavor): run
+    * the keyword query, take its top-`kDocs` BM25 feedback documents, and
+    * mine the `kTerms` most frequent NON-query terms from them — the
+    * classic recall-repair loop (expand "dup" with the words duplicate
+    * documents actually use). Weights are INTEGER occurrence counts
+    * across the feedback set — ranking involves no float arithmetic at
+    * all, so the expansion is hash-exact by construction. Returns
+    * (query_id, exp_rank 1..kTerms, term, weight), ties to the
+    * lexicographically smaller term.
+    *
+    * Scale shape: [[bm25TopK]] provides the feedback set (queries ×
+    * kDocs rows — broadcast-small), which joins the token stream at scan
+    * rate; the weight aggregate is map-side combined on (query, term);
+    * original query terms leave via a broadcast anti-join. The top-k
+    * window partitions by query id (bounded rows per group: the
+    * feedback docs' vocabulary).
+    */
+  def queryExpansion(docs: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[(Long, Seq[String])],
+                     kDocs: Int, kTerms: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feedback = bm25TopK(docs, idCol, textCol, queryTerms, kDocs, k1, b)
+      .select(col("query_id"), col("doc_id"))
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val qt = broadcast(queryTerms.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term"))
+    val weights = toks.join(broadcast(feedback), Seq("doc_id"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("weight"))
+      .join(qt, Seq("query_id", "term"), "left_anti")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("weight").desc, col("term").asc)
+    weights.withColumn("exp_rank", row_number().over(w).cast("int"))
+      .filter(col("exp_rank") <= kTerms)
+      .select(col("query_id"), col("exp_rank"), col("term"), col("weight"))
+  }
+
   /** Snapshot diff for incremental corpus refresh: classify every doc id
     * across two snapshots as added / removed / changed / unchanged by the
     * engine-portable content fingerprint. Presence is tracked by explicit

@@ -276,6 +276,12 @@ object QueriesCuration {
       Curation.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         queryTerms = probeTerms, k = 10)),
 
+    // PRF query expansion: top-5 BM25 feedback docs per probe query,
+    // integer-weighted top-5 non-query expansion terms
+    "q131_query_expansion" -> ((s, d) =>
+      Curation.queryExpansion(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = probeTerms, kDocs = 5, kTerms = 5)),
+
     // Corpus snapshot diff: old = ids <450, new = ids >=50 with content
     // edits on id%13 — classifies added/removed/changed/unchanged by
     // the portable content fingerprint (the incremental-refresh audit)
@@ -739,6 +745,34 @@ object QueriesCuration {
                                       ORDER BY score DESC, doc_id) AS rk
             FROM scored)
       WHERE rk <= 10""",
+    // feedback = the q110 chain's top-5; expansion weights are integer
+    // occurrence counts (no float arithmetic anywhere in the ranking);
+    // qt comes from bm25ScoredCte's VALUES list
+    "q131_query_expansion" -> raw"""
+      WITH $toksCte,
+      $bm25ScoredCte,
+      fb AS (SELECT query_id, doc_id
+             FROM (SELECT query_id, doc_id, score,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, doc_id)
+                            AS rk
+                   FROM scored)
+             WHERE rk <= 5),
+      tk2 AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      wt AS (SELECT f.query_id, tk2.term, count(*) AS weight
+             FROM tk2 JOIN fb f USING (doc_id)
+             GROUP BY 1, 2),
+      ex AS (SELECT w.query_id, w.term, w.weight
+             FROM wt w LEFT JOIN qt q
+               ON q.query_id = w.query_id AND q.term = w.term
+             WHERE q.term IS NULL),
+      r AS (SELECT query_id, term, weight,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY weight DESC, term) AS INT)
+                     AS exp_rank
+            FROM ex)
+      SELECT CAST(query_id AS BIGINT) AS query_id, exp_rank, term, weight
+      FROM r WHERE exp_rank <= 5""",
     // the q110 pipeline at k=25 + rounded-threshold flagging + anti-join
     "q120_retrieval_decontam" -> raw"""
       WITH $toksCte,

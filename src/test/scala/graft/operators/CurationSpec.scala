@@ -230,6 +230,20 @@ class CurationSpec extends SparkSpec {
     plan should include("topk_by_score")
   }
 
+  // --- queryExpansion ---
+
+  test("queryExpansion mines non-query terms from the feedback docs") {
+    val docs = Seq(
+      (1L, "apple banana cherry"), (2L, "apple banana"), (3L, "zebra yak")
+    ).toDF("doc_id", "text")
+    val out = Curation.queryExpansion(docs, "doc_id", "text",
+      Seq(0L -> Seq("apple")), kDocs = 2, kTerms = 5)
+      .as[(Long, Int, String, Long)].collect().sortBy(_._2)
+    // feedback = docs 1,2; expansion excludes "apple"
+    out.map(r => (r._2, r._3, r._4)).toSeq shouldBe
+      Seq((1, "banana", 2L), (2, "cherry", 1L))
+  }
+
   // --- sourceDivergence ---
 
   test("sourceDivergence: single-class corpus has exactly zero drift") {
