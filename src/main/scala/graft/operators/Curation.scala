@@ -486,6 +486,41 @@ object Curation {
               col("n_tokens").cast("double"))), 6).as("rate"))
   }
 
+  /** Token-budget-capped corpus selection: keep the best documents, in
+    * (`scoreCol` desc, `idCol` asc) order, until their cumulative
+    * whitespace-token count first exceeds `budgetTokens` — the "spend the
+    * compute budget on the highest-quality prefix" selection step that
+    * follows quality scoring in a pretraining pipeline. Returns the
+    * selected rows as (`idCol`, `scoreCol`, n_tokens, cum_tokens) with
+    * cum_tokens the INCLUSIVE running total (monotone, so the kept set is
+    * a contiguous quality-ordered prefix). Unscorable rows (null score or
+    * id) are not candidates.
+    *
+    * Scale shape: the global running sum is the [[TrainingData
+    * .shardByTokens]] machinery — [[OrderedPosition.withRunningSum]]
+    * (range repartition + per-partition prefix + broadcast offset table),
+    * never a `Window.orderBy` that would serialize the corpus onto one
+    * task. Determinism: ordering is on the ROUNDED score with the id as
+    * tie-break, and the cumulative mass is integer — no float-order
+    * ambiguity crosses the cut.
+    */
+  def budgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                   scoreCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val base = docs
+      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol), col(scoreCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      // score desc via an ascending sort on the negation (exact for
+      // doubles; all-equal scores collapse to one key either way)
+      .withColumn("__neg", negate(col(scoreCol).cast("double")))
+    OrderedPosition.withRunningSum(base, Nil, Seq("__neg", idCol),
+        "n_tokens", "__pfx")
+      .withColumn("cum_tokens", col("__pfx") + col("n_tokens"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col(scoreCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Hashed-feature linear classifier scoring at scan rate (fastText-style
     * quality-classifier inference): sigmoid of `bias + mean_tok
     * weights(h(tok) mod dim)` via the engine-portable

@@ -55,6 +55,16 @@ object QueriesCuration {
       Curation.sampleExactN(Tables.documents(s, d), "source", "doc_id",
         "text", n = 3)),
 
+    // Token-budget-capped selection: best docs by quality (desc, id asc)
+    // until the cumulative token count first exceeds 10k — window-free
+    // global running sum (OrderedPosition, not Window.orderBy)
+    "q132_budget_select" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        TextFunctions.qualityScore(col("text"), enStop).as("score"))
+      Curation.budgetSelect(scored, "doc_id", "text", "score",
+        budgetTokens = 10000L)
+    }),
+
     // Materialized inverted index: per-token df/cf + the first 16
     // "doc:tf" postings by doc id, heap-capped (truncated flag checked)
     "q123_inverted_index" -> ((s, d) =>
@@ -1105,6 +1115,20 @@ object QueriesCuration {
                      AS sample_rank
             FROM f WHERE fp IS NOT NULL)
       SELECT source, doc_id, fp, sample_rank FROM r WHERE sample_rank <= 3""",
+    // Unique (score desc, doc_id) ordering key → the RANGE default frame
+    // equals ROWS; CAST the window sum to BIGINT (DuckDB sums to HUGEINT)
+    "q132_budget_select" -> raw"""
+      WITH $toksCte,
+      $scoreCte,
+      lens AS (SELECT doc_id, COALESCE(len(t), 0) AS n_tokens FROM toks),
+      ordered AS (
+        SELECT qs.doc_id, score, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY score DESC, qs.doc_id)
+                 AS BIGINT) AS cum_tokens
+        FROM qs JOIN lens ON qs.doc_id = lens.doc_id
+        WHERE score IS NOT NULL AND qs.doc_id IS NOT NULL)
+      SELECT doc_id, score, n_tokens, cum_tokens
+      FROM ordered WHERE cum_tokens <= 10000""",
     "q123_inverted_index" -> raw"""
       WITH $toksCte,
       tf AS (SELECT doc_id, term, count(*) AS tf

@@ -661,6 +661,32 @@ class CurationSpec extends SparkSpec {
     out(3) shouldBe ((4L, None, false))
   }
 
+  test("budgetSelect keeps the quality-ordered prefix within the budget") {
+    val docs = Seq(
+      (1L, "w w w", 0.9),      // 3 tokens, picked 1st  -> cum 3
+      (2L, "w w w w", 0.9),    // 4 tokens, picked 2nd (id tie-break) -> 7
+      (3L, "w w", 0.5),        // 2 tokens, picked 3rd -> 9
+      (4L, "w w w w w", 0.4),  // 5 tokens, cum 14 > 10: cut here
+      (5L, "w", 0.3))          // after the cut (monotone cum) — out
+      .toDF("doc_id", "text", "score")
+    val out = Curation.budgetSelect(docs, "doc_id", "text", "score",
+        budgetTokens = 10L)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._1)
+    out shouldBe Array((1L, 0.9, 3L, 3L), (2L, 0.9, 4L, 7L), (3L, 0.5, 2L, 9L))
+  }
+
+  test("budgetSelect: null score/id are not candidates; tiny budget -> empty") {
+    val docs = Seq(
+      (Some(1L), "w w", Some(0.9)),
+      (Some(2L), "w", None),          // unscorable
+      (None, "w", Some(0.8)))         // null id
+      .toDF("doc_id", "text", "score")
+    Curation.budgetSelect(docs, "doc_id", "text", "score", budgetTokens = 10L)
+      .count() shouldBe 1L
+    Curation.budgetSelect(docs, "doc_id", "text", "score", budgetTokens = 1L)
+      .count() shouldBe 0L
+  }
+
   test("bigramCrossEntropy: hand-computed smoothed bigram surprisal") {
     val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
     val corpus = Seq((1L, "a b"), (2L, "c"), (3L, "a z")).toDF("doc_id", "text")
