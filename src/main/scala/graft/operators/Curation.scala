@@ -486,6 +486,45 @@ object Curation {
               col("n_tokens").cast("double"))), 6).as("rate"))
   }
 
+  /** UT1/C4-style blocklist gate: per-document counts of banned terms and
+    * the `admitted` verdict at a banned-token-fraction threshold. Blocklist
+    * entries containing a space match as word bigrams (all positions, so
+    * "x x" hits twice in "x x x" — the standard sliding match); everything
+    * else matches single tokens. Tokenization is the corpus convention
+    * (trim + lower + whitespace split). Returns (`idCol`, n_tokens,
+    * n_banned, n_banned_distinct, banned_frac, admitted); null text yields
+    * null diagnostics and admitted = false (unscorable is not admitted),
+    * zero-token documents are admitted with fraction 0.
+    *
+    * Scale shape: pure per-row expressions against plan-literal term
+    * arrays — no shuffle, runs in the scan's codegen span, batch or
+    * stream. Right for real blocklists (UT1 is ~kB–MB, a plan literal /
+    * broadcast); a blocklist too large to broadcast would instead explode
+    * tokens and broadcast-join, same as [[decontaminate]].
+    */
+  def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
+                    blocklist: Seq[String], maxFrac: Double): DataFrame = {
+    val normed = blocklist.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+    val (phrases, words) = normed.partition(_.contains(" "))
+    val t = TextFunctions.tokens(lower(col(textCol)))
+    val wordsLit = lit(words.toArray)
+    val phrasesLit = lit(phrases.toArray)
+    // trailing zip_with pair is (last, null) -> concat null -> never matches
+    val bigrams = zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val wh = filter(t, x => array_contains(wordsLit, x))
+    val ph = filter(bigrams, x => array_contains(phrasesLit, x))
+    docs
+      .select(col(idCol), size(t).as("n_tokens"),
+        (size(wh) + size(ph)).as("n_banned"),
+        size(array_distinct(concat(wh, ph))).as("n_banned_distinct"))
+      .withColumn("banned_frac",
+        when(col("n_tokens") === 0, 0.0).otherwise(
+          round(col("n_banned").cast("double") / col("n_tokens"), 6)))
+      .withColumn("admitted",
+        coalesce(col("banned_frac") <= maxFrac, lit(false)))
+  }
+
   /** Token-budget-capped corpus selection: keep the best documents, in
     * (`scoreCol` desc, `idCol` asc) order, until their cumulative
     * whitespace-token count first exceeds `budgetTokens` — the "spend the

@@ -65,6 +65,13 @@ object QueriesCuration {
         budgetTokens = 10000L)
     }),
 
+    // Blocklist gate: banned-term counts (words + one bigram phrase) and
+    // the admitted verdict at a 6% banned-token-fraction threshold
+    "q133_blocklist_gate" -> ((s, d) =>
+      Curation.blocklistGate(Tables.documents(s, d), "doc_id", "text",
+        blocklist = Seq("slow", "big", "dup", "batch batch"),
+        maxFrac = 0.06)),
+
     // Materialized inverted index: per-token df/cf + the first 16
     // "doc:tf" postings by doc id, heap-capped (truncated flag checked)
     "q123_inverted_index" -> ((s, d) =>
@@ -1129,6 +1136,28 @@ object QueriesCuration {
         WHERE score IS NOT NULL AND qs.doc_id IS NOT NULL)
       SELECT doc_id, score, n_tokens, cum_tokens
       FROM ordered WHERE cum_tokens <= 10000""",
+    // Sliding bigram match: "x x x" hits "x x" twice, same on both sides;
+    // null text propagates null lists -> null diagnostics, admitted false
+    "q133_blocklist_gate" -> raw"""
+      WITH $toksCte,
+      hits AS (
+        SELECT doc_id, t,
+               list_filter(t, x -> x IN ('slow', 'big', 'dup')) AS wh,
+               list_filter(
+                 list_transform(range(len(t) - 1),
+                   i -> t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2]),
+                 x -> x IN ('batch batch')) AS ph
+        FROM toks)
+      SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+             CAST(len(wh) + len(ph) AS INT) AS n_banned,
+             CAST(len(list_distinct(wh || ph)) AS INT) AS n_banned_distinct,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE round(CAST(len(wh) + len(ph) AS DOUBLE) / len(t), 6)
+             END AS banned_frac,
+             coalesce(CASE WHEN len(t) = 0 THEN 0.0
+                           ELSE round(CAST(len(wh) + len(ph) AS DOUBLE) / len(t), 6)
+                      END <= 0.06, FALSE) AS admitted
+      FROM hits""",
     "q123_inverted_index" -> raw"""
       WITH $toksCte,
       tf AS (SELECT doc_id, term, count(*) AS tf

@@ -661,6 +661,23 @@ class CurationSpec extends SparkSpec {
     out(3) shouldBe ((4L, None, false))
   }
 
+  test("blocklistGate counts words + sliding phrases, verdict at threshold") {
+    val docs = Seq(
+      (1L, "Bad BAD bad word"),      // 3x "bad" + 2x phrase "bad bad" = 5/4
+      (2L, "clean text here"),       // 0 hits -> admitted
+      (3L, ""),                      // zero tokens -> frac 0, admitted
+      (4L, null))                    // null -> null diagnostics, rejected
+      .toDF("doc_id", "text")
+    val out = Curation.blocklistGate(docs, "doc_id", "text",
+        blocklist = Seq("bad", "bad bad"), maxFrac = 0.5)
+      .as[(Long, Option[Int], Option[Int], Option[Int], Option[Double], Boolean)]
+      .collect().sortBy(_._1)
+    out(0) shouldBe ((1L, Some(4), Some(5), Some(2), Some(1.25), false))
+    out(1) shouldBe ((2L, Some(3), Some(0), Some(0), Some(0.0), true))
+    out(2) shouldBe ((3L, Some(0), Some(0), Some(0), Some(0.0), true))
+    out(3) shouldBe ((4L, None, None, None, None, false))
+  }
+
   test("budgetSelect keeps the quality-ordered prefix within the budget") {
     val docs = Seq(
       (1L, "w w w", 0.9),      // 3 tokens, picked 1st  -> cum 3
