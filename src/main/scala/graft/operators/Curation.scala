@@ -560,6 +560,103 @@ object Curation {
       .select(col(idCol), col(scoreCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Per-class embedding centroid drift: the cosine between each class's
+    * mean embedding and the corpus mean — the embedding-space analog of
+    * [[sourceDivergence]] (a source whose centroid points away from the
+    * corpus is distributionally off). Returns (`classCol`, n_vecs,
+    * cos_centroid) with cosine rounded at 6 dp; an all-zero centroid (or
+    * an empty class) yields null, never a 0/0.
+    *
+    * Determinism: per-dimension sums run in FIXED-POINT (floor(v·2^20) as
+    * long) — exact integer addition in any order/partitioning, so no
+    * float-sum ambiguity crosses engines; and cosine is scale-invariant,
+    * so it is computed directly on the integer sum vectors (cnt and the
+    * 2^20 scale cancel), with the final dot/norm folds running in
+    * dimension order over BOUNDED (dim-length) lists.
+    *
+    * Scale shape: one equi-join docs↔embeddings (co-partitioned shuffle on
+    * the id at corpus scale), one (class, dim) map-side-combined aggregate
+    * — the shuffle carries dim·classes longs, not vectors; the corpus
+    * centroid REUSES those partials (an aggregate over classes·dim rows),
+    * broadcast back per dim.
+    */
+  def centroidDrift(docs: DataFrame, embeddings: DataFrame, classCol: String,
+                    idCol: String, vecIdCol: String,
+                    embCol: String): DataFrame = {
+    val joined = docs.select(col(idCol), col(classCol))
+      .join(embeddings.select(col(vecIdCol), col(embCol)),
+        col(idCol) === col(vecIdCol))
+      .select(col(classCol), posexplode(col(embCol)).as(Seq("dim", "v")))
+    val scaled = floor(col("v").cast("double") * 1048576).cast("long")
+    val grid = joined.select(col(classCol), col("dim"), scaled.as("sv"))
+      .groupBy(col(classCol), col("dim"))
+      .agg(sum(col("sv")).as("s"), count(lit(1)).as("n"))
+    val corpus = grid.groupBy(col("dim")).agg(sum(col("s")).as("cs"))
+    def orderedFold(c: Column): Column = aggregate(
+      transform(sort_array(collect_list(struct(col("dim"), c.as("v")))),
+        x => x.getField("v")),
+      lit(0.0), (acc, x) => acc + x)
+    grid.join(broadcast(corpus), "dim")
+      .select(col(classCol), col("dim"), col("n"),
+        (col("s").cast("double") * col("cs").cast("double")).as("prod"),
+        (col("s").cast("double") * col("s").cast("double")).as("s2"),
+        (col("cs").cast("double") * col("cs").cast("double")).as("c2"))
+      .groupBy(col(classCol))
+      .agg(max(col("n")).as("n_vecs"),
+        orderedFold(col("prod")).as("dot"),
+        orderedFold(col("s2")).as("ns"),
+        orderedFold(col("c2")).as("nc"))
+      .select(col(classCol), col("n_vecs"),
+        when(col("ns") === 0 || col("nc") === 0, lit(null))
+          .otherwise(round(col("dot") / (sqrt(col("ns")) * sqrt(col("nc"))), 6))
+          .as("cos_centroid"))
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of an exact document
+    * budget across classes: integer quotas `floor(totalN·w/Σw)` plus one
+    * extra seat for the `totalN − Σfloor` largest remainders (tie-break
+    * class asc) — the exact-count companion to [[mixtureRates]] (which
+    * realizes FRACTIONAL targets as sampling rates). Returns one row per
+    * weighted class: (`classCol`, weight, n_docs, base, rem, alloc,
+    * alloc_capped) with `alloc_capped = min(alloc, available)`; classes
+    * absent from the corpus report n_docs 0. Feed `alloc_capped` per class
+    * into [[sampleExactN]] to materialize the pick.
+    *
+    * Determinism/scale shape: the apportionment is PURE INTEGER CONFIG
+    * MATH (weights × budget), computed once at plan time — no float
+    * quotas, no data dependence; the corpus is touched by exactly one
+    * map-side-combined count aggregate, joined to the broadcast-literal
+    * allocation table.
+    */
+  def apportion(docs: DataFrame, classCol: String,
+                weights: Map[String, Long], totalN: Long): DataFrame = {
+    require(totalN >= 0, s"totalN must be >= 0, got $totalN")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      "weights must be non-empty and non-negative")
+    val den = weights.values.sum
+    require(den > 0, "at least one weight must be positive")
+    val base = weights.map { case (c, w) => c -> totalN * w / den }
+    val rem = weights.map { case (c, w) => c -> totalN * w % den }
+    val extra = totalN - base.values.sum // = Σ fractional parts < |classes|
+    val seats = weights.keys.toSeq
+      .sortBy(c => (-rem(c), c)).take(extra.toInt).toSet
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allocDf = weights.keys.toSeq.sorted
+      .map(c => (c, weights(c), base(c), rem(c),
+        base(c) + (if (seats(c)) 1L else 0L)))
+      .toDF(classCol, "weight", "base", "rem", "alloc")
+    // the count aggregate (≤ |classes|+1 rows) is the broadcast side: a
+    // LEFT join preserves the literal allocation table, so the build side
+    // must be the right
+    val avail = docs.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    allocDf.join(broadcast(avail), Seq(classCol), "left")
+      .select(col(classCol), col("weight"),
+        coalesce(col("__n"), lit(0L)).as("n_docs"),
+        col("base"), col("rem"), col("alloc"),
+        least(col("alloc"), coalesce(col("__n"), lit(0L))).as("alloc_capped"))
+  }
+
   /** Hashed-feature linear classifier scoring at scan rate (fastText-style
     * quality-classifier inference): sigmoid of `bias + mean_tok
     * weights(h(tok) mod dim)` via the engine-portable

@@ -72,6 +72,20 @@ object QueriesCuration {
         blocklist = Seq("slow", "big", "dup", "batch batch"),
         maxFrac = 0.06)),
 
+    // Largest-remainder apportionment: an exact 301-doc budget across six
+    // weighted sources (one absent from the corpus -> n_docs 0, capped 0)
+    "q134_apportion" -> ((s, d) =>
+      Curation.apportion(Tables.documents(s, d), "source",
+        weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 3L,
+          "src3" -> 2L, "src7" -> 1L, "srcX" -> 1L),
+        totalN = 301L)),
+
+    // Embedding centroid drift: cosine of each source's fixed-point mean
+    // embedding against the corpus mean (scale cancels in the cosine)
+    "q135_centroid_drift" -> ((s, d) =>
+      Curation.centroidDrift(Tables.documents(s, d), Tables.embeddings(s, d),
+        "source", "doc_id", "vec_id", "embedding")),
+
     // Materialized inverted index: per-token df/cf + the first 16
     // "doc:tf" postings by doc id, heap-capped (truncated flag checked)
     "q123_inverted_index" -> ((s, d) =>
@@ -1158,6 +1172,61 @@ object QueriesCuration {
                            ELSE round(CAST(len(wh) + len(ph) AS DOUBLE) / len(t), 6)
                       END <= 0.06, FALSE) AS admitted
       FROM hits""",
+    // Re-derives the Hamilton apportionment in SQL from the same literals
+    // (BIGINT //, %, remainder-rank seats) — integer math agrees exactly
+    "q134_apportion" -> raw"""
+      WITH w(source, weight) AS (VALUES
+        ('src0', CAST(5 AS BIGINT)), ('src1', CAST(3 AS BIGINT)),
+        ('src2', CAST(3 AS BIGINT)), ('src3', CAST(2 AS BIGINT)),
+        ('src7', CAST(1 AS BIGINT)), ('srcX', CAST(1 AS BIGINT))),
+      tot AS (SELECT CAST(sum(weight) AS BIGINT) AS den FROM w),
+      b AS (SELECT source, weight,
+                   (301 * weight) // den AS base,
+                   (301 * weight) % den AS rem
+            FROM w, tot),
+      e AS (SELECT CAST(301 - sum(base) AS BIGINT) AS extra FROM b),
+      r AS (SELECT b.*, e.extra,
+                   row_number() OVER (ORDER BY rem DESC, source) AS rk
+            FROM b, e),
+      a AS (SELECT source, weight, base, rem,
+                   base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS alloc
+            FROM r),
+      avail AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+      SELECT a.source, a.weight, coalesce(n_docs, 0) AS n_docs,
+             a.base, a.rem, a.alloc,
+             least(a.alloc, coalesce(n_docs, 0)) AS alloc_capped
+      FROM a LEFT JOIN avail USING (source)""",
+    // Fixed-point (2^20) per-dim integer sums -> exact in any order; the
+    // cosine folds run in dim order on both engines; products go through
+    // DOUBLE before multiplying (the raw long product would overflow)
+    "q135_centroid_drift" -> raw"""
+      WITH j AS (SELECT d.source, e.embedding
+                 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      x AS (SELECT source, CAST(u.i AS INT) AS dim,
+                   CAST(floor(CAST(embedding[CAST(u.i AS INT) + 1] AS DOUBLE)
+                              * 1048576) AS BIGINT) AS sv
+            FROM j, unnest(range(len(embedding))) AS u(i)),
+      g AS (SELECT source, dim, CAST(sum(sv) AS BIGINT) AS s,
+                   count(*) AS n
+            FROM x GROUP BY 1, 2),
+      c AS (SELECT dim, CAST(sum(s) AS BIGINT) AS cs FROM g GROUP BY 1),
+      p AS (SELECT source, dim, n,
+                   CAST(s AS DOUBLE) * CAST(cs AS DOUBLE) AS prod,
+                   CAST(s AS DOUBLE) * CAST(s AS DOUBLE) AS s2,
+                   CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) AS c2
+            FROM g JOIN c USING (dim)),
+      f AS (SELECT source, CAST(max(n) AS BIGINT) AS n_vecs,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(prod ORDER BY dim)), (a, x) -> a + x) AS dot,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(s2 ORDER BY dim)), (a, x) -> a + x) AS ns,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(c2 ORDER BY dim)), (a, x) -> a + x) AS nc
+            FROM p GROUP BY 1)
+      SELECT source, n_vecs,
+             CASE WHEN ns = 0 OR nc = 0 THEN NULL
+                  ELSE round(dot / (sqrt(ns) * sqrt(nc)), 6) END AS cos_centroid
+      FROM f""",
     "q123_inverted_index" -> raw"""
       WITH $toksCte,
       tf AS (SELECT doc_id, term, count(*) AS tf

@@ -661,6 +661,49 @@ class CurationSpec extends SparkSpec {
     out(3) shouldBe ((4L, None, false))
   }
 
+  test("apportion: largest-remainder seats, remainder ties by class asc") {
+    // equal weights, N=10: base 3+3+3, one seat left -> "a" (tie asc);
+    // "a" has only 2 docs (capped), "c" is absent from the corpus
+    val docs = (Seq.fill(2)("a") ++ Seq.fill(5)("b")).toDF("source")
+    val out = Curation.apportion(docs, "source",
+        weights = Map("a" -> 1L, "b" -> 1L, "c" -> 1L), totalN = 10L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    out shouldBe Array(
+      ("a", 1L, 2L, 3L, 1L, 4L, 2L),
+      ("b", 1L, 5L, 3L, 1L, 3L, 3L),
+      ("c", 1L, 0L, 3L, 1L, 3L, 0L))
+  }
+
+  test("apportion: exact division leaves no remainder seats") {
+    val docs = Seq.fill(9)("a").toDF("source")
+    val out = Curation.apportion(docs, "source",
+        weights = Map("a" -> 3L, "b" -> 1L), totalN = 8L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    out shouldBe Array(
+      ("a", 3L, 9L, 6L, 0L, 6L, 6L),
+      ("b", 1L, 0L, 2L, 0L, 2L, 0L))
+  }
+
+  test("centroidDrift: hand-computed cosine; zero centroid yields null") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("doc_id", "source")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),  // a: sum [2, 0]
+      (3L, Array(0.0f, 1.0f)),                           // b: sum [0, 1]
+      (4L, Array(0.0f, 0.0f)))                           // c: zero centroid
+      .toDF("vec_id", "embedding")
+    val out = Curation.centroidDrift(docs, emb, "source",
+        "doc_id", "vec_id", "embedding")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // corpus sum [2, 1]: cos(a) = 2/sqrt(5), cos(b) = 1/sqrt(5)
+    out shouldBe Array(
+      ("a", 2L, Some(r6(2.0 / math.sqrt(5.0)))),
+      ("b", 1L, Some(r6(1.0 / math.sqrt(5.0)))),
+      ("c", 1L, None))
+  }
+
   test("blocklistGate counts words + sliding phrases, verdict at threshold") {
     val docs = Seq(
       (1L, "Bad BAD bad word"),      // 3x "bad" + 2x phrase "bad bad" = 5/4
