@@ -560,6 +560,39 @@ object Curation {
       .select(col(idCol), col(scoreCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Per-class tokenizer fertility — the multilingual tokenizer-efficiency
+    * report (subwords per word and chars per subword by language): a
+    * language whose fertility is high is over-segmented by the tokenizer
+    * and under-represented per token budget. Uses the whitespace word
+    * tokenizer and the BPE-ish subword regex ([[TextFunctions
+    * .subwordCount]]). Returns (`classCol`, n_docs, n_words, n_subwords,
+    * n_chars, fertility, chars_per_subword); ratios divide the INTEGER
+    * class totals once (never an average of per-doc rounded ratios — the
+    * order-dependence trap), zero denominators yield null.
+    *
+    * Scale shape: one map-side-combined aggregate of integer counts —
+    * scan-rate per-row regex work, a shuffle of |classes| rows.
+    */
+  def tokenizerFertility(docs: DataFrame, classCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(classCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__w"),
+        TextFunctions.subwordCount(col(textCol)).cast("long").as("__s"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__w")), lit(0L)).as("n_words"),
+        coalesce(sum(col("__s")), lit(0L)).as("n_subwords"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_chars"))
+      .select(col(classCol), col("n_docs"), col("n_words"),
+        col("n_subwords"), col("n_chars"),
+        when(col("n_words") === 0, lit(null)).otherwise(
+          round(col("n_subwords").cast("double") / col("n_words"), 6))
+          .as("fertility"),
+        when(col("n_subwords") === 0, lit(null)).otherwise(
+          round(col("n_chars").cast("double") / col("n_subwords"), 6))
+          .as("chars_per_subword"))
+
   /** Per-class embedding centroid drift: the cosine between each class's
     * mean embedding and the corpus mean — the embedding-space analog of
     * [[sourceDivergence]] (a source whose centroid points away from the

@@ -399,4 +399,69 @@ object Similarity {
       .withColumn("cosine", VectorFunctions.cosineBest(spark, col("qv"), col("cv")))
     topKReduce(scored, k)
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985) — the diversity-selection
+    * step of embedding-based curation: pick the min-id seed, then k−1
+    * times the point FARTHEST from its nearest already-picked center
+    * (max-min, a 2-approximation of the optimal k-center cover). Returns
+    * the picks in order: (pick_rank, vec_id, dist) with `dist` the
+    * max-min SQUARED distance in fixed-point (2^20-scaled ints, so
+    * dist = round-trip-exact integer); the seed's dist is null.
+    *
+    * Determinism: vectors are scaled to integer grids (floor(v·2^20)), so
+    * every distance is an EXACT integer — no float-sum ambiguity in the
+    * argmax — and ties break on the smaller id via a (dist, −id) struct
+    * max. Cross-engine safe: squares of 2^21-scale diffs × dim ≪ 2^63.
+    *
+    * Scale shape (the PageRank pattern): the frontier state (id, scaled
+    * vec, running min-dist) is columnar and `localCheckpoint`ed per
+    * round; each round is ONE map over the state (distance to the single
+    * newest center, a plan literal) + ONE map-side-combined argmax
+    * aggregate + a 1-row collect — k rounds, k bounded (a coreset is
+    * tens, not millions), nothing quadratic, no per-partition funnel.
+    */
+  def kCenterCoreset(vectors: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sv = transform(col(vecCol),
+      x => floor(x.cast("double") * 1048576).cast("long"))
+    var state = vectors
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), sv.as("sv"))
+      .withColumn("mind", lit(null).cast("long"))
+      .localCheckpoint()
+    val seed = state.orderBy(col("id")).select(col("id"), col("sv")).head()
+    var curId = seed.getLong(0)
+    var curVec = seed.getSeq[Long](1)
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1, curId, Option.empty[Long]))
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val cLit = lit(curVec.toArray)
+      val d = aggregate(
+        zip_with(col("sv"), cLit, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      state = state
+        .filter(col("id") =!= curId)
+        .withColumn("mind",
+          when(col("mind").isNull, d).otherwise(least(col("mind"), d)))
+        .localCheckpoint()
+      val top = state
+        .agg(max_by(struct(col("id"), col("sv"), col("mind")),
+          struct(col("mind"), negate(col("id")))).as("m"))
+        .select(col("m.id"), col("m.sv"), col("m.mind"))
+        .head()
+      if (top.isNullAt(0)) exhausted = true
+      else {
+        curId = top.getLong(0)
+        curVec = top.getSeq[Long](1)
+        picks += ((r, curId, Some(top.getLong(2))))
+        r += 1
+      }
+    }
+    picks.toSeq.toDF("pick_rank", "vec_id", "dist")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup, GraphOps}
+import graft.operators.{Curation, Dedup, GraphOps, Similarity}
 import graft.sources.Tables
 
 /** Corpus-curation queries (training-data pipeline surface): benchmark
@@ -85,6 +85,17 @@ object QueriesCuration {
     "q135_centroid_drift" -> ((s, d) =>
       Curation.centroidDrift(Tables.documents(s, d), Tables.embeddings(s, d),
         "source", "doc_id", "vec_id", "embedding")),
+
+    // Greedy k-center coreset over the embeddings: min-id seed, then 4
+    // max-min picks on exact fixed-point integer distances
+    "q136_kcenter_coreset" -> ((s, d) =>
+      Similarity.kCenterCoreset(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 5)),
+
+    // Tokenizer fertility by declared language: subwords/word and
+    // chars/subword from integer class totals
+    "q137_fertility" -> ((s, d) =>
+      Curation.tokenizerFertility(Tables.documents(s, d), "lang", "text")),
 
     // Materialized inverted index: per-token df/cf + the first 16
     // "doc:tf" postings by doc id, heap-capped (truncated flag checked)
@@ -520,6 +531,45 @@ object QueriesCuration {
     * template keeps all ten bit-identical to [[GraphOps.pageRank]]'s loop
     * (same `//` truncating division, same 15/85/100 integer damping).
     */
+  /** Generated unrolled oracle for q136 (Gonzalez k-center, k=5): each
+    * round is a MATERIALIZED CTE (plain CTEs re-inline exponentially —
+    * the q124 lesson); distances are the same fixed-point integers the
+    * Spark side computes, ties break (mind DESC, id).
+    */
+  private val kCenterOracle: String = {
+    val k = 5
+    def dist(a: String, b: String) = raw"""
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(len($a)),
+            i -> ($a[CAST(i AS INT) + 1] - $b[CAST(i AS INT) + 1])
+               * ($a[CAST(i AS INT) + 1] - $b[CAST(i AS INT) + 1]))),
+          (acc, x) -> acc + x)"""
+    val rounds = (2 to k).map { r =>
+      val p = r - 1
+      val src = if (r == 2) "sv0" else s"d$p"
+      val mind = if (r == 2) dist("s.sv", "c.sv")
+                 else raw"""least(s.mind, ${dist("s.sv", "c.sv")})"""
+      raw"""
+      d$r AS MATERIALIZED (
+        SELECT s.id, s.sv, $mind AS mind
+        FROM $src s, c$p c WHERE s.id <> c.id),
+      c$r AS MATERIALIZED (
+        SELECT id, sv, mind FROM d$r ORDER BY mind DESC, id LIMIT 1)"""
+    }.mkString(",")
+    val union = (2 to k)
+      .map(r => s"UNION ALL SELECT $r, id, mind FROM c$r").mkString("\n      ")
+    raw"""
+      WITH sv0 AS MATERIALIZED (
+        SELECT vec_id AS id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS sv
+        FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+      c1 AS MATERIALIZED (SELECT id, sv FROM sv0 ORDER BY id LIMIT 1),$rounds
+      SELECT 1 AS pick_rank, id AS vec_id, CAST(NULL AS BIGINT) AS dist FROM c1
+      $union"""
+  }
+
   private val pageRankOracle: String = {
     val S = "1000000000000"
     val hostOf = (c: String) => raw"""
@@ -1227,6 +1277,32 @@ object QueriesCuration {
              CASE WHEN ns = 0 OR nc = 0 THEN NULL
                   ELSE round(dot / (sqrt(ns) * sqrt(nc)), 6) END AS cos_centroid
       FROM f""",
+    // Integer totals divided ONCE per class (never averaged per-doc
+    // rounded ratios); zero denominators -> null on both sides
+    "q137_fertility" -> raw"""
+      WITH p AS (
+        SELECT lang,
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE len(regexp_extract_all(text,
+                           '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) END AS s,
+               length(text) AS c
+        FROM documents),
+      a AS (SELECT lang, count(*) AS n_docs,
+                   CAST(coalesce(sum(w), 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(sum(s), 0) AS BIGINT) AS n_subwords,
+                   CAST(coalesce(sum(c), 0) AS BIGINT) AS n_chars
+            FROM p GROUP BY 1)
+      SELECT lang, n_docs, n_words, n_subwords, n_chars,
+             CASE WHEN n_words = 0 THEN NULL
+                  ELSE round(CAST(n_subwords AS DOUBLE) / n_words, 6)
+             END AS fertility,
+             CASE WHEN n_subwords = 0 THEN NULL
+                  ELSE round(CAST(n_chars AS DOUBLE) / n_subwords, 6)
+             END AS chars_per_subword
+      FROM a""",
     "q123_inverted_index" -> raw"""
       WITH $toksCte,
       tf AS (SELECT doc_id, term, count(*) AS tf
@@ -1245,6 +1321,7 @@ object QueriesCuration {
       SELECT a.term, a.df, a.cf, p.postings, a.df > 16 AS truncated
       FROM agg a JOIN post p USING (term)""",
     "q124_host_pagerank" -> pageRankOracle,
+    "q136_kcenter_coreset" -> kCenterOracle,
     // Mirrors sourceDivergence bucket-for-bucket: token-sorted fold, OOV
     // appended last, same association (in_vocab + (0.5·X + 0.5·Y))
     "q130_source_divergence" -> raw"""

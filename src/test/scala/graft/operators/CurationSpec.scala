@@ -684,6 +684,21 @@ class CurationSpec extends SparkSpec {
       ("b", 1L, 0L, 2L, 0L, 2L, 0L))
   }
 
+  test("tokenizerFertility: integer totals, one division, null guards") {
+    val docs = Seq(
+      ("en", "hello, world"),   // 2 words; subwords: hell,o,",",worl,d = 5
+      ("en", "ab"),             // 1 word, 1 subword
+      ("xx", ""),               // 0 words, 0 subwords
+      ("yy", null))             // null text: counts skip, doc counted
+      .toDF("lang", "text")
+    val out = Curation.tokenizerFertility(docs, "lang", "text")
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    out(0) shouldBe (("en", 2L, 3L, 6L, 14L, Some(2.0), Some(2.333333)))
+    out(1) shouldBe (("xx", 1L, 0L, 0L, 0L, None, None))
+    out(2) shouldBe (("yy", 1L, 0L, 0L, 0L, None, None))
+  }
+
   test("centroidDrift: hand-computed cosine; zero centroid yields null") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
       .toDF("doc_id", "source")

@@ -257,4 +257,37 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(_._2).toSet
     out.map(_._2).toSet.subsetOf(exact) shouldBe true
   }
+
+  test("kCenterCoreset matches a sequential Gonzalez reference") {
+    val pts = Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.25, 4L -> 0.6)
+    val vecs = pts.toSeq.map { case (id, x) => (id, Array(x)) }
+      .toDF("vec_id", "embedding")
+    def s(x: Double) = math.floor(x * 1048576).toLong
+    def d2(a: Double, b: Double) = { val d = s(a) - s(b); d * d }
+    // seed 1 (min id); then greedy max-min with min-id tie-break
+    var centers = Vector(1L)
+    var expected = Vector((1, 1L, Option.empty[Long]))
+    for (r <- 2 to 4) {
+      val (id, dist) = (pts.keySet -- centers).toSeq
+        .map(i => i -> centers.map(c => d2(pts(i), pts(c))).min)
+        .minBy { case (i, d) => (-d, i) }
+      centers :+= id
+      expected :+= ((r, id, Some(dist)))
+    }
+    val out = Similarity.kCenterCoreset(vecs, "vec_id", "embedding", k = 4)
+      .as[(Int, Long, Option[Long])].collect().sortBy(_._1).toVector
+    out shouldBe expected
+    // sanity on the reference itself: farthest-first really picks 2 next
+    expected.map(_._2) shouldBe Vector(1L, 2L, 4L, 3L)
+  }
+
+  test("kCenterCoreset stops early when the pool is exhausted; nulls dropped") {
+    val vecs = Seq(
+      (1L, Array(0.0)), (2L, Array(0.0)),           // duplicate points
+      (3L, null.asInstanceOf[Array[Double]]))       // dropped
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(vecs, "vec_id", "embedding", k = 5)
+      .as[(Int, Long, Option[Long])].collect().sortBy(_._1)
+    out shouldBe Array((1, 1L, None), (2, 2L, Some(0L)))
+  }
 }
