@@ -560,6 +560,87 @@ object Curation {
       .select(col(idCol), col(scoreCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Pearson correlation matrix between quality signals — the diagnostic
+    * that tells you which curation signals are redundant (|r| → 1) before
+    * you weight them. Input columns must be 6-dp-ROUNDED signals in
+    * roughly [0, 1]; each is snapped to an exact ×10⁶ integer grid, so
+    * every power sum is an EXACT integer (decimal accumulators — no
+    * float-sum order ambiguity), and the textbook
+    * `(nΣxy − ΣxΣy)/√(nΣx²−(Σx)²)√(nΣy²−(Σy)²)` runs ONCE on the exact
+    * sums cast to double, spelled identically on both engines. Returns
+    * one row per unordered pair: (sig_x, sig_y, n, r); zero-variance
+    * signals yield null r (the guard is on the variance terms, so no
+    * sqrt of a rounding-negative and no division by zero). Rows with any
+    * null signal are dropped (complete-case).
+    *
+    * Scale shape: ONE map-side-combined aggregate over the corpus
+    * computing all k + k·(k+1) sums in a single pass; the pair fan-out
+    * explodes a literal array on the 1-row result.
+    */
+  def signalCorrelation(docs: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two signal columns")
+    val scaled = docs.select(cols.map(c =>
+      round(col(c) * 1000000, 0).cast("long").as(s"__$c")): _*)
+      .na.drop()
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggExprs: Seq[Column] =
+      (count(lit(1)).as("n") +:
+        cols.flatMap(c => Seq(
+          sum(col(s"__$c").cast("decimal(20,0)")).as(s"s_$c"),
+          sum((col(s"__$c") * col(s"__$c")).cast("decimal(20,0)"))
+            .as(s"ss_$c")))) ++
+        pairs.map { case (a, b) =>
+          sum((col(s"__$a") * col(s"__$b")).cast("decimal(20,0)"))
+            .as(s"sp_${a}_$b")
+        }
+    val one = scaled.agg(aggExprs.head, aggExprs.tail: _*)
+    val nd = col("n").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val sx = col(s"s_$a").cast("double")
+      val sy = col(s"s_$b").cast("double")
+      val vx = nd * col(s"ss_$a").cast("double") - sx * sx
+      val vy = nd * col(s"ss_$b").cast("double") - sy * sy
+      val sxy = col(s"sp_${a}_$b").cast("double")
+      struct(lit(a).as("sig_x"), lit(b).as("sig_y"), col("n").as("n"),
+        when(vx <= 0 || vy <= 0, lit(null).cast("double"))
+          .otherwise(round((nd * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)), 6))
+          .as("r"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.sig_x"), col("p.sig_y"), col("p.n"), col("p.r"))
+  }
+
+  /** Per-class quantile-rank normalization — maps each document's score to
+    * its within-class Hazen percentile `(rank + 0.5) / n` (rank 0-based in
+    * (`scoreCol` asc, `idCol` asc) order), the cross-source calibration
+    * step that makes one quality threshold comparable across sources whose
+    * raw score distributions differ. Returns (`idCol`, `classCol`,
+    * `scoreCol`, rank, n, quantile); Hazen never divides by zero (n ≥ 1)
+    * and needs no n = 1 special case. Rows with null score or id are not
+    * rankable and are dropped (engines disagree on null sort order).
+    *
+    * Scale shape: ranks come from [[OrderedPosition.withPosition]] (range
+    * repartition + per-partition local ranks + broadcast offsets) — the
+    * few-big-classes shape where a per-class `Window` would funnel each
+    * class through one reducer; class counts are a broadcast-joined
+    * map-side-combined aggregate. For MANY SMALL classes invert the
+    * choice: a per-class window never serializes when every class fits a
+    * partition.
+    */
+  def quantileNormalize(docs: DataFrame, classCol: String, idCol: String,
+                        scoreCol: String): DataFrame = {
+    val clean = docs.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol), col(classCol), col(scoreCol))
+    val ranked = OrderedPosition.withPosition(clean, Seq(classCol),
+      Seq(scoreCol, idCol), "rank")
+    val counts = clean.groupBy(col(classCol)).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), Seq(classCol))
+      .select(col(idCol), col(classCol), col(scoreCol), col("rank"), col("n"),
+        round((col("rank") + lit(0.5)) / col("n"), 6).as("quantile"))
+  }
+
   /** Per-class tokenizer fertility — the multilingual tokenizer-efficiency
     * report (subwords per word and chars per subword by language): a
     * language whose fertility is high is over-segmented by the tokenizer

@@ -97,6 +97,31 @@ object QueriesCuration {
     "q137_fertility" -> ((s, d) =>
       Curation.tokenizerFertility(Tables.documents(s, d), "lang", "text")),
 
+    // Per-source quantile normalization: Hazen percentile of the quality
+    // score within each source — grouped ranks without a per-class window
+    "q138_quantile_norm" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text"), enStop).as("score"))
+      Curation.quantileNormalize(scored, "source", "doc_id", "score")
+    }),
+
+    // Quality-signal correlation matrix: Pearson r between the four
+    // quality-score components, from exact integer power sums
+    "q139_signal_corr" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+      val sig = t.select(
+        round(least(length(col("text")).cast("double") / 500.0, lit(1.0)), 6)
+          .as("len_score"),
+        round(TextFunctions.charRatio(col("text"), "[^A-Za-z0-9\\s]"), 6)
+          .as("punct_ratio"),
+        round(TextFunctions.charRatio(col("text"), "[0-9]"), 6)
+          .as("digit_ratio"),
+        round(TextFunctions.stopwordRatio(col("text"), enStop), 6)
+          .as("stop_ratio"))
+      Curation.signalCorrelation(sig,
+        Seq("len_score", "punct_ratio", "digit_ratio", "stop_ratio"))
+    }),
+
     // Materialized inverted index: per-token df/cf + the first 16
     // "doc:tf" postings by doc id, heap-capped (truncated flag checked)
     "q123_inverted_index" -> ((s, d) =>
@@ -531,6 +556,61 @@ object QueriesCuration {
     * template keeps all ten bit-identical to [[GraphOps.pageRank]]'s loop
     * (same `//` truncating division, same 15/85/100 integer damping).
     */
+  /** Generated oracle for q139: the same textbook Pearson formula per
+    * pair over exact ×10⁶ integer power sums (DuckDB HUGEINT == Spark
+    * decimal — both exact), cast to double at the same points. Signal
+    * components come from `scoreCte`'s qs0, rounded at 6 dp exactly as
+    * the Spark query rounds them.
+    */
+  // lazy: interpolates toksCte/scoreCte, which are declared further down
+  // the file (forced at oracleSql init, after every fragment exists)
+  private lazy val signalCorrOracle: String = {
+    val sigs = Seq("len_score" -> "len_score", "punct_ratio" -> "punct",
+      "digit_ratio" -> "digits", "stop_ratio" -> "stop")
+    val short = Map("len_score" -> "ls", "punct_ratio" -> "pr",
+      "digit_ratio" -> "dr", "stop_ratio" -> "sr")
+    val sumCols = sigs.map(_._1).map { n =>
+      val c = short(n)
+      raw"""CAST(sum(x_$c) AS DOUBLE) AS s_$c,
+                   CAST(sum(x_$c * x_$c) AS DOUBLE) AS ss_$c"""
+    }.mkString(",\n                   ")
+    val pairs = for {
+      i <- sigs.indices; j <- (i + 1) until sigs.size
+    } yield (sigs(i)._1, sigs(j)._1)
+    val prodCols = pairs.map { case (a, b) =>
+      raw"""CAST(sum(x_${short(a)} * x_${short(b)}) AS DOUBLE) AS sp_${short(a)}_${short(b)}"""
+    }.mkString(",\n                   ")
+    val blocks = pairs.map { case (a, b) =>
+      val (ca, cb) = (short(a), short(b))
+      raw"""SELECT '$a' AS sig_x, '$b' AS sig_y, n,
+             CASE WHEN (nd * ss_$ca - s_$ca * s_$ca) <= 0
+                    OR (nd * ss_$cb - s_$cb * s_$cb) <= 0 THEN NULL
+                  ELSE round((nd * sp_${ca}_$cb - s_$ca * s_$cb)
+                       / (sqrt(nd * ss_$ca - s_$ca * s_$ca)
+                          * sqrt(nd * ss_$cb - s_$cb * s_$cb)), 6)
+             END AS r
+      FROM a"""
+    }.mkString("\n      UNION ALL ")
+    val xCols = sigs.map { case (n, src) =>
+      raw"""CAST(round(round($src, 6) * 1000000) AS BIGINT) AS x_${short(n)}"""
+    }.mkString(",\n             ")
+    raw"""
+      WITH $toksCte,
+      $scoreCte,
+      sig AS (
+        SELECT $xCols
+        FROM qs0),
+      base AS (SELECT * FROM sig
+               WHERE x_ls IS NOT NULL AND x_pr IS NOT NULL
+                 AND x_dr IS NOT NULL AND x_sr IS NOT NULL),
+      agg AS (SELECT count(*) AS n,
+                   $sumCols,
+                   $prodCols
+              FROM base),
+      a AS (SELECT agg.*, CAST(n AS DOUBLE) AS nd FROM agg)
+      $blocks"""
+  }
+
   /** Generated unrolled oracle for q136 (Gonzalez k-center, k=5): each
     * round is a MATERIALIZED CTE (plain CTEs re-inline exponentially —
     * the q124 lesson); distances are the same fixed-point integers the
@@ -1303,6 +1383,22 @@ object QueriesCuration {
                   ELSE round(CAST(n_chars AS DOUBLE) / n_subwords, 6)
              END AS chars_per_subword
       FROM a""",
+    // Hazen (rank+0.5)/n: no zero denominator, no n=1 special case;
+    // null-score rows dropped on both sides (null sort order differs)
+    "q138_quantile_norm" -> raw"""
+      WITH $toksCte,
+      $scoreCte,
+      src AS (SELECT doc_id, source FROM documents),
+      r AS (SELECT qs.doc_id, src.source, qs.score,
+                   CAST(row_number() OVER (PARTITION BY src.source
+                                           ORDER BY qs.score, qs.doc_id) - 1
+                     AS BIGINT) AS "rank"
+            FROM qs JOIN src USING (doc_id)
+            WHERE qs.score IS NOT NULL AND qs.doc_id IS NOT NULL),
+      c AS (SELECT source, count(*) AS n FROM r GROUP BY 1)
+      SELECT r.doc_id, r.source, r.score, r."rank", c.n,
+             round((r."rank" + 0.5) / c.n, 6) AS quantile
+      FROM r JOIN c USING (source)""",
     "q123_inverted_index" -> raw"""
       WITH $toksCte,
       tf AS (SELECT doc_id, term, count(*) AS tf
@@ -1322,6 +1418,7 @@ object QueriesCuration {
       FROM agg a JOIN post p USING (term)""",
     "q124_host_pagerank" -> pageRankOracle,
     "q136_kcenter_coreset" -> kCenterOracle,
+    "q139_signal_corr" -> signalCorrOracle,
     // Mirrors sourceDivergence bucket-for-bucket: token-sorted fold, OOV
     // appended last, same association (in_vocab + (0.5·X + 0.5·Y))
     "q130_source_divergence" -> raw"""

@@ -699,6 +699,39 @@ class CurationSpec extends SparkSpec {
     out(2) shouldBe (("yy", 1L, 0L, 0L, 0L, None, None))
   }
 
+  test("quantileNormalize: Hazen percentile per class, nulls dropped") {
+    val docs = Seq(
+      (1L, "a", Some(0.1)), (3L, "a", Some(0.2)), (2L, "a", Some(0.3)),
+      (4L, "b", Some(0.9)),           // singleton class -> quantile 0.5
+      (5L, "a", None))                // null score: not rankable
+      .toDF("doc_id", "source", "score")
+    val out = Curation.quantileNormalize(docs, "source", "doc_id", "score")
+      .as[(Long, String, Double, Long, Long, Double)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, "a", 0.1, 0L, 3L, 0.166667),
+      (2L, "a", 0.3, 2L, 3L, 0.833333),
+      (3L, "a", 0.2, 1L, 3L, 0.5),
+      (4L, "b", 0.9, 0L, 1L, 0.5))
+  }
+
+  test("signalCorrelation: exact r = ±1, zero variance -> null") {
+    val sig = Seq(
+      (Some(0.1), 0.2, 0.3, 0.5),
+      (Some(0.2), 0.4, 0.2, 0.5),
+      (Some(0.3), 0.6, 0.1, 0.5),
+      (None, 0.9, 0.9, 0.9))          // any-null row dropped (complete-case)
+      .toDF("a", "b", "c", "d")
+    val out = Curation.signalCorrelation(sig, Seq("a", "b", "c", "d"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    out(("a", "b")) shouldBe ((3L, Some(1.0)))
+    out(("a", "c")) shouldBe ((3L, Some(-1.0)))
+    out(("a", "d")) shouldBe ((3L, None))
+    out(("b", "c")) shouldBe ((3L, Some(-1.0)))
+    out(("c", "d")) shouldBe ((3L, None))
+    out.size shouldBe 6
+  }
+
   test("centroidDrift: hand-computed cosine; zero centroid yields null") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
       .toDF("doc_id", "source")
