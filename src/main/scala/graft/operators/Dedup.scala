@@ -535,4 +535,26 @@ object Dedup {
       .select(col("id"), col("score"), col("rep").as("component"),
         col("kept_id"), (col("id") === col("kept_id")).as("kept"))
   }
+
+  /** Soft dedup (the data-constrained-scaling regime): instead of
+    * discarding duplicates outright, each exact-dup group keeps its min-id
+    * survivor with a CAPPED repeat weight `min(copies, cap)` — repeated
+    * data keeps some value for the first few epochs-worth of copies, none
+    * beyond the cap. Returns (keep_id, copies, train_weight, keep_frac)
+    * with keep_frac = train_weight/copies (6 dp), the fraction of the
+    * group's raw mass a count-proportional sampler should retain.
+    *
+    * Scale shape: exactly [[exactDupGroups]] — one hash-groupBy on
+    * (xxhash64, length), map-side combined; the weights are per-group
+    * arithmetic on the aggregate.
+    */
+  def softDedupWeights(df: DataFrame, textCol: String, idCol: String,
+                       cap: Long): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    exactDupGroups(df, textCol, idCol)
+      .select(col("keep_id"), col("copies"),
+        least(col("copies"), lit(cap)).as("train_weight"),
+        round(least(col("copies"), lit(cap)).cast("double") / col("copies"), 6)
+          .as("keep_frac"))
+  }
 }

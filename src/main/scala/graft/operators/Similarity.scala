@@ -400,6 +400,31 @@ object Similarity {
     topKReduce(scored, k)
   }
 
+  /** Recall@k evaluation of an approximate ANN result against the exact
+    * one — the accuracy side of the IVF/quantization speed trade, reported
+    * per query: (query_id, n_hits, n_exact, recall) where recall =
+    * |approx ∩ exact| / |exact| (6 dp). Both inputs are
+    * (query_id, neighbor_id, …) result sets (e.g. [[ivfTopK]] vs
+    * [[bruteForceTopK]]).
+    *
+    * Scale shape: one semi-join on (query_id, neighbor_id) — both sides
+    * are top-k results, k·|queries| rows, tiny next to the corpus scans
+    * that produced them — and per-query count aggregates; integer counts,
+    * one division.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val ap = approx.select(col("query_id"), col("neighbor_id"))
+    val hits = ap.join(ex, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val tot = ex.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    tot.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"), 6)
+          .as("recall"))
+  }
+
   /** Greedy k-center coreset (Gonzalez 1985) — the diversity-selection
     * step of embedding-based curation: pick the min-id seed, then k−1
     * times the point FARTHEST from its nearest already-picked center

@@ -104,6 +104,32 @@ object QueriesDocs {
         dim = 64, k = 3, nBits = 2)
     }),
 
+    // Recall@k of the multi-probe IVF path against the exact brute-force
+    // top-k (golden-pinned: the LSH bucketing isn't SQL-expressible)
+    "q142_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val queries = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", dim = 64, k = 3, nBits = 2,
+        multiProbe = true)
+      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3)
+      Similarity.recallAtK(approx, exact)
+    }),
+
+    // Soft dedup: capped repeat weight per exact-dup group
+    "q141_soft_dedup" -> ((s, d) =>
+      Dedup.softDedupWeights(Tables.documents(s, d), "text", "doc_id",
+        cap = 3L)),
+
+    // Language confusion matrix: declared lang vs heuristic prediction
+    "q140_lang_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"),
+          TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // Deterministic content-hash train/val/test split (reproducible across
     // engines/runs — the oracle recomputes the same assignment)
     "q55_hash_split" -> ((s, d) =>
@@ -434,6 +460,27 @@ object QueriesDocs {
       GROUP BY 1""",
     "q21_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text",
+    "q141_soft_dedup" -> raw"""
+      SELECT min(doc_id) AS keep_id, count(*) AS copies,
+             least(count(*), 3) AS train_weight,
+             round(CAST(least(count(*), 3) AS DOUBLE) / count(*), 6) AS keep_frac
+      FROM documents GROUP BY text""",
+    // q25's predictor with the declared lang carried through
+    "q140_lang_confusion" -> raw"""
+      WITH t AS (SELECT lang,
+                        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+                 FROM documents),
+      s AS (SELECT lang, ${Seq("de", "en", "es", "fr").map(langHitsSql).mkString(", ")} FROM t)
+      SELECT lang, lang_pred, count(*) AS cnt FROM (
+        SELECT lang,
+               CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                    WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
+                    WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+                    WHEN hits_en >= hits_de THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM s)
+      GROUP BY 1, 2""",
     // 40-bit SimHash: token rolling hash (seed 7, *31, mod 2^40) -> per-bit
     // majority vote -> sum of 2^b for positive bits
     "q27_simhash" -> raw"""

@@ -272,4 +272,12 @@ class DedupSpec extends SparkSpec {
     // singleton survives as its own component
     out.find(_._1 == 10L).get._2 shouldBe 10L
   }
+
+  test("softDedupWeights caps the repeat weight per exact-dup group") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"), (5L, "y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.softDedupWeights(docs, "text", "doc_id", cap = 3L)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    out shouldBe Array((1L, 4L, 3L, 0.75), (5L, 1L, 1L, 1.0))
+  }
 }

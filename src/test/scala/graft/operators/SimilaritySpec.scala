@@ -258,6 +258,18 @@ class SimilaritySpec extends SparkSpec {
     out.map(_._2).toSet.subsetOf(exact) shouldBe true
   }
 
+  test("recallAtK: exact vs itself is 1.0; missing neighbors counted") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 99L))  // q2 missed both
+      .toDF("query_id", "neighbor_id")
+    Similarity.recallAtK(exact, exact)
+      .as[(Long, Long, Long, Double)].collect().foreach(_._4 shouldBe 1.0)
+    val out = Similarity.recallAtK(approx, exact)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    out shouldBe Array((1L, 2L, 2L, 1.0), (2L, 0L, 2L, 0.0))
+  }
+
   test("kCenterCoreset matches a sequential Gonzalez reference") {
     val pts = Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.25, 4L -> 0.6)
     val vecs = pts.toSeq.map { case (id, x) => (id, Array(x)) }
