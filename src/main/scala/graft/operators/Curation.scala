@@ -560,6 +560,74 @@ object Curation {
       .select(col(idCol), col(scoreCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Pairwise vocabulary overlap between classes — the source-similarity
+    * map (two sources sharing most of their vocabulary are near-duplicate
+    * feeds; one sharing almost nothing is an outlier): exact Jaccard
+    * |V_a ∩ V_b| / |V_a ∪ V_b| over distinct token sets, one row per
+    * unordered class pair (class_a < class_b). Returns (class_a, class_b,
+    * n_a, n_b, n_common, jaccard).
+    *
+    * Scale shape: ONE distinct on (class, token) — the only corpus-sized
+    * shuffle; the intersection self-join is keyed by token and emits at
+    * most |classes|²/2 rows per shared token (classes are tens, a config
+    * quantity, not data-scale); per-class sizes broadcast back onto the
+    * |classes|² pair aggregate. All integers, one division.
+    */
+  def vocabOverlap(docs: DataFrame, classCol: String,
+                   textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(classCol).as("cls"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .distinct()
+    val sizes = pairs.groupBy(col("cls")).agg(count(lit(1)).as("n"))
+    val a = pairs.select(col("cls").as("class_a"), col("token"))
+    val b = pairs.select(col("cls").as("class_b"), col("token"))
+    val common = a.join(b, Seq("token"))
+      .filter(col("class_a") < col("class_b"))
+      .groupBy(col("class_a"), col("class_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("cls").as("class_a"), col("n").as("n_a"))),
+        Seq("class_a"))
+      .join(broadcast(sizes.select(col("cls").as("class_b"), col("n").as("n_b"))),
+        Seq("class_b"))
+      .select(col("class_a"), col("class_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
+
+  /** Per-document token entropy — the information-density quality signal
+    * (low-entropy documents are repetitive boilerplate; [[gopherGate]]'s
+    * fraction rules catch some of this, entropy is the principled form):
+    * Shannon H = −Σ (c/n)·ln(c/n) over the document's token counts, with
+    * the sum folded in TOKEN-SORTED order over a per-document BOUNDED
+    * list (the cross-engine float-fold convention). Returns (`idCol`,
+    * n_tokens, n_distinct, entropy, 6 dp, `+0.0` normalizing the −0.0 a
+    * single-token document's negation would produce). Documents with no
+    * tokens (blank/null text) drop out — no tokens, no distribution.
+    *
+    * Scale shape: token explode → (doc, token) count (map-side combined,
+    * high-cardinality keys) → per-doc bounded fold. The shuffle carries
+    * (id, token-hash-sized) count rows, not text.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(struct(col("token"), col("c")))).as("__l"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        (round(negate(aggregate(
+          transform(col("__l"), x =>
+            (x.getField("c").cast("double") / col("n_tokens")) *
+              log(x.getField("c").cast("double") / col("n_tokens"))),
+          lit(0.0), (acc, v) => acc + v)), 6) + lit(0.0)).as("entropy"))
+  }
+
   /** Pearson correlation matrix between quality signals — the diagnostic
     * that tells you which curation signals are redundant (|r| → 1) before
     * you weight them. Input columns must be 6-dp-ROUNDED signals in
@@ -742,8 +810,13 @@ object Curation {
     * map-side-combined count aggregate, joined to the broadcast-literal
     * allocation table.
     */
-  def apportion(docs: DataFrame, classCol: String,
-                weights: Map[String, Long], totalN: Long): DataFrame = {
+  /** The pure Hamilton seat math behind [[apportion]]: per class
+    * (weight, base, rem, alloc) with Σalloc = totalN exactly. Exposed for
+    * property tests (quota + house-monotonicity-free invariants hold by
+    * construction of the largest-remainder method).
+    */
+  private[operators] def hamiltonAlloc(weights: Map[String, Long],
+                                       totalN: Long): Seq[(String, Long, Long, Long, Long)] = {
     require(totalN >= 0, s"totalN must be >= 0, got $totalN")
     require(weights.nonEmpty && weights.values.forall(_ >= 0),
       "weights must be non-empty and non-negative")
@@ -754,11 +827,16 @@ object Curation {
     val extra = totalN - base.values.sum // = Σ fractional parts < |classes|
     val seats = weights.keys.toSeq
       .sortBy(c => (-rem(c), c)).take(extra.toInt).toSet
+    weights.keys.toSeq.sorted.map(c =>
+      (c, weights(c), base(c), rem(c),
+        base(c) + (if (seats(c)) 1L else 0L)))
+  }
+
+  def apportion(docs: DataFrame, classCol: String,
+                weights: Map[String, Long], totalN: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val allocDf = weights.keys.toSeq.sorted
-      .map(c => (c, weights(c), base(c), rem(c),
-        base(c) + (if (seats(c)) 1L else 0L)))
+    val allocDf = hamiltonAlloc(weights, totalN)
       .toDF(classCol, "weight", "base", "rem", "alloc")
     // the count aggregate (≤ |classes|+1 rows) is the broadcast side: a
     // LEFT join preserves the literal allocation table, so the build side

@@ -122,6 +122,14 @@ object QueriesCuration {
         Seq("len_score", "punct_ratio", "digit_ratio", "stop_ratio"))
     }),
 
+    // Source-similarity map: exact vocabulary Jaccard per source pair
+    "q143_vocab_overlap" -> ((s, d) =>
+      Curation.vocabOverlap(Tables.documents(s, d), "source", "text")),
+
+    // Per-document Shannon token entropy (token-sorted bounded fold)
+    "q144_token_entropy" -> ((s, d) =>
+      Curation.tokenEntropy(Tables.documents(s, d), "doc_id", "text")),
+
     // Materialized inverted index: per-token df/cf + the first 16
     // "doc:tf" postings by doc id, heap-capped (truncated flag checked)
     "q123_inverted_index" -> ((s, d) =>
@@ -1399,6 +1407,41 @@ object QueriesCuration {
       SELECT r.doc_id, r.source, r.score, r."rank", c.n,
              round((r."rank" + 0.5) / c.n, 6) AS quantile
       FROM r JOIN c USING (source)""",
+    "q143_vocab_overlap" -> raw"""
+      WITH $toksCte,
+      p AS (SELECT DISTINCT source AS cls, tok AS token
+            FROM (SELECT source, unnest(t) AS tok FROM toks)),
+      s AS (SELECT cls, count(*) AS n FROM p GROUP BY 1),
+      c AS (SELECT a.cls AS class_a, b.cls AS class_b, count(*) AS n_common
+            FROM p a JOIN p b ON a.token = b.token AND a.cls < b.cls
+            GROUP BY 1, 2)
+      SELECT class_a, class_b, sa.n AS n_a, sb.n AS n_b, n_common,
+             round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+               AS jaccard
+      FROM c
+      JOIN s sa ON sa.cls = class_a
+      JOIN s sb ON sb.cls = class_b""",
+    // -0.0 from negating a zero fold (single-token docs) is normalized
+    // by + 0.0 on both sides
+    "q144_token_entropy" -> raw"""
+      WITH $toksCte,
+      tc AS (SELECT doc_id, tok AS token, count(*) AS c
+             FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+             GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     count(*) AS n_distinct
+              FROM tc GROUP BY 1),
+      e AS (SELECT tc.doc_id, tc.token,
+                   (CAST(c AS DOUBLE) / n_tokens)
+                     * ln(CAST(c AS DOUBLE) / n_tokens) AS term
+            FROM tc JOIN agg USING (doc_id)),
+      f AS (SELECT doc_id,
+                   round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(term ORDER BY token)), (a, x) -> a + x), 6) + 0.0
+                     AS entropy
+            FROM e GROUP BY doc_id)
+      SELECT a.doc_id, a.n_tokens, a.n_distinct, f.entropy
+      FROM agg a JOIN f USING (doc_id)""",
     "q123_inverted_index" -> raw"""
       WITH $toksCte,
       tf AS (SELECT doc_id, term, count(*) AS tf

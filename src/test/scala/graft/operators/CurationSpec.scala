@@ -699,6 +699,35 @@ class CurationSpec extends SparkSpec {
     out(2) shouldBe (("yy", 1L, 0L, 0L, 0L, None, None))
   }
 
+  test("vocabOverlap: exact Jaccard on distinct token sets") {
+    val docs = Seq(
+      ("a", "x y z"), ("a", "x x"),     // V_a = {x, y, z}
+      ("b", "x y w"),                   // V_b = {x, y, w}
+      ("c", "q"))                       // V_c disjoint
+      .toDF("source", "text")
+    val out = Curation.vocabOverlap(docs, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    out(("a", "b")) shouldBe (("a", "b", 3L, 3L, 2L, 0.5))
+    out.contains(("a", "c")) shouldBe false // no shared token: no pair row
+    out.size shouldBe 1
+  }
+
+  test("tokenEntropy: hand-computed H, single-token doc yields +0.0") {
+    val docs = Seq(
+      (1L, "a a b"),   // H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+      (2L, "x"),       // H = 0 (normalized, not -0.0)
+      (3L, ""))        // no tokens: absent
+      .toDF("doc_id", "text")
+    val out = Curation.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h1 = r6(-((2.0 / 3) * math.log(2.0 / 3) + (1.0 / 3) * math.log(1.0 / 3)))
+    out shouldBe Array((1L, 3L, 2L, h1), (2L, 1L, 1L, 0.0))
+    out(1)._4.compareTo(0.0) shouldBe 0 // +0.0, not -0.0
+  }
+
   test("quantileNormalize: Hazen percentile per class, nulls dropped") {
     val docs = Seq(
       (1L, "a", Some(0.1)), (3L, "a", Some(0.2)), (2L, "a", Some(0.3)),
