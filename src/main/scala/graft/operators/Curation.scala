@@ -508,12 +508,25 @@ object Curation {
     val (phrases, words) = normed.partition(_.contains(" "))
     val t = TextFunctions.tokens(lower(col(textCol)))
     val wordsLit = lit(words.toArray)
-    val phrasesLit = lit(phrases.toArray)
-    // trailing zip_with pair is (last, null) -> concat null -> never matches
-    val bigrams = zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
+    // phrases grouped by word count: an n-word entry is matched against
+    // the document's n-grams, so 3+-word blocklist entries (UT1 lists
+    // have them) are live, not silently dead
+    val phrasesByLen = phrases
+      .groupBy(_.split(" ", -1).length).toSeq.sortBy(_._1)
+    // n-gram array via chained zip_with; trailing pairs hit the null pad
+    // -> concat null -> never matches
+    def ngrams(n: Int): Column =
+      (2 to n).foldLeft(t) { (acc, i) =>
+        zip_with(acc, slice(t, lit(i), greatest(size(t) - (i - 1), lit(0))),
+          (a, b) => concat(a, lit(" "), b))
+      }
     val wh = filter(t, x => array_contains(wordsLit, x))
-    val ph = filter(bigrams, x => array_contains(phrasesLit, x))
+    val phCols = phrasesByLen.map { case (n, ps) =>
+      filter(ngrams(n), x => array_contains(lit(ps.toArray), x))
+    }
+    val ph = phCols
+      .reduceOption(concat(_, _))
+      .getOrElse(lit(Array.empty[String]))
     docs
       .select(col(idCol), size(t).as("n_tokens"),
         (size(wh) + size(ph)).as("n_banned"),
@@ -966,7 +979,15 @@ object Curation {
       .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
       .join(weights, Seq("tok"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), round(avg(col("w")), 6).as("logratio"))
+      // order-exact mean: fold the doc's (tok, w) list sorted by token —
+      // w is a function of tok, so ties fold identically — then divide by
+      // the count, so partial-aggregate merge order can never wobble the
+      // 6-dp hash gate (the bm25TopK/tokenEntropy convention)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(
+          aggregate(sort_array(collect_list(struct(col("tok"), col("w")))),
+            lit(0.0), (acc, e) => acc + e.getField("w")) / count(lit(1)),
+          6).as("logratio"))
     corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("logratio"))
@@ -1015,8 +1036,12 @@ object Curation {
         log((coalesce(col("cb"), lit(0L)) + alpha) /
           (coalesce(col("cu"), lit(0L)) + lit(alpha * v))))
       .groupBy(col(idCol))
+      // order-exact mean, as in importanceWeights: lp is a function of the
+      // bigram string, so the bg-sorted fold is bit-deterministic
       .agg(count(lit(1)).as("n_bigrams"),
-        round(-avg(col("lp")), 6).as("cross_entropy"))
+        round(-(aggregate(sort_array(collect_list(struct(col("bg"), col("lp")))),
+          lit(0.0), (acc, e) => acc + e.getField("lp")) / count(lit(1))),
+          6).as("cross_entropy"))
     corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("cross_entropy"))

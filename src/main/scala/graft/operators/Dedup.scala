@@ -483,7 +483,8 @@ object Dedup {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf((v: Seq[Double]) =>
-      Similarity.nearestCentroid(v.toArray, bc.value))
+      if (v == null) None
+      else Some(Similarity.nearestCentroid(v.toArray, bc.value)))
     val assigned = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("cluster", assignUdf(col("v")))

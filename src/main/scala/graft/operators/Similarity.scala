@@ -215,9 +215,23 @@ object Similarity {
     *    one scan + one k×dim-row aggregate collected to the driver.
     *
     * Returns the k centroids; empty clusters keep their previous centroid.
+    *
+    * `sampleN > 0` switches to SAMPLE-BASED training — the 100 TB
+    * formulation: ONE `TakeOrderedAndProject` scan selects the `sampleN`
+    * rows with the smallest `(xxhash64(id), id)` (a deterministic,
+    * id-order-free pseudo-random pick; no full sort, no RNG), then the
+    * identical fixed-point Lloyd's iteration runs driver-side over that
+    * bounded sample. Codebooks need ~1000·k vectors, not the corpus, so
+    * the corpus-scan budget stays with encode/search. Bit-deterministic:
+    * the sample set is a total-order prefix and the driver loop is
+    * single-threaded with the same HALF_UP fixed-point arithmetic.
+    * `sampleN = 0` (default) keeps the full-corpus path — and the
+    * committed q80/q111 goldens — byte-identical.
     */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                        k: Int, iters: Int): Array[Array[Double]] = {
+                        k: Int, iters: Int, sampleN: Int = 0): Array[Array[Double]] = {
+    if (sampleN > 0)
+      return localKMeans(trainingSample(corpus, idCol, vecCol, sampleN), k, iters)
     val spark = corpus.sparkSession
     import spark.implicits._
     var centroids = corpus.orderBy(col(idCol))
@@ -226,7 +240,8 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val assignUdf = udf((v: Seq[Double]) => nearestCentroid(v.toArray, bc.value))
+      val assignUdf = udf((v: Seq[Double]) =>
+        if (v == null) None else Some(nearestCentroid(v.toArray, bc.value)))
       val stats = corpus
         .select(assignUdf(col(vecCol)).as("c"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
@@ -240,6 +255,66 @@ object Similarity {
       val next = centroids.map(_.clone())
       stats.foreach { case (c, d, s, n) =>
         next(c)(d) = (s.toDouble / n) / 1e9
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Deterministic bounded training sample: the `n` non-null rows with
+    * the smallest `(xxhash64(id), id)`. Sort+limit compiles to
+    * `TakeOrderedAndProject` — per-partition top-n then a driver merge,
+    * ONE scan and O(n) driver memory however large the corpus. Returned
+    * id-ascending so seeding matches the full path's smallest-id rule.
+    */
+  private def trainingSample(corpus: DataFrame, idCol: String, vecCol: String,
+                             n: Int): Array[(Long, Array[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(n)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (i, v) => (i, v.toArray) }
+      .sortBy(_._1)
+  }
+
+  /** Driver-side Lloyd's k-means over a bounded sample, arithmetically
+    * identical to the distributed path: smallest-id seeding, assignment
+    * via [[nearestCentroid]], per-(cluster, dim) FIXED-POINT long sums
+    * with the same HALF_UP `round(x·1e9)` (exact integer addition, so
+    * accumulation order is irrelevant), empty clusters keep their
+    * previous centroid. Single-threaded => bit-deterministic.
+    */
+  private def localKMeans(sample: Array[(Long, Array[Double])], k: Int,
+                          iters: Int): Array[Array[Double]] = {
+    def fx(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1e9)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    var centroids = sample.take(k).map(_._2.clone())
+    val dim = if (centroids.nonEmpty) centroids(0).length else 0
+    var it = 0
+    while (it < iters && centroids.nonEmpty) {
+      val s = Array.ofDim[Long](centroids.length, dim)
+      val cnt = new Array[Long](centroids.length)
+      sample.foreach { case (_, v) =>
+        val c = nearestCentroid(v, centroids)
+        cnt(c) += 1
+        var d = 0
+        while (d < dim) { s(c)(d) += fx(v(d)); d += 1 }
+      }
+      val next = centroids.map(_.clone())
+      var c = 0
+      while (c < next.length) {
+        if (cnt(c) > 0) {
+          var d = 0
+          while (d < dim) { next(c)(d) = (s(c)(d).toDouble / cnt(c)) / 1e9; d += 1 }
+        }
+        c += 1
       }
       centroids = next
       it += 1
@@ -278,15 +353,26 @@ object Similarity {
     * Returns `codebooks(s)(c)` = centroid `c` of subspace `s`.
     *
     * Each subspace trains on one slice-projection of the corpus — `m`
-    * passes of `iters` scans here; a 100 TB build would train on a
-    * driver-side sample (codebooks need ~100k vectors, not the corpus)
-    * and keep the scan budget for [[pqEncode]], which is one pass.
+    * passes of `iters` scans at `sampleN = 0` (default; keeps the q111
+    * golden byte-identical). `sampleN > 0` is the 100 TB path: ONE
+    * [[trainingSample]] scan collects the bounded sample, then all `m`
+    * subspace codebooks train driver-side on its slices via
+    * [[localKMeans]] (same fixed-point arithmetic) — the corpus-scan
+    * budget stays with [[pqEncode]], which is one pass.
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-              dim: Int, m: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+              dim: Int, m: Int, ksub: Int, iters: Int,
+              sampleN: Int = 0): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    Array.tabulate(m) { s =>
+    if (sampleN > 0) {
+      val sample = trainingSample(corpus, idCol, vecCol, sampleN)
+      Array.tabulate(m) { s =>
+        localKMeans(sample.map { case (i, v) =>
+          (i, java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+        }, ksub, iters)
+      }
+    } else Array.tabulate(m) { s =>
       val sliced = corpus.select(col(idCol),
         slice(col(vecCol).cast("array<double>"), s * sub + 1, sub).as("__sub"))
       trainIvfCentroids(sliced, idCol, "__sub", ksub, iters)
@@ -385,8 +471,12 @@ object Similarity {
                      nProbe: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf((v: Seq[Double]) => nearestCentroid(v.toArray, bc.value))
-    val probeUdf = udf((v: Seq[Double]) => nearestCentroids(v.toArray, bc.value, nProbe))
+    // null embeddings assign a null bucket (never joins) / probe nothing,
+    // matching the null-guard convention of pqEncode / l2Normalize
+    val assignUdf = udf((v: Seq[Double]) =>
+      if (v == null) None else Some(nearestCentroid(v.toArray, bc.value)))
+    val probeUdf = udf((v: Seq[Double]) =>
+      if (v == null) None else Some(nearestCentroids(v.toArray, bc.value, nProbe)))
     val cb = corpus.select(
       col(corpusId).as("neighbor_id"),
       col(corpusVec).cast("array<double>").as("cv"))
@@ -457,13 +547,25 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), sv.as("sv"))
       .withColumn("mind", lit(null).cast("long"))
       .localCheckpoint()
-    val seed = state.orderBy(col("id")).select(col("id"), col("sv")).head()
+    val seedOpt = state.orderBy(col("id")).select(col("id"), col("sv")).limit(1)
+      .collect().headOption
+    if (seedOpt.isEmpty)
+      return Seq.empty[(Int, Long, Option[Long])]
+        .toDF("pick_rank", "vec_id", "dist")
+    val seed = seedOpt.get
     var curId = seed.getLong(0)
     var curVec = seed.getSeq[Long](1)
     val picks = scala.collection.mutable.ArrayBuffer(
       (1, curId, Option.empty[Long]))
     var r = 2
     var exhausted = false
+    // checkpoint every few rounds, not every round: the filter + least
+    // update chain between checkpoints is narrow (no shuffle), so the
+    // per-round argmax re-applies at most checkpointEvery-1 cheap column
+    // maps over the last materialized state instead of rewriting the
+    // whole N×dim table k times
+    val checkpointEvery = 4
+    var sinceCkpt = 0
     while (r <= k && !exhausted) {
       val cLit = lit(curVec.toArray)
       val d = aggregate(
@@ -473,7 +575,11 @@ object Similarity {
         .filter(col("id") =!= curId)
         .withColumn("mind",
           when(col("mind").isNull, d).otherwise(least(col("mind"), d)))
-        .localCheckpoint()
+      sinceCkpt += 1
+      if (sinceCkpt >= checkpointEvery) {
+        state = state.localCheckpoint()
+        sinceCkpt = 0
+      }
       val top = state
         .agg(max_by(struct(col("id"), col("sv"), col("mind")),
           struct(col("mind"), negate(col("id")))).as("m"))

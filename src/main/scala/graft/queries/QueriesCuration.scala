@@ -1081,7 +1081,10 @@ object QueriesCuration {
                    ln((ct + 0.5) / (nt + 0.5 * v)) -
                    ln((cr + 0.5) / (nr + 0.5 * v)) AS w
             FROM vv, tot),
-      ds AS (SELECT r.doc_id, count(*) AS n_tokens, round(avg(w.w), 6) AS logratio
+      ds AS (SELECT r.doc_id, count(*) AS n_tokens,
+                    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list(w.w ORDER BY tok)), (a, b) -> a + b)
+                          / count(*), 6) AS logratio
              FROM rt r JOIN w USING (tok) GROUP BY 1)
       SELECT d.doc_id, CAST(coalesce(ds.n_tokens, 0) AS BIGINT) AS n_tokens,
              ds.logratio
@@ -1114,14 +1117,16 @@ object QueriesCuration {
       cbg AS (SELECT doc_id, t[CAST(u.i AS INT) + 1] AS prefix,
                      t[CAST(u.i AS INT) + 1] || ' ' || t[CAST(u.i AS INT) + 2] AS bg
               FROM cor, unnest(range(len(t) - 1)) AS u(i)),
-      lp AS (SELECT c.doc_id,
+      lp AS (SELECT c.doc_id, c.bg,
                     ln((coalesce(rbc.cb, 0) + 0.5) /
                        (coalesce(ruc.cu, 0) + 0.5 * vv.v)) AS lp
              FROM cbg c
              LEFT JOIN rbc USING (bg)
              LEFT JOIN ruc ON c.prefix = ruc.tok, vv),
       agg AS (SELECT doc_id, count(*) AS n_bigrams,
-                     round(-avg(lp), 6) AS cross_entropy
+                     round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list(lp ORDER BY bg)), (a, b) -> a + b)
+                             / count(*)), 6) AS cross_entropy
               FROM lp GROUP BY 1)
       SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
              a.cross_entropy

@@ -302,4 +302,61 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Long, Option[Long])].collect().sortBy(_._1)
     out shouldBe Array((1, 1L, None), (2, 2L, Some(0L)))
   }
+
+  test("kCenterCoreset returns an empty frame on empty or all-null input") {
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    Similarity.kCenterCoreset(empty, "vec_id", "embedding", k = 3)
+      .collect() shouldBe empty.collect()
+    val allNull = Seq((1L, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(allNull, "vec_id", "embedding", k = 3)
+    out.columns.toSeq shouldBe Seq("pick_rank", "vec_id", "dist")
+    out.count() shouldBe 0L
+  }
+
+  test("sampled trainIvfCentroids with sampleN >= corpus equals the full path bit-for-bit") {
+    // sample covers everything and seeds by the same smallest-id rule, and
+    // the driver loop uses the same HALF_UP fixed-point sums — so the
+    // local path must reproduce the distributed path's exact bits
+    val pts = ((0 until 20).map(i => (i.toLong, Array(0.0 + i * 0.01, 0.0, 1.0, 0.0))) ++
+      (20 until 40).map(i => (i.toLong, Array(10.0 + i * 0.01, 10.0, 1.0, 0.0))))
+      .toDF("id", "v")
+    val full = Similarity.trainIvfCentroids(pts, "id", "v", k = 2, iters = 4)
+    val samp = Similarity.trainIvfCentroids(pts, "id", "v", k = 2, iters = 4,
+      sampleN = 1000)
+    samp.map(_.toSeq) shouldBe full.map(_.toSeq)
+  }
+
+  test("sampled training is bit-deterministic and reshard-stable") {
+    val pts = (0 until 200)
+      .map(i => (i.toLong, Array.tabulate(4)(j => math.sin(i * 4 + j))))
+      .toDF("id", "v")
+    val a = Similarity.trainIvfCentroids(pts, "id", "v", k = 4, iters = 3,
+      sampleN = 64)
+    val b = Similarity.trainIvfCentroids(pts.repartition(13), "id", "v",
+      k = 4, iters = 3, sampleN = 64)
+    a.map(_.toSeq) shouldBe b.map(_.toSeq)
+    val booksA = Similarity.pqTrain(pts, "id", "v", dim = 4, m = 2, ksub = 4,
+      iters = 3, sampleN = 64)
+    val booksB = Similarity.pqTrain(pts.repartition(7), "id", "v", dim = 4,
+      m = 2, ksub = 4, iters = 3, sampleN = 64)
+    booksA.map(_.map(_.toSeq).toSeq) shouldBe booksB.map(_.map(_.toSeq).toSeq)
+  }
+
+  test("sampled pqTrain keeps search recall within bound of full training") {
+    val a = (0 until 20).map(i => (i.toLong, Array(10.0 + i * 0.01, 10.0, 0.0, 0.0)))
+    val b = (20 until 40).map(i => (i.toLong, Array(-10.0, -10.0 - (i - 20) * 0.01, 0.0, 0.0)))
+    val c = (a ++ b).toDF("id", "v")
+    val q = Seq((100L, Array(10.05, 10.0, 0.0, 0.0)),
+      (101L, Array(-10.0, -10.05, 0.0, 0.0))).toDF("qid", "qv")
+    val booksFull = Similarity.pqTrain(c, "id", "v", dim = 4, m = 2, ksub = 8, iters = 4)
+    val booksSamp = Similarity.pqTrain(c, "id", "v", dim = 4, m = 2, ksub = 8,
+      iters = 4, sampleN = 24)
+    val full = Similarity.pqTopK(c, "id", "v", q, "qid", "qv", booksFull, k = 10)
+    val samp = Similarity.pqTopK(c, "id", "v", q, "qid", "qv", booksSamp, k = 10)
+    val rec = Similarity.recallAtK(samp, full)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    rec.keySet shouldBe Set(100L, 101L)
+    all(rec.values) should be >= 0.8
+  }
 }
