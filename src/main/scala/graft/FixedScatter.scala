@@ -48,7 +48,13 @@ import org.apache.spark.sql.functions._
   */
 object FixedScatter {
 
-  final case class Result(data: DataFrame, manifest: Seq[String])
+  /** `status` is the S7 operational-status string painted into every
+    * artifact title (dashboard.py:1553,1565), default = the degrade rule.
+    */
+  final case class Result(data: DataFrame, manifest: Seq[String],
+                          status: String = graft.sources.OperationalStatus.Default) {
+    def statusColor: String = graft.sources.OperationalStatus.colorFor(status)
+  }
 
   private val Scales = Seq("full", "standard", "local")
 
@@ -73,10 +79,11 @@ object FixedScatter {
     */
   def run(samples: DataFrame, timeCol: String, valueCol: String,
           timeRef: Timestamp, spanDays: Int,
-          fileNameBase: String, spanString: String): Result = {
+          fileNameBase: String, spanString: String,
+          status: String = graft.sources.OperationalStatus.Default): Result = {
     val r = runDepths(samples, timeCol, valueCol, pressCol = null, depths = Nil,
-      timeRef, spanDays, fileNameBase, spanString)
-    Result(r.data.drop("depth"), r.manifest)
+      timeRef, spanDays, fileNameBase, spanString, status)
+    Result(r.data.drop("depth"), r.manifest, status)
   }
 
   /** Deploy-span scatter (dashboard.py:1604-1611, 1738-1746): the base
@@ -92,7 +99,8 @@ object FixedScatter {
     */
   def runDeploy(samples: DataFrame, timeCol: String, valueCol: String,
                 deployTimes: Seq[Timestamp],
-                fileNameBase: String): Result = {
+                fileNameBase: String,
+                status: String = graft.sources.OperationalStatus.Default): Result = {
     require(deployTimes.nonEmpty, "runDeploy needs at least one deployment time")
     val spark = samples.sparkSession
     import spark.implicits._
@@ -120,7 +128,7 @@ object FixedScatter {
       .select(col("trace"), col("year_diff"), col("legend"),
         (col("st") + make_dt_interval(col("year_diff") * lit(365))).as("plot_time"),
         col("v").as("value"))
-    Result(data, manifest)
+    Result(data, manifest, status)
   }
 
   /** Per-depth fan-out: one plot per configured depth, data columns
@@ -130,7 +138,8 @@ object FixedScatter {
   def runDepths(samples: DataFrame, timeCol: String, valueCol: String,
                 pressCol: String, depths: Seq[Int],
                 timeRef: Timestamp, spanDays: Int,
-                fileNameBase: String, spanString: String): Result = {
+                fileNameBase: String, spanString: String,
+                status: String = graft.sources.OperationalStatus.Default): Result = {
     val spark = samples.sparkSession
     import spark.implicits._
     val spanMs = spanDays * 86400000L
@@ -181,6 +190,6 @@ object FixedScatter {
             when(col("press") > col("depth") &&
               col("press") < col("depth") + lit(0.5), col("v")).as("value"))
       }
-    Result(data, manifest)
+    Result(data, manifest, status)
   }
 }

@@ -65,7 +65,13 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType, Timestam
   */
 object ProfileGrid {
 
-  final case class Result(data: DataFrame, manifest: Seq[String])
+  /** `status` is the S7 operational-status string painted into every
+    * artifact title (dashboard.py:448,462), default = the degrade rule.
+    */
+  final case class Result(data: DataFrame, manifest: Seq[String],
+                          status: String = graft.sources.OperationalStatus.Default) {
+    def statusColor: String = graft.sources.OperationalStatus.colorFor(status)
+  }
 
   private val Scales = Seq("full", "standard", "local")
 
@@ -80,7 +86,8 @@ object ProfileGrid {
           profileDepth: Double, depthStep: Double,
           fileNameBase: String, spanString: String,
           descentSampled: Boolean = false,
-          shallowMaskMin: Double = 5.0, deepMaskMax: Double = 185.0): Result = {
+          shallowMaskMin: Double = 5.0, deepMaskMax: Double = 185.0,
+          status: String = graft.sources.OperationalStatus.Default): Result = {
     val spark = samples.sparkSession
 
     def emptyResult = {
@@ -88,7 +95,8 @@ object ProfileGrid {
       // then a trio per overlay (clim, anno) from the emptySlice branch
       val manifest = Seq("none", "clim", "anno").flatMap(o =>
         Scales.map(sc => s"${fileNameBase}_${spanString}_${o}_$sc.png"))
-      Result(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema), manifest)
+      Result(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema),
+        manifest, status)
     }
 
     val startDate = new Timestamp(timeRef.getTime - spanDays * 86400000L)
@@ -196,7 +204,7 @@ object ProfileGrid {
     // 'anno' files are saved but never recorded by the reference (see doc)
     val manifest = Seq("none", "clim").flatMap(o =>
       Scales.map(sc => s"${fileNameBase}_${spanString}_${o}_$sc.png"))
-    Result(data, manifest)
+    Result(data, manifest, status)
   }
 
   /** C3 fallback grid — the reference's "old method" used when the profile

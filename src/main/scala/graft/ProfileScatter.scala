@@ -34,7 +34,14 @@ import org.apache.spark.sql.functions._
   */
 object ProfileScatter {
 
-  final case class Result(data: DataFrame, manifest: Seq[String])
+  /** `status` is the S7 operational-status string the reference paints
+    * into every artifact's title (dashboard.py:1122,1134); the degrade
+    * default mirrors `statusDict.get(site, 'UNAVAILABLE')`.
+    */
+  final case class Result(data: DataFrame, manifest: Seq[String],
+                          status: String = graft.sources.OperationalStatus.Default) {
+    def statusColor: String = graft.sources.OperationalStatus.colorFor(status)
+  }
 
   private val Scales = Seq("full", "standard", "local")
   private val Overlays = Seq("anno", "clim", "flag")
@@ -44,7 +51,8 @@ object ProfileScatter {
           timeRef: Timestamp, spanDays: Int,
           fileNameBase: String, spanString: String,
           descentSampled: Boolean,
-          annoNonEmpty: Boolean, climNonEmpty: Boolean, flagNonEmpty: Boolean): Result = {
+          annoNonEmpty: Boolean, climNonEmpty: Boolean, flagNonEmpty: Boolean,
+          status: String = graft.sources.OperationalStatus.Default): Result = {
     val spark = samples.sparkSession
     val startDate = new Timestamp(timeRef.getTime - spanDays * 86400000L)
     val base = samples.filter(col(timeCol) >= lit(startDate) && col(timeCol) <= lit(timeRef))
@@ -66,7 +74,7 @@ object ProfileScatter {
             org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("z",
             org.apache.spark.sql.types.TimestampType))))
-      return Result(emptyData, manifest)
+      return Result(emptyData, manifest, status)
     }
     val maskStart = new Timestamp(extent.getTimestamp(0).getTime - 5 * 60000L)
     val maskEnd = new Timestamp(extent.getTimestamp(1).getTime + 5 * 60000L)
@@ -149,6 +157,6 @@ object ProfileScatter {
     val manifest =
       files(0, summaryHasData) ++
         groupsOrdered.indices.flatMap(i => files(i + 1, withOverlays = true))
-    Result(data, manifest)
+    Result(data, manifest, status)
   }
 }

@@ -939,6 +939,70 @@ object Curation {
           lit(false)))
   }
 
+  /** Size-guarded [[ingestGate]]: takes the benchmark as a DataFrame and
+    * routes by its distinct-gram count instead of relying on caller
+    * discipline. At or under `maxBroadcastGrams` the grams collect to the
+    * driver and the scan-rate kernel path runs (identical to the
+    * broadcast overload); over it, contamination comes from the
+    * [[decontaminate]]-style keyed join — exploded doc grams against the
+    * distinct benchmark grams, co-partitioned on gram, nothing
+    * benchmark-sized on the driver — and the same gate columns apply.
+    * Both routes emit bit-identical rows (the gram arrays are the same
+    * distinct sets, the rounding the same 6 dp; spec-pinned).
+    *
+    * `idCol` keys the per-document join-back on the join route. Batch
+    * only: the join route aggregates per document, so streaming callers
+    * keep the broadcast overload (benchmark boundedness is their
+    * contract).
+    */
+  def ingestGate(docs: DataFrame, idCol: String, textCol: String,
+                 classCol: String, benchmark: DataFrame, benchTextCol: String,
+                 n: Int, stopwords: Seq[String],
+                 minQuality: Double, maxContamination: Double,
+                 rates: Map[String, Double], defaultRate: Double,
+                 denom: Int, maxBroadcastGrams: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val grams = TextFunctions.wordNgramsUdf(n)
+    val bench = benchmark
+      .select(explode(grams(col(benchTextCol))).as("gram")).distinct()
+    if (bench.count() <= maxBroadcastGrams) {
+      val bc = spark.sparkContext.broadcast(
+        benchmarkGramSet(benchmark, benchTextCol, n))
+      ingestGate(docs, textCol, classCol, bc, n, stopwords,
+        minQuality, maxContamination, rates, defaultRate, denom)
+    } else {
+      val contam = docs
+        .select(col(idCol), explode_outer(grams(col(textCol))).as("gram"))
+        .join(bench.withColumn("__hit", lit(1)), Seq("gram"), "left")
+        .groupBy(col(idCol))
+        .agg(count(col("gram")).as("__n"), count(col("__hit")).as("__h"))
+        .select(col(idCol),
+          round(when(col("__n") === 0, 0.0)
+            .otherwise(col("__h").cast("double") / col("__n")), 6).as("__contam"))
+      docs.join(contam, Seq(idCol), "left")
+        .withColumn("quality",
+          when(col(textCol).isNotNull,
+            TextFunctions.qualityScore(col(textCol), stopwords)))
+        // null text must stay a null contamination (unscorable), exactly
+        // like the kernel path — the join route's explode_outer would
+        // otherwise report 0.0
+        .withColumn("contamination",
+          when(col(textCol).isNotNull, col("__contam")))
+        .withColumn("sample_bucket",
+          pmod(TextFunctions.fingerprint(col(textCol)), lit(denom.toLong)))
+        .withColumn("admitted",
+          coalesce(
+            col("quality") >= minQuality &&
+              col("contamination") <= maxContamination &&
+              col("sample_bucket") < rateThreshold(classCol, rates, defaultRate, denom),
+            lit(false)))
+        // same column ORDER as the kernel route (the USING join hoists
+        // idCol to the front)
+        .select((docs.columns.map(col) ++ Seq("quality", "contamination",
+          "sample_bucket", "admitted").map(col)): _*)
+    }
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, with word unigrams
     * in place of hashed n-grams): per-document average log-likelihood
     * ratio `mean_tok ln(p_target(tok)/p_raw(tok))` between a target

@@ -95,7 +95,11 @@ object Similarity {
       queries, queryId, queryVec, kCandidates)
     val emb = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
       col(corpusVec).cast("array<double>").as("emb"))
-    cands.join(emb, Seq("neighbor_id"))
+    // the k·Q candidate table is bounded by contract; broadcast it
+    // EXPLICITLY so the vector join-back can never degrade to a shuffle
+    // of the corpus-sized emb side on an AQE size misestimate
+    // (plan-asserted in ScaleJoinsSpec)
+    broadcast(cands).join(emb, Seq("neighbor_id"))
       .groupBy(col("query_id"))
       .agg(collect_list(struct(col("neighbor_id"), col("cosine"),
         col("emb"))).as("cands"))

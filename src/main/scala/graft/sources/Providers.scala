@@ -99,4 +99,57 @@ class SnapshotStore(spark: SparkSession, root: String) {
     spark.read.option("header", "true").csv(s"$root/sheets/$notebook/*.csv")
       .withColumn("tab",
         regexp_extract(input_file_name(), "([^/]+)\\.csv$", 1))
+
+  /** S7 operational status: the instrument-status map the reference
+    * fetches from the nereus REST endpoint at load time
+    * (dashboard.py:290-302) — a single JSON object `{refDes: status}`,
+    * snapshotted at `status/operational_status.json`. MUST NEVER raise:
+    * the reference degrades a fetch failure to an empty dict (an outage
+    * cannot crash the flow), and call sites default missing sites to
+    * `'UNAVAILABLE'` (dashboard.py:448,1122,1553) — replicated by
+    * [[OperationalStatus.statusFor]]. Driver-side map by design: the
+    * payload is one status string per instrument (broadcast-size).
+    */
+  def operationalStatus(): Map[String, String] =
+    try {
+      val df = spark.read.option("multiLine", "true")
+        .json(s"$root/status/operational_status.json")
+      val row = df.collect().headOption
+      row match {
+        case Some(r) =>
+          df.schema.fieldNames.iterator.zipWithIndex.collect {
+            case (name, i) if !r.isNullAt(i) && name != "_corrupt_record" =>
+              name -> r.get(i).toString
+          }.toMap
+        case None => Map.empty
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Map.empty
+    }
+}
+
+/** Status vocabulary + plot-title colors for the S7 operational-status
+  * map (reference constants.py:46-57); `statusFor` is the degrade rule
+  * every reference call site applies (`statusDict.get(site,
+  * 'UNAVAILABLE')`, dashboard.py:448).
+  */
+object OperationalStatus {
+  val Default = "UNAVAILABLE"
+
+  val Colors: Map[String, String] = Map(
+    "OPERATIONAL" -> "green",
+    "FAILED" -> "red",
+    "TROUBLESHOOTING" -> "red",
+    "RECOVERED" -> "blue",
+    "PARTIALLY_FUNCTIONAL" -> "red",
+    "OFFLINE" -> "blue",
+    "UNCABLED" -> "blue",
+    "DATA_QUALITY" -> "red",
+    "NOT_DEPLOYED" -> "blue",
+    "UNAVAILABLE" -> "gray")
+
+  def statusFor(statusMap: Map[String, String], site: String): String =
+    statusMap.getOrElse(site, Default)
+
+  def colorFor(status: String): String = Colors.getOrElse(status, Colors(Default))
 }

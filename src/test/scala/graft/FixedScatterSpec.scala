@@ -117,4 +117,25 @@ class FixedScatterSpec extends SparkSpec {
     } yield s"${base}_day_${o}_$sc.png")
     rEmpty.data.count() shouldBe 0L
   }
+
+  test("S7 operational status threads into the result; default is the degrade rule") {
+    // default: no status passed — the statusDict.get(site, 'UNAVAILABLE')
+    // degrade (dashboard.py:1553), painted gray (constants.py:56)
+    val r = FixedScatter.run(fixture(), "time", "temp", timeRef, spanDays = 5,
+      fileNameBase = base, spanString = "day")
+    r.status shouldBe "UNAVAILABLE"
+    r.statusColor shouldBe "gray"
+    // explicit status from the S7 snapshot map flows through run ->
+    // runDepths -> Result, with the reference's title color
+    val rOp = FixedScatter.runDepths(fixture(), "time", "temp", "press",
+      depths = Seq(3), timeRef, spanDays = 5,
+      fileNameBase = base, spanString = "day", status = "OPERATIONAL")
+    rOp.status shouldBe "OPERATIONAL"
+    rOp.statusColor shouldBe "green"
+    val rDep = FixedScatter.runDeploy(fixture(), "time", "temp",
+      deployTimes = Seq(ts("2024-01-16 00:00:00")),
+      fileNameBase = base, status = "TROUBLESHOOTING")
+    rDep.status shouldBe "TROUBLESHOOTING"
+    rDep.statusColor shouldBe "red"
+  }
 }

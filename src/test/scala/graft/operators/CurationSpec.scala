@@ -470,6 +470,31 @@ class CurationSpec extends SparkSpec {
     out(1) shouldBe ((2L, true))
   }
 
+  test("guarded ingestGate routes oversized benchmarks to the join path, bit-identically") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then rests", "a"),
+      (2L, "benchmark question one exactly verbatim copied text here now", "a"),
+      (3L, "!!! ??? 123 456 !!!", "a"),
+      (4L, null.asInstanceOf[String], "b")
+    ).toDF("doc_id", "text", "source")
+    val benchmark = Seq(
+      (9L, "benchmark question one exactly verbatim copied text here now"))
+      .toDF("doc_id", "text")
+    def gate(maxGrams: Long) = Curation.ingestGate(
+      docs, "doc_id", "text", "source", benchmark, "text", n = 3,
+      stopwords = graft.functions.TextFunctions.LangStopwords("en"),
+      minQuality = 0.3, maxContamination = 0.5,
+      rates = Map.empty, defaultRate = 1.0,
+      denom = 10000, maxBroadcastGrams = maxGrams)
+    val kernelRoute = gate(1000000L) // under guard: broadcast kernel
+    val joinRoute = gate(1L)         // over guard: decontaminate-style join
+    kernelRoute.columns.toSeq shouldBe joinRoute.columns.toSeq
+    joinRoute.collect().map(_.toSeq).toSet shouldBe
+      kernelRoute.collect().map(_.toSeq).toSet
+    // and the join route genuinely plans a join, not a broadcast-set UDF
+    joinRoute.queryExecution.executedPlan.toString should include("Join")
+  }
+
   test("ingestGate batch/stream parity on the documents table") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingOps

@@ -43,6 +43,10 @@ class ProvidersSpec extends SparkSpec {
         |<a href="other.txt">other.txt</a>   10-Jan-2024 07:00   1K
         |</pre></body></html>""".stripMargin)
     write("sheets/HITL/PageOne.csv", "a,b\n1,2\n")
+    write("status/operational_status.json",
+      """{"CE04OSPS-SF01B-2A-CTDPFA107": "OPERATIONAL",
+         |"RS01SBPS-SF01A-2A-CTDPFA102": "FAILED"}""".stripMargin)
+    write("corrupt/status/operational_status.json", "not json {{{")
     dir.getAbsolutePath
   }
 
@@ -89,5 +93,27 @@ class ProvidersSpec extends SparkSpec {
     val rows = store.sheetTabs("HITL").collect()
     rows.length shouldBe 1
     rows(0).getString(2) shouldBe "PageOne"
+  }
+
+  test("operationalStatus parses the snapshot map; statusFor defaults UNAVAILABLE") {
+    val m = store.operationalStatus()
+    m shouldBe Map(
+      "CE04OSPS-SF01B-2A-CTDPFA107" -> "OPERATIONAL",
+      "RS01SBPS-SF01A-2A-CTDPFA102" -> "FAILED")
+    OperationalStatus.statusFor(m, "CE04OSPS-SF01B-2A-CTDPFA107") shouldBe "OPERATIONAL"
+    OperationalStatus.statusFor(m, "CE02SHBP-LJ01D-06-CTDBPN106") shouldBe "UNAVAILABLE"
+    OperationalStatus.colorFor("OPERATIONAL") shouldBe "green"
+    OperationalStatus.colorFor("UNAVAILABLE") shouldBe "gray"
+  }
+
+  test("operationalStatus degrades to empty on missing or corrupt snapshot") {
+    // missing: a root with no status dir at all (reference: nereus outage
+    // -> empty dict, never an exception, dashboard.py:290-302)
+    val missing = new SnapshotStore(spark, root + "/sheets")
+    missing.operationalStatus() shouldBe Map.empty
+    OperationalStatus.statusFor(missing.operationalStatus(), "ANY") shouldBe "UNAVAILABLE"
+    // corrupt: unparseable JSON degrades the same way
+    val corrupt = new SnapshotStore(spark, root + "/corrupt")
+    corrupt.operationalStatus() shouldBe Map.empty
   }
 }
