@@ -33,7 +33,16 @@ object Bench {
     // interpolation work that produces them (measured: composed window
     // plans under count() omit the windows entirely). hash(*) forces
     // every output column of every row at negligible aggregate cost.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query-name filter for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=q124_host_pagerank,q95_keep_best); the
+    // driver never sets it, so the driver bench always runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         try {

@@ -74,7 +74,12 @@ object Bpe {
           transform(sequence(lit(1), length(col("w"))),
             i => col("w").substr(i, lit(1))),
           array(lit(EndOfWord))).as("sym"))
-      .localCheckpoint()
+      // LAZY checkpoints throughout the merge loop: the next round's
+      // top-pair TakeOrdered job scans every partition, which both
+      // materializes the persist (lineage cut) and finds the pair — one
+      // job per round instead of an eager-checkpoint job plus the
+      // top-pair job, and the final round's table never materializes
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var round = 0
     var done = false
@@ -91,7 +96,7 @@ object Bpe {
         merges += ((a, b))
         val mergeUdf = udf((sym: Seq[String]) => mergeOnce(sym, a, b))
         words = words.select(col("cnt"), mergeUdf(col("sym")).as("sym"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       round += 1
     }

@@ -232,8 +232,12 @@ object Dedup {
     * Each round also POINTER-JUMPS (`comp ← comp(comp)`), which halves
     * every label-chain length — convergence in O(log diameter) rounds, so
     * even a pathological n-node chain graph resolves within `maxIter`
-    * (plain propagation would need n rounds). Each round is two joins +
-    * one agg, map-side combined; labels are checkpointed per round so
+    * (plain propagation would need n rounds). Each round is ONE
+    * neighbour-min join + aggregate over the self-edge-augmented edge
+    * list (the (v, v) edges fold the node's own label into the min, so
+    * no propagate-back left join is needed — every node appears in the
+    * aggregate, carrying its old label on the self-edge row) and one
+    * pointer-jump self-join; labels are checkpointed per round so
     * lineage stays flat.
     *
     * Returns (id, component) for every id appearing in `pairs`, component
@@ -245,20 +249,31 @@ object Dedup {
     val sym = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+    // self-edges (v, v): the per-src min then spans neighbours AND self,
+    // and the self row carries the node's previous label out of the
+    // aggregate — one join + one agg replace the former join + agg +
+    // propagate-back left join (one fewer shuffle per round at any scale).
+    // Repartitioned ONCE on the per-round join key: the union would
+    // otherwise double the partition count (and every round's task
+    // count), and the cached hash partitioning is exactly what a
+    // sort-merge label join reuses at scale without re-shuffling edges
+    val symAll = sym.unionByName(
+        sym.select(col("src")).distinct()
+          .select(col("src"), col("src").as("dst")))
+      .repartition(OrderedPosition.shufflePartitions(sym), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
+    var labels = symAll.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // min label over the neighbourhood
-      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(sym("src").as("nid"))
-        .agg(min(col("comp")).as("ncomp"))
-      val propagated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp1"))
+      // min label over the neighbourhood ∪ self; the self-edge row also
+      // exports the old label for the convergence test
+      val propagated = symAll.join(labels, symAll("dst") === labels("id"))
+        .groupBy(symAll("src").as("id"))
+        .agg(min(col("comp")).as("comp1"),
+          min(when(symAll("dst") === symAll("src"), col("comp"))).as("comp"))
       // pointer jump: follow the label's own label (comp is always a node
       // id of the same component, so this only ever shrinks)
       val parents = propagated.select(col("id").as("pid"), col("comp1").as("pcomp"))
@@ -270,7 +285,7 @@ object Dedup {
       labels = jumped.select(col("id"), col("comp2").as("comp"))
       i += 1
     }
-    sym.unpersist()
+    symAll.unpersist()
     labels
   }
 

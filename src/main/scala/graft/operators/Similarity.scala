@@ -550,7 +550,9 @@ object Similarity {
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), sv.as("sv"))
       .withColumn("mind", lit(null).cast("long"))
-      .localCheckpoint()
+      // lazy: the seed TakeOrdered collect right below scans every
+      // partition, materializing the persist in the same job
+      .localCheckpoint(false)
     val seedOpt = state.orderBy(col("id")).select(col("id"), col("sv")).limit(1)
       .collect().headOption
     if (seedOpt.isEmpty)
@@ -571,17 +573,28 @@ object Similarity {
     val checkpointEvery = 4
     var sinceCkpt = 0
     while (r <= k && !exhausted) {
-      val cLit = lit(curVec.toArray)
-      val d = aggregate(
-        zip_with(col("sv"), cLit, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      // tight JVM kernel, NOT aggregate(zip_with(...)): the HOF pair runs
+      // as CodegenFallback with a per-element closure — measured 6×
+      // slower at the 2M × 64 probe shape when the chain between
+      // checkpoints re-executes it (the PLANS.md HOF-lambda lesson)
+      val center = curVec.toArray
+      val distKernel = udf((sv: Seq[Long]) => {
+        var i = 0; var s = 0L
+        while (i < center.length) {
+          val dd = sv(i) - center(i); s += dd * dd; i += 1
+        }
+        s
+      })
+      val d = distKernel(col("sv"))
       state = state
         .filter(col("id") =!= curId)
         .withColumn("mind",
           when(col("mind").isNull, d).otherwise(least(col("mind"), d)))
       sinceCkpt += 1
       if (sinceCkpt >= checkpointEvery) {
-        state = state.localCheckpoint()
+        // lazy: the argmax aggregate below is a full scan — it
+        // materializes the persist without a separate checkpoint job
+        state = state.localCheckpoint(false)
         sinceCkpt = 0
       }
       val top = state

@@ -234,12 +234,17 @@ object QueriesDocs {
     // centroid sums, id-seeded init) + nProbe-bucket search. Golden-pinned
     // (the iterative trainer isn't ANSI-SQL-expressible); SimilaritySpec
     // checks recall vs brute force and bit-determinism of the training.
+    // Trains via the SAMPLED path (the 100 TB formulation: one bounded
+    // TakeOrderedAndProject scan + driver-side Lloyd's) — sampleN covers
+    // the whole test corpus, so the centroids (and the golden) are
+    // bit-identical to full-corpus training by the sampleN>=N equivalence
+    // proven in SimilaritySpec
     "q80_ivf_trained" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select(
         col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val corpus = emb.filter(col("vec_id") >= 5)
       val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
-        k = 8, iters = 3)
+        k = 8, iters = 3, sampleN = 4096)
       Similarity.ivfTopKTrained(
         corpus, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -328,12 +333,16 @@ object QueriesDocs {
     // by the bit-deterministic k-means, corpus stored as 8 small ints per
     // vector (32× smaller than float32), queries scored by table lookups.
     // Iterative training → not SQL-expressible → golden-pinned; recall
-    // and exact-reconstruction properties in SimilaritySpec
+    // and exact-reconstruction properties in SimilaritySpec. Sampled
+    // training (one bounded scan + driver k-means per subspace) replaces
+    // the m×iters distributed scans; sampleN covers the whole test
+    // corpus, so the codebooks (and the golden) are bit-identical to
+    // full training by the sampleN>=N equivalence
     "q111_pq_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val corpus = emb.filter(col("vec_id") >= 5)
       val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
-        dim = 64, m = 8, ksub = 16, iters = 4)
+        dim = 64, m = 8, ksub = 16, iters = 4, sampleN = 4096)
       Similarity.pqTopK(
         corpus = corpus, corpusId = "vec_id", corpusVec = "embedding",
         queries = emb.filter(col("vec_id") < 5), queryId = "vec_id", queryVec = "embedding",

@@ -327,6 +327,21 @@ class SimilaritySpec extends SparkSpec {
     samp.map(_.toSeq) shouldBe full.map(_.toSeq)
   }
 
+  test("sampled pqTrain with sampleN >= corpus equals the full path bit-for-bit") {
+    // backs the q111/q80 gate queries' use of the sampled path with a
+    // corpus-covering sampleN: same smallest-id seeding per subspace and
+    // the same HALF_UP fixed-point integer sums, so the driver loop must
+    // reproduce the distributed path's exact bits
+    val pts = (0 until 40)
+      .map(i => (i.toLong, Array.tabulate(4)(j => math.cos(i * 4 + j) * 3)))
+      .toDF("id", "v")
+    val full = Similarity.pqTrain(pts, "id", "v", dim = 4, m = 2, ksub = 4,
+      iters = 3)
+    val samp = Similarity.pqTrain(pts, "id", "v", dim = 4, m = 2, ksub = 4,
+      iters = 3, sampleN = 1000)
+    samp.map(_.map(_.toSeq).toSeq) shouldBe full.map(_.map(_.toSeq).toSeq)
+  }
+
   test("sampled training is bit-deterministic and reshard-stable") {
     val pts = (0 until 200)
       .map(i => (i.toLong, Array.tabulate(4)(j => math.sin(i * 4 + j))))
