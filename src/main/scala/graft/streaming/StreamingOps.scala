@@ -162,7 +162,7 @@ object StreamingOps {
     * Scoped + restored (queries run sequentially); a production
     * deployment sizes partitions to key cardinality at its checkpoint.
     */
-  private def withReplayPartitions[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
+  private def withReplayPartitions[T](spark: SparkSession, n: Int = 4)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -274,14 +274,16 @@ object StreamingOps {
       .select(col("user_id").as("userId"), col("ts"),
         col("event_id").as("eventId"))
       .as[SessionEvent]
-    val q = sessionize(stream, gapSeconds)
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayPartitions(spark) {
+      val q = sessionize(stream, gapSeconds)
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 }
