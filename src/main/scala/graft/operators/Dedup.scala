@@ -244,7 +244,33 @@ object Dedup {
     * = min id of the component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25, loopPartitions: Int = 8): DataFrame = {
+    // AQE is scoped OFF for the label-propagation loop (and restored
+    // after): AQE re-coalesces every round's shuffle output, which (a)
+    // re-plans each round into several stage-jobs, and (b) changes the
+    // reducer-side partitioning per round, defeating the whole point of
+    // pinning `symAll`'s hash partitioning once for reuse by every
+    // round's sort-merge label join. With static planning each round is
+    // one job over a stable layout — the shape you'd run at any scale.
+    // `loopPartitions` pins that layout's width: the dup-pair edge lists
+    // this library produces are bucket-capped and orders of magnitude
+    // smaller than the corpus, so the default is small; size it to the
+    // edge-set cardinality (e.g. the session's shuffle partitions) when
+    // feeding corpus-scale edge sets.
+    val spark = pairs.sparkSession
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partPrev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
+    try connectedComponentsImpl(pairs, aCol, bCol, maxIter)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      spark.conf.set("spark.sql.shuffle.partitions", partPrev)
+    }
+  }
+
+  private def connectedComponentsImpl(pairs: DataFrame, aCol: String, bCol: String,
+                                      maxIter: Int): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val sym = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
