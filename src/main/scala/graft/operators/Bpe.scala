@@ -68,6 +68,28 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String,
             numMerges: Int): Seq[(String, String)] = {
+    // Static planning scoped over the merge rounds (the
+    // [[Dedup.connectedComponents]] convention): AQE splits each round's
+    // single top-pair action into separate map/result stage-jobs and
+    // re-plans the vocabulary shuffle every round. The pair-count table
+    // is vocabulary-bounded (thousands of rows at any corpus scale), so
+    // a narrow fixed layout is the right shape; the one corpus-sized
+    // pass (wordFreq) runs before the loop and is unaffected by the
+    // narrow setting in practice (its aggregate is map-side combined).
+    val spark = docs.sparkSession
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partPrev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try trainImpl(docs, textCol, numMerges)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      spark.conf.set("spark.sql.shuffle.partitions", partPrev)
+    }
+  }
+
+  private def trainImpl(docs: DataFrame, textCol: String,
+                        numMerges: Int): Seq[(String, String)] = {
     var words = wordFreq(docs, textCol)
       .select(col("cnt"),
         concat(

@@ -40,8 +40,32 @@ object GraphOps {
     */
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, scale: Long = 1000000000000L,
-               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+               dampNum: Long = 85, dampDen: Long = 100,
+               loopPartitions: Int = 8): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
+    // Static planning scoped over the power iterations (the
+    // [[graft.operators.Dedup.connectedComponents]] convention): AQE
+    // would re-coalesce every round's contribution shuffle into several
+    // stage-jobs and re-derive the reducer layout each round, while the
+    // whole design shuffles the edge table ONCE into the iteration's
+    // join key for reuse. `loopPartitions` pins the loop layout — the
+    // HOST graph is orders smaller than the page corpus, so the default
+    // is small; size it to edge-set cardinality for page-level graphs.
+    val spark = edges0.sparkSession
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partPrev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
+    try pageRankImpl(edges0, srcCol, dstCol, iterations, scale, dampNum, dampDen)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      spark.conf.set("spark.sql.shuffle.partitions", partPrev)
+    }
+  }
+
+  private def pageRankImpl(edges0: DataFrame, srcCol: String, dstCol: String,
+                           iterations: Int, scale: Long,
+                           dampNum: Long, dampDen: Long): DataFrame = {
     val edges = edges0
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
