@@ -44,7 +44,7 @@ object HashKernels {
     * `String.trim` (which also strips tabs/newlines and would diverge
     * from every `trim(lower(text))` oracle on tab-edged text).
     */
-  private def trimSpaces(text: String): String = {
+  private[functions] def trimSpaces(text: String): String = {
     var lo = 0
     var hi = text.length
     while (lo < hi && text.charAt(lo) == ' ') lo += 1

@@ -63,28 +63,120 @@ object TextFunctions {
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
   }
 
-  /** Fraction of tokens that appear in `stopwords` (lower-cased compare). */
+  /** Fraction of tokens that appear in `stopwords` (lower-cased compare).
+    *
+    * JVM kernel rather than the `filter`/`array_contains` HOF pair: HOFs
+    * are CodegenFallback — an interpreted expression tree per token ×
+    * stopword — while the kernel tokenizes once and does hash-set
+    * membership per token (the [[langIdHeuristic]] lesson; receipts in
+    * PLANS.md). [[stopwordRatioHof]] keeps the SQL formulation for the
+    * bit-equivalence spec.
+    */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = stopwords.toSet
+    val f = udf((s: String) => stopwordRatioKernel(s, sw))
+    f(text)
+  }
+
+  /** The original HOF formulation of [[stopwordRatio]], spec-compared
+    * bit-for-bit against the kernel.
+    */
+  private[functions] def stopwordRatioHof(text: Column,
+                                          stopwords: Seq[String]): Column = {
     val toks = tokens(text)
     val sw = array(stopwords.map(lit): _*)
     when(size(toks) === 0, 0.0).otherwise(
       size(filter(toks, t => array_contains(sw, lower(t)))).cast("double") / size(toks))
   }
 
+  /** Kernel for [[stopwordRatio]] — replicates the SQL token stream
+    * exactly: space-only trim (SQL `trim`, not Java trim), `\s+` split
+    * with limit −1 (edge empties kept, as Spark `split` does),
+    * `Locale.ROOT` lower before the set probe. Null text → null (the HOF's
+    * null propagation), blank → 0.0.
+    */
+  private[functions] def stopwordRatioKernel(text: String,
+                                             sw: Set[String]): java.lang.Double = {
+    if (text == null) return null
+    val trimmed = HashKernels.trimSpaces(text)
+    if (trimmed.isEmpty) return 0.0
+    val toks = trimmed.split("\\s+", -1)
+    var hits = 0
+    var i = 0
+    while (i < toks.length) {
+      if (sw.contains(toks(i).toLowerCase(java.util.Locale.ROOT))) hits += 1
+      i += 1
+    }
+    hits.toDouble / toks.length
+  }
+
   /** Composite quality score in [0,1]: rewards moderate length and prose-like
     * stopword density, penalizes punctuation/digit soup. Deterministic and
     * documented so downstream filters are reproducible.
+    *
+    * JVM kernel for the same reason as [[stopwordRatio]] (the stopword
+    * HOF dominated the scan cost of every quality-scored query);
+    * [[qualityScoreHof]] keeps the SQL formulation for the equivalence
+    * spec. The kernel mirrors SQL semantics term by term: `length()`
+    * counts CODE POINTS (not UTF-16 units — `codePointCount`), the char
+    * ratios run the same Java regex `regexp_replace` uses, the additions
+    * associate left-to-right as the Column expression does, and the final
+    * 6-dp round replicates Spark's `round` (BigDecimal HALF_UP on the
+    * `Double.toString` decimal form).
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val sw = stopwords.toSet
+    val f = udf((s: String) => qualityScoreKernel(s, sw))
+    f(text)
+  }
+
+  /** The original Column formulation of [[qualityScore]], spec-compared
+    * bit-for-bit against the kernel.
+    */
+  private[functions] def qualityScoreHof(text: Column,
+                                         stopwords: Seq[String]): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val punct = charRatio(text, "[^A-Za-z0-9\\s]")
     val digits = charRatio(text, "[0-9]")
-    val stop = stopwordRatio(text, stopwords)
+    val stop = stopwordRatioHof(text, stopwords)
     round(
       lit(0.25) * lenScore +
         lit(0.25) * least(stop * 4.0, lit(1.0)) +
         lit(0.25) * (lit(1.0) - least(punct * 5.0, lit(1.0))) +
         lit(0.25) * (lit(1.0) - least(digits * 5.0, lit(1.0))), 6)
+  }
+
+  private val PunctPattern = java.util.regex.Pattern.compile("[^A-Za-z0-9\\s]")
+  private val DigitPattern = java.util.regex.Pattern.compile("[0-9]")
+
+  /** [[charRatio]] as a kernel: code-point length before and after
+    * deleting matches, 0.0 for empty text — the exact SQL expression.
+    */
+  private[functions] def charRatioKernel(text: String,
+                                         p: java.util.regex.Pattern): Double = {
+    val len = text.codePointCount(0, text.length)
+    if (len == 0) return 0.0
+    val removed = p.matcher(text).replaceAll("")
+    (len - removed.codePointCount(0, removed.length)).toDouble / len
+  }
+
+  private[functions] def qualityScoreKernel(text: String,
+                                            sw: Set[String]): java.lang.Double = {
+    // null text: the Column formulation does NOT return null — `least`
+    // skips null operands, so the len/stop terms collapse to 1.0 and the
+    // punct/digit penalties to 0.0: exactly 0.5. Faithfully replicated
+    // (callers that want null-on-null guard outside, as Curation does).
+    if (text == null) return 0.5
+    val len = text.codePointCount(0, text.length)
+    val lenScore = math.min(len / 500.0, 1.0)
+    val punct = charRatioKernel(text, PunctPattern)
+    val digits = charRatioKernel(text, DigitPattern)
+    val stop: Double = stopwordRatioKernel(text, sw)
+    val raw = 0.25 * lenScore + 0.25 * math.min(stop * 4.0, 1.0) +
+      0.25 * (1.0 - math.min(punct * 5.0, 1.0)) +
+      0.25 * (1.0 - math.min(digits * 5.0, 1.0))
+    java.math.BigDecimal.valueOf(raw)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID

@@ -43,6 +43,31 @@ class TextFunctionsSpec extends SparkSpec {
     s(0) should be > s(1)
   }
 
+  test("stopwordRatio / qualityScore kernels are bit-identical to the HOF formulation") {
+    val sw = TextFunctions.LangStopwords("en")
+    val texts: Seq[String] = Seq(
+      null, "", " ", "  \t ", "\t", "the", "THE the The", "a  b\tc", " the cat ",
+      "tab\tseparated\tthe", "line\nbreaks\nthe and of", "punct!!! ... ???",
+      "1234 5678 the 90", "mixed 12ab!? the", "é è ü the naïve café",
+      "😀 emoji the 😁", // astral: code-point vs UTF-16 length
+      "ends with space ", " starts", "double  space", "x" * 600,
+      "the and of to in " * 40, "only-punct-,.;:!", "\n\n\n", "the nbsp")
+    val df = texts.toDF("t")
+    val rows = df.select(
+      TextFunctions.stopwordRatio(col("t"), sw).as("k1"),
+      TextFunctions.stopwordRatioHof(col("t"), sw).as("h1"),
+      TextFunctions.qualityScore(col("t"), sw).as("k2"),
+      TextFunctions.qualityScoreHof(col("t"), sw).as("h2")).collect()
+    rows.foreach { r =>
+      Seq((0, 1), (2, 3)).foreach { case (k, h) =>
+        r.isNullAt(k) shouldBe r.isNullAt(h)
+        if (!r.isNullAt(k))
+          java.lang.Double.doubleToRawLongBits(r.getDouble(k)) shouldBe
+            java.lang.Double.doubleToRawLongBits(r.getDouble(h))
+      }
+    }
+  }
+
   test("langIdHeuristic picks the dominant stopword language, und when none") {
     val df = Seq(
       "the cat is in the house and it is warm",
