@@ -35,6 +35,14 @@ def main():
     import glob
     import os
 
+    # Verify records crashed queries in _failed.json (round-7 lesson:
+    # a stderr-only failure can silently vanish from the driver's gate) —
+    # surface every entry as a hard FAIL here
+    failed_path = f"{OUT}/_failed.json"
+    if os.path.exists(failed_path):
+        for name, msg in sorted(json.load(open(failed_path)).items()):
+            bad.append((name, f"VERIFY CRASH: {msg}"))
+
     def load_spark_output(path_glob):
         # read the Spark side with pyarrow→pandas, NOT duckdb: that is
         # the driver's reader, and the two disagree on INT96/ns

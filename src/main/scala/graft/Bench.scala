@@ -42,29 +42,42 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      val times = (0 until 2).map { _ =>
+    // A crashed query must NEVER masquerade as a fast run (round 7 recorded
+    // 31 analysis-time crashes as ~0.1 s "speedups"): errors are collected
+    // separately and excluded from the per-query timings and the total.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = selected.flatMap { case (name, fn) =>
+      val times = (0 until 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir)
             .selectExpr("count(1)", "bit_xor(hash(*))").collect()
-        } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors(name) =
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(200)
+          None
+        }
       }
       // untimed GC between queries: localCheckpoint blocks and broadcasts
       // from earlier queries are only released when the driver GC lets the
       // ContextCleaner see them — without this, block-manager pressure
       // from 80×2 query runs bleeds into whichever queries run late
       System.gc()
-      name -> times.min
+      if (times.isEmpty) None else Some(name -> times.min)
     }
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // metric/value LAST: the driver keeps only the trailing bytes of the
     // run log, and with 70+ per-query entries a leading total would be
     // truncated out of the captured tail
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
+    println(s"""{"queries":$qs,"errors":$errs,"error_count":${errors.size},"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -195,11 +195,11 @@ object Curation {
                        topK: Int): DataFrame = {
     val toks = docs.select(col(classCol).as("cls"),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val counts = toks.groupBy(col("cls"), col("token"))
       .agg(count(lit(1)).as("cnt"))
     val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("qcnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val vocab = corpus.orderBy(col("qcnt").desc, col("token").asc).limit(topK)
     val totS = toks.groupBy(col("cls")).agg(count(lit(1)).as("tot_s"))
     val totC = toks.agg(count(lit(1)).as("tot_c"))
@@ -417,7 +417,7 @@ object Curation {
             xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n)))).as("h"))))
           .as("pg"))
       .select(col(idCol), col("pg.pos").as("__pos"), col("pg.h").as("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val freq = posGrams.select(col(idCol), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocFreq)
@@ -1030,7 +1030,7 @@ object Curation {
       .select(col("tok"),
         coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // coalesce: an empty joint vocabulary (all-null/blank corpora) sums
     // to NULL, and getLong on a null cell would NPE the driver
     val totals = vocab.agg(coalesce(sum(col("ct")), lit(0L)),
@@ -1084,12 +1084,12 @@ object Curation {
     // tables and the vocab-size action (bounded by the reference corpus,
     // small by assumption — the q97 vocab-cache convention)
     val refToks = reference.select(t.as("__t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val refBi = refToks.select(explode(bigrams(col("__t"))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
     val refUni = refToks.select(explode(col("__t")).as("prefix"))
       .groupBy(col("prefix")).agg(count(lit(1)).as("cu"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val v = refUni.count()
     val scored = corpus
       .select(col(idCol), explode(bigrams(t)).as("bg"))
@@ -1198,7 +1198,7 @@ object Curation {
       .where(col("doc_id").isNotNull)
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val native = spark.sessionState.functionRegistry.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by_score"))
     val sel =
@@ -1250,7 +1250,7 @@ object Curation {
         explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, Seq("term"))
@@ -1287,11 +1287,11 @@ object Curation {
                       minCount: Long = 5, k: Int = 50): DataFrame = {
     val toks = docs
       .select(TextFunctions.tokens(lower(col(textCol))).as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val cab = toks
       .select(explode(TextFunctions.windowPairsUdf(window)(col("t"))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val ct = toks.select(explode(col("t")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
     val nTok = toks.agg(sum(coalesce(size(col("t")), lit(0)))

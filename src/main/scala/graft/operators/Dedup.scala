@@ -116,7 +116,11 @@ object Dedup {
     *    docs would otherwise collide in every band;
     *  2. per distinct text, one scan computes the sorted shingle-hash set +
     *    signature (tight-loop kernels, [[graft.functions.HashKernels]]);
-    *    persisted so candidate and verification stages don't recompute;
+    *    cached via lazy `localCheckpoint` so candidate and verification
+    *    stages don't recompute — NOT `persist`, which registers in the
+    *    session CacheManager and outlives the query (a corpus-sized block
+    *    leak per call); checkpoint blocks are reclaimed by the
+    *    ContextCleaner once the caller drops the result;
     *  3. candidates come from `groupBy(band, band_hash)` + per-bucket pair
     *    expansion — the shuffle carries only (band_hash, id) pairs, never
     *    documents, and there is no self-join. A bucket larger than
@@ -151,13 +155,13 @@ object Dedup {
         sort_array(collect_list(col("id"))).as("members"),
         first(col("__text")).as("text"))
       .select("rep", "members", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // 2. signatures per distinct text
     val sigs = groups
       .select(col("rep").as("id"),
         HashKernels.shingleHashSetUdf(k)(col("text")).as("sh"))
       .withColumn("sig", HashKernels.minHashSigUdf(numHashes)(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // 3. LSH candidate pairs among representatives. Each bucket member
     //    carries its full band-key vector so the kernel can emit a pair
     //    only from its FIRST colliding band (no distinct() needed) and
@@ -477,7 +481,7 @@ object Dedup {
     val withBucket = df.select(
         col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         VectorFunctions.lshBucket(col(vecCol), dim, nBits).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val assigned =
       if (!multiProbe) withBucket
       else withBucket.select(col("id"),
@@ -529,7 +533,7 @@ object Dedup {
     val assigned = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("cluster", assignUdf(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val lower = assigned.select(col("cluster"),
       col("id").as("id_lo"), col("v").as("v_lo"))
     // rounded BEFORE the tau comparison so the verdict matches the

@@ -27,14 +27,29 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader only exposes as a raw long (nanosAsLong). Normalize to a
-    * µs-precision TimestampType column — same truncation DuckDB applies on
-    * `CAST(ts AS TIMESTAMP)`, so oracle comparisons line up.
+  /** Normalize an event-time column to µs-precision TimestampType,
+    * whatever physical shape the parquet stored it in. The testdata
+    * generator has shipped `ts` as INT64 TIMESTAMP(NANOS) (Spark reads it
+    * as a raw long under nanosAsLong) in rounds 1-6 and as plain
+    * timestamp[µs] (Spark reads TIMESTAMP_NTZ) since round 7's regen, so
+    * the loader branches on the observed dtype instead of hard-coding one:
+    *  - LongType        → epoch nanos, truncate to µs (DuckDB's CAST rule)
+    *  - TimestampType   → already the target type, pass through
+    *  - TimestampNTZType/other → cast; session tz is UTC everywhere, so the
+    *    wall-clock value equals the epoch-based instant either way.
+    * Works on batch and streaming DataFrames alike (pure column exprs).
     */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn(colName, col(colName).cast("timestamp"))
+    }
+
+  /** Events scan with `ts` normalized to TimestampType (see [[normalizeTs]]). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(table(s, d, "events"))
   }
 }

@@ -60,6 +60,23 @@ class OrderedPositionSpec extends SparkSpec {
     got.map(_._2).toSeq shouldBe expected
   }
 
+  test("withRunningSum executed plan: no window, single shared shuffle, broadcast offset join") {
+    // The engine's flagship 100 TB pattern (q57/q82): a prefix sum with NO
+    // Window.orderBy (which serializes the corpus onto one task). The
+    // returned plan must show (a) zero WindowExec nodes, (b) zero shuffle
+    // exchanges — the ONE range shuffle lives inside the shared RDD
+    // lineage, before the per-partition scan — and (c) the offset table
+    // joined back by broadcast, never a shuffled join.
+    val df = (0 until 20000).map(i => ((i % 7).toString, (i * 37) % 20000, (i % 13).toLong))
+      .toDF("k", "ord", "v").repartition(11)
+    val out = OrderedPosition.withRunningSum(df, Seq("k"), Seq("ord"), "v", "pfx")
+    out.count() // materialize so AQE's final plan is the asserted one
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "WindowExec"
+    plan should not include "ShuffleExchange"
+    plan should include("BroadcastHashJoin")
+  }
+
   test("withRunningSum resets per series, across partition boundaries") {
     // 3 series x 600 rows: each partition slice of a series must continue
     // its own series' prefix, not the partition's
