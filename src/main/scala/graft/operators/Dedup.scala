@@ -138,6 +138,29 @@ object Dedup {
     *    edges (rep, member, 1.0): O(m) rows carrying the same
     *    connected-component information, which is what dedup consumes.
     */
+  /** Step 1 of [[minHashDupPairs]]: collapse exact duplicates into
+    * (rep, members, text) — rep = min id, members = sorted ids, text =
+    * the group's (identical) text. The aggregate exchange carries ONLY
+    * (hash, len, id): texts are fetched AFTER aggregation by an id-keyed
+    * join back to the corpus, so each distinct text crosses a shuffle
+    * exactly once. A `first(text)` aggregate would instead ship a
+    * mega-group's text once per map partition through the groupBy
+    * exchange — at 100 TB a boilerplate doc copied 1M times rides the
+    * shuffle ~#partitions times. Package-private so the spec can assert
+    * the text-free exchange on the un-checkpointed plan.
+    */
+  private[operators] def exactGroups(df: DataFrame, idCol: String,
+                                     textCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+    base
+      .groupBy(xxhash64(col("__text")).as("__k"), length(col("__text")).as("__len"))
+      .agg(min(col("id")).as("rep"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .select("rep", "members")
+      .join(base.select(col("id").as("rep"), col("__text").as("text")), "rep")
+      .select("rep", "members", "text")
+  }
+
   def minHashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, rowsPerBand: Int = 4,
@@ -146,16 +169,7 @@ object Dedup {
                       maxGroup: Int = 1024): DataFrame = {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
     import graft.functions.HashKernels
-    // 1. collapse exact duplicates; shuffle carries (hash, len, id) + one
-    //    text per group (first() keeps the group's text for shingling)
-    val groups = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
-      .groupBy(xxhash64(col("__text")).as("__k"), length(col("__text")).as("__len"))
-      .agg(min(col("id")).as("rep"),
-        sort_array(collect_list(col("id"))).as("members"),
-        first(col("__text")).as("text"))
-      .select("rep", "members", "text")
-      .localCheckpoint(false)
+    val groups = exactGroups(df, idCol, textCol).localCheckpoint(false)
     // 2. signatures per distinct text
     val sigs = groups
       .select(col("rep").as("id"),

@@ -40,6 +40,38 @@ class DedupSpec extends SparkSpec {
     pairs.foreach(p => p._1 should be < p._2)
   }
 
+  test("exactGroups: no text column rides the aggregate exchange") {
+    // At 100 TB a mega-dup group's text must not ship once per map
+    // partition through the groupBy shuffle: the aggregate exchange
+    // carries only (hash, len, id); texts join back keyed by id.
+    val out = Dedup.exactGroups(docs.repartition(5), "doc_id", "text")
+    out.count()
+    // AQE nests materialized exchanges inside query-stage leaves, so walk
+    // through AdaptiveSparkPlanExec/ShuffleQueryStageExec boundaries
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def allExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] =
+      p.collect { case e: ShuffleExchangeExec => Seq(e)
+                  case a: AdaptiveSparkPlanExec => allExchanges(a.executedPlan)
+                  case s: ShuffleQueryStageExec => allExchanges(s.plan) }.flatten
+    val exchanges = allExchanges(out.queryExecution.executedPlan)
+    exchanges should not be empty
+    // the aggregate exchange: grouping keys are the extracted
+    // _groupingexpression attrs (xxhash64/length); with first(text) it
+    // would also carry a StringType first-buffer — assert it doesn't
+    val agg = exchanges.filter(_.output.exists(a =>
+      a.name.startsWith("_groupingexpression") || a.name == "__k"))
+    agg should not be empty
+    agg.foreach { e =>
+      e.output.filter(_.dataType ==
+        org.apache.spark.sql.types.StringType) shouldBe empty
+    }
+    // and the result is still one row per distinct text, text attached
+    out.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet shouldBe
+      Set((1L, List(1L, 4L, 5L)), (2L, List(2L)), (3L, List(3L)))
+  }
+
   test("minHashDupPairs: identical texts always pair (exact-dup collapse bypasses LSH caps)") {
     val clones = (1L to 20L).map(i => (i, "identical text body for every clone row here"))
       .toDF("doc_id", "text")
