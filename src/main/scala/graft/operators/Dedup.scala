@@ -262,6 +262,49 @@ object Dedup {
     * = min id of the component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25, loopPartitions: Int = 8,
+                          smallGraphEdges: Long = 1000000L): DataFrame = {
+    // Scale-adaptive routing (the ingestGate convention): the edge list is
+    // counted ONCE (materializing it as checkpoint blocks both paths then
+    // reuse), and a graph under `smallGraphEdges` undirected edges is
+    // solved by driver union-find — a few hundred dup-pair edges do not
+    // deserve 5 distributed label-propagation rounds of fixed scheduling
+    // cost, on local[32] or on a 1000-executor cluster. Larger graphs take
+    // the pinned-layout distributed loop below; `smallGraphEdges = 0`
+    // forces it (the spec equivalence path).
+    val sparkS = pairs.sparkSession
+    val edges0 = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst")).localCheckpoint(false)
+    if (smallGraphEdges > 0 && edges0.count() <= smallGraphEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+        }
+        r
+      }
+      edges0.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size())
+      parent.keySet().forEach(id => rows += org.apache.spark.sql.Row(id.longValue(), find(id)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType, nullable = false)))
+      return sparkS.createDataFrame(
+        sparkS.sparkContext.parallelize(rows.toSeq,
+          math.max(1, rows.size / 500000 + 1)), schema)
+    }
+    connectedComponentsDistributed(edges0, maxIter, loopPartitions)
+  }
+
+  private def connectedComponentsDistributed(pairs: DataFrame,
                           maxIter: Int = 25, loopPartitions: Int = 8): DataFrame = {
     // AQE is scoped OFF for the label-propagation loop (and restored
     // after): AQE re-coalesces every round's shuffle output, which (a)
@@ -280,7 +323,7 @@ object Dedup {
     val partPrev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
-    try connectedComponentsImpl(pairs, aCol, bCol, maxIter)
+    try connectedComponentsImpl(pairs, "src", "dst", maxIter)
     finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
       spark.conf.set("spark.sql.shuffle.partitions", partPrev)

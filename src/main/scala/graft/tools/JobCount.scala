@@ -37,7 +37,13 @@ object JobCount {
         .selectExpr("count(1)", "bit_xor(hash(*))").collect()
       Thread.sleep(300) // let the async listener bus drain
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"QJOBS $n jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} wall=$dt%.2f")
+      // cached-block hygiene: after a GC cycle no persisted/checkpointed
+      // RDD from the query may survive (the round-7 leak signature was
+      // MEMORY_AND_DISK blocks accumulating across queries)
+      System.gc()
+      Thread.sleep(500) // let the ContextCleaner drain
+      val survivors = spark.sparkContext.getPersistentRDDs.size
+      println(f"QJOBS $n jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} wall=$dt%.2f cachedRDDs=$survivors")
     }
     spark.stop()
   }

@@ -166,17 +166,35 @@ class DedupSpec extends SparkSpec {
       (1L, 2L), (2L, 3L), (3L, 4L),
       (7L, 8L),
       (10L, 11L), (10L, 12L)).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    // both routes must agree exactly: driver union-find (default for
+    // small edge sets) and the distributed label-propagation loop
+    // (smallGraphEdges = 0 forces it — the 100 TB path)
+    for (threshold <- Seq(1000000L, 0L)) {
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b",
+          smallGraphEdges = threshold)
+        .as[(Long, Long)].collect().toMap
+      comp(1L) shouldBe 1L
+      comp(2L) shouldBe 1L
+      comp(3L) shouldBe 1L
+      comp(4L) shouldBe 1L // needed 3 propagation rounds
+      comp(7L) shouldBe 7L
+      comp(8L) shouldBe 7L
+      comp(11L) shouldBe 10L
+      comp(12L) shouldBe 10L
+      comp.size shouldBe 9
+    }
+  }
+
+  test("connectedComponents: both routes agree on a randomized 3k-edge graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(3000)((rnd.nextInt(800).toLong, rnd.nextInt(800).toLong))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
-    comp(1L) shouldBe 1L
-    comp(2L) shouldBe 1L
-    comp(3L) shouldBe 1L
-    comp(4L) shouldBe 1L // needed 3 propagation rounds
-    comp(7L) shouldBe 7L
-    comp(8L) shouldBe 7L
-    comp(11L) shouldBe 10L
-    comp(12L) shouldBe 10L
-    comp.size shouldBe 9
+    val dist = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    fast shouldBe dist
   }
 
   test("canonicalize maps every doc to its representative, singletons to themselves") {
