@@ -65,9 +65,81 @@ object Bpe {
 
   /** Learn `numMerges` merges. Returns them in rank order. Stops early if
     * no adjacent pair remains.
+    *
+    * Scale-adaptive routing (the [[Dedup.connectedComponents]] /
+    * ingestGate convention): the corpus reduces to its word-frequency
+    * table either way (the only corpus-sized pass); when that table has
+    * at most `smallVocabWords` distinct words it is collected once and
+    * the merge rounds run in-driver — 20 rounds over a bench-scale vocab
+    * do not deserve 20 distributed jobs of fixed scheduling cost. The
+    * driver path replicates the distributed semantics bit-for-bit: exact
+    * integer count sums and the same (count desc, pair lexicographic asc)
+    * argmax tie-break — BMP strings order identically under Java UTF-16
+    * comparison and Spark's UTF-8 binary ordering, which the corpus
+    * contract already assumes. `smallVocabWords = 0` forces the
+    * distributed loop (the spec equivalence path).
     */
   def train(docs: DataFrame, textCol: String,
-            numMerges: Int): Seq[(String, String)] = {
+            numMerges: Int,
+            smallVocabWords: Long = 1000000L): Seq[(String, String)] = {
+    if (smallVocabWords > 0) {
+      val wf = wordFreq(docs, textCol).localCheckpoint(false)
+      if (wf.count() <= smallVocabWords) {
+        val rows = wf.collect().map(r => (r.getLong(1), r.getString(0)))
+        return trainDriver(rows, numMerges)
+      }
+      // fall through: reuse the checkpointed word table in the loop
+      return trainDistributed(wf, numMerges)
+    }
+    trainDistributed(wordFreq(docs, textCol), numMerges)
+  }
+
+  /** In-driver merge loop over a bounded word-frequency table; semantics
+    * identical to [[trainImpl]] (spec-asserted).
+    */
+  private def trainDriver(words: Array[(Long, String)],
+                          numMerges: Int): Seq[(String, String)] = {
+    val cnts = words.map(_._1)
+    val syms: Array[Seq[String]] =
+      words.map { case (_, w) => w.map(_.toString) :+ EndOfWord }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val pc = new java.util.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i); val c = cnts(i)
+        var j = 0
+        while (j < s.length - 1) {
+          pc.merge((s(j), s(j + 1)), c, (a: Long, b: Long) => a + b)
+          j += 1
+        }
+        i += 1
+      }
+      if (pc.isEmpty) done = true
+      else {
+        var bestK: (String, String) = null
+        var bestC = Long.MinValue
+        pc.forEach { (k, v) =>
+          val better = v > bestC || (v == bestC &&
+            (k._1 < bestK._1 || (k._1 == bestK._1 && k._2 < bestK._2)))
+          if (better) { bestK = k; bestC = v }
+        }
+        merges += bestK
+        var i2 = 0
+        while (i2 < syms.length) {
+          syms(i2) = mergeOnce(syms(i2), bestK._1, bestK._2)
+          i2 += 1
+        }
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  private def trainDistributed(wordTable: DataFrame,
+                               numMerges: Int): Seq[(String, String)] = {
     // Static planning scoped over the merge rounds (the
     // [[Dedup.connectedComponents]] convention): AQE splits each round's
     // single top-pair action into separate map/result stage-jobs and
@@ -76,21 +148,21 @@ object Bpe {
     // a narrow fixed layout is the right shape; the one corpus-sized
     // pass (wordFreq) runs before the loop and is unaffected by the
     // narrow setting in practice (its aggregate is map-side combined).
-    val spark = docs.sparkSession
+    val spark = wordTable.sparkSession
     val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val partPrev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try trainImpl(docs, textCol, numMerges)
+    try trainImpl(wordTable, numMerges)
     finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
       spark.conf.set("spark.sql.shuffle.partitions", partPrev)
     }
   }
 
-  private def trainImpl(docs: DataFrame, textCol: String,
+  private def trainImpl(wordTable: DataFrame,
                         numMerges: Int): Seq[(String, String)] = {
-    var words = wordFreq(docs, textCol)
+    var words = wordTable
       .select(col("cnt"),
         concat(
           transform(sequence(lit(1), length(col("w"))),

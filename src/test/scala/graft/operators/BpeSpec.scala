@@ -26,6 +26,15 @@ class BpeSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("driver and distributed training routes learn identical merge tables") {
+    // smallVocabWords = 0 forces the distributed loop; the default takes
+    // the in-driver path — the golden gate (q104) needs them bit-equal,
+    // tie-breaks included (the corpus fixture exercises a count tie)
+    val fast = Bpe.train(corpus, "text", numMerges = 8)
+    val dist = Bpe.train(corpus, "text", numMerges = 8, smallVocabWords = 0L)
+    fast shouldBe dist
+  }
+
   test("train stops early when words are fully merged") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // a b </w> -> 2 merges reach the single symbol "ab</w>"; further
