@@ -41,8 +41,90 @@ object GraphOps {
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, scale: Long = 1000000000000L,
                dampNum: Long = 85, dampDen: Long = 100,
-               loopPartitions: Int = 8): DataFrame = {
+               loopPartitions: Int = 8,
+               smallGraphEdges: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
+    // Scale-adaptive routing (the connectedComponents/Bpe.train
+    // convention): the deduplicated edge list is checkpointed and counted
+    // once; a graph under `smallGraphEdges` edges runs the SAME integer
+    // fixed-point iteration in-driver — every operation is an exact long
+    // sum or integral division, so the result is bit-identical to the
+    // distributed loop (spec-asserted), without iterations × fixed
+    // per-round scheduling cost. Host graphs are orders smaller than
+    // page corpora; page-level graphs exceed the bound and take the
+    // pinned-layout distributed loop. `smallGraphEdges = 0` forces it.
+    if (smallGraphEdges > 0) {
+      val cleaned = edges0
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(false)
+      if (cleaned.count() <= smallGraphEdges)
+        return pageRankDriver(cleaned, iterations, scale, dampNum, dampDen)
+      // reuse the checkpointed edge list; it is already cleaned, and
+      // pageRankImpl's re-applied filter/distinct are no-ops over it
+      return pageRankDistributed(cleaned, "src", "dst", iterations, scale,
+        dampNum, dampDen, loopPartitions)
+    }
+    pageRankDistributed(edges0, srcCol, dstCol, iterations, scale,
+      dampNum, dampDen, loopPartitions)
+  }
+
+  /** In-driver power iteration over a bounded, cleaned edge list; node
+    * type stays generic (host strings or ids). Bit-identical to the
+    * distributed loop: same r0/base integral divisions, same per-round
+    * dangling redistribution, same contribution sums.
+    */
+  private def pageRankDriver(cleaned: DataFrame, iterations: Int,
+                             scale: Long, dampNum: Long,
+                             dampDen: Long): DataFrame = {
+    val spark = cleaned.sparkSession
+    val e = cleaned.collect().map(r => (r.get(0), r.get(1)))
+    val outdeg = new java.util.HashMap[Any, Long]()
+    e.foreach { case (s, _) => outdeg.merge(s, 1L, (a: Long, b: Long) => a + b) }
+    val nodeSet = new java.util.LinkedHashSet[Any]()
+    e.foreach { case (s, d) => nodeSet.add(s); nodeSet.add(d) }
+    val nodes = nodeSet.toArray
+    val n = nodes.length.toLong
+    val nodeType = cleaned.schema("src").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    if (n == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val r0 = scale / n
+    val base = ((dampDen - dampNum) * (scale / n)) / dampDen
+    var ranks = new java.util.HashMap[Any, Long]()
+    nodes.foreach(nd => ranks.put(nd, r0))
+    for (_ <- 1 to iterations) {
+      var dang = 0L
+      nodes.foreach { nd =>
+        if (!outdeg.containsKey(nd)) dang += ranks.get(nd)
+      }
+      val m = new java.util.HashMap[Any, Long]()
+      e.foreach { case (s, d) =>
+        m.merge(d, ranks.get(s) / outdeg.get(s), (a: Long, b: Long) => a + b)
+      }
+      val next = new java.util.HashMap[Any, Long]()
+      nodes.foreach { nd =>
+        next.put(nd,
+          base + (dampNum * (m.getOrDefault(nd, 0L) + dang / n)) / dampDen)
+      }
+      ranks = next
+    }
+    val rows = nodes.map(nd => org.apache.spark.sql.Row(nd, ranks.get(nd)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq,
+        math.max(1, rows.length / 500000 + 1)), outSchema)
+  }
+
+  private def pageRankDistributed(edges0: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, scale: Long,
+               dampNum: Long, dampDen: Long,
+               loopPartitions: Int): DataFrame = {
     // Static planning scoped over the power iterations (the
     // [[graft.operators.Dedup.connectedComponents]] convention): AQE
     // would re-coalesce every round's contribution shuffle into several

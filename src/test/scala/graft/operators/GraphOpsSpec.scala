@@ -27,6 +27,20 @@ class GraphOpsSpec extends SparkSpec {
     out.values.sum shouldBe S
   }
 
+  test("pageRank driver and distributed routes are bit-identical") {
+    // randomized 400-edge digraph with dangling nodes and a hub;
+    // smallGraphEdges = 0 forces the distributed loop
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((s"h${rnd.nextInt(40)}", s"h${rnd.nextInt(60)}"))
+      .toDF("src", "dst")
+    val fast = GraphOps.pageRank(edges, "src", "dst", iterations = 5)
+      .as[(String, Long)].collect().toMap
+    val dist = GraphOps.pageRank(edges, "src", "dst", iterations = 5,
+        smallGraphEdges = 0L)
+      .as[(String, Long)].collect().toMap
+    fast shouldBe dist
+  }
+
   test("pageRank drops self-loops and duplicate edges, null endpoints never rank") {
     val edges = Seq(("a", "a"), ("a", "b"), ("a", "b"), (null, "b"), ("b", null))
       .toDF("src", "dst")
