@@ -146,20 +146,6 @@ object TextFunctions {
         lit(0.25) * (lit(1.0) - least(digits * 5.0, lit(1.0))), 6)
   }
 
-  private val PunctPattern = java.util.regex.Pattern.compile("[^A-Za-z0-9\\s]")
-  private val DigitPattern = java.util.regex.Pattern.compile("[0-9]")
-
-  /** [[charRatio]] as a kernel: code-point length before and after
-    * deleting matches, 0.0 for empty text — the exact SQL expression.
-    */
-  private[functions] def charRatioKernel(text: String,
-                                         p: java.util.regex.Pattern): Double = {
-    val len = text.codePointCount(0, text.length)
-    if (len == 0) return 0.0
-    val removed = p.matcher(text).replaceAll("")
-    (len - removed.codePointCount(0, removed.length)).toDouble / len
-  }
-
   private[functions] def qualityScoreKernel(text: String,
                                             sw: Set[String]): java.lang.Double = {
     // null text: the Column formulation does NOT return null — `least`
@@ -167,10 +153,31 @@ object TextFunctions {
     // punct/digit penalties to 0.0: exactly 0.5. Faithfully replicated
     // (callers that want null-on-null guard outside, as Curation does).
     if (text == null) return 0.5
-    val len = text.codePointCount(0, text.length)
+    // One code-point pass replaces two regex replaceAll passes (each of
+    // which allocated a stripped copy of the text): for the two FIXED
+    // classes here, membership is a char-range test. `[^A-Za-z0-9\s]`
+    // matches any code point outside ASCII alnum + Java regex \s
+    // ([ \t\n\x0B\f\r] without UNICODE_CHARACTER_CLASS) — astral included,
+    // exactly as Pattern.matcher iterates code points. Bit-equivalence vs
+    // the regex/HOF formulation is spec-pinned (TextFunctionsSpec).
+    var i = 0
+    var len = 0
+    var punctN = 0
+    var digitN = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      len += 1
+      val isDigit = cp >= '0' && cp <= '9'
+      val isAlpha = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (isDigit) digitN += 1
+      else if (!isAlpha && !isWs) punctN += 1
+      i += Character.charCount(cp)
+    }
     val lenScore = math.min(len / 500.0, 1.0)
-    val punct = charRatioKernel(text, PunctPattern)
-    val digits = charRatioKernel(text, DigitPattern)
+    val punct = if (len == 0) 0.0 else punctN.toDouble / len
+    val digits = if (len == 0) 0.0 else digitN.toDouble / len
     val stop: Double = stopwordRatioKernel(text, sw)
     val raw = 0.25 * lenScore + 0.25 * math.min(stop * 4.0, 1.0) +
       0.25 * (1.0 - math.min(punct * 5.0, 1.0)) +
