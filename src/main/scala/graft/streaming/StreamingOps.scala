@@ -262,14 +262,22 @@ object StreamingOps {
     * emitted sessions against the batch equivalent under that closure rule.
     */
   def runSessionizeAvailableNow(spark: SparkSession, dir: String, gapSeconds: Long,
-                                queryName: String = "graft_stream_sessions"): DataFrame = {
+                                queryName: String = "graft_stream_sessions",
+                                sourceGlob: String = "events.parquet",
+                                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = graft.sources.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    // `sourceGlob`/`maxFilesPerTrigger` let the replay run as MULTIPLE
+    // micro-batches over time-sliced files (modification-time order =
+    // arrival order), driving a genuinely advancing watermark — the
+    // multi-batch parity spec uses this; the driver default is one batch.
+    val schema = spark.read.option("pathGlobFilter", sourceGlob)
+      .parquet(dir).schema
+    val reader0 = spark.readStream.schema(schema)
+      .option("pathGlobFilter", sourceGlob)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n.toString))
+    val stream = graft.sources.Tables.normalizeTs(reader.parquet(dir))
       .withWatermark("ts", "0 seconds")
       .select(col("user_id").as("userId"), col("ts"),
         col("event_id").as("eventId"))

@@ -58,10 +58,12 @@ class EventsSchemaSpec extends SparkSpec {
   test("normalizeTs is schema-adaptive on streaming reads too") {
     val outs = Seq(nsLongDir, ltzDir, ntzDir).map { d =>
       val schema = spark.read.parquet(s"$d/events.parquet").schema
+      // the fixture's events.parquet is a DIRECTORY (Spark write), so the
+      // stream reads it directly — a name glob over the parent would
+      // filter out the inner part files and make this test vacuous
       val stream = Tables.normalizeTs(
         spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d))
+          .parquet(s"$d/events.parquet"))
       stream.isStreaming shouldBe true
       stream.schema("ts").dataType shouldBe TimestampType
       val name = s"graft_events_schema_${d.hashCode.toHexString}"
@@ -74,6 +76,7 @@ class EventsSchemaSpec extends SparkSpec {
         .select(col("event_id"), unix_micros(col("ts")).as("us"))
         .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     }
+    outs(0).map(_._2) should contain theSameElementsInOrderAs epochMicros
     outs(0) shouldBe outs(1)
     outs(0) shouldBe outs(2)
   }

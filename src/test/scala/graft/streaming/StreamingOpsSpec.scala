@@ -74,6 +74,62 @@ class StreamingOpsSpec extends SparkSpec {
     streamed.nonEmpty shouldBe true
   }
 
+  test("sessionize multi-batch replay (advancing watermark) matches batch gap-sessionization") {
+    import org.apache.spark.sql.functions.{col => f, unix_micros}
+    val gap = 1800L
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(f("user_id"), f("ts"), f("event_id"))
+    // three non-overlapping time slices, one FILE each, modification
+    // times ascending: FileStreamSource replays them in arrival =
+    // event-time order, so each micro-batch genuinely advances the
+    // watermark (the single-batch parity test never exercises that)
+    val Array(c1, c2) = src.select(unix_micros(f("ts")).as("us"))
+      .stat.approxQuantile("us", Array(1.0 / 3, 2.0 / 3), 0.0).map(_.toLong)
+    val fixture = java.nio.file.Files.createTempDirectory("graft_replay").toFile
+    fixture.deleteOnExit()
+    val slices = Seq(
+      src.filter(unix_micros(f("ts")) <= c1),
+      src.filter(unix_micros(f("ts")) > c1 && unix_micros(f("ts")) <= c2),
+      src.filter(unix_micros(f("ts")) > c2))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val stage = new java.io.File(fixture, s"stage$i")
+      s.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(fixture, f"slice$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 600000L)
+    }
+    val streamed = graft.streaming.StreamingOps
+      .runSessionizeAvailableNow(spark, fixture.getAbsolutePath, gap,
+        queryName = "graft_stream_sessions_mb",
+        sourceGlob = "slice*.parquet", maxFilesPerTrigger = Some(1))
+      .select("userId", "startMs", "endMs", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val events = src
+      .select(f("user_id"), (unix_micros(f("ts")) / 1000L).cast("long").as("tsMs"),
+        f("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val maxTs = events.map(_._2).max
+    val batchSessions = events.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      var start = sorted.head._2; var last = sorted.head._2; var n = 1L
+      sorted.tail.foreach { e =>
+        if (e._2 - last <= gap * 1000) { last = math.max(last, e._2); n += 1 }
+        else { sessions += ((uid, start, last, n)); start = e._2; last = e._2; n = 1 }
+      }
+      sessions += ((uid, start, last, n))
+      sessions
+    }.toSet
+    val mustEmit = batchSessions.filter(s => s._3 + gap * 1000 < maxTs)
+    mustEmit.nonEmpty shouldBe true
+    assert(mustEmit.subsetOf(streamed),
+      s"missing ${(mustEmit -- streamed).take(3)}")
+    assert(streamed.subsetOf(batchSessions),
+      s"unexpected ${(streamed -- batchSessions).take(3)}")
+  }
+
   test("streaming exact dedup drops in-horizon duplicates, batch-parity on content") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toFile
     dir.deleteOnExit()
