@@ -211,8 +211,24 @@ object Bpe {
     * lower-cased text, BPE-encode each word. A per-row kernel over the
     * broadcast merge table — scan rate, no shuffle, batch or stream.
     * Null/blank text → null.
+    *
+    * Natural-language corpora follow Zipf's law, so the same words
+    * recur millions of times: each UDF instance keeps a bounded
+    * word→subwords cache (per task, deserialized with the closure), so
+    * the merge loop runs once per DISTINCT word per task instead of once
+    * per occurrence. Pure memoization — output is byte-identical
+    * (golden-pinned by q105).
     */
-  def encodeUdf(merges: Seq[(String, String)]): UserDefinedFunction =
+  def encodeUdf(merges: Seq[(String, String)]): UserDefinedFunction = {
+    val cacheMax = 65536
+    // per-closure-instance cache; Spark deserializes one closure per
+    // task, so no cross-thread sharing and no synchronization needed
+    @transient lazy val cache =
+      new java.util.LinkedHashMap[String, Seq[String]](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+          size() > cacheMax
+      }
     udf((text: String) => {
       if (text == null) null
       else {
@@ -225,9 +241,14 @@ object Bpe {
           .reverse.toLowerCase(java.util.Locale.ROOT)
         if (t.isEmpty) null
         else t.split("\\s+", -1).toSeq.filter(_.nonEmpty)
-          .flatMap(w => encodeWord(w, merges))
+          .flatMap { w =>
+            val hit = cache.get(w)
+            if (hit != null) hit
+            else { val enc = encodeWord(w, merges); cache.put(w, enc); enc }
+          }
       }
     })
+  }
 
   /** Corpus tokenization: (`idCol`, bpe_tokens, n_bpe) per document. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
