@@ -102,6 +102,29 @@ object Dedup {
       .drop("__k", "__len")
       .select("keep_id", "copies")
 
+  /** Step 1 of [[minHashDupPairs]]: collapse exact duplicates into
+    * (rep, members, text) — rep = min id, members = sorted ids, text =
+    * the group's (identical) text. The aggregate exchange carries ONLY
+    * (hash, len, id): texts are fetched AFTER aggregation by an id-keyed
+    * join back to the corpus, so each distinct text crosses a shuffle
+    * exactly once. A `first(text)` aggregate would instead ship a
+    * mega-group's text once per map partition through the groupBy
+    * exchange — at 100 TB a boilerplate doc copied 1M times rides the
+    * shuffle ~#partitions times. Package-private so the spec can assert
+    * the text-free exchange on the un-checkpointed plan.
+    */
+  private[operators] def exactGroups(df: DataFrame, idCol: String,
+                                     textCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+    base
+      .groupBy(xxhash64(col("__text")).as("__k"), length(col("__text")).as("__len"))
+      .agg(min(col("id")).as("rep"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .select("rep", "members")
+      .join(base.select(col("id").as("rep"), col("__text").as("text")), "rep")
+      .select("rep", "members", "text")
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
     * verification: returns (id_a, id_b, jaccard) with id_a < id_b and
     * jaccard ≥ `minJaccard`. `bands × rowsPerBand` must equal the signature
@@ -138,29 +161,6 @@ object Dedup {
     *    edges (rep, member, 1.0): O(m) rows carrying the same
     *    connected-component information, which is what dedup consumes.
     */
-  /** Step 1 of [[minHashDupPairs]]: collapse exact duplicates into
-    * (rep, members, text) — rep = min id, members = sorted ids, text =
-    * the group's (identical) text. The aggregate exchange carries ONLY
-    * (hash, len, id): texts are fetched AFTER aggregation by an id-keyed
-    * join back to the corpus, so each distinct text crosses a shuffle
-    * exactly once. A `first(text)` aggregate would instead ship a
-    * mega-group's text once per map partition through the groupBy
-    * exchange — at 100 TB a boilerplate doc copied 1M times rides the
-    * shuffle ~#partitions times. Package-private so the spec can assert
-    * the text-free exchange on the un-checkpointed plan.
-    */
-  private[operators] def exactGroups(df: DataFrame, idCol: String,
-                                     textCol: String): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
-    base
-      .groupBy(xxhash64(col("__text")).as("__k"), length(col("__text")).as("__len"))
-      .agg(min(col("id")).as("rep"),
-        sort_array(collect_list(col("id"))).as("members"))
-      .select("rep", "members")
-      .join(base.select(col("id").as("rep"), col("__text").as("text")), "rep")
-      .select("rep", "members", "text")
-  }
-
   def minHashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, rowsPerBand: Int = 4,
@@ -273,8 +273,12 @@ object Dedup {
     // the pinned-layout distributed loop below; `smallGraphEdges = 0`
     // forces it (the spec equivalence path).
     val sparkS = pairs.sparkSession
+    // null endpoints carry no connectivity; dropped on BOTH routes (the
+    // driver path would otherwise read a null id as 0L)
     val edges0 = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst")).localCheckpoint(false)
+        col(bCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(false)
     if (smallGraphEdges > 0 && edges0.count() <= smallGraphEdges) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {

@@ -53,21 +53,20 @@ object GraphOps {
     // per-round scheduling cost. Host graphs are orders smaller than
     // page corpora; page-level graphs exceed the bound and take the
     // pinned-layout distributed loop. `smallGraphEdges = 0` forces it.
+    val cleaned = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
     if (smallGraphEdges > 0) {
-      val cleaned = edges0
-        .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .where(col("src").isNotNull && col("dst").isNotNull &&
-          col("src") =!= col("dst"))
-        .distinct()
-        .localCheckpoint(false)
-      if (cleaned.count() <= smallGraphEdges)
-        return pageRankDriver(cleaned, iterations, scale, dampNum, dampDen)
-      // reuse the checkpointed edge list; it is already cleaned, and
-      // pageRankImpl's re-applied filter/distinct are no-ops over it
-      return pageRankDistributed(cleaned, "src", "dst", iterations, scale,
+      val pinned = cleaned.localCheckpoint(false)
+      if (pinned.count() <= smallGraphEdges)
+        return pageRankDriver(pinned, iterations, scale, dampNum, dampDen)
+      // reuse the checkpointed cleaned edge list for the loop
+      return pageRankDistributed(pinned, iterations, scale,
         dampNum, dampDen, loopPartitions)
     }
-    pageRankDistributed(edges0, srcCol, dstCol, iterations, scale,
+    pageRankDistributed(cleaned, iterations, scale,
       dampNum, dampDen, loopPartitions)
   }
 
@@ -121,7 +120,7 @@ object GraphOps {
         math.max(1, rows.length / 500000 + 1)), outSchema)
   }
 
-  private def pageRankDistributed(edges0: DataFrame, srcCol: String, dstCol: String,
+  private def pageRankDistributed(cleaned: DataFrame,
                iterations: Int, scale: Long,
                dampNum: Long, dampDen: Long,
                loopPartitions: Int): DataFrame = {
@@ -133,26 +132,23 @@ object GraphOps {
     // join key for reuse. `loopPartitions` pins the loop layout — the
     // HOST graph is orders smaller than the page corpus, so the default
     // is small; size it to edge-set cardinality for page-level graphs.
-    val spark = edges0.sparkSession
+    val spark = cleaned.sparkSession
     val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val partPrev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
-    try pageRankImpl(edges0, srcCol, dstCol, iterations, scale, dampNum, dampDen)
+    try pageRankImpl(cleaned, iterations, scale, dampNum, dampDen)
     finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
       spark.conf.set("spark.sql.shuffle.partitions", partPrev)
     }
   }
 
-  private def pageRankImpl(edges0: DataFrame, srcCol: String, dstCol: String,
+  private def pageRankImpl(cleaned: DataFrame,
                            iterations: Int, scale: Long,
                            dampNum: Long, dampDen: Long): DataFrame = {
-    val edges = edges0
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .distinct()
+    // input is pre-cleaned (select/filter/distinct) by [[pageRank]]
+    val edges = cleaned
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ew = edges.join(outdeg, Seq("src"))
