@@ -1,6 +1,40 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** The measurement loop, separated from `main` so the spec can drive it
+    * with an injected query map: min-of-`runs` seconds per query, with
+    * crashed queries EXCLUDED from the timings and returned as an error
+    * map instead — a crash must never masquerade as a fast run (round 7
+    * recorded 31 analysis-time crashes as ~0.1 s "speedups").
+    */
+  def measure(spark: SparkSession, sfDir: String,
+              queries: Map[String, (SparkSession, String) => DataFrame],
+              runs: Int = 2): (Map[String, Double], Map[String, String]) = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = queries.flatMap { case (name, fn) =>
+      val times = (0 until runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir)
+            .selectExpr("count(1)", "bit_xor(hash(*))").collect()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors(name) =
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(200)
+          None
+        }
+      }
+      // untimed GC between queries: localCheckpoint blocks and broadcasts
+      // from earlier queries are only released when the driver GC lets the
+      // ContextCleaner see them — without this, block-manager pressure
+      // from 80×2 query runs bleeds into whichever queries run late
+      System.gc()
+      if (times.isEmpty) None else Some(name -> times.min)
+    }
+    (results, errors.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,30 +76,7 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    // A crashed query must NEVER masquerade as a fast run (round 7 recorded
-    // 31 analysis-time crashes as ~0.1 s "speedups"): errors are collected
-    // separately and excluded from the per-query timings and the total.
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.flatMap { case (name, fn) =>
-      val times = (0 until 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir)
-            .selectExpr("count(1)", "bit_xor(hash(*))").collect()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          errors(name) =
-            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(200)
-          None
-        }
-      }
-      // untimed GC between queries: localCheckpoint blocks and broadcasts
-      // from earlier queries are only released when the driver GC lets the
-      // ContextCleaner see them — without this, block-manager pressure
-      // from 80×2 query runs bleeds into whichever queries run late
-      System.gc()
-      if (times.isEmpty) None else Some(name -> times.min)
-    }
+    val (results, errors) = measure(spark, sfDir, selected)
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
