@@ -378,6 +378,39 @@ object HashKernels {
   def shingleHashSetUdf(k: Int): UserDefinedFunction =
     udf((text: String) => shingleHashSet(text, k))
 
+  /** Hash of the space-joined n-gram at every start position of a
+    * pre-tokenized document (length `max(0, tokens - n + 1)`, order
+    * preserved, NOT distinct) — the [[graft.operators.Curation
+    * .trimDupGrams]] gram stream. A kernel because the Column spelling
+    * (`transform(starts, i => xxhash64(concat_ws(slice(...))))`) is a
+    * CodegenFallback HOF interpreted per position with per-element array
+    * slices; one JVM loop with a reused builder does the same work at
+    * scan rate. Hash = [[hashString]] (same 64-bit collision convention
+    * as the other gram kernels; the hashes never leave the plan).
+    */
+  def posGramHashes(toks: Seq[String], n: Int): Array[Long] = {
+    if (toks == null || toks.length < n) return Array.emptyLongArray
+    val m = toks.length - n + 1
+    val out = new Array[Long](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = hashString(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  def posGramHashesUdf(n: Int): UserDefinedFunction =
+    udf((toks: Seq[String]) => posGramHashes(toks, n))
+
   def minHashSigUdf(numHashes: Int): UserDefinedFunction =
     udf((sh: Seq[Long]) => minHashSig(sh, numHashes))
 

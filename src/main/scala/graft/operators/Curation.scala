@@ -403,20 +403,14 @@ object Curation {
     val toks = coalesce(TextFunctions.tokens(lower(col(textCol))),
       array().cast("array<string>"))
     val base = docs.select(col(idCol), toks.as("__t"))
-    // start positions 0..size-n (sequence would COUNT DOWN for size<n)
-    val starts = when(size(col("__t")) >= n,
-      sequence(lit(0), size(col("__t")) - n))
-      .otherwise(array().cast("array<int>"))
-    // persisted: feeds BOTH the frequency count and the covered join —
-    // without it the corpus-wide explode+hash (the operator's dominant
-    // cost) evaluates twice per action
+    // cached: feeds BOTH the frequency count and the covered join —
+    // without it the corpus-wide gram hashing (the operator's dominant
+    // cost) evaluates twice per action. posexplode's 0-based pos is
+    // exactly the gram's start position.
     val posGrams = base
-      .select(col(idCol), col("__t"),
-        explode(transform(starts, i =>
-          struct(i.as("pos"),
-            xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n)))).as("h"))))
-          .as("pg"))
-      .select(col(idCol), col("pg.pos").as("__pos"), col("pg.h").as("__h"))
+      .select(col(idCol),
+        posexplode(graft.functions.HashKernels.posGramHashesUdf(n)(col("__t"))))
+      .toDF(idCol, "__pos", "__h")
       .localCheckpoint(false)
     val freq = posGrams.select(col(idCol), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
