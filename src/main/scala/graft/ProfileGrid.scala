@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType, TimestampType}
 
@@ -64,6 +65,12 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType, Timestam
   * 3-value extent reach the driver, where they also decide the manifest.
   */
 object ProfileGrid {
+
+  // Shadows functions.round: every oracle-compared column rounds with
+  // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
+  // values hash identically on both engines.
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.dround(c, scale)
 
   /** `status` is the S7 operational-status string painted into every
     * artifact title (dashboard.py:448,462), default = the degrade rule.
@@ -272,7 +279,7 @@ object ProfileGrid {
 
     // depth-row snap + time-axis interpolation per depth row
     val binned = base
-      .withColumn("di", round((col("p") - lit(yMin)) / lit(depthStep)).cast("int"))
+      .withColumn("di", functions.round((col("p") - lit(yMin)) / lit(depthStep)).cast("int"))
       .filter(col("di") >= 0 && col("di") < nD)
     val mesh = spark.range(0, nD.toLong)
       .select(col("id").cast("int").as("di"))

@@ -14,6 +14,12 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
+  // Shadows functions.round: every oracle-compared column rounds with
+  // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
+  // values hash identically on both engines.
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.dround(c, scale)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue per region: the full dim-join chain with broadcast dims.
     */

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Qartod {
 
+  // Shadows functions.round: every oracle-compared column rounds with
+  // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
+  // values hash identically on both engines.
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.dround(c, scale)
+
   /** Flag values (QARTOD convention). */
   val Pass = 1
   val NotEvaluated = 2

@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  // Shadows functions.round: every oracle-compared column rounds with
+  // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
+  // values hash identically on both engines.
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.dround(c, scale)
+
   /** Whitespace token count; empty/blank text counts 0. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0)
@@ -121,8 +127,8 @@ object TextFunctions {
     * counts CODE POINTS (not UTF-16 units — `codePointCount`), the char
     * ratios run the same Java regex `regexp_replace` uses, the additions
     * associate left-to-right as the Column expression does, and the final
-    * 6-dp round replicates Spark's `round` (BigDecimal HALF_UP on the
-    * `Double.toString` decimal form).
+    * 6-dp round is the oracle-exact [[Rounding.droundDouble]] (matching
+    * the shadowed Column `round` in the Hof).
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     val sw = stopwords.toSet
@@ -182,8 +188,7 @@ object TextFunctions {
     val raw = 0.25 * lenScore + 0.25 * math.min(stop * 4.0, 1.0) +
       0.25 * (1.0 - math.min(punct * 5.0, 1.0)) +
       0.25 * (1.0 - math.min(digits * 5.0, 1.0))
-    java.math.BigDecimal.valueOf(raw)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    Rounding.droundDouble(raw, 6)
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -410,7 +415,7 @@ object TextFunctions {
     * oracle, which recomputes every stat in SQL: SQL trim (spaces only),
     * `\s+` split keeping trailing empties, codepoint lengths, non-
     * overlapping left-to-right `#|\.\.\.` matches, per-line bullet/
-    * ellipsis tests (≡ the RE2/Java `(?m)` anchors), HALF_UP rounding.
+    * ellipsis tests (≡ the RE2/Java `(?m)` anchors), oracle-exact rounding.
     */
   def gopherStats(text: Column): Seq[Column] = {
     val s = gopherStatsUdf(text)
@@ -431,9 +436,7 @@ object TextFunctions {
     udf((text: String) => {
       if (text == null) null.asInstanceOf[GopherStats]
       else {
-        def r6(x: Double): Double =
-          java.math.BigDecimal.valueOf(x)
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        def r6(x: Double): Double = Rounding.droundDouble(x, 6)
         // SQL-trim (spaces only) + split("\s+", -1): the tokens() contract
         var lo = 0
         var hi = text.length

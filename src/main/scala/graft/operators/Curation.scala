@@ -32,6 +32,12 @@ import graft.functions.TextFunctions
   */
 object Curation {
 
+  // Shadows functions.round: every oracle-compared column rounds with
+  // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
+  // values hash identically on both engines.
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.dround(c, scale)
+
   /** Per-document benchmark contamination: the fraction of the document's
     * distinct word `n`-grams that also occur anywhere in `benchmark`.
     * Returns (`idCol`, n_grams, n_hit, contamination) — one row per corpus

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // Shadows functions.round: every oracle-compared column rounds with
+  // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
+  // values hash identically on both engines.
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.dround(c, scale)
+
   /** Word shingles (k-grams) of the lower-cased text as an array column;
     * documents shorter than k words get their whole token sequence as one
     * shingle.

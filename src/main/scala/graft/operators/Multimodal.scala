@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // Shadows functions.round: every oracle-compared column rounds with
+  // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
+  // values hash identically on both engines.
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.dround(c, scale)
+
   /** Decoded-feature row (the kernel's output schema). `format` is the
     * detected container; for `unknown` the width/height carry the
     * byte-derived stub features (n % 640, n % 480).

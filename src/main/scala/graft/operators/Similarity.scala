@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -25,6 +26,12 @@ import graft.functions.VectorFunctions
   * null scores never rank).
   */
 object Similarity {
+
+  // Shadows functions.round: every oracle-compared column rounds with
+  // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
+  // values hash identically on both engines.
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.dround(c, scale)
 
   private[operators] def topKReduce(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
@@ -250,7 +257,7 @@ object Similarity {
         .select(assignUdf(col(vecCol)).as("c"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
         .groupBy(col("c"), col("d"))
-        .agg(sum(round(col("x") * 1e9).cast("long")).as("s"),
+        .agg(sum(functions.round(col("x") * 1e9).cast("long")).as("s"),
           count(lit(1)).as("n"))
         .as[(Int, Int, Long, Long)].collect()
       // the assignment UDF has fully evaluated (collect above) — release

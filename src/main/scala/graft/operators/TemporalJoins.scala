@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  // Shadows functions.round: every oracle-compared column rounds with
+  // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
+  // values hash identically on both engines.
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.dround(c, scale)
+
   /** J1/J7 containment join: rows of `facts` tagged with attributes of every
     * interval `[startCol, endCol]` containing `facts(tCol)`. Interval side is
     * broadcast (reference intervals are always small).

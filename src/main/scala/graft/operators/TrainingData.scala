@@ -15,6 +15,12 @@ import graft.functions.TextFunctions
   */
 object TrainingData {
 
+  // Shadows functions.round: every oracle-compared column rounds with
+  // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
+  // values hash identically on both engines.
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.dround(c, scale)
+
   /** Deterministic split assignment from the CONTENT hash (not the id):
     * re-ingesting the same document always lands in the same split, across
     * engines and runs. `fractions` are (label, weight) pairs; buckets are

@@ -15,6 +15,12 @@ import graft.streaming.StreamingOps
   */
 object QueriesScience {
 
+  // Shadows functions.round: every oracle-compared column rounds with
+  // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
+  // values hash identically on both engines.
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.dround(c, scale)
+
   type Q = (SparkSession, String) => DataFrame
 
   private val HourUs = 3600000000L

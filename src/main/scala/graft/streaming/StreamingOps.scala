@@ -13,6 +13,12 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingOps {
 
+  // Shadows functions.round: every oracle-compared column rounds with
+  // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
+  // values hash identically on both engines.
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.dround(c, scale)
+
   /** Watermarked tumbling-window aggregation over a streaming DataFrame:
     * count + sum(value) per (window, event_type).
     */
