@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarity, SortedJaccard, TopKByScore}
+import graft.functions.expressions.{CosineSimilarity, DuckRound, SortedJaccard, TopKByScore}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -28,6 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3, "topk_by_score(score, id, k) takes three arguments")
         TopKByScore(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("duck_round"),
+      new ExpressionInfo(classOf[DuckRound].getName, "duck_round"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "duck_round(x, scale) takes two arguments")
+        val scale = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+          case other => throw new IllegalArgumentException(
+            s"duck_round scale must be an integer literal, got $other")
+        }
+        DuckRound(children.head, scale)
       }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

@@ -33,8 +33,18 @@ import org.apache.spark.sql.functions._
   */
 object Rounding {
 
-  /** DuckDB-exact round to `scale` decimal places (see object doc). */
+  /** DuckDB-exact round to `scale` decimal places (see object doc).
+    * Through the native [[graft.functions.expressions.DuckRound]] when
+    * [[graft.GraftExtensions]] is installed — one codegen node that binds
+    * its child once; the pure-Column fallback below duplicates the child
+    * across its conditional branches, re-evaluating expensive inputs
+    * (regex ratios, HOF cosines) several times per row.
+    */
   def dround(c: Column, scale: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("duck_round")))
+      return call_function("duck_round", c.cast("double"), lit(scale))
     val p = math.pow(10, scale)
     val scaled = c * lit(p)
     // |scaled| ≥ 2^53: scaled is integral in FP and +0.5 vanishes below
