@@ -44,7 +44,14 @@ object Rounding {
     val spark = org.apache.spark.sql.SparkSession.active
     if (spark.sessionState.functionRegistry.functionExists(
           org.apache.spark.sql.catalyst.FunctionIdentifier("duck_round")))
-      return call_function("duck_round", c.cast("double"), lit(scale))
+      call_function("duck_round", c.cast("double"), lit(scale))
+    else droundColumnFallback(c, scale)
+  }
+
+  /** The extension-free Column spelling (exposed for the spec; prefer the
+    * native expression — this form duplicates `c` across its branches).
+    */
+  private[functions] def droundColumnFallback(c: Column, scale: Int): Column = {
     val p = math.pow(10, scale)
     val scaled = c * lit(p)
     // |scaled| ≥ 2^53: scaled is integral in FP and +0.5 vanishes below

@@ -23,8 +23,12 @@ class RoundingSpec extends SparkSpec {
   test("Column dround and JVM droundDouble are bit-identical at scales 0/2/4/6/9") {
     val df = adversarial.toDF("v")
     for (n <- Seq(0, 2, 4, 6, 9)) {
+      // both routes: the native duck_round expression (registry installed
+      // in TestSpark) and the extension-free Column fallback
       val rows = df.select(col("v"), Rounding.dround(col("v"), n).as("r"))
-        .collect()
+        .collect() ++
+        df.select(col("v"), Rounding.droundColumnFallback(col("v"), n).as("r"))
+          .collect()
       rows.foreach { r =>
         val v = r.getDouble(0)
         val got = java.lang.Double.doubleToRawLongBits(r.getDouble(1))
