@@ -295,7 +295,7 @@ object Curation {
                  maxEllipsisFrac: Double = 0.3,
                  minAlphaFrac: Double = 0.8): DataFrame = {
     val stats = TextFunctions.gopherStats(col(textCol))
-    docs.select(docs.columns.map(col) ++ stats: _*)
+    docs.select(docs.columns.toIndexedSeq.map(col) ++ stats: _*)
       .withColumn("admitted", coalesce(
         col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mean_word_len") >= minMeanWordLen &&
@@ -998,7 +998,7 @@ object Curation {
             lit(false)))
         // same column ORDER as the kernel route (the USING join hoists
         // idCol to the front)
-        .select((docs.columns.map(col) ++ Seq("quality", "contamination",
+        .select((docs.columns.toIndexedSeq.map(col) ++ Seq("quality", "contamination",
           "sample_bucket", "admitted").map(col)): _*)
     }
   }

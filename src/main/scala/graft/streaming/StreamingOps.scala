@@ -70,7 +70,7 @@ object StreamingOps {
           // close the session once the event-time watermark passes last+gap
           // (timeout must be set strictly beyond the current watermark)
           state.setTimeoutTimestamp(
-            math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
+            math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
         }
         closed.iterator
       }
