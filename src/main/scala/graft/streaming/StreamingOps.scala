@@ -103,6 +103,25 @@ object StreamingOps {
   final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
   final case class SessionOut(userId: Long, startMs: Long, endMs: Long, n: Long)
 
+
+  /** Streaming scan of one table stored at `dir/<table>.parquet`, which
+    * the testdata generator may ship as a single FILE (the driver layout)
+    * or a DIRECTORY of part files (Spark-written fixtures). The file
+    * layout needs a parent-dir read narrowed by a name glob; pointing the
+    * glob at a directory layout would SILENTLY match zero part files (the
+    * failure mode the schema-contract spec caught in its own fixture) —
+    * so the directory layout is read directly. Schema comes from a batch
+    * read of the same path (streaming reads require one).
+    */
+  private def tableStream(spark: SparkSession, dir: String,
+                          table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val schema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(schema)
+    if (new java.io.File(path).isDirectory) reader.parquet(path)
+    else reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** Run [[hourlyTypeAgg]] over the events parquet as a bounded stream
     * (Trigger.AvailableNow) into an in-memory sink and return the result —
     * the batch-parity harness. Schema is taken from a batch read of the
@@ -111,13 +130,7 @@ object StreamingOps {
   def runHourlyTypeAggAvailableNow(spark: SparkSession, dir: String,
                                    queryName: String = "graft_stream_hourly"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // FileStreamSource wants a directory; pathGlobFilter narrows it to the
-    // events file so sibling tables in the same dir aren't picked up.
-    val stream = graft.sources.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    val stream = graft.sources.Tables.normalizeTs(tableStream(spark, dir, "events"))
     withReplayPartitions(spark) {
       val q = hourlyTypeAgg(stream)
         .writeStream
@@ -144,10 +157,7 @@ object StreamingOps {
   def runDedupDocsAvailableNow(spark: SparkSession, dir: String,
                                queryName: String = "graft_stream_dedup"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val stream = tableStream(spark, dir, "documents")
       .withColumn("ts", timestamp_seconds(lit(1700000000L)))
     withReplayPartitions(spark) {
       val q = dedupDocs(stream, "ts", "text", "1 hour")
@@ -204,11 +214,7 @@ object StreamingOps {
   def runStreamIntervalJoinAvailableNow(spark: SparkSession, dir: String,
                                         queryName: String = "graft_stream_ij"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = graft.sources.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    def src = graft.sources.Tables.normalizeTs(tableStream(spark, dir, "events"))
     val joined = streamIntervalJoin(
       src.filter(col("event_type") === "click"),
       src.filter(col("event_type") === "view"),
@@ -243,9 +249,7 @@ object StreamingOps {
     val bench = Curation.benchmarkGramSet(
       batch.filter(col("doc_id") % 97 === 0), "text", n = 3)
     val benchBc = spark.sparkContext.broadcast(bench)
-    val stream = spark.readStream.schema(batch.schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val stream = tableStream(spark, dir, "documents")
     val gated = Curation.ingestGate(stream, "text", "source", benchBc, n = 3,
         stopwords = TextFunctions.LangStopwords("en"),
         minQuality = 0.6, maxContamination = 0.05,
@@ -277,13 +281,19 @@ object StreamingOps {
     // micro-batches over time-sliced files (modification-time order =
     // arrival order), driving a genuinely advancing watermark — the
     // multi-batch parity spec uses this; the driver default is one batch.
-    val schema = spark.read.option("pathGlobFilter", sourceGlob)
-      .parquet(dir).schema
-    val reader0 = spark.readStream.schema(schema)
-      .option("pathGlobFilter", sourceGlob)
-    val reader = maxFilesPerTrigger
-      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n.toString))
-    val stream = graft.sources.Tables.normalizeTs(reader.parquet(dir))
+    val raw =
+      if (sourceGlob == "events.parquet" && maxFilesPerTrigger.isEmpty)
+        tableStream(spark, dir, "events") // layout-adaptive default path
+      else {
+        val schema = spark.read.option("pathGlobFilter", sourceGlob)
+          .parquet(dir).schema
+        val reader0 = spark.readStream.schema(schema)
+          .option("pathGlobFilter", sourceGlob)
+        maxFilesPerTrigger
+          .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n.toString))
+          .parquet(dir)
+      }
+    val stream = graft.sources.Tables.normalizeTs(raw)
       .withWatermark("ts", "0 seconds")
       .select(col("user_id").as("userId"), col("ts"),
         col("event_id").as("eventId"))

@@ -25,6 +25,8 @@ class EventsSchemaSpec extends SparkSpec {
     dir.deleteOnExit()
     spark.createDataset(epochMicros).toDF("us")
       .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(1.5))
       .withColumn("ts", encode)
       .drop("us")
       .coalesce(1)
@@ -53,6 +55,16 @@ class EventsSchemaSpec extends SparkSpec {
     outs(0) shouldBe outs(1)
     outs(0) shouldBe outs(2)
     outs(0).map(_._2) should contain theSameElementsInOrderAs epochMicros
+  }
+
+  test("streaming replay wrappers read a DIRECTORY-shaped events.parquet (no silent zero rows)") {
+    // the generator ships events.parquet as a single FILE today; a regen
+    // could make it a directory of part files, where a parent-dir name
+    // glob silently matches nothing — the replay readers must adapt
+    val out = graft.streaming.StreamingOps
+      .runHourlyTypeAggAvailableNow(spark, ntzDir,
+        queryName = "graft_events_schema_dirlayout")
+    out.count() should be > 0L
   }
 
   test("normalizeTs is schema-adaptive on streaming reads too") {
