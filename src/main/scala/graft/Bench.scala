@@ -30,7 +30,11 @@ object Bench {
       // ContextCleaner see them — without this, block-manager pressure
       // from 80×2 query runs bleeds into whichever queries run late
       System.gc()
-      if (times.isEmpty) None else Some(name -> times.min)
+      // a query that crashed on ANY run is excluded from timings entirely:
+      // a flaky query must not appear in both maps with a min over the
+      // surviving runs (that would still let a crash masquerade as a timing)
+      if (times.isEmpty || errors.contains(name)) None
+      else Some(name -> times.min)
     }
     (results, errors.toMap)
   }
@@ -80,7 +84,7 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")

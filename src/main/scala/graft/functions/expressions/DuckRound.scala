@@ -29,21 +29,32 @@ case class DuckRound(child: Expression, scale: Int) extends UnaryExpression {
 
   override def prettyName: String = "duck_round"
 
+  // exact-fraction half-away-from-zero == std::round (see Rounding's
+  // object doc: floor(s+0.5) carries across an integer at s = pred(0.5)
+  // and for odd integral s in [2^52, 2^53)). a − floor(a) is exact for
+  // every finite double so no magnitude guard is needed; ±Inf passes
+  // through (Inf − Inf = NaN ≥ 0.5 is false → m = Inf), NaN propagates.
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[Double]
-    val r =
-      if (x >= 0) math.floor(x * p + 0.5) / p
-      else math.ceil(x * p - 0.5) / p
+    val s = x * p
+    val a = math.abs(s)
+    val f = math.floor(a)
+    val m = if (a - f >= 0.5) f + 1.0 else f
+    val r = math.copySign(m, s) / p
     if (r == 0.0) math.copySign(0.0, x) else r
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.freshName("s")
+      val a = ctx.freshName("a")
+      val f = ctx.freshName("f")
       val r = ctx.freshName("r")
       s"""
-        double $r = ($x >= 0.0)
-          ? Math.floor($x * ${p}D + 0.5) / ${p}D
-          : Math.ceil($x * ${p}D - 0.5) / ${p}D;
+        double $s = $x * ${p}D;
+        double $a = Math.abs($s);
+        double $f = Math.floor($a);
+        double $r = Math.copySign(($a - $f >= 0.5) ? $f + 1.0 : $f, $s) / ${p}D;
         if ($r == 0.0) $r = Math.copySign(0.0, $x);
         ${ev.value} = $r;
       """

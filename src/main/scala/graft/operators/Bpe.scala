@@ -100,8 +100,16 @@ object Bpe {
   private def trainDriver(words: Array[(Long, String)],
                           numMerges: Int): Seq[(String, String)] = {
     val cnts = words.map(_._1)
+    // split by CODE POINTS, not UTF-16 units: the distributed route's
+    // substring/length split by code points, so a surrogate-pair split here
+    // would make the two routes learn different merge tables for any word
+    // containing a non-BMP character (emoji, CJK extensions) — and which
+    // route runs flips silently at the smallVocabWords threshold
     val syms: Array[Seq[String]] =
-      words.map { case (_, w) => w.map(_.toString) :+ EndOfWord }
+      words.map { case (_, w) =>
+        w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).toSeq :+ EndOfWord
+      }
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var round = 0
     var done = false

@@ -118,7 +118,13 @@ object StreamingOps {
     val path = s"$dir/$table.parquet"
     val schema = spark.read.parquet(path).schema
     val reader = spark.readStream.schema(schema)
-    if (new java.io.File(path).isDirectory) reader.parquet(path)
+    // layout probe through the Hadoop FileSystem API, not java.io.File:
+    // an HDFS/S3 directory layout would look like a non-directory to the
+    // local-FS probe and fall into the glob branch, which silently
+    // matches zero part files
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(hPath).isDirectory) reader.parquet(path)
     else reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 

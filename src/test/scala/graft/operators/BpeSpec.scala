@@ -35,6 +35,26 @@ class BpeSpec extends SparkSpec {
     fast shouldBe dist
   }
 
+  test("routes agree on non-BMP words (code-point segmentation, not UTF-16)") {
+    // 𝕏 (U+1D54F) and 😀 (U+1F600) are astral: a UTF-16 charwise split
+    // would shear them into surrogate halves in the driver route while
+    // the distributed substring split works on code points — the merge
+    // tables would silently diverge at the smallVocabWords threshold
+    val astral = Seq(
+      (1L, "a𝕏b a𝕏b a𝕏b"),
+      (2L, "😀😀x 😀😀x"),
+      (3L, "a𝕏 plain")
+    ).toDF("doc_id", "text")
+    val fast = Bpe.train(astral, "text", numMerges = 6)
+    val dist = Bpe.train(astral, "text", numMerges = 6, smallVocabWords = 0L)
+    fast shouldBe dist
+    // and no merge symbol is a lone surrogate half
+    fast.flatMap(m => Seq(m._1, m._2)).foreach { s =>
+      s.exists(c => Character.isSurrogate(c) &&
+        s.codePoints().count() == s.length) shouldBe false
+    }
+  }
+
   test("train stops early when words are fully merged") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // a b </w> -> 2 merges reach the single symbol "ab</w>"; further
