@@ -15,6 +15,9 @@ import graft.functions.expressions.{CosineSimilarity, DuckRound, SortedJaccard, 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinNative.AsOfJoinStrategy)
+    // large×large range joins written as plain theta joins plan as
+    // BroadcastNestedLoopJoin without this — see IntervalJoinRewrite doc
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("sorted_jaccard"),
       new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),

@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The automatic range-join rewrite (SURVEY §4.1): a plain theta join
+  * `facts.join(intervals, t >= lo && t <= hi)` over two sides that are
+  * both above the broadcast threshold must plan as a bucketed EQUI-join
+  * (shuffle-capable), not a BroadcastNestedLoopJoin — with bit-identical
+  * results — while small-side and equi-keyed joins are left alone.
+  */
+class IntervalJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val prev = kvs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  // ~3 days of per-minute facts and 300 randomized intervals (minutes to
+  // hours wide, some inverted, some null-bounded) — LocalRelations big
+  // enough to exceed a lowered broadcast threshold
+  private lazy val facts: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    (0 until 4000).map { i =>
+      (i.toLong, 1700000000L + i * 60 + rnd.nextInt(30))
+    }.toDF("fact_id", "secs")
+      .select($"fact_id", timestamp_seconds($"secs").as("t"))
+  }
+  private lazy val intervals: DataFrame = {
+    val rnd = new scala.util.Random(13)
+    (0 until 300).map { i =>
+      val lo = 1700000000L + rnd.nextInt(3 * 86400)
+      val span = rnd.nextInt(8 * 3600)
+      val (s, e) = i % 23 match {
+        case 21 => (lo + span + 60, lo) // inverted: must match nothing
+        case 22 => (lo, -1L)            // null end: must match nothing
+        case _ => (lo, lo + span)
+      }
+      (i.toLong, s, e)
+    }.toDF("iv_id", "s_secs", "e_secs")
+      .select($"iv_id", timestamp_seconds($"s_secs").as("lo"),
+        timestamp_seconds(when($"e_secs" < 0, lit(null)).otherwise($"e_secs")).as("hi"))
+  }
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("large x large theta range join is rewritten to a bucketed equi-join") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      IntervalJoinRewrite.BucketKey -> "3600") {
+      val joined = facts.join(intervals, $"t" >= $"lo" && $"t" <= $"hi")
+      val plan = planOf(joined)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"still a nested-loop join:\n$plan")
+      assert(plan.contains("Generate explode"), s"no bucket explode in:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"no shuffle join in:\n$plan")
+
+      // bit-identical to the un-rewritten join
+      val expected = withConfsValue(IntervalJoinRewrite.EnabledKey -> "false") {
+        facts.join(intervals, $"t" >= $"lo" && $"t" <= $"hi")
+          .collect().map(_.toString).sorted.toSeq
+      }
+      joined.collect().map(_.toString).sorted.toSeq shouldBe expected
+      expected should not be empty
+    }
+  }
+
+  private def withConfsValue[T](kvs: (String, String)*)(body: => T): T = {
+    var out: Option[T] = None
+    withConfs(kvs: _*) { out = Some(body) }
+    out.get
+  }
+
+  test("strict bounds and flipped operand order are also rewritten, identically") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      IntervalJoinRewrite.BucketKey -> "3600") {
+      val joined = facts.join(intervals, $"lo" < $"t" && $"hi" > $"t")
+      assert(planOf(joined).contains("Generate explode"))
+      val expected = withConfsValue(IntervalJoinRewrite.EnabledKey -> "false") {
+        facts.join(intervals, $"lo" < $"t" && $"hi" > $"t")
+          .collect().map(_.toString).sorted.toSeq
+      }
+      joined.collect().map(_.toString).sorted.toSeq shouldBe expected
+    }
+  }
+
+  test("a small interval side keeps the broadcast nested-loop plan") {
+    // default 10 MB threshold: both LocalRelations are comfortably small
+    val joined = facts.join(intervals, $"t" >= $"lo" && $"t" <= $"hi")
+    val plan = planOf(joined)
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$plan")
+    assert(!plan.contains("Generate explode"))
+  }
+
+  test("an equi-keyed join with range residuals is left to Spark's planner") {
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "1024") {
+      val f = facts.withColumn("k", $"fact_id" % 7)
+      val iv = intervals.withColumn("k", $"iv_id" % 7)
+      val joined = f.join(iv,
+        f("k") === iv("k") && $"t" >= $"lo" && $"t" <= $"hi")
+      val plan = planOf(joined)
+      assert(!plan.contains("Generate explode"),
+        s"equi-keyed join must not grow a bucket explode:\n$plan")
+    }
+  }
+
+  test("the rewrite can be disabled by conf") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      IntervalJoinRewrite.EnabledKey -> "false") {
+      val plan = planOf(facts.join(intervals, $"t" >= $"lo" && $"t" <= $"hi"))
+      assert(!plan.contains("Generate explode"))
+    }
+  }
+
+  test("bucketizedIntervalJoin agrees with the automatic rewrite on the same inputs") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      IntervalJoinRewrite.BucketKey -> "3600") {
+      val auto = facts.join(intervals, $"t" >= $"lo" && $"t" <= $"hi")
+        .select($"fact_id", $"iv_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val manual = graft.operators.TemporalJoins.bucketizedIntervalJoin(
+          facts, "t", intervals, "lo", "hi", bucketSeconds = 3600L)
+        .select($"fact_id", $"iv_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      auto shouldBe manual
+    }
+  }
+}
