@@ -79,15 +79,38 @@ object TemporalJoins {
   /** J2 backward as-of join: for each left row, the most recent right row at
     * or before it (per key), within `toleranceSeconds` if given.
     *
-    * Implementation: union the two sides with a sentinel, one window sorted
-    * by (key, time) carrying the last non-null right values forward, then
-    * keep only left rows. Single shuffle on `keys`; no broadcast needed, so
-    * it works when both sides are huge.
+    * Routing: when [[graft.plans.AsOfJoinNative]] is available (the
+    * GraftExtensions strategy is installed and
+    * `spark.graft.asof.native.enabled` isn't false) and both time columns
+    * are timestamps, this plans through the native sort-merge exec — one
+    * exchange + sort per SIDE instead of shuffling the union of both, no
+    * window buffering. The composed union-sentinel spelling below is the
+    * extension-free fallback with identical semantics (equivalence
+    * spec-pinned and both oracle-checked: q12 routes, q53 constructs the
+    * native node directly against the same oracle).
     *
     * @param rightValueCols columns of `right` to carry onto `left`
     *                       (emitted with an `asof_` prefix).
     */
   def asOfJoinBackward(left: DataFrame, lTime: String,
+                       right: DataFrame, rTime: String,
+                       keys: Seq[String], rightValueCols: Seq[String],
+                       toleranceSeconds: Option[Long] = None): DataFrame =
+    if (nativeEligible(left, lTime, right, rTime))
+      finishNative(
+        graft.plans.AsOfJoinNative.asOfJoin(left, lTime, right, rTime,
+          keys, rightValueCols, toleranceSeconds,
+          graft.plans.AsOfJoinNative.Backward),
+        left, keys, rightValueCols.map(c => s"asof_$c"))
+    else asOfJoinBackwardComposed(left, lTime, right, rTime, keys,
+      rightValueCols, toleranceSeconds)
+
+  /** The extension-free union-sentinel spelling of [[asOfJoinBackward]]:
+    * one window sorted by (key, time) over the tagged union carrying the
+    * last non-null right values forward, then keep only left rows. Single
+    * shuffle on `keys`, works when both sides are huge.
+    */
+  private[graft] def asOfJoinBackwardComposed(left: DataFrame, lTime: String,
                        right: DataFrame, rTime: String,
                        keys: Seq[String], rightValueCols: Seq[String],
                        toleranceSeconds: Option[Long] = None): DataFrame = {
@@ -121,6 +144,22 @@ object TemporalJoins {
   def asOfJoinForward(left: DataFrame, lTime: String,
                       right: DataFrame, rTime: String,
                       keys: Seq[String], rightValueCols: Seq[String],
+                      toleranceSeconds: Option[Long] = None): DataFrame =
+    if (nativeEligible(left, lTime, right, rTime))
+      finishNative(
+        graft.plans.AsOfJoinNative.asOfJoin(left, lTime, right, rTime,
+          keys, rightValueCols, toleranceSeconds,
+          graft.plans.AsOfJoinNative.Forward),
+        left, keys, rightValueCols.map(c => s"asof_$c"))
+    else asOfJoinForwardComposed(left, lTime, right, rTime, keys,
+      rightValueCols, toleranceSeconds)
+
+  /** Extension-free spelling of [[asOfJoinForward]] (see
+    * [[asOfJoinBackwardComposed]]).
+    */
+  private[graft] def asOfJoinForwardComposed(left: DataFrame, lTime: String,
+                      right: DataFrame, rTime: String,
+                      keys: Seq[String], rightValueCols: Seq[String],
                       toleranceSeconds: Option[Long] = None): DataFrame = {
     val tagged = asOfTagged(left, lTime, right, rTime, keys, rightValueCols)
     val carried = tagged.withColumn("__rv",
@@ -148,6 +187,22 @@ object TemporalJoins {
   def asOfJoinNearest(left: DataFrame, lTime: String,
                       right: DataFrame, rTime: String,
                       keys: Seq[String], rightValueCols: Seq[String],
+                      toleranceSeconds: Option[Long] = None): DataFrame =
+    if (nativeEligible(left, lTime, right, rTime))
+      finishNative(
+        graft.plans.AsOfJoinNative.asOfJoin(left, lTime, right, rTime,
+          keys, rightValueCols, toleranceSeconds,
+          graft.plans.AsOfJoinNative.Nearest),
+        left, keys, rightValueCols.map(c => s"asof_$c") :+ "asof_direction")
+    else asOfJoinNearestComposed(left, lTime, right, rTime, keys,
+      rightValueCols, toleranceSeconds)
+
+  /** Extension-free spelling of [[asOfJoinNearest]] (see
+    * [[asOfJoinBackwardComposed]]).
+    */
+  private[graft] def asOfJoinNearestComposed(left: DataFrame, lTime: String,
+                      right: DataFrame, rTime: String,
+                      keys: Seq[String], rightValueCols: Seq[String],
                       toleranceSeconds: Option[Long] = None): DataFrame = {
     val tagged = asOfTagged(left, lTime, right, rTime, keys, rightValueCols)
     val carried = tagged
@@ -167,6 +222,27 @@ object TemporalJoins {
           .when(okF, col(s"__rvf.asof_$c")).as(s"asof_$c")) :+
         when(useB, "b").when(okF, "f").as("asof_direction"))
   }
+
+  /** Native-path eligibility: strategy installed + conf on + both time
+    * columns are plain timestamps (the native exec reads micros longs and
+    * applies tolerance in microseconds).
+    */
+  private def nativeEligible(left: DataFrame, lTime: String,
+                             right: DataFrame, rTime: String): Boolean =
+    graft.plans.AsOfJoinNative.available(left.sparkSession) &&
+      left.schema(lTime).dataType ==
+        org.apache.spark.sql.types.TimestampType &&
+      right.schema(rTime).dataType ==
+        org.apache.spark.sql.types.TimestampType
+
+  /** Reorder the native operator's output (left columns in input order,
+    * then asof_*) to the composed spelling's contract (keys first, then
+    * the remaining left columns, then asof_*) so routing is invisible.
+    */
+  private def finishNative(out: DataFrame, left: DataFrame,
+                           keys: Seq[String], asofCols: Seq[String]): DataFrame =
+    out.select(
+      (keys ++ left.columns.filterNot(keys.contains) ++ asofCols).map(col): _*)
 
   /** Union-sentinel tagging shared by the as-of family: left rows tagged 1
     * carrying their payload as `__l_*` columns with a null right struct;

@@ -63,6 +63,122 @@ class AsOfJoinNativeSpec extends SparkSpec {
     out shouldBe Array(1.0, 2.0)
   }
 
+  private def randomSides(seedL: Int, seedR: Int) = {
+    val rngL = new scala.util.Random(seedL)
+    val left = (0 until 2000).map { i =>
+      (s"u${rngL.nextInt(20)}",
+        new Timestamp(1700000000000L + rngL.nextInt(1000000) * 1000L), i)
+    }.toDF("k", "lt", "lid")
+    val rngR = new scala.util.Random(seedR)
+    val right = (0 until 1000).map { i =>
+      (s"u${rngR.nextInt(25)}",
+        new Timestamp(1700000000000L + rngR.nextInt(1000000) * 1000L),
+        rngR.nextDouble(), i)
+    }.toDF("k", "rt", "v", "rid")
+    // dedupe exact (k, rt) collisions (see the backward test above)
+    val rightDedup = right.groupBy("k", "rt")
+      .agg(max(struct(col("rid"), col("v"))).as("s"))
+      .select(col("k"), col("rt"), col("s.v").as("v"), col("s.rid").as("rid"))
+    (left, rightDedup)
+  }
+
+  test("native FORWARD mode matches the composed version on random data, with tolerance") {
+    val (left, right) = randomSides(31, 37)
+    for (tol <- Seq(None, Some(120L))) {
+      val native = AsOfJoinNative.asOfJoin(left, "lt", right, "rt",
+        Seq("k"), Seq("v"), tol, AsOfJoinNative.Forward)
+      val composed = TemporalJoins.asOfJoinForwardComposed(left, "lt", right, "rt",
+        Seq("k"), Seq("v"), tol)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "lid", "asof_v").as[(String, Int, Option[Double])]
+          .collect().sortBy(r => (r._1, r._2)).toSeq
+      canon(native) shouldBe canon(composed)
+    }
+  }
+
+  test("native NEAREST mode matches the composed version on random data, with tolerance") {
+    val (left, right) = randomSides(41, 43)
+    for (tol <- Seq(None, Some(300L))) {
+      val native = AsOfJoinNative.asOfJoin(left, "lt", right, "rt",
+        Seq("k"), Seq("v"), tol, AsOfJoinNative.Nearest)
+      val composed = TemporalJoins.asOfJoinNearestComposed(left, "lt", right, "rt",
+        Seq("k"), Seq("v"), tol)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "lid", "asof_v", "asof_direction")
+          .as[(String, Int, Option[Double], Option[String])]
+          .collect().sortBy(r => (r._1, r._2)).toSeq
+      canon(native) shouldBe canon(composed)
+    }
+  }
+
+  test("duplicate right timestamps: max-values tie-break matches composed, all modes") {
+    val left = Seq(("a", ts("2024-01-01 00:00:10"), 1),
+        ("a", ts("2024-01-01 00:00:04"), 2)).toDF("k", "lt", "lid")
+    val right = Seq(
+      ("a", ts("2024-01-01 00:00:05"), 1.0, 1),
+      ("a", ts("2024-01-01 00:00:05"), 3.0, 2), // same rt: max v must win
+      ("a", ts("2024-01-01 00:00:05"), 2.0, 3)).toDF("k", "rt", "v", "rid")
+    val nb = AsOfJoinNative.asOfJoin(left, "lt", right, "rt", Seq("k"), Seq("v"),
+        None, AsOfJoinNative.Backward)
+      .orderBy("lid").select("asof_v").as[Option[Double]].collect().toSeq
+    val nf = AsOfJoinNative.asOfJoin(left, "lt", right, "rt", Seq("k"), Seq("v"),
+        None, AsOfJoinNative.Forward)
+      .orderBy("lid").select("asof_v").as[Option[Double]].collect().toSeq
+    val cb = TemporalJoins.asOfJoinBackwardComposed(left, "lt", right, "rt",
+        Seq("k"), Seq("v")).orderBy("lid").select("asof_v")
+      .as[Option[Double]].collect().toSeq
+    val cf = TemporalJoins.asOfJoinForwardComposed(left, "lt", right, "rt",
+        Seq("k"), Seq("v")).orderBy("lid").select("asof_v")
+      .as[Option[Double]].collect().toSeq
+    nb shouldBe cb
+    nf shouldBe cf
+    nb shouldBe Seq(Some(3.0), None)
+    nf shouldBe Seq(None, Some(3.0))
+  }
+
+  test("null left times match nothing in every native mode") {
+    // pandas/polars as-of semantics; the composed forward/nearest window
+    // spelling instead leaks a value through the desc-ordered carry — the
+    // native path (the default route) fixes that artifact
+    val left = Seq(("a", Option(ts("2024-01-01 00:00:10")), 1),
+        ("a", Option.empty[Timestamp], 2)).toDF("k", "lt", "lid")
+    val right = Seq(("a", ts("2024-01-01 00:00:05"), 7.0)).toDF("k", "rt", "v")
+    for (mode <- Seq[AsOfJoinNative.AsOfMode](AsOfJoinNative.Backward,
+        AsOfJoinNative.Forward, AsOfJoinNative.Nearest)) {
+      val out = AsOfJoinNative.asOfJoin(left, "lt", right, "rt",
+          Seq("k"), Seq("v"), None, mode)
+        .orderBy("lid").select("asof_v").as[Option[Double]].collect()
+      out(1) shouldBe None
+    }
+  }
+
+  test("TemporalJoins as-of functions route through the native exec by default") {
+    val left = Seq(("a", ts("2024-01-01 00:00:01"), 1)).toDF("k", "lt", "lid")
+    val right = Seq(("a", ts("2024-01-01 00:00:00"), 5.0)).toDF("k", "rt", "v")
+    val routed = Seq(
+      TemporalJoins.asOfJoinBackward(left, "lt", right, "rt", Seq("k"), Seq("v")),
+      TemporalJoins.asOfJoinForward(left, "lt", right, "rt", Seq("k"), Seq("v")),
+      TemporalJoins.asOfJoinNearest(left, "lt", right, "rt", Seq("k"), Seq("v")))
+    routed.foreach { df =>
+      df.queryExecution.executedPlan.toString should include("AsOfJoin")
+    }
+    // column contract identical to the composed spelling
+    routed(0).columns.toSeq shouldBe Seq("k", "lt", "lid", "asof_v")
+    routed(2).columns.toSeq shouldBe Seq("k", "lt", "lid", "asof_v", "asof_direction")
+  }
+
+  test("spark.graft.asof.native.enabled=false falls back to the composed plan") {
+    val left = Seq(("a", ts("2024-01-01 00:00:01"), 1)).toDF("k", "lt", "lid")
+    val right = Seq(("a", ts("2024-01-01 00:00:00"), 5.0)).toDF("k", "rt", "v")
+    spark.conf.set("spark.graft.asof.native.enabled", "false")
+    try {
+      val df = TemporalJoins.asOfJoinBackward(left, "lt", right, "rt",
+        Seq("k"), Seq("v"))
+      df.queryExecution.executedPlan.toString should not include "AsOfJoin"
+      df.select("asof_v").as[Option[Double]].collect() shouldBe Array(Some(5.0))
+    } finally spark.conf.unset("spark.graft.asof.native.enabled")
+  }
+
   test("plan contains the custom exec and a single shuffle per side") {
     val left = Seq(("a", ts("2024-01-01 00:00:01"), 1)).toDF("k", "lt", "lid")
     val right = Seq(("a", ts("2024-01-01 00:00:00"), 5.0)).toDF("k", "rt", "v")
