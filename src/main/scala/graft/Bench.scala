@@ -78,7 +78,12 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None => SparkEntry.queries
+      // `*_invariants` companions are correctness machinery (the driver's
+      // DuckDB gate runs them via Verify): each one re-runs an operator the
+      // bench already times and reduces it to a check vector, so timing
+      // them would double-count that operator in the total. Excluded by
+      // default; still selectable explicitly via SPARK_GRAFT_ONLY.
+      case None => SparkEntry.queries.filter(!_._1.endsWith("_invariants"))
     }
     val (results, errors) = measure(spark, sfDir, selected)
     def esc(s: String): String =

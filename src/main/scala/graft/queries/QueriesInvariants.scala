@@ -1,0 +1,438 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Bpe, Dedup, Similarity}
+import graft.sources.Tables
+
+/** Oracle-checkable COMPANIONS for the golden-pinned (`no_oracle`)
+  * queries: each `q*_invariants` query re-runs the underlying operator
+  * and reduces its output to a vector of invariant measurements that
+  * DuckDB can compute independently from the raw input tables — row
+  * counts with closed forms, first/last points, exact-similarity
+  * recomputation mismatch counts (zero when the operator reports true
+  * values), canonical-ordering violations, and required-pair recall.
+  *
+  * This shrinks the builder-attested trust surface: the goldens pin the
+  * full output bytes, and these rows let the DRIVER's DuckDB gate verify
+  * the properties that ARE SQL-expressible about those outputs. A broken
+  * operator (wrong count, fabricated similarity, missed exact-duplicate,
+  * dropped endpoint) turns its companion row red even though the main
+  * query has no oracle.
+  *
+  * Two rounding regimes, deliberately distinct:
+  *  - recomputation vs a REPORTED column uses the operator's own spelling
+  *    (`functions.round`) so equality is bit-for-bit by construction;
+  *  - values that flow to the DuckDB hash compare use
+  *    [[graft.functions.Rounding.dround]] like every other oracle query.
+  */
+object QueriesInvariants {
+
+  private def dround(c: Column, scale: Int): Column =
+    graft.functions.Rounding.dround(c, scale)
+
+  /** Sum of a violation predicate as a non-null BIGINT (0 on empty). */
+  private def viol(pred: Column): Column =
+    coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
+
+  /** Exact shingle-set Jaccard recomputed the way [[Dedup.minHashDupPairs]]
+    * reports it: identical text is 1.0 by the exact-dup collapse; anything
+    * else is the 6-dp-rounded sorted-set Jaccard of k-word shingle hashes.
+    */
+  private def jaccardRecompute(tA: Column, tB: Column, k: Int): Column =
+    when(tA === tB, lit(1.0))
+      .otherwise(round(Dedup.sortedSetJaccard(
+        Dedup.sortedShingleHashes(tA, k),
+        Dedup.sortedShingleHashes(tB, k)), 6))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- C1 LTTB (companion to golden q35) -------------------------------
+    // Per series: output size follows the documented stride+threshold
+    // closed form, the first input point and the last STRIDED point are
+    // preserved as true (x, y) pairs, and every emitted x / y value comes
+    // from the input series. Interior points are checked per COORDINATE,
+    // not per pair: the kernel reproduces the reference's bin quirk of
+    // pairing the bin-middle x with the max-area y (Decimate.lttbKernel),
+    // so an interior output point is (x of one input row, y of another).
+    "q35_lttb_invariants" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_type"),
+        unix_micros(col("ts")).cast("double").as("x"),
+        col("value").cast("double").as("y"))
+      val out = QueriesEvents.queries("q35_lttb")(s, d)
+        .select(col("event_type"), col("x").cast("double").as("x"),
+          col("value").cast("double").as("y"))
+      val stats = out.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_points"),
+        min(struct(col("x"), col("y"))).as("__first"),
+        max(struct(col("x"), col("y"))).as("__last"))
+      def memberViol(coord: String) = out
+        .join(ev.select(col("event_type"), col(coord)).distinct(),
+          Seq("event_type", coord), "left_anti")
+        .groupBy(col("event_type")).agg(count(lit(1)).as(s"__miss_$coord"))
+      stats
+        .join(memberViol("x"), Seq("event_type"), "left")
+        .join(memberViol("y"), Seq("event_type"), "left")
+        .select(col("event_type"), col("n_points"),
+          dround(col("__first.x"), 6).as("x_first"),
+          dround(col("__first.y"), 6).as("y_first"),
+          dround(col("__last.x"), 6).as("x_last"),
+          dround(col("__last.y"), 6).as("y_last"),
+          coalesce(col("__miss_x"), lit(0L)).as("n_x_not_in_input"),
+          coalesce(col("__miss_y"), lit(0L)).as("n_y_not_in_input"))
+    }),
+
+    // ---- MinHash+LSH near-dup pairs (companion to golden q28) ------------
+    // Canonical order, threshold bound, reported-Jaccard == exact-Jaccard
+    // recompute, and full recall of exact-duplicate pairs (all-pairs groups
+    // only — the documented >1024-member star-edge regime is excluded on
+    // both sides).
+    "q28_minhash_invariants" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val pairs = QueriesDocs.queries("q28_minhash_pairs")(s, d)
+      val withT = pairs
+        .join(docs.select(col("id").as("id_a"), col("text").as("t_a")), Seq("id_a"), "left")
+        .join(docs.select(col("id").as("id_b"), col("text").as("t_b")), Seq("id_b"), "left")
+        .withColumn("__re", jaccardRecompute(col("t_a"), col("t_b"), 3))
+      val pairChecks = withT.agg(
+        viol(col("id_a") >= col("id_b")).as("n_noncanonical"),
+        viol(col("jaccard") < 0.5).as("n_below_threshold"),
+        viol(col("t_a").isNull || col("t_b").isNull).as("n_unknown_id"),
+        viol(col("t_a").isNotNull && col("t_b").isNotNull &&
+          col("jaccard") =!= col("__re")).as("n_jaccard_mismatch"))
+      // expected exact-dup pairs: every same-text pair in a 2..1024 group
+      val expected = docs.filter(col("text").isNotNull)
+        .groupBy(col("text"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 1024))
+        .select(explode(graft.functions.HashKernels
+          .bucketPairsUdf(Int.MaxValue)(col("ids"))).as("p"))
+        .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      val dupChecks = expected
+        .join(pairs.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missing_exact"))
+        .crossJoin(expected.agg(count(lit(1)).as("n_exact_dup_pairs")))
+      pairChecks.crossJoin(dupChecks)
+    }),
+
+    // ---- Cross-corpus decontamination (companion to golden q92) ----------
+    // One row per contaminated corpus doc, true Jaccard values, and — the
+    // recall check — every planted leak (the perturbed copy of each
+    // doc_id % 83 == 0 corpus doc) maps back to its own source doc.
+    "q92_contam_invariants" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val out = QueriesDocs.queries("q92_cross_contam")(s, d)
+      val corpusT = docs.select(col("doc_id").cast("long").as("corpus_id"),
+        col("text").as("t_c"))
+      val benchT = docs.filter(col("doc_id") % 83 === 0)
+        .select(col("doc_id").cast("long").as("benchmark_id"),
+          concat(col("text"), lit(" eval item tag")).as("t_b"))
+      val withT = out
+        .join(corpusT, Seq("corpus_id"), "left")
+        .join(benchT, Seq("benchmark_id"), "left")
+        .withColumn("__re", jaccardRecompute(col("t_c"), col("t_b"), 3))
+      val checks = withT.agg(
+        viol(col("jaccard") < 0.5).as("n_below_threshold"),
+        viol(col("t_c").isNull || col("t_b").isNull).as("n_unknown_id"),
+        viol(col("t_c").isNotNull && col("t_b").isNotNull &&
+          col("jaccard") =!= col("__re")).as("n_jaccard_mismatch"),
+        (count(lit(1)) - countDistinct(col("corpus_id"))).as("n_multi_per_corpus"),
+        coalesce(sum(when(col("corpus_id") === col("benchmark_id"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_self_pairs"))
+      checks.crossJoin(benchT.agg(count(lit(1)).as("n_bench_items")))
+    }),
+
+    // ---- IVF/LSH ANN (companion to golden q50) ---------------------------
+    // Exactly k results per covered query, no duplicate or unknown
+    // neighbors, and every reported cosine equals the true cosine of that
+    // (query, neighbor) pair — approximation may prune CANDIDATES, never
+    // fabricate SCORES.
+    "q50_ivf_invariants" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val out = QueriesDocs.queries("q50_ivf_ann")(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val withV = out.join(q, Seq("query_id"), "left").join(c, Seq("neighbor_id"), "left")
+        .withColumn("__re",
+          round(VectorFunctions.cosineBest(s, col("qv"), col("cv")), 6))
+      withV.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("query_id")).as("n_queries"),
+        (count(lit(1)) - countDistinct(col("query_id"), col("neighbor_id"))).as("n_dup_pairs"),
+        viol(col("qv").isNull || col("cv").isNull).as("n_unknown_id"),
+        viol(col("qv").isNotNull && col("cv").isNotNull &&
+          col("cosine") =!= col("__re")).as("n_cosine_mismatch"))
+    }),
+
+    // ---- Trained-IVF ANN (companion to golden q80) -----------------------
+    // Same contract as q50's companion, over the k-means-trained
+    // nProbe-bucket search path (double-cast vectors, like the query).
+    "q80_ivf_trained_invariants" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val out = QueriesDocs.queries("q80_ivf_trained")(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val withV = out.join(q, Seq("query_id"), "left").join(c, Seq("neighbor_id"), "left")
+        .withColumn("__re",
+          round(VectorFunctions.cosineBest(s, col("qv"), col("cv")), 6))
+      withV.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("query_id")).as("n_queries"),
+        (count(lit(1)) - countDistinct(col("query_id"), col("neighbor_id"))).as("n_dup_pairs"),
+        viol(col("qv").isNull || col("cv").isNull).as("n_unknown_id"),
+        viol(col("qv").isNotNull && col("cv").isNotNull &&
+          col("cosine") =!= col("__re")).as("n_cosine_mismatch"))
+    }),
+
+    // ---- Embedding near-dup pairs (companion to golden q38) --------------
+    "q38_embedding_invariants" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val out = QueriesDocs.queries("q38_embedding_dups")(s, d)
+      val a = emb.select(col("vec_id").cast("long").as("id_a"), col("embedding").as("v_a"))
+      val b = emb.select(col("vec_id").cast("long").as("id_b"), col("embedding").as("v_b"))
+      val withV = out.join(a, Seq("id_a"), "left").join(b, Seq("id_b"), "left")
+        .withColumn("__re",
+          round(VectorFunctions.cosineBest(s, col("v_a"), col("v_b")), 6))
+      val checks = withV.agg(
+        viol(col("id_a") >= col("id_b")).as("n_noncanonical"),
+        viol(col("cosine") < 0.25).as("n_below_threshold"),
+        (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("n_dup_pairs"),
+        viol(col("v_a").isNull || col("v_b").isNull).as("n_unknown_id"),
+        viol(col("v_a").isNotNull && col("v_b").isNotNull &&
+          col("cosine") =!= col("__re")).as("n_cosine_mismatch"))
+      checks.crossJoin(emb.agg(count(lit(1)).as("n_vectors")))
+    }),
+
+    // ---- BPE training (companion to golden q104) -------------------------
+    // 20 distinct merges, and the FIRST merge equals the SQL-computable
+    // argmax: the most frequent adjacent symbol pair over char-split
+    // corpus words (each word's symbols are its characters plus `</w>`),
+    // weighted by word frequency, ties (count desc, pair asc).
+    "q104_bpe_invariants" -> ((s, d) => {
+      import s.implicits._
+      val merges = Bpe.train(Tables.documents(s, d), "text", numMerges = 20)
+      Seq((
+        merges.size.toLong,
+        merges.size.toLong - merges.distinct.size.toLong,
+        merges.head._1, merges.head._2
+      )).toDF("n_merges", "n_dup_merges", "first_left", "first_right")
+    }),
+
+    // ---- BPE tokenizer (companion to golden q105) ------------------------
+    // Per document: concatenating the emitted subword tokens reconstructs
+    // the word stream exactly — every word's tokens spell `word</w>` —
+    // and n_bpe is consistent with the token string. The oracle rebuilds
+    // the expected reconstruction from `documents.text` alone.
+    "q105_bpe_encode_invariants" -> ((s, d) => {
+      val out = QueriesDocs.queries("q105_bpe_encode")(s, d)
+      out.select(col("doc_id"),
+        regexp_replace(col("bpe_text"), " ", "").as("recon"),
+        (when(col("n_bpe") === 0, col("bpe_text") === "")
+          .otherwise(col("n_bpe") === size(split(col("bpe_text"), " "))))
+          .as("ok_len"))
+    }),
+
+    // ---- Sketch statistics (companion to golden q108) --------------------
+    // The exact columns ride the oracle directly; the sketch columns are
+    // bounded against them: HLL++ distinct within 20 % relative error,
+    // GK-quantile p50 within max(1 token, 5 %).
+    "q108_sketch_invariants" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("source"), col("text"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      t.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("exact_distinct"),
+          approx_count_distinct(col("text")).as("__ad"),
+          percentile(col("n_tokens"), lit(0.5)).as("__p50"),
+          percentile_approx(col("n_tokens"), lit(0.5), lit(1000))
+            .cast("double").as("__ap50"))
+        .select(col("source"), col("n_docs"), col("exact_distinct"),
+          dround(col("__p50"), 6).as("exact_p50"),
+          (abs(col("__ad") - col("exact_distinct")).cast("double")
+            <= col("exact_distinct") * 0.2).as("ok_distinct"),
+          (abs(col("__ap50") - col("__p50"))
+            <= greatest(lit(1.0), col("__p50") * 0.05)).as("ok_p50"))
+    }),
+
+    // ---- PQ/ADC ANN (companion to golden q111) ---------------------------
+    // Exactly k rows per query over ALL queries (ADC scans every code),
+    // no duplicates, and every reported score equals the true asymmetric
+    // distance: -Σ_s ‖q_s − codebook_s(code_s(neighbor))‖², recomputed
+    // independently from the (memoized, bit-deterministic) codebooks.
+    "q111_pq_invariants" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val books = Similarity.pqTrain(corpus, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, iters = 4, sampleN = 4096)
+      val bc = s.sparkContext.broadcast(books)
+      // mirrors pqTopK's table build + fold order bit-for-bit
+      val adcUdf = udf((qv: Seq[Double], cv: Seq[Double]) => {
+        if (qv == null || cv == null) null
+        else {
+          val cb = bc.value
+          val m = cb.length
+          val sub = cb(0)(0).length
+          val q = qv.toArray
+          val v = cv.toArray
+          var d = 0.0
+          var sIdx = 0
+          while (sIdx < m) {
+            val slice = java.util.Arrays.copyOfRange(v, sIdx * sub, (sIdx + 1) * sub)
+            val cent = cb(sIdx)(Similarity.nearestCentroid(slice, cb(sIdx)))
+            var t = 0.0
+            var i = 0
+            while (i < sub) {
+              val x = q(sIdx * sub + i) - cent(i)
+              t += x * x
+              i += 1
+            }
+            d += t
+            sIdx += 1
+          }
+          java.lang.Double.valueOf(-d)
+        }
+      })
+      val out = QueriesDocs.queries("q111_pq_ann")(s, d)
+      val q = emb.filter(col("vec_id") < 5).select(
+        col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qv"))
+      val c = emb.filter(col("vec_id") >= 5).select(
+        col("vec_id").as("neighbor_id"), col("embedding").cast("array<double>").as("cv"))
+      val withV = out.join(q, Seq("query_id"), "left").join(c, Seq("neighbor_id"), "left")
+        .withColumn("__re", round(adcUdf(col("qv"), col("cv")), 6))
+      withV.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("query_id")).as("n_queries"),
+        (count(lit(1)) - countDistinct(col("query_id"), col("neighbor_id"))).as("n_dup_pairs"),
+        viol(col("qv").isNull || col("cv").isNull).as("n_unknown_id"),
+        viol(col("qv").isNotNull && col("cv").isNotNull &&
+          col("neg_sq_dist") =!= col("__re")).as("n_adc_mismatch"))
+    }),
+
+    // ---- ANN recall report (companion to golden q142) --------------------
+    // The report covers every query, the exact side is always full-k, and
+    // recall is exactly n_hits / n_exact at 6 dp with n_hits in [0, k].
+    "q142_recall_invariants" -> ((s, d) => {
+      val out = QueriesDocs.queries("q142_ann_recall")(s, d)
+      out.select(col("query_id"), col("n_exact"),
+        (col("n_hits") >= 0 && col("n_hits") <= col("n_exact") &&
+          col("recall") === round(col("n_hits").cast("double") / col("n_exact"), 6))
+          .as("ok"))
+    })
+  )
+
+  private val zero = "CAST(0 AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+    // stride = ceil(n/1000) over the (x, y)-sorted series, kept positions
+    // p % stride == 0, then LTTB to 100 points keeping both endpoints —
+    // so n_points = least(100, #kept), the first point is the (x, y)-min,
+    // and the last is the row at position stride * ((n-1) // stride)
+    "q35_lttb_invariants" -> raw"""
+      WITH e AS (SELECT event_type, CAST(epoch_us(ts) AS DOUBLE) AS x,
+                        value AS y FROM events),
+      n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+      st AS (SELECT event_type, n,
+                    CAST(ceil(n / 1000.0) AS BIGINT) AS stride FROM n),
+      ord AS (SELECT event_type, x, y,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY x, y) - 1 AS pos FROM e),
+      f AS (SELECT event_type, x AS xf, y AS yf FROM ord WHERE pos = 0),
+      l AS (SELECT o.event_type, o.x AS xl, o.y AS yl
+            FROM ord o JOIN st USING (event_type)
+            WHERE o.pos = st.stride * ((st.n - 1) // st.stride))
+      SELECT st.event_type,
+             least(100, (st.n - 1) // st.stride + 1) AS n_points,
+             round(f.xf, 6) AS x_first, round(f.yf, 6) AS y_first,
+             round(l.xl, 6) AS x_last, round(l.yl, 6) AS y_last,
+             $zero AS n_x_not_in_input, $zero AS n_y_not_in_input
+      FROM st JOIN f USING (event_type) JOIN l USING (event_type)""",
+    "q28_minhash_invariants" -> raw"""
+      SELECT $zero AS n_noncanonical, $zero AS n_below_threshold,
+             $zero AS n_unknown_id, $zero AS n_jaccard_mismatch,
+             $zero AS n_missing_exact,
+             (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+              FROM (SELECT count(*) AS c FROM documents
+                    WHERE text IS NOT NULL GROUP BY text)
+              WHERE c BETWEEN 2 AND 1024) AS n_exact_dup_pairs""",
+    "q92_contam_invariants" -> raw"""
+      SELECT $zero AS n_below_threshold, $zero AS n_unknown_id,
+             $zero AS n_jaccard_mismatch, $zero AS n_multi_per_corpus,
+             (SELECT count(*) FROM documents WHERE doc_id % 83 = 0) AS n_self_pairs,
+             (SELECT count(*) FROM documents WHERE doc_id % 83 = 0) AS n_bench_items""",
+    "q50_ivf_invariants" -> raw"""
+      SELECT (SELECT 3 * count(*) FROM embeddings WHERE vec_id < 5) AS n_rows,
+             (SELECT count(*) FROM embeddings WHERE vec_id < 5) AS n_queries,
+             $zero AS n_dup_pairs, $zero AS n_unknown_id,
+             $zero AS n_cosine_mismatch""",
+    "q80_ivf_trained_invariants" -> raw"""
+      SELECT (SELECT 3 * count(*) FROM embeddings WHERE vec_id < 5) AS n_rows,
+             (SELECT count(*) FROM embeddings WHERE vec_id < 5) AS n_queries,
+             $zero AS n_dup_pairs, $zero AS n_unknown_id,
+             $zero AS n_cosine_mismatch""",
+    "q38_embedding_invariants" -> raw"""
+      SELECT $zero AS n_noncanonical, $zero AS n_below_threshold,
+             $zero AS n_dup_pairs, $zero AS n_unknown_id,
+             $zero AS n_cosine_mismatch,
+             (SELECT count(*) FROM embeddings) AS n_vectors""",
+    // first merge = argmax over adjacent (symbol, symbol) pairs of the
+    // char-split + </w>-terminated corpus words, weighted by frequency,
+    // ties (count desc, left asc, right asc) — Bpe.wordFreq's exact
+    // tokenization: space-trim, lower, \s+ split, empties dropped
+    "q104_bpe_invariants" -> raw"""
+      WITH wf AS (
+        SELECT w, count(*) AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents WHERE text IS NOT NULL)
+        WHERE w <> '' GROUP BY w),
+      syms AS (SELECT cnt,
+                      list_concat(string_split(w, ''), ['</w>']) AS s FROM wf),
+      pairs AS (SELECT s[CAST(t.i AS INT) + 1] AS a,
+                       s[CAST(t.i AS INT) + 2] AS b, cnt
+                FROM syms, unnest(range(len(s) - 1)) AS t(i)),
+      agg AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c
+              FROM pairs GROUP BY a, b)
+      SELECT CAST(20 AS BIGINT) AS n_merges, $zero AS n_dup_merges,
+             a AS first_left, b AS first_right
+      FROM agg ORDER BY c DESC, a, b LIMIT 1""",
+    "q105_bpe_encode_invariants" -> raw"""
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN ''
+                  ELSE array_to_string(list_transform(
+                         list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           w -> w <> ''),
+                         w -> w || '</w>'), '') END AS recon,
+             TRUE AS ok_len
+      FROM documents""",
+    "q108_sketch_invariants" -> raw"""
+      WITH t AS (SELECT source, text,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+                END AS n_tokens
+           FROM documents)
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT text) AS exact_distinct,
+             round(quantile_cont(n_tokens, 0.5), 6) AS exact_p50,
+             TRUE AS ok_distinct, TRUE AS ok_p50
+      FROM t GROUP BY source""",
+    "q111_pq_invariants" -> raw"""
+      SELECT (SELECT 3 * count(*) FROM embeddings WHERE vec_id < 5) AS n_rows,
+             (SELECT count(*) FROM embeddings WHERE vec_id < 5) AS n_queries,
+             $zero AS n_dup_pairs, $zero AS n_unknown_id,
+             $zero AS n_adc_mismatch""",
+    "q142_recall_invariants" -> raw"""
+      SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_exact, TRUE AS ok
+      FROM embeddings WHERE vec_id < 5"""
+  )
+}

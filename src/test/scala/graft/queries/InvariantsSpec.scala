@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** The `q*_invariants` companion queries (oracle-checked reductions of the
+  * golden-pinned operators) must report ZERO violations at every scale —
+  * this pins the violation columns at sf0.001 so a regression in an
+  * underlying operator (fabricated similarity, broken canonical order,
+  * missed exact-duplicate, malformed BPE stream) fails in-repo before the
+  * driver's DuckDB gate sees it. The count/first-last EQUALITY columns are
+  * data-scale-dependent and are asserted by the gate itself at sf0.01.
+  */
+class InvariantsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Violation-counter columns by query: all must be 0 on every row. */
+  private val violationCols: Map[String, Seq[String]] = Map(
+    "q35_lttb_invariants" -> Seq("n_x_not_in_input", "n_y_not_in_input"),
+    "q28_minhash_invariants" -> Seq("n_noncanonical", "n_below_threshold",
+      "n_unknown_id", "n_jaccard_mismatch", "n_missing_exact"),
+    "q92_contam_invariants" -> Seq("n_below_threshold", "n_unknown_id",
+      "n_jaccard_mismatch", "n_multi_per_corpus"),
+    "q50_ivf_invariants" -> Seq("n_dup_pairs", "n_unknown_id", "n_cosine_mismatch"),
+    "q80_ivf_trained_invariants" -> Seq("n_dup_pairs", "n_unknown_id", "n_cosine_mismatch"),
+    "q38_embedding_invariants" -> Seq("n_noncanonical", "n_below_threshold",
+      "n_dup_pairs", "n_unknown_id", "n_cosine_mismatch"),
+    "q104_bpe_invariants" -> Seq("n_dup_merges"),
+    "q111_pq_invariants" -> Seq("n_dup_pairs", "n_unknown_id", "n_adc_mismatch"))
+
+  violationCols.foreach { case (name, cols) =>
+    test(s"$name reports zero violations") {
+      val rows = graft.SparkEntry.queries(name)(spark, sf).collect()
+      rows.length should be > 0
+      rows.foreach { r =>
+        cols.foreach { c =>
+          withClue(s"$name.$c: ") { r.getAs[Long](c) shouldBe 0L }
+        }
+      }
+    }
+  }
+
+  test("q105_bpe_encode_invariants: every doc reconstructs and ok_len holds") {
+    val rows = graft.SparkEntry.queries("q105_bpe_encode_invariants")(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r => r.getAs[Boolean]("ok_len") shouldBe true }
+  }
+
+  test("q108_sketch_invariants: sketch bounds hold per source") {
+    val rows = graft.SparkEntry.queries("q108_sketch_invariants")(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getAs[Boolean]("ok_distinct") shouldBe true
+      r.getAs[Boolean]("ok_p50") shouldBe true
+    }
+  }
+
+  test("q142_recall_invariants: recall arithmetic consistent for every query") {
+    val rows = graft.SparkEntry.queries("q142_recall_invariants")(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r => r.getAs[Boolean]("ok") shouldBe true }
+  }
+
+  test("q92_contam_invariants: every planted leak found (self pairs = bench items)") {
+    val Array(r: Row) =
+      graft.SparkEntry.queries("q92_contam_invariants")(spark, sf).collect()
+    r.getAs[Long]("n_self_pairs") shouldBe r.getAs[Long]("n_bench_items")
+    r.getAs[Long]("n_bench_items") should be > 0L
+  }
+
+  test("every invariants query has an oracle (no new golden surface)") {
+    val names = graft.SparkEntry.queries.keys.filter(_.endsWith("_invariants"))
+    names should not be empty
+    names.foreach { n =>
+      withClue(s"$n missing oracleSql: ") {
+        graft.SparkEntry.oracleSql.contains(n) shouldBe true
+      }
+    }
+  }
+}
