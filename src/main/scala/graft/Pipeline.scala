@@ -15,8 +15,10 @@ import graft.sources.ConfigRegistry.{SiteConfig, VariableResolver}
   *
   * Everything before decimation is a single narrow scan stage (no
   * shuffles); decimation introduces the one per-series shuffle. The melt is
-  * a union of column projections, so Catalyst still prunes the parquet read
-  * to exactly the resolved physical columns.
+  * an `inline(array(struct…))` unpivot — ONE pass over the source emitting
+  * a (parameter, value) row per resolved column, with the parquet read
+  * pruned to exactly the resolved physical columns (a union-of-projections
+  * melt would re-scan the span once per parameter).
   */
 object Pipeline {
 
@@ -61,15 +63,19 @@ object Pipeline {
         emptyData.select(concat_ws("__", col("ref_des"), col("parameter")).as("artifact")))
     }
     val sliced = df.filter(col(timeCol) >= window._1 && col(timeCol) <= window._2)
-    // melt to long form: one union branch per parameter — each branch
-    // projects (time, one value column), so the scan reads only what's used
-    val long = params.map { case (canonical, physical) =>
-      sliced.select(
-        lit(site.refDes).as("ref_des"),
-        lit(canonical).as("parameter"),
-        col(timeCol).cast("timestamp").as("t"),
-        col(physical).cast("double").as("value"))
-    }.reduce(_ unionByName _)
+    // melt to long form in ONE scan: inline explodes each row into N
+    // (parameter, value) rows. A union of per-parameter projections reads
+    // the source once per parameter — N full passes over the time span at
+    // any scale (and N serialized passes when the scan is a single split);
+    // the inline melt reads exactly the resolved physical columns once.
+    val long = sliced.select(
+      lit(site.refDes).as("ref_des"),
+      col(timeCol).cast("timestamp").as("t"),
+      inline(array(params.map { case (canonical, physical) =>
+        struct(lit(canonical).as("parameter"),
+          col(physical).cast("double").as("value"))
+      }: _*)))
+      .select(col("ref_des"), col("parameter"), col("t"), col("value"))
     val decimated = site.decimationAlgo match {
       case "lttb" =>
         Decimate.downsample(

@@ -120,10 +120,16 @@ object QueriesRelational {
         .unionByName(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
         .distinct()),
 
-    // O3 stride sampling: every 100th lineitem in (orderkey, linenumber) order
+    // O3 stride sampling: every 100th lineitem in (orderkey, linenumber) order.
+    // Project to the 2 output columns BEFORE the position pass: the RDD
+    // boundary inside OrderedPosition is opaque to Catalyst column pruning,
+    // so whatever enters it is what the scan decodes and the range shuffle
+    // carries — un-pruned, that's all 16 lineitem columns for a 2-column
+    // answer (at 100 TB, an 8× scan+shuffle overhead).
     "q20_stride_sample" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-        .withColumn("__ord", col("l_orderkey") * 10 + col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("__ord"))
       Decimate.strideSample(li, Nil, "__ord", 100)
         .select("l_orderkey", "l_linenumber")
     }),
