@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarity, DuckRound, SortedJaccard, TopKByScore}
+import graft.functions.expressions.{CosineSimilarity, DuckRound, PqAdc, PqEncode, SortedJaccard, TopKByScore}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -50,6 +50,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim(a, b) takes two arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "pq_adc(codes, table) takes two arguments")
+        PqAdc(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "pq_encode(vec, codebooks, m, ksub) takes four arguments")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        val cb = children(1) match {
+          case Literal(a: ArrayData, ArrayType(DoubleType, _)) => a.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"pq_encode codebooks must be an array<double> literal, got $other")
+        }
+        val (m, ksub) = (children(2), children(3)) match {
+          case (Literal(mi: Int, _), Literal(ki: Int, _)) => (mi, ki)
+          case other => throw new IllegalArgumentException(
+            s"pq_encode m/ksub must be integer literals, got $other")
+        }
+        PqEncode(children.head, cb, m, ksub)
       }))
   }
 }

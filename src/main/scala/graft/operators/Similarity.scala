@@ -436,20 +436,34 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(codebooks)
     val m = codebooks.length
-    val encodeUdf = udf((v: Seq[Double]) => {
-      if (v == null) null
-      else {
-        val cb = bc.value
-        val sub = cb(0)(0).length
-        val a = v.toArray
-        Array.tabulate(m) { s =>
-          nearestCentroid(java.util.Arrays.copyOfRange(a, s * sub, (s + 1) * sub), cb(s))
+    val ksub = codebooks(0).length
+    // the per-row kernel of the PQ corpus scan: native codegen expression
+    // when GraftExtensions is installed (m·ksub·sub fused multiply-adds in
+    // whole-stage codegen, codebooks as a flat reference object), UDF
+    // fallback otherwise — same first-min tie-break, bit-identical codes
+    // (PqExpressionsSpec pins the equivalence)
+    if (spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("pq_encode"))) {
+      val flat = codebooks.flatten.flatten
+      df.select(col(idCol),
+        call_function("pq_encode", col(vecCol).cast("array<double>"),
+          typedLit(flat), lit(m), lit(ksub)).as("codes"))
+    } else {
+      val bc = spark.sparkContext.broadcast(codebooks)
+      val encodeUdf = udf((v: Seq[Double]) => {
+        if (v == null) null
+        else {
+          val cb = bc.value
+          val sub = cb(0)(0).length
+          val a = v.toArray
+          Array.tabulate(m) { s =>
+            nearestCentroid(java.util.Arrays.copyOfRange(a, s * sub, (s + 1) * sub), cb(s))
+          }
         }
-      }
-    })
-    df.select(col(idCol), encodeUdf(col(vecCol).cast("array<double>")).as("codes"))
+      })
+      df.select(col(idCol), encodeUdf(col(vecCol).cast("array<double>")).as("codes"))
+    }
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query precomputes
@@ -472,7 +486,7 @@ object Similarity {
       .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
       .as[(Long, Seq[Double])].collect()
     // table(s*ksub + c) = ||q_s − codebook(s)(c)||²
-    val tables: Map[Long, Array[Double]] = qRows.map { case (qid, qv) =>
+    val tables: Array[(Long, Array[Double])] = qRows.map { case (qid, qv) =>
       val t = new Array[Double](m * ksub)
       var s = 0
       while (s < m) {
@@ -488,22 +502,33 @@ object Similarity {
         s += 1
       }
       qid -> t
-    }.toMap
-    val bc = spark.sparkContext.broadcast(tables)
-    val adcUdf = udf((qid: Long, codes: Seq[Int]) =>
-      if (codes == null) null
-      else {
-        val t = bc.value(qid)
-        var d = 0.0
-        var s = 0
-        while (s < m) { d += t(s * ksub + codes(s)); s += 1 }
-        java.lang.Double.valueOf(-d)
-      })
+    }
     val enc = pqEncode(corpus, corpusId, corpusVec, codebooks)
       .withColumnRenamed(corpusId, "neighbor_id")
-    val scored = enc
-      .crossJoin(broadcast(qRows.map(_._1).toSeq.toDF("query_id")))
-      .withColumn("cosine", adcUdf(col("query_id"), col("codes")))
+    // each query's ADC table rides as a COLUMN of the broadcast query side
+    // (m·ksub doubles per query row — broadcast-size by contract), so the
+    // scoring expression needs no per-row map lookup and no payload:
+    // native codegen pq_adc when registered (m array loads/adds inside
+    // whole-stage codegen), UDF over the same column otherwise
+    val qTables = broadcast(tables.toSeq.toDF("query_id", "__adc_table"))
+    val hasNative = spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("pq_adc"))
+    val score =
+      if (hasNative) call_function("pq_adc", col("codes"), col("__adc_table"))
+      else {
+        val adcUdf = udf((codes: Seq[Int], t: Seq[Double]) =>
+          if (codes == null) null
+          else {
+            var d = 0.0
+            var s = 0
+            while (s < m) { d += t(s * ksub + codes(s)); s += 1 }
+            java.lang.Double.valueOf(-d)
+          })
+        adcUdf(col("codes"), col("__adc_table"))
+      }
+    val scored = enc.crossJoin(qTables)
+      .withColumn("cosine", score)
+      .drop("__adc_table")
     topKReduce(scored, k)
       .withColumnRenamed("cosine", "neg_sq_dist")
   }
