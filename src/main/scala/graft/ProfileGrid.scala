@@ -125,14 +125,17 @@ object ProfileGrid {
     // below and every downstream branch of the returned plan — without it
     // the sample scan + profile join execute twice (or four times in the
     // q66 overlay composition). The materialized slice is one (site, span)
-    // window, the same working set the reference holds in memory
+    // window, the same working set the reference holds in memory. LAZY:
+    // the stats collect below is the first action and doubles as the
+    // materializing scan (the BPE-round convention — an eager checkpoint
+    // would spend a whole extra job on the same pass)
     val pts = base.join(
         broadcast(inWin),
         col(timeCol) >= col(sliceLo) && col(timeCol) <= col(sliceHi))
       .select(col("peak"),
         col(pressParam).cast("double").as("p"),
         col(yParam).cast("double").as("v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // per-profile stats: one tiny agg, one row per surviving cast. The gap
     // mask needs each column's successor, so it is computed here on the
@@ -346,8 +349,10 @@ object ProfileGrid {
   def climDiffOverlay(gridIn: DataFrame, clim: DataFrame, refYear: Int): DataFrame = {
     // the grid feeds THREE plan branches (distinct times, the u2 union,
     // the final cell join) and is itself a multi-scan union+window plan —
-    // materialize it once instead of recomputing the lineage three times
-    val grid = gridIn.localCheckpoint()
+    // materialize it once instead of recomputing the lineage three times.
+    // LAZY: the first branch that runs stores the blocks (block-level
+    // locking serializes racing readers), so no dedicated checkpoint job
+    val grid = gridIn.localCheckpoint(eager = false)
     val pts = clim.select(
         col("month").cast("int").as("m"),
         col("depth").cast("double").as("cd"),
