@@ -13,6 +13,22 @@ import graft.functions.expressions.{CosineSimilarity, DuckRound, PqAdc, PqEncode
   * DataFrame API (`expr("sorted_jaccard(a, b)")`) and SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Evaluate a construction-time scalar argument. Builders run during
+    * ANALYSIS, before constant folding, so SQL spellings like
+    * `array(1.0d, 2.0d)` or `2 + 2` arrive as foldable expression trees,
+    * not `Literal`s — pattern-matching `Literal` would reject every
+    * SQL-surface call. Foldable + eval accepts exactly the set of
+    * arguments that are constants by query start.
+    */
+  private def constArg(e: Expression, what: String): Any = {
+    require(e.foldable && e.deterministic,
+      s"$what must be a constant expression, got $e")
+    val v = e.eval()
+    require(v != null, s"$what must not be null")
+    v
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinNative.AsOfJoinStrategy)
     // large×large range joins written as plain theta joins plan as
@@ -37,10 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DuckRound].getName, "duck_round"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "duck_round(x, scale) takes two arguments")
-        val scale = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        val scale = constArg(children(1), "duck_round scale") match {
+          case i: Int => i
           case other => throw new IllegalArgumentException(
-            s"duck_round scale must be an integer literal, got $other")
+            s"duck_round scale must be an integer constant, got $other")
         }
         DuckRound(children.head, scale)
       }))
@@ -55,8 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (children: Seq[Expression]) => {
-        require(children.length == 2, "pq_adc(codes, table) takes two arguments")
-        PqAdc(children.head, children(1))
+        require(children.length == 3,
+          "pq_adc(codes, table, ksub) takes three arguments")
+        val ksub = constArg(children(2), "pq_adc ksub") match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"pq_adc ksub must be an integer constant, got $other")
+        }
+        PqAdc(children.head, children(1), ksub)
       }))
     ext.injectFunction((
       FunctionIdentifier("pq_encode"),
@@ -64,18 +86,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 4,
           "pq_encode(vec, codebooks, m, ksub) takes four arguments")
-        import org.apache.spark.sql.catalyst.expressions.Literal
         import org.apache.spark.sql.catalyst.util.ArrayData
         import org.apache.spark.sql.types.{ArrayType, DoubleType}
-        val cb = children(1) match {
-          case Literal(a: ArrayData, ArrayType(DoubleType, _)) => a.toDoubleArray()
-          case other => throw new IllegalArgumentException(
-            s"pq_encode codebooks must be an array<double> literal, got $other")
+        val cb = (children(1).dataType, constArg(children(1), "pq_encode codebooks")) match {
+          case (ArrayType(DoubleType, _), a: ArrayData) => a.toDoubleArray()
+          case (t, _) => throw new IllegalArgumentException(
+            s"pq_encode codebooks must be an array<double> constant, got type $t")
         }
-        val (m, ksub) = (children(2), children(3)) match {
-          case (Literal(mi: Int, _), Literal(ki: Int, _)) => (mi, ki)
+        val (m, ksub) = (constArg(children(2), "pq_encode m"),
+            constArg(children(3), "pq_encode ksub")) match {
+          case (mi: Int, ki: Int) => (mi, ki)
           case other => throw new IllegalArgumentException(
-            s"pq_encode m/ksub must be integer literals, got $other")
+            s"pq_encode m/ksub must be integer constants, got $other")
         }
         PqEncode(children.head, cb, m, ksub)
       }))

@@ -7,10 +7,18 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native codegen'd asymmetric-distance (ADC) scoring for product
-  * quantization: `pq_adc(codes, table)` = −Σₛ table[s·ksub + codes[s]],
+  * quantization: `pq_adc(codes, table, ksub)` = −Σₛ table[s·ksub + codes[s]],
   * the negated squared L2 distance of a PQ-encoded corpus vector from the
-  * query whose per-subspace distance table is `table`
-  * (`ksub = table.length / codes.length`).
+  * query whose per-subspace distance table is `table`.
+  *
+  * `ksub` is part of the ENCODE contract, so it is an explicit argument,
+  * not derived from `table.length / codes.length`: a derived ksub would
+  * silently re-stride the table when a stale or mis-wired table (built for
+  * a different `m`) happens to divide evenly, turning a wiring bug into
+  * plausible-looking wrong scores. Instead the expression checks the
+  * contract per row — `table.length == ksub · codes.length` and every
+  * code in `[0, ksub)` — and throws a descriptive error on violation,
+  * like the array-out-of-bounds the UDF spelling produced.
   *
   * The table rides as a COLUMN of the broadcast query side (one flat
   * m×ksub `array<double>` per query row), not as expression state — so this
@@ -21,13 +29,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * `Seq[Int]` per corpus row).
   *
   * Null in either input → null. Empty codes → −0.0 (the UDF's empty fold).
-  * Out-of-range codes (violating the encode contract) throw, exactly like
-  * the array access in the UDF.
   */
-case class PqAdc(left: Expression, right: Expression)
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case _ if ksub <= 0 => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc ksub must be positive, got $ksub")
     case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
@@ -44,11 +52,16 @@ case class PqAdc(left: Expression, right: Expression)
     val table = tableAny.asInstanceOf[ArrayData]
     val m = codes.numElements()
     if (m == 0) return -0.0
-    val ksub = table.numElements() / m
+    if (table.numElements() != ksub.toLong * m)
+      throw new IllegalArgumentException(
+        s"pq_adc: table length ${table.numElements()} != ksub $ksub * m $m")
     var d = 0.0
     var s = 0
     while (s < m) {
-      d += table.getDouble(s * ksub + codes.getInt(s))
+      val c = codes.getInt(s)
+      if (c < 0 || c >= ksub) throw new IllegalArgumentException(
+        s"pq_adc: code $c at subspace $s outside [0, $ksub)")
+      d += table.getDouble(s * ksub + c)
       s += 1
     }
     -d
@@ -57,18 +70,28 @@ case class PqAdc(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (codes, table) => {
       val m = ctx.freshName("m")
-      val ksub = ctx.freshName("ksub")
       val d = ctx.freshName("d")
       val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
       s"""
         final int $m = $codes.numElements();
         if ($m == 0) {
           ${ev.value} = -0.0;
         } else {
-          final int $ksub = $table.numElements() / $m;
+          if ($table.numElements() != ${ksub}L * $m) {
+            throw new IllegalArgumentException(
+              "pq_adc: table length " + $table.numElements() +
+              " != ksub $ksub * m " + $m);
+          }
           double $d = 0.0;
           for (int $s = 0; $s < $m; $s++) {
-            $d += $table.getDouble($s * $ksub + $codes.getInt($s));
+            final int $c = $codes.getInt($s);
+            if ($c < 0 || $c >= $ksub) {
+              throw new IllegalArgumentException(
+                "pq_adc: code " + $c + " at subspace " + $s +
+                " outside [0, $ksub)");
+            }
+            $d += $table.getDouble($s * $ksub + $c);
           }
           ${ev.value} = -$d;
         }

@@ -225,15 +225,21 @@ object TemporalJoins {
 
   /** Native-path eligibility: strategy installed + conf on + both time
     * columns are plain timestamps (the native exec reads micros longs and
-    * applies tolerance in microseconds).
+    * applies tolerance in microseconds). Column names resolve with the
+    * session's resolver (case-insensitive by default) like every other
+    * path — a case-mismatched name must fall through to the composed
+    * spelling's normal resolution, not throw out of the gate.
     */
   private def nativeEligible(left: DataFrame, lTime: String,
-                             right: DataFrame, rTime: String): Boolean =
+                             right: DataFrame, rTime: String): Boolean = {
+    def timeTyped(df: DataFrame, name: String): Boolean = {
+      val resolver = df.sparkSession.sessionState.analyzer.resolver
+      df.schema.fields.exists(f => resolver(f.name, name) &&
+        f.dataType == org.apache.spark.sql.types.TimestampType)
+    }
     graft.plans.AsOfJoinNative.available(left.sparkSession) &&
-      left.schema(lTime).dataType ==
-        org.apache.spark.sql.types.TimestampType &&
-      right.schema(rTime).dataType ==
-        org.apache.spark.sql.types.TimestampType
+      timeTyped(left, lTime) && timeTyped(right, rTime)
+  }
 
   /** Reorder the native operator's output (left columns in input order,
     * then asof_*) to the composed spelling's contract (keys first, then

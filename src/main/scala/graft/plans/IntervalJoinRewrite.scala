@@ -36,20 +36,31 @@ import org.apache.spark.sql.types._
   * The rewritten join carries the bucket equality AND the original
   * condition, so correctness never depends on the bucketing (buckets
   * merely cover the range; the exact predicate prunes). Intervals with
-  * null or inverted bounds produce no buckets or fail the post-filter —
-  * identical to the theta-join's null/empty semantics. The rewrite is
-  * self-stabilizing in the fixed-point optimizer batch: its own output
+  * null bounds produce no buckets (Sequence propagates null, Generate
+  * drops it); inverted bounds (`lo > hi`) explicitly produce an EMPTY
+  * bucket array — matching the theta join, which such a row can never
+  * satisfy — rather than Sequence's default descending walk. The rewrite
+  * is self-stabilizing in the fixed-point optimizer batch: its own output
   * contains a cross-side equality, which fails eligibility.
   *
   * Bucket width is `spark.graft.intervalJoin.bucketSeconds` (default one
   * day): the explode factor per interval row is `⌈span/width⌉ + 1`, so
-  * size it ≳ the median interval span. Disable the rule entirely with
+  * size it ≳ the median interval span. A row whose span would explode
+  * past `spark.graft.intervalJoin.maxBucketsPerRow` (default 100 000 —
+  * ~274 years at day buckets, far beyond any real validity interval but
+  * ~1000× under the sentinel-bound pathology) fails fast with an error
+  * naming both knobs instead of silently materializing millions of bucket
+  * rows per input row: an open-ended interval encoded as `hi = 9999-12-31`
+  * needs a bucketless plan (disable the rule) or a coarser bucket, and
+  * either choice should be the user's, made on a clear error, not an OOM.
+  * Disable the rule entirely with
   * `spark.graft.intervalJoin.rewrite.enabled=false`.
   */
 object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val EnabledKey = "spark.graft.intervalJoin.rewrite.enabled"
   val BucketKey = "spark.graft.intervalJoin.bucketSeconds"
+  val MaxBucketsKey = "spark.graft.intervalJoin.maxBucketsPerRow"
 
   private def enabled: Boolean =
     conf.getConfString(EnabledKey, "true").toBoolean
@@ -57,6 +68,11 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val b = conf.getConfString(BucketKey, "86400").toLong
     require(b > 0, s"$BucketKey must be positive, got $b")
     b
+  }
+  private def maxBucketsPerRow: Long = {
+    val m = conf.getConfString(MaxBucketsKey, "100000").toLong
+    require(m > 0, s"$MaxBucketsKey must be positive, got $m")
+    m
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -160,9 +176,23 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             AttributeReference("__graft_bucket_i", LongType, nullable = false)()
           // Sequence is TimeZoneAwareExpression: without an explicit zone
           // it reports unresolved even over longs, and the optimizer's
-          // plan validator rejects the rewrite
+          // plan validator rejects the rewrite. Step pinned to 1: without
+          // it Sequence walks DESCENDING when lo > hi.
+          val arrTy = ArrayType(LongType, containsNull = false)
+          val seqExpr = Sequence(loB, hiB, Some(Literal(1L)),
+            Some(conf.sessionLocalTimeZone))
+          val emptyBuckets = Literal.create(
+            org.apache.spark.sql.catalyst.util.ArrayData
+              .toArrayData(Array.empty[Long]), arrTy)
+          val cap = maxBucketsPerRow
+          val tooWide = Cast(new RaiseError(Literal(
+            s"interval-join rewrite: an interval spans more than $cap " +
+              s"buckets of $b s; raise $BucketKey / $MaxBucketsKey or " +
+              s"disable $EnabledKey")), arrTy)
+          val buckets = If(LessThan(hiB, loB), emptyBuckets,
+            If(GreaterThan(Subtract(hiB, loB), Literal(cap)), tooWide, seqExpr))
           val exploded = Generate(
-            Explode(Sequence(loB, hiB, None, Some(conf.sessionLocalTimeZone))),
+            Explode(buckets),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(genAttr), child = intervalSide)
           val newCond =

@@ -22,11 +22,12 @@ import graft.sources.Tables
   * dropped endpoint) turns its companion row red even though the main
   * query has no oracle.
   *
-  * Two rounding regimes, deliberately distinct:
-  *  - recomputation vs a REPORTED column uses the operator's own spelling
-  *    (`functions.round`) so equality is bit-for-bit by construction;
-  *  - values that flow to the DuckDB hash compare use
-  *    [[graft.functions.Rounding.dround]] like every other oracle query.
+  * One rounding spelling everywhere: the operators round every reported
+  * score with [[graft.functions.Rounding.dround]] (their local `round`
+  * shadows it), so the recomputations here use `dround` too — equality
+  * with a reported column is bit-for-bit by construction — and values
+  * that flow to the DuckDB hash compare use `dround` like every other
+  * oracle query.
   */
 object QueriesInvariants {
 
@@ -43,7 +44,7 @@ object QueriesInvariants {
     */
   private def jaccardRecompute(tA: Column, tB: Column, k: Int): Column =
     when(tA === tB, lit(1.0))
-      .otherwise(round(Dedup.sortedSetJaccard(
+      .otherwise(dround(Dedup.sortedSetJaccard(
         Dedup.sortedShingleHashes(tA, k),
         Dedup.sortedShingleHashes(tB, k)), 6))
 
@@ -162,7 +163,7 @@ object QueriesInvariants {
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       val withV = out.join(q, Seq("query_id"), "left").join(c, Seq("neighbor_id"), "left")
         .withColumn("__re",
-          round(VectorFunctions.cosineBest(s, col("qv"), col("cv")), 6))
+          dround(VectorFunctions.cosineBest(s, col("qv"), col("cv")), 6))
       withV.agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("query_id")).as("n_queries"),
@@ -185,7 +186,7 @@ object QueriesInvariants {
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
       val withV = out.join(q, Seq("query_id"), "left").join(c, Seq("neighbor_id"), "left")
         .withColumn("__re",
-          round(VectorFunctions.cosineBest(s, col("qv"), col("cv")), 6))
+          dround(VectorFunctions.cosineBest(s, col("qv"), col("cv")), 6))
       withV.agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("query_id")).as("n_queries"),
@@ -203,7 +204,7 @@ object QueriesInvariants {
       val b = emb.select(col("vec_id").cast("long").as("id_b"), col("embedding").as("v_b"))
       val withV = out.join(a, Seq("id_a"), "left").join(b, Seq("id_b"), "left")
         .withColumn("__re",
-          round(VectorFunctions.cosineBest(s, col("v_a"), col("v_b")), 6))
+          dround(VectorFunctions.cosineBest(s, col("v_a"), col("v_b")), 6))
       val checks = withV.agg(
         viol(col("id_a") >= col("id_b")).as("n_noncanonical"),
         viol(col("cosine") < 0.25).as("n_below_threshold"),
@@ -309,7 +310,7 @@ object QueriesInvariants {
       val c = emb.filter(col("vec_id") >= 5).select(
         col("vec_id").as("neighbor_id"), col("embedding").cast("array<double>").as("cv"))
       val withV = out.join(q, Seq("query_id"), "left").join(c, Seq("neighbor_id"), "left")
-        .withColumn("__re", round(adcUdf(col("qv"), col("cv")), 6))
+        .withColumn("__re", dround(adcUdf(col("qv"), col("cv")), 6))
       withV.agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("query_id")).as("n_queries"),
@@ -326,7 +327,7 @@ object QueriesInvariants {
       val out = QueriesDocs.queries("q142_ann_recall")(s, d)
       out.select(col("query_id"), col("n_exact"),
         (col("n_hits") >= 0 && col("n_hits") <= col("n_exact") &&
-          col("recall") === round(col("n_hits").cast("double") / col("n_exact"), 6))
+          col("recall") === dround(col("n_hits").cast("double") / col("n_exact"), 6))
           .as("ok"))
     })
   )

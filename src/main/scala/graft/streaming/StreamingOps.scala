@@ -232,7 +232,11 @@ object StreamingOps {
       try body(Some(p.toString))
       finally {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        // walk returns a Stream holding open directory handles — close it
+        // (via Using) before deleting, or each replay leaks descriptors
+        scala.util.Using(java.nio.file.Files.walk(p)) { st =>
+          st.iterator().asScala.toSeq.reverse
+        }.getOrElse(Seq.empty)
           .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () })
       }
     } else body(None)

@@ -53,12 +53,12 @@ class PqExpressionsSpec extends SparkSpec {
       (3L, Seq(2, 2), Some(-(table(2) + table(4 + 2)))))
     val df = rows.map { case (id, c, _) => (id, c) }.toDF("id", "codes")
     val got = df.select(col("id"),
-        call_function("pq_adc", col("codes"), typedLit(table)).as("s"))
+        call_function("pq_adc", col("codes"), typedLit(table), lit(4)).as("s"))
       .as[(Long, Double)].collect().toMap
     rows.foreach { case (id, _, Some(exp)) => got(id) shouldBe exp; case _ => }
     // null codes → null score; empty codes → -0.0 (the UDF's empty fold)
     val edge = Seq((1L, null: Seq[Int]), (2L, Seq.empty[Int])).toDF("id", "codes")
-      .select(col("id"), call_function("pq_adc", col("codes"), typedLit(table)).as("s"))
+      .select(col("id"), call_function("pq_adc", col("codes"), typedLit(table), lit(4)).as("s"))
       .collect()
     edge.find(_.getLong(0) == 1L).get.isNullAt(1) shouldBe true
     java.lang.Double.doubleToRawLongBits(

@@ -67,6 +67,25 @@ class TimeLayoutSpec extends SparkSpec {
     expected.exceptAll(span).count() shouldBe 0
   }
 
+  test("a reader session in a different time zone loses no edge-day rows") {
+    // ds is the UTC day of the INSTANT on both sides, so a session-zone
+    // mismatch between writer (UTC) and reader must not shift the widened
+    // partition bound onto the wrong directory. The span below, spelled
+    // in America/New_York wall-clock, covers instants that live in the
+    // NEXT UTC day's directory — a session-zone to_date() would prune it.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    // 2024-03-03 18:30 EST = 2024-03-03 23:30 UTC … 2024-03-03 21:00 EST
+    // = 2024-03-04 02:00 UTC: in-span rows sit in ds=2024-03-04
+    val span = TimeLayout.readSpan(s2, dir,
+      "2024-03-03 18:30:00", "2024-03-03 21:00:00")
+    val expected = flat.filter(
+      $"ts" >= expr("timestamp'2024-03-03 23:30:00'") &&
+        $"ts" < expr("timestamp'2024-03-04 02:00:00'")).count()
+    expected should be > 0L
+    span.count() shouldBe expected
+  }
+
   test("readAll round-trips schema and rows") {
     val all = TimeLayout.readAll(spark, dir)
     all.columns shouldBe flat.columns
