@@ -66,6 +66,28 @@ class PqExpressionsSpec extends SparkSpec {
       java.lang.Double.doubleToRawLongBits(-0.0)
   }
 
+  test("pq_adc enforces the ksub contract instead of re-striding a bad table") {
+    val table = Array.tabulate(8)(i => i * 1.5) // built for ksub=4, m=2
+    val df = Seq((1L, Seq(0, 3))).toDF("id", "codes")
+    // wrong ksub for this table length → descriptive error, not wrong scores
+    val e1 = intercept[Exception] {
+      df.select(call_function("pq_adc", col("codes"), typedLit(table), lit(2)))
+        .collect()
+    }
+    (Option(e1.getMessage).getOrElse("") +
+      Option(e1.getCause).map(_.getMessage).getOrElse("")) should
+      include("table length")
+    // out-of-contract code value → descriptive error
+    val bad = Seq((1L, Seq(0, 7))).toDF("id", "codes")
+    val e2 = intercept[Exception] {
+      bad.select(call_function("pq_adc", col("codes"), typedLit(table), lit(4)))
+        .collect()
+    }
+    (Option(e2.getMessage).getOrElse("") +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")) should
+      include("outside [0, 4)")
+  }
+
   test("pq_encode null vector → null codes") {
     val out = Seq((1L, null: Seq[Double])).toDF("id", "v")
       .select(call_function("pq_encode", col("v"), typedLit(flat), lit(2), lit(4)))

@@ -358,6 +358,30 @@ class SimilaritySpec extends SparkSpec {
     booksA.map(_.map(_.toSeq).toSeq) shouldBe booksB.map(_.map(_.toSeq).toSeq)
   }
 
+  test("train-once memo never crosses datasets: same schema, different data") {
+    // Two corpora with identical schema and plan SHAPE but different
+    // vectors: the memo key must separate them (a canonicalized-plan
+    // string alone would not — LocalRelation stringifies without data,
+    // HadoopFsRelation without paths) so the second train call must
+    // return ITS OWN centroids, not the first corpus's cached ones.
+    val c1 = (0 until 12).map(i => (i.toLong, Array(100.0 + i, 0.0)))
+      .toDF("id", "v")
+    val c2 = (0 until 12).map(i => (i.toLong, Array(-100.0 - i, 0.0)))
+      .toDF("id", "v")
+    Similarity.datasetKey(c1) should not be Similarity.datasetKey(c2)
+    val k1 = Similarity.trainIvfCentroids(c1, "id", "v", k = 2, iters = 2)
+    val k2 = Similarity.trainIvfCentroids(c2, "id", "v", k = 2, iters = 2)
+    all(k1.map(_.head)) should be > 0.0
+    all(k2.map(_.head)) should be < 0.0
+    // and a genuine repeat (same path-backed dataset re-read) still hits:
+    // same parquet dir read through two fresh plans → same key
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    c1.write.mode("overwrite").parquet(dir)
+    val r1 = spark.read.parquet(dir)
+    val r2 = spark.read.parquet(dir)
+    Similarity.datasetKey(r1) shouldBe Similarity.datasetKey(r2)
+  }
+
   test("sampled pqTrain keeps search recall within bound of full training") {
     val a = (0 until 20).map(i => (i.toLong, Array(10.0 + i * 0.01, 10.0, 0.0, 0.0)))
     val b = (20 until 40).map(i => (i.toLong, Array(-10.0, -10.0 - (i - 20) * 0.01, 0.0, 0.0)))

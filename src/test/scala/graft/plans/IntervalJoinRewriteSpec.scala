@@ -123,6 +123,27 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a sentinel-bounded interval fails fast naming the knobs, not OOM") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      IntervalJoinRewrite.BucketKey -> "3600",
+      IntervalJoinRewrite.MaxBucketsKey -> "1000") {
+      // one open-ended interval: hi = +50 years → ~438k hour buckets
+      val withSentinel = intervals.unionByName(
+        Seq((999L, 1700000000L, 1700000000L + 50L * 365 * 86400))
+          .toDF("iv_id", "s_secs", "e_secs")
+          .select($"iv_id", timestamp_seconds($"s_secs").as("lo"),
+            timestamp_seconds($"e_secs").as("hi")))
+      val joined = facts.join(withSentinel, $"t" >= $"lo" && $"t" <= $"hi")
+      assert(planOf(joined).contains("Generate explode"))
+      val e = intercept[Exception] { joined.collect() }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains(IntervalJoinRewrite.BucketKey) ||
+        msg.contains("USER_RAISED_EXCEPTION"), s"unhelpful error: $e")
+    }
+  }
+
   test("bucketizedIntervalJoin agrees with the automatic rewrite on the same inputs") {
     withConfs(
       "spark.sql.autoBroadcastJoinThreshold" -> "1024",
