@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CosineSimilarity, DuckRound, PqAdc, PqEncode, SortedJaccard, TopKByScore}
+import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, PqAdc, PqEncode, SortedJaccard, TopKByScore}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3, "topk_by_score(score, id, k) takes three arguments")
         TopKByScore(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("approx_top_items"),
+      new ExpressionInfo(classOf[ApproxTopItems].getName, "approx_top_items"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "approx_top_items(item, k, capacity) takes three arguments")
+        ApproxTopItems(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("duck_round"),

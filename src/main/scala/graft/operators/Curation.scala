@@ -109,6 +109,38 @@ object Curation {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
 
+  /** Bounded-state heavy hitters: the k most frequent tokens via the
+    * `approx_top_items` SpaceSaving aggregate — at most `capacity`
+    * counters per aggregation buffer, map-side partial merge, every item
+    * with true frequency > N/capacity guaranteed present with
+    * `cnt ≥ true ≥ lb`. The scale counterpart of [[vocabTopK]], whose
+    * exact hash aggregate must shuffle the FULL distinct vocabulary
+    * (every long-tail hapax) before the top-k cut; this ships ≤ capacity
+    * counters per map partition. With `capacity` ≥ the distinct-token
+    * count the result is exact (`lb = cnt`) and partitioning-independent
+    * — the regime the oracle-checked query runs in; the approximation
+    * bounds at small capacity are property-pinned in
+    * `ApproxTopItemsSpec`.
+    *
+    * Returns ranked rows (token, cnt, lb) — (cnt desc, token asc).
+    * Falls back to the exact [[vocabTopK]] plan (with `lb = cnt`) when
+    * GraftExtensions is not installed.
+    */
+  def vocabTopKApprox(docs: DataFrame, textCol: String, k: Int,
+                      capacity: Int): DataFrame = {
+    val hasNative = docs.sparkSession.sessionState.functionRegistry
+      .functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("approx_top_items"))
+    if (hasNative)
+      docs
+        .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+        .agg(call_function("approx_top_items",
+          col("token"), lit(k), lit(capacity)).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.token"), col("t.cnt"), col("t.lb"))
+    else vocabTopK(docs, textCol, k).withColumn("lb", col("cnt"))
+  }
+
   /** Deterministic per-class sampling: keep a row when
     * `fingerprint(text) mod denom < rate(class) * denom`. Content-hashed,
     * not `rand()`-based: the same document (and every byte-identical

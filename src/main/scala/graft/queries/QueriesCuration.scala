@@ -48,6 +48,14 @@ object QueriesCuration {
     "q75_vocab_topk" -> ((s, d) =>
       Curation.vocabTopK(Tables.documents(s, d), "text", k = 50)),
 
+    // Bounded-state heavy hitters (SpaceSaving aggregate), run in its
+    // exact regime (capacity >> distinct tokens) so the oracle can check
+    // it value-for-value; small-capacity bounds are property-pinned in
+    // ApproxTopItemsSpec
+    "q145_heavy_hitters" -> ((s, d) =>
+      Curation.vocabTopKApprox(Tables.documents(s, d), "text", k = 25,
+        capacity = 1 << 17)),
+
     // Deterministic per-source sampling on the content fingerprint
     "q76_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(Tables.documents(s, d), "text", "source",
@@ -1269,6 +1277,13 @@ object QueriesCuration {
             FROM (SELECT unnest(t) AS tok FROM toks)
             GROUP BY 1)
       SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 50""",
+    // exact regime: capacity >> distinct tokens → counts exact, lb = cnt
+    "q145_heavy_hitters" -> raw"""
+      WITH $toksCte,
+      c AS (SELECT tok AS token, count(*) AS cnt
+            FROM (SELECT unnest(t) AS tok FROM toks)
+            GROUP BY 1)
+      SELECT token, cnt, cnt AS lb FROM c ORDER BY cnt DESC, token LIMIT 25""",
     "q76_stratified_sample" -> raw"""
       WITH b AS (
         SELECT doc_id, source, $fpExpr % 10000 AS bucket
