@@ -84,6 +84,17 @@ class ApproxTopItemsSpec extends SparkSpec {
     perG("a").foreach { case (t, c) => c shouldBe ea(t) }
   }
 
+  test("plans as partial+final object-hash aggregation, not a sort aggregate") {
+    val df = zipfStream(50, 500, 9).toDF("t")
+      .agg(call_function("approx_top_items", col("t"), lit(5), lit(100)).as("top"))
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("ObjectHashAggregate")
+    // partial mode before the exchange: the capped summaries merge
+    // map-side, so at most `capacity` counters per partition cross the
+    // shuffle however large the vocabulary
+    plan should include("partial_approx_top_items")
+  }
+
   test("null items are skipped; empty input yields an empty array") {
     val out = Seq(Some("x"), None, Some("x"), Some("y"))
       .toDF("t")
