@@ -320,6 +320,52 @@ object QueriesInvariants {
           col("neg_sq_dist") =!= col("__re")).as("n_adc_mismatch"))
     }),
 
+    // ---- Streaming decontamination gate (companion to golden q146) -------
+    // Id hygiene (kept ⊆ documents, no duplicates), sound drops (every
+    // dropped doc really reaches 0.5 exact Jaccard to some benchmark
+    // text), and high-jaccard recall (no doc with best-reference Jaccard
+    // ≥ 0.8 survives the gate — at 128 hashes / 32 bands a j ≥ 0.8 pair
+    // misses every band with probability < 5e-8, and band collision is a
+    // FIXED property of the data under the pinned hash seeds, so this is
+    // deterministic for given testdata). The benchmark-item count anchors
+    // the SQL side.
+    "q146_decontam_invariants" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val kept = QueriesScience.queries("q146_stream_decontam")(s, d)
+        .select(col("doc_id"))
+      val refSh = Tables.documents(s, d).filter(col("doc_id") % 83 === 0)
+        .select(Dedup.sortedShingleHashes(
+          concat(col("text"), lit(" eval item tag")), 3).as("ref_sh"))
+      val docSh = docs.select(col("doc_id"),
+        Dedup.sortedShingleHashes(col("text"), 3).as("sh"))
+      // exact best-reference Jaccard per doc: the reference side is the
+      // broadcast-size benchmark (documents/83 rows), so the crossJoin is
+      // a broadcast fan-out, not an all-pairs shuffle
+      val best = docSh.crossJoin(broadcast(refSh))
+        .select(col("doc_id"),
+          when(size(col("sh")) > 0 && size(col("ref_sh")) > 0,
+            Dedup.sortedSetJaccard(col("sh"), col("ref_sh")))
+            .otherwise(lit(0.0)).as("j"))
+        .groupBy(col("doc_id")).agg(max(col("j")).as("best_j"))
+      val status = docs.select(col("doc_id"))
+        .join(kept.withColumn("__k", lit(1)), Seq("doc_id"), "left")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__k").isNotNull.as("kept"),
+          coalesce(col("best_j"), lit(0.0)).as("best_j"))
+      val keptChecks = kept
+        .join(docs.select(col("doc_id"), lit(1).as("__in")), Seq("doc_id"), "left")
+        .agg(viol(col("__in").isNull).as("n_unknown_kept"),
+          (count(lit(1)) - countDistinct(col("doc_id"))).as("n_dup_kept"))
+      val gateChecks = status.agg(
+        count(lit(1)).as("n_docs"),
+        viol(!col("kept") && col("best_j") < 0.5).as("n_unsound_drops"),
+        viol(col("kept") && col("best_j") >= 0.8).as("n_missed_high_j"))
+      val bench = Tables.documents(s, d).filter(col("doc_id") % 83 === 0)
+        .agg(count(lit(1)).as("n_bench_items"))
+      gateChecks.crossJoin(keptChecks).crossJoin(bench)
+    }),
+
     // ---- ANN recall report (companion to golden q142) --------------------
     // The report covers every query, the exact side is always full-k, and
     // recall is exactly n_hits / n_exact at 6 dp with n_hits in [0, k].
@@ -371,6 +417,12 @@ object QueriesInvariants {
              $zero AS n_jaccard_mismatch, $zero AS n_multi_per_corpus,
              (SELECT count(*) FROM documents WHERE doc_id % 83 = 0) AS n_self_pairs,
              (SELECT count(*) FROM documents WHERE doc_id % 83 = 0) AS n_bench_items""",
+    "q146_decontam_invariants" -> raw"""
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             $zero AS n_unsound_drops, $zero AS n_missed_high_j,
+             $zero AS n_unknown_kept, $zero AS n_dup_kept,
+             (SELECT count(*) FROM documents WHERE doc_id % 83 = 0)
+               AS n_bench_items""",
     "q50_ivf_invariants" -> raw"""
       SELECT (SELECT 3 * count(*) FROM embeddings WHERE vec_id < 5) AS n_rows,
              (SELECT count(*) FROM embeddings WHERE vec_id < 5) AS n_queries,

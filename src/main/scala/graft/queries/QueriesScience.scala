@@ -119,6 +119,15 @@ object QueriesScience {
     "q68_stream_dedup" -> ((s, d) =>
       StreamingOps.runDedupDocsAvailableNow(s, d).select(col("text"))),
 
+    // Streaming near-dup decontamination at ingest: documents replayed as
+    // a bounded stream are gated against the planted q92-style benchmark
+    // through a broadcast MinHash band index (stateless per batch, no
+    // stream state). Output = kept doc ids — arrival-order-independent →
+    // deterministic → golden-pinned; the q146 invariants companion rides
+    // the DuckDB gate (sound drops, high-jaccard recall, id hygiene)
+    "q146_stream_decontam" -> ((s, d) =>
+      StreamingOps.runNearDupGateAvailableNow(s, d)),
+
     // Stream-stream interval join with watermark-bounded state: clicks
     // joined to same-user views within 30 minutes (oracle = batch join)
     "q84_stream_interval_join" -> ((s, d) =>

@@ -97,6 +97,116 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__k", "__len")
       .drop("__k", "__len")
 
+  /** Streaming near-dup ingest gate against a BROADCAST-SIZE reference
+    * set — the decontamination-at-ingest shape: drop incoming documents
+    * whose k-shingle Jaccard to ANY reference document reaches
+    * `minJaccard`, with candidates mined by MinHash band collision using
+    * the exact signature/banding spelling of [[graft.operators.Dedup]]
+    * (so batch and gate agree on which pairs band-collide).
+    *
+    * Stateless per micro-batch: the reference index — a band-key →
+    * doc-indices map plus each reference doc's sorted shingle-hash array
+    * — is built ONCE driver-side from the static frame and broadcast;
+    * each stream row probes its own band keys against the map and
+    * verifies candidates with the exact merge-scan Jaccard
+    * ([[graft.functions.HashKernels.sortedJaccard]]). No stream state, no
+    * stream-stream self-join, no per-batch re-execution of the static
+    * side. The reference is broadcast-size BY CONTRACT (eval benchmarks,
+    * blocklists — the things ingest must never admit); the symmetric
+    * large×large case remains the batch pass's job
+    * ([[graft.operators.Dedup.crossCorpusNearDups]], banded equi-join).
+    *
+    * Exactly like the batch miner, identical texts share every band (a
+    * same-signature pair collides in all of them), so jaccard-1
+    * duplicates of a reference doc can never pass; pairs near the
+    * `minJaccard` boundary are subject to the banding's candidate-recall
+    * curve (1 − (1 − j^rows)^bands), a deterministic property of the
+    * data under the fixed hash seeds. Works identically on a batch
+    * DataFrame (the parity spec runs both).
+    */
+  def nearDupGate(stream: DataFrame, reference: DataFrame, textCol: String,
+                  k: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                  minJaccard: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    require(numHashes % bands == 0,
+      s"numHashes $numHashes must divide into $bands bands")
+    val rows = numHashes / bands
+    // reference index: band keys + sorted shingle hashes per doc (docs
+    // too short to shingle can never reach a positive Jaccard — excluded)
+    val refRows = reference
+      .select(
+        Dedup.lshBands(Dedup.minHashSignature(col(textCol), k, numHashes),
+          bands, rows).as("bk"),
+        Dedup.sortedShingleHashes(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .collect()
+    val refSh: Array[Array[Long]] = refRows.map(
+      _.getAs[scala.collection.Seq[Long]]("sh").toArray)
+    val bandMap = new java.util.HashMap[(Int, Long), Array[Int]]()
+    refRows.zipWithIndex.foreach { case (r, i) =>
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bk").foreach { s =>
+        val key = (s.getInt(0), s.getLong(1))
+        val prev = bandMap.get(key)
+        bandMap.put(key,
+          if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    val bc = stream.sparkSession.sparkContext.broadcast((bandMap, refSh))
+    val isDup = udf((bk: Seq[org.apache.spark.sql.Row], sh: Seq[Long]) => {
+      if (sh == null || sh.isEmpty) false
+      else {
+        val (map, shArr) = bc.value
+        val visited = new java.util.HashSet[Int]()
+        bk.exists { s =>
+          val cands = map.get((s.getInt(0), s.getLong(1)))
+          cands != null && cands.exists { i =>
+            visited.add(i) &&
+              graft.functions.HashKernels.sortedJaccard(
+                sh, scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                  shArr(i))) >= minJaccard
+          }
+        }
+      }
+    })
+    stream
+      .withColumn("__bk",
+        Dedup.lshBands(Dedup.minHashSignature(col(textCol), k, numHashes),
+          bands, rows))
+      .withColumn("__sh", Dedup.sortedShingleHashes(col(textCol), k))
+      .filter(!isDup(col("__bk"), col("__sh")))
+      .drop("__bk", "__sh")
+  }
+
+  /** Run [[nearDupGate]] over the documents parquet as a bounded stream,
+    * gated against the q92-style planted benchmark (a perturbed copy of
+    * every `doc_id % 83 == 0` document): the at-ingest decontamination
+    * pipeline. Output is the KEPT doc ids — stateless and
+    * arrival-order-independent, so the result is deterministic and equals
+    * the same gate applied to the batch frame (parity spec).
+    */
+  def runNearDupGateAvailableNow(spark: SparkSession, dir: String,
+                                 queryName: String = "graft_stream_decontam"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reference = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 83 === 0)
+      .select(concat(col("text"), lit(" eval item tag")).as("text"))
+    val stream = tableStream(spark, dir, "documents")
+    withReplayPartitions(spark) { withNoDataBatches(spark, enabled = false) {
+      replayCheckpoint { ckpt =>
+        val w = nearDupGate(stream, reference, "text")
+          .select(col("doc_id").cast("long").as("doc_id"))
+          .writeStream
+          .format("memory")
+          .queryName(queryName)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+        val q = ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+        q.awaitTermination()
+      }
+    } }
+    spark.table(queryName)
+  }
+
   final case class SessionEvent(userId: Long, ts: java.sql.Timestamp, eventId: Long) {
     def tsMs: Long = ts.getTime
   }

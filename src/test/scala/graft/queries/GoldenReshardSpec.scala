@@ -27,7 +27,7 @@ class GoldenReshardSpec extends SparkSpec {
   }
 
   for (q <- Seq("q28_minhash_pairs", "q35_lttb", "q38_embedding_dups",
-    "q50_ivf_ann", "q92_cross_contam"))
+    "q50_ivf_ann", "q92_cross_contam", "q146_stream_decontam"))
     test(s"$q golden is stable across shuffle-partition counts") {
       val a = rowsWith(q, 4)
       val b = rowsWith(q, 7)

@@ -28,7 +28,9 @@ class InvariantsSpec extends SparkSpec {
     "q38_embedding_invariants" -> Seq("n_noncanonical", "n_below_threshold",
       "n_dup_pairs", "n_unknown_id", "n_cosine_mismatch"),
     "q104_bpe_invariants" -> Seq("n_dup_merges"),
-    "q111_pq_invariants" -> Seq("n_dup_pairs", "n_unknown_id", "n_adc_mismatch"))
+    "q111_pq_invariants" -> Seq("n_dup_pairs", "n_unknown_id", "n_adc_mismatch"),
+    "q146_decontam_invariants" -> Seq("n_unsound_drops", "n_missed_high_j",
+      "n_unknown_kept", "n_dup_kept"))
 
   violationCols.foreach { case (name, cols) =>
     test(s"$name reports zero violations") {

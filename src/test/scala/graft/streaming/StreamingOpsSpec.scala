@@ -152,4 +152,61 @@ class StreamingOpsSpec extends SparkSpec {
     out.select("text").as[String].collect().sorted shouldBe
       Array("alpha text", "beta text", "gamma text")
   }
+
+  test("near-dup ingest gate: sound drops, exact-dup recall, stream/batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    def words(seed: Int, n: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map(_ => s"w${rnd.nextInt(400)}").mkString(" ")
+    }
+    // 0 and 83 are "planted": their perturbed copies form the reference
+    // (the runner's doc_id % 83 == 0 contract); 120 is an EXACT copy of a
+    // reference text; the rest are unrelated
+    val base = (0 until 120).map(i => (i.toLong, words(i, 40)))
+    val exactCopy = (120L, words(0, 40) + " eval item tag")
+    val docs = (base :+ exactCopy).toDF("doc_id", "text")
+    val reference = docs.filter($"doc_id" % 83 === 0)
+      .select(concat($"text", lit(" eval item tag")).as("text"))
+
+    // batch gate: sound drops (every dropped doc really reaches 0.5
+    // Jaccard to some reference doc) and jaccard-1 recall (the exact
+    // copy of a reference text can never pass)
+    val kept = StreamingOps.nearDupGate(docs, reference, "text")
+      .select($"doc_id").as[Long].collect().toSet
+    kept should not contain 120L
+    val dropped = (0L until 121L).toSet -- kept
+    val refTexts = reference.as[String].collect()
+    def jac(a: String, b: String): Double =
+      graft.functions.HashKernels.sortedJaccard(
+        tokSh(a), tokSh(b))
+    def tokSh(t: String): Seq[Long] = {
+      val sh = docs.sparkSession.range(1).toDF()
+        .select(graft.operators.Dedup.sortedShingleHashes(lit(t), 3).as("sh"))
+        .collect()(0).getAs[scala.collection.Seq[Long]]("sh")
+      sh.toSeq
+    }
+    dropped.foreach { id =>
+      val t = base.lift(id.toInt).map(_._2).getOrElse(exactCopy._2)
+      withClue(s"doc $id dropped without a qualifying reference: ") {
+        refTexts.exists(r => jac(t, r) >= 0.5) shouldBe true
+      }
+    }
+    // the planted sources themselves are near-dups of their perturbed
+    // copies (tag-only perturbation on 40 words → jaccard >> 0.5)
+    dropped should contain allOf (0L, 83L)
+
+    // streaming replay of the same corpus equals the batch gate
+    val dir = java.nio.file.Files.createTempDirectory("graft_sgate").toFile
+    dir.deleteOnExit()
+    val stage = new java.io.File(dir, "stage")
+    docs.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dir, "documents.parquet").toPath)
+    val streamed = StreamingOps
+      .runNearDupGateAvailableNow(spark, dir.getAbsolutePath, "graft_sgate_spec")
+      .as[Long].collect().toSet
+    streamed shouldBe kept
+  }
 }
