@@ -190,9 +190,8 @@ object QueriesDocs {
       val docs = Tables.documents(s, d)
       Dedup.crossCorpusNearDups(
         corpus = docs,
-        benchmark = docs.filter(col("doc_id") % 83 === 0)
-          .select(col("doc_id"),
-            concat(col("text"), lit(" eval item tag")).as("text")),
+        benchmark = Tables.plantedBenchmark(s, d)
+          .select(col("benchmark_id").as("doc_id"), col("text")),
         idCol = "doc_id", textCol = "text", k = 3, minJaccard = 0.5)
     }),
 

@@ -131,9 +131,8 @@ object QueriesInvariants {
       val out = QueriesDocs.queries("q92_cross_contam")(s, d)
       val corpusT = docs.select(col("doc_id").cast("long").as("corpus_id"),
         col("text").as("t_c"))
-      val benchT = docs.filter(col("doc_id") % 83 === 0)
-        .select(col("doc_id").cast("long").as("benchmark_id"),
-          concat(col("text"), lit(" eval item tag")).as("t_b"))
+      val benchT = Tables.plantedBenchmark(s, d)
+        .select(col("benchmark_id"), col("text").as("t_b"))
       val withT = out
         .join(corpusT, Seq("corpus_id"), "left")
         .join(benchT, Seq("benchmark_id"), "left")
@@ -334,9 +333,8 @@ object QueriesInvariants {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val kept = QueriesScience.queries("q146_stream_decontam")(s, d)
         .select(col("doc_id"))
-      val refSh = Tables.documents(s, d).filter(col("doc_id") % 83 === 0)
-        .select(Dedup.sortedShingleHashes(
-          concat(col("text"), lit(" eval item tag")), 3).as("ref_sh"))
+      val refSh = Tables.plantedBenchmark(s, d)
+        .select(Dedup.sortedShingleHashes(col("text"), 3).as("ref_sh"))
       val docSh = docs.select(col("doc_id"),
         Dedup.sortedShingleHashes(col("text"), 3).as("sh"))
       // exact best-reference Jaccard per doc: the reference side is the
@@ -361,7 +359,7 @@ object QueriesInvariants {
         count(lit(1)).as("n_docs"),
         viol(!col("kept") && col("best_j") < 0.5).as("n_unsound_drops"),
         viol(col("kept") && col("best_j") >= 0.8).as("n_missed_high_j"))
-      val bench = Tables.documents(s, d).filter(col("doc_id") % 83 === 0)
+      val bench = Tables.plantedBenchmark(s, d)
         .agg(count(lit(1)).as("n_bench_items"))
       gateChecks.crossJoin(keptChecks).crossJoin(bench)
     }),

@@ -52,4 +52,17 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeTs(table(s, d, "events"))
   }
+
+  /** The planted cross-corpus benchmark every decontamination surface
+    * shares — q92's miner, its invariants companion, and the q146
+    * streaming gate: a perturbed copy (" eval item tag" appended) of
+    * every `doc_id % 83 == 0` document. ONE definition so the miner, the
+    * gate, and their invariant checks can never drift apart (their
+    * DuckDB oracles re-spell the same rule in SQL). Columns:
+    * `benchmark_id` (long), `text`.
+    */
+  def plantedBenchmark(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") % 83 === 0)
+      .select(col("doc_id").cast("long").as("benchmark_id"),
+        concat(col("text"), lit(" eval item tag")).as("text"))
 }

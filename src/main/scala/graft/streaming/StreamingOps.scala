@@ -142,15 +142,19 @@ object StreamingOps {
       .collect()
     val refSh: Array[Array[Long]] = refRows.map(
       _.getAs[scala.collection.Seq[Long]]("sh").toArray)
-    val bandMap = new java.util.HashMap[(Int, Long), Array[Int]]()
+    // grow buckets in buffers, freeze to arrays once: heavy band
+    // collisions (near-identical reference items sharing every band)
+    // stay linear instead of re-copying a growing array per append
+    val grow = new java.util.HashMap[(Int, Long),
+      scala.collection.mutable.ArrayBuffer[Int]]()
     refRows.zipWithIndex.foreach { case (r, i) =>
       r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bk").foreach { s =>
-        val key = (s.getInt(0), s.getLong(1))
-        val prev = bandMap.get(key)
-        bandMap.put(key,
-          if (prev == null) Array(i) else prev :+ i)
+        grow.computeIfAbsent((s.getInt(0), s.getLong(1)),
+          _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += i
       }
     }
+    val bandMap = new java.util.HashMap[(Int, Long), Array[Int]]()
+    grow.forEach((k, v) => bandMap.put(k, v.toArray))
     val bc = stream.sparkSession.sparkContext.broadcast((bandMap, refSh))
     val isDup = udf((bk: Seq[org.apache.spark.sql.Row], sh: Seq[Long]) => {
       if (sh == null || sh.isEmpty) false
@@ -187,9 +191,8 @@ object StreamingOps {
   def runNearDupGateAvailableNow(spark: SparkSession, dir: String,
                                  queryName: String = "graft_stream_decontam"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reference = graft.sources.Tables.documents(spark, dir)
-      .filter(col("doc_id") % 83 === 0)
-      .select(concat(col("text"), lit(" eval item tag")).as("text"))
+    val reference = graft.sources.Tables.plantedBenchmark(spark, dir)
+      .select(col("text"))
     val stream = tableStream(spark, dir, "documents")
     withReplayPartitions(spark) { withNoDataBatches(spark, enabled = false) {
       replayCheckpoint { ckpt =>

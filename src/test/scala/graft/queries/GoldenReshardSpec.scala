@@ -9,7 +9,8 @@ import graft.SparkSpec
   * so a scheduler or partitioning change can't silently invalidate the
   * committed golden parquet. The newer goldens (q80/q104/q105/q108/q111)
   * carry equivalent sweeps in their operator specs (SimilaritySpec,
-  * BpeSpec, DocsSketchSpec).
+  * BpeSpec, DocsSketchSpec); q146's sweep below varies the gate's input
+  * partitioning instead (its streaming runner pins replay partitions).
   *
   * `newSession()` shares the context but takes a fresh per-session SQL
   * conf, so the partition override is isolated from the shared test
@@ -27,11 +28,31 @@ class GoldenReshardSpec extends SparkSpec {
   }
 
   for (q <- Seq("q28_minhash_pairs", "q35_lttb", "q38_embedding_dups",
-    "q50_ivf_ann", "q92_cross_contam", "q146_stream_decontam"))
+    "q50_ivf_ann", "q92_cross_contam"))
     test(s"$q golden is stable across shuffle-partition counts") {
       val a = rowsWith(q, 4)
       val b = rowsWith(q, 7)
       a.nonEmpty shouldBe true
       b shouldBe a
     }
+
+  // q146's streaming runner pins its replay shuffle partitions internally
+  // (withReplayPartitions), so a shuffle-partition sweep of the QUERY
+  // would compare two identical runs. The result-determining computation
+  // is the gate itself (the parity spec ties stream ≡ batch), so the
+  // sweep that means something varies the gate's INPUT partitioning.
+  test("q146 gate result is stable across input partitioning (batch spelling)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val ref = graft.sources.Tables.plantedBenchmark(spark, sfDir)
+      .select(col("text"))
+    def ids(parts: Int): Seq[Long] =
+      graft.streaming.StreamingOps
+        .nearDupGate(docs.repartition(parts), ref, "text")
+        .select(col("doc_id").cast("long")).collect()
+        .map(_.getLong(0)).sorted.toSeq
+    val a = ids(3)
+    a.nonEmpty shouldBe true
+    ids(11) shouldBe a
+  }
 }
