@@ -116,6 +116,15 @@ object StreamingOps {
     * large×large case remains the batch pass's job
     * ([[graft.operators.Dedup.crossCorpusNearDups]], banded equi-join).
     *
+    * Signatures and band keys come from the [[graft.functions
+    * .HashKernels]] JVM kernels — the batch miner's spellings — NOT the
+    * Column HOF spelling (`transform`/`array_min` per hash function is a
+    * CodegenFallback interpreted per element: measured 473 s for the
+    * sf0.1 gate vs ~1 s through the kernels). Defaults run 128 hashes /
+    * 32 bands — a tighter candidate-recall curve than the miner's 64/16
+    * (at Jaccard 0.8 a pair misses every band with p ≈ 5e-8 vs 2e-4) —
+    * because a decontamination gate's failure mode is a missed leak.
+    *
     * Exactly like the batch miner, identical texts share every band (a
     * same-signature pair collides in all of them), so jaccard-1
     * duplicates of a reference doc can never pass; pairs near the
@@ -127,42 +136,47 @@ object StreamingOps {
   def nearDupGate(stream: DataFrame, reference: DataFrame, textCol: String,
                   k: Int = 3, numHashes: Int = 128, bands: Int = 32,
                   minJaccard: Double = 0.5): DataFrame = {
-    import graft.operators.Dedup
+    import graft.functions.HashKernels
     require(numHashes % bands == 0,
       s"numHashes $numHashes must divide into $bands bands")
     val rows = numHashes / bands
-    // reference index: band keys + sorted shingle hashes per doc (docs
-    // too short to shingle can never reach a positive Jaccard — excluded)
-    val refRows = reference
-      .select(
-        Dedup.lshBands(Dedup.minHashSignature(col(textCol), k, numHashes),
-          bands, rows).as("bk"),
-        Dedup.sortedShingleHashes(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
+    def withSigCols(df: DataFrame): DataFrame = df
+      .withColumn("__sh",
+        when(col(textCol).isNotNull,
+          HashKernels.shingleHashSetUdf(k)(col(textCol))))
+      .withColumn("__bk",
+        when(col("__sh").isNotNull, HashKernels.bandKeysUdf(bands, rows)(
+          HashKernels.minHashSigUdf(numHashes)(col("__sh")))))
+    // reference index: band keys + sorted shingle hashes per doc
+    val refRows = withSigCols(reference.select(col(textCol)))
+      .filter(col("__sh").isNotNull)
+      .select(col("__bk"), col("__sh"))
       .collect()
     val refSh: Array[Array[Long]] = refRows.map(
-      _.getAs[scala.collection.Seq[Long]]("sh").toArray)
+      _.getAs[scala.collection.Seq[Long]]("__sh").toArray)
     // grow buckets in buffers, freeze to arrays once: heavy band
     // collisions (near-identical reference items sharing every band)
     // stay linear instead of re-copying a growing array per append
-    val grow = new java.util.HashMap[(Int, Long),
+    val grow = new java.util.HashMap[java.lang.Long,
       scala.collection.mutable.ArrayBuffer[Int]]()
     refRows.zipWithIndex.foreach { case (r, i) =>
-      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("bk").foreach { s =>
-        grow.computeIfAbsent((s.getInt(0), s.getLong(1)),
+      // band keys are salted with the band index inside the kernel, so
+      // the long alone is the bucket key
+      r.getAs[scala.collection.Seq[Long]]("__bk").foreach { key =>
+        grow.computeIfAbsent(key,
           _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += i
       }
     }
-    val bandMap = new java.util.HashMap[(Int, Long), Array[Int]]()
+    val bandMap = new java.util.HashMap[java.lang.Long, Array[Int]]()
     grow.forEach((k, v) => bandMap.put(k, v.toArray))
     val bc = stream.sparkSession.sparkContext.broadcast((bandMap, refSh))
-    val isDup = udf((bk: Seq[org.apache.spark.sql.Row], sh: Seq[Long]) => {
-      if (sh == null || sh.isEmpty) false
+    val isDup = udf((bk: Seq[Long], sh: Seq[Long]) => {
+      if (sh == null || sh.isEmpty || bk == null) false
       else {
         val (map, shArr) = bc.value
         val visited = new java.util.HashSet[Int]()
-        bk.exists { s =>
-          val cands = map.get((s.getInt(0), s.getLong(1)))
+        bk.exists { key =>
+          val cands = map.get(key)
           cands != null && cands.exists { i =>
             visited.add(i) &&
               graft.functions.HashKernels.sortedJaccard(
@@ -172,12 +186,8 @@ object StreamingOps {
         }
       }
     })
-    stream
-      .withColumn("__bk",
-        Dedup.lshBands(Dedup.minHashSignature(col(textCol), k, numHashes),
-          bands, rows))
-      .withColumn("__sh", Dedup.sortedShingleHashes(col(textCol), k))
-      .filter(!isDup(col("__bk"), col("__sh")))
+    withSigCols(stream)
+      .filter(!coalesce(isDup(col("__bk"), col("__sh")), lit(false)))
       .drop("__bk", "__sh")
   }
 
