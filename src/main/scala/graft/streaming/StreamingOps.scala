@@ -100,9 +100,12 @@ object StreamingOps {
   /** Streaming near-dup ingest gate against a BROADCAST-SIZE reference
     * set — the decontamination-at-ingest shape: drop incoming documents
     * whose k-shingle Jaccard to ANY reference document reaches
-    * `minJaccard`, with candidates mined by MinHash band collision using
-    * the exact signature/banding spelling of [[graft.operators.Dedup]]
-    * (so batch and gate agree on which pairs band-collide).
+    * `minJaccard`, with candidates mined by MinHash band collision over
+    * the [[graft.functions.HashKernels]] signature family (the same
+    * shingle construction as [[graft.operators.Dedup]]'s Column
+    * spellings, but kernel hashes — band keys are NOT interchangeable
+    * with `Dedup.lshBands` output, and the 128/32 defaults collide a
+    * superset of the 64/16 miner's candidates).
     *
     * Stateless per micro-batch: the reference index — a band-key →
     * doc-indices map plus each reference doc's sorted shingle-hash array
@@ -170,8 +173,11 @@ object StreamingOps {
     val bandMap = new java.util.HashMap[java.lang.Long, Array[Int]]()
     grow.forEach((k, v) => bandMap.put(k, v.toArray))
     val bc = stream.sparkSession.sparkContext.broadcast((bandMap, refSh))
+    // __bk is null exactly when __sh is (the when-guard above), and the
+    // UDF returns primitive Boolean — the sh null check is the only
+    // null path
     val isDup = udf((bk: Seq[Long], sh: Seq[Long]) => {
-      if (sh == null || sh.isEmpty || bk == null) false
+      if (sh == null || sh.isEmpty) false
       else {
         val (map, shArr) = bc.value
         val visited = new java.util.HashSet[Int]()
@@ -187,7 +193,7 @@ object StreamingOps {
       }
     })
     withSigCols(stream)
-      .filter(!coalesce(isDup(col("__bk"), col("__sh")), lit(false)))
+      .filter(!isDup(col("__bk"), col("__sh")))
       .drop("__bk", "__sh")
   }
 
