@@ -66,6 +66,28 @@ class PqExpressionsSpec extends SparkSpec {
       java.lang.Double.doubleToRawLongBits(-0.0)
   }
 
+  test("the SQL surface accepts constant-expression arguments") {
+    // builders run at ANALYSIS time, before constant folding: array(...)
+    // arrives as CreateArray and 1+1 as Add, not Literal — the builders
+    // must eval foldable args, or every SQL spelling throws
+    val enc = spark.sql(
+      "SELECT pq_encode(array(1.0d, 1.0d), " +
+        "array(1.0d, 1.0d, 9.0d, 9.0d), 1, 1 + 1) AS c")
+      .selectExpr("c[0]").collect()(0).getInt(0)
+    enc shouldBe 0
+    val adc = spark.sql(
+      "SELECT pq_adc(array(0, 1), array(1.5d, 2.5d, 3.5d, 4.5d), 2) AS s")
+      .collect()(0).getDouble(0)
+    adc shouldBe -(1.5 + 4.5)
+    val dr = spark.sql("SELECT duck_round(2.5d, 2 - 2) AS r")
+      .collect()(0).getDouble(0)
+    dr shouldBe 3.0
+    val top = spark.sql(
+      "SELECT approx_top_items(t, 1, 4) AS a FROM VALUES ('x'), ('x'), ('y') AS v(t)")
+      .selectExpr("a[0].token", "a[0].cnt").collect()(0)
+    (top.getString(0), top.getLong(1)) shouldBe ("x", 2L)
+  }
+
   test("pq_adc enforces the ksub contract instead of re-striding a bad table") {
     val table = Array.tabulate(8)(i => i * 1.5) // built for ksub=4, m=2
     val df = Seq((1L, Seq(0, 3))).toDF("id", "codes")
