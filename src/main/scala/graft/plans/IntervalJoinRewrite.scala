@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Max}
+import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -21,8 +22,39 @@ import org.apache.spark.sql.types._
   * bucket, and the join becomes a shuffle-capable EQUI-join on the bucket
   * key with the original predicate re-applied exactly as a post-filter.
   *
+  * Covered join types — Inner, LeftOuter, RightOuter, LeftSemi, LeftAnti
+  * (the reference's overlap shapes also appear as outer/anti
+  * compositions: open-ended annotation windows ref qaqc/dashboard.py:324-338,
+  * reconciliation anti-joins ref qaqc/plots.py:500). RightOuter is
+  * commuted to LeftOuter first. The rewrite shape depends on which side
+  * is PRESERVED relative to which side holds the point:
+  *
+  *  - '''Point side preserved''' (LeftOuter/LeftSemi/LeftAnti with `t` on
+  *    the left, and Inner either way): the direct bucketed join is already
+  *    exact — a point falls in exactly ONE bucket, so each matched
+  *    (point, interval) pair survives the bucket equi-join exactly once,
+  *    and outer/semi/anti semantics over the exploded interval side equal
+  *    the theta semantics (an interval row with null/inverted bounds
+  *    explodes to nothing, and can never theta-match either). No dedup.
+  *  - '''Interval side preserved''' (LeftOuter/LeftSemi/LeftAnti with `t`
+  *    on the right): the explode duplicates preserved rows, so each gets
+  *    a one-shot `monotonically_increasing_id` BEFORE the explode and the
+  *    rewrite re-collapses on it — semi as the bucketed inner join plus a
+  *    group-by-rowid dedup; anti as an outer-explode + left-outer bucketed
+  *    join + per-rowid `max(matched) = 0` aggregate; outer as the same
+  *    left-outer join + a per-rowid window `any-match` flag that keeps
+  *    matched rows and exactly one null-extended row for matchless rowids.
+  *    All three are SINGLE-branch plans: the nondeterministic rowid is
+  *    evaluated once per query, never joined against a second evaluation
+  *    of itself (a two-branch matched ∪ unmatched union would re-run the
+  *    id assignment with no order guarantee after a shuffle).
+  *    Interval-preserved rows with null/inverted bounds are kept by anti
+  *    and null-extended by outer via `Generate(..., outer = true)` — the
+  *    explode emits one null-bucket row instead of dropping them, matching
+  *    the theta join, where such a row matches nothing but is preserved.
+  *
   * Eligibility (conservative — anything else is left to Spark's planner):
-  *  - inner join, no join hints, deterministic condition;
+  *  - one of the join types above, no join hints, deterministic condition;
   *  - the conjunction contains a lower and an upper bound tying ONE
   *    point expression `t` (from one side) to two bound expressions from
   *    the other side — `>=`/`>` and `<=`/`<` in either operand order;
@@ -35,18 +67,14 @@ import org.apache.spark.sql.types._
   *
   * The rewritten join carries the bucket equality AND the original
   * condition, so correctness never depends on the bucketing (buckets
-  * merely cover the range; the exact predicate prunes). Intervals with
-  * null bounds produce no buckets (Sequence propagates null, Generate
-  * drops it); inverted bounds (`lo > hi`) explicitly produce an EMPTY
-  * bucket array — matching the theta join, which such a row can never
-  * satisfy — rather than Sequence's default descending walk. The rewrite
+  * merely cover the range; the exact predicate prunes). The rewrite
   * is self-stabilizing in the fixed-point optimizer batch: its own output
-  * contains a cross-side equality, which fails eligibility.
+  * joins contain a cross-side equality, which fails eligibility.
   *
   * Bucket width is `spark.graft.intervalJoin.bucketSeconds` (default one
   * day): the explode factor per interval row is `⌈span/width⌉ + 1`, so
-  * size it ≳ the median interval span. A row whose span would explode
-  * past `spark.graft.intervalJoin.maxBucketsPerRow` (default 100 000 —
+  * size it ≳ the median interval span. A row that would produce more than
+  * `spark.graft.intervalJoin.maxBucketsPerRow` buckets (default 100 000 —
   * ~274 years at day buckets, far beyond any real validity interval but
   * ~1000× under the sentinel-bound pathology) fails fast with an error
   * naming both knobs instead of silently materializing millions of bucket
@@ -75,11 +103,16 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     m
   }
 
+  private def supportedType(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      case j @ Join(_, _, Inner, Some(cond), hint)
-          if hint == JoinHint.NONE && cond.deterministic =>
+      case j @ Join(_, _, jt, Some(cond), hint)
+          if hint == JoinHint.NONE && cond.deterministic && supportedType(jt) =>
         rewrite(j).getOrElse(j)
     }
   }
@@ -109,7 +142,17 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     */
   private case class RangeBound(t: Expression, tOnLeft: Boolean, bound: Expression)
 
-  private def rewrite(j: Join): Option[LogicalPlan] = {
+  private def rewrite(j: Join): Option[LogicalPlan] = j.joinType match {
+    case RightOuter =>
+      // commute to LeftOuter so every preserved-side case below is "left";
+      // a final Project restores the original column order
+      val commuted =
+        Join(j.right, j.left, LeftOuter, j.condition, JoinHint.NONE)
+      rewriteNormalized(commuted).map(p => Project(j.output, p))
+    case _ => rewriteNormalized(j)
+  }
+
+  private def rewriteNormalized(j: Join): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
 
     // which side an expression's references live on, if exactly one
@@ -166,44 +209,151 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     pair.flatMap { case (lo, hi) =>
       val b = bucketSeconds
       (bucketOf(lo.t, b), bucketOf(lo.bound, b), bucketOf(hi.bound, b)) match {
-        case (Some(tB), Some(loB), Some(hiB)) =>
-          val (factSide, intervalSide) =
-            if (lo.tOnLeft) (j.left, j.right) else (j.right, j.left)
-          val bucketAlias = Alias(tB, "__graft_bucket")()
-          val factWithBucket =
-            Project(factSide.output :+ bucketAlias, factSide)
-          val genAttr =
-            AttributeReference("__graft_bucket_i", LongType, nullable = false)()
-          // Sequence is TimeZoneAwareExpression: without an explicit zone
-          // it reports unresolved even over longs, and the optimizer's
-          // plan validator rejects the rewrite. Step pinned to 1: without
-          // it Sequence walks DESCENDING when lo > hi.
-          val arrTy = ArrayType(LongType, containsNull = false)
-          val seqExpr = Sequence(loB, hiB, Some(Literal(1L)),
-            Some(conf.sessionLocalTimeZone))
-          val emptyBuckets = Literal.create(
-            org.apache.spark.sql.catalyst.util.ArrayData
-              .toArrayData(Array.empty[Long]), arrTy)
-          val cap = maxBucketsPerRow
-          val tooWide = Cast(new RaiseError(Literal(
-            s"interval-join rewrite: an interval spans more than $cap " +
-              s"buckets of $b s; raise $BucketKey / $MaxBucketsKey or " +
-              s"disable $EnabledKey")), arrTy)
-          val buckets = If(LessThan(hiB, loB), emptyBuckets,
-            If(GreaterThan(Subtract(hiB, loB), Literal(cap)), tooWide, seqExpr))
-          val exploded = Generate(
-            Explode(buckets),
-            unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(genAttr), child = intervalSide)
-          val newCond =
-            And(EqualTo(bucketAlias.toAttribute, genAttr), j.condition.get)
-          val (newLeft, newRight) =
-            if (lo.tOnLeft) (factWithBucket, exploded)
-            else (exploded: LogicalPlan, factWithBucket: LogicalPlan)
-          Some(Project(j.output,
-            Join(newLeft, newRight, Inner, Some(newCond), JoinHint.NONE)))
+        case (Some(tB), (Some(loB)), Some(hiB)) =>
+          build(j, factOnLeft = lo.tOnLeft, tB, loB, hiB)
         case _ => None
       }
+    }
+  }
+
+  /** The `[loB, hiB]` bucket-cover array for one interval row: empty for
+    * inverted bounds (matches the theta join, which such a row can never
+    * satisfy — rather than Sequence's default descending walk), null for
+    * null bounds, a clear fail-fast error past the explode cap.
+    */
+  private def bucketCover(loB: Expression, hiB: Expression): Expression = {
+    // Sequence is TimeZoneAwareExpression: without an explicit zone
+    // it reports unresolved even over longs, and the optimizer's
+    // plan validator rejects the rewrite. Step pinned to 1: without
+    // it Sequence walks DESCENDING when lo > hi.
+    val arrTy = ArrayType(LongType, containsNull = false)
+    val seqExpr = Sequence(loB, hiB, Some(Literal(1L)),
+      Some(conf.sessionLocalTimeZone))
+    val emptyBuckets = Literal.create(
+      org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.empty[Long]), arrTy)
+    val cap = maxBucketsPerRow
+    val tooWide = Cast(new RaiseError(Literal(
+      s"interval-join rewrite: an interval spans more than $cap " +
+        s"buckets of $bucketSeconds s; raise $BucketKey / $MaxBucketsKey or " +
+        s"disable $EnabledKey")), arrTy)
+    // bucket count is hiB − loB + 1, so ≥ cap on the difference enforces
+    // count ≤ cap exactly (a strict > would let a cap+1-bucket row slip)
+    If(LessThan(hiB, loB), emptyBuckets,
+      If(GreaterThanOrEqual(Subtract(hiB, loB), Literal(cap)), tooWide, seqExpr))
+  }
+
+  private def freshRowId(name: String): Alias =
+    Alias(MonotonicallyIncreasingID(), name)()
+
+  private def build(
+      j: Join,
+      factOnLeft: Boolean,
+      tB: Expression,
+      loB: Expression,
+      hiB: Expression): Option[LogicalPlan] = {
+    val (factSide, intervalSide) =
+      if (factOnLeft) (j.left, j.right) else (j.right, j.left)
+    val bucketAlias = Alias(tB, "__graft_bucket")()
+    val factWithBucket = Project(factSide.output :+ bucketAlias, factSide)
+    val buckets = bucketCover(loB, hiB)
+    val cond = j.condition.get
+
+    def explodedInterval(outer: Boolean, child: LogicalPlan): (LogicalPlan, Attribute) = {
+      val genAttr = AttributeReference(
+        "__graft_bucket_i", LongType, nullable = outer)()
+      (Generate(Explode(buckets), unrequiredChildIndex = Nil, outer = outer,
+        qualifier = None, generatorOutput = Seq(genAttr), child = child), genAttr)
+    }
+
+    j.joinType match {
+      // ---- point side preserved (or inner): the direct rewrite is exact
+      case Inner | LeftOuter | LeftSemi | LeftAnti if factOnLeft || j.joinType == Inner =>
+        val (exploded, genAttr) = explodedInterval(outer = false, intervalSide)
+        val newCond = And(EqualTo(bucketAlias.toAttribute, genAttr), cond)
+        val (newLeft, newRight) =
+          if (factOnLeft) (factWithBucket, exploded)
+          else (exploded: LogicalPlan, factWithBucket: LogicalPlan)
+        Some(Project(j.output,
+          Join(newLeft, newRight, j.joinType, Some(newCond), JoinHint.NONE)))
+
+      // ---- interval side preserved: rowid before the explode, collapse after
+      case LeftSemi =>
+        // bucketed inner + distinct-on-rowid: an interval spanning many
+        // buckets matches once per (bucket, point) pair; grouping on the
+        // one-shot rowid (plus the functionally-dependent output columns,
+        // so they are legal aggregate outputs) restores ≤1 row per input
+        val rowId = freshRowId("__graft_rowid")
+        val withId = Project(intervalSide.output :+ rowId, intervalSide)
+        val (exploded, genAttr) = explodedInterval(outer = false, withId)
+        val newCond = And(EqualTo(genAttr, bucketAlias.toAttribute), cond)
+        val inner =
+          Join(exploded, factWithBucket, Inner, Some(newCond), JoinHint.NONE)
+        val dedup = Aggregate(
+          rowId.toAttribute +: intervalSide.output, intervalSide.output, inner)
+        Some(Project(j.output, dedup))
+
+      case LeftAnti =>
+        // outer-explode (null/inverted-bound rows survive as one
+        // null-bucket row, as the theta anti keeps them) + left-outer
+        // bucketed join + keep rowids where max(matched) = 0
+        val rowId = freshRowId("__graft_rowid")
+        val withId = Project(intervalSide.output :+ rowId, intervalSide)
+        val (exploded, genAttr) = explodedInterval(outer = true, withId)
+        val newCond = And(EqualTo(genAttr, bucketAlias.toAttribute), cond)
+        val louter =
+          Join(exploded, factWithBucket, LeftOuter, Some(newCond), JoinHint.NONE)
+        // the fact bucket is non-null on every matched row (the bucket
+        // equality can only hold between non-nulls) and null on every
+        // null-extended one, so it doubles as the match flag
+        val matched = If(IsNotNull(bucketAlias.toAttribute), Literal(1L), Literal(0L))
+        val anyMatch = Alias(
+          AggregateExpression(Max(matched), Complete, isDistinct = false),
+          "__graft_any")()
+        val agg = Aggregate(rowId.toAttribute +: intervalSide.output,
+          intervalSide.output :+ anyMatch, louter)
+        val kept = Filter(EqualTo(anyMatch.toAttribute, Literal(0L)), agg)
+        Some(Project(j.output, kept))
+
+      case LeftOuter =>
+        // same left-outer bucketed join; a per-rowid window any-match flag
+        // keeps matched rows and exactly one null-extended row for
+        // matchless rowids. The fact side gets its own rowid so identical
+        // fact duplicates stay distinct through the final dedup aggregate
+        // (which only collapses the k null-extended copies an interval
+        // spanning k unmatched buckets produces).
+        val rowId = freshRowId("__graft_rowid")
+        val withId = Project(intervalSide.output :+ rowId, intervalSide)
+        val (exploded, genAttr) = explodedInterval(outer = true, withId)
+        val factRowId = freshRowId("__graft_rowid_r")
+        val factB =
+          Project(factSide.output :+ bucketAlias :+ factRowId, factSide)
+        val newCond = And(EqualTo(genAttr, bucketAlias.toAttribute), cond)
+        val louter = Join(exploded, factB, LeftOuter, Some(newCond), JoinHint.NONE)
+        val mAlias = Alias(
+          If(IsNotNull(bucketAlias.toAttribute), Literal(1L), Literal(0L)),
+          "__graft_m")()
+        val flagged = Project(louter.output :+ mAlias, louter)
+        val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
+        val anyAlias = Alias(
+          WindowExpression(
+            AggregateExpression(Max(mAlias.toAttribute), Complete, isDistinct = false),
+            WindowSpecDefinition(Seq(rowId.toAttribute), Nil, frame)),
+          "__graft_any")()
+        val windowed = Window(Seq(anyAlias), Seq(rowId.toAttribute), Nil, flagged)
+        val kept = Filter(
+          Or(EqualTo(mAlias.toAttribute, Literal(1L)),
+            EqualTo(anyAlias.toAttribute, Literal(0L))), windowed)
+        // group by both rowids plus every output column (all functionally
+        // dependent on the rowid pair, so they are legal aggregate outputs);
+        // the window and this aggregate share the rowid clustering, so no
+        // second shuffle is planned between them
+        val dedup = Aggregate(
+          Seq(rowId.toAttribute, factRowId.toAttribute) ++ j.output,
+          j.output, kept)
+        Some(dedup)
+
+      case _ => None
     }
   }
 }

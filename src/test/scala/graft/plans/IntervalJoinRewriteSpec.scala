@@ -94,6 +94,68 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  // duplicated rows on both sides: the interval-preserved rewrites dedup
+  // on a synthetic rowid, and genuine input duplicates must keep their
+  // multiplicity (a distinct-on-columns would silently collapse them)
+  // full self-unions: Spark pushes semi/anti joins through Union, so a
+  // small duplicated slice would (correctly) keep its BNLJ — every branch
+  // must clear the lowered broadcast threshold for the blanket plan assert
+  private lazy val dupFacts: DataFrame = facts.unionAll(facts)
+  private lazy val dupIntervals: DataFrame = intervals.unionAll(intervals)
+
+  test("outer/semi/anti range joins are rewritten and match the theta spelling") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      IntervalJoinRewrite.BucketKey -> "3600") {
+      val cond = $"t" >= $"lo" && $"t" <= $"hi"
+      // (left, right, joinType): both preserved-side orientations per type
+      val cases = Seq(
+        (dupFacts, dupIntervals, "left_outer"),
+        (dupFacts, dupIntervals, "left_semi"),
+        (dupFacts, dupIntervals, "left_anti"),
+        (dupIntervals, dupFacts, "left_outer"),
+        (dupIntervals, dupFacts, "left_semi"),
+        (dupIntervals, dupFacts, "left_anti"),
+        (dupFacts, dupIntervals, "right_outer"),
+        (dupIntervals, dupFacts, "right_outer"))
+      for ((l, r, jt) <- cases) {
+        val joined = l.join(r, cond, jt)
+        val plan = planOf(joined)
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$jt still a nested-loop join:\n$plan")
+        assert(plan.contains("Generate explode"), s"$jt: no bucket explode in:\n$plan")
+        val expected = withConfsValue(IntervalJoinRewrite.EnabledKey -> "false") {
+          l.join(r, cond, jt).collect().map(_.toString).sorted.toSeq
+        }
+        val got = joined.collect().map(_.toString).sorted.toSeq
+        withClue(s"$jt results diverge from the theta spelling: ") {
+          got shouldBe expected
+        }
+        expected should not be empty
+      }
+    }
+  }
+
+  test("a row producing exactly cap buckets passes; cap+1 fails") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      IntervalJoinRewrite.BucketKey -> "3600",
+      IntervalJoinRewrite.MaxBucketsKey -> "4") {
+      def iv(spanBuckets: Int): DataFrame = {
+        val lo = (1700000000L / 3600) * 3600 // bucket-aligned
+        Seq.tabulate(300)(i => (i.toLong, lo, lo + spanBuckets * 3600L - 1))
+          .toDF("iv_id", "s_secs", "e_secs")
+          .select($"iv_id", timestamp_seconds($"s_secs").as("lo"),
+            timestamp_seconds($"e_secs").as("hi"))
+      }
+      val ok = facts.join(iv(4), $"t" >= $"lo" && $"t" <= $"hi")
+      assert(planOf(ok).contains("Generate explode"))
+      ok.collect() // 4 buckets = the documented cap: must not raise
+      val over = facts.join(iv(5), $"t" >= $"lo" && $"t" <= $"hi")
+      intercept[Exception] { over.collect() }
+    }
+  }
+
   test("a small interval side keeps the broadcast nested-loop plan") {
     // default 10 MB threshold: both LocalRelations are comfortably small
     val joined = facts.join(intervals, $"t" >= $"lo" && $"t" <= $"hi")
