@@ -914,15 +914,25 @@ object Curation {
 
   /** Distinct word n-grams of the benchmark corpus, collected to the
     * driver for broadcast. Bounded by the BENCHMARK size (eval suites are
-    * MBs against a corpus of TBs) — use the join formulation
-    * ([[decontaminate]]) when the reference set itself is large.
+    * MBs against a corpus of TBs), and the bound is ENFORCED: the collect
+    * is capped at `maxGrams + 1` rows, so a benchmark that isn't
+    * broadcast-size fails fast with an error naming the join formulation
+    * ([[decontaminate]]) instead of accumulating an unbounded gram set on
+    * the driver.
     */
-  def benchmarkGramSet(benchmark: DataFrame, textCol: String, n: Int): Set[String] = {
+  def benchmarkGramSet(benchmark: DataFrame, textCol: String, n: Int,
+                       maxGrams: Int = 5000000): Set[String] = {
     val spark = benchmark.sparkSession
     import spark.implicits._
-    benchmark
+    require(maxGrams > 0, s"maxGrams must be positive, got $maxGrams")
+    val grams = benchmark
       .select(explode(TextFunctions.wordNgramsUdf(n)(col(textCol))).as("g"))
-      .distinct().as[String].collect().toSet
+      .distinct().limit(maxGrams + 1).as[String].collect()
+    require(grams.length <= maxGrams,
+      s"benchmarkGramSet: the benchmark has more than $maxGrams distinct " +
+        s"$n-grams — not broadcast-size. Use the keyed-join formulation " +
+        "(Curation.decontaminate) for a large reference set, or raise maxGrams.")
+    grams.toSet
   }
 
   /** The full curation chain as ONE stateless row gate — quality score,

@@ -138,10 +138,13 @@ object StreamingOps {
     */
   def nearDupGate(stream: DataFrame, reference: DataFrame, textCol: String,
                   k: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                  minJaccard: Double = 0.5): DataFrame = {
+                  minJaccard: Double = 0.5,
+                  maxReferenceRows: Int = 1000000): DataFrame = {
     import graft.functions.HashKernels
     require(numHashes % bands == 0,
       s"numHashes $numHashes must divide into $bands bands")
+    require(maxReferenceRows > 0,
+      s"maxReferenceRows must be positive, got $maxReferenceRows")
     val rows = numHashes / bands
     def withSigCols(df: DataFrame): DataFrame = df
       .withColumn("__sh",
@@ -150,11 +153,21 @@ object StreamingOps {
       .withColumn("__bk",
         when(col("__sh").isNotNull, HashKernels.bandKeysUdf(bands, rows)(
           HashKernels.minHashSigUdf(numHashes)(col("__sh")))))
-    // reference index: band keys + sorted shingle hashes per doc
+    // reference index: band keys + sorted shingle hashes per doc. The
+    // broadcast-size contract is ENFORCED, not just documented: the
+    // collect itself is capped at maxReferenceRows + 1, so a caller who
+    // points the gate at a non-broadcast-size reference gets a clear
+    // error naming the batch alternative, never a driver OOM.
     val refRows = withSigCols(reference.select(col(textCol)))
       .filter(col("__sh").isNotNull)
       .select(col("__bk"), col("__sh"))
+      .limit(maxReferenceRows + 1)
       .collect()
+    require(refRows.length <= maxReferenceRows,
+      s"nearDupGate: the reference set has more than $maxReferenceRows " +
+        "usable documents — not broadcast-size. Use the batch banded " +
+        "equi-join (Dedup.crossCorpusNearDups) for a large reference, or " +
+        "raise maxReferenceRows.")
     val refSh: Array[Array[Long]] = refRows.map(
       _.getAs[scala.collection.Seq[Long]]("__sh").toArray)
     // grow buckets in buffers, freeze to arrays once: heavy band

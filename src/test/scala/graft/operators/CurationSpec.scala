@@ -435,6 +435,18 @@ class CurationSpec extends SparkSpec {
     out(3) shouldBe "no pii here"
   }
 
+  test("benchmarkGramSet fails fast past maxGrams, naming the join formulation") {
+    val bench = Seq((1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text") // 8 distinct 3-grams
+    val e = intercept[IllegalArgumentException] {
+      Curation.benchmarkGramSet(bench, "text", 3, maxGrams = 5)
+    }
+    e.getMessage should include("decontaminate")
+    e.getMessage should include("maxGrams")
+    // at the cap exactly, the set comes back whole
+    Curation.benchmarkGramSet(bench, "text", 3, maxGrams = 8).size shouldBe 8
+  }
+
   test("ingestGate flags quality, contamination, and sampling in one pass") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and then rests", "a"),

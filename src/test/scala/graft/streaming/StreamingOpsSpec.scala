@@ -209,4 +209,20 @@ class StreamingOpsSpec extends SparkSpec {
       .as[Long].collect().toSet
     streamed shouldBe kept
   }
+
+  test("near-dup gate fails fast on a non-broadcast-size reference, naming the batch path") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    val docs = Seq((1L, "incoming text one")).toDF("doc_id", "text")
+    val reference = (0 until 25)
+      .map(i => s"reference text number $i with words").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.nearDupGate(docs, reference, "text", maxReferenceRows = 10)
+    }
+    e.getMessage should include("crossCorpusNearDups")
+    e.getMessage should include("maxReferenceRows")
+    // at the cap exactly, the gate still runs
+    StreamingOps.nearDupGate(docs, reference, "text", maxReferenceRows = 25)
+      .count() shouldBe 1L
+  }
 }
