@@ -31,14 +31,50 @@ final class SpaceSavingBuffer(val capacity: Int) {
 
   private val map = new java.util.HashMap[String, Entry]()
 
+  // count → lex-sorted items at that count: incremental min tracking so
+  // the saturated regime never rescans the map per eviction (O(n·capacity)
+  // otherwise). Built LAZILY on first saturation — the exact regime
+  // (distinct ≤ capacity, the oracle-checked path) never pays for it and
+  // keeps O(1) adds.
+  private var byCount: java.util.TreeMap[java.lang.Long, java.util.TreeSet[String]] = null
+
+  private def ensureTracking(): Unit = if (byCount == null) {
+    byCount = new java.util.TreeMap[java.lang.Long, java.util.TreeSet[String]]()
+    val it = map.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      bucketAdd(en.getValue.count, en.getKey)
+    }
+  }
+  private def bucketAdd(c: Long, item: String): Unit =
+    byCount.computeIfAbsent(c, _ => new java.util.TreeSet[String]()).add(item)
+  private def bucketRemove(c: Long, item: String): Unit = {
+    val s = byCount.get(c)
+    s.remove(item)
+    if (s.isEmpty) byCount.remove(c)
+  }
+  private def setCount(item: String, e: Entry, nc: Long): Unit = {
+    if (byCount != null) {
+      bucketRemove(e.count, item)
+      bucketAdd(nc, item)
+    }
+    e.count = nc
+  }
+  private def putEntry(item: String, e: Entry): Unit = {
+    val prev = map.put(item, e)
+    if (byCount != null) {
+      if (prev != null) bucketRemove(prev.count, item)
+      bucketAdd(e.count, item)
+    }
+  }
+  private def removeEntry(item: String): Unit = {
+    val prev = map.remove(item)
+    if (prev != null && byCount != null) bucketRemove(prev.count, item)
+  }
+
   def size: Int = map.size()
 
-  private def minCount: Long = {
-    var m = Long.MaxValue
-    val it = map.values().iterator()
-    while (it.hasNext) { val c = it.next().count; if (c < m) m = c }
-    m
-  }
+  private def minCount: Long = { ensureTracking(); byCount.firstKey }
 
   /** Min count if full (the per-item uncertainty a merge must add for
     * items this summary is not tracking), else 0 (nothing was dropped).
@@ -47,23 +83,16 @@ final class SpaceSavingBuffer(val capacity: Int) {
 
   def add(item: String): Unit = {
     val e = map.get(item)
-    if (e != null) e.count += 1
-    else if (map.size() < capacity) map.put(item, new Entry(1L, 0L))
+    if (e != null) setCount(item, e, e.count + 1)
+    else if (map.size() < capacity) putEntry(item, new Entry(1L, 0L))
     else {
       // evict a min-count item; among ties the lexicographically largest
       // goes (the final ordering prefers smaller items, keep them)
-      var victim: String = null
-      var vCount = Long.MaxValue
-      val it = map.entrySet().iterator()
-      while (it.hasNext) {
-        val en = it.next()
-        val c = en.getValue.count
-        if (c < vCount || (c == vCount && en.getKey.compareTo(victim) > 0)) {
-          victim = en.getKey; vCount = c
-        }
-      }
-      map.remove(victim)
-      map.put(item, new Entry(vCount + 1L, vCount))
+      ensureTracking()
+      val vCount: Long = byCount.firstKey
+      val victim = byCount.firstEntry().getValue.last()
+      removeEntry(victim)
+      putEntry(item, new Entry(vCount + 1L, vCount))
     }
   }
 
@@ -76,7 +105,7 @@ final class SpaceSavingBuffer(val capacity: Int) {
       while (it.hasNext) {
         val en = it.next()
         if (!other.map.containsKey(en.getKey)) {
-          en.getValue.count += bFloor
+          setCount(en.getKey, en.getValue, en.getValue.count + bFloor)
           en.getValue.err += bFloor
         }
       }
@@ -87,23 +116,27 @@ final class SpaceSavingBuffer(val capacity: Int) {
       val en = ot.next()
       val mine = map.get(en.getKey)
       if (mine != null) {
-        mine.count += en.getValue.count
+        setCount(en.getKey, mine, mine.count + en.getValue.count)
         mine.err += en.getValue.err
       } else {
-        map.put(en.getKey,
+        putEntry(en.getKey,
           new Entry(en.getValue.count + aFloor, en.getValue.err + aFloor))
       }
     }
     // reduce the union back to capacity: keep the largest counts, ties by
-    // item asc (the kept side of the final emission order)
+    // item asc (the kept side of the final emission order) — i.e. drop
+    // from the min-count bucket, lex-largest first, exactly what the
+    // incremental index hands out
     if (map.size() > capacity) {
-      val all = entries.sortBy { case (s, c, _) => (-c, s) }
-      all.drop(capacity).foreach { case (s, _, _) => map.remove(s) }
+      ensureTracking()
+      while (map.size() > capacity) {
+        removeEntry(byCount.firstEntry().getValue.last())
+      }
     }
   }
 
   def rawAdd(item: String, count: Long, err: Long): Unit =
-    map.put(item, new Entry(count, err))
+    putEntry(item, new Entry(count, err))
 
   def entries: Seq[(String, Long, Long)] = {
     val b = Seq.newBuilder[(String, Long, Long)]

@@ -269,17 +269,38 @@ object Similarity {
   private val trainInFlight =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Per-object memo tokens for in-memory leaves: weak keys (no leak as
+    * plans are dropped), structural equality (two plans wrapping the SAME
+    * data share a token — a correct hit; rebuilt-with-different-data plans
+    * get fresh tokens — never a stale hit, unlike a raw identity hash,
+    * which can collide between unrelated objects).
+    */
+  private val leafTokens =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, String]())
+
+  private def leafToken(o: AnyRef): String =
+    leafTokens.computeIfAbsent(o,
+      x => x.getClass.getName + "#" + java.util.UUID.randomUUID())
+
   private[operators] def datasetKey(df: DataFrame): String = {
     val plan = df.queryExecution.analyzed
     val leaves = plan.collectLeaves().map {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.mkString("[", ",", "]")
-          case other =>
-            other.getClass.getName + "@" + System.identityHashCode(other)
+            // fold the file listing into the key: a parquet dir
+            // overwritten in place between train calls must MISS the memo
+            val files = try h.location.listFiles(Nil, Nil).flatMap(_.files)
+              catch { case _: Exception => Nil }
+            val sig =
+              if (files.isEmpty) "empty"
+              else files.length + ":" + files.map(_.getModificationTime).max +
+                ":" + files.map(_.getLen).sum
+            h.location.rootPaths.mkString("[", ",", "]") + "#" + sig
+          case other => leafToken(other)
         }
-      case leaf => leaf.getClass.getName + "@" + System.identityHashCode(leaf)
+      case leaf => leafToken(leaf)
     }
     plan.canonicalized.toString + "|leaves=" + leaves.mkString(";")
   }

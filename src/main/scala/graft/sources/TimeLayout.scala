@@ -75,6 +75,19 @@ object TimeLayout {
     */
   def readSpan(spark: SparkSession, dir: String, from: String, to: String,
                tsCol: String = "ts", partCol: String = "ds"): DataFrame = {
+    // validate the bounds driver-side with the exact parser the cast uses:
+    // a non-ANSI session would otherwise turn an unparseable bound into
+    // NULL, null out both filters, and silently return an EMPTY read
+    def requireParses(s: String, what: String): Unit = {
+      val zid = org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      require(org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), zid).isDefined,
+        s"TimeLayout.readSpan: $what bound '$s' is not a parseable " +
+          "timestamp (expected YYYY-MM-DD[ HH:MM:SS[.ffffff]])")
+    }
+    requireParses(from, "from")
+    requireParses(to, "to")
     val lo = lit(from).cast("timestamp")
     val hi = lit(to).cast("timestamp")
     spark.read.parquet(dir)

@@ -44,6 +44,37 @@ class ApproxTopItemsSpec extends SparkSpec {
     }
   }
 
+  test("incremental-min eviction matches the reference full-scan algorithm exactly") {
+    // the count-bucket index is a pure data-structure swap: victim choice
+    // (min count, lex-largest tie), update, merge, and trim must be
+    // byte-identical to the straightforward full-scan spelling
+    case class Reversed(s: String) extends Ordered[Reversed] {
+      def compare(o: Reversed): Int = o.s.compareTo(s)
+    }
+    def refAdd(m: scala.collection.mutable.LinkedHashMap[String, (Long, Long)],
+               cap: Int, item: String): Unit = m.get(item) match {
+      case Some((c, e)) => m(item) = (c + 1, e)
+      case None if m.size < cap => m(item) = (1L, 0L)
+      case None =>
+        val (victim, (vc, _)) = m.toSeq
+          .minBy { case (s, (c, _)) => (c, Reversed(s)) }
+        m.remove(victim)
+        m(item) = (vc + 1, vc)
+    }
+    val rnd = new scala.util.Random(41)
+    for (cap <- Seq(4, 16, 64)) {
+      val buf = new SpaceSavingBuffer(cap)
+      val ref = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      (0 until 5000).foreach { _ =>
+        val item = s"t${rnd.nextInt(cap * 3)}"
+        buf.add(item)
+        refAdd(ref, cap, item)
+      }
+      buf.entries.sortBy(_._1) shouldBe
+        ref.toSeq.map { case (s, (c, e)) => (s, c, e) }.sortBy(_._1)
+    }
+  }
+
   test("small capacity: bounds hold and heavy items survive the merges") {
     val n = 20000
     val cap = 64

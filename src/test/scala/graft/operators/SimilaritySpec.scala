@@ -380,6 +380,13 @@ class SimilaritySpec extends SparkSpec {
     val r1 = spark.read.parquet(dir)
     val r2 = spark.read.parquet(dir)
     Similarity.datasetKey(r1) shouldBe Similarity.datasetKey(r2)
+    // ... but the same dir OVERWRITTEN with new data must MISS: the key
+    // folds in the file listing (count, max mod time, total bytes), so a
+    // stale-memo hit on replaced data is impossible
+    Thread.sleep(10) // ensure a distinct mod time at fs granularity
+    c2.write.mode("overwrite").parquet(dir)
+    val r3 = spark.read.parquet(dir)
+    Similarity.datasetKey(r3) should not be Similarity.datasetKey(r1)
   }
 
   test("sampled pqTrain keeps search recall within bound of full training") {

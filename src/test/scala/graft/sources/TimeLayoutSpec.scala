@@ -86,6 +86,18 @@ class TimeLayoutSpec extends SparkSpec {
     span.count() shouldBe expected
   }
 
+  test("an unparseable span bound fails fast naming the bound, not an empty read") {
+    val e = intercept[IllegalArgumentException] {
+      TimeLayout.readSpan(spark, dir, "not-a-timestamp", "2021-06-02")
+    }
+    e.getMessage should include("not-a-timestamp")
+    e.getMessage should include("from")
+    val e2 = intercept[IllegalArgumentException] {
+      TimeLayout.readSpan(spark, dir, "2021-06-01", "2021-13-45")
+    }
+    e2.getMessage should include("2021-13-45")
+  }
+
   test("readAll round-trips schema and rows") {
     val all = TimeLayout.readAll(spark, dir)
     all.columns shouldBe flat.columns
