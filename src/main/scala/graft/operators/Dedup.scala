@@ -80,23 +80,58 @@ object Dedup {
     * the SEEN corpus. Returns the surviving new rows.
     *
     * Scale shape: the anti-join shuffles 12-byte `(xxhash64, length)`
-    * keys, never text, co-partitioned on both sides; at corpus scale
-    * pre-prune the batch with [[ScaleJoins.bloomPrunedJoin]]'s filter
-    * over the seen keys before the shuffle, or maintain the seen-key set
-    * as its own compact table instead of re-keying the corpus per batch.
+    * keys, never text, co-partitioned on both sides — and the batch is
+    * Bloom-pre-pruned against the seen keys BEFORE that shuffle: a
+    * filter over the seen corpus's `xxhash64` keys (built distributed,
+    * ≈1.2 bytes/key at the default 1% fpp) splits the batch into
+    * definite-new rows, which bypass the anti-join exchange entirely
+    * (no false negatives — a key the filter has never seen cannot be in
+    * the corpus), and possible-dup rows (true dups + ≈fpp of the rest),
+    * which alone ride the exact anti-join. In the steady state of a
+    * curation pipeline most batch rows are new, so the exchange carries
+    * ≈fpp of the batch instead of all of it. Duplicate texts share one
+    * key and therefore one side of the split, so per-branch
+    * [[exactDedup]] equals whole-batch dedup. A seen corpus with more
+    * distinct keys than `maxBloomItems` (default 200M ≈ 240 MB bitmap —
+    * the broadcastable ceiling) skips the filter and runs the plain
+    * co-partitioned anti-join; seen-side sizing uses the corpus row
+    * count (a parquet metadata read), never a collect.
     * Same 64-bit+length collision convention as [[exactDedup]]. The
     * streaming twin (state-store keys within a watermark horizon) is
     * [[graft.streaming.StreamingOps.dedupDocs]].
     */
   def incrementalDedup(newDocs: DataFrame, seen: DataFrame,
-                       idCol: String, textCol: String): DataFrame = {
+                       idCol: String, textCol: String,
+                       bloomFpp: Double = 0.01,
+                       maxBloomItems: Long = 200000000L): DataFrame = {
     def keyed(df: DataFrame) = df
       .withColumn("__k", xxhash64(col(textCol)))
       .withColumn("__len", length(col(textCol)))
+    val seenCount = seen.count()
+    if (seenCount == 0L) return exactDedup(newDocs, textCol, idCol)
+    // lazy checkpoint: the seen keys feed both the filter build and the
+    // anti join probe — pin one evaluation
     val seenKeys = keyed(seen).select(col("__k"), col("__len")).distinct()
-    keyed(exactDedup(newDocs, textCol, idCol))
+      .localCheckpoint(false)
+    if (seenCount > maxBloomItems) {
+      // seen too large for a broadcastable bitmap: plain anti join
+      return keyed(exactDedup(newDocs, textCol, idCol))
+        .join(seenKeys, Seq("__k", "__len"), "left_anti")
+        .drop("__k", "__len")
+    }
+    val bloom = seenKeys.stat.bloomFilter("__k", seenCount, bloomFpp)
+    val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+      .withName("bloom_might_contain")
+    // null text → null key → null UDF result: route to the definite-new
+    // branch (a null key can never equi-match the seen side, so the old
+    // plain-anti spelling kept such rows too)
+    def probe = coalesce(mightContain(xxhash64(col(textCol))), lit(false))
+    val definiteNew = exactDedup(newDocs.filter(!probe), textCol, idCol)
+    val candidates = keyed(exactDedup(newDocs.filter(probe), textCol, idCol))
       .join(seenKeys, Seq("__k", "__len"), "left_anti")
       .drop("__k", "__len")
+    definiteNew.unionByName(candidates)
   }
 
   /** Exact-dup groups: (keep_id, copies) per distinct text — the audit view

@@ -283,6 +283,85 @@ class DedupSpec extends SparkSpec {
     out shouldBe Array(11L, 12L)
   }
 
+  test("incrementalDedup bloom routing: definite-new rows bypass the anti-join exchange") {
+    val rnd = new scala.util.Random(31)
+    // 400-row batch: ~10% cross-dups of seen, some intra-batch copies,
+    // a null-text row; 300-row seen corpus
+    val seen = (0 until 300).map(i => (i.toLong, s"seen document number $i"))
+      .toDF("doc_id", "text")
+    val batch = ((0 until 400).map { i =>
+      val t = if (i % 10 == 0) s"seen document number ${rnd.nextInt(300)}"
+        else if (i % 7 == 0) s"fresh copy group ${i / 70}"
+        else s"fresh document $i"
+      (1000L + i, t)
+    } :+ ((2000L, null: String))).toDF("doc_id", "text")
+
+    val routed = Dedup.incrementalDedup(batch, seen, "doc_id", "text")
+    // equivalence against the plain anti spelling (the pre-round-10 code)
+    def plain: Set[Long] = {
+      import org.apache.spark.sql.functions.{length => slen, xxhash64}
+      val keyedSeen = seen.select(xxhash64($"text").as("__k"),
+        slen($"text").as("__len")).distinct()
+      Dedup.exactDedup(batch, "text", "doc_id")
+        .withColumn("__k", xxhash64($"text")).withColumn("__len", slen($"text"))
+        .join(keyedSeen, Seq("__k", "__len"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    routed.select("doc_id").as[Long].collect().toSet shouldBe plain
+    // null-text row survives in both spellings
+    plain should contain(2000L)
+
+    // plan shape: a union whose definite-new branch holds NO join — the
+    // bloom filter prunes BEFORE any exchange feeding the anti join
+    val plan = routed.queryExecution.executedPlan.toString
+    plan should include("Union")
+    // the bloom probe is folded into LocalTableScan by ConvertToLocal-
+    // Relation on these in-memory inputs; the analyzed plan shows it
+    routed.queryExecution.analyzed.toString should include("bloom_might_contain")
+    withClue(s"expected exactly one anti join in:\n$plan") {
+      "LeftAnti".r.findAllIn(plan).size shouldBe 1
+    }
+
+    // metric: the bloom split shuffles fewer records than the plain
+    // spelling (the ~90% definite-new rows skip the anti exchange)
+    def shuffleRecords(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(400) /* let the async listener bus drain */ }
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    // measured with broadcast joins OFF: at corpus scale the seen side
+    // is not broadcastable and the anti join shuffles its probe side —
+    // exactly the exchange the bloom split must spare the ~90%
+    // definite-new rows from (under broadcast both spellings tie)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bloomRecs = shuffleRecords {
+        Dedup.incrementalDedup(batch, seen, "doc_id", "text").count()
+      }
+      val plainRecs = shuffleRecords {
+        Dedup.incrementalDedup(batch, seen, "doc_id", "text",
+          maxBloomItems = 1L).count()
+      }
+      withClue(s"bloom $bloomRecs vs plain $plainRecs shuffle records: ") {
+        bloomRecs.toDouble should be < plainRecs * 0.8
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+    // over the maxBloomItems cap the plain single-anti plan comes back
+    val capped = Dedup.incrementalDedup(batch, seen, "doc_id", "text",
+      maxBloomItems = 1L)
+    capped.queryExecution.analyzed.toString should not include "bloom_might_contain"
+    capped.select("doc_id").as[Long].collect().toSet shouldBe plain
+  }
+
   test("semanticDedup drops later near-dups within a cluster, keeps cluster minima") {
     val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
     val vecs = Seq(
