@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, PqAdc, PqEncode, SortedJaccard, TopKByScore}
+import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, MinHashBandKeys, PqAdc, PqEncode, ShingleHashes, SortedJaccard, TopKByScore}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -55,6 +55,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3,
           "approx_top_items(item, k, capacity) takes three arguments")
         ApproxTopItems(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "shingle_hashes(text, k) takes two arguments")
+        val k = constArg(children(1), "shingle_hashes k") match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes k must be an integer constant, got $other")
+        }
+        ShingleHashes(children.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "minhash_band_keys(sh, numHashes, bands) takes three arguments")
+        val (n, b) = (constArg(children(1), "minhash_band_keys numHashes"),
+            constArg(children(2), "minhash_band_keys bands")) match {
+          case (ni: Int, bi: Int) => (ni, bi)
+          case other => throw new IllegalArgumentException(
+            s"minhash_band_keys numHashes/bands must be integer constants, got $other")
+        }
+        MinHashBandKeys(children.head, n, b)
       }))
     ext.injectFunction((
       FunctionIdentifier("duck_round"),

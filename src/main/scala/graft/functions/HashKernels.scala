@@ -369,6 +369,62 @@ object HashKernels {
     1.0 / (1.0 + math.exp(-logit))
   }
 
+  // ---- ArrayData-shaped entry points for the native expressions ----
+  // (called from generated code via the object's static forwarders: one
+  // call per row, primitive arrays throughout, no Seq boxing)
+
+  /** [[shingleHashSet]] over a UTF8String, returning Catalyst ArrayData. */
+  def shingleHashesData(text: org.apache.spark.unsafe.types.UTF8String,
+                        k: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(shingleHashSet(text.toString, k))
+
+  /** Fused [[minHashSig]] + [[bandKeys]] over ArrayData: the signature
+    * lives and dies in one primitive stack array instead of riding the
+    * plan as an intermediate array column between two UDF boundaries.
+    * Bit-identical to `bandKeys(minHashSig(sh, numHashes), bands,
+    * rowsPerBand)` (spec-pinned).
+    */
+  def minHashBandKeysData(sh: org.apache.spark.sql.catalyst.util.ArrayData,
+                          numHashes: Int, bands: Int, rowsPerBand: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = sh.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val seeds = seedsFor(numHashes)
+    var i = 0
+    while (i < n) {
+      val h = sh.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = mix64(h ^ seeds(j))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var hh = 0xcbf29ce484222325L ^ b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        var v = sig(b * rowsPerBand + r)
+        var byteI = 0
+        while (byteI < 8) {
+          hh ^= (v & 0xffL)
+          hh *= 0x100000001b3L
+          v >>>= 8
+          byteI += 1
+        }
+        r += 1
+      }
+      out(b) = mix64(hh)
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   // ---- Column-level wrappers ----
 
   def linearScoreUdf(dim: Int, weights: Array[Double],

@@ -211,19 +211,30 @@ object Dedup {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
     import graft.functions.HashKernels
     val groups = exactGroups(df, idCol, textCol).localCheckpoint(false)
-    // 2. signatures per distinct text
+    // 2. signatures per distinct text — through the codegen'd native
+    //    expressions when GraftExtensions is installed (the whole scan
+    //    stays in one codegen stage, and the MinHash signature is fused
+    //    inside the band-key kernel instead of riding the checkpoint as
+    //    an intermediate column), else the JVM-kernel UDF chain
+    val native = df.sparkSession.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"))
+    val shCol =
+      if (native) call_function("shingle_hashes", col("text"), lit(k))
+      else HashKernels.shingleHashSetUdf(k)(col("text"))
     val sigs = groups
-      .select(col("rep").as("id"),
-        HashKernels.shingleHashSetUdf(k)(col("text")).as("sh"))
-      .withColumn("sig", HashKernels.minHashSigUdf(numHashes)(col("sh")))
+      .select(col("rep").as("id"), shCol.as("sh"))
       .localCheckpoint(false)
+    def bandKeysOf(sh: Column): Column =
+      if (native) call_function("minhash_band_keys", sh, lit(numHashes), lit(bands))
+      else HashKernels.bandKeysUdf(bands, rowsPerBand)(
+        HashKernels.minHashSigUdf(numHashes)(sh))
     // 3. LSH candidate pairs among representatives. Each bucket member
     //    carries its full band-key vector so the kernel can emit a pair
     //    only from its FIRST colliding band (no distinct() needed) and
     //    apply the exact size-ratio bound before any set join. The three
     //    collect_lists run in one aggregation pass, so they stay aligned.
     val withMeta = sigs.select(col("id"), size(col("sh")).as("sz"),
-      HashKernels.bandKeysUdf(bands, rowsPerBand)(col("sig")).as("bk"))
+      bandKeysOf(col("sh")).as("bk"))
     val buckets = withMeta
       .select(col("id"), col("sz"), col("bk"), posexplode(col("bk")))
       .toDF("id", "sz", "bk", "band", "band_hash")

@@ -146,13 +146,24 @@ object StreamingOps {
     require(maxReferenceRows > 0,
       s"maxReferenceRows must be positive, got $maxReferenceRows")
     val rows = numHashes / bands
-    def withSigCols(df: DataFrame): DataFrame = df
-      .withColumn("__sh",
-        when(col(textCol).isNotNull,
-          HashKernels.shingleHashSetUdf(k)(col(textCol))))
-      .withColumn("__bk",
-        when(col("__sh").isNotNull, HashKernels.bandKeysUdf(bands, rows)(
-          HashKernels.minHashSigUdf(numHashes)(col("__sh")))))
+    // native codegen expressions when GraftExtensions is installed (one
+    // codegen stage per gate scan, nulls propagate natively), else the
+    // JVM-kernel UDF chain with explicit null guards
+    val native = stream.sparkSession.sessionState.functionRegistry
+      .functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"))
+    def withSigCols(df: DataFrame): DataFrame =
+      if (native) df
+        .withColumn("__sh", call_function("shingle_hashes", col(textCol), lit(k)))
+        .withColumn("__bk",
+          call_function("minhash_band_keys", col("__sh"), lit(numHashes), lit(bands)))
+      else df
+        .withColumn("__sh",
+          when(col(textCol).isNotNull,
+            HashKernels.shingleHashSetUdf(k)(col(textCol))))
+        .withColumn("__bk",
+          when(col("__sh").isNotNull, HashKernels.bandKeysUdf(bands, rows)(
+            HashKernels.minHashSigUdf(numHashes)(col("__sh")))))
     // reference index: band keys + sorted shingle hashes per doc. The
     // broadcast-size contract is ENFORCED, not just documented: the
     // collect itself is capped at maxReferenceRows + 1, so a caller who

@@ -1,0 +1,102 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.HashKernels
+
+/** The native `shingle_hashes` / `minhash_band_keys` expressions must be
+  * bit-identical to the UDF kernel chain they replace on the hot dedup
+  * scans (q28 miner, q92 cross-corpus, q146 gate): band keys computed by
+  * either spelling have to collide identically or the candidate sets
+  * silently diverge between the batch miner and the streaming gate.
+  */
+class MinHashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog today",
+    "",                       // empty → one empty-string shingle
+    "   spaces  at   edges ", // space-trim semantics
+    "one",                    // shorter than k → whole text as one shingle
+    "ünïcödé tökens ünïcödé tökens mixed CASE Text",
+    "a b a b a b a b",        // repeated shingles → distinct collapse
+    "tab\tand\nnewline edges stay (only spaces trim)")
+
+  test("shingle_hashes equals the kernel UDF on edge-case texts") {
+    for (k <- Seq(1, 3, 5)) {
+      val df = texts.toDF("text")
+      val native = df.select(
+          call_function("shingle_hashes", $"text", lit(k)).as("sh"))
+        .as[Seq[Long]].collect()
+      val viaUdf = df.select(HashKernels.shingleHashSetUdf(k)($"text").as("sh"))
+        .as[Seq[Long]].collect()
+      native.toSeq shouldBe viaUdf.toSeq
+      // and each result is sorted distinct
+      native.foreach { sh => sh shouldBe sh.distinct.sorted }
+    }
+  }
+
+  test("minhash_band_keys equals bandKeys(minHashSig(...)) bit for bit") {
+    for ((numHashes, bands) <- Seq((64, 16), (128, 32), (8, 4))) {
+      val sh = texts.toDF("text")
+        .select(call_function("shingle_hashes", $"text", lit(3)).as("sh"))
+      val native = sh.select(call_function(
+          "minhash_band_keys", $"sh", lit(numHashes), lit(bands)).as("bk"))
+        .as[Seq[Long]].collect()
+      val viaUdf = sh.select(HashKernels.bandKeysUdf(bands, numHashes / bands)(
+          HashKernels.minHashSigUdf(numHashes)($"sh")).as("bk"))
+        .as[Seq[Long]].collect()
+      native.toSeq shouldBe viaUdf.toSeq
+      native.foreach(_.length shouldBe bands)
+    }
+  }
+
+  test("null text propagates null through both expressions, no guard needed") {
+    val df = Seq(Some("real text here"), None).toDF("text")
+      .withColumn("sh", call_function("shingle_hashes", $"text", lit(3)))
+      .withColumn("bk", call_function("minhash_band_keys", $"sh", lit(64), lit(16)))
+    val rows = df.select(isnull($"sh"), isnull($"bk")).as[(Boolean, Boolean)]
+      .collect().toSeq
+    rows shouldBe Seq((false, false), (true, true))
+  }
+
+  test("the dedup scan plans through the native expressions, in one codegen stage") {
+    // parquet-backed: over a LocalRelation the optimizer folds the whole
+    // projection at plan time and no codegen stage exists to inspect
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh").toString
+    (0 until 50).map(i => (i.toLong, s"document number $i with shared words"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val scan = docs.select(
+      call_function("shingle_hashes", $"text", lit(3)).as("sh"))
+      .select(call_function("minhash_band_keys", $"sh", lit(64), lit(16)).as("bk"))
+    val plan = scan.queryExecution.executedPlan.toString
+    plan should include("shingle_hashes")
+    plan should include("minhash_band_keys")
+    plan should not include "UDF"
+    // "*(1) Project" = both expressions fused in ONE whole-stage-codegen
+    // span directly over the file scan
+    plan should include("*(1) Project [minhash_band_keys(shingle_hashes(")
+    // (the full miner's routing is not visible in its plan — its sig
+    // frame is localCheckpointed into a LogicalRDD — but DedupSpec's
+    // miner tests run against this same extension-installed session, so
+    // the native path is what they exercise)
+  }
+
+  test("SQL surface: constant-expression args accepted, bad shapes rejected") {
+    Seq("alpha beta gamma delta").toDF("text").createOrReplaceTempView("mh_docs")
+    val viaSql = spark.sql(
+      "SELECT minhash_band_keys(shingle_hashes(text, 2 + 1), 64, 16) AS bk FROM mh_docs")
+      .as[Seq[Long]].collect().head
+    val viaCol = Seq("alpha beta gamma delta").toDF("text")
+      .select(call_function("minhash_band_keys",
+        call_function("shingle_hashes", $"text", lit(3)), lit(64), lit(16)))
+      .as[Seq[Long]].collect().head
+    viaSql shouldBe viaCol
+    intercept[Exception] {
+      spark.sql("SELECT minhash_band_keys(array(1L), 63, 16)").collect()
+    }
+  }
+}
