@@ -347,9 +347,9 @@ object ProfileGrid {
     * (month 1-12, depth, lo, hi).
     */
   def climDiffOverlay(gridIn: DataFrame, clim: DataFrame, refYear: Int): DataFrame = {
-    // the grid feeds THREE plan branches (distinct times, the u2 union,
-    // the final cell join) and is itself a multi-scan union+window plan —
-    // materialize it once instead of recomputing the lineage three times.
+    // the grid feeds TWO plan branches (distinct times, the u2 union) and
+    // is itself a multi-scan union+window plan — materialize it once
+    // instead of recomputing the lineage per branch.
     // LAZY: the first branch that runs stores the blocks (block-level
     // locking serializes racing readers), so no dedicated checkpoint job
     val grid = gridIn.localCheckpoint(eager = false)
@@ -376,21 +376,24 @@ object ProfileGrid {
       .filter(col("is_grid") === 1)
       .select(col("cd"), col("x").as("tu"), col("cv1"))
 
-    // pass 2: per grid column, interpolate along depth onto the grid depths
+    // pass 2: per grid column, interpolate along depth onto the grid
+    // depths. The grid branch of the union carries its own (t, value)
+    // through the window, so the overlaid cells fall straight out of the
+    // is_grid filter — no join of the grid back against its own cells
+    // (which cost a third grid scan plus a whole exchange+join stage;
+    // round-10 job audit: 18 → 16 jobs on q66 with identical output)
     val u2 = pass1.select(col("tu"), col("cd").as("y"), col("cv1").as("v"),
-        lit(0).as("is_grid"), lit(null).cast("double").as("gy"))
+        lit(0).as("is_grid"), lit(null).cast("double").as("gy"),
+        lit(null).cast("timestamp").as("t"),
+        lit(null).cast("double").as("value"))
       .unionByName(grid.select(unix_micros(col("t")).as("tu"),
         col("depth").cast("double").as("y"), lit(null).cast("double").as("v"),
-        lit(1).as("is_grid"), col("depth").cast("double").as("gy")))
+        lit(1).as("is_grid"), col("depth").cast("double").as("gy"),
+        col("t"), col("value").cast("double").as("value")))
     val ord2 = Seq(col("y"), col("is_grid"))
-    val climCells = u2.withColumn("climv", lerpNoClamp(col("tu"), ord2, col("y")))
+    u2.withColumn("climv", lerpNoClamp(col("tu"), ord2, col("y")))
       .filter(col("is_grid") === 1)
-      .select(col("tu"), col("gy"), col("climv"))
-
-    grid.withColumn("__tu", unix_micros(col("t")))
-      .join(climCells,
-        col("__tu") === climCells("tu") && col("depth") === climCells("gy"))
-      .select(col("t"), col("depth"), col("value"),
+      .select(col("t"), col("gy").as("depth"), col("value"),
         round(col("climv"), 6).as("clim"),
         round(col("value") - col("climv"), 6).as("clim_diff"))
   }
