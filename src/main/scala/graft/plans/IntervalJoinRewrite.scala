@@ -104,7 +104,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def supportedType(jt: JoinType): Boolean = jt match {
-    case Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
+    case Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti | FullOuter => true
     case _ => false
   }
 
@@ -348,6 +348,54 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // dependent on the rowid pair, so they are legal aggregate outputs);
         // the window and this aggregate share the rowid clustering, so no
         // second shuffle is planned between them
+        val dedup = Aggregate(
+          Seq(rowId.toAttribute, factRowId.toAttribute) ++ j.output,
+          j.output, kept)
+        Some(dedup)
+
+      case FullOuter =>
+        // both sides preserved: explode the interval side on a one-shot
+        // rowid, full-outer bucketed join, then collapse interval-side
+        // explode duplicates exactly as the LeftOuter case — with one
+        // twist: unmatched FACT rows surface with a NULL rowid, and a
+        // window partitioned on the bare rowid would funnel every one of
+        // them (the common case at scale) into a single null partition.
+        // Each fact row carries its own id, so the partition key is
+        // coalesce(rowid, −factRowId − 1): real intervals keep their
+        // (non-negative) rowid, each unmatched fact row becomes its own
+        // single-row partition (strictly negative — the id spaces cannot
+        // collide), and the any-match flag still aggregates over exactly
+        // the rows of one preserved interval row.
+        val rowId = freshRowId("__graft_rowid")
+        val withId = Project(intervalSide.output :+ rowId, intervalSide)
+        val (exploded, genAttr) = explodedInterval(outer = true, withId)
+        val factRowId = freshRowId("__graft_rowid_r")
+        val factB =
+          Project(factSide.output :+ bucketAlias :+ factRowId, factSide)
+        val newCond = And(EqualTo(genAttr, bucketAlias.toAttribute), cond)
+        val (jl, jr) =
+          if (factOnLeft) (factB, exploded) else (exploded: LogicalPlan, factB: LogicalPlan)
+        val fouter = Join(jl, jr, FullOuter, Some(newCond), JoinHint.NONE)
+        val mAlias = Alias(
+          If(And(IsNotNull(bucketAlias.toAttribute), IsNotNull(genAttr)),
+            Literal(1L), Literal(0L)),
+          "__graft_m")()
+        val flagged = Project(fouter.output :+ mAlias, fouter)
+        val partKey = Alias(
+          Coalesce(Seq(rowId.toAttribute,
+            Subtract(Literal(-1L), factRowId.toAttribute))),
+          "__graft_part")()
+        val keyed = Project(flagged.output :+ partKey, flagged)
+        val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
+        val anyAlias = Alias(
+          WindowExpression(
+            AggregateExpression(Max(mAlias.toAttribute), Complete, isDistinct = false),
+            WindowSpecDefinition(Seq(partKey.toAttribute), Nil, frame)),
+          "__graft_any")()
+        val windowed = Window(Seq(anyAlias), Seq(partKey.toAttribute), Nil, keyed)
+        val kept = Filter(
+          Or(EqualTo(mAlias.toAttribute, Literal(1L)),
+            EqualTo(anyAlias.toAttribute, Literal(0L))), windowed)
         val dedup = Aggregate(
           Seq(rowId.toAttribute, factRowId.toAttribute) ++ j.output,
           j.output, kept)

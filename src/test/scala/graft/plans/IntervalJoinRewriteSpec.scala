@@ -117,7 +117,9 @@ class IntervalJoinRewriteSpec extends SparkSpec {
         (dupIntervals, dupFacts, "left_semi"),
         (dupIntervals, dupFacts, "left_anti"),
         (dupFacts, dupIntervals, "right_outer"),
-        (dupIntervals, dupFacts, "right_outer"))
+        (dupIntervals, dupFacts, "right_outer"),
+        (dupFacts, dupIntervals, "full_outer"),
+        (dupIntervals, dupFacts, "full_outer"))
       for ((l, r, jt) <- cases) {
         val joined = l.join(r, cond, jt)
         val plan = planOf(joined)
