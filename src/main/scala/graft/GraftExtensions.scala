@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, MinHashBandKeys, PqAdc, PqEncode, ShingleHashes, SortedJaccard, TopKByScore}
+import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, Fingerprint40, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, ShingleHashes, SimHash40, SortedJaccard, TopKByScore, WordNgrams}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -81,6 +81,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_band_keys numHashes/bands must be integer constants, got $other")
         }
         MinHashBandKeys(children.head, n, b)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash40"),
+      new ExpressionInfo(classOf[SimHash40].getName, "simhash40"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash40(text) takes one argument")
+        SimHash40(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("fingerprint40"),
+      new ExpressionInfo(classOf[Fingerprint40].getName, "fingerprint40"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "fingerprint40(text) takes one argument")
+        Fingerprint40(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_ngrams(text, n) takes two arguments")
+        val n = constArg(children(1), "word_ngrams n") match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams n must be an integer constant, got $other")
+        }
+        WordNgrams(children.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pos_gram_hashes"),
+      new ExpressionInfo(classOf[PosGramHashes].getName, "pos_gram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "pos_gram_hashes(tokens, n) takes two arguments")
+        val n = constArg(children(1), "pos_gram_hashes n") match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"pos_gram_hashes n must be an integer constant, got $other")
+        }
+        PosGramHashes(children.head, n)
       }))
     ext.injectFunction((
       FunctionIdentifier("duck_round"),

@@ -425,6 +425,21 @@ object HashKernels {
       .fromPrimitiveArray(out)
   }
 
+  /** [[posGramHashes]] over ArrayData tokens (null → empty, matching the
+    * kernel's Seq spelling), returning Catalyst ArrayData.
+    */
+  def posGramHashesData(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                        n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr: Array[String] =
+      if (toks == null) null
+      else Array.tabulate(toks.numElements()) { i =>
+        if (toks.isNullAt(i)) null else toks.getUTF8String(i).toString
+      }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(posGramHashes(
+        if (arr == null) null else scala.collection.immutable.ArraySeq.unsafeWrapArray(arr), n))
+  }
+
   // ---- Column-level wrappers ----
 
   def linearScoreUdf(dim: Int, weights: Array[Double],

@@ -1,0 +1,117 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen spellings of the remaining per-row text kernels on hot
+  * corpus scans (the same (b)-tier graduation [[ShingleHashes]] made):
+  * `simhash40`, `fingerprint40`, `word_ngrams`, `pos_gram_hashes`. Each
+  * generated call goes straight to the JVM kernel inside whole-stage
+  * codegen — no UDF encoder boundary, no Seq boxing.
+  *
+  * Null semantics mirror the UDF spellings they replace exactly:
+  * simhash40/fingerprint40 propagate null; word_ngrams/pos_gram_hashes
+  * return an EMPTY array for null input (their kernels' contract — the
+  * explode/explode_outer consumers depend on it).
+  */
+case class SimHash40(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash40 expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash40"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.HashKernels.simHash40(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.simHash40($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Fingerprint40(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fingerprint40 expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint40"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.HashKernels.fingerprint40(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.fingerprint40($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `word_ngrams(text, n)` — distinct space-joined word n-grams; null text
+  * → EMPTY array (never null), like the kernel UDF it replaces.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams expects (string, positive int n), got " +
+        s"(${child.dataType.simpleString}, n=$n)")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "word_ngrams"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    graft.functions.TextFunctions.wordNgramsData(
+      if (v == null) null else v.asInstanceOf[UTF8String], n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code + code"""
+      $javaType ${ev.value} = graft.functions.TextFunctions.wordNgramsData(
+        ${c.isNull} ? null : ${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pos_gram_hashes(tokens, n)` — hash of the space-joined n-gram at every
+  * start position (order-preserving, not distinct); null tokens → EMPTY
+  * array (never null), like the kernel UDF it replaces.
+  */
+case class PosGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = child.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok && n > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pos_gram_hashes expects (array<string>, positive int n), got " +
+        s"(${child.dataType.simpleString}, n=$n)")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "pos_gram_hashes"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    graft.functions.HashKernels.posGramHashesData(
+      if (v == null) null
+      else v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code + code"""
+      $javaType ${ev.value} = graft.functions.HashKernels.posGramHashesData(
+        ${c.isNull} ? null : ${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

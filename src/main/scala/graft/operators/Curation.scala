@@ -49,7 +49,7 @@ object Curation {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val grams = TextFunctions.wordNgramsUdf(n)
+    def grams(c: Column) = TextFunctions.wordNgramsCol(c, n)
     val bench = benchmark
       .select(explode(grams(col(textCol))).as("gram"))
       .distinct()
@@ -399,7 +399,7 @@ object Curation {
                       n: Int = 8, minDocFreq: Int = 2): DataFrame = {
     val grams = docs
       .select(col(idCol),
-        explode_outer(TextFunctions.wordNgramsUdf(n)(col(textCol))).as("__g"))
+        explode_outer(TextFunctions.wordNgramsCol(col(textCol), n)).as("__g"))
       // explicit null guard: xxhash64(null) is the (non-null) seed hash,
       // which would count every zero-gram document as one shared "gram"
       .withColumn("__h", when(col("__g").isNotNull, xxhash64(col("__g"))))
@@ -447,7 +447,10 @@ object Curation {
     // exactly the gram's start position.
     val posGrams = base
       .select(col(idCol),
-        posexplode(graft.functions.HashKernels.posGramHashesUdf(n)(col("__t"))))
+        posexplode(
+          if (graft.functions.NativeFunctions.registered("pos_gram_hashes"))
+            call_function("pos_gram_hashes", col("__t"), lit(n))
+          else graft.functions.HashKernels.posGramHashesUdf(n)(col("__t"))))
       .toDF(idCol, "__pos", "__h")
       .localCheckpoint(false)
     val freq = posGrams.select(col(idCol), col("__h")).distinct()
@@ -926,7 +929,7 @@ object Curation {
     import spark.implicits._
     require(maxGrams > 0, s"maxGrams must be positive, got $maxGrams")
     val grams = benchmark
-      .select(explode(TextFunctions.wordNgramsUdf(n)(col(textCol))).as("g"))
+      .select(explode(TextFunctions.wordNgramsCol(col(textCol), n)).as("g"))
       .distinct().limit(maxGrams + 1).as[String].collect()
     require(grams.length <= maxGrams,
       s"benchmarkGramSet: the benchmark has more than $maxGrams distinct " +
@@ -1004,9 +1007,9 @@ object Curation {
                  rates: Map[String, Double], defaultRate: Double,
                  denom: Int, maxBroadcastGrams: Long): DataFrame = {
     val spark = docs.sparkSession
-    val grams = TextFunctions.wordNgramsUdf(n)
     val bench = benchmark
-      .select(explode(grams(col(benchTextCol))).as("gram")).distinct()
+      .select(explode(TextFunctions.wordNgramsCol(col(benchTextCol), n)).as("gram"))
+      .distinct()
     if (bench.count() <= maxBroadcastGrams) {
       val bc = spark.sparkContext.broadcast(
         benchmarkGramSet(benchmark, benchTextCol, n))
@@ -1014,7 +1017,8 @@ object Curation {
         minQuality, maxContamination, rates, defaultRate, denom)
     } else {
       val contam = docs
-        .select(col(idCol), explode_outer(grams(col(textCol))).as("gram"))
+        .select(col(idCol),
+          explode_outer(TextFunctions.wordNgramsCol(col(textCol), n)).as("gram"))
         .join(bench.withColumn("__hit", lit(1)), Seq("gram"), "left")
         .groupBy(col(idCol))
         .agg(count(col("gram")).as("__n"), count(col("__hit")).as("__h"))

@@ -455,7 +455,9 @@ object Dedup {
     * interpreted (CodegenFallback) over tokens × 40 bits.
     */
   def simHash(text: Column): Column =
-    graft.functions.HashKernels.simHash40Udf(text)
+    if (graft.functions.NativeFunctions.registered("simhash40"))
+      call_function("simhash40", text)
+    else graft.functions.HashKernels.simHash40Udf(text)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,79 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{HashKernels, TextFunctions}
+
+/** The native simhash40 / fingerprint40 / word_ngrams / pos_gram_hashes
+  * expressions must match the kernel UDFs they replace exactly — these
+  * feed value-checked oracle queries (q27 simhash, q38 fingerprints, q73
+  * decontamination, q93 dup spans), so any divergence is a wrong answer,
+  * not just a perf delta.
+  */
+class TextHashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts: Seq[String] = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "", "   spaced   out   ", "one", "ünïcödé MIXED case tokens here",
+    "tab\tand\nnewline stay inside (space-only trim)",
+    "a a a a a repeated tokens", null)
+
+  test("simhash40 and fingerprint40 equal their kernel UDFs, nulls propagate") {
+    val df = texts.toDF("text")
+    val native = df.select(
+        call_function("simhash40", $"text").as("s"),
+        call_function("fingerprint40", $"text").as("f"))
+      .as[(Option[Long], Option[Long])].collect().toSeq
+    val viaUdf = df.select(
+        HashKernels.simHash40Udf($"text").as("s"),
+        HashKernels.fingerprint40Udf($"text").as("f"))
+      .as[(Option[Long], Option[Long])].collect().toSeq
+    native shouldBe viaUdf
+    native.last shouldBe ((None, None)) // null text → null hashes
+  }
+
+  test("word_ngrams equals the kernel UDF; null text yields EMPTY, not null") {
+    for (n <- Seq(1, 3, 8)) {
+      val df = texts.toDF("text")
+      val native = df.select(call_function("word_ngrams", $"text", lit(n)).as("g"))
+        .as[Seq[String]].collect().toSeq
+      val viaUdf = df.select(TextFunctions.wordNgramsUdf(n)($"text").as("g"))
+        .as[Seq[String]].collect().toSeq
+      native shouldBe viaUdf
+      native.last shouldBe Seq.empty // null text → empty array
+    }
+  }
+
+  test("pos_gram_hashes equals the kernel UDF; null tokens yield EMPTY") {
+    val toks = Seq(
+      Some(Seq("alpha", "beta", "gamma", "delta")),
+      Some(Seq("one")),
+      Some(Seq.empty[String]),
+      None)
+    for (n <- Seq(2, 3)) {
+      val df = toks.toDF("t")
+      val native = df.select(call_function("pos_gram_hashes", $"t", lit(n)).as("h"))
+        .as[Seq[Long]].collect().toSeq
+      val viaUdf = df.select(HashKernels.posGramHashesUdf(n)($"t").as("h"))
+        .as[Seq[Long]].collect().toSeq
+      native shouldBe viaUdf
+      native.last shouldBe Seq.empty
+    }
+  }
+
+  test("a parquet-backed scan keeps all four in one codegen span, no UDFs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_th").toString
+    (0 until 20).map(i => s"document number $i with words")
+      .toDF("text").write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir).select(
+      call_function("simhash40", $"text").as("s"),
+      call_function("fingerprint40", $"text").as("f"),
+      call_function("word_ngrams", $"text", lit(3)).as("g"))
+    val plan = scan.queryExecution.executedPlan.toString
+    plan should not include "UDF"
+    plan should include("*(1) Project")
+    Seq("simhash40", "fingerprint40", "word_ngrams").foreach(plan should include(_))
+  }
+}
