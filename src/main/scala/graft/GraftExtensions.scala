@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, Fingerprint40, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, ShingleHashes, SimHash40, SortedJaccard, TopKByScore, WordNgrams}
+import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, Fingerprint40, LangId, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, ShingleHashes, SimHash40, SortedJaccard, StopwordRatio, TopKByScore, WordNgrams}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -119,6 +119,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"pos_gram_hashes n must be an integer constant, got $other")
         }
         PosGramHashes(children.head, n)
+      }))
+    def constStopwords(e: Expression, what: String): Seq[String] =
+      (e.dataType, constArg(e, what)) match {
+        case (org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _),
+            a: org.apache.spark.sql.catalyst.util.ArrayData) =>
+          a.toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+            .toSeq
+        case (t, _) => throw new IllegalArgumentException(
+          s"$what must be an array<string> constant, got type $t")
+      }
+    ext.injectFunction((
+      FunctionIdentifier("stopword_ratio"),
+      new ExpressionInfo(classOf[StopwordRatio].getName, "stopword_ratio"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "stopword_ratio(text, stopwords) takes two arguments")
+        StopwordRatio(children.head,
+          constStopwords(children(1), "stopword_ratio stopwords"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("quality_score"),
+      new ExpressionInfo(classOf[QualityScore].getName, "quality_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "quality_score(text, stopwords) takes two arguments")
+        QualityScore(children.head,
+          constStopwords(children(1), "quality_score stopwords"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "lang_id(text) takes one argument")
+        LangId(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("duck_round"),

@@ -78,11 +78,27 @@ object TextFunctions {
     * PLANS.md). [[stopwordRatioHof]] keeps the SQL formulation for the
     * bit-equivalence spec.
     */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val sw = stopwords.toSet
-    val f = udf((s: String) => stopwordRatioKernel(s, sw))
-    f(text)
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    if (NativeFunctions.registered("stopword_ratio"))
+      call_function("stopword_ratio", text, stopwordsArray(stopwords))
+    else {
+      val sw = stopwords.toSet
+      val f = udf((s: String) => stopwordRatioKernel(s, sw))
+      f(text)
+    }
+
+  // an empty list must still present as array<string>: a bare array()
+  // is array<null> and the constant-arg builder rightly rejects it
+  private def stopwordsArray(stopwords: Seq[String]): Column =
+    if (stopwords.isEmpty) array().cast("array<string>")
+    else array(stopwords.map(lit): _*)
+
+  /** [[stopwordRatioKernel]] over a non-null UTF8String — the native
+    * `stopword_ratio` expression's per-row entry point.
+    */
+  def stopwordRatioData(text: org.apache.spark.unsafe.types.UTF8String,
+                        sw: Set[String]): Double =
+    stopwordRatioKernel(text.toString, sw).doubleValue()
 
   /** The original HOF formulation of [[stopwordRatio]], spec-compared
     * bit-for-bit against the kernel.
@@ -130,11 +146,21 @@ object TextFunctions {
     * 6-dp round is the oracle-exact [[Rounding.droundDouble]] (matching
     * the shadowed Column `round` in the Hof).
     */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val sw = stopwords.toSet
-    val f = udf((s: String) => qualityScoreKernel(s, sw))
-    f(text)
-  }
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    if (NativeFunctions.registered("quality_score"))
+      call_function("quality_score", text, stopwordsArray(stopwords))
+    else {
+      val sw = stopwords.toSet
+      val f = udf((s: String) => qualityScoreKernel(s, sw))
+      f(text)
+    }
+
+  /** [[qualityScoreKernel]] over a possibly-null UTF8String (null → 0.5,
+    * the kernel's contract) — the native `quality_score` entry point.
+    */
+  def qualityScoreData(text: org.apache.spark.unsafe.types.UTF8String,
+                       sw: Set[String]): Double =
+    qualityScoreKernel(if (text == null) null else text.toString, sw)
 
   /** The original Column formulation of [[qualityScore]], spec-compared
     * bit-for-bit against the kernel.
@@ -211,11 +237,27 @@ object TextFunctions {
     * membership per token (q25 at sf0.1: 1.38 s → see PLANS.md).
     */
   def langIdHeuristic(text: Column,
-                      langs: Map[String, Seq[String]] = LangStopwords): Column = {
-    val ordered = langs.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toSet) }
-    val f = udf((s: String) => langIdKernel(s, ordered))
-    f(text)
-  }
+                      langs: Map[String, Seq[String]] = LangStopwords): Column =
+    // the native expression carries the DEFAULT profile set; custom maps
+    // (a per-deployment extension point) stay on the kernel UDF
+    if ((langs eq LangStopwords) && NativeFunctions.registered("lang_id"))
+      call_function("lang_id", text)
+    else {
+      val ordered = langs.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toSet) }
+      val f = udf((s: String) => langIdKernel(s, ordered))
+      f(text)
+    }
+
+  private lazy val defaultOrderedLangs: Seq[(String, Set[String])] =
+    LangStopwords.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toSet) }
+
+  /** [[langIdKernel]] with the default profiles over a possibly-null
+    * UTF8String (null → "und") — the native `lang_id` entry point.
+    */
+  def langIdData(text: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      langIdKernel(if (text == null) null else text.toString, defaultOrderedLangs))
 
   /** Kernel for [[langIdHeuristic]]: `langs` ordered ascending by code so
     * `>=` keeps the later (larger) code on hit ties, matching array_max.

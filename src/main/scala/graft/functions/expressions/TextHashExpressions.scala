@@ -80,6 +80,89 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `stopword_ratio(text, stopwords)` — fraction of whitespace tokens in
+  * the (construction-constant) stopword set; null text → null, blank →
+  * 0.0, exactly the kernel UDF's contract.
+  */
+case class StopwordRatio(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  private lazy val sw: Set[String] = stopwords.toSet
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"stopword_ratio expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "stopword_ratio"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextFunctions.stopwordRatioData(
+      input.asInstanceOf[UTF8String], sw)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val swRef = ctx.addReferenceObj("sw", sw, "scala.collection.immutable.Set")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextFunctions.stopwordRatioData($c, $swRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `quality_score(text, stopwords)` — the composite prose-quality score;
+  * null text → 0.5 (never null), the kernel's contract.
+  */
+case class QualityScore(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  private lazy val sw: Set[String] = stopwords.toSet
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"quality_score expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "quality_score"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    graft.functions.TextFunctions.qualityScoreData(
+      if (v == null) null else v.asInstanceOf[UTF8String], sw)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val swRef = ctx.addReferenceObj("sw", sw, "scala.collection.immutable.Set")
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      double ${ev.value} = graft.functions.TextFunctions.qualityScoreData(
+        ${c.isNull} ? null : ${c.value}, $swRef);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `lang_id(text)` — stopword-vote language ID over the engine's default
+  * profiles; null/blank → "und" (never null), the kernel's contract.
+  */
+case class LangId(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lang_id expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "lang_id"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    graft.functions.TextFunctions.langIdData(
+      if (v == null) null else v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code + code"""
+      $javaType ${ev.value} = graft.functions.TextFunctions.langIdData(
+        ${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `pos_gram_hashes(tokens, n)` — hash of the space-joined n-gram at every
   * start position (order-preserving, not distinct); null tokens → EMPTY
   * array (never null), like the kernel UDF it replaces.

@@ -63,6 +63,41 @@ class TextHashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("stopword_ratio and quality_score equal the HOF formulations; null shapes pinned") {
+    val sw = TextFunctions.LangStopwords("en")
+    val df = texts.toDF("text")
+    val native = df.select(
+        TextFunctions.stopwordRatio($"text", sw).as("r"),   // routes native here
+        TextFunctions.qualityScore($"text", sw).as("q"))
+      .as[(Option[Double], Double)].collect().toSeq
+    val viaHof = df.select(
+        TextFunctions.stopwordRatioHof($"text", sw).as("r"),
+        round(TextFunctions.qualityScoreHof($"text", sw), 6).as("q"))
+      .as[(Option[Double], Option[Double])].collect().toSeq
+    native.map(_._1) shouldBe viaHof.map(_._1)
+    // quality kernel: null text → 0.5 (the HOF nulls); non-null rows equal
+    native.zip(viaHof).foreach { case ((_, qn), (_, qh)) =>
+      qh match {
+        case Some(v) => qn shouldBe v
+        case None => qn shouldBe 0.5
+      }
+    }
+    native.last._1 shouldBe None // null text → null ratio
+  }
+
+  test("lang_id equals the kernel-UDF route (forced via a copied profile map)") {
+    val df = ("el la de que y en un texto" +: texts).toDF("text")
+    val native = df.select(TextFunctions.langIdHeuristic($"text").as("l"))
+      .as[String].collect().toSeq
+    // a structurally-equal but non-eq map forces the UDF fallback route
+    val copied = TextFunctions.LangStopwords.map(identity)
+    val viaUdf = df.select(TextFunctions.langIdHeuristic($"text", copied).as("l"))
+      .as[String].collect().toSeq
+    native shouldBe viaUdf
+    native.head shouldBe "es"
+    native.last shouldBe "und" // null text
+  }
+
   test("a parquet-backed scan keeps all four in one codegen span, no UDFs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_th").toString
     (0 until 20).map(i => s"document number $i with words")
