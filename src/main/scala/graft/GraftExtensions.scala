@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, Fingerprint40, LangId, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, ShingleHashes, SimHash40, SortedJaccard, StopwordRatio, TopKByScore, WordNgrams}
+import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, Fingerprint40, GopherStatsExpr, LangId, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, RepetitionStats, ShingleHashes, SimHash40, SortedJaccard, StopwordRatio, TopKByScore, WordNgrams}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -155,6 +155,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "lang_id(text) takes one argument")
         LangId(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "repetition_stats(text) takes one argument")
+        RepetitionStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[GopherStatsExpr].getName, "gopher_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "gopher_stats(text) takes one argument")
+        GopherStatsExpr(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("duck_round"),

@@ -410,7 +410,33 @@ object TextFunctions {
     * kernel for the usual CodegenFallback reason.
     */
   val repetitionStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((text: String) => {
+    udf((text: String) => repetitionStatsKernel(text))
+
+  /** Route through the native `repetition_stats` expression when
+    * [[graft.GraftExtensions]] is installed, else the kernel UDF. Struct
+    * fields are `_1/_2/_3` either way (the UDF's tuple encoding).
+    */
+  def repetitionStats(text: Column): Column =
+    if (NativeFunctions.registered("repetition_stats"))
+      call_function("repetition_stats", text)
+    else repetitionStatsUdf(text)
+
+  /** [[repetitionStatsKernel]] over a possibly-null UTF8String, returning
+    * a Catalyst struct row — the native `repetition_stats` entry point.
+    */
+  def repetitionStatsData(text: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val r = repetitionStatsKernel(if (text == null) null else text.toString)
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](r._1,
+        if (r._2 == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(r._2),
+        r._3))
+  }
+
+  private[functions] def repetitionStatsKernel(
+      text: String): (Double, String, Double) = {
       // null text → null struct (the oracle's NULL propagation)
       if (text == null) null
       else {
@@ -453,7 +479,7 @@ object TextFunctions {
           }
         }
       }
-    })
+  }
 
   /** Gopher-style document-shape statistics (Rae et al. 2021 §A1.1, public
     * paper; also the C4/RefinedWeb line heuristics):
@@ -480,7 +506,10 @@ object TextFunctions {
     * ellipsis tests (≡ the RE2/Java `(?m)` anchors), oracle-exact rounding.
     */
   def gopherStats(text: Column): Seq[Column] = {
-    val s = gopherStatsUdf(text)
+    val s =
+      if (NativeFunctions.registered("gopher_stats"))
+        call_function("gopher_stats", text)
+      else gopherStatsUdf(text)
     Seq("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
       "ellipsis_frac", "alpha_frac").map(f => s.getField(f).as(f))
   }
@@ -495,7 +524,21 @@ object TextFunctions {
     * over it collapse to one evaluation under subexpression elimination.
     */
   val gopherStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((text: String) => {
+    udf((text: String) => gopherStatsKernel(text))
+
+  /** [[gopherStatsKernel]] over a possibly-null UTF8String, returning a
+    * Catalyst struct row — the native `gopher_stats` entry point.
+    */
+  def gopherStatsData(text: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val g = gopherStatsKernel(if (text == null) null else text.toString)
+    if (g == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](g.n_words, g.mean_word_len, g.symbol_ratio, g.bullet_frac,
+        g.ellipsis_frac, g.alpha_frac))
+  }
+
+  private[functions] def gopherStatsKernel(text: String): GopherStats = {
       if (text == null) null.asInstanceOf[GopherStats]
       else {
         def r6(x: Double): Double = Rounding.droundDouble(x, 6)
@@ -544,7 +587,7 @@ object TextFunctions {
           r6(ellipses.toDouble / lines.length),
           if (nWords == 0) 0.0 else r6(alpha.toDouble / nWords))
       }
-    })
+  }
 
   /** Normalized sliding-window token pairs for collocation statistics:
     * for each position i and offset 1..w, the unordered pair

@@ -163,6 +163,58 @@ case class LangId(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `repetition_stats(text)` — Gopher/C4 repetition filters as one struct
+  * `(_1 dup_token_frac, _2 top_bigram, _3 top_bigram_frac)` (the kernel
+  * UDF's tuple field names, so consumers read identically either way);
+  * null text → null struct.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("_1", DoubleType, nullable = false),
+    StructField("_2", StringType),
+    StructField("_3", DoubleType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextFunctions.repetitionStatsData(
+      input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextFunctions.repetitionStatsData($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `gopher_stats(text)` — the Gopher document-shape statistics struct
+  * (same named fields as the kernel UDF's case-class encoding); null
+  * text → null struct.
+  */
+case class GopherStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gopher_stats expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("symbol_ratio", DoubleType, nullable = false),
+    StructField("bullet_frac", DoubleType, nullable = false),
+    StructField("ellipsis_frac", DoubleType, nullable = false),
+    StructField("alpha_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "gopher_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextFunctions.gopherStatsData(
+      input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextFunctions.gopherStatsData($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `pos_gram_hashes(tokens, n)` — hash of the space-joined n-gram at every
   * start position (order-preserving, not distinct); null tokens → EMPTY
   * array (never null), like the kernel UDF it replaces.

@@ -98,6 +98,28 @@ class TextHashExpressionsSpec extends SparkSpec {
     native.last shouldBe "und" // null text
   }
 
+  test("repetition_stats and gopher_stats equal their kernel UDFs field by field") {
+    val df = ("buy now buy now buy now limited offer" +:
+      "- bullet one\n- bullet two\nprose line..." +: texts).toDF("text")
+    val nativeR = df.select(call_function("repetition_stats", $"text").as("r"))
+      .select($"r._1", $"r._2", $"r._3")
+      .as[(Option[Double], Option[String], Option[Double])].collect().toSeq
+    val udfR = df.select(TextFunctions.repetitionStatsUdf($"text").as("r"))
+      .select($"r._1", $"r._2", $"r._3")
+      .as[(Option[Double], Option[String], Option[Double])].collect().toSeq
+    nativeR shouldBe udfR
+    nativeR.last shouldBe ((None, None, None)) // null text → null struct
+
+    val fields = Seq("n_words", "mean_word_len", "symbol_ratio",
+      "bullet_frac", "ellipsis_frac", "alpha_frac")
+    val nativeG = df.select(call_function("gopher_stats", $"text").as("g"))
+      .select(fields.map(f => col(s"g.$f")): _*).collect().map(_.toSeq).toSeq
+    val udfG = df.select(TextFunctions.gopherStatsUdf($"text").as("g"))
+      .select(fields.map(f => col(s"g.$f")): _*).collect().map(_.toSeq).toSeq
+    nativeG shouldBe udfG
+    nativeG.head.head shouldBe 8 // n_words of the first doc
+  }
+
   test("a parquet-backed scan keeps all four in one codegen span, no UDFs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_th").toString
     (0 until 20).map(i => s"document number $i with words")
