@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, Fingerprint40, GopherStatsExpr, LangId, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, RepetitionStats, ShingleHashes, SimHash40, SortedJaccard, StopwordRatio, TopKByScore, WordNgrams}
+import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, Fingerprint40, GopherStatsExpr, LangId, LinearScore, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, RepetitionStats, ShingleHashes, SimHash40, SortedJaccard, StopwordRatio, TopKByScore, WordNgrams}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -155,6 +155,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "lang_id(text) takes one argument")
         LangId(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("linear_score"),
+      new ExpressionInfo(classOf[LinearScore].getName, "linear_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "linear_score(text, weights, bias) takes three arguments")
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        val w = (children(1).dataType, constArg(children(1), "linear_score weights")) match {
+          case (ArrayType(DoubleType, _), a: ArrayData) => a.toDoubleArray()
+          case (t, _) => throw new IllegalArgumentException(
+            s"linear_score weights must be an array<double> constant, got type $t")
+        }
+        val b = constArg(children(2), "linear_score bias") match {
+          case d: Double => d
+          case other => throw new IllegalArgumentException(
+            s"linear_score bias must be a double constant, got $other")
+        }
+        LinearScore(children.head, w, b)
       }))
     ext.injectFunction((
       FunctionIdentifier("repetition_stats"),

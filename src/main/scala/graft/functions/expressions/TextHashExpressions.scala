@@ -163,6 +163,49 @@ case class LangId(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `linear_score(text, weights, bias)` — hashed-feature linear classifier
+  * inference (sigmoid of bias + mean token-hash weight); the weight
+  * vector is a construction-time constant carried as a reference object
+  * in generated code (dim = weights.length). Null/blank text → null
+  * score, the kernel's contract.
+  */
+case class LinearScore(child: Expression, weights: Array[Double], bias: Double)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && weights.nonEmpty)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"linear_score expects (string, non-empty weights), got " +
+        s"(${child.dataType.simpleString}, ${weights.length} weights)")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "linear_score"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.HashKernels.linearScore(
+      input.asInstanceOf[UTF8String].toString, weights.length, weights, bias)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", weights, "double[]")
+    val c = child.genCode(ctx)
+    val tmp = ctx.freshName("score")
+    ev.copy(code = c.code + code"""
+      java.lang.Double $tmp = ${c.isNull} ? null :
+        graft.functions.HashKernels.linearScore(
+          ${c.value}.toString(), ${weights.length}, $wRef, $bias);
+      boolean ${ev.isNull} = $tmp == null;
+      double ${ev.value} = ${ev.isNull} ? 0.0 : $tmp.doubleValue();""")
+  }
+  // weights is an Array: reference equality would break plan canonical
+  // comparisons between structurally-equal instances
+  override def equals(o: Any): Boolean = o match {
+    case LinearScore(c, w, b) =>
+      c == child && java.util.Arrays.equals(w, weights) && b == bias
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (child, java.util.Arrays.hashCode(weights), bias).hashCode()
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `repetition_stats(text)` — Gopher/C4 repetition filters as one struct
   * `(_1 dup_token_frac, _2 top_bigram, _3 top_bigram_frac)` (the kernel
   * UDF's tuple field names, so consumers read identically either way);

@@ -909,9 +909,13 @@ object Curation {
                   dim: Int, weights: Array[Double],
                   bias: Double): DataFrame = {
     require(weights.length == dim, "weights must have length dim")
-    val scoreUdf = graft.functions.HashKernels.linearScoreUdf(dim, weights, bias)
+    val scoreCol =
+      if (graft.functions.NativeFunctions.registered("linear_score"))
+        call_function("linear_score", col(textCol),
+          array(weights.map(w => lit(w)).toIndexedSeq: _*), lit(bias))
+      else graft.functions.HashKernels.linearScoreUdf(dim, weights, bias)(col(textCol))
     docs.select(col(idCol),
-      round(scoreUdf(col(textCol)), 6).as("score"))
+      round(scoreCol, 6).as("score"))
       .withColumn("label", coalesce(col("score") >= 0.5, lit(false)))
   }
 

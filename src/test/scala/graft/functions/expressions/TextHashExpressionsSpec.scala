@@ -120,6 +120,21 @@ class TextHashExpressionsSpec extends SparkSpec {
     nativeG.head.head shouldBe 8 // n_words of the first doc
   }
 
+  test("linear_score equals the kernel UDF, nulls and blanks stay null") {
+    val rnd = new scala.util.Random(5)
+    val weights = Array.fill(64)(rnd.nextGaussian() * 0.2)
+    val df = texts.toDF("text")
+    val native = df.select(call_function("linear_score", $"text",
+        array(weights.map(w => lit(w)).toIndexedSeq: _*), lit(0.1)).as("s"))
+      .as[Option[Double]].collect().toSeq
+    val viaUdf = df.select(
+        HashKernels.linearScoreUdf(64, weights, 0.1)($"text").as("s"))
+      .as[Option[Double]].collect().toSeq
+    native shouldBe viaUdf
+    native.last shouldBe None    // null text
+    native(1) shouldBe None      // empty text
+  }
+
   test("a parquet-backed scan keeps all four in one codegen span, no UDFs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_th").toString
     (0 until 20).map(i => s"document number $i with words")
