@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, Fingerprint40, GopherStatsExpr, LangId, LinearScore, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, RepetitionStats, ShingleHashes, SimHash40, SortedJaccard, StopwordRatio, TopKByScore, WordNgrams}
+import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, Fingerprint40, GopherStatsExpr, LangId, LinearScore, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, RebuildTrimmed, RepetitionStats, ShingleHashes, SimHash40, SortedJaccard, StopwordRatio, TopKByScore, WordNgrams}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -175,6 +175,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"linear_score bias must be a double constant, got $other")
         }
         LinearScore(children.head, w, b)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rebuild_trimmed"),
+      new ExpressionInfo(classOf[RebuildTrimmed].getName, "rebuild_trimmed"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "rebuild_trimmed(tokens, covered) takes two arguments")
+        RebuildTrimmed(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("repetition_stats"),

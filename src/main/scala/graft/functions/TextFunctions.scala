@@ -589,6 +589,44 @@ object TextFunctions {
       }
   }
 
+  /** Rebuild a document from its token array with the SORTED covered
+    * positions dropped (the dup-span trim's final step): a linear merge
+    * walk — an `array_contains` per token would be O(len × |covered|),
+    * quadratic for a long fully-duplicated document. Null/empty cover →
+    * the original tokens rejoined. The native `rebuild_trimmed`
+    * expression's per-row entry point (toks non-null by contract there).
+    */
+  def rebuildTrimmedData(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      cov: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val sb = new java.lang.StringBuilder
+    val nCov = if (cov == null) 0 else cov.numElements()
+    val n = toks.numElements()
+    var i = 0
+    if (nCov == 0) {
+      // mkString(" ") semantics — a separator between EVERY pair, empty
+      // tokens included (the UDF's empty-cover branch; the walk below
+      // would swallow the separator after a leading empty token)
+      while (i < n) {
+        if (i > 0) sb.append(' ')
+        if (!toks.isNullAt(i)) sb.append(toks.getUTF8String(i).toString)
+        i += 1
+      }
+    } else {
+      var ci = 0
+      while (i < n) {
+        if (ci < nCov && cov.getInt(ci) == i) ci += 1
+        else {
+          if (sb.length > 0) sb.append(' ')
+          if (!toks.isNullAt(i)) sb.append(toks.getUTF8String(i).toString)
+        }
+        i += 1
+      }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   /** Normalized sliding-window token pairs for collocation statistics:
     * for each position i and offset 1..w, the unordered pair
     * `"min max"` of `t(i)` and `t(i+k)` — equal tokens skipped (a

@@ -258,6 +258,53 @@ case class GopherStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `rebuild_trimmed(tokens, covered)` — rejoin a token array with the
+  * sorted covered positions dropped (the dup-span trim's final step);
+  * null cover acts as empty (a left-join miss means nothing to drop),
+  * null tokens → null.
+  */
+case class RebuildTrimmed(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }) && (right.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rebuild_trimmed expects (array<string>, array<int>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "rebuild_trimmed"
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) null
+    else graft.functions.TextFunctions.rebuildTrimmedData(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      right.eval(input)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = l.code + r.code + code"""
+      boolean ${ev.isNull} = ${l.isNull};
+      $javaType ${ev.value} = ${ev.isNull}
+        ? null
+        : graft.functions.TextFunctions.rebuildTrimmedData(
+            ${l.value}, ${r.isNull} ? null : ${r.value});""")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `pos_gram_hashes(tokens, n)` — hash of the space-joined n-gram at every
   * start position (order-preserving, not distinct); null tokens → EMPTY
   * array (never null), like the kernel UDF it replaces.

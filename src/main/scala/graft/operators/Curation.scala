@@ -481,9 +481,13 @@ object Curation {
         sb.toString
       }
     })
+    val rebuilt =
+      if (graft.functions.NativeFunctions.registered("rebuild_trimmed"))
+        call_function("rebuild_trimmed", col("__t"), col("__cov"))
+      else rebuildUdf(col("__t"), col("__cov"))
     base.join(covered, Seq(idCol), "left")
       .select(col(idCol),
-        rebuildUdf(col("__t"), col("__cov")).as("text"),
+        rebuilt.as("text"),
         size(col("__t")).as("n_tokens"),
         coalesce(size(col("__cov")), lit(0)).as("n_removed"))
   }

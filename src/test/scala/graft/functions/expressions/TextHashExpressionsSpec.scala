@@ -135,6 +135,43 @@ class TextHashExpressionsSpec extends SparkSpec {
     native(1) shouldBe None      // empty text
   }
 
+  test("rebuild_trimmed equals the UDF walk on cover edge shapes") {
+    val cases = Seq(
+      (Some(Seq("a", "b", "c", "d")), Some(Seq(1, 2))),      // middle drop
+      (Some(Seq("a", "b", "c")), Some(Seq(0, 1, 2))),        // full drop
+      (Some(Seq("a", "b")), Some(Seq.empty[Int])),           // empty cover
+      (Some(Seq("", "a", "b")), None),                       // null cover + leading empty
+      (Some(Seq("", "a")), Some(Seq(1))),                    // walk after leading empty
+      (None, None))                                          // null tokens
+    val df = cases.toDF("t", "cov")
+    val native = df.select(call_function("rebuild_trimmed", $"t", $"cov").as("x"))
+      .as[Option[String]].collect().toSeq
+    val viaUdf = {
+      val u = udf((toks: Seq[String], cov: Seq[Int]) =>
+        if (toks == null) null
+        else if (cov == null || cov.isEmpty) toks.mkString(" ")
+        else {
+          val sb = new java.lang.StringBuilder
+          var ci = 0
+          var i = 0
+          while (i < toks.length) {
+            if (ci < cov.length && cov(ci) == i) ci += 1
+            else {
+              if (sb.length > 0) sb.append(' ')
+              sb.append(toks(i))
+            }
+            i += 1
+          }
+          sb.toString
+        })
+      df.select(u($"t", $"cov").as("x")).as[Option[String]].collect().toSeq
+    }
+    native shouldBe viaUdf
+    native(3) shouldBe Some(" a b") // mkString keeps the leading separator
+    native(4) shouldBe Some("")     // walk keeps the empty survivor alone
+    native.last shouldBe None
+  }
+
   test("a parquet-backed scan keeps all four in one codegen span, no UDFs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_th").toString
     (0 until 20).map(i => s"document number $i with words")
