@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, Fingerprint40, GopherStatsExpr, LangId, LinearScore, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, RebuildTrimmed, RepetitionStats, ShingleHashes, SimHash40, SortedJaccard, StopwordRatio, TopKByScore, WordNgrams}
+import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, Fingerprint40, GopherStatsExpr, LangId, LinearScore, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, RebuildTrimmed, RepetitionStats, ShingleHashes, SimHash40, SortedJaccard, StopwordRatio, TopKByScore, WindowPairs, WordNgrams}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -175,6 +175,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"linear_score bias must be a double constant, got $other")
         }
         LinearScore(children.head, w, b)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("window_pairs"),
+      new ExpressionInfo(classOf[WindowPairs].getName, "window_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "window_pairs(tokens, w) takes two arguments")
+        val w = constArg(children(1), "window_pairs w") match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"window_pairs w must be an integer constant, got $other")
+        }
+        WindowPairs(children.head, w)
       }))
     ext.injectFunction((
       FunctionIdentifier("rebuild_trimmed"),

@@ -637,6 +637,23 @@ object TextFunctions {
   def windowPairsUdf(w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((t: Seq[String]) => windowPairsKernel(t, w))
 
+  /** [[windowPairsKernel]] over ArrayData tokens (null → empty, the
+    * kernel's contract) — the native `window_pairs` entry point.
+    */
+  def windowPairsData(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                      w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr: Seq[String] =
+      if (toks == null) null
+      else scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        Array.tabulate(toks.numElements()) { i =>
+          if (toks.isNullAt(i)) null else toks.getUTF8String(i).toString
+        })
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      windowPairsKernel(arr, w)
+        .map(s => org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toIndexedSeq)
+  }
+
   private[graft] def windowPairsKernel(t: Seq[String], w: Int): Array[String] = {
     if (t == null) return Array.empty[String]
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

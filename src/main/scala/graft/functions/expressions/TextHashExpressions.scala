@@ -258,6 +258,42 @@ case class GopherStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `window_pairs(tokens, w)` — normalized sliding-window token pairs for
+  * collocation statistics (multiplicity kept, equal tokens skipped);
+  * null tokens → EMPTY array, the kernel's contract.
+  */
+case class WindowPairs(child: Expression, w: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = child.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok && w > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"window_pairs expects (array<string>, positive int w), got " +
+        s"(${child.dataType.simpleString}, w=$w)")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "window_pairs"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    graft.functions.TextFunctions.windowPairsData(
+      if (v == null) null
+      else v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code + code"""
+      $javaType ${ev.value} = graft.functions.TextFunctions.windowPairsData(
+        ${c.isNull} ? null : ${c.value}, $w);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `rebuild_trimmed(tokens, covered)` — rejoin a token array with the
   * sorted covered positions dropped (the dup-span trim's final step);
   * null cover acts as empty (a left-join miss means nothing to drop),

@@ -1343,7 +1343,10 @@ object Curation {
       .select(TextFunctions.tokens(lower(col(textCol))).as("t"))
       .localCheckpoint(false)
     val cab = toks
-      .select(explode(TextFunctions.windowPairsUdf(window)(col("t"))).as("pair"))
+      .select(explode(
+        if (graft.functions.NativeFunctions.registered("window_pairs"))
+          call_function("window_pairs", col("t"), lit(window))
+        else TextFunctions.windowPairsUdf(window)(col("t"))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
       .localCheckpoint(false)
     val ct = toks.select(explode(col("t")).as("term"))

@@ -172,6 +172,24 @@ class TextHashExpressionsSpec extends SparkSpec {
     native.last shouldBe None
   }
 
+  test("window_pairs equals the kernel UDF with multiplicity and skip rules") {
+    val toks = Seq(
+      Some(Seq("a", "b", "c", "a")),
+      Some(Seq("x", "x", "y")),  // equal-token pairs skipped
+      Some(Seq("solo")),
+      Some(Seq.empty[String]),
+      None)
+    for (w <- Seq(1, 2, 5)) {
+      val df = toks.toDF("t")
+      val native = df.select(call_function("window_pairs", $"t", lit(w)).as("p"))
+        .as[Seq[String]].collect().toSeq
+      val viaUdf = df.select(TextFunctions.windowPairsUdf(w)($"t").as("p"))
+        .as[Seq[String]].collect().toSeq
+      native shouldBe viaUdf
+      native.last shouldBe Seq.empty
+    }
+  }
+
   test("a parquet-backed scan keeps all four in one codegen span, no UDFs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_th").toString
     (0 until 20).map(i => s"document number $i with words")

@@ -138,6 +138,50 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("randomized differential: every join type matches theta across seeds") {
+    // threshold -1 marks every side "big", so tiny random frames exercise
+    // the rewrite across seeds cheaply; each dataset mixes null bounds,
+    // inverted bounds, null points, and duplicate rows
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      IntervalJoinRewrite.BucketKey -> "600") {
+      val types = Seq("inner", "left_outer", "right_outer", "full_outer",
+        "left_semi", "left_anti")
+      for (seed <- Seq(101, 202, 303)) {
+        val rnd = new scala.util.Random(seed)
+        val fs = (0 until 40).map { i =>
+          val s = if (rnd.nextInt(10) == 0) -1L
+            else 1700000000L + rnd.nextInt(36000)
+          (i.toLong % 35 /* dups */, s)
+        }.toDF("fact_id", "secs")
+          .select($"fact_id",
+            timestamp_seconds(when($"secs" < 0, lit(null)).otherwise($"secs")).as("t"))
+        val ivs = (0 until 15).map { i =>
+          val lo = 1700000000L + rnd.nextInt(36000)
+          val span = rnd.nextInt(3000)
+          rnd.nextInt(8) match {
+            case 0 => (i.toLong % 12, lo + span + 1, lo) // inverted
+            case 1 => (i.toLong % 12, lo, -1L)           // null hi
+            case 2 => (i.toLong % 12, -1L, lo)           // null lo
+            case _ => (i.toLong % 12, lo, lo + span)
+          }
+        }.toDF("iv_id", "s_secs", "e_secs")
+          .select($"iv_id",
+            timestamp_seconds(when($"s_secs" < 0, lit(null)).otherwise($"s_secs")).as("lo"),
+            timestamp_seconds(when($"e_secs" < 0, lit(null)).otherwise($"e_secs")).as("hi"))
+        val cond = $"t" >= $"lo" && $"t" <= $"hi"
+        for (jt <- types; flip <- Seq(false, true)) {
+          val (l, r) = if (flip) (ivs, fs) else (fs, ivs)
+          val got = l.join(r, cond, jt).collect().map(_.toString).sorted.toSeq
+          val expected = withConfsValue(IntervalJoinRewrite.EnabledKey -> "false") {
+            l.join(r, cond, jt).collect().map(_.toString).sorted.toSeq
+          }
+          withClue(s"seed=$seed jt=$jt flip=$flip: ") { got shouldBe expected }
+        }
+      }
+    }
+  }
+
   test("a row producing exactly cap buckets passes; cap+1 fails") {
     withConfs(
       "spark.sql.autoBroadcastJoinThreshold" -> "1024",
