@@ -12,6 +12,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   */
 object NativeFunctions {
   def registered(name: String): Boolean =
-    SparkSession.getActiveSession.exists(
-      _.sessionState.functionRegistry.functionExists(FunctionIdentifier(name)))
+    SparkSession.getActiveSession.exists(registered(_, name))
+
+  /** Prefer this overload anywhere a DataFrame is in scope: the check
+    * must consult the session the returned plan will be ANALYZED in, and
+    * in a multi-session app that is the frame's own session, not
+    * whichever one happens to be active.
+    */
+  def registered(spark: SparkSession, name: String): Boolean =
+    spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(name))
 }

@@ -333,6 +333,15 @@ object TextFunctions {
       call_function("word_ngrams", c, lit(n))
     else wordNgramsUdf(n)(c)
 
+  /** Session-aware overload — routes on the registry of the session the
+    * plan will be analyzed in (pass the target frame's session).
+    */
+  def wordNgramsCol(c: Column, n: Int,
+                    spark: org.apache.spark.sql.SparkSession): Column =
+    if (graft.functions.NativeFunctions.registered(spark, "word_ngrams"))
+      call_function("word_ngrams", c, lit(n))
+    else wordNgramsUdf(n)(c)
+
   private[graft] def wordNgramsKernel(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty[String]
     // SQL-trim semantics (spaces only — Java trim also strips \t\n, which

@@ -178,6 +178,10 @@ case class LinearScore(child: Expression, weights: Array[Double], bias: Double)
       s"linear_score expects (string, non-empty weights), got " +
         s"(${child.dataType.simpleString}, ${weights.length} weights)")
   override def dataType: DataType = DoubleType
+  // blank (non-null) text also scores null, so nullability cannot be
+  // inherited from the child — a non-nullable text column still yields
+  // null scores
+  override def nullable: Boolean = true
   override def prettyName: String = "linear_score"
   override protected def nullSafeEval(input: Any): Any =
     graft.functions.HashKernels.linearScore(

@@ -49,7 +49,7 @@ object Curation {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    def grams(c: Column) = TextFunctions.wordNgramsCol(c, n)
+    def grams(c: Column) = TextFunctions.wordNgramsCol(c, n, corpus.sparkSession)
     val bench = benchmark
       .select(explode(grams(col(textCol))).as("gram"))
       .distinct()
@@ -399,7 +399,8 @@ object Curation {
                       n: Int = 8, minDocFreq: Int = 2): DataFrame = {
     val grams = docs
       .select(col(idCol),
-        explode_outer(TextFunctions.wordNgramsCol(col(textCol), n)).as("__g"))
+        explode_outer(TextFunctions.wordNgramsCol(col(textCol), n,
+          docs.sparkSession)).as("__g"))
       // explicit null guard: xxhash64(null) is the (non-null) seed hash,
       // which would count every zero-gram document as one shared "gram"
       .withColumn("__h", when(col("__g").isNotNull, xxhash64(col("__g"))))
@@ -448,7 +449,8 @@ object Curation {
     val posGrams = base
       .select(col(idCol),
         posexplode(
-          if (graft.functions.NativeFunctions.registered("pos_gram_hashes"))
+          if (graft.functions.NativeFunctions.registered(
+              docs.sparkSession, "pos_gram_hashes"))
             call_function("pos_gram_hashes", col("__t"), lit(n))
           else graft.functions.HashKernels.posGramHashesUdf(n)(col("__t"))))
       .toDF(idCol, "__pos", "__h")
@@ -482,7 +484,8 @@ object Curation {
       }
     })
     val rebuilt =
-      if (graft.functions.NativeFunctions.registered("rebuild_trimmed"))
+      if (graft.functions.NativeFunctions.registered(
+          docs.sparkSession, "rebuild_trimmed"))
         call_function("rebuild_trimmed", col("__t"), col("__cov"))
       else rebuildUdf(col("__t"), col("__cov"))
     base.join(covered, Seq(idCol), "left")
@@ -914,7 +917,8 @@ object Curation {
                   bias: Double): DataFrame = {
     require(weights.length == dim, "weights must have length dim")
     val scoreCol =
-      if (graft.functions.NativeFunctions.registered("linear_score"))
+      if (graft.functions.NativeFunctions.registered(
+          docs.sparkSession, "linear_score"))
         call_function("linear_score", col(textCol),
           array(weights.map(w => lit(w)).toIndexedSeq: _*), lit(bias))
       else graft.functions.HashKernels.linearScoreUdf(dim, weights, bias)(col(textCol))
@@ -937,7 +941,7 @@ object Curation {
     import spark.implicits._
     require(maxGrams > 0, s"maxGrams must be positive, got $maxGrams")
     val grams = benchmark
-      .select(explode(TextFunctions.wordNgramsCol(col(textCol), n)).as("g"))
+      .select(explode(TextFunctions.wordNgramsCol(col(textCol), n, spark)).as("g"))
       .distinct().limit(maxGrams + 1).as[String].collect()
     require(grams.length <= maxGrams,
       s"benchmarkGramSet: the benchmark has more than $maxGrams distinct " +
@@ -1016,17 +1020,21 @@ object Curation {
                  denom: Int, maxBroadcastGrams: Long): DataFrame = {
     val spark = docs.sparkSession
     val bench = benchmark
-      .select(explode(TextFunctions.wordNgramsCol(col(benchTextCol), n)).as("gram"))
+      .select(explode(TextFunctions.wordNgramsCol(col(benchTextCol), n, spark)).as("gram"))
       .distinct()
     if (bench.count() <= maxBroadcastGrams) {
+      // thread the caller's own size budget through as the collect cap —
+      // the count above already proved the set fits it, so the default
+      // cap must not re-reject a benchmark the caller explicitly sized
       val bc = spark.sparkContext.broadcast(
-        benchmarkGramSet(benchmark, benchTextCol, n))
+        benchmarkGramSet(benchmark, benchTextCol, n,
+          maxGrams = math.min(maxBroadcastGrams, Int.MaxValue.toLong).toInt))
       ingestGate(docs, textCol, classCol, bc, n, stopwords,
         minQuality, maxContamination, rates, defaultRate, denom)
     } else {
       val contam = docs
         .select(col(idCol),
-          explode_outer(TextFunctions.wordNgramsCol(col(textCol), n)).as("gram"))
+          explode_outer(TextFunctions.wordNgramsCol(col(textCol), n, spark)).as("gram"))
         .join(bench.withColumn("__hit", lit(1)), Seq("gram"), "left")
         .groupBy(col(idCol))
         .agg(count(col("gram")).as("__n"), count(col("__hit")).as("__h"))
@@ -1344,7 +1352,8 @@ object Curation {
       .localCheckpoint(false)
     val cab = toks
       .select(explode(
-        if (graft.functions.NativeFunctions.registered("window_pairs"))
+        if (graft.functions.NativeFunctions.registered(
+            docs.sparkSession, "window_pairs"))
           call_function("window_pairs", col("t"), lit(window))
         else TextFunctions.windowPairsUdf(window)(col("t"))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))

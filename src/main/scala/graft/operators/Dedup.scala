@@ -123,9 +123,13 @@ object Dedup {
     val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
       .withName("bloom_might_contain")
-    // null text → null key → null UDF result: route to the definite-new
-    // branch (a null key can never equi-match the seen side, so the old
-    // plain-anti spelling kept such rows too)
+    // null-text rows: xxhash64(null) is the NON-null seed hash (see the
+    // dupGramFraction guard), so the probe is never null and such rows
+    // route deterministically by whether the seed hash is in the filter.
+    // EITHER branch is correct for them — definite-new keeps them via
+    // exactDedup, and the anti join can never drop them because their
+    // null __len never equi-matches the seen side (the same parity the
+    // plain-anti spelling had). The coalesce is defense in depth only.
     def probe = coalesce(mightContain(xxhash64(col(textCol))), lit(false))
     val definiteNew = exactDedup(newDocs.filter(!probe), textCol, idCol)
     val candidates = keyed(exactDedup(newDocs.filter(probe), textCol, idCol))
@@ -216,8 +220,8 @@ object Dedup {
     //    stays in one codegen stage, and the MinHash signature is fused
     //    inside the band-key kernel instead of riding the checkpoint as
     //    an intermediate column), else the JVM-kernel UDF chain
-    val native = df.sparkSession.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"))
+    val native =
+      graft.functions.NativeFunctions.registered(df.sparkSession, "shingle_hashes")
     val shCol =
       if (native) call_function("shingle_hashes", col("text"), lit(k))
       else HashKernels.shingleHashSetUdf(k)(col("text"))

@@ -22,8 +22,8 @@ import org.apache.spark.sql.types._
   * bucket, and the join becomes a shuffle-capable EQUI-join on the bucket
   * key with the original predicate re-applied exactly as a post-filter.
   *
-  * Covered join types — Inner, LeftOuter, RightOuter, LeftSemi, LeftAnti
-  * (the reference's overlap shapes also appear as outer/anti
+  * Covered join types — Inner, LeftOuter, RightOuter, FullOuter,
+  * LeftSemi, LeftAnti (the reference's overlap shapes also appear as outer/anti
   * compositions: open-ended annotation windows ref qaqc/dashboard.py:324-338,
   * reconciliation anti-joins ref qaqc/plots.py:500). RightOuter is
   * commuted to LeftOuter first. The rewrite shape depends on which side
@@ -246,6 +246,21 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def freshRowId(name: String): Alias =
     Alias(MonotonicallyIncreasingID(), name)()
 
+  /** The interval-preserved rewrites re-collapse explode duplicates with
+    * an Aggregate grouped on the preserved columns; a map-typed column
+    * anywhere in that grouping is not groupable (hashing over MapType is
+    * unsupported at physical planning), so such joins stay unrewritten —
+    * Spark's own BNLJ plan executes them, just without the bucketing.
+    */
+  private def hasMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+    case a: ArrayType => hasMap(a.elementType)
+    case _ => false
+  }
+  private def groupable(attrs: Seq[Attribute]): Boolean =
+    attrs.forall(a => !hasMap(a.dataType))
+
   private def build(
       j: Join,
       factOnLeft: Boolean,
@@ -278,7 +293,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Join(newLeft, newRight, j.joinType, Some(newCond), JoinHint.NONE)))
 
       // ---- interval side preserved: rowid before the explode, collapse after
-      case LeftSemi =>
+      case LeftSemi if groupable(intervalSide.output) =>
         // bucketed inner + distinct-on-rowid: an interval spanning many
         // buckets matches once per (bucket, point) pair; grouping on the
         // one-shot rowid (plus the functionally-dependent output columns,
@@ -293,7 +308,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           rowId.toAttribute +: intervalSide.output, intervalSide.output, inner)
         Some(Project(j.output, dedup))
 
-      case LeftAnti =>
+      case LeftAnti if groupable(intervalSide.output) =>
         // outer-explode (null/inverted-bound rows survive as one
         // null-bucket row, as the theta anti keeps them) + left-outer
         // bucketed join + keep rowids where max(matched) = 0
@@ -315,7 +330,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val kept = Filter(EqualTo(anyMatch.toAttribute, Literal(0L)), agg)
         Some(Project(j.output, kept))
 
-      case LeftOuter =>
+      case LeftOuter if groupable(j.output) =>
         // same left-outer bucketed join; a per-rowid window any-match flag
         // keeps matched rows and exactly one null-extended row for
         // matchless rowids. The fact side gets its own rowid so identical
@@ -353,7 +368,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           j.output, kept)
         Some(dedup)
 
-      case FullOuter =>
+      case FullOuter if groupable(j.output) =>
         // both sides preserved: explode the interval side on a one-shot
         // rowid, full-outer bucketed join, then collapse interval-side
         // explode duplicates exactly as the LeftOuter case — with one

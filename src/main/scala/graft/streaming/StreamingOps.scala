@@ -149,9 +149,8 @@ object StreamingOps {
     // native codegen expressions when GraftExtensions is installed (one
     // codegen stage per gate scan, nulls propagate natively), else the
     // JVM-kernel UDF chain with explicit null guards
-    val native = stream.sparkSession.sessionState.functionRegistry
-      .functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"))
+    val native = graft.functions.NativeFunctions.registered(
+      stream.sparkSession, "shingle_hashes")
     def withSigCols(df: DataFrame): DataFrame =
       if (native) df
         .withColumn("__sh", call_function("shingle_hashes", col(textCol), lit(k)))

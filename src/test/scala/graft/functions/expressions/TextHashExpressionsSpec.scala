@@ -190,6 +190,23 @@ class TextHashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("linear_score over a NON-nullable text column still nulls blanks (label false)") {
+    // lit() is non-nullable: if the expression inherited child nullability
+    // the optimizer would fold the label's coalesce away and a blank doc
+    // would get a null label instead of false
+    val df = spark.range(2).toDF("doc_id")
+      .withColumn("text",
+        when($"doc_id" === 0, lit("   ")).otherwise(lit("some quality text")))
+      .select($"doc_id", coalesce($"text", lit("x")).as("text")) // non-nullable
+    df.schema("text").nullable shouldBe false
+    val out = graft.operators.Curation.linearScore(
+        df, "doc_id", "text", dim = 8, weights = Array.fill(8)(0.3), bias = 0.0)
+      .orderBy("doc_id")
+      .select($"score", $"label").as[(Option[Double], Boolean)].collect().toSeq
+    out.head shouldBe ((None, false)) // blank: null score, label FALSE not null
+    out(1)._1.isDefined shouldBe true
+  }
+
   test("a parquet-backed scan keeps all four in one codegen span, no UDFs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_th").toString
     (0 until 20).map(i => s"document number $i with words")

@@ -182,6 +182,28 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a map column on the preserved interval side disables the dedup rewrites safely") {
+    // the interval-preserved semi/anti/outer rewrites re-collapse on an
+    // Aggregate grouped over the preserved columns; MapType is not
+    // groupable, so such joins must stay unrewritten (and still answer)
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      IntervalJoinRewrite.BucketKey -> "3600") {
+      val ivsWithMap = intervals.withColumn("m", map(lit("k"), $"iv_id"))
+      for (jt <- Seq("left_semi", "left_anti", "left_outer", "full_outer")) {
+        val joined = ivsWithMap.join(facts, $"t" >= $"lo" && $"t" <= $"hi", jt)
+        assert(!planOf(joined).contains("Generate explode"),
+          s"$jt with a map column must not be rewritten")
+        val expected = withConfsValue(IntervalJoinRewrite.EnabledKey -> "false") {
+          ivsWithMap.join(facts, $"t" >= $"lo" && $"t" <= $"hi", jt).count()
+        }
+        joined.count() shouldBe expected
+      }
+      // the fact-preserved direct rewrites have no aggregate: still on
+      val direct = facts.join(ivsWithMap, $"t" >= $"lo" && $"t" <= $"hi", "left_semi")
+      assert(planOf(direct).contains("Generate explode"))
+    }
+  }
+
   test("a row producing exactly cap buckets passes; cap+1 fails") {
     withConfs(
       "spark.sql.autoBroadcastJoinThreshold" -> "1024",
