@@ -75,6 +75,41 @@ class ApproxTopItemsSpec extends SparkSpec {
     }
   }
 
+  test("incremental-min merge+trim matches the reference combine rule exactly") {
+    // the Agarwal combine: floors added to absent-side items, union
+    // trimmed to capacity keeping largest counts (ties: item asc)
+    def refMerge(a: Seq[(String, Long, Long)], b: Seq[(String, Long, Long)],
+                 cap: Int): Seq[(String, Long, Long)] = {
+      def floor(x: Seq[(String, Long, Long)]): Long =
+        if (x.size >= cap) x.map(_._2).min else 0L
+      val (aF, bF) = (floor(a), floor(b))
+      val bMap = b.map(e => e._1 -> e).toMap
+      val aKeys = a.map(_._1).toSet
+      val combined = a.map { case (s, c, e) =>
+        bMap.get(s) match {
+          case Some((_, c2, e2)) => (s, c + c2, e + e2)
+          case None => (s, c + bF, e + bF)
+        }
+      } ++ b.collect { case (s, c, e) if !aKeys(s) => (s, c + aF, e + aF) }
+      combined.sortBy { case (s, c, _) => (-c, s) }.take(cap)
+    }
+    val rnd = new scala.util.Random(47)
+    for (cap <- Seq(4, 16); trial <- 0 until 5) {
+      def fill(n: Int): SpaceSavingBuffer = {
+        val buf = new SpaceSavingBuffer(cap)
+        (0 until n).foreach(_ => buf.add(s"t${rnd.nextInt(cap * 3)}"))
+        buf
+      }
+      val a = fill(400 + rnd.nextInt(400))
+      val b = fill(400 + rnd.nextInt(400))
+      val expected = refMerge(a.entries, b.entries, cap).sortBy(_._1)
+      a.merge(b)
+      withClue(s"cap=$cap trial=$trial: ") {
+        a.entries.sortBy(_._1) shouldBe expected
+      }
+    }
+  }
+
   test("small capacity: bounds hold and heavy items survive the merges") {
     val n = 20000
     val cap = 64
