@@ -59,7 +59,11 @@ import org.apache.spark.sql.types._
   *    point expression `t` (from one side) to two bound expressions from
   *    the other side — `>=`/`>` and `<=`/`<` in either operand order;
   *  - NO cross-side equality conjunct (with an equi-key Spark already
-  *    plans a shuffle join and the extra bucket would only skew it);
+  *    plans a shuffle join on it, the right default) — UNLESS
+  *    `spark.graft.intervalJoin.rewriteEquiKeyed=true`, the opt-in for
+  *    low-cardinality keys (per-site series), where the keyed shuffle
+  *    join degenerates to a per-key cross product and appending the
+  *    time bucket to the key restores bounded work per task;
   *  - both sides' size estimates exceed the broadcast threshold (below
   *    it, the nested-loop join over a broadcast build side is the better
   *    plan and `TemporalJoins.intervalJoin` uses it deliberately);
@@ -89,6 +93,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val EnabledKey = "spark.graft.intervalJoin.rewrite.enabled"
   val BucketKey = "spark.graft.intervalJoin.bucketSeconds"
   val MaxBucketsKey = "spark.graft.intervalJoin.maxBucketsPerRow"
+  val EquiKeyedKey = "spark.graft.intervalJoin.rewriteEquiKeyed"
 
   private def enabled: Boolean =
     conf.getConfString(EnabledKey, "true").toBoolean
@@ -174,7 +179,24 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case EqualNullSafe(a, b) => crossSide(a, b)
       case _ => false
     }
-    if (hasEquiKey) return None
+    // With an equi-key Spark already plans a shuffle join on it — usually
+    // right, so equi-keyed range joins are left alone BY DEFAULT. But when
+    // the shared key is LOW-cardinality (the reference's per-(site,
+    // deployment) series shape), each key's partition degenerates to a
+    // per-key cross product under that plan; opting in appends the time
+    // bucket to the join key (the planner extracts bucketEq alongside the
+    // original equalities automatically), refining (site) → (site, bucket)
+    // at the cost of the interval-side explode. Cardinality is not
+    // reliably knowable at optimization time, hence a knob, not a guess.
+    // Under the knob the bucket equality itself no longer fails
+    // eligibility, so self-stabilization rests on the reserved column
+    // names instead: a join whose side already exposes the rewrite's own
+    // bucket columns IS the rewrite's output.
+    def ownOutput(p: LogicalPlan): Boolean = p.output.exists(a =>
+      a.name == "__graft_bucket" || a.name == "__graft_bucket_i")
+    if (hasEquiKey &&
+      !conf.getConfString(EquiKeyedKey, "false").toBoolean) return None
+    if (ownOutput(j.left) || ownOutput(j.right)) return None
 
     val threshold = conf.autoBroadcastJoinThreshold
     def big(p: LogicalPlan): Boolean =

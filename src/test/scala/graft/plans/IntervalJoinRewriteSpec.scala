@@ -244,6 +244,34 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("opting in rewrites equi-keyed range joins, bucket appended to the key") {
+    // the low-cardinality-key escape hatch: 7 keys over 4000x300 rows
+    // would otherwise cross-product per key inside the keyed shuffle join
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      IntervalJoinRewrite.BucketKey -> "3600",
+      IntervalJoinRewrite.EquiKeyedKey -> "true") {
+      val f = facts.withColumn("k", $"fact_id" % 7)
+      val iv = intervals.withColumn("k", $"iv_id" % 7)
+      val cond = f("k") === iv("k") && $"t" >= $"lo" && $"t" <= $"hi"
+      for (jt <- Seq("inner", "left_outer", "left_anti")) {
+        val joined = f.join(iv, cond, jt)
+        val plan = planOf(joined)
+        assert(plan.contains("Generate explode"), s"$jt: no explode in:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"))
+        // the original key AND the bucket both ride the join keys
+        assert(plan.contains("k#") && plan.contains("__graft_bucket"),
+          s"$jt: bucket not in the join keys:\n$plan")
+        val expected = withConfsValue(IntervalJoinRewrite.EnabledKey -> "false") {
+          f.join(iv, cond, jt).collect().map(_.toString).sorted.toSeq
+        }
+        withClue(s"$jt: ") {
+          joined.collect().map(_.toString).sorted.toSeq shouldBe expected
+        }
+      }
+    }
+  }
+
   test("the rewrite can be disabled by conf") {
     withConfs(
       "spark.sql.autoBroadcastJoinThreshold" -> "1024",
