@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis functions for the training-data pipeline surface: token
@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   * the scan.
   */
 object TextFunctions {
+
+  /** Native-vs-UDF routing: on the given session's registry when the
+    * caller has the target frame in scope (multi-session safe), else on
+    * the active session's.
+    */
+  private def routeNative(spark: SparkSession, name: String): Boolean =
+    if (spark != null) NativeFunctions.registered(spark, name)
+    else NativeFunctions.registered(name)
 
   // Shadows functions.round: every oracle-compared column rounds with
   // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary
@@ -78,8 +86,9 @@ object TextFunctions {
     * PLANS.md). [[stopwordRatioHof]] keeps the SQL formulation for the
     * bit-equivalence spec.
     */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
-    if (NativeFunctions.registered("stopword_ratio"))
+  def stopwordRatio(text: Column, stopwords: Seq[String],
+                    spark: SparkSession = null): Column =
+    if (routeNative(spark, "stopword_ratio"))
       call_function("stopword_ratio", text, stopwordsArray(stopwords))
     else {
       val sw = stopwords.toSet
@@ -146,8 +155,9 @@ object TextFunctions {
     * 6-dp round is the oracle-exact [[Rounding.droundDouble]] (matching
     * the shadowed Column `round` in the Hof).
     */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column =
-    if (NativeFunctions.registered("quality_score"))
+  def qualityScore(text: Column, stopwords: Seq[String],
+                   spark: SparkSession = null): Column =
+    if (routeNative(spark, "quality_score"))
       call_function("quality_score", text, stopwordsArray(stopwords))
     else {
       val sw = stopwords.toSet
@@ -237,10 +247,11 @@ object TextFunctions {
     * membership per token (q25 at sf0.1: 1.38 s → see PLANS.md).
     */
   def langIdHeuristic(text: Column,
-                      langs: Map[String, Seq[String]] = LangStopwords): Column =
+                      langs: Map[String, Seq[String]] = LangStopwords,
+                      spark: SparkSession = null): Column =
     // the native expression carries the DEFAULT profile set; custom maps
     // (a per-deployment extension point) stay on the kernel UDF
-    if ((langs eq LangStopwords) && NativeFunctions.registered("lang_id"))
+    if ((langs eq LangStopwords) && routeNative(spark, "lang_id"))
       call_function("lang_id", text)
     else {
       val ordered = langs.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toSet) }
@@ -325,20 +336,12 @@ object TextFunctions {
         .toIndexedSeq)
 
   /** Route an n-gram column through the native `word_ngrams` expression
-    * when [[graft.GraftExtensions]] is installed in the active session,
-    * else the kernel UDF — same contract either way.
+    * when [[graft.GraftExtensions]] is installed (pass the target frame's
+    * session where one is in scope), else the kernel UDF — same contract
+    * either way.
     */
-  def wordNgramsCol(c: Column, n: Int): Column =
-    if (graft.functions.NativeFunctions.registered("word_ngrams"))
-      call_function("word_ngrams", c, lit(n))
-    else wordNgramsUdf(n)(c)
-
-  /** Session-aware overload — routes on the registry of the session the
-    * plan will be analyzed in (pass the target frame's session).
-    */
-  def wordNgramsCol(c: Column, n: Int,
-                    spark: org.apache.spark.sql.SparkSession): Column =
-    if (graft.functions.NativeFunctions.registered(spark, "word_ngrams"))
+  def wordNgramsCol(c: Column, n: Int, spark: SparkSession = null): Column =
+    if (routeNative(spark, "word_ngrams"))
       call_function("word_ngrams", c, lit(n))
     else wordNgramsUdf(n)(c)
 
@@ -425,8 +428,8 @@ object TextFunctions {
     * [[graft.GraftExtensions]] is installed, else the kernel UDF. Struct
     * fields are `_1/_2/_3` either way (the UDF's tuple encoding).
     */
-  def repetitionStats(text: Column): Column =
-    if (NativeFunctions.registered("repetition_stats"))
+  def repetitionStats(text: Column, spark: SparkSession = null): Column =
+    if (routeNative(spark, "repetition_stats"))
       call_function("repetition_stats", text)
     else repetitionStatsUdf(text)
 
@@ -514,9 +517,9 @@ object TextFunctions {
     * overlapping left-to-right `#|\.\.\.` matches, per-line bullet/
     * ellipsis tests (≡ the RE2/Java `(?m)` anchors), oracle-exact rounding.
     */
-  def gopherStats(text: Column): Seq[Column] = {
+  def gopherStats(text: Column, spark: SparkSession = null): Seq[Column] = {
     val s =
-      if (NativeFunctions.registered("gopher_stats"))
+      if (routeNative(spark, "gopher_stats"))
         call_function("gopher_stats", text)
       else gopherStatsUdf(text)
     Seq("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
@@ -718,8 +721,8 @@ object TextFunctions {
     * CodegenFallback and walks an interpreted expression tree per
     * CHARACTER — measured 10.9 s for q55 vs <1 s as a kernel.
     */
-  def fingerprint(text: Column): Column =
-    if (NativeFunctions.registered("fingerprint40"))
+  def fingerprint(text: Column, spark: SparkSession = null): Column =
+    if (routeNative(spark, "fingerprint40"))
       call_function("fingerprint40", text)
     else graft.functions.HashKernels.fingerprint40Udf(text)
 }

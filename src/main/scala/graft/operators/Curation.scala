@@ -49,13 +49,17 @@ object Curation {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    def grams(c: Column) = TextFunctions.wordNgramsCol(c, n, corpus.sparkSession)
+    // each side's gram column routes on ITS OWN frame's session: the
+    // benchmark plan is analyzed in the benchmark's session, which in a
+    // multi-session app need not share the corpus session's registry
     val bench = benchmark
-      .select(explode(grams(col(textCol))).as("gram"))
+      .select(explode(TextFunctions.wordNgramsCol(
+        col(textCol), n, benchmark.sparkSession)).as("gram"))
       .distinct()
       .withColumn("__hit", lit(1))
     corpus
-      .select(col(idCol), explode_outer(grams(col(textCol))).as("gram"))
+      .select(col(idCol), explode_outer(TextFunctions.wordNgramsCol(
+        col(textCol), n, corpus.sparkSession)).as("gram"))
       .join(broadcast(bench), Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(count(col("gram")).as("n_grams"), count(col("__hit")).as("n_hit"))
@@ -156,7 +160,8 @@ object Curation {
                        denom: Int = 10000): DataFrame =
     docs
       .withColumn("sample_bucket",
-        pmod(TextFunctions.fingerprint(col(textCol)), lit(denom.toLong)))
+        pmod(TextFunctions.fingerprint(col(textCol), docs.sparkSession),
+          lit(denom.toLong)))
       .filter(col("sample_bucket") < rateThreshold(classCol, rates, defaultRate, denom))
 
   private def rateThreshold(classCol: String, rates: Map[String, Double],
@@ -287,7 +292,7 @@ object Curation {
   def sampleExactN(docs: DataFrame, classCol: String, idCol: String,
                    textCol: String, n: Int): DataFrame = {
     val spark = docs.sparkSession
-    val fp = TextFunctions.fingerprint(col(textCol))
+    val fp = TextFunctions.fingerprint(col(textCol), spark)
     val native = spark.sessionState.functionRegistry.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by_score"))
     if (native)
@@ -326,7 +331,7 @@ object Curation {
                  maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
                  maxEllipsisFrac: Double = 0.3,
                  minAlphaFrac: Double = 0.8): DataFrame = {
-    val stats = TextFunctions.gopherStats(col(textCol))
+    val stats = TextFunctions.gopherStats(col(textCol), docs.sparkSession)
     docs.select(docs.columns.toIndexedSeq.map(col) ++ stats: _*)
       .withColumn("admitted", coalesce(
         col("n_words") >= minWords && col("n_words") <= maxWords &&
@@ -940,9 +945,11 @@ object Curation {
     val spark = benchmark.sparkSession
     import spark.implicits._
     require(maxGrams > 0, s"maxGrams must be positive, got $maxGrams")
+    // maxGrams + 1 must not overflow limit(): Int.MaxValue caps the probe
+    val lim = if (maxGrams == Int.MaxValue) Int.MaxValue else maxGrams + 1
     val grams = benchmark
       .select(explode(TextFunctions.wordNgramsCol(col(textCol), n, spark)).as("g"))
-      .distinct().limit(maxGrams + 1).as[String].collect()
+      .distinct().limit(lim).as[String].collect()
     require(grams.length <= maxGrams,
       s"benchmarkGramSet: the benchmark has more than $maxGrams distinct " +
         s"$n-grams — not broadcast-size. Use the keyed-join formulation " +
@@ -982,11 +989,13 @@ object Curation {
       // mid-scale score — an unscorable doc gets null diagnostics
       .withColumn("quality",
         when(col(textCol).isNotNull,
-          TextFunctions.qualityScore(col(textCol), stopwords)))
+          TextFunctions.qualityScore(col(textCol), stopwords,
+            docs.sparkSession)))
       .withColumn("contamination",
         when(col(textCol).isNotNull, round(contamUdf(col(textCol)), 6)))
       .withColumn("sample_bucket",
-        pmod(TextFunctions.fingerprint(col(textCol)), lit(denom.toLong)))
+        pmod(TextFunctions.fingerprint(col(textCol), docs.sparkSession),
+          lit(denom.toLong)))
       // and a null verdict is not a verdict: unscorable → NOT admitted
       .withColumn("admitted",
         coalesce(
@@ -1019,22 +1028,30 @@ object Curation {
                  rates: Map[String, Double], defaultRate: Double,
                  denom: Int, maxBroadcastGrams: Long): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
+    // lazy checkpoint: the routing count materializes the explode +
+    // distinct ONCE; both the broadcast collect and the join route then
+    // reuse the pinned gram frame instead of recomputing it
     val bench = benchmark
-      .select(explode(TextFunctions.wordNgramsCol(col(benchTextCol), n, spark)).as("gram"))
+      .select(explode(TextFunctions.wordNgramsCol(
+        col(benchTextCol), n, benchmark.sparkSession)).as("gram"))
       .distinct()
+      .localCheckpoint(false)
     if (bench.count() <= maxBroadcastGrams) {
-      // thread the caller's own size budget through as the collect cap —
-      // the count above already proved the set fits it, so the default
-      // cap must not re-reject a benchmark the caller explicitly sized
+      // the count above already proved the set fits the caller's budget,
+      // so collect the pinned frame directly (no re-derivation, and no
+      // secondary cap that could re-reject an explicitly sized benchmark;
+      // clamped so huge Long budgets don't overflow the limit)
+      val lim = math.min(maxBroadcastGrams, (Int.MaxValue - 1).toLong).toInt
       val bc = spark.sparkContext.broadcast(
-        benchmarkGramSet(benchmark, benchTextCol, n,
-          maxGrams = math.min(maxBroadcastGrams, Int.MaxValue.toLong).toInt))
+        bench.limit(math.max(lim, 0) + 1).as[String].collect().toSet)
       ingestGate(docs, textCol, classCol, bc, n, stopwords,
         minQuality, maxContamination, rates, defaultRate, denom)
     } else {
       val contam = docs
         .select(col(idCol),
-          explode_outer(TextFunctions.wordNgramsCol(col(textCol), n, spark)).as("gram"))
+          explode_outer(TextFunctions.wordNgramsCol(
+            col(textCol), n, docs.sparkSession)).as("gram"))
         .join(bench.withColumn("__hit", lit(1)), Seq("gram"), "left")
         .groupBy(col(idCol))
         .agg(count(col("gram")).as("__n"), count(col("__hit")).as("__h"))
@@ -1044,14 +1061,16 @@ object Curation {
       docs.join(contam, Seq(idCol), "left")
         .withColumn("quality",
           when(col(textCol).isNotNull,
-            TextFunctions.qualityScore(col(textCol), stopwords)))
+            TextFunctions.qualityScore(col(textCol), stopwords,
+              docs.sparkSession)))
         // null text must stay a null contamination (unscorable), exactly
         // like the kernel path — the join route's explode_outer would
         // otherwise report 0.0
         .withColumn("contamination",
           when(col(textCol).isNotNull, col("__contam")))
         .withColumn("sample_bucket",
-          pmod(TextFunctions.fingerprint(col(textCol)), lit(denom.toLong)))
+          pmod(TextFunctions.fingerprint(col(textCol), docs.sparkSession),
+            lit(denom.toLong)))
         .withColumn("admitted",
           coalesce(
             col("quality") >= minQuality &&
@@ -1431,10 +1450,10 @@ object Curation {
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
     val o = oldDocs.select(col(idCol).cast("long").as("doc_id"),
-      TextFunctions.fingerprint(col(textCol)).as("old_fp"),
+      TextFunctions.fingerprint(col(textCol), oldDocs.sparkSession).as("old_fp"),
       lit(true).as("__in_old"))
     val n = newDocs.select(col(idCol).cast("long").as("doc_id"),
-      TextFunctions.fingerprint(col(textCol)).as("new_fp"),
+      TextFunctions.fingerprint(col(textCol), newDocs.sparkSession).as("new_fp"),
       lit(true).as("__in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("old_fp"), col("new_fp"),

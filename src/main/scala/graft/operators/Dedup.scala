@@ -458,8 +458,11 @@ object Dedup {
     * kernel rather than HOFs: the per-bit aggregate tree would run
     * interpreted (CodegenFallback) over tokens × 40 bits.
     */
-  def simHash(text: Column): Column =
-    if (graft.functions.NativeFunctions.registered("simhash40"))
+  def simHash(text: Column,
+              spark: org.apache.spark.sql.SparkSession = null): Column =
+    if (if (spark != null)
+          graft.functions.NativeFunctions.registered(spark, "simhash40")
+        else graft.functions.NativeFunctions.registered("simhash40"))
       call_function("simhash40", text)
     else graft.functions.HashKernels.simHash40Udf(text)
 
@@ -525,7 +528,8 @@ object Dedup {
     val mask = (1L << width) - 1
     def slice(sig: Column, b: Column): Column =
       call_function("shiftright", sig, b * width).bitwiseAND(lit(mask))
-    val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val sigs = docs.select(col(idCol).as("id"),
+      simHash(col(textCol), docs.sparkSession).as("sig"))
     val banded = sigs
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("slice", slice(col("sig"), col("band")))

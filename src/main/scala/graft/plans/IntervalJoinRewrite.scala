@@ -73,7 +73,11 @@ import org.apache.spark.sql.types._
   * condition, so correctness never depends on the bucketing (buckets
   * merely cover the range; the exact predicate prunes). The rewrite
   * is self-stabilizing in the fixed-point optimizer batch: its own output
-  * joins contain a cross-side equality, which fails eligibility.
+  * joins contain a cross-side equality, which fails eligibility — and
+  * under `rewriteEquiKeyed` (where equalities no longer disqualify)
+  * stabilization rests on the reserved bucket column names instead: a
+  * join whose side already exposes them is the rewrite's (or the
+  * explicit bucketized operator's) own output.
   *
   * Bucket width is `spark.graft.intervalJoin.bucketSeconds` (default one
   * day): the explode factor per interval row is `⌈span/width⌉ + 1`, so
@@ -193,7 +197,12 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // names instead: a join whose side already exposes the rewrite's own
     // bucket columns IS the rewrite's output.
     def ownOutput(p: LogicalPlan): Boolean = p.output.exists(a =>
-      a.name == "__graft_bucket" || a.name == "__graft_bucket_i")
+      a.name == "__graft_bucket" || a.name == "__graft_bucket_i" ||
+        // TemporalJoins.bucketizedIntervalJoin's explicit spelling: its
+        // post-join filter can be pushed into the join in the same batch,
+        // and re-bucketing an already-bucketed join would square the
+        // interval-side explode
+        a.name == "__bucket")
     if (hasEquiKey &&
       !conf.getConfString(EquiKeyedKey, "false").toBoolean) return None
     if (ownOutput(j.left) || ownOutput(j.right)) return None

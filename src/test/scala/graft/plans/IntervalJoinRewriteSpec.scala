@@ -272,6 +272,24 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("opting in does not re-bucket bucketizedIntervalJoin's own output") {
+    // the explicit operator's post-join range filter can be pushed into
+    // its bucket equi-join in the same optimizer batch; under the
+    // equi-keyed knob that shape would be eligible again — the reserved
+    // __bucket column name must stop a second (squared-explode) layer
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      IntervalJoinRewrite.BucketKey -> "3600",
+      IntervalJoinRewrite.EquiKeyedKey -> "true") {
+      val manual = graft.operators.TemporalJoins.bucketizedIntervalJoin(
+        facts, "t", intervals, "lo", "hi", bucketSeconds = 3600L)
+      val plan = planOf(manual)
+      withClue(s"expected exactly one explode in:\n$plan") {
+        "Generate explode".r.findAllIn(plan).size shouldBe 1
+      }
+    }
+  }
+
   test("the rewrite can be disabled by conf") {
     withConfs(
       "spark.sql.autoBroadcastJoinThreshold" -> "1024",
