@@ -58,10 +58,18 @@ object TemporalJoins {
     * predicate. Turns a nested-loop join into a shuffle join; bucket width
     * should be ≳ the median interval length so the explode factor stays
     * small. Time columns must be TimestampType.
+    *
+    * `extraKeys` prepends shared equi-keys to the bucket join — the
+    * per-(site, deployment) series shape: a keyed shuffle join alone
+    * degenerates to a per-key cross product when the key is
+    * low-cardinality, while `(keys…, bucket)` keeps work per task
+    * bounded by bucket occupancy (the explicit spelling of the
+    * [[graft.plans.IntervalJoinRewrite]] `rewriteEquiKeyed` knob).
     */
   def bucketizedIntervalJoin(facts: DataFrame, tCol: String,
                              intervals: DataFrame, startCol: String, endCol: String,
-                             bucketSeconds: Long): DataFrame = {
+                             bucketSeconds: Long,
+                             extraKeys: Seq[String] = Nil): DataFrame = {
     val b = lit(bucketSeconds)
     val expanded = intervals.withColumn(
       "__bucket",
@@ -71,7 +79,7 @@ object TemporalJoins {
     val withBucket = facts.withColumn(
       "__bucket", (unix_timestamp(col(tCol)) / b).cast("long"))
     withBucket
-      .join(expanded, Seq("__bucket"))
+      .join(expanded, extraKeys :+ "__bucket")
       .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
       .drop("__bucket")
   }

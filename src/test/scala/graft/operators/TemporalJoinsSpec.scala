@@ -36,6 +36,31 @@ class TemporalJoinsSpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("bucketizedIntervalJoin with extraKeys matches the keyed theta join") {
+    val facts = (0 until 500).map(i =>
+        (ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"), i, s"site${i % 3}"))
+      .toDF("t", "id", "site")
+    val ivs = Seq(
+      (ts("2024-01-01 03:00:00"), ts("2024-01-01 06:30:00"), "a", "site0"),
+      (ts("2024-01-01 03:00:00"), ts("2024-01-01 06:30:00"), "b", "site1"),
+      (ts("2024-01-01 20:15:00"), ts("2024-01-01 23:00:00"), "c", "site2"))
+      .toDF("s", "e", "w", "site")
+    val expected = facts.join(ivs,
+        facts("site") === ivs("site") &&
+          facts("t") >= ivs("s") && facts("t") <= ivs("e"))
+      .select("id", "w").as[(Int, String)].collect().sorted
+    val got = TemporalJoins.bucketizedIntervalJoin(
+        facts, "t", ivs, "s", "e", 3600, extraKeys = Seq("site"))
+      .select("id", "w").as[(Int, String)].collect().sorted
+    got shouldBe expected
+    expected should not be empty
+    // the key AND the bucket both ride the equi-join
+    val plan = TemporalJoins.bucketizedIntervalJoin(
+      facts, "t", ivs, "s", "e", 3600, extraKeys = Seq("site"))
+      .queryExecution.optimizedPlan.toString
+    plan should include("site")
+  }
+
   test("overlapJoin: open-ended annotations overlap and clip to window") {
     val win = Seq((ts("2024-01-10 00:00:00"), ts("2024-01-20 00:00:00"), 1))
       .toDF("ws", "we", "wid")
