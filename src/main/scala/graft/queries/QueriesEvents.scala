@@ -273,7 +273,34 @@ object QueriesEvents {
     "q119_quantile_buckets" -> ((s, d) =>
       graft.operators.TrainingData.quantileBuckets(
         Tables.events(s, d), valueCol = "value", nBuckets = 10,
-        idCols = Seq("event_id", "event_type")))
+        idCols = Seq("event_id", "event_type"))),
+
+    // J1 at the keyed large×large shape: per-site validity windows joined
+    // through the composite-key bucketized spelling — (site, day-bucket)
+    // equi-join instead of a per-site cross product (the
+    // TemporalJoins.bucketizedIntervalJoin extraKeys path; the automatic
+    // rewrite's rewriteEquiKeyed knob is the same plan without the
+    // explicit spelling)
+    "q147_keyed_interval_join" -> ((s, d) => {
+      val facts = Tables.events(s, d).select(
+        col("event_id"),
+        concat(lit("S"), col("user_id") % 5).as("site"),
+        col("ts"), col("value"))
+      val wins = Tables.nation(s, d)
+        .select(
+          col("n_nationkey").cast("long").as("w_id"),
+          concat(lit("S"), col("n_nationkey") % 5).as("site"),
+          (lit("2024-01-01 00:00:00").cast("timestamp") +
+            make_dt_interval(col("n_nationkey"))).as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 2 DAYS"))
+      TemporalJoins.bucketizedIntervalJoin(
+          facts, "ts", wins, "w_start", "w_end", bucketSeconds = 86400L,
+          extraKeys = Seq("site"))
+        .groupBy(col("w_id"))
+        .agg(count(lit(1)).as("cnt"),
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"))
+    })
   )
 
   private val evCte =
@@ -489,6 +516,24 @@ object QueriesEvents {
              CASE WHEN value IS NULL THEN NULL
                   ELSE CAST(len(list_filter(ths, t -> value > t)) AS BIGINT)
              END AS bucket
-      FROM e, th"""
+      FROM e, th""",
+
+    "q147_keyed_interval_join" -> s"""$evCte,
+      f AS (SELECT event_id, 'S' || CAST(user_id % 5 AS VARCHAR) AS site,
+                   ts, value FROM e),
+      w AS (SELECT CAST(n_nationkey AS BIGINT) AS w_id,
+                   'S' || CAST(n_nationkey % 5 AS VARCHAR) AS site,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + n_nationkey * INTERVAL '1 day' AS w_start,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + n_nationkey * INTERVAL '1 day'
+                     + INTERVAL '2 days' AS w_end
+            FROM nation)
+      SELECT w_id, count(*) AS cnt,
+             round(min(value), 6) AS min_v,
+             round(max(value), 6) AS max_v
+      FROM f JOIN w ON f.site = w.site
+                   AND f.ts >= w.w_start AND f.ts <= w.w_end
+      GROUP BY w_id"""
   )
 }
