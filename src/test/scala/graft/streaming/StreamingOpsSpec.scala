@@ -210,6 +210,49 @@ class StreamingOpsSpec extends SparkSpec {
     streamed shouldBe kept
   }
 
+  test("near-dup gate multi-batch replay (one file per trigger) equals the batch gate") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    def words(seed: Int, n: Int): String = {
+      val rnd = new scala.util.Random(seed + 7000)
+      (0 until n).map(_ => s"w${rnd.nextInt(300)}").mkString(" ")
+    }
+    val docs = (0 until 90).map(i => (i.toLong, words(i, 30))).toDF("doc_id", "text")
+    val reference = docs.filter($"doc_id" % 31 === 0)
+      .select(concat($"text", lit(" bench tag")).as("text"))
+    val expected = StreamingOps.nearDupGate(docs, reference, "text")
+      .select($"doc_id").as[Long].collect().toSet
+
+    // three slice files, one per micro-batch: the gate is stateless, so
+    // batch boundaries and arrival order must not change the verdicts
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_mb").toFile
+    dir.deleteOnExit()
+    for (b <- 0 until 3) {
+      val stage = new java.io.File(dir, s"stage$b")
+      docs.filter($"doc_id" % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dir, s"slice$b.parquet").toPath)
+    }
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath + "/slice*.parquet")
+    val q = StreamingOps.nearDupGate(stream, reference, "text")
+      .select($"doc_id")
+      .writeStream.format("memory").queryName("graft_gate_mb")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    spark.table("graft_gate_mb").as[Long].collect().toSet shouldBe expected
+    withClue("replay must actually have run multiple batches: ") {
+      batches should be >= 3
+    }
+  }
+
   test("near-dup gate fails fast on a non-broadcast-size reference, naming the batch path") {
     import spark.implicits._
     import graft.streaming.StreamingOps
