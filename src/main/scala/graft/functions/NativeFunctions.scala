@@ -21,4 +21,11 @@ object NativeFunctions {
     */
   def registered(spark: SparkSession, name: String): Boolean =
     spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(name))
+
+  /** Null-tolerant routing: the given session's registry when one is in
+    * scope, else the active session's — the single spelling every routed
+    * Column helper shares.
+    */
+  def route(spark: SparkSession, name: String): Boolean =
+    if (spark != null) registered(spark, name) else registered(name)
 }

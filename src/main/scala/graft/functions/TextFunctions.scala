@@ -16,8 +16,7 @@ object TextFunctions {
     * the active session's.
     */
   private def routeNative(spark: SparkSession, name: String): Boolean =
-    if (spark != null) NativeFunctions.registered(spark, name)
-    else NativeFunctions.registered(name)
+    NativeFunctions.route(spark, name)
 
   // Shadows functions.round: every oracle-compared column rounds with
   // DuckDB-exact semantics (see graft.functions.Rounding) so half-boundary

@@ -1037,14 +1037,16 @@ object Curation {
         col(benchTextCol), n, benchmark.sparkSession)).as("gram"))
       .distinct()
       .localCheckpoint(false)
-    if (bench.count() <= maxBroadcastGrams) {
+    val gramCount = bench.count()
+    // a set past the driver-collectible ceiling routes to the join path
+    // no matter the budget — silently truncating the broadcast set would
+    // let contaminated docs through, the one failure a gate must not have
+    if (gramCount <= maxBroadcastGrams && gramCount < Int.MaxValue.toLong) {
       // the count above already proved the set fits the caller's budget,
-      // so collect the pinned frame directly (no re-derivation, and no
-      // secondary cap that could re-reject an explicitly sized benchmark;
-      // clamped so huge Long budgets don't overflow the limit)
-      val lim = math.min(maxBroadcastGrams, (Int.MaxValue - 1).toLong).toInt
+      // so collect the pinned frame directly — no re-derivation, and no
+      // secondary cap that could re-reject an explicitly sized benchmark
       val bc = spark.sparkContext.broadcast(
-        bench.limit(math.max(lim, 0) + 1).as[String].collect().toSet)
+        bench.as[String].collect().toSet)
       ingestGate(docs, textCol, classCol, bc, n, stopwords,
         minQuality, maxContamination, rates, defaultRate, denom)
     } else {

@@ -460,9 +460,7 @@ object Dedup {
     */
   def simHash(text: Column,
               spark: org.apache.spark.sql.SparkSession = null): Column =
-    if (if (spark != null)
-          graft.functions.NativeFunctions.registered(spark, "simhash40")
-        else graft.functions.NativeFunctions.registered("simhash40"))
+    if (graft.functions.NativeFunctions.route(spark, "simhash40"))
       call_function("simhash40", text)
     else graft.functions.HashKernels.simHash40Udf(text)
 

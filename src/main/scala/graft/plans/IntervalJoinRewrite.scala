@@ -203,9 +203,13 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // and re-bucketing an already-bucketed join would square the
         // interval-side explode
         a.name == "__bucket")
-    if (hasEquiKey &&
-      !conf.getConfString(EquiKeyedKey, "false").toBoolean) return None
-    if (ownOutput(j.left) || ownOutput(j.right)) return None
+    val equiKeyed = conf.getConfString(EquiKeyedKey, "false").toBoolean
+    if (hasEquiKey && !equiKeyed) return None
+    // the reserved-name guard matters ONLY under the knob (where bucket
+    // equalities no longer fail eligibility); applying it unconditionally
+    // would silently strand a user range join that merely happens to
+    // carry a like-named column on the BNLJ plan
+    if (equiKeyed && (ownOutput(j.left) || ownOutput(j.right))) return None
 
     val threshold = conf.autoBroadcastJoinThreshold
     def big(p: LogicalPlan): Boolean =

@@ -54,11 +54,17 @@ class TemporalJoinsSpec extends SparkSpec {
       .select("id", "w").as[(Int, String)].collect().sorted
     got shouldBe expected
     expected should not be empty
-    // the key AND the bucket both ride the equi-join
+    // the key AND the bucket both ride the JOIN KEYS (not merely the
+    // plan text — a regression to bucket-only keys would cross-product
+    // per site and still mention 'site' in the scans)
     val plan = TemporalJoins.bucketizedIntervalJoin(
       facts, "t", ivs, "s", "e", 3600, extraKeys = Seq("site"))
-      .queryExecution.optimizedPlan.toString
-    plan should include("site")
+      .queryExecution.executedPlan.toString
+    val keyedJoin =
+      """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[[^\]]*site#[^\]]*__bucket""".r
+    withClue(s"site+bucket not in the join keys of:\n$plan") {
+      keyedJoin.findFirstIn(plan).isDefined shouldBe true
+    }
   }
 
   test("overlapJoin: open-ended annotations overlap and clip to window") {
