@@ -272,6 +272,26 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a user column named __bucket does not strand the default rewrite") {
+    // the reserved-name stabilization guard applies only under the
+    // equi-keyed knob; with the knob off, a side that merely carries a
+    // like-named column must still get its BNLJ rescue
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      IntervalJoinRewrite.BucketKey -> "3600") {
+      val f = facts.withColumn("__bucket", $"fact_id" % 11)
+      val joined = f.join(intervals, $"t" >= $"lo" && $"t" <= $"hi")
+      val plan = planOf(joined)
+      assert(plan.contains("Generate explode"), s"rescue stranded:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      val expected = withConfsValue(IntervalJoinRewrite.EnabledKey -> "false") {
+        f.join(intervals, $"t" >= $"lo" && $"t" <= $"hi")
+          .collect().map(_.toString).sorted.toSeq
+      }
+      joined.collect().map(_.toString).sorted.toSeq shouldBe expected
+    }
+  }
+
   test("opting in does not re-bucket bucketizedIntervalJoin's own output") {
     // the explicit operator's post-join range filter can be pushed into
     // its bucket equi-join in the same optimizer batch; under the
