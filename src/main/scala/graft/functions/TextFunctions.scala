@@ -14,6 +14,14 @@ object TextFunctions {
   /** Native-vs-UDF routing: on the given session's registry when the
     * caller has the target frame in scope (multi-session safe), else on
     * the active session's.
+    *
+    * CONSTRAINT on every public helper whose `spark` defaults to null:
+    * with no session passed, routing consults the ACTIVE session at
+    * Column-CONSTRUCTION time. A Column built while an
+    * extension-installed session is active but later analyzed in a
+    * session without [[graft.GraftExtensions]] fails analysis with an
+    * undefined-function error (the plain-UDF spelling worked anywhere).
+    * In multi-session apps, always pass the target frame's session.
     */
   private def routeNative(spark: SparkSession, name: String): Boolean =
     NativeFunctions.route(spark, name)

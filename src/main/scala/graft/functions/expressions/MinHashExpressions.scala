@@ -62,15 +62,21 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull arrays are rejected: the kernel reads primitive
+    // getLong(i), which would silently unbox a null element to 0 and
+    // hash it as a real shingle (the UDF spelling NPE'd instead). The
+    // intended producer, shingle_hashes, emits containsNull = false, so
+    // no legitimate input is lost.
     val typeOk = child.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (typeOk && numHashes > 0 && bands > 0 && numHashes % bands == 0)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"minhash_band_keys expects (array<bigint>, numHashes divisible by " +
-        s"bands), got (${child.dataType.simpleString}, " +
+      s"minhash_band_keys expects (array<bigint> with no null elements, " +
+        s"numHashes divisible by bands), got " +
+        s"(${child.dataType.simpleString}, " +
         s"numHashes=$numHashes, bands=$bands)")
   }
 

@@ -89,13 +89,21 @@ object Dedup {
     * the corpus), and possible-dup rows (true dups + ≈fpp of the rest),
     * which alone ride the exact anti-join. In the steady state of a
     * curation pipeline most batch rows are new, so the exchange carries
-    * ≈fpp of the batch instead of all of it. Duplicate texts share one
-    * key and therefore one side of the split, so per-branch
-    * [[exactDedup]] equals whole-batch dedup. A seen corpus with more
+    * ≈fpp of the batch instead of all of it. The split happens AFTER the
+    * whole-batch [[exactDedup]] window exchange, not before: the two
+    * union branches then share one identical exchange subtree, so
+    * ReuseExchange materializes the batch scan + window shuffle ONCE per
+    * action (a pre-exchange split would scan the batch source twice —
+    * costly for expensive/uncached sources). A seen corpus with more
     * distinct keys than `maxBloomItems` (default 200M ≈ 240 MB bitmap —
     * the broadcastable ceiling) skips the filter and runs the plain
     * co-partitioned anti-join; seen-side sizing uses the corpus row
     * count (a parquet metadata read), never a collect.
+    *
+    * NOT lazy: routing runs an eager `seen.count()` at CALL time (it
+    * sizes the bloom bitmap and picks the plan shape — both needed
+    * before a plan can be returned). Callers with an expensive `seen`
+    * source should pass a cached/checkpointed frame.
     * Same 64-bit+length collision convention as [[exactDedup]]. The
     * streaming twin (state-store keys within a watermark horizon) is
     * [[graft.streaming.StreamingOps.dedupDocs]].
@@ -126,13 +134,18 @@ object Dedup {
     // null-text rows: xxhash64(null) is the NON-null seed hash (see the
     // dupGramFraction guard), so the probe is never null and such rows
     // route deterministically by whether the seed hash is in the filter.
-    // EITHER branch is correct for them — definite-new keeps them via
-    // exactDedup, and the anti join can never drop them because their
-    // null __len never equi-matches the seen side (the same parity the
-    // plain-anti spelling had). The coalesce is defense in depth only.
-    def probe = coalesce(mightContain(xxhash64(col(textCol))), lit(false))
-    val definiteNew = exactDedup(newDocs.filter(!probe), textCol, idCol)
-    val candidates = keyed(exactDedup(newDocs.filter(probe), textCol, idCol))
+    // EITHER branch is correct for them — definite-new keeps them as-is,
+    // and the anti join can never drop them because their null __len
+    // never equi-matches the seen side (the same parity the plain-anti
+    // spelling had). The coalesce is defense in depth only.
+    // Dedup the WHOLE batch first, then split on the probe: both union
+    // branches share the identical scan+window exchange (reused once per
+    // action), and the probe reads the already-computed __k.
+    val flagged = keyed(exactDedup(newDocs, textCol, idCol))
+      .withColumn("__might", coalesce(mightContain(col("__k")), lit(false)))
+    val definiteNew = flagged.filter(!col("__might"))
+      .drop("__k", "__len", "__might")
+    val candidates = flagged.filter(col("__might")).drop("__might")
       .join(seenKeys, Seq("__k", "__len"), "left_anti")
       .drop("__k", "__len")
     definiteNew.unionByName(candidates)

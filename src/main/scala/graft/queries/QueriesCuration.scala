@@ -192,7 +192,7 @@ object QueriesCuration {
     "q83_repetition" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          TextFunctions.repetitionStats(col("text")).as("r"))
+          TextFunctions.repetitionStats(col("text"), s).as("r"))
         .select(col("doc_id"),
           round(col("r._1"), 6).as("dup_token_frac"),
           col("r._2").as("top_bigram"),

@@ -141,7 +141,7 @@ object QueriesDocs {
     "q55_hash_split" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("split", graft.operators.TrainingData.hashSplit(col("text"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), s))
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))),
 

@@ -168,10 +168,15 @@ object StreamingOps {
     // collect itself is capped at maxReferenceRows + 1, so a caller who
     // points the gate at a non-broadcast-size reference gets a clear
     // error naming the batch alternative, never a driver OOM.
+    // overflow-proof: maxReferenceRows = Int.MaxValue must not wrap the
+    // limit negative (same guard as Curation.benchmarkGramSet)
+    val refLimit =
+      if (maxReferenceRows == Int.MaxValue) Int.MaxValue
+      else maxReferenceRows + 1
     val refRows = withSigCols(reference.select(col(textCol)))
       .filter(col("__sh").isNotNull)
       .select(col("__bk"), col("__sh"))
-      .limit(maxReferenceRows + 1)
+      .limit(refLimit)
       .collect()
     require(refRows.length <= maxReferenceRows,
       s"nearDupGate: the reference set has more than $maxReferenceRows " +

@@ -62,6 +62,25 @@ class MinHashExpressionsSpec extends SparkSpec {
     rows shouldBe Seq((false, false), (true, true))
   }
 
+  test("arrays that may hold null elements are rejected at analysis, not hashed as 0") {
+    // the kernel reads primitive getLong(i): a null element would silently
+    // unbox to 0 and hash as a real shingle. checkInputDataTypes must
+    // refuse containsNull = true input (the legitimate producer,
+    // shingle_hashes, emits containsNull = false).
+    val nullable = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L))).toDF("sh")
+    assert(nullable.schema("sh").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val e = intercept[Exception] {
+      nullable.select(call_function(
+        "minhash_band_keys", $"sh", lit(64), lit(16))).collect()
+    }
+    e.getMessage.toLowerCase should include("minhash_band_keys")
+    // and the non-null shape still plans fine end to end
+    Seq(Tuple1(Array(1L, 2L, 3L))).toDF("sh")
+      .select(call_function("minhash_band_keys", $"sh", lit(64), lit(16)))
+      .collect().head.getSeq[Long](0).length shouldBe 16
+  }
+
   test("the dedup scan plans through the native expressions, in one codegen stage") {
     // parquet-backed: over a LocalRelation the optimizer folds the whole
     // projection at plan time and no codegen stage exists to inspect

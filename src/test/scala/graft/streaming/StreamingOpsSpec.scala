@@ -267,5 +267,9 @@ class StreamingOpsSpec extends SparkSpec {
     // at the cap exactly, the gate still runs
     StreamingOps.nearDupGate(docs, reference, "text", maxReferenceRows = 25)
       .count() shouldBe 1L
+    // and an "unbounded" cap must not wrap the enforcement limit negative
+    // (Int.MaxValue + 1 would plan limit(-2147483648) and fail analysis)
+    StreamingOps.nearDupGate(docs, reference, "text",
+      maxReferenceRows = Int.MaxValue).count() shouldBe 1L
   }
 }
