@@ -282,19 +282,21 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     Alias(MonotonicallyIncreasingID(), name)()
 
   /** The interval-preserved rewrites re-collapse explode duplicates with
-    * an Aggregate grouped on the preserved columns; a map-typed column
-    * anywhere in that grouping is not groupable (hashing over MapType is
-    * unsupported at physical planning), so such joins stay unrewritten —
-    * Spark's own BNLJ plan executes them, just without the bucketing.
+    * an Aggregate grouped on the one-shot rowid(s) ALONE; every original
+    * output column is functionally dependent on the rowid(s) (all copies
+    * of a preserved row carry identical values), so each is reconstructed
+    * as `first(col)` — the same shape Spark's own
+    * `ReplaceDeduplicateWithAggregate` emits, with the alias pinned to the
+    * original exprId so parent references stay resolved. Narrow long keys
+    * mean the aggregate hashes/compares 8–16 bytes per row instead of the
+    * full (possibly wide) schema, and map-typed outputs — not groupable,
+    * but fine as `first` results — no longer force the BNLJ fallback.
     */
-  private def hasMap(dt: DataType): Boolean = dt match {
-    case _: MapType => true
-    case s: StructType => s.fields.exists(f => hasMap(f.dataType))
-    case a: ArrayType => hasMap(a.elementType)
-    case _ => false
-  }
-  private def groupable(attrs: Seq[Attribute]): Boolean =
-    attrs.forall(a => !hasMap(a.dataType))
+  private def firstOf(attrs: Seq[Attribute]): Seq[NamedExpression] =
+    attrs.map { a =>
+      Alias(new aggregate.First(a).toAggregateExpression(), a.name)(
+        exprId = a.exprId, qualifier = a.qualifier)
+    }
 
   private def build(
       j: Join,
@@ -328,11 +330,11 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Join(newLeft, newRight, j.joinType, Some(newCond), JoinHint.NONE)))
 
       // ---- interval side preserved: rowid before the explode, collapse after
-      case LeftSemi if groupable(intervalSide.output) =>
+      case LeftSemi =>
         // bucketed inner + distinct-on-rowid: an interval spanning many
         // buckets matches once per (bucket, point) pair; grouping on the
-        // one-shot rowid (plus the functionally-dependent output columns,
-        // so they are legal aggregate outputs) restores ≤1 row per input
+        // one-shot rowid alone (outputs reconstructed via [[firstOf]])
+        // restores ≤1 row per input
         val rowId = freshRowId("__graft_rowid")
         val withId = Project(intervalSide.output :+ rowId, intervalSide)
         val (exploded, genAttr) = explodedInterval(outer = false, withId)
@@ -340,10 +342,10 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val inner =
           Join(exploded, factWithBucket, Inner, Some(newCond), JoinHint.NONE)
         val dedup = Aggregate(
-          rowId.toAttribute +: intervalSide.output, intervalSide.output, inner)
+          Seq(rowId.toAttribute), firstOf(intervalSide.output), inner)
         Some(Project(j.output, dedup))
 
-      case LeftAnti if groupable(intervalSide.output) =>
+      case LeftAnti =>
         // outer-explode (null/inverted-bound rows survive as one
         // null-bucket row, as the theta anti keeps them) + left-outer
         // bucketed join + keep rowids where max(matched) = 0
@@ -360,12 +362,12 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val anyMatch = Alias(
           AggregateExpression(Max(matched), Complete, isDistinct = false),
           "__graft_any")()
-        val agg = Aggregate(rowId.toAttribute +: intervalSide.output,
-          intervalSide.output :+ anyMatch, louter)
+        val agg = Aggregate(Seq(rowId.toAttribute),
+          firstOf(intervalSide.output) :+ anyMatch, louter)
         val kept = Filter(EqualTo(anyMatch.toAttribute, Literal(0L)), agg)
         Some(Project(j.output, kept))
 
-      case LeftOuter if groupable(j.output) =>
+      case LeftOuter =>
         // same left-outer bucketed join; a per-rowid window any-match flag
         // keeps matched rows and exactly one null-extended row for
         // matchless rowids. The fact side gets its own rowid so identical
@@ -394,16 +396,15 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val kept = Filter(
           Or(EqualTo(mAlias.toAttribute, Literal(1L)),
             EqualTo(anyAlias.toAttribute, Literal(0L))), windowed)
-        // group by both rowids plus every output column (all functionally
-        // dependent on the rowid pair, so they are legal aggregate outputs);
-        // the window and this aggregate share the rowid clustering, so no
-        // second shuffle is planned between them
+        // group by the rowid pair alone ([[firstOf]] reconstructs the
+        // outputs — all functionally dependent on the pair); the window
+        // and this aggregate share the rowid clustering, so no second
+        // shuffle is planned between them
         val dedup = Aggregate(
-          Seq(rowId.toAttribute, factRowId.toAttribute) ++ j.output,
-          j.output, kept)
+          Seq(rowId.toAttribute, factRowId.toAttribute), firstOf(j.output), kept)
         Some(dedup)
 
-      case FullOuter if groupable(j.output) =>
+      case FullOuter =>
         // both sides preserved: explode the interval side on a one-shot
         // rowid, full-outer bucketed join, then collapse interval-side
         // explode duplicates exactly as the LeftOuter case — with one
@@ -447,8 +448,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Or(EqualTo(mAlias.toAttribute, Literal(1L)),
             EqualTo(anyAlias.toAttribute, Literal(0L))), windowed)
         val dedup = Aggregate(
-          Seq(rowId.toAttribute, factRowId.toAttribute) ++ j.output,
-          j.output, kept)
+          Seq(rowId.toAttribute, factRowId.toAttribute), firstOf(j.output), kept)
         Some(dedup)
 
       case _ => None

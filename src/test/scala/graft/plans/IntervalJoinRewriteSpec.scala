@@ -182,25 +182,54 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     }
   }
 
-  test("a map column on the preserved interval side disables the dedup rewrites safely") {
-    // the interval-preserved semi/anti/outer rewrites re-collapse on an
-    // Aggregate grouped over the preserved columns; MapType is not
-    // groupable, so such joins must stay unrewritten (and still answer)
+  test("map columns on the preserved interval side ride the rewrite (first-reconstructed)") {
+    // the interval-preserved semi/anti/outer rewrites re-collapse on the
+    // rowid(s) ALONE and rebuild outputs via first(), so map-typed
+    // columns — not groupable, but legal first() results — no longer
+    // force the BNLJ fallback
     withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
       IntervalJoinRewrite.BucketKey -> "3600") {
       val ivsWithMap = intervals.withColumn("m", map(lit("k"), $"iv_id"))
       for (jt <- Seq("left_semi", "left_anti", "left_outer", "full_outer")) {
         val joined = ivsWithMap.join(facts, $"t" >= $"lo" && $"t" <= $"hi", jt)
-        assert(!planOf(joined).contains("Generate explode"),
-          s"$jt with a map column must not be rewritten")
+        assert(planOf(joined).contains("Generate explode"),
+          s"$jt with a map column must still be rewritten")
         val expected = withConfsValue(IntervalJoinRewrite.EnabledKey -> "false") {
-          ivsWithMap.join(facts, $"t" >= $"lo" && $"t" <= $"hi", jt).count()
+          ivsWithMap.join(facts, $"t" >= $"lo" && $"t" <= $"hi", jt)
+            .drop("m").collect().map(_.toString).sorted.toSeq
         }
-        joined.count() shouldBe expected
+        // compare sans the (unorderable-as-string-unstable) map itself on
+        // the full row; the map column round-trips value-checked below
+        joined.drop("m").collect().map(_.toString).sorted.toSeq shouldBe expected
+        // full_outer's unmatched-fact rows null-extend the map — every
+        // non-null map must round-trip intact
+        val maps = joined.select("m").collect().filter(!_.isNullAt(0))
+        maps should not be empty
+        maps.foreach(_.getMap[String, Long](0).keySet shouldBe Set("k"))
       }
-      // the fact-preserved direct rewrites have no aggregate: still on
-      val direct = facts.join(ivsWithMap, $"t" >= $"lo" && $"t" <= $"hi", "left_semi")
-      assert(planOf(direct).contains("Generate explode"))
+    }
+  }
+
+  test("the dedup aggregates group on the rowid(s) alone, not the output schema") {
+    // narrow keys: the re-collapse aggregate hashes 1–2 longs per row
+    // (outputs are first()-reconstructed), never the full wide schema
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      IntervalJoinRewrite.BucketKey -> "3600") {
+      for ((jt, nKeys) <- Seq("left_semi" -> 1, "left_anti" -> 1,
+        "left_outer" -> 2, "full_outer" -> 2)) {
+        val joined = intervals.join(facts, $"t" >= $"lo" && $"t" <= $"hi", jt)
+        val aggs = joined.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }
+        withClue(s"$jt: expected exactly one dedup aggregate") {
+          aggs.length shouldBe 1
+        }
+        withClue(s"$jt grouping ${aggs.head.groupingExpressions}: ") {
+          aggs.head.groupingExpressions.length shouldBe nKeys
+        }
+        aggs.head.groupingExpressions.foreach(
+          _.references.map(_.name).foreach(_ should startWith("__graft_rowid")))
+      }
     }
   }
 
