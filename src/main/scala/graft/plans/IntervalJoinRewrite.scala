@@ -59,11 +59,16 @@ import org.apache.spark.sql.types._
   *    point expression `t` (from one side) to two bound expressions from
   *    the other side — `>=`/`>` and `<=`/`<` in either operand order;
   *  - NO cross-side equality conjunct (with an equi-key Spark already
-  *    plans a shuffle join on it, the right default) — UNLESS
-  *    `spark.graft.intervalJoin.rewriteEquiKeyed=true`, the opt-in for
-  *    low-cardinality keys (per-site series), where the keyed shuffle
-  *    join degenerates to a per-key cross product and appending the
-  *    time bucket to the key restores bounded work per task;
+  *    plans a shuffle join on it, the right default) — UNLESS the key is
+  *    low-cardinality (per-site series), where the keyed shuffle join
+  *    degenerates to a per-key cross product and appending the time
+  *    bucket to the key restores bounded work per task. Low cardinality
+  *    is decided COST-BASED when ANALYZE'd ndv stats exist (CBO on,
+  *    provable composite ndv ≤ `spark.graft.intervalJoin.equiKeyedMaxNdv`,
+  *    default the shuffle partition count); without stats it is not
+  *    knowable and the join is left alone.
+  *    `spark.graft.intervalJoin.rewriteEquiKeyed` = `true`/`false`
+  *    overrides the cost decision in either direction (default `auto`);
   *  - both sides' size estimates exceed the broadcast threshold (below
   *    it, the nested-loop join over a broadcast build side is the better
   *    plan and `TemporalJoins.intervalJoin` uses it deliberately);
@@ -74,7 +79,8 @@ import org.apache.spark.sql.types._
   * merely cover the range; the exact predicate prunes). The rewrite
   * is self-stabilizing in the fixed-point optimizer batch: its own output
   * joins contain a cross-side equality, which fails eligibility — and
-  * under `rewriteEquiKeyed` (where equalities no longer disqualify)
+  * when the equi-keyed refinement applies (knob or cost-based, where
+  * equalities no longer disqualify)
   * stabilization rests on the reserved bucket column names instead: a
   * join whose side already exposes them is the rewrite's (or the
   * explicit bucketized operator's) own output.
@@ -98,6 +104,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val BucketKey = "spark.graft.intervalJoin.bucketSeconds"
   val MaxBucketsKey = "spark.graft.intervalJoin.maxBucketsPerRow"
   val EquiKeyedKey = "spark.graft.intervalJoin.rewriteEquiKeyed"
+  val EquiKeyedMaxNdvKey = "spark.graft.intervalJoin.equiKeyedMaxNdv"
 
   private def enabled: Boolean =
     conf.getConfString(EnabledKey, "true").toBoolean
@@ -109,6 +116,17 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def maxBucketsPerRow: Long = {
     val m = conf.getConfString(MaxBucketsKey, "100000").toLong
     require(m > 0, s"$MaxBucketsKey must be positive, got $m")
+    m
+  }
+  /** ndv ceiling for the cost-based equi-keyed auto-enable: a composite
+    * equi-key provably holding fewer distinct values than the shuffle
+    * partition count cannot occupy every partition, so the keyed shuffle
+    * join both idles executors and goes quadratic per key.
+    */
+  private def equiKeyedMaxNdv: BigInt = {
+    val m = BigInt(conf.getConfString(
+      EquiKeyedMaxNdvKey, conf.numShufflePartitions.toString))
+    require(m > 0, s"$EquiKeyedMaxNdvKey must be positive, got $m")
     m
   }
 
@@ -178,24 +196,30 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case _ => false
       }
 
-    val hasEquiKey = conjuncts.exists {
-      case EqualTo(a, b) => crossSide(a, b)
-      case EqualNullSafe(a, b) => crossSide(a, b)
-      case _ => false
+    val equiConjuncts = conjuncts.collect {
+      case e @ EqualTo(a, b) if crossSide(a, b) => e
+      case e @ EqualNullSafe(a, b) if crossSide(a, b) => e.asInstanceOf[BinaryComparison]
     }
+    val hasEquiKey = equiConjuncts.nonEmpty
     // With an equi-key Spark already plans a shuffle join on it — usually
-    // right, so equi-keyed range joins are left alone BY DEFAULT. But when
+    // right, so equi-keyed range joins are left alone by default. But when
     // the shared key is LOW-cardinality (the reference's per-(site,
     // deployment) series shape), each key's partition degenerates to a
-    // per-key cross product under that plan; opting in appends the time
-    // bucket to the join key (the planner extracts bucketEq alongside the
-    // original equalities automatically), refining (site) → (site, bucket)
-    // at the cost of the interval-side explode. Cardinality is not
-    // reliably knowable at optimization time, hence a knob, not a guess.
-    // Under the knob the bucket equality itself no longer fails
-    // eligibility, so self-stabilization rests on the reserved column
-    // names instead: a join whose side already exposes the rewrite's own
-    // bucket columns IS the rewrite's output.
+    // per-key cross product under that plan; the rewrite then appends the
+    // time bucket to the join key (the planner extracts bucketEq alongside
+    // the original equalities automatically), refining (site) →
+    // (site, bucket) at the cost of the interval-side explode. Whether the
+    // key IS low-cardinality is decided cost-based when the decision is
+    // knowable: under CBO, ANALYZE'd column stats carry ndv, and a
+    // provable composite-key ndv bound below `equiKeyedMaxNdv` (default:
+    // the shuffle partition count — fewer occupied partitions than that
+    // means idle executors AND per-key quadratic work) auto-enables the
+    // refinement. Without stats the decision is not knowable and the
+    // default stays hands-off; the knob overrides in either direction.
+    // When the refinement applies, the bucket equality itself no longer
+    // fails eligibility, so self-stabilization rests on the reserved
+    // column names instead: a join whose side already exposes the
+    // rewrite's own bucket columns IS the rewrite's output.
     def ownOutput(p: LogicalPlan): Boolean = p.output.exists(a =>
       a.name == "__graft_bucket" || a.name == "__graft_bucket_i" ||
         // TemporalJoins.bucketizedIntervalJoin's explicit spelling: its
@@ -203,7 +227,34 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // and re-bucketing an already-bucketed join would square the
         // interval-side explode
         a.name == "__bucket")
-    val equiKeyed = conf.getConfString(EquiKeyedKey, "false").toBoolean
+    // provable upper bound on the composite equi-key's distinct count:
+    // shared keys ≤ either side's ndv per conjunct (take the min of the
+    // sides whose ANALYZE'd stats are known), composite ndv ≤ the product
+    // over conjuncts; any conjunct with no known side → unknowable.
+    def ndvBound: Option[BigInt] = {
+      def ndvOf(e: Expression): Option[BigInt] = e match {
+        case a: Attribute =>
+          val side = if (j.left.outputSet.contains(a)) j.left else j.right
+          side.stats.attributeStats.get(a).flatMap(_.distinctCount)
+        case _ => None
+      }
+      equiConjuncts.foldLeft(Option(BigInt(1))) { (acc, c) =>
+        for {
+          p <- acc
+          n <- (ndvOf(c.left), ndvOf(c.right)) match {
+            case (Some(x), Some(y)) => Some(x.min(y))
+            case (one @ Some(_), None) => one
+            case (None, one @ Some(_)) => one
+            case _ => None
+          }
+        } yield p * n
+      }
+    }
+    val equiKeyed = conf.getConfString(EquiKeyedKey, "auto").toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case _ => hasEquiKey && ndvBound.exists(_ <= equiKeyedMaxNdv)
+    }
     if (hasEquiKey && !equiKeyed) return None
     // the reserved-name guard matters ONLY under the knob (where bucket
     // equalities no longer fail eligibility); applying it unconditionally

@@ -301,6 +301,78 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("cost-based: ANALYZE'd low-ndv equi key auto-enables the refinement; high-ndv left alone") {
+    // no knob set anywhere in this test — the decision comes from CBO
+    // column stats alone (provable composite ndv vs equiKeyedMaxNdv)
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      IntervalJoinRewrite.BucketKey -> "3600",
+      // the test session runs few shuffle partitions; pin the ceiling so
+      // the 7-key side is provably low and the 300-key side provably high
+      IntervalJoinRewrite.EquiKeyedMaxNdvKey -> "32") {
+      def write(df: DataFrame, name: String, analyzeCols: String): Unit = {
+        // a previous aborted run can leave the managed location behind
+        // with no catalog entry; clear both before creating
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(warehouse, name))
+        df.write.mode("overwrite").saveAsTable(name)
+        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS $analyzeCols")
+      }
+      write(facts.withColumn("k", $"fact_id" % 7), "ij_facts_ndv", "k")
+      write(facts.withColumn("k", $"fact_id"), "ij_facts_high", "k")
+      write(intervals.withColumn("k", $"iv_id" % 7), "ij_iv_low", "k")
+      write(intervals.withColumn("k", $"iv_id"), "ij_iv_high", "k")
+      try {
+        val f = spark.table("ij_facts_ndv")
+        val ivLow = spark.table("ij_iv_low")
+        val cond = f("k") === ivLow("k") && f("t") >= ivLow("lo") && f("t") <= ivLow("hi")
+        val low = f.join(ivLow, cond)
+        val lowPlan = planOf(low)
+        withClue(s"ndv 7 < shuffle partitions must auto-refine:\n$lowPlan") {
+          assert(lowPlan.contains("Generate explode"))
+          assert(lowPlan.contains("__graft_bucket"))
+        }
+        // value-identical to the unrewritten keyed join
+        val expected = withConfsValue(IntervalJoinRewrite.EnabledKey -> "false") {
+          f.join(ivLow, cond).collect().map(_.toString).sorted.toSeq
+        }
+        low.collect().map(_.toString).sorted.toSeq shouldBe expected
+        expected should not be empty
+
+        // both sides ANALYZE'd and genuinely high: min(4000, 300) = 300
+        // distinct keys ≥ the 32 shuffle partitions → left on Spark's
+        // keyed shuffle join
+        val fHigh = spark.table("ij_facts_high")
+        val ivHigh = spark.table("ij_iv_high")
+        val condH = fHigh("k") === ivHigh("k") &&
+          fHigh("t") >= ivHigh("lo") && fHigh("t") <= ivHigh("hi")
+        val highPlan = planOf(fHigh.join(ivHigh, condH))
+        assert(!highPlan.contains("Generate explode"),
+          s"high-ndv equi key must stay on Spark's keyed join:\n$highPlan")
+
+        // a derived (stat-less) key is UNKNOWABLE → also left alone, even
+        // though its actual cardinality is 7
+        val fDerived = spark.table("ij_facts_high").withColumn("k", $"fact_id" % 7)
+        val ivDerived = spark.table("ij_iv_high").withColumn("k", $"iv_id" % 7)
+        val condD = fDerived("k") === ivDerived("k") &&
+          fDerived("t") >= ivDerived("lo") && fDerived("t") <= ivDerived("hi")
+        assert(!planOf(fDerived.join(ivDerived, condD)).contains("Generate explode"))
+
+        // explicit false still wins over the cost decision
+        withConfs(IntervalJoinRewrite.EquiKeyedKey -> "false") {
+          assert(!planOf(f.join(ivLow, cond)).contains("Generate explode"))
+        }
+      } finally {
+        Seq("ij_facts_ndv", "ij_iv_low", "ij_iv_high")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+    }
+  }
+
   test("a user column named __bucket does not strand the default rewrite") {
     // the reserved-name stabilization guard applies only under the
     // equi-keyed knob; with the knob off, a side that merely carries a
