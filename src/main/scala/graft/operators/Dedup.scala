@@ -238,32 +238,57 @@ object Dedup {
     val shCol =
       if (native) call_function("shingle_hashes", col("text"), lit(k))
       else HashKernels.shingleHashSetUdf(k)(col("text"))
-    val sigs = groups
+    // AQE coalesces the exactGroups exchange by BYTES, but the stage
+    // below it is KERNEL-bound (shingle hashing + 64-way MinHash per
+    // distinct text: orders of magnitude more CPU per byte than a scan) —
+    // at sf1 the coalesced single partition ran the whole signature
+    // computation on one core (measured: the candidate stage was 3 s of
+    // single-threaded kernel time). When the checkpointed groups frame
+    // landed under-parallel, spread it across the executors first; the
+    // explicit numPartitions repartition is exempt from AQE re-coalescing.
+    // Spreading is data-driven: the count over the materialized
+    // checkpoint blocks is one trivial job, and a frame with few rows
+    // per partition has too little kernel work to amortize the exchange
+    // (measured: unconditional spreading cost ~+0.5 s at sf0.1 where a
+    // single partition holds only ~5k texts).
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val gParts = groups.rdd.getNumPartitions
+    val spread =
+      if (gParts < parallelism && groups.count() / gParts >= 16384)
+        groups.repartition(parallelism)
+      else groups
+    val sigs = spread
       .select(col("rep").as("id"), shCol.as("sh"))
       .localCheckpoint(false)
     def bandKeysOf(sh: Column): Column =
       if (native) call_function("minhash_band_keys", sh, lit(numHashes), lit(bands))
       else HashKernels.bandKeysUdf(bands, rowsPerBand)(
         HashKernels.minHashSigUdf(numHashes)(sh))
-    // 3. LSH candidate pairs among representatives. Each bucket member
-    //    carries its full band-key vector so the kernel can emit a pair
-    //    only from its FIRST colliding band (no distinct() needed) and
-    //    apply the exact size-ratio bound before any set join. The three
-    //    collect_lists run in one aggregation pass, so they stay aligned.
+    // 3. LSH candidate pairs among representatives. Bucket rows carry
+    //    only (id, setSize) — two 8-byte columns — through the bucket
+    //    collect_list exchange; the kernel applies the exact size-ratio
+    //    bound per bucket, and the ≤bands× duplicate pairs a multi-band
+    //    collision emits are collapsed by the pair-keyed distinct, whose
+    //    map-side partial combine keeps the exchange at one row per
+    //    distinct pair (16 bytes). The previous spelling instead shipped
+    //    every member's full band-key vector (bands longs, duplicated
+    //    once per band) into the bucket aggregate so an in-kernel
+    //    first-band check could dedup — ~bands²× more aggregate payload
+    //    per document to save a cheap narrow exchange.
     val withMeta = sigs.select(col("id"), size(col("sh")).as("sz"),
       bandKeysOf(col("sh")).as("bk"))
     val buckets = withMeta
-      .select(col("id"), col("sz"), col("bk"), posexplode(col("bk")))
-      .toDF("id", "sz", "bk", "band", "band_hash")
+      .select(col("id"), col("sz"), posexplode(col("bk")))
+      .toDF("id", "sz", "band", "band_hash")
     val cands = buckets
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("id")).as("ids"),
-        collect_list(col("sz")).as("szs"),
-        collect_list(col("bk")).as("bks"))
+        collect_list(col("sz")).as("szs"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(HashKernels.bucketPairsFirstBandUdf(maxBucket, minJaccard)(
-        col("band"), col("ids"), col("szs"), col("bks"))).as("p"))
+      .select(explode(HashKernels.bucketPairsRatioUdf(maxBucket, minJaccard)(
+        col("ids"), col("szs"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
     // 4. exact-Jaccard verification of representative pairs — through the
     //    codegen'd native expression when GraftExtensions is installed
     //    (stays inside whole-stage codegen), else the JVM-kernel UDF
