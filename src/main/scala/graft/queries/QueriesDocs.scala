@@ -415,14 +415,28 @@ object QueriesDocs {
   val oracleSql: Map[String, String] = Map(
     // the chain (id-35, id) over multiples of 7 partitions nodes into five
     // chains by residue; each chain's minimum is id % 35 — the closed form
+    // Exact gaps-and-islands closed form, valid for ANY doc_id set (the
+    // previous `comp = id % 35` spelling assumed a contiguous id space
+    // and broke on the 10×-grown layout, whose ids jump 1M per copy —
+    // caught by the round-11 dual-scale gate run). Every edge is
+    // (d−35, d) for a qualifying document d, so a node has a downward
+    // edge iff it IS a qualifying document; within a residue class mod
+    // 35 (ordered by id) a new component therefore starts exactly at
+    // the nodes that are NOT qualifying documents, and the component
+    // label is the running-group minimum.
     "q69_dedup_components" -> """
       WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-      pairs AS (SELECT id - 35 AS id_a, id AS id_b
-                FROM d WHERE id % 7 = 0 AND id >= 35),
+      docs7 AS (SELECT id FROM d WHERE id % 7 = 0 AND id >= 35),
       nodes AS (SELECT DISTINCT id FROM (
-                  SELECT id_a AS id FROM pairs
-                  UNION ALL SELECT id_b FROM pairs))
-      SELECT id, id % 35 AS comp FROM nodes""",
+                  SELECT id - 35 AS id FROM docs7
+                  UNION ALL SELECT id FROM docs7)),
+      marked AS (SELECT id,
+                   CASE WHEN id IN (SELECT id FROM docs7) THEN 0 ELSE 1 END AS st
+                 FROM nodes),
+      grp AS (SELECT id,
+                sum(st) OVER (PARTITION BY id % 35 ORDER BY id) AS g
+              FROM marked)
+      SELECT id, min(id) OVER (PARTITION BY id % 35, g) AS comp FROM grp""",
     "q106_incremental_dedup" -> """
       WITH nw AS (SELECT * FROM documents WHERE doc_id >= 400),
       seen AS (SELECT DISTINCT text FROM documents WHERE doc_id < 400),
