@@ -182,6 +182,13 @@ object Bpe {
       // job per round instead of an eager-checkpoint job plus the
       // top-pair job, and the final round's table never materializes
       .localCheckpoint(false)
+    // the per-round explode/merge maps are KERNEL-bound over this table,
+    // and the upstream wordFreq aggregate may have been AQE-coalesced by
+    // BYTES down to one partition — spread a big-but-narrow word table
+    // once so every merge round's map side uses the executors
+    // (Dedup.spreadForKernelStage: no-op for small or already-parallel
+    // tables; later rounds re-checkpoint at the spread partitioning)
+    words = Dedup.spreadForKernelStage(words)
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var round = 0
     var done = false

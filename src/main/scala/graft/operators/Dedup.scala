@@ -160,6 +160,37 @@ object Dedup {
       .drop("__k", "__len")
       .select("keep_id", "copies")
 
+  /** Restores executor parallelism for a KERNEL-bound stage fed by a
+    * materialized (checkpointed/cached) frame.
+    *
+    * AQE sizes post-shuffle partitions by BYTES, which is right for
+    * scans and joins but wrong for stages whose per-row cost dwarfs
+    * their per-byte cost: [[minHashDupPairs]]'s signature stage
+    * (shingle hashing + 64-way MinHash per distinct text) landed on ONE
+    * AQE-coalesced partition at 10× grown data and ran the whole kernel
+    * pass on one core — the entire measured "data-proportionality" of
+    * q28 (scale ratio 5.75× before, 2.11× after). The explicit
+    * numPartitions repartition below is exempt from AQE re-coalescing.
+    *
+    * Spreading is data-driven, not unconditional: the input must already
+    * be materialized, so the count is one trivial job over cached
+    * blocks, and a frame under `minRowsPerPartition` rows/partition has
+    * too little kernel work to amortize the extra exchange (measured:
+    * unconditional spreading cost ~+0.5 s at sf0.1 where one partition
+    * holds only ~5k texts). At genuine cluster scale the input arrives
+    * already multi-partition and this is a no-op.
+    */
+  private[operators] def spreadForKernelStage(
+      materialized: DataFrame,
+      minRowsPerPartition: Long = 16384): DataFrame = {
+    val parallelism = materialized.sparkSession.sparkContext.defaultParallelism
+    val parts = materialized.rdd.getNumPartitions
+    if (parts < parallelism &&
+        materialized.count() / math.max(parts, 1) >= minRowsPerPartition)
+      materialized.repartition(parallelism)
+    else materialized
+  }
+
   /** Step 1 of [[minHashDupPairs]]: collapse exact duplicates into
     * (rep, members, text) — rep = min id, members = sorted ids, text =
     * the group's (identical) text. The aggregate exchange carries ONLY
@@ -238,26 +269,7 @@ object Dedup {
     val shCol =
       if (native) call_function("shingle_hashes", col("text"), lit(k))
       else HashKernels.shingleHashSetUdf(k)(col("text"))
-    // AQE coalesces the exactGroups exchange by BYTES, but the stage
-    // below it is KERNEL-bound (shingle hashing + 64-way MinHash per
-    // distinct text: orders of magnitude more CPU per byte than a scan) —
-    // at sf1 the coalesced single partition ran the whole signature
-    // computation on one core (measured: the candidate stage was 3 s of
-    // single-threaded kernel time). When the checkpointed groups frame
-    // landed under-parallel, spread it across the executors first; the
-    // explicit numPartitions repartition is exempt from AQE re-coalescing.
-    // Spreading is data-driven: the count over the materialized
-    // checkpoint blocks is one trivial job, and a frame with few rows
-    // per partition has too little kernel work to amortize the exchange
-    // (measured: unconditional spreading cost ~+0.5 s at sf0.1 where a
-    // single partition holds only ~5k texts).
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val gParts = groups.rdd.getNumPartitions
-    val spread =
-      if (gParts < parallelism && groups.count() / gParts >= 16384)
-        groups.repartition(parallelism)
-      else groups
-    val sigs = spread
+    val sigs = spreadForKernelStage(groups)
       .select(col("rep").as("id"), shCol.as("sh"))
       .localCheckpoint(false)
     def bandKeysOf(sh: Column): Column =

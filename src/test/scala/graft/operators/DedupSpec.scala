@@ -269,6 +269,22 @@ class DedupSpec extends SparkSpec {
     out.foreach(_._3 should be >= 0.999)
   }
 
+  test("spreadForKernelStage spreads only under-parallel frames with real kernel work") {
+    val parallelism = spark.sparkContext.defaultParallelism
+    // one partition, enough rows/partition: spread to full parallelism
+    val one = spark.range(0, 40000, 1, 1).toDF("id").localCheckpoint(false)
+    val spread = Dedup.spreadForKernelStage(one, minRowsPerPartition = 16384)
+    spread.rdd.getNumPartitions shouldBe parallelism
+    spread.count() shouldBe 40000
+    // one partition, too few rows: the exchange would cost more than the
+    // kernel time it buys — left alone (reference-identical, no new plan)
+    val small = spark.range(0, 100, 1, 1).toDF("id").localCheckpoint(false)
+    (Dedup.spreadForKernelStage(small, minRowsPerPartition = 16384) eq small) shouldBe true
+    // already at/above parallelism: no-op regardless of size
+    val par = spark.range(0, 40000, 1, parallelism).toDF("id").localCheckpoint(false)
+    (Dedup.spreadForKernelStage(par, minRowsPerPartition = 16384) eq par) shouldBe true
+  }
+
   test("incrementalDedup drops seen content and intra-batch copies") {
     val seen = Seq((1L, "known text alpha"), (2L, "known text beta"))
       .toDF("doc_id", "text")
