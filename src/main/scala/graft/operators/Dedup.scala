@@ -98,7 +98,14 @@ object Dedup {
     * distinct keys than `maxBloomItems` (default 200M ≈ 240 MB bitmap —
     * the broadcastable ceiling) skips the filter and runs the plain
     * co-partitioned anti-join; seen-side sizing uses the corpus row
-    * count (a parquet metadata read), never a collect.
+    * count (a parquet metadata read), never a collect. A seen corpus
+    * UNDER `minBloomItems` (default 500k ≈ 6 MB of 12-byte keys) also
+    * skips the filter: at that size Spark broadcasts the key set into
+    * the anti-join, so the batch never shuffles anyway and the bloom
+    * build is pure overhead (measured by `tools/RoutingFlipProbe` on a
+    * 25k-key seen side: bloom 1.5 s vs plain 0.6 s). The bloom's win
+    * regime is the middle: a seen side too big to broadcast, where the
+    * anti-join would shuffle the whole batch.
     *
     * NOT lazy: routing runs an eager `seen.count()` at CALL time (it
     * sizes the bloom bitmap and picks the plan shape — both needed
@@ -111,7 +118,8 @@ object Dedup {
   def incrementalDedup(newDocs: DataFrame, seen: DataFrame,
                        idCol: String, textCol: String,
                        bloomFpp: Double = 0.01,
-                       maxBloomItems: Long = 200000000L): DataFrame = {
+                       maxBloomItems: Long = 200000000L,
+                       minBloomItems: Long = 500000L): DataFrame = {
     def keyed(df: DataFrame) = df
       .withColumn("__k", xxhash64(col(textCol)))
       .withColumn("__len", length(col(textCol)))
@@ -121,8 +129,9 @@ object Dedup {
     // anti join probe — pin one evaluation
     val seenKeys = keyed(seen).select(col("__k"), col("__len")).distinct()
       .localCheckpoint(false)
-    if (seenCount > maxBloomItems) {
-      // seen too large for a broadcastable bitmap: plain anti join
+    if (seenCount > maxBloomItems || seenCount < minBloomItems) {
+      // seen too large for a broadcastable bitmap — or small enough that
+      // the anti join broadcasts the key set itself: plain anti join
       return keyed(exactDedup(newDocs, textCol, idCol))
         .join(seenKeys, Seq("__k", "__len"), "left_anti")
         .drop("__k", "__len")

@@ -84,7 +84,7 @@ object RoutingFlipProbe {
     val seen = docs.filter(col("doc_id") < 5000000L)
     val batch = docs.filter(col("doc_id") >= 5000000L)
     val (incB, incBloomS) = timed(fingerprint(Dedup.incrementalDedup(
-      batch, seen, "doc_id", "text")))
+      batch, seen, "doc_id", "text", minBloomItems = 0L)))
     val (incP, incPlainS) = timed(fingerprint(Dedup.incrementalDedup(
       batch, seen, "doc_id", "text", maxBloomItems = 0L)))
 

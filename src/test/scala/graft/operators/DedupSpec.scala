@@ -312,7 +312,10 @@ class DedupSpec extends SparkSpec {
       (1000L + i, t)
     } :+ ((2000L, null: String))).toDF("doc_id", "text")
 
-    val routed = Dedup.incrementalDedup(batch, seen, "doc_id", "text")
+    // minBloomItems = 0 forces the bloom path (300 seen rows sit under
+    // the default small-side floor, where routing picks the plain anti)
+    val routed = Dedup.incrementalDedup(batch, seen, "doc_id", "text",
+      minBloomItems = 0L)
     // equivalence against the plain anti spelling (the pre-round-10 code)
     def plain: Set[Long] = {
       import org.apache.spark.sql.functions.{length => slen, xxhash64}
@@ -360,7 +363,8 @@ class DedupSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val bloomRecs = shuffleRecords {
-        Dedup.incrementalDedup(batch, seen, "doc_id", "text").count()
+        Dedup.incrementalDedup(batch, seen, "doc_id", "text",
+          minBloomItems = 0L).count()
       }
       val plainRecs = shuffleRecords {
         Dedup.incrementalDedup(batch, seen, "doc_id", "text",
@@ -376,6 +380,14 @@ class DedupSpec extends SparkSpec {
       maxBloomItems = 1L)
     capped.queryExecution.analyzed.toString should not include "bloom_might_contain"
     capped.select("doc_id").as[Long].collect().toSet shouldBe plain
+
+    // and UNDER the default small-side floor (300 seen keys ≪ 500k) the
+    // DEFAULT routing also picks the plain anti: the key set broadcasts
+    // into the join, so the bloom build would be pure overhead
+    // (measured on a 25k-key seen side: bloom 1.5 s vs plain 0.6 s)
+    val small = Dedup.incrementalDedup(batch, seen, "doc_id", "text")
+    small.queryExecution.analyzed.toString should not include "bloom_might_contain"
+    small.select("doc_id").as[Long].collect().toSet shouldBe plain
   }
 
   test("semanticDedup drops later near-dups within a cluster, keeps cluster minima") {
