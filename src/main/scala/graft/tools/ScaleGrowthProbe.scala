@@ -9,11 +9,15 @@ import graft.{Bench, SparkEntry}
   * stage-job-floor analysis predicts per-query cost at sf0.1 is
   * SCHEDULING-bound, so a 10× data growth should move the flat-band
   * queries far less than 10×. This probe builds a 10×-row version of the
-  * two big tables (documents, events) in a multi-file layout — each copy
-  * c gets offset ids, a per-copy text suffix (so dedup distributions
-  * scale instead of collapsing to pure duplicates), and a small
-  * per-copy time shift — copies the dimension tables as-is, and times a
-  * query set at both scales with [[Bench.measure]]'s min-of-2.
+  * three big tables (documents, events, embeddings) in a multi-file
+  * layout — each copy c gets offset ids, a per-copy text suffix (so
+  * dedup distributions scale instead of collapsing to pure duplicates),
+  * a small per-copy time shift, and a per-copy first-component nudge on
+  * embeddings (distinct vectors, no engine-specific distance-tie
+  * ordering) — copies the dimension tables as-is, and times a query set
+  * at both scales with [[Bench.measure]]'s min-of-2. The same layout
+  * backs the round-11 dual-scale FULL-GATE run (`Verify` + `check.py`
+  * re-oracled on the grown tables) and `RoutingFlipProbe`.
   *
   * Output: one JSON line with per-query seconds at both scales and the
   * growth ratio. Reading the ratios: ≈1 ⇒ scheduling-bound (the AQE
@@ -59,8 +63,20 @@ object ScaleGrowthProbe {
       // 1-second shift per copy: keeps every span/window query's
       // selectivity, avoids exact-timestamp pileups
       .withColumn("ts", col("ts") + make_dt_interval(lit(0), lit(0), lit(0), c.cast("double"))))
+    grown("embeddings", (df, c) => df
+      .withColumn("vec_id", col("vec_id") + c.cast("long") * 1000000L)
+      // deterministic per-copy nudge on the first component: identical
+      // copies would otherwise create exact distance ties whose
+      // tie-break order is engine-specific; a distinct vector per copy
+      // keeps every top-k/threshold query's answer well-defined while
+      // preserving the distribution
+      .withColumn("embedding",
+        when(c === 0, col("embedding")).otherwise(transform(col("embedding"),
+          (x, i) => when(i === 0, x + (c.cast("double") / 1000.0).cast("float"))
+            .otherwise(x)))))
     // dimension tables ride along unchanged
-    graft.sources.Tables.names.filterNot(Set("documents", "events")).foreach { t =>
+    graft.sources.Tables.names
+      .filterNot(Set("documents", "events", "embeddings")).foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
