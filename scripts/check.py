@@ -26,20 +26,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
+    import os
     con = duckdb.connect()
     for t in TABLES:
         # driver layouts are single files; probe layouts (ScaleGrowthProbe
         # grown dirs) are Spark output DIRECTORIES of part files
         path = f"{SF}/{t}.parquet"
-        import os as _os
-        if _os.path.isdir(path):
+        if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
     ok, bad = [], []
     import glob
-    import os
 
     # Verify records crashed queries in _failed.json (round-7 lesson:
     # a stderr-only failure can silently vanish from the driver's gate) —

@@ -91,7 +91,10 @@ object Bpe {
       // fall through: reuse the checkpointed word table in the loop
       return trainDistributed(wf, numMerges)
     }
-    trainDistributed(wordFreq(docs, textCol), numMerges)
+    // forced-distributed escape (smallVocabWords <= 0): checkpoint the
+    // word table here too — trainImpl's kernel-stage spread counts it,
+    // and an unpinned frame would recompute the corpus aggregate
+    trainDistributed(wordFreq(docs, textCol).localCheckpoint(false), numMerges)
   }
 
   /** In-driver merge loop over a bounded word-frequency table; semantics
@@ -170,7 +173,15 @@ object Bpe {
 
   private def trainImpl(wordTable: DataFrame,
                         numMerges: Int): Seq[(String, String)] = {
-    var words = wordTable
+    // the per-round explode/merge maps are KERNEL-bound over this table,
+    // and the upstream wordFreq aggregate may have been AQE-coalesced by
+    // BYTES down to one partition — spread a big-but-narrow word table
+    // BEFORE the loop's first checkpoint, so the checkpoint blocks land
+    // at the spread partitioning and the exchange runs exactly once
+    // (spreadForKernelStage: no-op for small or already-parallel tables;
+    // wordTable arrives checkpointed from train(), so its count is a
+    // trivial cached-blocks job)
+    var words = Dedup.spreadForKernelStage(wordTable)
       .select(col("cnt"),
         concat(
           transform(sequence(lit(1), length(col("w"))),
@@ -182,13 +193,6 @@ object Bpe {
       // job per round instead of an eager-checkpoint job plus the
       // top-pair job, and the final round's table never materializes
       .localCheckpoint(false)
-    // the per-round explode/merge maps are KERNEL-bound over this table,
-    // and the upstream wordFreq aggregate may have been AQE-coalesced by
-    // BYTES down to one partition — spread a big-but-narrow word table
-    // once so every merge round's map side uses the executors
-    // (Dedup.spreadForKernelStage: no-op for small or already-parallel
-    // tables; later rounds re-checkpoint at the spread partitioning)
-    words = Dedup.spreadForKernelStage(words)
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var round = 0
     var done = false

@@ -65,8 +65,11 @@ import org.apache.spark.sql.types._
   *    bucket to the key restores bounded work per task. Low cardinality
   *    is decided COST-BASED when ANALYZE'd ndv stats exist (CBO on,
   *    provable composite ndv ≤ `spark.graft.intervalJoin.equiKeyedMaxNdv`,
-  *    default the shuffle partition count); without stats it is not
-  *    knowable and the join is left alone.
+  *    default the shuffle partition count) AND the same stats prove the
+  *    widest interval's bucket cover fits `maxBucketsPerRow` (min/max on
+  *    the bound columns — auto must never turn a slow-but-working keyed
+  *    join into a bucket-cap runtime error on sentinel bounds); without
+  *    stats the decision is not knowable and the join is left alone.
   *    `spark.graft.intervalJoin.rewriteEquiKeyed` = `true`/`false`
   *    overrides the cost decision in either direction (default `auto`);
   *  - both sides' size estimates exceed the broadcast threshold (below
@@ -250,12 +253,25 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         } yield p * n
       }
     }
-    val equiKeyed = conf.getConfString(EquiKeyedKey, "auto").toLowerCase match {
+    val mode = conf.getConfString(EquiKeyedKey, "auto").toLowerCase match {
+      case m @ ("true" | "false" | "auto") => m
+      // fail loudly: a typo'd force-enable silently falling into auto
+      // would change plan selection with no signal to the user
+      case other => throw new IllegalArgumentException(
+        s"$EquiKeyedKey must be one of true/false/auto, got '$other'")
+    }
+    val equiKeyed = mode match {
       case "true" => true
       case "false" => false
       case _ => hasEquiKey && ndvBound.exists(_ <= equiKeyedMaxNdv)
     }
     if (hasEquiKey && !equiKeyed) return None
+    // auto-enable must not DEGRADE a working plan: the keyed shuffle join
+    // it replaces runs (slowly) on any data, while the rewrite fails fast
+    // past the bucket cap — so under auto (never under an explicit
+    // knob=true) the bounds are re-checked against the cap further down,
+    // where the lo/hi expressions are known
+    val autoEnabled = hasEquiKey && mode == "auto"
     // the reserved-name guard matters ONLY under the knob (where bucket
     // equalities no longer fail eligibility); applying it unconditionally
     // would silently strand a user range join that merely happens to
@@ -293,13 +309,65 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     } yield (l, u)).headOption
 
     pair.flatMap { case (lo, hi) =>
-      val b = bucketSeconds
-      (bucketOf(lo.t, b), bucketOf(lo.bound, b), bucketOf(hi.bound, b)) match {
-        case (Some(tB), (Some(loB)), Some(hiB)) =>
-          build(j, factOnLeft = lo.tOnLeft, tB, loB, hiB)
-        case _ => None
+      // cost-based auto-enable only: the same ANALYZE'd stats must also
+      // prove the explode stays under the bucket cap — the widest
+      // possible interval (min(lo) .. max(hi)) must fit maxBucketsPerRow.
+      // Without this, a sentinel bound (hi = 9999-12-31) that ran fine on
+      // Spark's keyed join would start FAILING with the bucket-cap
+      // raise_error the day someone ANALYZEs the table. Bare-attribute
+      // bounds with min/max stats are required; anything else is
+      // unknowable and auto declines (explicit knob=true still forces).
+      val ivSide = if (lo.tOnLeft) j.right else j.left
+      if (autoEnabled && !spanProvablyWithinCap(ivSide, lo.bound, hi.bound))
+        None
+      else {
+        val b = bucketSeconds
+        (bucketOf(lo.t, b), bucketOf(lo.bound, b), bucketOf(hi.bound, b)) match {
+          case (Some(tB), (Some(loB)), Some(hiB)) =>
+            build(j, factOnLeft = lo.tOnLeft, tB, loB, hiB)
+          case _ => None
+        }
       }
     }
+  }
+
+  /** Seconds-scale value of a bound attribute's ANALYZE'd min/max
+    * column stat, on the same monotone mapping [[secondsOf]] applies to
+    * the live expressions (micros → seconds for timestamps, identity for
+    * integral epochs). None when the bound is not a bare attribute, has
+    * no stats, or has an unsupported type.
+    */
+  private def statsSeconds(side: LogicalPlan, e: Expression,
+                           wantMax: Boolean): Option[Long] = e match {
+    case a: Attribute =>
+      side.stats.attributeStats.get(a)
+        .flatMap(cs => if (wantMax) cs.max else cs.min)
+        .flatMap { v =>
+          (e.dataType, v) match {
+            case (TimestampType | TimestampNTZType, micros: Long) =>
+              Some(micros / 1000000L)
+            case (LongType, s: Long) => Some(s)
+            case (IntegerType, s: Int) => Some(s.toLong)
+            case _ => None
+          }
+        }
+    case _ => None
+  }
+
+  /** True iff column stats PROVE every interval's bucket cover fits the
+    * explode cap: bucket(max(hi)) − bucket(min(lo)) < maxBucketsPerRow
+    * (the cover size is the difference + 1; [[bucketCover]] raises at
+    * difference ≥ cap). Long division truncates toward zero exactly like
+    * the plan's IntegralDivide, so the proof uses the plan's own bucket
+    * arithmetic.
+    */
+  private def spanProvablyWithinCap(side: LogicalPlan, loB: Expression,
+                                    hiB: Expression): Boolean = {
+    val b = bucketSeconds
+    (for {
+      mn <- statsSeconds(side, loB, wantMax = false)
+      mx <- statsSeconds(side, hiB, wantMax = true)
+    } yield (mx / b) - (mn / b) < maxBucketsPerRow).getOrElse(false)
   }
 
   /** The `[loB, hiB]` bucket-cover array for one interval row: empty for

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *    integer-fixed-point iteration
   *  - `Bpe.train(smallVocabWords)` — driver merge loop vs distributed
   *    pair-count rounds (merge lists compared exactly, order included)
-  *  - `Dedup.incrementalDedup(maxBloomItems)` — bloom-pre-pruned split
-  *    anti-join vs plain co-partitioned anti-join
+  *  - `Dedup.incrementalDedup` — bloom-pre-pruned split anti-join
+  *    (forced with `minBloomItems = 0`: the grown seen side sits under
+  *    the default small-side floor) vs plain co-partitioned anti-join
+  *    (forced with `maxBloomItems = 0`)
   *
   * Usage: runMain graft.tools.RoutingFlipProbe [grownDir]
   * Prints one JSON line; every `*_match` must be true.

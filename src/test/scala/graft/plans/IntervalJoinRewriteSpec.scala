@@ -322,10 +322,12 @@ class IntervalJoinRewriteSpec extends SparkSpec {
         df.write.mode("overwrite").saveAsTable(name)
         spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS $analyzeCols")
       }
+      // the interval sides also ANALYZE lo/hi: auto needs min/max span
+      // evidence (bucket cover provably under the cap), not just ndv
       write(facts.withColumn("k", $"fact_id" % 7), "ij_facts_ndv", "k")
       write(facts.withColumn("k", $"fact_id"), "ij_facts_high", "k")
-      write(intervals.withColumn("k", $"iv_id" % 7), "ij_iv_low", "k")
-      write(intervals.withColumn("k", $"iv_id"), "ij_iv_high", "k")
+      write(intervals.withColumn("k", $"iv_id" % 7), "ij_iv_low", "k, lo, hi")
+      write(intervals.withColumn("k", $"iv_id"), "ij_iv_high", "k, lo, hi")
       try {
         val f = spark.table("ij_facts_ndv")
         val ivLow = spark.table("ij_iv_low")
@@ -366,8 +368,43 @@ class IntervalJoinRewriteSpec extends SparkSpec {
         withConfs(IntervalJoinRewrite.EquiKeyedKey -> "false") {
           assert(!planOf(f.join(ivLow, cond)).contains("Generate explode"))
         }
+
+        // low ndv but WITHOUT span evidence (lo/hi not ANALYZE'd): auto
+        // declines — it must never trade a working keyed join for a
+        // possible bucket-cap runtime error
+        write(intervals.withColumn("k", $"iv_id" % 7), "ij_iv_nospan", "k")
+        val ivNoSpan = spark.table("ij_iv_nospan")
+        val condNs = f("k") === ivNoSpan("k") &&
+          f("t") >= ivNoSpan("lo") && f("t") <= ivNoSpan("hi")
+        assert(!planOf(f.join(ivNoSpan, condNs)).contains("Generate explode"))
+
+        // low ndv WITH span stats that prove a sentinel-wide interval
+        // (hi five years out at hour buckets ≫ the cap): auto declines,
+        // while an explicit knob=true still forces the rewrite
+        write(intervals.withColumn("k", $"iv_id" % 7)
+          .withColumn("hi", when($"iv_id" === 0,
+            $"hi" + expr("INTERVAL 1825 DAYS")).otherwise($"hi")),
+          "ij_iv_sentinel", "k, lo, hi")
+        val ivSent = spark.table("ij_iv_sentinel")
+        val condSe = f("k") === ivSent("k") &&
+          f("t") >= ivSent("lo") && f("t") <= ivSent("hi")
+        withConfs(IntervalJoinRewrite.MaxBucketsKey -> "1000") {
+          assert(!planOf(f.join(ivSent, condSe)).contains("Generate explode"),
+            "auto must decline when stats prove the cover exceeds the cap")
+          withConfs(IntervalJoinRewrite.EquiKeyedKey -> "true") {
+            assert(planOf(f.join(ivSent, condSe)).contains("Generate explode"),
+              "explicit true still forces (and accepts the cap contract)")
+          }
+        }
+
+        // a typo'd knob value fails loudly instead of silently routing
+        withConfs(IntervalJoinRewrite.EquiKeyedKey -> "yes") {
+          val e = intercept[Exception] { planOf(f.join(ivLow, cond)) }
+          e.getMessage should include(IntervalJoinRewrite.EquiKeyedKey)
+        }
       } finally {
-        Seq("ij_facts_ndv", "ij_iv_low", "ij_iv_high")
+        Seq("ij_facts_ndv", "ij_facts_high", "ij_iv_low", "ij_iv_high",
+          "ij_iv_nospan", "ij_iv_sentinel")
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       }
     }
