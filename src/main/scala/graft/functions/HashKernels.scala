@@ -226,7 +226,8 @@ object HashKernels {
     * whole candidate stage ~25% faster with identical output pairs.
     */
   def bucketPairsRatio(ids: Seq[Long], sizes: Seq[Int], maxBucket: Int,
-                       minJaccard: Double): Array[(Long, Long)] = {
+                       minJaccard: Double,
+                       skipBothNonNegative: Boolean = false): Array[(Long, Long)] = {
     // unbox once into flat primitive arrays — the O(n²) loop below must
     // not touch boxed Seq accessors
     val m = ids.length
@@ -248,11 +249,17 @@ object HashKernels {
       var j = i + 1
       while (j < n) {
         val oj = order(j)
-        val szJ = szArr(oj)
-        val lo = math.min(szI, szJ).toDouble
-        val hi = math.max(szI, szJ).toDouble
-        if (hi == 0.0 || lo / hi >= minJaccard)
-          out += ((idArr(oi), idArr(oj)))
+        // cross-corpus mining (sign-tagged ids): a pair of two
+        // non-negative reps can never expand to a cross-side doc pair
+        // (any group touching the negative side has a negative rep), so
+        // the dominant intra-corpus candidate mass is skipped in-kernel
+        if (!(skipBothNonNegative && idArr(oi) >= 0 && idArr(oj) >= 0)) {
+          val szJ = szArr(oj)
+          val lo = math.min(szI, szJ).toDouble
+          val hi = math.max(szI, szJ).toDouble
+          if (hi == 0.0 || lo / hi >= minJaccard)
+            out += ((idArr(oi), idArr(oj)))
+        }
         j += 1
       }
       i += 1
@@ -494,7 +501,8 @@ object HashKernels {
   val fingerprint40Udf: UserDefinedFunction =
     udf((text: String) => if (text == null) null else java.lang.Long.valueOf(fingerprint40(text)))
 
-  def bucketPairsRatioUdf(maxBucket: Int, minJaccard: Double): UserDefinedFunction =
+  def bucketPairsRatioUdf(maxBucket: Int, minJaccard: Double,
+                          skipBothNonNegative: Boolean = false): UserDefinedFunction =
     udf((ids: Seq[Long], sizes: Seq[Int]) =>
-      bucketPairsRatio(ids, sizes, maxBucket, minJaccard))
+      bucketPairsRatio(ids, sizes, maxBucket, minJaccard, skipBothNonNegative))
 }

@@ -258,13 +258,25 @@ object Dedup {
     *    boilerplate doc copied 1M times would emit 5×10¹¹ rows) to star
     *    edges (rep, member, 1.0): O(m) rows carrying the same
     *    connected-component information, which is what dedup consumes.
+    *
+    * `crossOnly` (for [[crossCorpusNearDups]]'s sign-tagged union, where
+    * benchmark ids are negative and corpus ids non-negative): emit
+    * EXACTLY the pairs of the full run whose endpoints span the sign
+    * boundary — the caller would drop everything else, and the dominant
+    * intra-corpus candidate mass never deserves mining. Sound because a
+    * group containing any negative id has a negative rep (rep = min), so
+    * a (non-negative, non-negative) rep pair can never expand to a
+    * cross-sign doc pair: the kernel skips those candidates outright,
+    * and the group expansions filter to sign-crossing doc pairs
+    * (spec-pinned equal to full-mining-then-filter).
     */
   def minHashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, rowsPerBand: Int = 4,
                       minJaccard: Double = 0.5,
                       maxBucket: Int = 8192,
-                      maxGroup: Int = 1024): DataFrame = {
+                      maxGroup: Int = 1024,
+                      crossOnly: Boolean = false): DataFrame = {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
     import graft.functions.HashKernels
     val groups = exactGroups(df, idCol, textCol).localCheckpoint(false)
@@ -306,7 +318,8 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids"),
         collect_list(col("sz")).as("szs"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(HashKernels.bucketPairsRatioUdf(maxBucket, minJaccard)(
+      .select(explode(HashKernels.bucketPairsRatioUdf(maxBucket, minJaccard,
+        skipBothNonNegative = crossOnly)(
         col("ids"), col("szs"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
@@ -353,7 +366,11 @@ object Dedup {
       .select(col("jaccard"), col("a"), explode(col("__mb")).as("b"))
       .select(least(col("a"), col("b")).as("id_a"),
         greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
-    within.unionByName(cross)
+    val all = within.unionByName(cross)
+    // crossOnly: keep exactly the sign-crossing doc pairs the full run
+    // would emit — ordered (min, max), a cross pair is always
+    // (negative, non-negative)
+    if (crossOnly) all.filter(col("id_a") < 0 && col("id_b") >= 0) else all
   }
 
   /** Connected components over an undirected duplicate-pair list — the
@@ -546,8 +563,11 @@ object Dedup {
     val b = benchmark.select((lit(-1L) - col(idCol).cast("long")).as("id"),
       col(textCol).as("t"))
     require(c.schema == b.schema, "tagged union schema mismatch")
+    // crossOnly: the sign-tagged miner skips the intra-corpus candidate
+    // mass (the dominant cost — corpus ≫ benchmark) in-kernel and emits
+    // exactly the cross-side pairs this operator consumes
     val pairs = minHashDupPairs(c.unionByName(b), "id", "t",
-      k = k, minJaccard = minJaccard)
+      k = k, minJaccard = minJaccard, crossOnly = true)
     // pair ids are (min, max); benchmark ids are negative, so a cross pair
     // is exactly (id_a < 0 <= id_b)
     val cross = pairs.filter(col("id_a") < 0 && col("id_b") >= 0)

@@ -269,6 +269,45 @@ class DedupSpec extends SparkSpec {
     out.foreach(_._3 should be >= 0.999)
   }
 
+  test("crossOnly mining equals full-mining-then-filter, including mixed exact-dup groups") {
+    // randomized corpus/benchmark with: cross near-dups, intra-corpus
+    // near-dups (the mass crossOnly must skip), texts IDENTICAL across
+    // the two sides (mixed exact-dup groups — the case where a
+    // negative-rep group expands to cross pairs), and a mega exact-dup
+    // group past maxGroup to exercise the star-edge path
+    for (seed <- Seq(7, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val bench = (0L until 30L).map(i =>
+        (i, s"benchmark question number $i about topic ${rnd.nextInt(10)}"))
+        .toDF("doc_id", "text")
+      val corpus = ((0L until 200L).map { i =>
+        val t = rnd.nextInt(10) match {
+          case 0 => s"benchmark question number ${rnd.nextInt(30)} about topic ${rnd.nextInt(10)}"
+          case 1 => s"corpus near dup family ${i % 20} with shared words here marker$i"
+          case 2 => "the repeated boilerplate footer appearing everywhere" // mega group
+          case _ => s"unique corpus document $i ${rnd.nextInt(1000)}"
+        }
+        (1000L + i, t)
+      }).toDF("doc_id", "text")
+      import org.apache.spark.sql.functions.lit
+      val c = corpus.select($"doc_id".as("id"), $"text".as("t"))
+      val b = bench.select((lit(-1L) - $"doc_id").as("id"), $"text".as("t"))
+      val union = c.unionByName(b)
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      val maxG = 5 // small cap so the boilerplate group rides star edges
+      val full = Dedup.minHashDupPairs(union, "id", "t", maxGroup = maxG)
+        .filter($"id_a" < 0 && $"id_b" >= 0)
+      val crossOnly = Dedup.minHashDupPairs(union, "id", "t",
+        maxGroup = maxG, crossOnly = true)
+      withClue(s"seed=$seed: ") { fp(crossOnly) shouldBe fp(full) }
+      fp(full) should not be empty
+      // and the public operator's output is unchanged by the rewrite
+      val viaOp = Dedup.crossCorpusNearDups(corpus, bench, "doc_id", "text")
+      viaOp.count() should be > 0L
+    }
+  }
+
   test("spreadForKernelStage spreads only under-parallel frames with real kernel work") {
     val parallelism = spark.sparkContext.defaultParallelism
     // one partition, enough rows/partition: spread to full parallelism
