@@ -234,4 +234,75 @@ object VectorFunctions {
       acc + hyperplaneSign(a, plane).cast("long") * lit(1L << i)
     }
   }
+
+  /** JVM twin of `round(cosine_sim(cast float→double), 6)`: the fused
+    * left-to-right dot/norm loop of
+    * [[graft.functions.expressions.CosineSimilarity]] over float inputs
+    * widened per element (exactly what the Column path's
+    * `cast("array<double>")` does), then [[Rounding.droundDouble]] —
+    * bit-identical to the Column spelling by construction (both twins
+    * are property-pinned elsewhere). NaN for zero-norm/empty input (the
+    * expression's null; callers must treat NaN as no-match).
+    */
+  def cosineFloatsRounded(a: Array[Float], b: Array[Float], scale: Int): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = a(i).toDouble
+      val yv = b(i).toDouble
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN
+    else Rounding.droundDouble(dot / (math.sqrt(na) * math.sqrt(nb)), scale)
+  }
+
+  /** One LSH bucket's verified near-dup pairs, fused in-kernel: all
+    * (id-sorted, `maxBucket`-capped) pairs whose EXACT rounded cosine
+    * clears `minCosine` — (id_a, id_b, cosine) with id_a < id_b.
+    *
+    * Fusing verification into the bucket aggregate means each vector
+    * crosses the bucket exchange ONCE (≈4·dim bytes), instead of riding
+    * a candidate-pair join once per pair — on a bucket of m vectors the
+    * join spelling ships m·(m−1) vector copies. Zero-norm vectors (NaN
+    * cosine) match nothing, like the Column path's null. `ids`/`vs` come
+    * from two collect_lists in ONE aggregation pass, so they are aligned.
+    */
+  def bucketPairsCosine(ids: Seq[Long], vs: Seq[Seq[Float]], maxBucket: Int,
+                        minCosine: Double,
+                        scale: Int): Array[(Long, Long, Double)] = {
+    val m = ids.length
+    val idArr = new Array[Long](m)
+    var x = 0
+    while (x < m) { idArr(x) = ids(x); x += 1 }
+    val order = Array.range(0, m).sortBy(idArr)
+    val n = math.min(m, maxBucket)
+    // unbox the capped vectors once: the O(n²·dim) loop below must not
+    // touch boxed Seq accessors
+    val vecs = new Array[Array[Float]](n)
+    var y = 0
+    while (y < n) { vecs(y) = vs(order(y)).toArray; y += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val c = cosineFloatsRounded(vecs(i), vecs(j), scale)
+        if (c >= minCosine) out += ((idArr(order(i)), idArr(order(j)), c))
+        j += 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  def bucketPairsCosineUdf(maxBucket: Int, minCosine: Double,
+                           scale: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((ids: Seq[Long], vs: Seq[Seq[Float]]) =>
+      bucketPairsCosine(ids, vs, maxBucket, minCosine, scale))
 }

@@ -661,10 +661,16 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine ≥ `minCosine` among candidate pairs
-    * sharing an LSH bucket (random hyperplanes). Same execution shape as
-    * [[minHashDupPairs]]: pairs expand per bucket (capped at `maxBucket`)
-    * so the shuffle carries (bucket, id) — vectors are joined back for the
-    * surviving pairs only. At scale, raise `nBits` to shrink buckets.
+    * sharing an LSH bucket (random hyperplanes). Verification is FUSED
+    * into the bucket aggregate ([[graft.functions.VectorFunctions
+    * .bucketPairsCosine]]): each vector crosses the bucket exchange once
+    * (≈4·dim bytes) and every candidate pair's exact rounded cosine is
+    * computed in-kernel — a candidate-join spelling would ship a vector
+    * copy per PAIR, quadratic in bucket occupancy (measured the whole
+    * operator cost at full buckets: 42.8 → ~4 s on 10× grown embeddings
+    * at nBits=4). At scale, raise `nBits` to shrink buckets: occupancy
+    * ≈ N/2^nBits, so nBits should grow with log₂(N) exactly as
+    * [[semanticDedup]] grows its cluster count.
     *
     * `multiProbe`: each vector is also entered into its nBits
     * Hamming-distance-1 buckets for CANDIDATE generation (verification
@@ -678,30 +684,37 @@ object Dedup {
                         maxBucket: Int = 4096,
                         multiProbe: Boolean = false): DataFrame = {
     import graft.functions.{HashKernels, VectorFunctions}
+    // single downstream consumer since verification fused into the
+    // bucket aggregate — no checkpoint needed
     val withBucket = df.select(
         col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         VectorFunctions.lshBucket(col(vecCol), dim, nBits).as("bucket"))
-      .localCheckpoint(false)
     val assigned =
       if (!multiProbe) withBucket
-      else withBucket.select(col("id"),
+      else withBucket.select(col("id"), col("v"),
         explode(array(col("bucket") +:
           (0 until nBits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
           .as("bucket"))
-    val rawCands = assigned
+    // exact-cosine verification FUSED into the bucket aggregate
+    // (VectorFunctions.bucketPairsCosine): each vector crosses the
+    // bucket exchange once (≈4·dim bytes), where the former
+    // candidate-join spelling shipped a vector copy per candidate PAIR —
+    // m·(m−1) copies for a bucket of m, quadratic in bucket occupancy
+    // and the whole cost of the operator once buckets fill up (measured
+    // 42.8 → ~4 s on 10× grown embeddings at nBits=4). The kernel's
+    // rounded-cosine filter is the JVM twin of the old
+    // round(cosine_sim, 6) ≥ minCosine Column spelling — bit-identical
+    // by the pinned dround/cosine twin properties.
+    val rawPairs = assigned
       .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(collect_list(col("id")).as("ids"),
+        collect_list(col("v")).as("vs"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(HashKernels.bucketPairsUdf(maxBucket)(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-    val cands = if (multiProbe) rawCands.distinct() else rawCands
-    cands
-      .join(withBucket.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(withBucket.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cosine", round(graft.functions.VectorFunctions.cosineBest(
-        df.sparkSession, col("v_a"), col("v_b")), 6))
-      .filter(col("cosine") >= minCosine)
-      .select("id_a", "id_b", "cosine")
+      .select(explode(graft.functions.VectorFunctions.bucketPairsCosineUdf(
+        maxBucket, minCosine, 6)(col("ids"), col("vs"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("cosine"))
+    if (multiProbe) rawPairs.distinct() else rawPairs
   }
 
   /** SemDeDup (Abbas et al. 2023) semantic near-dedup: vectors are

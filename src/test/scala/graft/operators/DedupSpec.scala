@@ -269,6 +269,55 @@ class DedupSpec extends SparkSpec {
     out.foreach(_._3 should be >= 0.999)
   }
 
+  test("fused-cosine embeddingDupPairs equals the candidate-join spelling bit for bit") {
+    import org.apache.spark.sql.functions.{col, size => ssize,
+      sort_array, collect_list, explode}
+    val rnd = new scala.util.Random(11)
+    // random float vectors with planted near-dup pairs and a zero vector
+    val vecs = ((0 until 300).map { i =>
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+      (i.toLong, if (i % 3 == 0) base.map(x => x + 0.01f * (i % 5)) else base)
+    } :+ ((999L, Array.fill(8)(0.0f)))).toDF("id", "v")
+    for (multiProbe <- Seq(false, true)) {
+      val fused = Dedup.embeddingDupPairs(vecs, "id", "v",
+        dim = 8, nBits = 3, minCosine = 0.5, multiProbe = multiProbe)
+      // the pre-round-11 spelling: candidate pairs then a two-sided
+      // vector join + Column-path rounded cosine
+      val withBucket = vecs.select(col("id"), col("v"),
+        graft.functions.VectorFunctions.lshBucket(col("v"), 8, 3).as("bucket"))
+      val assigned =
+        if (!multiProbe) withBucket
+        else withBucket.select(col("id"),
+          explode(org.apache.spark.sql.functions.array(col("bucket") +:
+            (0 until 3).map(i => col("bucket")
+              .bitwiseXOR(org.apache.spark.sql.functions.lit(1L << i))): _*))
+            .as("bucket"))
+      val rawCands = assigned
+        .groupBy(col("bucket"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(ssize(col("ids")) >= 2)
+        .select(explode(graft.functions.HashKernels.bucketPairsUdf(4096)(
+          col("ids"))).as("p"))
+        .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      val cands = if (multiProbe) rawCands.distinct() else rawCands
+      val joined = cands
+        .join(withBucket.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+        .join(withBucket.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+        .withColumn("cosine", graft.functions.Rounding.dround(
+          graft.functions.VectorFunctions.cosineBest(
+            spark, col("v_a"), col("v_b")), 6))
+        .filter(col("cosine") >= 0.5)
+        .select("id_a", "id_b", "cosine")
+      withClue(s"multiProbe=$multiProbe: ") {
+        fused.collect().map(_.toString).sorted.toSeq shouldBe
+          joined.collect().map(_.toString).sorted.toSeq
+      }
+      fused.count() should be > 0L
+      // zero vector never matches (NaN in-kernel ≡ null in-Column)
+      fused.filter(col("id_a") === 999L || col("id_b") === 999L).count() shouldBe 0L
+    }
+  }
+
   test("crossOnly mining equals full-mining-then-filter, including mixed exact-dup groups") {
     // randomized corpus/benchmark with: cross near-dups, intra-corpus
     // near-dups (the mass crossOnly must skip), texts IDENTICAL across
