@@ -38,15 +38,27 @@ object QueriesInvariants {
   private def viol(pred: Column): Column =
     coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
 
-  /** Exact shingle-set Jaccard recomputed the way [[Dedup.minHashDupPairs]]
-    * reports it: identical text is 1.0 by the exact-dup collapse; anything
-    * else is the 6-dp-rounded sorted-set Jaccard of k-word shingle hashes.
+  /** Per-DOC half of the exact-Jaccard recompute: the sorted k-word
+    * shingle-hash set, null for null text. Projected onto the doc side
+    * BEFORE the pair join so each document is shingled exactly once —
+    * shingling inside the per-pair expression costs one full re-shingle
+    * per pair OCCURRENCE, and a doc in an m-member near-dup family sits
+    * in O(m) pairs (measured: the 10× grown layout's quadratic pair
+    * output made the per-pair spelling 13× slower for 10× data; the
+    * per-doc split is ~4×, sub-linear in its own output).
     */
-  private def jaccardRecompute(tA: Column, tB: Column, k: Int): Column =
+  private def shingleSet(t: Column, k: Int): Column =
+    when(t.isNotNull, Dedup.sortedShingleHashes(t, k))
+
+  /** Per-PAIR half: exact Jaccard the way [[Dedup.minHashDupPairs]]
+    * reports it — identical text is 1.0 by the exact-dup collapse;
+    * anything else is the 6-dp-rounded sorted-set Jaccard of the two
+    * [[shingleSet]] columns (null text ⇒ null, callers guard).
+    */
+  private def jaccardFromSets(tA: Column, tB: Column,
+                              shA: Column, shB: Column): Column =
     when(tA === tB, lit(1.0))
-      .otherwise(dround(Dedup.sortedSetJaccard(
-        Dedup.sortedShingleHashes(tA, k),
-        Dedup.sortedShingleHashes(tB, k)), 6))
+      .otherwise(dround(Dedup.sortedSetJaccard(shA, shB), 6))
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -96,11 +108,30 @@ object QueriesInvariants {
     "q28_minhash_invariants" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("id"), col("text"))
+      // one operator run for the three consumers below (two text joins +
+      // the recall anti-join): the pair rows are 24 bytes each
       val pairs = QueriesDocs.queries("q28_minhash_pairs")(s, d)
+        .localCheckpoint(false)
+      // shingle once per doc IN A PAIR, not once per pair occurrence: a
+      // doc in an m-member family sits in O(m) pairs, so the per-pair
+      // spelling re-shingled each text O(m) times (13× runtime at the 10×
+      // grown layout's quadratic pair output). The semi-join keeps the
+      // small-corpus cost pair-proportional too — docs outside dup
+      // families are never shingled. Checkpointed so both join probes
+      // share one evaluation (one corpus scan + one semi shuffle instead
+      // of two; the materialized blocks are family-members-only).
+      val usedIds = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      val docsSh = docs.join(usedIds, Seq("id"), "left_semi")
+        .withColumn("sh", shingleSet(col("text"), 3))
+        .localCheckpoint(false)
       val withT = pairs
-        .join(docs.select(col("id").as("id_a"), col("text").as("t_a")), Seq("id_a"), "left")
-        .join(docs.select(col("id").as("id_b"), col("text").as("t_b")), Seq("id_b"), "left")
-        .withColumn("__re", jaccardRecompute(col("t_a"), col("t_b"), 3))
+        .join(docsSh.select(col("id").as("id_a"), col("text").as("t_a"),
+          col("sh").as("sh_a")), Seq("id_a"), "left")
+        .join(docsSh.select(col("id").as("id_b"), col("text").as("t_b"),
+          col("sh").as("sh_b")), Seq("id_b"), "left")
+        .withColumn("__re", jaccardFromSets(col("t_a"), col("t_b"),
+          col("sh_a"), col("sh_b")))
       val pairChecks = withT.agg(
         viol(col("id_a") >= col("id_b")).as("n_noncanonical"),
         viol(col("jaccard") < 0.5).as("n_below_threshold"),
@@ -128,15 +159,29 @@ object QueriesInvariants {
     // doc_id % 83 == 0 corpus doc) maps back to its own source doc.
     "q92_contam_invariants" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // one operator run for both the joins and the shingle pruning below
       val out = QueriesDocs.queries("q92_cross_contam")(s, d)
-      val corpusT = docs.select(col("doc_id").cast("long").as("corpus_id"),
-        col("text").as("t_c"))
-      val benchT = Tables.plantedBenchmark(s, d)
+        .localCheckpoint(false)
+      // same per-doc-not-per-pair shingle discipline as the q28 companion:
+      // only docs/bench items that actually appear in the output are
+      // shingled, each exactly once
+      val corpusT = docs
+        .select(col("doc_id").cast("long").as("corpus_id"),
+          col("text").as("t_c"))
+        .join(out.select(col("corpus_id")).distinct(), Seq("corpus_id"),
+          "left_semi")
+        .withColumn("sh_c", shingleSet(col("t_c"), 3))
+      val benchRaw = Tables.plantedBenchmark(s, d)
         .select(col("benchmark_id"), col("text").as("t_b"))
+      val benchT = benchRaw
+        .join(out.select(col("benchmark_id")).distinct(), Seq("benchmark_id"),
+          "left_semi")
+        .withColumn("sh_b", shingleSet(col("t_b"), 3))
       val withT = out
         .join(corpusT, Seq("corpus_id"), "left")
         .join(benchT, Seq("benchmark_id"), "left")
-        .withColumn("__re", jaccardRecompute(col("t_c"), col("t_b"), 3))
+        .withColumn("__re", jaccardFromSets(col("t_c"), col("t_b"),
+          col("sh_c"), col("sh_b")))
       val checks = withT.agg(
         viol(col("jaccard") < 0.5).as("n_below_threshold"),
         viol(col("t_c").isNull || col("t_b").isNull).as("n_unknown_id"),
@@ -145,7 +190,7 @@ object QueriesInvariants {
         (count(lit(1)) - countDistinct(col("corpus_id"))).as("n_multi_per_corpus"),
         coalesce(sum(when(col("corpus_id") === col("benchmark_id"), 1L)
           .otherwise(0L)), lit(0L)).as("n_self_pairs"))
-      checks.crossJoin(benchT.agg(count(lit(1)).as("n_bench_items")))
+      checks.crossJoin(benchRaw.agg(count(lit(1)).as("n_bench_items")))
     }),
 
     // ---- IVF/LSH ANN (companion to golden q50) ---------------------------
