@@ -262,37 +262,53 @@ object VectorFunctions {
     else Rounding.droundDouble(dot / (math.sqrt(na) * math.sqrt(nb)), scale)
   }
 
+  /** Double-input twin of [[cosineFloatsRounded]]: the identical
+    * left-to-right loop, no widening needed. Bit-identical to the float
+    * twin on exactly-widened floats (same operation sequence).
+    */
+  def cosineDoublesRounded(a: Array[Double], b: Array[Double], scale: Int): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = a(i)
+      val yv = b(i)
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN
+    else Rounding.droundDouble(dot / (math.sqrt(na) * math.sqrt(nb)), scale)
+  }
+
   /** One LSH bucket's verified near-dup pairs, fused in-kernel: all
     * (id-sorted, `maxBucket`-capped) pairs whose EXACT rounded cosine
-    * clears `minCosine` — (id_a, id_b, cosine) with id_a < id_b.
+    * clears `minCosine` — (id_a, id_b, cosine) with id_a < id_b. `vecs`
+    * is the already-unboxed DOUBLE matrix (the [[bucketPairsCosine]] /
+    * [[bucketPairsCosineDoubles]] entry points widen float elements at
+    * unbox time, exactly the Column path's `cast("array<double>")`, so
+    * both physical embedding dtypes produce identical pairs).
     *
     * Fusing verification into the bucket aggregate means each vector
-    * crosses the bucket exchange ONCE (≈4·dim bytes), instead of riding
-    * a candidate-pair join once per pair — on a bucket of m vectors the
-    * join spelling ships m·(m−1) vector copies. Zero-norm vectors (NaN
-    * cosine) match nothing, like the Column path's null. `ids`/`vs` come
-    * from two collect_lists in ONE aggregation pass, so they are aligned.
+    * crosses the bucket exchange ONCE (float columns keep their ≈4·dim-
+    * byte wire format), instead of riding a candidate-pair join once per
+    * pair — on a bucket of m vectors the join spelling ships m·(m−1)
+    * vector copies. Zero-norm vectors (NaN cosine) match nothing, like
+    * the Column path's null.
     */
-  def bucketPairsCosine(ids: Seq[Long], vs: Seq[Seq[Float]], maxBucket: Int,
-                        minCosine: Double,
-                        scale: Int): Array[(Long, Long, Double)] = {
-    val m = ids.length
-    val idArr = new Array[Long](m)
-    var x = 0
-    while (x < m) { idArr(x) = ids(x); x += 1 }
-    val order = Array.range(0, m).sortBy(idArr)
-    val n = math.min(m, maxBucket)
-    // unbox the capped vectors once: the O(n²·dim) loop below must not
-    // touch boxed Seq accessors
-    val vecs = new Array[Array[Float]](n)
-    var y = 0
-    while (y < n) { vecs(y) = vs(order(y)).toArray; y += 1 }
+  private def bucketPairsCore(idArr: Array[Long], order: Array[Int],
+                              vecs: Array[Array[Double]], n: Int,
+                              minCosine: Double,
+                              scale: Int): Array[(Long, Long, Double)] = {
     val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
     var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        val c = cosineFloatsRounded(vecs(i), vecs(j), scale)
+        val c = cosineDoublesRounded(vecs(i), vecs(j), scale)
         if (c >= minCosine) out += ((idArr(order(i)), idArr(order(j)), c))
         j += 1
       }
@@ -301,8 +317,58 @@ object VectorFunctions {
     out.toArray
   }
 
+  private def unboxIds(ids: Seq[Long]): (Array[Long], Array[Int]) = {
+    val m = ids.length
+    val idArr = new Array[Long](m)
+    var x = 0
+    while (x < m) { idArr(x) = ids(x); x += 1 }
+    (idArr, Array.range(0, m).sortBy(idArr))
+  }
+
+  /** Float-column entry point: widens each capped vector to a double
+    * array once at unbox time — the O(n²·dim) loop never touches boxed
+    * Seq accessors or re-widens per pair. `ids`/`vs` come from two
+    * collect_lists in ONE aggregation pass, so they are aligned.
+    */
+  def bucketPairsCosine(ids: Seq[Long], vs: Seq[Seq[Float]], maxBucket: Int,
+                        minCosine: Double,
+                        scale: Int): Array[(Long, Long, Double)] = {
+    val (idArr, order) = unboxIds(ids)
+    val n = math.min(ids.length, maxBucket)
+    val vecs = new Array[Array[Double]](n)
+    var y = 0
+    while (y < n) {
+      val s = vs(order(y))
+      val a = new Array[Double](s.length)
+      var i = 0
+      while (i < s.length) { a(i) = s(i).toDouble; i += 1 }
+      vecs(y) = a
+      y += 1
+    }
+    bucketPairsCore(idArr, order, vecs, n, minCosine, scale)
+  }
+
+  /** Double-column entry point (a regenerated embeddings table may ship
+    * list<double> — the [[graft.sources]] schema-robustness contract).
+    */
+  def bucketPairsCosineDoubles(ids: Seq[Long], vs: Seq[Seq[Double]],
+                               maxBucket: Int, minCosine: Double,
+                               scale: Int): Array[(Long, Long, Double)] = {
+    val (idArr, order) = unboxIds(ids)
+    val n = math.min(ids.length, maxBucket)
+    val vecs = new Array[Array[Double]](n)
+    var y = 0
+    while (y < n) { vecs(y) = vs(order(y)).toArray; y += 1 }
+    bucketPairsCore(idArr, order, vecs, n, minCosine, scale)
+  }
+
   def bucketPairsCosineUdf(maxBucket: Int, minCosine: Double,
                            scale: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf((ids: Seq[Long], vs: Seq[Seq[Float]]) =>
       bucketPairsCosine(ids, vs, maxBucket, minCosine, scale))
+
+  def bucketPairsCosineDoublesUdf(maxBucket: Int, minCosine: Double,
+                                  scale: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((ids: Seq[Long], vs: Seq[Seq[Double]]) =>
+      bucketPairsCosineDoubles(ids, vs, maxBucket, minCosine, scale))
 }

@@ -684,10 +684,24 @@ object Dedup {
                         maxBucket: Int = 4096,
                         multiProbe: Boolean = false): DataFrame = {
     import graft.functions.{HashKernels, VectorFunctions}
+    // dtype dispatch (schema-robustness contract: list<float> and its
+    // exact widening list<double> must produce identical pairs): float
+    // columns keep the 4-byte wire format and widen in-kernel at unbox
+    // time; anything else rides the double kernel as array<double>
+    val isFloat = df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val pairUdf =
+      if (isFloat) VectorFunctions.bucketPairsCosineUdf(maxBucket, minCosine, 6)
+      else VectorFunctions.bucketPairsCosineDoublesUdf(maxBucket, minCosine, 6)
+    val vExpr =
+      if (isFloat) col(vecCol) else col(vecCol).cast("array<double>")
     // single downstream consumer since verification fused into the
     // bucket aggregate — no checkpoint needed
     val withBucket = df.select(
-        col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        col(idCol).cast("long").as("id"), vExpr.as("v"),
         VectorFunctions.lshBucket(col(vecCol), dim, nBits).as("bucket"))
     val assigned =
       if (!multiProbe) withBucket
@@ -710,8 +724,7 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids"),
         collect_list(col("v")).as("vs"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(graft.functions.VectorFunctions.bucketPairsCosineUdf(
-        maxBucket, minCosine, 6)(col("ids"), col("vs"))).as("p"))
+      .select(explode(pairUdf(col("ids"), col("vs"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
         col("p._3").as("cosine"))
     if (multiProbe) rawPairs.distinct() else rawPairs
