@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import scala.collection.mutable
+
+/** Streaming STATE-size probe: runs every gate streaming query at two
+  * scales and reports each one's peak state-store footprint
+  * (`StateOperatorProgress`: rows, bytes, watermark-evicted rows) from a
+  * [[StreamingQueryListener]] — the measured counterpart of the "state is
+  * watermark/key-bounded, never row-bounded" scale claims in PLANS.md.
+  *
+  * Reading the two-scale output (documents/events/embeddings grown 10×
+  * with per-copy id offsets and a ≤10 s time shift):
+  *  - `graft_stream_hourly` (windowed agg): state = open (hour, type)
+  *    windows. The grown layout keeps the event-time SPAN, so state must
+  *    stay FLAT at 10× rows — growth here would mean state scales with
+  *    input rows, the one shape that cannot survive an unbounded stream.
+  *  - `graft_stream_dedup` / `graft_stream_gate` / `graft_stream_decontam`
+  *    (keyed state): state = distinct keys inside the watermark horizon —
+  *    ~10× at 10× corpus BY CONSTRUCTION of the bounded replay (every row
+  *    arrives in one burst, so the horizon spans the whole table; a
+  *    production deployment's bound is rate × horizon, not corpus size).
+  *    The check is state ≈ the analytic key count, not flatness.
+  *  - `graft_stream_ij` (stream-stream interval join): state = rows inside
+  *    the ±window join range of the unconsumed watermark frontier.
+  *  - `graft_stream_sessions` (flatMapGroupsWithState): state = open
+  *    sessions ≈ distinct users (10× per-copy user offsets ⇒ ~10×).
+  *
+  * Usage: runMain graft.tools.StreamStateProbe [smallDir] [bigDir]
+  */
+object StreamStateProbe {
+
+  /** gate query name → the writeStream queryName its run helper uses */
+  val Streams: Seq[(String, String)] = Seq(
+    "q46_stream_hourly" -> "graft_stream_hourly",
+    "q68_stream_dedup" -> "graft_stream_dedup",
+    "q79_ingest_gate" -> "graft_stream_gate",
+    "q84_stream_interval_join" -> "graft_stream_ij",
+    "q100_stream_sessionize" -> "graft_q100_sessions",
+    "q146_stream_decontam" -> "graft_stream_decontam")
+
+  def main(args: Array[String]): Unit = {
+    val smallDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val bigDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // peak-across-batches per queryName: (stateRows, stateBytes, evicted)
+    val peak = mutable.Map[String, (Long, Long, Long)]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val ops = p.stateOperators
+        // record zero-op progress too: a STATELESS stream (broadcast-gate
+        // decontamination) legitimately reports 0 state, which is a
+        // different fact than "no progress observed" (-1)
+        if (p.name != null) peak.synchronized {
+          val rows = ops.map(_.numRowsTotal).sum
+          val bytes = ops.map(_.memoryUsedBytes).sum
+          val evicted = ops.map(_.numRowsDroppedByWatermark).sum
+          val cur = peak.getOrElse(p.name, (0L, 0L, 0L))
+          peak(p.name) = (math.max(cur._1, rows), math.max(cur._2, bytes),
+            math.max(cur._3, evicted))
+        }
+      }
+    })
+
+    def runScale(dir: String): Map[String, (Long, Long, Long, Long)] = {
+      Streams.map { case (gateName, streamName) =>
+        peak.synchronized { peak.remove(streamName) }
+        val outRows = graft.SparkEntry.queries(gateName)(spark, dir).count()
+        // the listener bus is async; progress for the final batch can
+        // trail the awaitTermination return
+        var waited = 0
+        while (waited < 5000 &&
+            peak.synchronized { !peak.contains(streamName) }) {
+          Thread.sleep(200); waited += 200
+        }
+        val (r, b, ev) = peak.synchronized {
+          peak.getOrElse(streamName, (-1L, -1L, -1L))
+        }
+        gateName -> ((r, b, ev, outRows))
+      }.toMap
+    }
+
+    val small = runScale(smallDir)
+    val big = runScale(bigDir)
+    def fmt(m: Map[String, (Long, Long, Long, Long)]): String =
+      Streams.map { case (g, _) =>
+        val (r, b, ev, o) = m(g)
+        s""""$g":{"state_rows":$r,"state_bytes":$b,"evicted":$ev,"out_rows":$o}"""
+      }.mkString("{", ",", "}")
+    println(s"""{"small":${fmt(small)},"big":${fmt(big)}}""")
+    spark.stop()
+  }
+}
