@@ -60,6 +60,92 @@ object QueriesInvariants {
     when(tA === tB, lit(1.0))
       .otherwise(dround(Dedup.sortedSetJaccard(shA, shB), 6))
 
+  /** The q28 companion's check vector, separated from the gate wiring so
+    * the spec can drive it with CORRUPTED pair frames (each violation
+    * counter must FIRE — a vacuous verifier is worse than none).
+    * `pairs` = (id_a, id_b, jaccard) as [[Dedup.minHashDupPairs]] emits;
+    * `docs` = (id, text).
+    *
+    * Cost shape: the pair output is localCheckpointed (24-byte rows, one
+    * operator run for the three consumers), and each doc is shingled
+    * exactly ONCE — a doc in an m-member family sits in O(m) pairs, so
+    * the former per-pair re-shingle cost O(m) per doc (13× runtime at
+    * the 10× grown layout's quadratic pair output; 3.6× after). The
+    * semi-join keeps the small-corpus cost pair-proportional too — docs
+    * outside dup families are never shingled — and the checkpointed
+    * docsSh lets both join probes share one evaluation (one corpus scan
+    * + one semi shuffle; materialized blocks are family-members-only).
+    */
+  private[queries] def minhashChecks(rawPairs: DataFrame,
+                                     docs: DataFrame): DataFrame = {
+    val pairs = rawPairs.localCheckpoint(false)
+    val usedIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val docsSh = docs.join(usedIds, Seq("id"), "left_semi")
+      .withColumn("sh", shingleSet(col("text"), 3))
+      .localCheckpoint(false)
+    val withT = pairs
+      .join(docsSh.select(col("id").as("id_a"), col("text").as("t_a"),
+        col("sh").as("sh_a")), Seq("id_a"), "left")
+      .join(docsSh.select(col("id").as("id_b"), col("text").as("t_b"),
+        col("sh").as("sh_b")), Seq("id_b"), "left")
+      .withColumn("__re", jaccardFromSets(col("t_a"), col("t_b"),
+        col("sh_a"), col("sh_b")))
+    val pairChecks = withT.agg(
+      viol(col("id_a") >= col("id_b")).as("n_noncanonical"),
+      viol(col("jaccard") < 0.5).as("n_below_threshold"),
+      viol(col("t_a").isNull || col("t_b").isNull).as("n_unknown_id"),
+      viol(col("t_a").isNotNull && col("t_b").isNotNull &&
+        col("jaccard") =!= col("__re")).as("n_jaccard_mismatch"))
+    // expected exact-dup pairs: every same-text pair in a 2..1024 group
+    val expected = docs.filter(col("text").isNotNull)
+      .groupBy(col("text"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 1024))
+      .select(explode(graft.functions.HashKernels
+        .bucketPairsUdf(Int.MaxValue)(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    val dupChecks = expected
+      .join(pairs.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missing_exact"))
+      .crossJoin(expected.agg(count(lit(1)).as("n_exact_dup_pairs")))
+    pairChecks.crossJoin(dupChecks)
+  }
+
+  /** The q92 companion's check vector, spec-drivable like
+    * [[minhashChecks]]. `out` = (corpus_id, benchmark_id, jaccard) as
+    * [[Dedup.crossCorpusNearDups]] emits; `corpus` = (corpus_id, t_c);
+    * `bench` = (benchmark_id, t_b). Same shingle-once-per-doc discipline:
+    * only docs/bench items that actually appear in the output are
+    * shingled, each exactly once.
+    */
+  private[queries] def contamChecks(rawOut: DataFrame, corpus: DataFrame,
+                                    bench: DataFrame): DataFrame = {
+    val out = rawOut.localCheckpoint(false)
+    val corpusT = corpus
+      .join(out.select(col("corpus_id")).distinct(), Seq("corpus_id"),
+        "left_semi")
+      .withColumn("sh_c", shingleSet(col("t_c"), 3))
+    val benchT = bench
+      .join(out.select(col("benchmark_id")).distinct(), Seq("benchmark_id"),
+        "left_semi")
+      .withColumn("sh_b", shingleSet(col("t_b"), 3))
+    val withT = out
+      .join(corpusT, Seq("corpus_id"), "left")
+      .join(benchT, Seq("benchmark_id"), "left")
+      .withColumn("__re", jaccardFromSets(col("t_c"), col("t_b"),
+        col("sh_c"), col("sh_b")))
+    val checks = withT.agg(
+      viol(col("jaccard") < 0.5).as("n_below_threshold"),
+      viol(col("t_c").isNull || col("t_b").isNull).as("n_unknown_id"),
+      viol(col("t_c").isNotNull && col("t_b").isNotNull &&
+        col("jaccard") =!= col("__re")).as("n_jaccard_mismatch"),
+      (count(lit(1)) - countDistinct(col("corpus_id"))).as("n_multi_per_corpus"),
+      coalesce(sum(when(col("corpus_id") === col("benchmark_id"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_self_pairs"))
+    checks.crossJoin(bench.agg(count(lit(1)).as("n_bench_items")))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -105,93 +191,23 @@ object QueriesInvariants {
     // recompute, and full recall of exact-duplicate pairs (all-pairs groups
     // only — the documented >1024-member star-edge regime is excluded on
     // both sides).
-    "q28_minhash_invariants" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id").cast("long").as("id"), col("text"))
-      // one operator run for the three consumers below (two text joins +
-      // the recall anti-join): the pair rows are 24 bytes each
-      val pairs = QueriesDocs.queries("q28_minhash_pairs")(s, d)
-        .localCheckpoint(false)
-      // shingle once per doc IN A PAIR, not once per pair occurrence: a
-      // doc in an m-member family sits in O(m) pairs, so the per-pair
-      // spelling re-shingled each text O(m) times (13× runtime at the 10×
-      // grown layout's quadratic pair output). The semi-join keeps the
-      // small-corpus cost pair-proportional too — docs outside dup
-      // families are never shingled. Checkpointed so both join probes
-      // share one evaluation (one corpus scan + one semi shuffle instead
-      // of two; the materialized blocks are family-members-only).
-      val usedIds = pairs
-        .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-      val docsSh = docs.join(usedIds, Seq("id"), "left_semi")
-        .withColumn("sh", shingleSet(col("text"), 3))
-        .localCheckpoint(false)
-      val withT = pairs
-        .join(docsSh.select(col("id").as("id_a"), col("text").as("t_a"),
-          col("sh").as("sh_a")), Seq("id_a"), "left")
-        .join(docsSh.select(col("id").as("id_b"), col("text").as("t_b"),
-          col("sh").as("sh_b")), Seq("id_b"), "left")
-        .withColumn("__re", jaccardFromSets(col("t_a"), col("t_b"),
-          col("sh_a"), col("sh_b")))
-      val pairChecks = withT.agg(
-        viol(col("id_a") >= col("id_b")).as("n_noncanonical"),
-        viol(col("jaccard") < 0.5).as("n_below_threshold"),
-        viol(col("t_a").isNull || col("t_b").isNull).as("n_unknown_id"),
-        viol(col("t_a").isNotNull && col("t_b").isNotNull &&
-          col("jaccard") =!= col("__re")).as("n_jaccard_mismatch"))
-      // expected exact-dup pairs: every same-text pair in a 2..1024 group
-      val expected = docs.filter(col("text").isNotNull)
-        .groupBy(col("text"))
-        .agg(sort_array(collect_list(col("id"))).as("ids"))
-        .filter(size(col("ids")).between(2, 1024))
-        .select(explode(graft.functions.HashKernels
-          .bucketPairsUdf(Int.MaxValue)(col("ids"))).as("p"))
-        .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      val dupChecks = expected
-        .join(pairs.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("n_missing_exact"))
-        .crossJoin(expected.agg(count(lit(1)).as("n_exact_dup_pairs")))
-      pairChecks.crossJoin(dupChecks)
-    }),
+    "q28_minhash_invariants" -> ((s, d) =>
+      minhashChecks(
+        QueriesDocs.queries("q28_minhash_pairs")(s, d),
+        Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("id"), col("text")))),
 
     // ---- Cross-corpus decontamination (companion to golden q92) ----------
     // One row per contaminated corpus doc, true Jaccard values, and — the
     // recall check — every planted leak (the perturbed copy of each
     // doc_id % 83 == 0 corpus doc) maps back to its own source doc.
-    "q92_contam_invariants" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // one operator run for both the joins and the shingle pruning below
-      val out = QueriesDocs.queries("q92_cross_contam")(s, d)
-        .localCheckpoint(false)
-      // same per-doc-not-per-pair shingle discipline as the q28 companion:
-      // only docs/bench items that actually appear in the output are
-      // shingled, each exactly once
-      val corpusT = docs
-        .select(col("doc_id").cast("long").as("corpus_id"),
-          col("text").as("t_c"))
-        .join(out.select(col("corpus_id")).distinct(), Seq("corpus_id"),
-          "left_semi")
-        .withColumn("sh_c", shingleSet(col("t_c"), 3))
-      val benchRaw = Tables.plantedBenchmark(s, d)
-        .select(col("benchmark_id"), col("text").as("t_b"))
-      val benchT = benchRaw
-        .join(out.select(col("benchmark_id")).distinct(), Seq("benchmark_id"),
-          "left_semi")
-        .withColumn("sh_b", shingleSet(col("t_b"), 3))
-      val withT = out
-        .join(corpusT, Seq("corpus_id"), "left")
-        .join(benchT, Seq("benchmark_id"), "left")
-        .withColumn("__re", jaccardFromSets(col("t_c"), col("t_b"),
-          col("sh_c"), col("sh_b")))
-      val checks = withT.agg(
-        viol(col("jaccard") < 0.5).as("n_below_threshold"),
-        viol(col("t_c").isNull || col("t_b").isNull).as("n_unknown_id"),
-        viol(col("t_c").isNotNull && col("t_b").isNotNull &&
-          col("jaccard") =!= col("__re")).as("n_jaccard_mismatch"),
-        (count(lit(1)) - countDistinct(col("corpus_id"))).as("n_multi_per_corpus"),
-        coalesce(sum(when(col("corpus_id") === col("benchmark_id"), 1L)
-          .otherwise(0L)), lit(0L)).as("n_self_pairs"))
-      checks.crossJoin(benchRaw.agg(count(lit(1)).as("n_bench_items")))
-    }),
+    "q92_contam_invariants" -> ((s, d) =>
+      contamChecks(
+        QueriesDocs.queries("q92_cross_contam")(s, d),
+        Tables.documents(s, d).select(
+          col("doc_id").cast("long").as("corpus_id"), col("text").as("t_c")),
+        Tables.plantedBenchmark(s, d).select(
+          col("benchmark_id"), col("text").as("t_b")))),
 
     // ---- IVF/LSH ANN (companion to golden q50) ---------------------------
     // Exactly k results per covered query, no duplicate or unknown

@@ -81,4 +81,72 @@ class InvariantsSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- negative firing: each violation counter must TRIP on a corrupted
+  // input — a verifier that can only report zero is no verifier. Drives
+  // the extracted check functions directly with hand-built frames.
+
+  import spark.implicits._
+
+  private val tQuick = "the quick brown fox jumps over the lazy dog"
+  private val tRain = "rain in spain falls mainly on the plain today"
+  private def docs3 =
+    Seq((1L, tQuick), (2L, tQuick), (3L, tRain)).toDF("id", "text")
+  private def pairsDf(rows: (Long, Long, Double)*) =
+    rows.toDF("id_a", "id_b", "jaccard")
+
+  private def mhc(pairs: org.apache.spark.sql.DataFrame): Row =
+    QueriesInvariants.minhashChecks(pairs, docs3).collect().head
+
+  test("minhashChecks: clean exact-dup pair reports zero everywhere") {
+    val r = mhc(pairsDf((1L, 2L, 1.0)))
+    Seq("n_noncanonical", "n_below_threshold", "n_unknown_id",
+      "n_jaccard_mismatch", "n_missing_exact").foreach { c =>
+      withClue(c) { r.getAs[Long](c) shouldBe 0L }
+    }
+    r.getAs[Long]("n_exact_dup_pairs") shouldBe 1L
+  }
+
+  test("minhashChecks: each corrupted pairs frame fires its counter") {
+    mhc(pairsDf((2L, 1L, 1.0))).getAs[Long]("n_noncanonical") shouldBe 1L
+    mhc(pairsDf((1L, 2L, 1.0), (1L, 3L, 0.3)))
+      .getAs[Long]("n_below_threshold") shouldBe 1L
+    mhc(pairsDf((1L, 2L, 1.0), (1L, 99L, 0.9)))
+      .getAs[Long]("n_unknown_id") shouldBe 1L
+    // 0.9 is not the true shingle Jaccard of the two distinct texts
+    mhc(pairsDf((1L, 2L, 1.0), (1L, 3L, 0.9)))
+      .getAs[Long]("n_jaccard_mismatch") shouldBe 1L
+    val empty = mhc(pairsDf())
+    empty.getAs[Long]("n_missing_exact") shouldBe 1L
+    empty.getAs[Long]("n_exact_dup_pairs") shouldBe 1L
+  }
+
+  private def cc(out: org.apache.spark.sql.DataFrame): Row = {
+    val corpus = Seq((10L, tQuick), (11L, tRain)).toDF("corpus_id", "t_c")
+    val bench = Seq((10L, tQuick), (12L, tRain)).toDF("benchmark_id", "t_b")
+    QueriesInvariants.contamChecks(out, corpus, bench).collect().head
+  }
+  private def outDf(rows: (Long, Long, Double)*) =
+    rows.toDF("corpus_id", "benchmark_id", "jaccard")
+
+  test("contamChecks: clean self-pair output reports zero everywhere") {
+    val r = cc(outDf((10L, 10L, 1.0)))
+    Seq("n_below_threshold", "n_unknown_id", "n_jaccard_mismatch",
+      "n_multi_per_corpus").foreach { c =>
+      withClue(c) { r.getAs[Long](c) shouldBe 0L }
+    }
+    r.getAs[Long]("n_self_pairs") shouldBe 1L
+    r.getAs[Long]("n_bench_items") shouldBe 2L
+  }
+
+  test("contamChecks: each corrupted output frame fires its counter") {
+    cc(outDf((10L, 10L, 1.0), (11L, 12L, 0.2)))
+      .getAs[Long]("n_below_threshold") shouldBe 1L
+    cc(outDf((99L, 10L, 1.0))).getAs[Long]("n_unknown_id") shouldBe 1L
+    // 11 vs 12 share the SAME text (jaccard 1.0), so a reported 0.8 is a
+    // fabricated score
+    cc(outDf((11L, 12L, 0.8))).getAs[Long]("n_jaccard_mismatch") shouldBe 1L
+    cc(outDf((10L, 10L, 1.0), (10L, 12L, 1.0)))
+      .getAs[Long]("n_multi_per_corpus") shouldBe 1L
+  }
 }
