@@ -90,6 +90,28 @@ object RoutingFlipProbe {
     val (incP, incPlainS) = timed(fingerprint(Dedup.incrementalDedup(
       batch, seen, "doc_id", "text", maxBloomItems = 0L)))
 
+    // 5. bloom WIN regime (the r10 review observation only measured the
+    //    LOSS regime at a broadcast-small seen side): a seen corpus too
+    //    large to broadcast plus a mostly-new batch — the steady-state
+    //    ingest shape the gate's scaladoc claims the bloom serves. The
+    //    grown corpus's seen half is still broadcast-small, so this
+    //    section synthesizes the shape: 2M distinct seen texts (~24 MB of
+    //    keys, over the 10 MB broadcast threshold) and a 2M-row batch
+    //    with 1% true dups.
+    val synSeen = spark.range(2000000L)
+      .select(col("id").as("doc_id"),
+        concat(lit("seen doc corpus text item "), col("id")).as("text"))
+    val synBatch = spark.range(2000000L, 4000000L)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 100 === 0,
+            concat(lit("seen doc corpus text item "), col("id") - 2000000L))
+          .otherwise(concat(lit("fresh doc corpus text item "), col("id")))
+          .as("text"))
+    val (winB, winBloomS) = timed(fingerprint(Dedup.incrementalDedup(
+      synBatch, synSeen, "doc_id", "text", minBloomItems = 0L)))
+    val (winP, winPlainS) = timed(fingerprint(Dedup.incrementalDedup(
+      synBatch, synSeen, "doc_id", "text", maxBloomItems = 0L)))
+
     def j(m: (Long, Long)) = s"""{"rows":${m._1},"xh":${m._2}}"""
     println(
       s"""{"dir":"$dir","edges":$nEdges,""" +
@@ -97,8 +119,10 @@ object RoutingFlipProbe {
       s""""pr_match":${prD == prX},"pr_driver":${j(prD)},"pr_dist":${j(prX)},""" +
       s""""bpe_match":${bpeD == bpeX},"bpe_merges":${bpeD.length},""" +
       s""""inc_match":${incB == incP},"inc_bloom":${j(incB)},"inc_plain":${j(incP)},""" +
+      s""""win_match":${winB == winP},"win_bloom":${j(winB)},"win_plain":${j(winP)},""" +
       f""""secs":{"cc":[$ccDriverS%.2f,$ccDistS%.2f],"pr":[$prDriverS%.2f,$prDistS%.2f],""" +
-      f""""bpe":[$bpeDriverS%.2f,$bpeDistS%.2f],"inc":[$incBloomS%.2f,$incPlainS%.2f]}}""")
+      f""""bpe":[$bpeDriverS%.2f,$bpeDistS%.2f],"inc":[$incBloomS%.2f,$incPlainS%.2f],""" +
+      f""""win":[$winBloomS%.2f,$winPlainS%.2f]}}""")
     spark.stop()
   }
 }
