@@ -105,7 +105,19 @@ object Dedup {
     * build is pure overhead (measured by `tools/RoutingFlipProbe` on a
     * 25k-key seen side: bloom 1.5 s vs plain 0.6 s). The bloom's win
     * regime is the middle: a seen side too big to broadcast, where the
-    * anti-join would shuffle the whole batch.
+    * anti-join would shuffle the whole batch. That win is NETWORK
+    * economics and does not reproduce on local[32] (RoutingFlipProbe's
+    * win-regime section, 2M-key seen side: bloom 4.7 vs plain 2.6 s at
+    * 30-byte rows, 11.8 vs 4.3 s at ~0.9 KB rows) — locally the avoided
+    * exchange write and the split's second read of the shared window
+    * exchange hit the same disk, while on a cluster the avoided
+    * exchange crosses the network and the branch re-reads stay on
+    * map-local shuffle blocks. Single-node callers who know their
+    * deployment can force the plain anti-join with `maxBloomItems = 0`;
+    * the default routing keeps the bloom because this library's design
+    * point is the multi-executor cluster, and output identity across
+    * both paths is fingerprint-pinned by the probe at every tested
+    * shape.
     *
     * NOT lazy: routing runs an eager `seen.count()` at CALL time (it
     * sizes the bloom bitmap and picks the plan shape — both needed
