@@ -83,18 +83,21 @@ object Dedup {
     * keys, never text, co-partitioned on both sides — and the batch is
     * Bloom-pre-pruned against the seen keys BEFORE that shuffle: a
     * filter over the seen corpus's `xxhash64` keys (built distributed,
-    * ≈1.2 bytes/key at the default 1% fpp) splits the batch into
-    * definite-new rows, which bypass the anti-join exchange entirely
-    * (no false negatives — a key the filter has never seen cannot be in
-    * the corpus), and possible-dup rows (true dups + ≈fpp of the rest),
-    * which alone ride the exact anti-join. In the steady state of a
-    * curation pipeline most batch rows are new, so the exchange carries
-    * ≈fpp of the batch instead of all of it. The split happens AFTER the
-    * whole-batch [[exactDedup]] window exchange, not before: the two
-    * union branches then share one identical exchange subtree, so
-    * ReuseExchange materializes the batch scan + window shuffle ONCE per
-    * action (a pre-exchange split would scan the batch source twice —
-    * costly for expensive/uncached sources). A seen corpus with more
+    * ≈1.2 bytes/key at the default 1% fpp) marks each batch row as
+    * definite-new (no false negatives — a key the filter has never seen
+    * cannot be in the corpus) or possible-dup (true dups + ≈fpp of the
+    * rest). The possible-dup KEYS — steady-state small — are then
+    * confirmed against the seen corpus with a broadcast semi join and
+    * the CONFIRMED duplicate keys broadcast back into one anti join
+    * over the whole batch ("broadcast-back"): after the shared
+    * [[exactDedup]] window shuffle the batch crosses NO further
+    * exchange, where the plain spelling re-shuffles every batch row
+    * into the anti join. Exact: present ⊆ seen and every true dup's key
+    * is a candidate, so the anti join drops exactly batch ∩ seen. A
+    * dup-heavy batch whose confirmed-key count exceeds
+    * `maxBroadcastDupKeys` (default 1M ≈ 12 MB of keys) falls back to
+    * the probe-split anti join (definite-new rows bypass the exchange,
+    * possible-dups alone ride it). A seen corpus with more
     * distinct keys than `maxBloomItems` (default 200M ≈ 240 MB bitmap —
     * the broadcastable ceiling) skips the filter and runs the plain
     * co-partitioned anti-join; seen-side sizing uses the corpus row
@@ -103,26 +106,28 @@ object Dedup {
     * skips the filter: at that size Spark broadcasts the key set into
     * the anti-join, so the batch never shuffles anyway and the bloom
     * build is pure overhead (measured by `tools/RoutingFlipProbe` on a
-    * 25k-key seen side: bloom 1.5 s vs plain 0.6 s). The bloom's win
-    * regime is the middle: a seen side too big to broadcast, where the
-    * anti-join would shuffle the whole batch. That win is NETWORK
-    * economics and does not reproduce on local[32] (RoutingFlipProbe's
-    * win-regime section, 2M-key seen side: bloom 4.7 vs plain 2.6 s at
-    * 30-byte rows, 11.8 vs 4.3 s at ~0.9 KB rows) — locally the avoided
-    * exchange write and the split's second read of the shared window
-    * exchange hit the same disk, while on a cluster the avoided
-    * exchange crosses the network and the branch re-reads stay on
-    * map-local shuffle blocks. Single-node callers who know their
-    * deployment can force the plain anti-join with `maxBloomItems = 0`;
-    * the default routing keeps the bloom because this library's design
-    * point is the multi-executor cluster, and output identity across
-    * both paths is fingerprint-pinned by the probe at every tested
-    * shape.
+    * 25k-key seen side: bloom 1.5 s vs plain 0.6 s). The bloom+
+    * broadcast-back's win regime is the middle: a seen side too big to
+    * broadcast, where the plain anti-join re-shuffles the whole batch.
+    * That win is NETWORK-byte economics — batch bytes B crossing the
+    * wire: broadcast-back ≈ 2B (one exchange write + one fetch; the
+    * checkpoint write/read is executor-local disk), the former split
+    * spelling ≈ 3B (each union branch re-FETCHES the shared exchange),
+    * plain ≈ 4B (two full exchanges) — and does NOT reproduce on
+    * local[32], where page-cached shuffles make plain's extra bytes
+    * nearly free while the bloom route pays real fixed costs (filter
+    * build over the seen side, batch checkpoint, broadcast machinery):
+    * RoutingFlipProbe's win-regime section measures 12.2 vs 5.4 s at a
+    * 2M-key seen side with ~0.9 KB rows, outputs fingerprint-identical.
+    * Single-node callers can force the plain anti-join with
+    * `maxBloomItems = 0`; the default keeps the bloom because this
+    * library's design point is the multi-executor cluster.
     *
-    * NOT lazy: routing runs an eager `seen.count()` at CALL time (it
-    * sizes the bloom bitmap and picks the plan shape — both needed
-    * before a plan can be returned). Callers with an expensive `seen`
-    * source should pass a cached/checkpointed frame.
+    * NOT lazy: routing runs an eager `seen.count()` at CALL time, and
+    * the bloom route adds one candidate-key count over the checkpointed
+    * batch (it picks broadcast-back vs split — needed before a plan can
+    * be returned). Callers with an expensive `seen` source should pass
+    * a cached/checkpointed frame.
     * Same 64-bit+length collision convention as [[exactDedup]]. The
     * streaming twin (state-store keys within a watermark horizon) is
     * [[graft.streaming.StreamingOps.dedupDocs]].
@@ -131,7 +136,8 @@ object Dedup {
                        idCol: String, textCol: String,
                        bloomFpp: Double = 0.01,
                        maxBloomItems: Long = 200000000L,
-                       minBloomItems: Long = 500000L): DataFrame = {
+                       minBloomItems: Long = 500000L,
+                       maxBroadcastDupKeys: Long = 1000000L): DataFrame = {
     def keyed(df: DataFrame) = df
       .withColumn("__k", xxhash64(col(textCol)))
       .withColumn("__len", length(col(textCol)))
@@ -155,21 +161,44 @@ object Dedup {
     // null-text rows: xxhash64(null) is the NON-null seed hash (see the
     // dupGramFraction guard), so the probe is never null and such rows
     // route deterministically by whether the seed hash is in the filter.
-    // EITHER branch is correct for them — definite-new keeps them as-is,
-    // and the anti join can never drop them because their null __len
-    // never equi-matches the seen side (the same parity the plain-anti
-    // spelling had). The coalesce is defense in depth only.
-    // Dedup the WHOLE batch first, then split on the probe: both union
-    // branches share the identical scan+window exchange (reused once per
-    // action), and the probe reads the already-computed __k.
+    // EITHER route is correct for them — a null __len never equi-matches
+    // anything, so no anti join can drop them (the same parity the
+    // plain-anti spelling had). The coalesce is defense in depth only.
+    // Dedup the WHOLE batch first, then probe: the checkpoint pins one
+    // scan+window evaluation for the candidate count and the final pass.
     val flagged = keyed(exactDedup(newDocs, textCol, idCol))
       .withColumn("__might", coalesce(mightContain(col("__k")), lit(false)))
-    val definiteNew = flagged.filter(!col("__might"))
-      .drop("__k", "__len", "__might")
-    val candidates = flagged.filter(col("__might")).drop("__might")
-      .join(seenKeys, Seq("__k", "__len"), "left_anti")
-      .drop("__k", "__len")
-    definiteNew.unionByName(candidates)
+      .localCheckpoint(false)
+    val candKeys = flagged.filter(col("__might"))
+      .select(col("__k"), col("__len")).distinct()
+    val candCount = candKeys.count()
+    if (candCount <= maxBroadcastDupKeys) {
+      // broadcast-back: confirm the candidates against the seen corpus
+      // (broadcast semi — the seen side never shuffles) and broadcast the
+      // CONFIRMED duplicate keys into one anti join over the whole batch.
+      // The batch crosses no exchange after the shared window shuffle —
+      // on a cluster the plain spelling ships every batch row over the
+      // network again, and the split spelling re-reads the window
+      // exchange twice; this reads the checkpoint once. Exact by
+      // construction: present ⊆ seen, and every true dup's key is a
+      // candidate (the bloom has no false negatives), so the anti join
+      // drops exactly batch ∩ seen.
+      val present = seenKeys
+        .join(broadcast(candKeys), Seq("__k", "__len"), "left_semi")
+      flagged
+        .join(broadcast(present), Seq("__k", "__len"), "left_anti")
+        .drop("__k", "__len", "__might")
+    } else {
+      // adversarial/dup-heavy batch: the confirmed-key set may not be
+      // broadcast-safe — fall back to the split anti join (the probe
+      // column routes definite-new rows around the exchange)
+      val definiteNew = flagged.filter(!col("__might"))
+        .drop("__k", "__len", "__might")
+      val candidates = flagged.filter(col("__might")).drop("__might")
+        .join(seenKeys, Seq("__k", "__len"), "left_anti")
+        .drop("__k", "__len")
+      definiteNew.unionByName(candidates)
+    }
   }
 
   /** Exact-dup groups: (keep_id, copies) per distinct text — the audit view

@@ -98,17 +98,16 @@ object RoutingFlipProbe {
     //    section synthesizes the shape: 2M distinct seen texts (~24 MB of
     //    keys, over the 10 MB broadcast threshold) and a 2M-row batch
     //    with 1% true dups. Texts are padded to ≈0.9 KB: what the bloom
-    //    saves is the batch's FULL ROWS crossing the anti-join exchange.
-    //    MEASURED VERDICT (both shapes): bloom does NOT win on local[32]
-    //    — 4.7 vs 2.6 s with 30-byte rows, 11.8 vs 4.3 s padded — because
-    //    locally the avoided exchange write and the split's extra
-    //    branch-read of the shared window exchange are the same disk;
-    //    the win case is network economics (cluster: the avoided
-    //    exchange is a network shuffle of the whole batch, the branch
-    //    re-reads are local shuffle blocks). This section exists to pin
-    //    OUTPUT IDENTITY in the unbroadcastable-seen regime and to keep
-    //    the honest local cost on record; see the incrementalDedup
-    //    scaladoc for the routing rationale.
+    //    route saves is batch bytes crossing the NETWORK (broadcast-back
+    //    ≈ 2B vs plain ≈ 4B — see the incrementalDedup scaladoc's
+    //    byte accounting). MEASURED VERDICT: it does NOT win on
+    //    local[32] (12.2 vs 5.4 s padded; 4.7/11.8 vs 2.6/4.3 s for the
+    //    earlier split spelling) — page-cached local shuffles make the
+    //    plain spelling's extra bytes nearly free while the bloom route
+    //    pays real fixed costs (seen-side filter build, batch
+    //    checkpoint, broadcasts). This section exists to pin OUTPUT
+    //    IDENTITY in the unbroadcastable-seen regime and to keep the
+    //    honest local cost on record.
     def pad(c: org.apache.spark.sql.Column) =
       concat(c, lit(" "), repeat(sha2(c.cast("string"), 256), 14))
     val synSeen = spark.range(2000000L)

@@ -418,16 +418,30 @@ class DedupSpec extends SparkSpec {
     // null-text row survives in both spellings
     plain should contain(2000L)
 
-    // plan shape: a union whose definite-new branch holds NO join — the
-    // bloom filter prunes BEFORE any exchange feeding the anti join
+    // plan shape (broadcast-back): NO union — the whole batch rides ONE
+    // anti join against the broadcast confirmed-duplicate-key set, and
+    // the candidate keys are confirmed with a broadcast semi join, so
+    // the batch crosses no exchange after the dedup window shuffle
     val plan = routed.queryExecution.executedPlan.toString
-    plan should include("Union")
-    // the bloom probe is folded into LocalTableScan by ConvertToLocal-
-    // Relation on these in-memory inputs; the analyzed plan shows it
-    routed.queryExecution.analyzed.toString should include("bloom_might_contain")
+    plan should not include "Union"
     withClue(s"expected exactly one anti join in:\n$plan") {
       "LeftAnti".r.findAllIn(plan).size shouldBe 1
     }
+    withClue(s"expected the confirming semi join in:\n$plan") {
+      "LeftSemi".r.findAllIn(plan).size shouldBe 1
+    }
+
+    // forced split fallback (a dup-heavy batch whose confirmed keys
+    // exceed maxBroadcastDupKeys): the union-of-branches shape, with the
+    // definite-new branch bypassing the anti join
+    val splitRouted = Dedup.incrementalDedup(batch, seen, "doc_id", "text",
+      minBloomItems = 0L, maxBroadcastDupKeys = -1L)
+    val splitPlan = splitRouted.queryExecution.executedPlan.toString
+    splitPlan should include("Union")
+    withClue(s"expected exactly one anti join in:\n$splitPlan") {
+      "LeftAnti".r.findAllIn(splitPlan).size shouldBe 1
+    }
+    splitRouted.select("doc_id").as[Long].collect().toSet shouldBe plain
 
     // metric: the bloom split shuffles fewer records than the plain
     // spelling (the ~90% definite-new rows skip the anti exchange)
