@@ -93,11 +93,14 @@ object Dedup {
     * [[exactDedup]] window shuffle the batch crosses NO further
     * exchange, where the plain spelling re-shuffles every batch row
     * into the anti join. Exact: present ⊆ seen and every true dup's key
-    * is a candidate, so the anti join drops exactly batch ∩ seen. A
-    * dup-heavy batch whose confirmed-key count exceeds
-    * `maxBroadcastDupKeys` (default 1M ≈ 12 MB of keys) falls back to
-    * the probe-split anti join (definite-new rows bypass the exchange,
-    * possible-dups alone ride it). A seen corpus with more
+    * is a candidate, so the anti join drops exactly batch ∩ seen. The
+    * route is gated on the CANDIDATE-key count (true dups + ≈fpp of the
+    * batch's new keys — the quantity actually broadcast into the
+    * confirming semi): a count above `maxBroadcastKeys` (default 4M ≈
+    * 48 MB of keys, sized so the default 1% fpp over a few-hundred-M-row
+    * mostly-new batch still qualifies) falls back to the probe-split
+    * anti join (definite-new rows bypass the exchange, possible-dups
+    * alone ride it). A seen corpus with more
     * distinct keys than `maxBloomItems` (default 200M ≈ 240 MB bitmap —
     * the broadcastable ceiling) skips the filter and runs the plain
     * co-partitioned anti-join; seen-side sizing uses the corpus row
@@ -124,10 +127,16 @@ object Dedup {
     * library's design point is the multi-executor cluster.
     *
     * NOT lazy: routing runs an eager `seen.count()` at CALL time, and
-    * the bloom route adds one candidate-key count over the checkpointed
-    * batch (it picks broadcast-back vs split — needed before a plan can
-    * be returned). Callers with an expensive `seen` source should pass
-    * a cached/checkpointed frame.
+    * the bloom route runs the batch's dedup window and localCheckpoints
+    * it to count candidate keys (the count picks broadcast-back vs
+    * split — needed before a plan can be returned), so on that route
+    * the call itself does the batch's heavy lifting even if the caller
+    * only explains the plan. Callers with an expensive `seen` source
+    * should pass a cached/checkpointed frame. localCheckpoint blocks
+    * are executor-local (not recomputable after executor loss — the
+    * library-wide checkpoint convention, same as [[minHashDupPairs]]);
+    * pipelines on preemptible clusters should persist the RESULT
+    * reliably rather than re-driving a lost lineage.
     * Same 64-bit+length collision convention as [[exactDedup]]. The
     * streaming twin (state-store keys within a watermark horizon) is
     * [[graft.streaming.StreamingOps.dedupDocs]].
@@ -137,7 +146,7 @@ object Dedup {
                        bloomFpp: Double = 0.01,
                        maxBloomItems: Long = 200000000L,
                        minBloomItems: Long = 500000L,
-                       maxBroadcastDupKeys: Long = 1000000L): DataFrame = {
+                       maxBroadcastKeys: Long = 4000000L): DataFrame = {
     def keyed(df: DataFrame) = df
       .withColumn("__k", xxhash64(col(textCol)))
       .withColumn("__len", length(col(textCol)))
@@ -172,7 +181,7 @@ object Dedup {
     val candKeys = flagged.filter(col("__might"))
       .select(col("__k"), col("__len")).distinct()
     val candCount = candKeys.count()
-    if (candCount <= maxBroadcastDupKeys) {
+    if (candCount <= maxBroadcastKeys) {
       // broadcast-back: confirm the candidates against the seen corpus
       // (broadcast semi — the seen side never shuffles) and broadcast the
       // CONFIRMED duplicate keys into one anti join over the whole batch.
@@ -740,8 +749,13 @@ object Dedup {
     val vExpr =
       if (isFloat) col(vecCol) else col(vecCol).cast("array<double>")
     // single downstream consumer since verification fused into the
-    // bucket aggregate — no checkpoint needed
-    val withBucket = df.select(
+    // bucket aggregate — no checkpoint needed. NULL vectors are dropped
+    // up front: they can never match (the Column cosine is null for
+    // them), and the fused kernel's two collect_lists would otherwise
+    // MISALIGN — collect_list skips null elements, so `vs` would lose
+    // the null rows while `ids` kept every row of the (null-bucket)
+    // group, crashing the kernel or pairing wrong ids (spec-pinned).
+    val withBucket = df.filter(col(vecCol).isNotNull).select(
         col(idCol).cast("long").as("id"), vExpr.as("v"),
         VectorFunctions.lshBucket(col(vecCol), dim, nBits).as("bucket"))
     val assigned =

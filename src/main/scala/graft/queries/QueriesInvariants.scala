@@ -141,8 +141,7 @@ object QueriesInvariants {
       viol(col("t_c").isNotNull && col("t_b").isNotNull &&
         col("jaccard") =!= col("__re")).as("n_jaccard_mismatch"),
       (count(lit(1)) - countDistinct(col("corpus_id"))).as("n_multi_per_corpus"),
-      coalesce(sum(when(col("corpus_id") === col("benchmark_id"), 1L)
-        .otherwise(0L)), lit(0L)).as("n_self_pairs"))
+      viol(col("corpus_id") === col("benchmark_id")).as("n_self_pairs"))
     checks.crossJoin(bench.agg(count(lit(1)).as("n_bench_items")))
   }
 

@@ -25,7 +25,8 @@ import scala.collection.mutable
   *    The check is state ≈ the analytic key count, not flatness.
   *  - `graft_stream_ij` (stream-stream interval join): state = rows inside
   *    the ±window join range of the unconsumed watermark frontier.
-  *  - `graft_stream_sessions` (flatMapGroupsWithState): state = open
+  *  - `graft_q100_sessions` (flatMapGroupsWithState; the q100 query's
+  *    override of the `graft_stream_sessions` default): state = open
   *    sessions ≈ distinct users (10× per-copy user offsets ⇒ ~10×).
   *
   * Usage: runMain graft.tools.StreamStateProbe [smallDir] [bigDir]
@@ -84,13 +85,19 @@ object StreamStateProbe {
       Streams.map { case (gateName, streamName) =>
         peak.synchronized { peak.remove(streamName) }
         val outRows = graft.SparkEntry.queries(gateName)(spark, dir).count()
-        // the listener bus is async; progress for the final batch can
-        // trail the awaitTermination return
+        // the listener bus is async; progress events trail the
+        // awaitTermination return. Waiting only for the FIRST event
+        // would under-report keyed state (it grows batch-over-batch, so
+        // the peak is the LAST batch's event): wait until one arrives,
+        // then drain a fixed grace period for the rest. The same drain
+        // keeps a late event from one scale out of the next scale's
+        // window (peaks are removed per query before each run).
         var waited = 0
         while (waited < 5000 &&
             peak.synchronized { !peak.contains(streamName) }) {
           Thread.sleep(200); waited += 200
         }
+        Thread.sleep(1500)
         val (r, b, ev) = peak.synchronized {
           peak.getOrElse(streamName, (-1L, -1L, -1L))
         }

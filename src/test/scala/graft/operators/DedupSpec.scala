@@ -269,6 +269,23 @@ class DedupSpec extends SparkSpec {
     out.foreach(_._3 should be >= 0.999)
   }
 
+  test("embeddingDupPairs: null vectors match nothing and never misalign the kernel") {
+    // two null-vector rows used to form a null-bucket group whose ids
+    // list kept both rows while collect_list dropped their vectors —
+    // kernel crash (or wrong-id pairs in a mixed group). Nulls are
+    // filtered up front now: same pairs as without the null rows.
+    val vecs = Seq(
+      (1L, Array(1.0, 2.0, 3.0, 4.0)),
+      (2L, Array(1.001, 2.001, 3.001, 4.001)),
+      (3L, null: Array[Double]),
+      (4L, null: Array[Double])
+    ).toDF("id", "v")
+    val out = Dedup.embeddingDupPairs(vecs, "id", "v", dim = 4, nBits = 6,
+        minCosine = 0.999)
+      .as[(Long, Long, Double)].collect()
+    out.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
+  }
+
   test("fused-cosine embeddingDupPairs equals the candidate-join spelling bit for bit") {
     import org.apache.spark.sql.functions.{col, size => ssize,
       sort_array, collect_list, explode}
@@ -431,11 +448,12 @@ class DedupSpec extends SparkSpec {
       "LeftSemi".r.findAllIn(plan).size shouldBe 1
     }
 
-    // forced split fallback (a dup-heavy batch whose confirmed keys
-    // exceed maxBroadcastDupKeys): the union-of-branches shape, with the
-    // definite-new branch bypassing the anti join
+    // forced split fallback (a dup-heavy batch whose CANDIDATE keys —
+    // true dups + ~fpp of the new keys — exceed maxBroadcastKeys): the
+    // union-of-branches shape, with the definite-new branch bypassing
+    // the anti join
     val splitRouted = Dedup.incrementalDedup(batch, seen, "doc_id", "text",
-      minBloomItems = 0L, maxBroadcastDupKeys = -1L)
+      minBloomItems = 0L, maxBroadcastKeys = -1L)
     val splitPlan = splitRouted.queryExecution.executedPlan.toString
     splitPlan should include("Union")
     withClue(s"expected exactly one anti join in:\n$splitPlan") {
