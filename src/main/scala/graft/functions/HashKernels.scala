@@ -422,6 +422,30 @@ object HashKernels {
       .fromPrimitiveArray(out)
   }
 
+  /** [[minHashBandKeysData]] behind a null-element scan, for
+    * `containsNull = true` children (any array<bigint> read back from
+    * parquet carries that flag even when no element is actually null).
+    * The unchecked kernel reads primitive `getLong(i)`, which would
+    * silently unbox a null element to 0 and hash it as a real shingle —
+    * so a genuinely-null element fails loudly here instead. Only wired
+    * in when the child TYPE may carry nulls; the internal
+    * shingle_hashes pipeline (containsNull = false) skips the scan.
+    */
+  def minHashBandKeysDataChecked(
+      sh: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int, bands: Int, rowsPerBand: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      if (sh.isNullAt(i)) throw new IllegalArgumentException(
+        s"minhash_band_keys: null element at index $i — shingle-hash " +
+          "arrays must be null-free (filter(x -> x is not null) first)")
+      i += 1
+    }
+    minHashBandKeysData(sh, numHashes, bands, rowsPerBand)
+  }
+
   /** [[posGramHashes]] over ArrayData tokens (null → empty, matching the
     * kernel's Seq spelling), returning Catalyst ArrayData.
     */

@@ -333,6 +333,9 @@ object VectorFunctions {
   def bucketPairsCosine(ids: Seq[Long], vs: Seq[Seq[Float]], maxBucket: Int,
                         minCosine: Double,
                         scale: Int): Array[(Long, Long, Double)] = {
+    require(ids.length == vs.length,
+      s"bucketPairsCosine: ids (${ids.length}) and vs (${vs.length}) " +
+        "misaligned — a null id or vector leaked past the caller's filter")
     val (idArr, order) = unboxIds(ids)
     val n = math.min(ids.length, maxBucket)
     val vecs = new Array[Array[Double]](n)
@@ -354,6 +357,9 @@ object VectorFunctions {
   def bucketPairsCosineDoubles(ids: Seq[Long], vs: Seq[Seq[Double]],
                                maxBucket: Int, minCosine: Double,
                                scale: Int): Array[(Long, Long, Double)] = {
+    require(ids.length == vs.length,
+      s"bucketPairsCosineDoubles: ids (${ids.length}) and vs (${vs.length}) " +
+        "misaligned — a null id or vector leaked past the caller's filter")
     val (idArr, order) = unboxIds(ids)
     val n = math.min(ids.length, maxBucket)
     val vecs = new Array[Array[Double]](n)

@@ -62,19 +62,22 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    // containsNull arrays are rejected: the kernel reads primitive
-    // getLong(i), which would silently unbox a null element to 0 and
-    // hash it as a real shingle (the UDF spelling NPE'd instead). The
-    // intended producer, shingle_hashes, emits containsNull = false, so
-    // no legitimate input is lost.
+    // containsNull = true is ACCEPTED at analysis (any array<bigint>
+    // read back from parquet — e.g. a stored shingle column — carries
+    // the flag by default, with no user-facing way to re-declare it)
+    // but its elements are null-scanned at eval time: the kernel reads
+    // primitive getLong(i), which would silently unbox a null element
+    // to 0 and hash it as a real shingle. A genuinely-null element
+    // throws; the internal shingle_hashes pipeline emits
+    // containsNull = false and skips the scan entirely.
     val typeOk = child.dataType match {
-      case ArrayType(LongType, false) => true
+      case ArrayType(LongType, _) => true
       case _ => false
     }
     if (typeOk && numHashes > 0 && bands > 0 && numHashes % bands == 0)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"minhash_band_keys expects (array<bigint> with no null elements, " +
+      s"minhash_band_keys expects (array<bigint>, " +
         s"numHashes divisible by bands), got " +
         s"(${child.dataType.simpleString}, " +
         s"numHashes=$numHashes, bands=$bands)")
@@ -82,16 +85,29 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
 
   private def rowsPerBand: Int = numHashes / bands
 
+  private def mayHaveNullElements: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  private def kernelName: String =
+    if (mayHaveNullElements) "minHashBandKeysDataChecked"
+    else "minHashBandKeysData"
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_band_keys"
 
   override protected def nullSafeEval(input: Any): Any =
-    graft.functions.HashKernels.minHashBandKeysData(
-      input.asInstanceOf[ArrayData], numHashes, bands, rowsPerBand)
+    if (mayHaveNullElements)
+      graft.functions.HashKernels.minHashBandKeysDataChecked(
+        input.asInstanceOf[ArrayData], numHashes, bands, rowsPerBand)
+    else
+      graft.functions.HashKernels.minHashBandKeysData(
+        input.asInstanceOf[ArrayData], numHashes, bands, rowsPerBand)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HashKernels.minHashBandKeysData(" +
+      s"graft.functions.HashKernels.$kernelName(" +
         s"$c, $numHashes, $bands, $rowsPerBand)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

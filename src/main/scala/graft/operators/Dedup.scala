@@ -749,14 +749,20 @@ object Dedup {
     val vExpr =
       if (isFloat) col(vecCol) else col(vecCol).cast("array<double>")
     // single downstream consumer since verification fused into the
-    // bucket aggregate — no checkpoint needed. NULL vectors are dropped
-    // up front: they can never match (the Column cosine is null for
-    // them), and the fused kernel's two collect_lists would otherwise
-    // MISALIGN — collect_list skips null elements, so `vs` would lose
-    // the null rows while `ids` kept every row of the (null-bucket)
-    // group, crashing the kernel or pairing wrong ids (spec-pinned).
-    val withBucket = df.filter(col(vecCol).isNotNull).select(
-        col(idCol).cast("long").as("id"), vExpr.as("v"),
+    // bucket aggregate — no checkpoint needed. NULL vectors AND null /
+    // non-castable ids are dropped up front: a null vector can never
+    // match (the Column cosine is null for it), and EITHER null column
+    // would misalign the fused kernel's two collect_lists — collect_list
+    // skips null elements, so a null id loses its slot in `ids` while
+    // its vector stays in `vs` (and vice versa), crashing the kernel or
+    // pairing wrong ids (spec-pinned both ways). try_cast, not cast:
+    // under ANSI (Spark 4 default) a malformed string id would otherwise
+    // throw mid-job instead of dropping deterministically. The kernel's
+    // same-length require is the loud backstop for any residual skew.
+    val withBucket = df
+      .filter(col(vecCol).isNotNull && col(idCol).try_cast("long").isNotNull)
+      .select(
+        col(idCol).try_cast("long").as("id"), vExpr.as("v"),
         VectorFunctions.lshBucket(col(vecCol), dim, nBits).as("bucket"))
     val assigned =
       if (!multiProbe) withBucket

@@ -332,10 +332,16 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Seconds-scale value of a bound attribute's ANALYZE'd min/max
-    * column stat, on the same monotone mapping [[secondsOf]] applies to
-    * the live expressions (micros → seconds for timestamps, identity for
-    * integral epochs). None when the bound is not a bare attribute, has
-    * no stats, or has an unsupported type.
+    * column stat, computed by EVALUATING the plan's own [[secondsOf]]
+    * expression over a literal of the stat value — so the stats-side
+    * mapping is the live mapping by construction. A hand-rolled
+    * `micros / 1000000` here diverged from the plan twice (UnixSeconds
+    * floor-divides, so pre-1970 values truncated one second high; NTZ
+    * stats skipped the session-zone cast, off by up to ±50400 s), which
+    * could pass [[spanProvablyWithinCap]] exactly at the cap edge and
+    * then hit the bucket-cap raise_error the auto proof promises to
+    * preclude. None when the bound is not a bare attribute, has no
+    * stats, or has an unsupported type.
     */
   private def statsSeconds(side: LogicalPlan, e: Expression,
                            wantMax: Boolean): Option[Long] = e match {
@@ -343,11 +349,14 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       side.stats.attributeStats.get(a)
         .flatMap(cs => if (wantMax) cs.max else cs.min)
         .flatMap { v =>
-          (e.dataType, v) match {
-            case (TimestampType | TimestampNTZType, micros: Long) =>
-              Some(micros / 1000000L)
-            case (LongType, s: Long) => Some(s)
-            case (IntegerType, s: Int) => Some(s.toLong)
+          e.dataType match {
+            case TimestampType | TimestampNTZType | LongType | IntegerType =>
+              secondsOf(Literal(v, e.dataType)).flatMap { expr =>
+                expr.eval(null) match {
+                  case s: Long => Some(s)
+                  case _ => None
+                }
+              }
             case _ => None
           }
         }

@@ -43,12 +43,13 @@ object QueriesDocs {
     "q24_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        TextFunctions.fingerprint(col("text")).as("fp"))),
+        TextFunctions.fingerprint(col("text"), s).as("fp"))),
 
     // Language-ID heuristic (oracle replicates the stopword vote + tie rule)
     "q25_langid" -> ((s, d) =>
       Tables.documents(s, d)
-        .groupBy(TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+        .groupBy(TextFunctions.langIdHeuristic(col("text"), spark = s)
+          .as("lang_pred"))
         .agg(count(lit(1)).as("cnt"))),
 
     // Brute-force cosine top-k similarity search
@@ -84,7 +85,7 @@ object QueriesDocs {
     // 40-bit engine-portable SimHash fingerprints (oracle-checked)
     "q27_simhash" -> ((s, d) =>
       Tables.documents(s, d).select(
-        col("doc_id"), Dedup.simHash(col("text")).as("simhash"))),
+        col("doc_id"), Dedup.simHash(col("text"), s).as("simhash"))),
 
     // MinHash+LSH near-dup pairs, exact-Jaccard verified (no oracle).
     // k=3 word shingles: the standard web-dedup parameterization — unigram
@@ -133,7 +134,7 @@ object QueriesDocs {
     "q140_lang_confusion" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy(col("lang"),
-          TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+          TextFunctions.langIdHeuristic(col("text"), spark = s).as("lang_pred"))
         .agg(count(lit(1)).as("cnt"))),
 
     // Deterministic content-hash train/val/test split (reproducible across

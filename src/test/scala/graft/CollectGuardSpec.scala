@@ -17,6 +17,19 @@ import org.scalatest.matchers.should.Matchers
   * site, re-audited whenever the count changes. `tools/` mains and
   * `Bench`/`Verify` are driver programs by design (they print/measure
   * query results); operator files are the surface that matters.
+  *
+  * Counting contract (deliberate, not oversights):
+  *  - Only LINE comments (`//`) are stripped before matching. A collect
+  *    spelled inside a `/* */` block comment would COUNT — a false
+  *    positive in the safe direction (the suite fails until someone
+  *    looks), never a silent miss.
+  *  - `df.head()` / `first()` / `take(n)` / `limit(n).collect()` callers
+  *    are not separately inventoried: head/first/take are bounded by
+  *    construction (they fetch ≤ n rows), and limit+collect sites count
+  *    via their `.collect()` anyway.
+  *  - Matching is textual per line; a collect split across lines would
+  *    evade it, but scalafmt-style code keeps the call on one line and
+  *    the per-file counts would still drift on any real edit nearby.
   */
 class CollectGuardSpec extends AnyFunSuite with Matchers {
 

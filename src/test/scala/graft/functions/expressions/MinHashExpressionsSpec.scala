@@ -62,23 +62,33 @@ class MinHashExpressionsSpec extends SparkSpec {
     rows shouldBe Seq((false, false), (true, true))
   }
 
-  test("arrays that may hold null elements are rejected at analysis, not hashed as 0") {
+  test("containsNull=true arrays are accepted; a NULL ELEMENT throws at eval") {
     // the kernel reads primitive getLong(i): a null element would silently
-    // unbox to 0 and hash as a real shingle. checkInputDataTypes must
-    // refuse containsNull = true input (the legitimate producer,
-    // shingle_hashes, emits containsNull = false).
-    val nullable = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L))).toDF("sh")
-    assert(nullable.schema("sh").dataType
+    // unbox to 0 and hash as a real shingle. But containsNull = true is a
+    // TYPE-level flag every parquet-read array<bigint> carries (a stored
+    // shingle column has no way to re-declare it), so analysis accepts the
+    // type and a checked kernel variant scans elements at eval time —
+    // null-FREE nullable input works and matches the non-null shape;
+    // an actually-null element fails loudly.
+    val nullFree = Seq(Tuple1(Seq[java.lang.Long](1L, 2L, 3L))).toDF("sh")
+    assert(nullFree.schema("sh").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val viaNullable = nullFree
+      .select(call_function("minhash_band_keys", $"sh", lit(64), lit(16)))
+      .collect().head.getSeq[Long](0)
+    val viaStrict = Seq(Tuple1(Array(1L, 2L, 3L)))
+      .toDF("sh")
+      .select(call_function("minhash_band_keys", $"sh", lit(64), lit(16)))
+      .collect().head.getSeq[Long](0)
+    viaNullable shouldBe viaStrict
+    viaStrict.length shouldBe 16
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L))).toDF("sh")
     val e = intercept[Exception] {
-      nullable.select(call_function(
+      withNull.select(call_function(
         "minhash_band_keys", $"sh", lit(64), lit(16))).collect()
     }
     e.getMessage.toLowerCase should include("minhash_band_keys")
-    // and the non-null shape still plans fine end to end
-    Seq(Tuple1(Array(1L, 2L, 3L))).toDF("sh")
-      .select(call_function("minhash_band_keys", $"sh", lit(64), lit(16)))
-      .collect().head.getSeq[Long](0).length shouldBe 16
+    e.getMessage.toLowerCase should include("null element")
   }
 
   test("the dedup scan plans through the native expressions, in one codegen stage") {

@@ -286,6 +286,32 @@ class DedupSpec extends SparkSpec {
     out.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
   }
 
+  test("embeddingDupPairs: null / non-castable ids are dropped, never misaligned") {
+    // the mirror image of the null-vector case: collect_list(id) skips a
+    // null id while collect_list(v) keeps its vector, so a null (or a
+    // non-numeric id that cast('long') nulls out) in the SAME bucket as
+    // real near-dups would shift every id after it — pairing wrong ids
+    // silently. Such rows are filtered up front; the kernel's
+    // same-length require is the loud backstop.
+    val vecs = Seq(
+      ("1", Array(1.0, 2.0, 3.0, 4.0)),
+      ("2", Array(1.001, 2.001, 3.001, 4.001)),
+      (null: String, Array(1.0005, 2.0005, 3.0005, 4.0005)),
+      ("not-a-number", Array(1.0008, 2.0008, 3.0008, 4.0008))
+    ).toDF("id", "v")
+    val out = Dedup.embeddingDupPairs(vecs, "id", "v", dim = 4, nBits = 6,
+        minCosine = 0.999)
+      .as[(Long, Long, Double)].collect()
+    out.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
+    // and the backstop itself fires on a hand-built misaligned call
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.VectorFunctions.bucketPairsCosineDoubles(
+        Seq(1L, 2L, 3L), Seq(Seq(1.0), Seq(2.0)), maxBucket = 10,
+        minCosine = 0.0, scale = 6)
+    }
+    e.getMessage should include("misaligned")
+  }
+
   test("fused-cosine embeddingDupPairs equals the candidate-join spelling bit for bit") {
     import org.apache.spark.sql.functions.{col, size => ssize,
       sort_array, collect_list, explode}

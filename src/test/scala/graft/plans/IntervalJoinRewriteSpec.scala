@@ -410,6 +410,82 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("cost-based: the stats-side seconds mapping is the plan's own (pre-1970 cap edge)") {
+    // statsSeconds used to derive seconds as micros/1e6 (truncation
+    // toward zero) while the plan's UnixSeconds floor-divides — so a
+    // pre-1970 min(lo) read one second HIGH stats-side, and exactly at
+    // the cap edge spanProvablyWithinCap could prove a span "within cap"
+    // that the bucket cover then raise_error'd on at runtime. The fix
+    // evaluates secondsOf over a literal of the stat value, making the
+    // two mappings identical by construction. At 1-second buckets and
+    // cap 100: min(lo) = −0.5 s (floorDiv → −1; trunc → 0),
+    // max(hi) = 99 s ⇒ trunc-proof 99−0 = 99 < 100 (auto-enables, then
+    // raises); floorDiv-proof 99−(−1) = 100 (auto declines, keyed join
+    // runs).
+    withConfs(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      IntervalJoinRewrite.BucketKey -> "1",
+      IntervalJoinRewrite.MaxBucketsKey -> "100",
+      IntervalJoinRewrite.EquiKeyedMaxNdvKey -> "32") {
+      def write(df: DataFrame, name: String, analyzeCols: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(warehouse, name))
+        df.write.mode("overwrite").saveAsTable(name)
+        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS $analyzeCols")
+      }
+      // facts in the epoch-adjacent window the intervals cover
+      val edgeFacts = (0 until 2000).map(i => (i.toLong, (i % 120).toLong))
+        .toDF("fact_id", "secs")
+        .select($"fact_id", ($"fact_id" % 7).as("k"),
+          timestamp_seconds($"secs").as("t"))
+      def edgeIvs(minLoMicros: Long): DataFrame =
+        ((0L, minLoMicros, 99000000L) +:
+          (1 until 300).map(i => (i.toLong, 1000000L * (i % 50),
+            1000000L * (i % 50 + 40)))).toDF("iv_id", "lo_us", "hi_us")
+          .select($"iv_id", ($"iv_id" % 7).as("k"),
+            timestamp_micros($"lo_us").as("lo"),
+            timestamp_micros($"hi_us").as("hi"))
+      write(edgeFacts, "ij_facts_edge", "k")
+      write(edgeIvs(-500000L), "ij_iv_edge", "k, lo, hi")
+      write(edgeIvs(0L), "ij_iv_safe", "k, lo, hi")
+      try {
+        val f = spark.table("ij_facts_edge")
+        // pre-1970 half-second min(lo): the true widest cover is exactly
+        // cap+0 buckets — auto must DECLINE (no explode) and the keyed
+        // join must run to completion
+        val ivEdge = spark.table("ij_iv_edge")
+        val cond = f("k") === ivEdge("k") &&
+          f("t") >= ivEdge("lo") && f("t") <= ivEdge("hi")
+        val joined = f.join(ivEdge, cond)
+        val plan = planOf(joined)
+        assert(!plan.contains("Generate explode"),
+          s"floorDiv stats-seconds must fail the cap proof at the edge:\n$plan")
+        val viaKeyed = joined.collect() // must not raise
+        // control: identical table with min(lo) at epoch — provably 99
+        // buckets, auto enables and runs clean
+        val ivSafe = spark.table("ij_iv_safe")
+        val condS = f("k") === ivSafe("k") &&
+          f("t") >= ivSafe("lo") && f("t") <= ivSafe("hi")
+        val safe = f.join(ivSafe, condS)
+        assert(planOf(safe).contains("Generate explode"))
+        safe.collect() // inside the cap: must not raise
+        // and the declined join's rows equal the forced-off spelling
+        val expected = withConfsValue(IntervalJoinRewrite.EnabledKey -> "false") {
+          f.join(ivEdge, cond).collect().map(_.toString).sorted.toSeq
+        }
+        viaKeyed.map(_.toString).sorted.toSeq shouldBe expected
+        expected should not be empty
+      } finally {
+        Seq("ij_facts_edge", "ij_iv_edge", "ij_iv_safe")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+    }
+  }
+
   test("a user column named __bucket does not strand the default rewrite") {
     // the reserved-name stabilization guard applies only under the
     // equi-keyed knob; with the knob off, a side that merely carries a
