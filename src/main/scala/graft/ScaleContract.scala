@@ -1,0 +1,43 @@
+package graft
+
+/** The scale-parameterization contracts, as code instead of scaladoc.
+  *
+  * Several operators have a knob that must GROW with the data for the
+  * operator's per-group work to stay bounded (the no-quadratic-kernel
+  * rule): SemDeDup's cluster count k keeps per-cluster occupancy
+  * m ≈ N/k constant (Abbas et al. 2023 run k ∝ N), and hyperplane-LSH's
+  * bit count keeps bucket occupancy ≈ N/2^nBits constant. The gate
+  * queries derive those knobs from the observed table size through
+  * these formulas, so the SAME query definition runs the sf oracles
+  * (where the formulas reproduce the historical fixed values — every
+  * golden and oracle row unchanged) and the 10×/100× grown gates (where
+  * the knobs grow per contract instead of letting m blow up
+  * quadratically). The formulas are integer-exact: no float log/ceil
+  * whose rounding could flip a knob at a scale boundary.
+  *
+  * Anchors (spec-pinned): documents/embeddings at sf0.001/0.01/0.1
+  * (N ≤ 2000) reproduce k = 8 and nBits = 4 exactly.
+  */
+object ScaleContract {
+
+  /** SemDeDup cluster count: smallest k ≥ 8 with occupancy N/k ≤ 250,
+    * capped at `dim` (the closed-form basis codebook the gate oracle can
+    * replicate has at most `dim` centroids; past the cap, train a real
+    * codebook — [[graft.operators.Similarity.trainIvfCentroids]] — and
+    * keep k ∝ N, as measured in probes/ratio_all_r11.txt's 100× section).
+    * ceil(N/250) in integer arithmetic.
+    */
+  def semanticClusters(n: Long, dim: Int = 64): Int =
+    math.min(dim.toLong, math.max(8L, (n + 249L) / 250L)).toInt
+
+  /** Hyperplane-LSH bits: smallest nBits ≥ 4 with expected bucket
+    * occupancy N/2^nBits ≤ 125. Integer shift, not float log2 — at the
+    * exact power-of-two boundary (N = 2000 → occupancy 125 at 4 bits) a
+    * float `ceil(log2(n/125))` could round either way.
+    */
+  def lshBits(n: Long): Int = {
+    var b = 4
+    while ((n >> b) > 125L && b < 30) b += 1
+    b
+  }
+}

@@ -368,6 +368,67 @@ object VectorFunctions {
     bucketPairsCore(idArr, order, vecs, n, minCosine, scale)
   }
 
+  /** One SemDeDup cluster's per-id lower-neighbor stats, fused in-kernel:
+    * for each id (ascending) the rounded-cosine max and the ≥ tau count
+    * over all SMALLER ids of the same cluster — (id, n_dups_lower,
+    * max_cos_lower), with max_cos_lower null for the cluster's smallest
+    * id (and for ids all of whose lower cosines are NaN — zero-norm
+    * vectors match nothing, like the Column path's null).
+    *
+    * Same fusion argument as [[bucketPairsCosine]]: each vector crosses
+    * the cluster exchange ONCE, where the join spelling shipped both
+    * vectors once per PAIR — m·(m−1) copies for a cluster of m, the
+    * whole cost of SemDeDup once clusters fill up. `maxCluster` caps the
+    * O(m²) scan at the smallest-id `maxCluster` members (deterministic);
+    * ids past the cap emit no stats row (the caller's left join reports
+    * them kept with null stats). The k ∝ N contract
+    * ([[graft.ScaleContract.semanticClusters]]) keeps m far below the
+    * cap; the cap is the backstop, not the design.
+    */
+  def clusterSemanticStats(ids: Seq[Long], vs: Seq[Seq[Double]],
+                           maxCluster: Int, tau: Double, scale: Int):
+      Array[(Long, Long, java.lang.Double)] = {
+    require(ids.length == vs.length,
+      s"clusterSemanticStats: ids (${ids.length}) and vs (${vs.length}) " +
+        "misaligned — a null id or vector leaked past the caller's filter")
+    val (idArr, order) = unboxIds(ids)
+    val n = math.min(ids.length, maxCluster)
+    val vecs = new Array[Array[Double]](n)
+    var y = 0
+    while (y < n) { vecs(y) = vs(order(y)).toArray; y += 1 }
+    val out = new Array[(Long, Long, java.lang.Double)](n)
+    var i = 0
+    while (i < n) {
+      val idI = idArr(order(i))
+      var nd = 0L
+      var mx = 0.0
+      var has = false
+      var j = 0
+      while (j < i) {
+        // STRICTLY smaller ids only: duplicate input ids sit adjacent in
+        // the sorted order and must not pair with each other (the join
+        // spelling's id_lo < id)
+        if (idArr(order(j)) < idI) {
+          val c = cosineDoublesRounded(vecs(j), vecs(i), scale)
+          if (!c.isNaN) {
+            if (!has || c > mx) { mx = c; has = true }
+            if (c >= tau) nd += 1
+          }
+        }
+        j += 1
+      }
+      out(i) = (idI, nd,
+        if (has) java.lang.Double.valueOf(mx) else null)
+      i += 1
+    }
+    out
+  }
+
+  def clusterSemanticStatsUdf(maxCluster: Int, tau: Double, scale: Int):
+      org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((ids: Seq[Long], vs: Seq[Seq[Double]]) =>
+      clusterSemanticStats(ids, vs, maxCluster, tau, scale))
+
   def bucketPairsCosineUdf(maxBucket: Int, minCosine: Double,
                            scale: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf((ids: Seq[Long], vs: Seq[Seq[Float]]) =>

@@ -800,17 +800,30 @@ object Dedup {
     * row: (id, cluster, n_dups_lower, max_cos_lower, kept); `max_cos_lower`
     * is null for the smallest id of each cluster.
     *
-    * Scale shape: the pairwise cosine runs WITHIN clusters only — a
-    * self-equi-join shuffle-partitioned by cluster, never all-pairs.
-    * Per-cluster work is O(m²); k is chosen so m ≈ N/k stays bounded
-    * (SemDeDup runs k ∝ N — e.g. 50k clusters over 100M embeddings), so
-    * a 100× corpus grows k, not m. The verdict aggregate is map-side
-    * combinable and keyed by (cluster, id) — high cardinality, no hot
-    * reducer.
+    * Scale shape: the pairwise cosine runs WITHIN clusters only, FUSED
+    * into the cluster aggregate ([[graft.functions.VectorFunctions
+    * .clusterSemanticStats]]) — each vector crosses the cluster exchange
+    * ONCE (≈8·dim bytes), where the former self-join spelling shipped
+    * both vectors once per PAIR: m·(m−1) copies for a cluster of m, the
+    * exact quadratic-shipping defect round 11 killed in
+    * [[embeddingDupPairs]] (42.8 → 1.0 s there). Per-cluster kernel work
+    * is O(min(m, maxCluster)²); k is chosen so m ≈ N/k stays bounded
+    * (SemDeDup runs k ∝ N — e.g. 50k clusters over 100M embeddings, and
+    * the gate derives it via [[graft.ScaleContract.semanticClusters]]),
+    * so a 100× corpus grows k, not m. `maxCluster` is the backstop for a
+    * mis-parameterized call: the kernel scans only the smallest-id
+    * `maxCluster` members; rows past the cap report kept = true with
+    * null stats (deterministic, documented — raise k per contract
+    * instead of leaning on the cap). The cluster groupBy rides an
+    * explicit min(k, defaultParallelism)-way repartition on the cluster
+    * key: same single exchange, but AQE cannot byte-coalesce the
+    * kernel-bound aggregate stage onto one core (the q28 signature-stage
+    * lesson; with few clusters the agg payload is small in BYTES while
+    * the per-group kernel is O(m²) in WORK).
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[Array[Double]],
-                    tau: Double): DataFrame = {
+                    tau: Double, maxCluster: Int = 8192): DataFrame = {
     import graft.functions.VectorFunctions
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
@@ -821,17 +834,30 @@ object Dedup {
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("cluster", assignUdf(col("v")))
       .localCheckpoint(false)
-    val lower = assigned.select(col("cluster"),
-      col("id").as("id_lo"), col("v").as("v_lo"))
-    // rounded BEFORE the tau comparison so the verdict matches the
-    // reported 6-decimal cosine at the threshold boundary
-    val pairs = assigned.join(lower, Seq("cluster"))
-      .filter(col("id_lo") < col("id"))
-      .withColumn("cos",
-        round(VectorFunctions.cosineBest(spark, col("v"), col("v_lo")), 6))
-    val stats = pairs.groupBy(col("cluster"), col("id"))
-      .agg(max(col("cos")).as("max_cos_lower"),
-        count(when(col("cos") >= tau, 1)).as("n_dups_lower"))
+    // null ids/vectors sit out of the kernel (they can never pair: a
+    // null id never equi-joined in the old spelling, a null vector has
+    // null cosine) and would misalign the two collect_lists — the same
+    // alignment contract as embeddingDupPairs, same loud kernel require
+    val kernelParts = math.min(
+      math.max(centroids.length, 1), spark.sparkContext.defaultParallelism)
+    val statsUdf = VectorFunctions.clusterSemanticStatsUdf(maxCluster, tau, 6)
+    val stats = assigned
+      .filter(col("id").isNotNull && col("v").isNotNull &&
+        col("cluster").isNotNull)
+      .repartition(kernelParts, col("cluster"))
+      .groupBy(col("cluster"))
+      .agg(collect_list(col("id")).as("ids"), collect_list(col("v")).as("vs"))
+      .select(col("cluster"), explode(statsUdf(col("ids"), col("vs"))).as("st"))
+      .select(col("cluster"), col("st._1").as("id"),
+        col("st._2").as("n_dups_lower"), col("st._3").as("max_cos_lower"))
+      // DUPLICATE input ids emit one kernel row each (same id, possibly
+      // different vectors); the join spelling merged them in its
+      // (cluster, id) verdict aggregate — merge the same way, or the
+      // join-back would multiply rows. Partitioning is reused by the
+      // join on the same keys: no extra exchange.
+      .groupBy(col("cluster"), col("id"))
+      .agg(sum(col("n_dups_lower")).as("n_dups_lower"),
+        max(col("max_cos_lower")).as("max_cos_lower"))
     assigned.select(col("id"), col("cluster"))
       .join(stats, Seq("cluster", "id"), "left")
       .select(col("id"), col("cluster"),

@@ -95,10 +95,17 @@ object QueriesDocs {
       Dedup.minHashDupPairs(Tables.documents(s, d), "doc_id", "text",
         k = 3, numHashes = 64, bands = 16, rowsPerBand = 4, minJaccard = 0.5)),
 
-    // Embedding near-dup pairs via hyperplane LSH buckets (no oracle)
-    "q38_embedding_dups" -> ((s, d) =>
-      Dedup.embeddingDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        dim = 64, nBits = 4, minCosine = 0.25)),
+    // Embedding near-dup pairs via hyperplane LSH buckets (no oracle).
+    // nBits derived from the table size per the occupancy contract
+    // (ScaleContract.lshBits: 4 at every sf scale — goldens unchanged —
+    // growing ∝ log2 N on the grown gates so buckets stay ~125 deep
+    // instead of letting the maxBucket cap silently bind)
+    "q38_embedding_dups" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+        dim = 64, nBits = graft.ScaleContract.lshBits(emb.count()),
+        minCosine = 0.25)
+    }),
 
     // IVF/LSH-bucketed approximate top-k ANN — the 2^nBits scan-reduction
     // path (no oracle: bucket membership isn't SQL-expressible; results are
@@ -394,16 +401,21 @@ object QueriesDocs {
     }),
 
     // SemDeDup semantic near-dedup: nearest-centroid clusters + the
-    // keep-smallest-id-within-tau verdict. The codebook is the first 8
-    // standard basis vectors, so nearest-by-L2 reduces to argmax of the
-    // first 8 components (ties → smaller index) — a closed form the
-    // oracle replicates with list_position(list_max); the within-cluster
-    // pairwise cosine is exact in both engines.
+    // keep-smallest-id-within-tau verdict. The codebook is the first j
+    // standard basis vectors — j derived from the table size per the
+    // k ∝ N contract (ScaleContract.semanticClusters: 8 at every sf
+    // scale, growing with N on the grown gates so per-cluster occupancy
+    // stays bounded) — so nearest-by-L2 reduces to argmax of the first j
+    // components (ties → smaller index), a closed form the oracle
+    // replicates with list_position(list_max) over the SAME
+    // count-derived slice; the within-cluster pairwise cosine is exact
+    // in both engines.
     "q94_semantic_dedup" -> ((s, d) => {
-      val basis = Array.tabulate(8)(j =>
-        Array.tabulate(64)(i => if (i == j) 1.0 else 0.0))
-      Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
-          basis, tau = 0.35)
+      val emb = Tables.embeddings(s, d)
+      val j = graft.ScaleContract.semanticClusters(emb.count())
+      val basis = Array.tabulate(j)(c =>
+        Array.tabulate(64)(i => if (i == c) 1.0 else 0.0))
+      Dedup.semanticDedup(emb, "vec_id", "embedding", basis, tau = 0.35)
         .withColumnRenamed("id", "vec_id")
     })
   )
@@ -448,24 +460,35 @@ object QueriesDocs {
       SELECT d.doc_id, d.source, d.n_chars
       FROM uniq u JOIN documents d USING (doc_id)
       WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text = u.text)""",
-    // basis-vector codebook: nearest-by-L2 = argmax of the first 8
+    // basis-vector codebook: nearest-by-L2 = argmax of the first j
     // components, ties to the smaller index (list_position returns the
     // FIRST occurrence of the max — nearestCentroid's strict-< keeps the
     // first minimum too; note the equivalence holds in exact arithmetic
     // and for distinct component values — an EXACT tie of two maximal
     // components could flip under the kernel's sequential-L2 rounding,
-    // unobservable for continuous-valued embeddings)
+    // unobservable for continuous-valued embeddings). j is the SAME
+    // count-derived contract value as the Spark query
+    // (ScaleContract.semanticClusters: least(64, greatest(8,
+    // ceil(N/250)))), computed in SQL from the table itself; norms are
+    // hoisted per vector (nrm CTE) so the pairwise join does ONE dot
+    // product per pair, not three — at the 100x grown gate the pair
+    // count is ~300M and the un-hoisted spelling tripled the oracle's
+    // dominant cost.
     "q94_semantic_dedup" -> """
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      WITH jj AS (SELECT CAST(least(64, greatest(8, (count(*) + 249) // 250))
+                    AS INT) AS j FROM embeddings),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       a AS (SELECT vec_id, v,
-              CAST(list_position(v[1:8], list_max(v[1:8])) - 1 AS INT) AS cluster
+              CAST(list_position(v[1:(SELECT j FROM jj)],
+                list_max(v[1:(SELECT j FROM jj)])) - 1 AS INT) AS cluster
             FROM e),
+      nrm AS (SELECT vec_id, v, cluster,
+                sqrt(list_dot_product(v, v)) AS nv FROM a),
       p AS (SELECT hi.vec_id AS vec_id,
-                   round(list_dot_product(hi.v, lo.v) /
-                     (sqrt(list_dot_product(hi.v, hi.v)) *
-                      sqrt(list_dot_product(lo.v, lo.v))), 6) AS cos
-            FROM a hi JOIN a lo ON hi.cluster = lo.cluster
-                               AND lo.vec_id < hi.vec_id),
+                   round(list_dot_product(hi.v, lo.v) / (hi.nv * lo.nv), 6)
+                     AS cos
+            FROM nrm hi JOIN nrm lo ON hi.cluster = lo.cluster
+                                   AND lo.vec_id < hi.vec_id),
       st AS (SELECT vec_id, max(cos) AS max_cos_lower,
                     count(CASE WHEN cos >= 0.35 THEN 1 END) AS n_dups_lower
              FROM p GROUP BY 1)

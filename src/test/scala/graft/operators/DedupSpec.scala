@@ -559,6 +559,72 @@ class DedupSpec extends SparkSpec {
     out.find(_._1 == 5L).get._4.get shouldBe 1.0 // exact dup of id 1
   }
 
+  test("fused semanticDedup equals the within-cluster join spelling bit for bit") {
+    import org.apache.spark.sql.functions.{col, round => sround, max => smax,
+      count => scount, when => swhen, coalesce => scoalesce, lit => slit,
+      udf => sudf}
+    // the pre-round-12 spelling: cluster self-join + (cluster, id)
+    // verdict aggregate — both vectors shipped once per PAIR
+    def joinSpelling(df: org.apache.spark.sql.DataFrame,
+                     cents: Array[Array[Double]], tau: Double) = {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assign = sudf((v: Seq[Double]) =>
+        if (v == null) None
+        else Some(graft.operators.Similarity.nearestCentroid(v.toArray, bc.value)))
+      val assigned = df.select(col("id").cast("long").as("id"),
+          col("v").cast("array<double>").as("v"))
+        .withColumn("cluster", assign(col("v")))
+      val lower = assigned.select(col("cluster"),
+        col("id").as("id_lo"), col("v").as("v_lo"))
+      val pairs = assigned.join(lower, Seq("cluster"))
+        .filter(col("id_lo") < col("id"))
+        .withColumn("cos", graft.functions.Rounding.dround(
+          graft.functions.VectorFunctions.cosineBest(spark, col("v"), col("v_lo")), 6))
+      val stats = pairs.groupBy(col("cluster"), col("id"))
+        .agg(smax(col("cos")).as("max_cos_lower"),
+          scount(swhen(col("cos") >= tau, 1)).as("n_dups_lower"))
+      assigned.select(col("id"), col("cluster"))
+        .join(stats, Seq("cluster", "id"), "left")
+        .select(col("id"), col("cluster"),
+          scoalesce(col("n_dups_lower"), slit(0L)).as("n_dups_lower"),
+          col("max_cos_lower"),
+          scoalesce(col("n_dups_lower") === 0, slit(true)).as("kept"))
+    }
+    val rnd = new scala.util.Random(23)
+    val cents = Array.tabulate(6)(c =>
+      Array.tabulate(8)(i => if (i == c) 1.0 else 0.0))
+    // random vectors with planted near-dups, a null vector, a zero
+    // vector (NaN cosine must match nothing), and DUPLICATE ids with
+    // different vectors (the merged-verdict edge)
+    val rows = (0 until 200).map { i =>
+      val base = Array.fill(8)(rnd.nextGaussian())
+      (i.toLong % 180, if (i % 4 == 0) base.map(_ * 1.0001) else base)
+    } ++ Seq((997L, null: Array[Double]), (998L, Array.fill(8)(0.0)))
+    val df = rows.toDF("id", "v")
+    for (tau <- Seq(0.35, 0.95)) {
+      val fused = Dedup.semanticDedup(df, "id", "v", cents, tau)
+        .collect().map(_.toString).sorted.toSeq
+      val viaJoin = joinSpelling(df, cents, tau)
+        .collect().map(_.toString).sorted.toSeq
+      withClue(s"tau=$tau: ") { fused shouldBe viaJoin }
+      fused should not be empty
+    }
+  }
+
+  test("semanticDedup maxCluster caps the kernel scan deterministically") {
+    // one cluster of 10; cap 4 → only the 4 smallest ids are scanned,
+    // later ids report kept=true with null stats (documented backstop)
+    val vecs = (0L until 10L).map(i => (i, Array(1.0, 0.001 * i, 0.0, 0.0)))
+      .toDF("id", "v")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0))
+    val out = Dedup.semanticDedup(vecs, "id", "v", cents, tau = 0.9,
+        maxCluster = 4)
+      .select("id", "n_dups_lower", "kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    out.take(4).map(_._2).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    out.drop(4).foreach { r => r._2 shouldBe 0L; r._3 shouldBe true }
+  }
+
   test("keepBest keeps the highest-score member per component, ties to min id") {
     val docs = Seq(
       (1L, Some(0.5)), (2L, Some(0.9)), (3L, Some(0.9)), (4L, None),
