@@ -25,9 +25,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main():
+def fresh_connection():
+    """One connection PER ORACLE QUERY on grown layouts: a long-lived
+    in-memory connection accumulates buffer-pool state across heavy
+    oracles until tiny allocations fail ("Failed to allocate block of
+    16384 bytes" with 100+ GB of free RAM — observed deterministically
+    after ~60 100x-gate queries, independent of memory_limit, threads,
+    and temp_directory settings). The views are lazy read_parquet
+    wrappers, so reconnecting costs nothing.
+    """
     import os
     con = duckdb.connect()
+    if os.environ.get("GRAFT_DUCKDB_MEMORY"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEMORY']}'")
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    # an in-memory duckdb cannot SPILL without a temp_directory: grown
+    # layouts (10x/100x) hit per-query Out of Memory errors on oracles
+    # whose intermediates exceed the buffer pool
+    spill = os.environ.get("GRAFT_DUCKDB_TEMP", "/tmp/graft_duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         # driver layouts are single files; probe layouts (ScaleGrowthProbe
         # grown dirs) are Spark output DIRECTORIES of part files
@@ -36,6 +54,15 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def main():
+    import os
+    # progress goes to stderr unbuffered so a crash mid-run still leaves
+    # a trail (stdout keeps the exact PASS/FAIL format the driver parses)
+    def progress(msg):
+        print(msg, file=sys.stderr, flush=True)
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
     ok, bad = [], []
     import glob
@@ -84,10 +111,18 @@ def main():
         got.attrs["tz_aware"] = tz_aware
         return got
 
+    only = set(filter(None,
+        os.environ.get("GRAFT_CHECK_ONLY", "").split(",")))
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     for name, sql in sorted(oracles.items()):
         try:
             got = load_spark_output(f"{OUT}/{name}/*.parquet")
-            want = con.execute(sql).df()
+            con = fresh_connection()
+            try:
+                want = con.execute(sql).df()
+            finally:
+                con.close()
             for c in want.columns:
                 # align want→date objects where got kept out-of-range dates
                 # (guard on membership: a missing column should surface as
@@ -99,6 +134,7 @@ def main():
                     want[c] = want[c].dt.date
         except Exception as e:
             bad.append((name, f"load/oracle error: {e}"))
+            progress(f"[check] FAIL {name} (load/oracle error: {str(e)[:200]})")
             continue
         if sorted(got.columns) != sorted(want.columns):
             bad.append((name, f"columns differ: spark={sorted(got.columns)} oracle={sorted(want.columns)}"))
@@ -156,16 +192,36 @@ def main():
                     if nz:
                         mism.append(f"{c}: {nz} sign-of-zero diffs (-0.0 vs 0.0; driver hash-fails)")
             else:
-                gv2 = gv.astype(object).where(pd.notna(gv), None)
-                wv2 = wv.astype(object).where(pd.notna(wv), None)
-                neq = [i for i, (a, b) in enumerate(zip(gv2, wv2)) if a != b]
-                if neq:
-                    i = neq[0]
-                    mism.append(f"{c}: {len(neq)} diffs, first@{i}: spark={gv2[i]!r} oracle={wv2[i]!r}")
+                # vectorized equality first: the object-array spelling
+                # materializes one Python object per cell — on a 105M-row
+                # grown-gate column that is tens of GB of RSS the process
+                # never returns to the OS, and every LATER query's DuckDB
+                # then fails tiny allocations (the run-5 OOM cascade)
+                try:
+                    eqm = (gv.eq(wv) | (gv.isna() & wv.isna())).to_numpy()
+                    neq_idx = np.flatnonzero(~eqm)
+                    if len(neq_idx):
+                        i = int(neq_idx[0])
+                        mism.append(f"{c}: {len(neq_idx)} diffs, first@{i}: "
+                                    f"spark={gv.iloc[i]!r} oracle={wv.iloc[i]!r}")
+                except (TypeError, ValueError):
+                    gv2 = gv.astype(object).where(pd.notna(gv), None)
+                    wv2 = wv.astype(object).where(pd.notna(wv), None)
+                    neq = [i for i, (a, b) in enumerate(zip(gv2, wv2)) if a != b]
+                    if neq:
+                        i = neq[0]
+                        mism.append(f"{c}: {len(neq)} diffs, first@{i}: spark={gv2[i]!r} oracle={wv2[i]!r}")
         if mism:
             bad.append((name, "; ".join(mism)))
+            progress(f"[check] FAIL {name}")
         else:
             ok.append((name, len(g)))
+            progress(f"[check] pass {name} ({len(g)} rows)")
+        # big grown-gate frames: release before the next query's load so
+        # peak RSS is one query's frames, not two
+        del got, want, g, w
+        import gc
+        gc.collect()
     # rows-only queries (no oracle): compare against committed golden
     # outputs when one exists for this scale factor (run-to-run
     # determinism gate), else report row counts only
@@ -174,10 +230,14 @@ def main():
     declared = set()
     for p in glob.glob(f"{OUT}/*/"):
         declared.add(os.path.basename(p.rstrip("/")))
+    if only:
+        declared &= only
     # a golden-pinned query whose output never materialized is a FAILURE,
     # not a silent absence
     for gp in glob.glob(os.path.join(golden_dir, "*.parquet")):
         gname = os.path.basename(gp)[:-len(".parquet")]
+        if only and gname not in only:
+            continue
         if gname not in declared and gname not in oracles:
             bad.append((gname, "golden-pinned query produced no output directory"))
     rows_only = declared - set(oracles)

@@ -30,6 +30,21 @@ object ScaleContract {
   def semanticClusters(n: Long, dim: Int = 64): Int =
     math.min(dim.toLong, math.max(8L, (n + 249L) / 250L)).toInt
 
+  /** Within-cluster kernel cap for [[graft.operators.Dedup.semanticDedup]]:
+    * 4× the expected occupancy N/k, never below the operator's 8192
+    * default backstop. Once k hits its codebook ceiling ([[
+    * semanticClusters]]'s dim cap), occupancy grows with N and cluster
+    * SKEW decides whether the cap binds: measured at the 100× gate, the
+    * argmax-basis codebook's largest cluster holds 2.63× the mean
+    * (8213 of mean 3125) — 21 rows silently lost their lower-neighbor
+    * stats to the stock cap, the round-12 gate100x catch. 4× headroom
+    * covers that skew class; a corpus with hotter clusters should train
+    * a real codebook with larger k instead of raising this further
+    * (per-cluster kernel work is O(m²)).
+    */
+  def semanticMaxCluster(n: Long, k: Int): Int =
+    math.min(math.max(8192L, 4L * (n / math.max(k, 1))), Int.MaxValue.toLong).toInt
+
   /** Hyperplane-LSH bits: smallest nBits ≥ 4 with expected bucket
     * occupancy N/2^nBits ≤ 125. Integer shift, not float log2 — at the
     * exact power-of-two boundary (N = 2000 → occupancy 125 at 4 bits) a

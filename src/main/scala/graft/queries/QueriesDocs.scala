@@ -412,10 +412,12 @@ object QueriesDocs {
     // in both engines.
     "q94_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val j = graft.ScaleContract.semanticClusters(emb.count())
+      val n = emb.count()
+      val j = graft.ScaleContract.semanticClusters(n)
       val basis = Array.tabulate(j)(c =>
         Array.tabulate(64)(i => if (i == c) 1.0 else 0.0))
-      Dedup.semanticDedup(emb, "vec_id", "embedding", basis, tau = 0.35)
+      Dedup.semanticDedup(emb, "vec_id", "embedding", basis, tau = 0.35,
+          maxCluster = graft.ScaleContract.semanticMaxCluster(n, j))
         .withColumnRenamed("id", "vec_id")
     })
   )

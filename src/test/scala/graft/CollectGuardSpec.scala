@@ -65,6 +65,8 @@ class CollectGuardSpec extends AnyFunSuite with Matchers {
       "nearDupGate reference index: enforced overflow-proof limit(max+1)+require"),
     "graft/tools/JobCount.scala" -> (1, "probe main (not operator surface)"),
     "graft/tools/ProbeCoreset.scala" -> (1, "probe main (not operator surface)"),
+    "graft/tools/RecallProbe.scala" -> (1,
+      "probe main: one-row mean-recall aggregate per method"),
     "graft/tools/ReshardProbe.scala" -> (1, "probe main (not operator surface)"))
 
   test("every driver-side collect in src/main is on the documented allowlist") {

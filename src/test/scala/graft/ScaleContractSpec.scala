@@ -27,6 +27,17 @@ class ScaleContractSpec extends AnyFunSuite with Matchers {
       (n.toDouble / ScaleContract.semanticClusters(n)) should be <= 250.0
   }
 
+  test("semanticMaxCluster: backstop at sf anchors, 4x-occupancy headroom past the k cap") {
+    // sf scales: 4 * N/k far below the backstop → unchanged 8192
+    for (n <- Seq(20L, 200L, 2000L))
+      ScaleContract.semanticMaxCluster(n, ScaleContract.semanticClusters(n)) shouldBe 8192
+    // 100×: k capped at 64 → mean occupancy 3125; the measured 2.63×
+    // skew cluster (8213) must fit under the 4× headroom (12500)
+    val cap100 = ScaleContract.semanticMaxCluster(200000L, 64)
+    cap100 shouldBe 12500
+    cap100 should be > 8213
+  }
+
   test("lshBits reproduces nBits=4 at every sf anchor, incl. the exact boundary") {
     for (n <- Seq(20L, 200L, 2000L)) ScaleContract.lshBits(n) shouldBe 4
     // N = 2000 is the EXACT power-of-two occupancy boundary (2000/16 =

@@ -1,0 +1,296 @@
+package graft.sources.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The Zarr DSv2 source against a spec-faithful fixture store written by
+  * [[ZarrFixture]] (Zarr v2 consolidated layout; chunk codecs written to
+  * the same public formats the reader decodes: zlib, blosc frames with
+  * byte shuffle + zlib/stored blocks, memcpy frames). LZ4 block decode
+  * is additionally pinned on a handcrafted sequence (no JVM lz4
+  * compressor exists in the container to round-trip against).
+  */
+class ZarrSourceSpec extends SparkSpec {
+
+  // ---- fixture ------------------------------------------------------------
+
+  private lazy val store: String = ZarrFixture.write()
+
+  test("schema: record-dim columns, coordinate first, CF time decoded") {
+    val df = spark.read.format("zarr").load(store)
+    df.schema.fieldNames.head shouldBe "time"
+    df.schema("time").dataType shouldBe org.apache.spark.sql.types.TimestampType
+    df.schema("value").dataType shouldBe org.apache.spark.sql.types.DoubleType
+    df.schema("temp").dataType shouldBe org.apache.spark.sql.types.FloatType
+    df.schema("flags").dataType shouldBe org.apache.spark.sql.types.IntegerType
+    // the 2-D array and the other-dim array are excluded by the 1-D
+    // record-dim contract
+    df.schema.fieldNames should not contain "matrix"
+    df.schema.fieldNames should not contain "depth_axis"
+  }
+
+  test("full read: every codec decodes to the planted values") {
+    val rows = spark.read.format("zarr").load(store)
+      .orderBy("time").collect()
+    rows.length shouldBe ZarrFixture.N // partial last chunk truncated
+    // time = epoch seconds i*60 (CF "seconds since 1970-01-01")
+    rows(0).getTimestamp(0).toInstant.getEpochSecond shouldBe 0L
+    rows(7).getTimestamp(0).toInstant.getEpochSecond shouldBe 7 * 60L
+    // value (zlib f8): i * 0.5, with NaN → null at i % 97 == 3
+    val v5 = rows(5).getDouble(rows(5).fieldIndex("value"))
+    v5 shouldBe 2.5
+    rows(3).isNullAt(rows(3).fieldIndex("value")) shouldBe true
+    // temp (blosc+shuffle+zlib f4): 20 + i * 0.25f
+    rows(8).getFloat(rows(8).fieldIndex("temp")) shouldBe 22.0f
+    // flags (blosc memcpy i4): i % 7
+    rows(10).getInt(rows(10).fieldIndex("flags")) shouldBe 3
+    // qc (raw i2): (i % 5).toShort
+    rows(6).getShort(rows(6).fieldIndex("qc")) shouldBe 1.toShort
+  }
+
+  test("missing chunk yields fill_value runs (NaN fill → null floats)") {
+    // ZarrFixture deletes value's chunk 2 (rows 200..299), fill NaN
+    val nulls = spark.read.format("zarr").load(store)
+      .filter(col("value").isNull).count()
+    // 100 missing-chunk rows + the planted i % 97 == 3 NaNs outside it
+    val plantedOutside = (0 until ZarrFixture.N)
+      .count(i => i % 97 == 3 && (i < 200 || i >= 300))
+    nulls shouldBe (100L + plantedOutside)
+  }
+
+  test("time filter prunes chunks at planning (partition pruning)") {
+    val full = new ZarrScanBuilder(store, "time", ZarrFixture.metas(store))
+      .build().toBatch.planInputPartitions().length
+    full shouldBe 10 // ceil(950/100)
+    val sb = new ZarrScanBuilder(store, "time", ZarrFixture.metas(store))
+    // rows 600.. → chunks 6..9 survive
+    sb.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual(
+      "time", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(600 * 60)))))
+    val pruned = sb.build().toBatch.planInputPartitions().length
+    pruned shouldBe 4
+    // and the end-to-end filtered frame is row-identical to filtering
+    // the full scan (the exact predicate stays in the plan)
+    // times span 0 .. 949*60 s; 10:00:00 = row 600, chunk boundary
+    val lo = lit("1970-01-01 10:00:00").cast("timestamp")
+    val viaPush = spark.read.format("zarr").load(store)
+      .filter(col("time") >= lo).collect().map(_.toString).sorted
+    val viaFull = spark.read.format("zarr").load(store)
+      .collect().filter(r => !r.getTimestamp(0).toInstant
+        .isBefore(java.time.Instant.parse("1970-01-01T10:00:00Z")))
+      .map(_.toString).sorted
+    viaPush.toSeq shouldBe viaFull.toSeq
+    viaPush should not be empty
+  }
+
+  test("column pruning reaches the scan (unread arrays never open)") {
+    val df = spark.read.format("zarr").load(store).select("value")
+    val scan = df.queryExecution.executedPlan.toString
+    scan should include("cols=value")
+    df.agg(sum("value")).collect()(0).getDouble(0) should be > 0.0
+    // count(*) → empty projection still counts every row
+    spark.read.format("zarr").load(store).count() shouldBe ZarrFixture.N.toLong
+  }
+
+  // ---- codec units --------------------------------------------------------
+
+  test("lz4 block decode: handcrafted sequence with an overlapping match") {
+    // token 0x44: 4 literals "ABCD", match len 4+4=8 at offset 4
+    // → "ABCD" + 8 bytes repeating the 4-byte window = "ABCDABCDABCD"
+    val block = Array[Byte](0x44, 'A', 'B', 'C', 'D', 0x04, 0x00)
+    val out = ZarrMeta.lz4Decompress(block, 0, block.length, 12)
+    new String(out) shouldBe "ABCDABCDABCD"
+    // offset 1 = RLE byte run (overlap smaller than match length)
+    val rle = Array[Byte](0x1F, 'x', 0x01, 0x00, 60)
+    new String(ZarrMeta.lz4Decompress(rle, 0, rle.length, 80)) shouldBe "x" * 80
+  }
+
+  test("byte unshuffle inverts shuffle, leftover tail kept in place") {
+    val raw = Array.tabulate[Byte](35)(i => (i * 7 + 3).toByte) // 35 = 4*8+3
+    ZarrMeta.unshuffle(ZarrFixture.shuffle(raw, 4), 4).toSeq shouldBe raw.toSeq
+    ZarrMeta.unshuffle(ZarrFixture.shuffle(raw, 8), 8).toSeq shouldBe raw.toSeq
+  }
+
+  test("unsupported inner codecs fail loudly, never return wrong bytes") {
+    val meta = ZarrFixture.metas(store).find(_.name == "temp").get
+    // a blosc frame claiming blosclz (codec 0), non-memcpy; all-zero
+    // payload so the deflated block is genuinely SMALLER than raw
+    // (csize != ubs → the reader must take the codec path)
+    val frame = ZarrFixture.bloscFrame(
+      new Array[Byte](32), typesize = 4, codecId = 0,
+      shuffle = false, blocksize = 32, forceStored = false,
+      deflateBlocks = true)
+    val e = intercept[IllegalArgumentException] {
+      ZarrMeta.decodeChunk(meta.copy(name = "x"), frame)
+    }
+    e.getMessage should include("blosclz")
+  }
+}
+
+/** Writes a Zarr v2 consolidated store per the public spec — the
+  * fixture side of the reader contract (no python zarr exists in the
+  * container; the formats are followed from the written specs, and the
+  * codec layer is additionally pinned by handcrafted byte sequences
+  * above).
+  */
+object ZarrFixture {
+  val N = 950          // array length; chunk 100 → 10 chunks, last = 50
+  val CHUNK = 100
+
+  def shuffle(in: Array[Byte], typesize: Int): Array[Byte] = {
+    val neles = in.length / typesize
+    val out = new Array[Byte](in.length)
+    var b = 0
+    while (b < typesize) {
+      var i = 0
+      while (i < neles) { out(b * neles + i) = in(i * typesize + b); i += 1 }
+      b += 1
+    }
+    System.arraycopy(in, neles * typesize, out, neles * typesize,
+      in.length - neles * typesize)
+    out
+  }
+
+  private def deflate(src: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(src); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** c-blosc chunk frame (README_CHUNK_FORMAT layout). */
+  def bloscFrame(raw: Array[Byte], typesize: Int, codecId: Int,
+                 shuffle: Boolean, blocksize: Int,
+                 forceStored: Boolean = false,
+                 deflateBlocks: Boolean = false,
+                 memcpy: Boolean = false): Array[Byte] = {
+    val nbytes = raw.length
+    if (memcpy) {
+      val bb = ByteBuffer.allocate(16 + nbytes).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(2.toByte).put(1.toByte).put(0x2.toByte).put(typesize.toByte)
+      bb.putInt(nbytes).putInt(blocksize).putInt(16 + nbytes)
+      bb.put(raw)
+      return bb.array()
+    }
+    val nblocks = (nbytes + blocksize - 1) / blocksize
+    val blocks = (0 until nblocks).map { i =>
+      val ubs = math.min(blocksize, nbytes - i * blocksize)
+      val slice = java.util.Arrays.copyOfRange(raw, i * blocksize, i * blocksize + ubs)
+      val sh = if (shuffle) ZarrFixture.shuffle(slice, typesize) else slice
+      val comp = if (deflateBlocks && !forceStored) deflate(sh) else sh
+      if (!forceStored && comp.length < ubs) (comp, ubs) else (sh, ubs)
+    }
+    val headerAndStarts = 16 + 4 * nblocks
+    val offsets = blocks.scanLeft(headerAndStarts) {
+      case (off, (data, _)) => off + 4 + data.length
+    }
+    val total = offsets.last
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    val flags = (if (shuffle) 0x1 else 0) | (codecId << 5)
+    bb.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
+    bb.putInt(nbytes).putInt(blocksize).putInt(total)
+    offsets.init.foreach(bb.putInt)
+    blocks.foreach { case (data, ubs) =>
+      // stored blocks are flagged by csize == uncompressed block size
+      bb.putInt(if (data.length == ubs) ubs else data.length)
+      bb.put(data)
+    }
+    bb.array()
+  }
+
+  private def le(doubles: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(doubles.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    doubles.foreach(bb.putDouble); bb.array()
+  }
+  private def leF(fs: Array[Float]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(fs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    fs.foreach(bb.putFloat); bb.array()
+  }
+  private def leI(is: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(is.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    is.foreach(bb.putInt); bb.array()
+  }
+  private def leL(ls: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(ls.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    ls.foreach(bb.putLong); bb.array()
+  }
+  private def leS(ss: Array[Short]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(ss.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+    ss.foreach(bb.putShort); bb.array()
+  }
+
+  private def zarray(dtype: String, comp: String): String = {
+    val c = comp match {
+      case "zlib" => """{"id": "zlib", "level": 1}"""
+      case "blosc" => """{"id": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 1}"""
+      case "blosc-memcpy" => """{"id": "blosc", "cname": "lz4", "clevel": 0, "shuffle": 0}"""
+      case _ => "null"
+    }
+    val fill = if (dtype.startsWith("<f")) "\"NaN\"" else "0"
+    s"""{"shape": [$N], "chunks": [$CHUNK], "dtype": "$dtype",
+        "compressor": $c, "fill_value": $fill, "order": "C",
+        "filters": null, "zarr_format": 2}"""
+  }
+
+  def write(): String = {
+    val dir = Files.createTempDirectory("graft_zarr").toString
+    def put(arr: String, chunk: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, arr))
+      Files.write(Paths.get(dir, arr, chunk.toString), bytes)
+    }
+    val nChunks = (N + CHUNK - 1) / CHUNK
+    for (c <- 0 until nChunks) {
+      // on-disk chunks are PADDED to the full chunk length (zarr spec)
+      val idx = Array.tabulate(CHUNK)(k => c * CHUNK + k)
+      put("time", c, bloscFrame(
+        leL(idx.map(_ * 60L)), typesize = 8, codecId = 3,
+        shuffle = true, blocksize = 256, deflateBlocks = true))
+      if (c != 2) // chunk 2 missing → fill_value (NaN) run
+        put("value", c, deflate(le(idx.map(i =>
+          if (i % 97 == 3) Double.NaN else i * 0.5))))
+      put("temp", c, bloscFrame(
+        leF(idx.map(i => 20f + i * 0.25f)), typesize = 4, codecId = 3,
+        shuffle = true, blocksize = 128, deflateBlocks = true))
+      put("flags", c, bloscFrame(
+        leI(idx.map(_ % 7)), typesize = 4, codecId = 1,
+        shuffle = false, blocksize = 4 * CHUNK, memcpy = true))
+      put("qc", c, leS(idx.map(i => (i % 5).toShort)))
+    }
+    val metaEntries = Seq(
+      "time" -> ("<i8", "blosc",
+        """, "units": "seconds since 1970-01-01", "calendar": "proleptic_gregorian""""),
+      "value" -> ("<f8", "zlib", ""),
+      "temp" -> ("<f4", "blosc", ""),
+      "flags" -> ("<i4", "blosc-memcpy", ""),
+      "qc" -> ("<i2", "raw", "")
+    ).map { case (name, (dt, comp, extraAttrs)) =>
+      s""""$name/.zarray": ${zarray(dt, comp)},
+          "$name/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]$extraAttrs}"""
+    } :+
+      // a 2-D array and an other-dimension array: must be EXCLUDED
+      s""""matrix/.zarray": {"shape": [4, 4], "chunks": [4, 4], "dtype": "<f8",
+            "compressor": null, "fill_value": 0, "order": "C",
+            "filters": null, "zarr_format": 2},
+          "matrix/.zattrs": {"_ARRAY_DIMENSIONS": ["x", "y"]}""" :+
+      s""""depth_axis/.zarray": {"shape": [16], "chunks": [16], "dtype": "<f8",
+            "compressor": null, "fill_value": 0, "order": "C",
+            "filters": null, "zarr_format": 2},
+          "depth_axis/.zattrs": {"_ARRAY_DIMENSIONS": ["depth"]}"""
+    Files.write(Paths.get(dir, ".zmetadata"),
+      s"""{"metadata": {${metaEntries.mkString(",\n")}},
+          "zarr_consolidated_format": 1}""".getBytes("UTF-8"))
+    dir
+  }
+
+  def metas(dir: String): Seq[ZarrMeta.ArrayMeta] = {
+    val all = ZarrMeta.parseConsolidated(new String(
+      Files.readAllBytes(Paths.get(dir, ".zmetadata")), "UTF-8"))
+    all.values.filter(_.dims == Seq("time")).toSeq
+      .sortBy(m => (if (m.name == "time") 0 else 1, m.name))
+  }
+}
