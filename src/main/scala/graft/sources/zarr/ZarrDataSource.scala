@@ -96,11 +96,13 @@ private[zarr] class ZarrTable(path: String, dim: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path, dim, cols)
+    new ZarrScanBuilder(path, dim, cols,
+      sortedCoord = options.getBoolean("sortedCoord", false))
 }
 
 private[zarr] class ZarrScanBuilder(path: String, dim: String,
-                                    cols: Seq[ZarrMeta.ArrayMeta])
+                                    cols: Seq[ZarrMeta.ArrayMeta],
+                                    sortedCoord: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -146,12 +148,13 @@ private[zarr] class ZarrScanBuilder(path: String, dim: String,
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan =
-    new ZarrScan(path, required, cols.head, coordBounds)
+    new ZarrScan(path, required, cols.head, coordBounds, sortedCoord)
 }
 
 private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
                              coord: ZarrMeta.ArrayMeta,
-                             coordBounds: Option[(Double, Double)])
+                             coordBounds: Option[(Double, Double)],
+                             sortedCoord: Boolean = false)
     extends Scan with Batch {
 
   override def readSchema(): StructType =
@@ -164,16 +167,72 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
     s"zarr $path cols=${required.map(_.name).mkString(",")}$cb"
   }
 
-  /** One partition per surviving chunk. Pruning reads the COORDINATE
-    * array once at planning: per chunk, decode and take [min, max] —
-    * exact bounds with no sortedness assumption (the scan is correct on
-    * unsorted coords; only pruning effectiveness needs ordering).
+  /** One partition per surviving chunk. Default pruning reads the
+    * COORDINATE array once at planning: per chunk, decode and take
+    * [min, max] — exact bounds with no sortedness assumption (the scan
+    * is correct on unsorted coords; only pruning effectiveness needs
+    * ordering). That is O(nChunks) driver-side chunk decodes — fine for
+    * dashboards' per-instrument stores (thousands of chunks), a funnel
+    * at a 1M-chunk 100 TB store: `option("sortedCoord", true)` declares
+    * the record coordinate globally sorted (true of every reference
+    * time series) and switches to an O(log nChunks) binary search over
+    * chunk FIRST values. The option is a correctness contract — on an
+    * unsorted coordinate it can prune matching chunks — so it is
+    * opt-in, never inferred.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val nChunks = coord.nChunks
     val keep: Seq[Long] = coordBounds match {
       case None => (0L until nChunks)
-      case Some((lo, hi)) =>
+      case Some((lo, hi)) if sortedCoord && nChunks > 1 =>
+        val (perUnit, epoch) =
+          if (coord.isCfTime) ZarrMeta.cfTime(coord.units.get) else (1.0, 0L)
+        // first coordinate value of chunk c (None → fall through to the
+        // exact full-scan pruning: a missing coordinate chunk breaks
+        // the monotone first-value sequence the search needs)
+        def firstVal(c: Long): Option[Double] =
+          ZarrReader.readChunkBytes(path, coord, c).map { bytes =>
+            val v = ZarrMeta.doublesOf(coord, bytes)(0)
+            if (coord.isCfTime) ZarrMeta.cfToMicros(v, perUnit, epoch).toDouble
+            else v
+          }
+        val probed = scala.collection.mutable.HashMap.empty[Long, Option[Double]]
+        def fv(c: Long): Option[Double] = probed.getOrElseUpdate(c, firstVal(c))
+        // largest chunk whose first value ≤ bound (strict: < bound);
+        // −1 if none
+        def floorChunk(bound: Double, strict: Boolean): Option[Long] = {
+          var loC = 0L; var hiC = nChunks - 1; var ans = -1L
+          var broken = false
+          while (loC <= hiC && !broken) {
+            val mid = (loC + hiC) >>> 1
+            fv(mid) match {
+              case None => broken = true
+              case Some(v) =>
+                if (if (strict) v < bound else v <= bound) {
+                  ans = mid; loC = mid + 1
+                } else hiC = mid - 1
+            }
+          }
+          if (broken) None else Some(ans)
+        }
+        // lower bound is a STRICT floor: with duplicate coordinate
+        // values spanning a chunk boundary, the chunk BEFORE a first
+        // value == lo can still end with rows == lo — a ≤-floor would
+        // prune it. Chunk c < aStrict has firstVal(c+1) < lo, so its
+        // last value < lo: safely pruned; c ≥ aStrict has
+        // firstVal(c+1) ≥ lo and may intersect.
+        (floorChunk(lo, strict = true), floorChunk(hi, strict = false)) match {
+          case (Some(a), Some(b)) =>
+            (math.max(a, 0L) to math.min(b, nChunks - 1))
+          case _ => fullScanPrune(lo, hi, nChunks)
+        }
+      case Some((lo, hi)) => fullScanPrune(lo, hi, nChunks)
+    }
+    keep.map(c => ZarrInputPartition(path, c): InputPartition).toArray
+  }
+
+  private def fullScanPrune(lo: Double, hi: Double,
+                            nChunks: Long): Seq[Long] = {
         val (perUnit, epoch) =
           if (coord.isCfTime) ZarrMeta.cfTime(coord.units.get) else (1.0, 0L)
         (0L until nChunks).filter { c =>
@@ -200,8 +259,6 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
               mx >= lo && mn <= hi
           }
         }
-    }
-    keep.map(c => ZarrInputPartition(path, c): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

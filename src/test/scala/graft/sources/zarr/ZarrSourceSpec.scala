@@ -85,6 +85,65 @@ class ZarrSourceSpec extends SparkSpec {
     viaPush should not be empty
   }
 
+  test("sortedCoord binary-search pruning matches the exact full-scan pruning") {
+    def partsFor(sorted: Boolean, lo: Long, hi: Long): Seq[Long] = {
+      val sb = new ZarrScanBuilder(store, "time", ZarrFixture.metas(store),
+        sortedCoord = sorted)
+      sb.pushFilters(Array(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("time",
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(lo))),
+        org.apache.spark.sql.sources.LessThanOrEqual("time",
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(hi)))))
+      sb.build().toBatch.planInputPartitions().toSeq
+        .map(_.asInstanceOf[ZarrInputPartition].chunk)
+    }
+    // spans: inside one chunk, across chunks, chunk-boundary-exact,
+    // before-all, after-all, everything
+    val spans = Seq((130L * 60, 180L * 60), (90L * 60, 610L * 60),
+      (100L * 60, 200L * 60), (-500L, -10L),
+      (100000L * 60, 200000L * 60), (0L, 949L * 60))
+    // sorted pruning sees only chunk FIRST values, so it may keep ONE
+    // extra chunk at each boundary (duplicates could span it) — a safe
+    // superset of the exact per-chunk min/max pruning, never a subset
+    for ((lo, hi) <- spans)
+      withClue(s"span [$lo, $hi]: ") {
+        val viaSort = partsFor(sorted = true, lo, hi)
+        val viaExact = partsFor(sorted = false, lo, hi)
+        viaExact.toSet.subsetOf(viaSort.toSet) shouldBe true
+        viaSort.size should be <= (viaExact.size + 2)
+      }
+    // and the sorted path reads only O(log n) coordinate chunks while
+    // producing the same row set end to end
+    val viaSorted = spark.read.format("zarr").option("sortedCoord", "true")
+      .load(store)
+      .filter(col("time") >= lit("1970-01-01 02:00:00").cast("timestamp"))
+      .collect().map(_.toString).sorted.toSeq
+    val viaExact = spark.read.format("zarr").load(store)
+      .filter(col("time") >= lit("1970-01-01 02:00:00").cast("timestamp"))
+      .collect().map(_.toString).sorted.toSeq
+    viaSorted shouldBe viaExact
+    viaSorted should not be empty
+  }
+
+  test("sortedCoord pruning keeps the boundary chunk when duplicates span it") {
+    // a store whose coordinate REPEATS across a chunk boundary: chunk 0 =
+    // [0..8, 10], chunk 1 = [10, 10, 12..] — a >= 10*60-style filter must
+    // keep chunk 0 (its last rows equal the bound)
+    val dir = ZarrFixture.writeDupBoundary()
+    val sb = new ZarrScanBuilder(dir, "time", ZarrFixture.metas(dir),
+      sortedCoord = true)
+    sb.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual(
+      "time", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(10)))))
+    val kept = sb.build().toBatch.planInputPartitions().toSeq
+      .map(_.asInstanceOf[ZarrInputPartition].chunk)
+    kept should contain(0L) // the strict-floor rule: chunk 0 ends AT the bound
+    val rows = spark.read.format("zarr").option("sortedCoord", "true")
+      .load(dir)
+      .filter(col("time") >= lit("1970-01-01 00:00:10").cast("timestamp"))
+      .count()
+    rows shouldBe 8 // the two trailing 10s in chunk 0 + all 6 of chunk 1
+  }
+
   test("column pruning reaches the scan (unread arrays never open)") {
     val df = spark.read.format("zarr").load(store).select("value")
     val scan = df.queryExecution.executedPlan.toString
@@ -284,6 +343,39 @@ object ZarrFixture {
     Files.write(Paths.get(dir, ".zmetadata"),
       s"""{"metadata": {${metaEntries.mkString(",\n")}},
           "zarr_consolidated_format": 1}""".getBytes("UTF-8"))
+    dir
+  }
+
+  /** 14 rows / chunk 8, coordinate seconds
+    * [0,1,2,3,4,5,10,10 | 10,10,12,13,14,15] — duplicate values SPAN the
+    * chunk boundary (the strict-floor pruning edge).
+    */
+  def writeDupBoundary(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_dup").toString
+    val times = Array(0L, 1, 2, 3, 4, 5, 10, 10, 10, 10, 12, 13, 14, 15)
+    def put(arr: String, chunk: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, arr))
+      Files.write(Paths.get(dir, arr, chunk.toString), bytes)
+    }
+    for (c <- 0 until 2) {
+      // pad the last chunk to the full chunk length (zarr spec)
+      val slice = Array.tabulate(8)(k =>
+        if (c * 8 + k < times.length) times(c * 8 + k) else 0L)
+      put("time", c, leL(slice))
+      put("v", c, le(slice.map(_ * 0.5)))
+    }
+    val meta = s"""{"metadata": {
+      "time/.zarray": {"shape": [14], "chunks": [8], "dtype": "<i8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "seconds since 1970-01-01"},
+      "v/.zarray": {"shape": [14], "chunks": [8], "dtype": "<f8",
+        "compressor": null, "fill_value": "NaN", "order": "C",
+        "filters": null, "zarr_format": 2},
+      "v/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
     dir
   }
 
