@@ -316,10 +316,15 @@ private[zarr] class ZarrChunkReader(path: String, chunk: Long,
         val (perUnit, epoch) = ZarrMeta.cfTime(m.units.get)
         bytes match {
           case Some(b) =>
-            val raw =
-              if (m.dtypeStr.contains("i")) ZarrMeta.longsOf(m, b).map(_.toDouble)
+            // integral dtypes stay on the Long path: int64 nanoseconds
+            // (~1.7e18) exceed double's 2^53 and would land ±1 µs off
+            val micros =
+              if (m.dtypeStr.contains("i"))
+                ZarrMeta.longsOf(m, b)
+                  .map(v => ZarrMeta.cfToMicrosLong(v, perUnit, epoch))
               else ZarrMeta.doublesOf(m, b)
-            Some(Right(raw.map(v => ZarrMeta.cfToMicros(v, perUnit, epoch))))
+                .map(v => ZarrMeta.cfToMicros(v, perUnit, epoch))
+            Some(Right(micros))
           case None => m.fillValue.map(f =>
             Right(Array.fill(nRows)(ZarrMeta.cfToMicros(f, perUnit, epoch))))
         }

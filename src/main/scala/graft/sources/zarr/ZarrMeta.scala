@@ -153,6 +153,18 @@ private[zarr] object ZarrMeta {
     else // nanoseconds
       epochMicros + Math.floorDiv(math.round(value).toLong, 1000L)
 
+  /** Integral CF value → epoch micros, with NO double round-trip: an
+    * int64 nanoseconds-since-epoch coordinate (~1.7e18, xarray's
+    * datetime64[ns] on-disk form) exceeds 2^53, so the double path is
+    * off by up to ±256 ns → ±1 µs after rounding. Exact here for every
+    * integral unit.
+    */
+  def cfToMicrosLong(value: Long, perUnitMicros: Double, epochMicros: Long): Long =
+    if (perUnitMicros >= 1.0)
+      epochMicros + value * perUnitMicros.toLong
+    else // nanoseconds
+      epochMicros + Math.floorDiv(value, 1000L)
+
   // ---- codecs ------------------------------------------------------------
 
   /** Decode one chunk file's bytes to the raw little-endian array bytes. */

@@ -166,6 +166,21 @@ class ZarrSourceSpec extends SparkSpec {
     new String(ZarrMeta.lz4Decompress(rle, 0, rle.length, 80)) shouldBe "x" * 80
   }
 
+  test("int64 nanosecond CF times decode exactly (no double round-trip)") {
+    // 2023-11-14T22:13:20.123456789 as int64 ns since epoch ≈ 1.7e18 —
+    // past double's 2^53: the double path is off by up to ±256 ns,
+    // which rounds to a ±1 µs timestamp error
+    val ns = 1700000000L * 1000000000L + 123456789L
+    val exact = ZarrMeta.cfToMicrosLong(ns, 1e-3, 0L)
+    exact shouldBe 1700000000123456L // floor to micros, xarray's cast
+    // and the double path is demonstrably lossy here — the reason the
+    // reader branches on the dtype
+    val viaDouble = ZarrMeta.cfToMicros(ns.toDouble, 1e-3, 0L)
+    math.abs(viaDouble - exact) should be <= 1L // close, not trusted
+    // seconds-scale longs are exact on both paths
+    ZarrMeta.cfToMicrosLong(7L, 1e6, 0L) shouldBe 7000000L
+  }
+
   test("byte unshuffle inverts shuffle, leftover tail kept in place") {
     val raw = Array.tabulate[Byte](35)(i => (i * 7 + 3).toByte) // 35 = 4*8+3
     ZarrMeta.unshuffle(ZarrFixture.shuffle(raw, 4), 4).toSeq shouldBe raw.toSeq
