@@ -135,13 +135,28 @@ def main():
         except Exception as e:
             bad.append((name, f"load/oracle error: {e}"))
             progress(f"[check] FAIL {name} (load/oracle error: {str(e)[:200]})")
+            # the spark-side frame may have loaded before the oracle
+            # failed — release it before the next query's oracle runs
+            try:
+                del got
+            except NameError:
+                pass
+            import gc
+            gc.collect()
             continue
+        import gc
         if sorted(got.columns) != sorted(want.columns):
             bad.append((name, f"columns differ: spark={sorted(got.columns)} oracle={sorted(want.columns)}"))
+            progress(f"[check] FAIL {name} (columns differ)")
+            del got, want
+            gc.collect()
             continue
         g, w = canon(got), canon(want)
         if len(g) != len(w):
             bad.append((name, f"row count: spark={len(g)} oracle={len(w)}"))
+            progress(f"[check] FAIL {name} (row count)")
+            del got, want, g, w
+            gc.collect()
             continue
         mism = []
         for c in g.columns:

@@ -83,6 +83,16 @@ private[zarr] object ZarrTable {
     val len = cols.head.shape
     cols.foreach(m => require(m.shape == len,
       s"zarr: array '${m.name}' has length ${m.shape} != $len of '$dim'"))
+    // chunk UNIFORMITY is load-validated, not assumed: the reader maps
+    // partition c to chunk file c of EVERY column, so a per-variable
+    // chunk encoding (legal Zarr, xarray can write it) would silently
+    // misalign rows — chunk 1 of a 200-chunked value against rows
+    // 100-199 of a 100-chunked coordinate
+    val chunk = cols.head.chunk
+    cols.foreach(m => require(m.chunk == chunk,
+      s"zarr: array '${m.name}' is chunked [${m.chunk}] but '$dim' is " +
+        s"[$chunk] — per-variable chunking is not supported (rechunk " +
+        "the store so arrays over the record dimension share one chunk size)"))
     new ZarrTable(path, dim, cols)
   }
 }
@@ -185,17 +195,12 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
     val keep: Seq[Long] = coordBounds match {
       case None => (0L until nChunks)
       case Some((lo, hi)) if sortedCoord && nChunks > 1 =>
-        val (perUnit, epoch) =
-          if (coord.isCfTime) ZarrMeta.cfTime(coord.units.get) else (1.0, 0L)
         // first coordinate value of chunk c (None → fall through to the
         // exact full-scan pruning: a missing coordinate chunk breaks
         // the monotone first-value sequence the search needs)
         def firstVal(c: Long): Option[Double] =
-          ZarrReader.readChunkBytes(path, coord, c).map { bytes =>
-            val v = ZarrMeta.doublesOf(coord, bytes)(0)
-            if (coord.isCfTime) ZarrMeta.cfToMicros(v, perUnit, epoch).toDouble
-            else v
-          }
+          ZarrReader.readChunkBytes(path, coord, c)
+            .map(bytes => coordPruneVals(bytes)(0))
         val probed = scala.collection.mutable.HashMap.empty[Long, Option[Double]]
         def fv(c: Long): Option[Double] = probed.getOrElseUpdate(c, firstVal(c))
         // largest chunk whose first value ≤ bound (strict: < bound);
@@ -231,27 +236,42 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
     keep.map(c => ZarrInputPartition(path, c): InputPartition).toArray
   }
 
+  /** Coordinate chunk values in PRUNING space: CF-time coords become
+    * epoch micros — integral dtypes on the exact Long path (the reader's
+    * ±1 µs int64-nanosecond lesson applies here too: a double-leg bound
+    * could wrongly prune a chunk whose true max equals the filter value
+    * exactly) — plain coords their raw values. Micros fit double's 2^53
+    * exactly, so the Double pruning comparisons stay exact.
+    */
+  private def coordPruneVals(bytes: Array[Byte]): Array[Double] =
+    if (coord.isCfTime) {
+      val (perUnit, epoch) = ZarrMeta.cfTime(coord.units.get)
+      if (coord.dtypeStr.contains("i"))
+        ZarrMeta.longsOf(coord, bytes)
+          .map(v => ZarrMeta.cfToMicrosLong(v, perUnit, epoch).toDouble)
+      else ZarrMeta.doublesOf(coord, bytes)
+        .map(v => ZarrMeta.cfToMicros(v, perUnit, epoch).toDouble)
+    } else ZarrMeta.doublesOf(coord, bytes)
+
   private def fullScanPrune(lo: Double, hi: Double,
                             nChunks: Long): Seq[Long] = {
-        val (perUnit, epoch) =
-          if (coord.isCfTime) ZarrMeta.cfTime(coord.units.get) else (1.0, 0L)
         (0L until nChunks).filter { c =>
           ZarrReader.readChunkBytes(path, coord, c) match {
             case None => coord.fillValue.exists { f =>
-              val v = if (coord.isCfTime)
-                ZarrMeta.cfToMicros(f, perUnit, epoch).toDouble else f
+              val v = if (coord.isCfTime) {
+                val (perUnit, epoch) = ZarrMeta.cfTime(coord.units.get)
+                ZarrMeta.cfToMicros(f, perUnit, epoch).toDouble
+              } else f
               v >= lo && v <= hi
             }
             case Some(bytes) =>
-              val vals = ZarrMeta.doublesOf(coord, bytes)
+              val vals = coordPruneVals(bytes)
               val n = ZarrReader.rowsInChunk(coord, c)
               var mn = Double.PositiveInfinity
               var mx = Double.NegativeInfinity
               var i = 0
               while (i < n) {
-                val v = if (coord.isCfTime)
-                  ZarrMeta.cfToMicros(vals(i), perUnit, epoch).toDouble
-                else vals(i)
+                val v = vals(i)
                 if (v < mn) mn = v
                 if (v > mx) mx = v
                 i += 1
@@ -307,30 +327,53 @@ private[zarr] class ZarrChunkReader(path: String, chunk: Long,
 
   private val nRows = ZarrReader.rowsInChunk(rowMeta, chunk)
 
-  // per-column decoded values: Right(longs) for CF time (exact micros),
-  // Left(doubles) otherwise; None = missing chunk with no fill_value
-  private val columns: Array[Option[Either[Array[Double], Array[Long]]]] =
+  // per-column decoded payload: EVERY integral dtype rides the Long
+  // path (int64 values past 2^53 — nanosecond timestamps, large ids —
+  // corrupt silently through a double leg); floats ride doubles with
+  // NaN → null at emit. `nulls` is non-null only for float CF time,
+  // where a NaN gap marker must become a null timestamp (xarray's NaT),
+  // not round(NaN)=0 = the epoch.
+  private sealed trait Col
+  private case object AllNull extends Col
+  private final case class Doubles(v: Array[Double]) extends Col
+  private final case class Longs(v: Array[Long],
+                                 nulls: Array[Boolean]) extends Col
+
+  private val columns: Array[Col] =
     required.map { m =>
       val bytes = ZarrReader.readChunkBytes(path, m, chunk)
+      val integral = m.dtypeStr.stripPrefix("<").stripPrefix("|").head != 'f'
       if (m.isCfTime) {
         val (perUnit, epoch) = ZarrMeta.cfTime(m.units.get)
         bytes match {
+          case Some(b) if integral =>
+            Longs(ZarrMeta.longsOf(m, b)
+              .map(v => ZarrMeta.cfToMicrosLong(v, perUnit, epoch)), null)
           case Some(b) =>
-            // integral dtypes stay on the Long path: int64 nanoseconds
-            // (~1.7e18) exceed double's 2^53 and would land ±1 µs off
-            val micros =
-              if (m.dtypeStr.contains("i"))
-                ZarrMeta.longsOf(m, b)
-                  .map(v => ZarrMeta.cfToMicrosLong(v, perUnit, epoch))
-              else ZarrMeta.doublesOf(m, b)
-                .map(v => ZarrMeta.cfToMicros(v, perUnit, epoch))
-            Some(Right(micros))
-          case None => m.fillValue.map(f =>
-            Right(Array.fill(nRows)(ZarrMeta.cfToMicros(f, perUnit, epoch))))
+            val raw = ZarrMeta.doublesOf(m, b)
+            val nulls = if (raw.exists(_.isNaN)) raw.map(_.isNaN) else null
+            Longs(raw.map(v =>
+              if (v.isNaN) 0L else ZarrMeta.cfToMicros(v, perUnit, epoch)),
+              nulls)
+          case None => m.fillValue match {
+            case Some(f) if !f.isNaN =>
+              Longs(Array.fill(nRows)(
+                ZarrMeta.cfToMicros(f, perUnit, epoch)), null)
+            case _ => AllNull // no fill, or NaN fill = missing timestamps
+          }
+        }
+      } else if (integral) bytes match {
+        case Some(b) => Longs(ZarrMeta.longsOf(m, b), null)
+        case None => m.fillValue match {
+          case Some(f) => Longs(Array.fill(nRows)(f.toLong), null)
+          case None => AllNull
         }
       } else bytes match {
-        case Some(b) => Some(Left(ZarrMeta.doublesOf(m, b)))
-        case None => m.fillValue.map(f => Left(Array.fill[Double](nRows)(f)))
+        case Some(b) => Doubles(ZarrMeta.doublesOf(m, b))
+        case None => m.fillValue match {
+          case Some(f) => Doubles(Array.fill[Double](nRows)(f))
+          case None => AllNull
+        }
       }
     }.toArray
 
@@ -343,21 +386,23 @@ private[zarr] class ZarrChunkReader(path: String, chunk: Long,
     var c = 0
     while (c < required.length) {
       columns(c) match {
-        case None => out.setNullAt(c)
-        case Some(Right(longs)) => out.setLong(c, longs(row))
-        case Some(Left(ds)) =>
+        case AllNull => out.setNullAt(c)
+        case Longs(vs, nulls) =>
+          if (nulls != null && nulls(row)) out.setNullAt(c)
+          else required(c).sparkType match {
+            case TimestampType | LongType => out.setLong(c, vs(row))
+            case IntegerType => out.setInt(c, vs(row).toInt)
+            case ShortType => out.setShort(c, vs(row).toShort)
+            case _ => out.update(c, vs(row))
+          }
+        case Doubles(ds) =>
           val v = ds(row)
-          required(c).sparkType match {
-            case DoubleType =>
-              if (v.isNaN) out.setNullAt(c) else out.setDouble(c, v)
-            case FloatType =>
-              if (v.isNaN) out.setNullAt(c) else out.setFloat(c, v.toFloat)
-            case LongType => out.setLong(c, v.toLong)
-            case IntegerType => out.setInt(c, v.toInt)
-            case ShortType => out.setShort(c, v.toShort)
+          if (v.isNaN) out.setNullAt(c)
+          else required(c).sparkType match {
+            case DoubleType => out.setDouble(c, v)
+            case FloatType => out.setFloat(c, v.toFloat)
             case _ => out.update(c, v)
           }
-        case _ => out.setNullAt(c)
       }
       c += 1
     }

@@ -104,8 +104,19 @@ private[zarr] object ZarrMeta {
       else Seq.empty
     }
     val comp = Option(za.path("compressor")).filter(c => !c.isNull && !c.isMissingNode)
-    val fill = Option(za.path("fill_value"))
-      .filter(f => f.isNumber).map(_.asDouble())
+    // Zarr v2 encodes non-finite float fills as the STRINGS "NaN" /
+    // "Infinity" / "-Infinity" (python-zarr writes these); numbers come
+    // through as JSON numbers
+    val fill = Option(za.path("fill_value")).flatMap { f =>
+      if (f.isNumber) Some(f.asDouble())
+      else if (f.isTextual) f.asText() match {
+        case "NaN" => Some(Double.NaN)
+        case "Infinity" => Some(Double.PositiveInfinity)
+        case "-Infinity" => Some(Double.NegativeInfinity)
+        case _ => None
+      }
+      else None
+    }
     Some(ArrayMeta(
       name = name,
       shape = shape.get(0).asLong(),
@@ -268,29 +279,35 @@ private[zarr] object ZarrMeta {
     var s = srcOff
     val end = srcOff + srcLen
     var d = 0
+    def eof(what: String): Nothing =
+      throw new java.io.EOFException(s"zarr: malformed lz4 $what")
+    // every multi-byte read is bounds-checked against THIS block's slice:
+    // src is the whole blosc frame, so an unchecked read would consume
+    // the NEXT block's bytes and could return wrong data silently
+    def next(): Int = { if (s >= end) eof("truncated"); val b = src(s) & 0xff; s += 1; b }
     while (s < end && d < dstLen) {
-      val token = src(s) & 0xff; s += 1
+      val token = next()
       var litLen = token >>> 4
       if (litLen == 15) {
         var b = 0
-        do { b = src(s) & 0xff; s += 1; litLen += b } while (b == 255)
+        do { b = next(); litLen += b } while (b == 255)
       }
       if (litLen > 0) {
-        if (s + litLen > end || d + litLen > dstLen)
-          throw new java.io.EOFException("zarr: malformed lz4 literals")
+        if (s + litLen > end || d + litLen > dstLen) eof("literals")
         System.arraycopy(src, s, dst, d, litLen); s += litLen; d += litLen
       }
       if (s < end) {
+        if (s + 1 >= end) eof("offset")
         val offset = (src(s) & 0xff) | ((src(s + 1) & 0xff) << 8); s += 2
+        if (offset == 0) eof("zero offset")
         var matchLen = token & 0xf
         if (matchLen == 15) {
           var b = 0
-          do { b = src(s) & 0xff; s += 1; matchLen += b } while (b == 255)
+          do { b = next(); matchLen += b } while (b == 255)
         }
         matchLen += 4
         var m = d - offset
-        if (m < 0 || d + matchLen > dstLen)
-          throw new java.io.EOFException("zarr: malformed lz4 match")
+        if (m < 0 || d + matchLen > dstLen) eof("match")
         var k = 0
         while (k < matchLen) { dst(d) = dst(m); d += 1; m += 1; k += 1 }
       }

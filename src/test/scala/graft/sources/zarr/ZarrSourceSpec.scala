@@ -166,6 +166,53 @@ class ZarrSourceSpec extends SparkSpec {
     new String(ZarrMeta.lz4Decompress(rle, 0, rle.length, 80)) shouldBe "x" * 80
   }
 
+  test("per-variable chunking is rejected at load, not silently misaligned") {
+    // chunk 1 of a 200-chunked value holds rows 200-399, not the
+    // coordinate's rows 100-199: reading it positionally would emit
+    // wrong values with no error — load must refuse
+    val dir = ZarrFixture.writeHeteroChunks()
+    val e = intercept[Exception] {
+      spark.read.format("zarr").load(dir).collect()
+    }
+    e.getMessage should include("chunked")
+  }
+
+  test("large int64 values and CF NaN gaps survive the reader exactly") {
+    val dir = ZarrFixture.writeEdgeStore()
+    val rows = spark.read.format("zarr").load(dir).orderBy("big_id").collect()
+    rows.length shouldBe 6
+    // big_id holds 2^61 + i·p — far past double's 2^53; a double leg
+    // would corrupt the low bits silently
+    val bigIdx = rows(0).fieldIndex("big_id")
+    rows.map(_.getLong(bigIdx)).toSeq shouldBe
+      (0 until 6).map(i => (1L << 61) + 1000000007L * i)
+    // time is float CF seconds with a NaN gap at row 3: null timestamp
+    // (NaT), NOT the epoch
+    val tIdx = rows(0).fieldIndex("time")
+    rows.count(_.isNullAt(tIdx)) shouldBe 1
+    rows(3).isNullAt(tIdx) shouldBe true
+    // int64 nanosecond column decodes to exact micros
+    val nsIdx = rows(0).fieldIndex("t_ns")
+    val inst = rows(0).getTimestamp(nsIdx).toInstant
+    (inst.getEpochSecond * 1000000L + inst.getNano / 1000L) shouldBe
+      1700000000123456L // floor(1700000000123456789 ns / 1000)
+  }
+
+  test("string fill_value encodings: Infinity fills read back as ±inf, not null") {
+    val meta = ZarrMeta.parseArray("x",
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"shape": [4], "chunks": [4], "dtype": "<f8",
+            "compressor": null, "fill_value": "Infinity", "order": "C"}"""),
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree("{}")).get
+    meta.fillValue shouldBe Some(Double.PositiveInfinity)
+    ZarrMeta.parseArray("x",
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"shape": [4], "chunks": [4], "dtype": "<f8",
+            "compressor": null, "fill_value": "NaN", "order": "C"}"""),
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree("{}"))
+      .get.fillValue.get.isNaN shouldBe true
+  }
+
   test("int64 nanosecond CF times decode exactly (no double round-trip)") {
     // 2023-11-14T22:13:20.123456789 as int64 ns since epoch ≈ 1.7e18 —
     // past double's 2^53: the double path is off by up to ±256 ns,
@@ -389,6 +436,65 @@ object ZarrFixture {
         "compressor": null, "fill_value": "NaN", "order": "C",
         "filters": null, "zarr_format": 2},
       "v/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
+    dir
+  }
+
+  /** Per-variable chunking (time [100] vs value [200]) — load must
+    * refuse; no chunk files needed (the require fires on metadata).
+    */
+  def writeHeteroChunks(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_hetero").toString
+    val meta = s"""{"metadata": {
+      "time/.zarray": {"shape": [200], "chunks": [100], "dtype": "<i8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "seconds since 1970-01-01"},
+      "value/.zarray": {"shape": [200], "chunks": [200], "dtype": "<f8",
+        "compressor": null, "fill_value": "NaN", "order": "C",
+        "filters": null, "zarr_format": 2},
+      "value/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
+    dir
+  }
+
+  /** 6 rows / chunk 4: float CF time with a NaN gap at row 3, an int64
+    * nanosecond CF column, and an int64 id column past 2^53.
+    */
+  def writeEdgeStore(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_edge").toString
+    def put(arr: String, chunk: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, arr))
+      Files.write(Paths.get(dir, arr, chunk.toString), bytes)
+    }
+    val timeS = Array(0.0, 60.0, 120.0, Double.NaN, 240.0, 300.0)
+    val tNs = Array.tabulate(6)(i => 1700000000123456789L + i * 1000000000L)
+    val bigId = Array.tabulate(6)(i => (1L << 61) + 1000000007L * i)
+    for (c <- 0 until 2) {
+      def slice[T: scala.reflect.ClassTag](a: Array[T], pad: T): Array[T] =
+        Array.tabulate(4)(k => if (c * 4 + k < 6) a(c * 4 + k) else pad)
+      put("time", c, le(slice(timeS, 0.0)))
+      put("t_ns", c, leL(slice(tNs, 0L)))
+      put("big_id", c, leL(slice(bigId, 0L)))
+    }
+    val meta = s"""{"metadata": {
+      "time/.zarray": {"shape": [6], "chunks": [4], "dtype": "<f8",
+        "compressor": null, "fill_value": "NaN", "order": "C",
+        "filters": null, "zarr_format": 2},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "seconds since 1970-01-01"},
+      "t_ns/.zarray": {"shape": [6], "chunks": [4], "dtype": "<i8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "t_ns/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "nanoseconds since 1970-01-01"},
+      "big_id/.zarray": {"shape": [6], "chunks": [4], "dtype": "<i8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "big_id/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
       "zarr_consolidated_format": 1}"""
     Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
     dir
