@@ -196,11 +196,13 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
       case None => (0L until nChunks)
       case Some((lo, hi)) if sortedCoord && nChunks > 1 =>
         // first coordinate value of chunk c (None → fall through to the
-        // exact full-scan pruning: a missing coordinate chunk breaks
-        // the monotone first-value sequence the search needs)
+        // exact full-scan pruning: a missing coordinate chunk OR a NaN
+        // first value breaks the monotone first-value sequence the
+        // search needs — NaN gap markers are legal in float coords)
         def firstVal(c: Long): Option[Double] =
           ZarrReader.readChunkBytes(path, coord, c)
             .map(bytes => coordPruneVals(bytes)(0))
+            .filterNot(_.isNaN)
         val probed = scala.collection.mutable.HashMap.empty[Long, Option[Double]]
         def fv(c: Long): Option[Double] = probed.getOrElseUpdate(c, firstVal(c))
         // largest chunk whose first value ≤ bound (strict: < bound);
@@ -250,7 +252,11 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
         ZarrMeta.longsOf(coord, bytes)
           .map(v => ZarrMeta.cfToMicrosLong(v, perUnit, epoch).toDouble)
       else ZarrMeta.doublesOf(coord, bytes)
-        .map(v => ZarrMeta.cfToMicros(v, perUnit, epoch).toDouble)
+        // NaN gap markers stay NaN (cfToMicros would map them to the
+        // epoch): the min/max prune skips them naturally (comparisons
+        // are false), the sorted path's firstVal rejects them
+        .map(v => if (v.isNaN) Double.NaN
+                  else ZarrMeta.cfToMicros(v, perUnit, epoch).toDouble)
     } else ZarrMeta.doublesOf(coord, bytes)
 
   private def fullScanPrune(lo: Double, hi: Double,

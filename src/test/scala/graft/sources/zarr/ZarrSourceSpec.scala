@@ -198,6 +198,19 @@ class ZarrSourceSpec extends SparkSpec {
       1700000000123456L // floor(1700000000123456789 ns / 1000)
   }
 
+  test("a NaN-first coordinate chunk makes sortedCoord fall back, not mis-prune") {
+    val dir = ZarrFixture.writeNaNFirst()
+    // chunk 1 starts with a NaN gap marker: the binary search cannot
+    // trust first values, so pruning falls back to the exact per-chunk
+    // min/max scan — the filtered frame stays row-identical
+    val lo = lit("1970-01-01 00:00:05").cast("timestamp")
+    def rows(sorted: Boolean) = spark.read.format("zarr")
+      .option("sortedCoord", sorted.toString).load(dir)
+      .filter(col("time") >= lo).collect().map(_.toString).sorted.toSeq
+    rows(sorted = true) shouldBe rows(sorted = false)
+    rows(sorted = true).size shouldBe 3 // times 5, 6, 7 (NaN row excluded)
+  }
+
   test("string fill_value encodings: Infinity fills read back as ±inf, not null") {
     val meta = ZarrMeta.parseArray("x",
       new com.fasterxml.jackson.databind.ObjectMapper().readTree(
@@ -495,6 +508,28 @@ object ZarrFixture {
         "compressor": null, "fill_value": 0, "order": "C",
         "filters": null, "zarr_format": 2},
       "big_id/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
+    dir
+  }
+
+  /** 8 rows / chunk 4, float CF coordinate [0,1,2,3 | NaN,5,6,7] — a
+    * NaN FIRST value in chunk 1 (the sortedCoord search's blind spot).
+    */
+  def writeNaNFirst(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_nanfirst").toString
+    def put(arr: String, chunk: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, arr))
+      Files.write(Paths.get(dir, arr, chunk.toString), bytes)
+    }
+    put("time", 0, le(Array(0.0, 1.0, 2.0, 3.0)))
+    put("time", 1, le(Array(Double.NaN, 5.0, 6.0, 7.0)))
+    val meta = s"""{"metadata": {
+      "time/.zarray": {"shape": [8], "chunks": [4], "dtype": "<f8",
+        "compressor": null, "fill_value": "NaN", "order": "C",
+        "filters": null, "zarr_format": 2},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "seconds since 1970-01-01"}},
       "zarr_consolidated_format": 1}"""
     Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
     dir
