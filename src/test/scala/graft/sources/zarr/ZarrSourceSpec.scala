@@ -241,6 +241,45 @@ class ZarrSourceSpec extends SparkSpec {
     ZarrMeta.cfToMicrosLong(7L, 1e6, 0L) shouldBe 7000000L
   }
 
+  test("randomized codec round-trip: every frame shape decodes to the planted bytes") {
+    // 120 random (payload, typesize, blocksize, codec, shuffle) frames,
+    // deterministic seed — the writer follows the public specs, the
+    // reader must invert every combination incl. padded last blocks,
+    // incompressible (stored) blocks, and sub-typesize tails
+    val rnd = new scala.util.Random(42)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def meta(comp: String): ZarrMeta.ArrayMeta = ZarrMeta.parseArray("x",
+      mapper.readTree(s"""{"shape": [1], "chunks": [1], "dtype": "<u1",
+        "compressor": $comp, "fill_value": 0, "order": "C"}"""),
+      mapper.readTree("{}")).get
+    for (i <- 0 until 120) {
+      val n = 1 + rnd.nextInt(3000)
+      val payload = new Array[Byte](n)
+      // mix compressible runs and incompressible noise
+      if (i % 3 == 0) rnd.nextBytes(payload)
+      else java.util.Arrays.fill(payload, (i % 7).toByte)
+      val typesize = Seq(1, 2, 4, 8)(rnd.nextInt(4))
+      val blocksize = math.max(typesize, 1 + rnd.nextInt(n + 64))
+      val (frame, comp) = rnd.nextInt(4) match {
+        case 0 => (ZarrFixture.bloscFrame(payload, typesize, codecId = 3,
+          shuffle = rnd.nextBoolean(), blocksize = blocksize,
+          deflateBlocks = true),
+          """{"id": "blosc", "cname": "zlib"}""")
+        case 1 => (ZarrFixture.bloscFrame(payload, typesize, codecId = 1,
+          shuffle = rnd.nextBoolean(), blocksize = blocksize,
+          forceStored = true),
+          """{"id": "blosc", "cname": "lz4"}""")
+        case 2 => (ZarrFixture.bloscFrame(payload, typesize, codecId = 1,
+          shuffle = false, blocksize = blocksize, memcpy = true),
+          """{"id": "blosc", "cname": "lz4"}""")
+        case _ => (ZarrFixture.deflateBytes(payload), """{"id": "zlib"}""")
+      }
+      withClue(s"case $i (n=$n, typesize=$typesize, blocksize=$blocksize): ") {
+        ZarrMeta.decodeChunk(meta(comp), frame).toSeq shouldBe payload.toSeq
+      }
+    }
+  }
+
   test("byte unshuffle inverts shuffle, leftover tail kept in place") {
     val raw = Array.tabulate[Byte](35)(i => (i * 7 + 3).toByte) // 35 = 4*8+3
     ZarrMeta.unshuffle(ZarrFixture.shuffle(raw, 4), 4).toSeq shouldBe raw.toSeq
@@ -286,6 +325,8 @@ object ZarrFixture {
       in.length - neles * typesize)
     out
   }
+
+  def deflateBytes(src: Array[Byte]): Array[Byte] = deflate(src)
 
   private def deflate(src: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
