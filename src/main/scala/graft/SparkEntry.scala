@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{QueriesCalibration, QueriesCuration, QueriesDocs, QueriesEvents, QueriesInvariants, QueriesPipeline, QueriesQaqc, QueriesRelational, QueriesScience}
+import graft.queries.{QueriesCalibration, QueriesCuration, QueriesDocs, QueriesEvents, QueriesInvariants, QueriesPipeline, QueriesQaqc, QueriesRelational, QueriesScience, QueriesZarr}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -43,7 +43,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesEvents.queries ++ QueriesDocs.queries ++
       QueriesScience.queries ++ QueriesPipeline.queries ++ QueriesCalibration.queries ++ QueriesQaqc.queries ++
-      QueriesCuration.queries ++ QueriesInvariants.queries
+      QueriesCuration.queries ++ QueriesInvariants.queries ++ QueriesZarr.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -52,5 +52,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     QueriesRelational.oracleSql ++ QueriesEvents.oracleSql ++ QueriesDocs.oracleSql ++
       QueriesScience.oracleSql ++ QueriesPipeline.oracleSql ++ QueriesCalibration.oracleSql ++ QueriesQaqc.oracleSql ++
-      QueriesCuration.oracleSql ++ QueriesInvariants.oracleSql
+      QueriesCuration.oracleSql ++ QueriesInvariants.oracleSql ++ QueriesZarr.oracleSql
 }

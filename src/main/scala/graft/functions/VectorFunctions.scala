@@ -391,6 +391,14 @@ object VectorFunctions {
     require(ids.length == vs.length,
       s"clusterSemanticStats: ids (${ids.length}) and vs (${vs.length}) " +
         "misaligned — a null id or vector leaked past the caller's filter")
+    if (ids.length > maxCluster)
+      // a binding cap means the caller's k is mis-parameterized (rows past
+      // the cap keep kept=true with null stats — correct but lossy); make
+      // that observable in executor logs instead of only in the scaladoc
+      org.slf4j.LoggerFactory.getLogger("graft.VectorFunctions").warn(
+        s"clusterSemanticStats: cluster of ${ids.length} exceeds " +
+          s"maxCluster=$maxCluster — ${ids.length - maxCluster} rows get " +
+          "null stats; derive k/maxCluster via graft.ScaleContract")
     val (idArr, order) = unboxIds(ids)
     val n = math.min(ids.length, maxCluster)
     val vecs = new Array[Array[Double]](n)

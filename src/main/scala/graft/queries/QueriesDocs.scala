@@ -99,11 +99,14 @@ object QueriesDocs {
     // nBits derived from the table size per the occupancy contract
     // (ScaleContract.lshBits: 4 at every sf scale — goldens unchanged —
     // growing ∝ log2 N on the grown gates so buckets stay ~125 deep
-    // instead of letting the maxBucket cap silently bind)
+    // instead of letting the maxBucket cap silently bind). The count
+    // comes from parquet FOOTER metadata (Tables.rowCount, memoized) —
+    // no extra scan job per invocation (round-12 VERDICT item 6).
     "q38_embedding_dups" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
-        dim = 64, nBits = graft.ScaleContract.lshBits(emb.count()),
+        dim = 64,
+        nBits = graft.ScaleContract.lshBits(Tables.rowCount(s, d, "embeddings")),
         minCosine = 0.25)
     }),
 
@@ -412,7 +415,8 @@ object QueriesDocs {
     // in both engines.
     "q94_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val n = emb.count()
+      // footer-metadata count (memoized) — no per-invocation scan job
+      val n = Tables.rowCount(s, d, "embeddings")
       val j = graft.ScaleContract.semanticClusters(n)
       val basis = Array.tabulate(j)(c =>
         Array.tabulate(64)(i => if (i == c) 1.0 else 0.0))

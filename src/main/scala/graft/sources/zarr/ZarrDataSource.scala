@@ -1,12 +1,14 @@
 package graft.sources.zarr
 
-import java.nio.file.{Files, Paths}
 import java.util
 
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -14,9 +16,9 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Read-only DSv2 source for consolidated Zarr v2 stores of 1-D arrays
-  * sharing one record dimension — the reference's `xr.open_zarr` ingest
-  * (`qaqc/dashboard.py:311`) as a native Spark table:
+/** Read-only DSv2 source for consolidated Zarr v2 stores of 1-D/2-D
+  * arrays sharing one record dimension — the reference's `xr.open_zarr`
+  * ingest (`qaqc/dashboard.py:311`) as a native Spark table:
   *
   * {{{
   *   spark.read.format("zarr").load("/path/to/store.zarr")
@@ -26,8 +28,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Scale design (the reason this is a DSv2 source and not a driver
   * loop):
-  *  - **one InputPartition per chunk**: Zarr's chunking IS the split
-  *    contract; a 100 TB store with 1M chunks plans 1M independent
+  *  - **one InputPartition per record chunk**: Zarr's chunking IS the
+  *    split contract; a 100 TB store with 1M chunks plans 1M independent
   *    partitions, each reading only its own chunk files.
   *  - **time-chunk pruning → partition pruning**: filters on the record
   *    coordinate prune CHUNKS at planning time using per-chunk
@@ -39,12 +41,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - **column pruning → array pruning**: unprojected arrays' chunk
   *    files are never opened (each column is its own file set — Zarr is
   *    columnar on disk).
+  *  - **Hadoop FileSystem IO**: every byte goes through one seam
+  *    ([[ZarrIO]]) resolved from the session's Hadoop conf, so
+  *    `file://`, bare local paths, `s3a://` and `hdfs://` stores all
+  *    work — the reference opens its stores on S3
+  *    (`qaqc/dashboard.py:305-313`). Executors receive the serialized
+  *    conf with the reader factory (credentials/endpoint settings ride
+  *    along, as in Spark's own FileFormat sources).
+  *
+  * 2-D arrays over (record × extra) dims — OPTAA `optical_absorption
+  * (time × wavelength)`, SUNA `spectral_channels (N × 256)`
+  * (`calculateFunctions.py:317-319,691-696`) — surface as `ArrayType`
+  * columns; their NaN elements stay NaN inside the array (the array IS
+  * the value; xarray reads the same shape).
   *
   * Chunk decode (zlib / gzip / blosc-lz4 / blosc-zlib / memcpy, byte
   * shuffle) and CF time units are [[ZarrMeta]]'s public-spec
-  * implementations. Local filesystem paths (the reference mounts its
-  * stores the same way); missing chunk files yield fill_value runs per
-  * the Zarr spec.
+  * implementations. Missing chunk files yield fill_value runs per the
+  * Zarr spec.
   */
 class ZarrDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zarr"
@@ -57,49 +71,136 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     ZarrTable.load(new CaseInsensitiveStringMap(properties))
 }
 
+/** The one IO seam: all store bytes flow through Hadoop [[Path
+  * .getFileSystem]], so scheme resolution (file://, s3a://, hdfs://,
+  * bare local paths via the default FS) and credentials follow the
+  * session's Hadoop configuration exactly like Spark's parquet scans.
+  */
+private[zarr] object ZarrIO {
+  /** Driver-side conf: the active session's (carries spark.hadoop.*
+    * settings — s3a keys, endpoints); a plain Configuration outside a
+    * session (unit-level codec tests).
+    */
+  def driverConf(): Configuration =
+    try SparkSession.active.sessionState.newHadoopConf()
+    catch { case _: Exception => new Configuration() }
+
+  def resolve(store: String, parts: String*): Path =
+    parts.foldLeft(new Path(store))((p, s) => new Path(p, s))
+
+  /** Whole-file bytes, or None when the file does not exist (a missing
+    * chunk = fill_value run per the Zarr spec).
+    */
+  def readIfExists(conf: Configuration, store: String,
+                   parts: String*): Option[Array[Byte]] = {
+    val p = resolve(store, parts: _*)
+    val fs = p.getFileSystem(conf)
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val len = st.getLen
+    require(len <= Int.MaxValue, s"zarr: $p is ${len} bytes (> 2 GiB chunk)")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    Some(buf)
+  }
+}
+
+/** Hadoop Configuration is not Serializable; this is the standard
+  * write()/readFields() wrapper (what Spark's own sources use) so the
+  * reader factory can ship the driver's conf to executors.
+  */
+private[zarr] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[zarr] object ZarrTable {
+  // one parse per (store, dim, .zmetadata mtime+len): inferSchema and
+  // getTable both land here per read, and on an object store the second
+  // GET is a real round-trip. The mtime+len key keeps a rewritten store
+  // fresh instead of serving stale metadata.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long), ZarrTable]()
+
   def load(options: CaseInsensitiveStringMap): ZarrTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("zarr: .load(path) is required"))
-    val zmeta = Paths.get(path, ".zmetadata")
-    require(Files.exists(zmeta),
-      s"zarr: $path has no .zmetadata — only consolidated stores are " +
-        "supported (zarr.consolidate_metadata in the writer)")
+    val dimOpt = Option(options.get("dim")).getOrElse("")
+    val sortedCoord = options.getBoolean("sortedCoord", false)
+    val conf = ZarrIO.driverConf()
+    val zp = ZarrIO.resolve(path, ".zmetadata")
+    val st =
+      try zp.getFileSystem(conf).getFileStatus(zp)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"zarr: $path has no .zmetadata — only consolidated stores are " +
+              "supported (zarr.consolidate_metadata in the writer)")
+      }
+    val table = cache.computeIfAbsent(
+      (path, dimOpt, st.getModificationTime, st.getLen),
+      _ => parse(path, dimOpt, conf))
+    // sortedCoord is a per-read option, not part of the parsed layout
+    if (table.sortedCoord == sortedCoord) table
+    else table.copyWith(sortedCoord)
+  }
+
+  private def parse(path: String, dimOpt: String,
+                    conf: Configuration): ZarrTable = {
+    val zmeta = ZarrIO.readIfExists(conf, path, ".zmetadata").getOrElse(
+      throw new IllegalArgumentException(s"zarr: $path has no .zmetadata"))
     val arrays = ZarrMeta.parseConsolidated(
-      new String(Files.readAllBytes(zmeta), java.nio.charset.StandardCharsets.UTF_8))
-    require(arrays.nonEmpty, s"zarr: $path holds no 1-D arrays")
-    val dim = Option(options.get("dim")).getOrElse {
-      // the record dimension: shared by the most arrays (ties → name asc)
-      arrays.values.flatMap(_.dims).groupBy(identity)
+      new String(zmeta, java.nio.charset.StandardCharsets.UTF_8))
+    require(arrays.nonEmpty, s"zarr: $path holds no 1-D/2-D arrays")
+    val dim = if (dimOpt.nonEmpty) dimOpt else {
+      // the record dimension: shared by the most arrays as dim 0
+      // (ties → name asc)
+      arrays.values.flatMap(_.dims.headOption).groupBy(identity)
         .map { case (d, g) => (d, g.size) }.toSeq
         .sortBy { case (d, n) => (-n, d) }
         .headOption.map(_._1).getOrElse(throw new IllegalArgumentException(
           s"zarr: no _ARRAY_DIMENSIONS attrs in $path; pass option(\"dim\", ...)"))
     }
-    val cols = arrays.values.filter(_.dims == Seq(dim)).toSeq.sortBy { m =>
+    val cols = arrays.values.filter(m =>
+      m.dims == Seq(dim) ||
+        (m.is2D && m.dims.length == 2 && m.dims.head == dim)).toSeq.sortBy { m =>
       (if (m.name == dim) 0 else 1, m.name) // coordinate column first
     }
     require(cols.nonEmpty, s"zarr: no arrays over dimension '$dim' in $path")
     val len = cols.head.shape
     cols.foreach(m => require(m.shape == len,
       s"zarr: array '${m.name}' has length ${m.shape} != $len of '$dim'"))
-    // chunk UNIFORMITY is load-validated, not assumed: the reader maps
-    // partition c to chunk file c of EVERY column, so a per-variable
-    // chunk encoding (legal Zarr, xarray can write it) would silently
-    // misalign rows — chunk 1 of a 200-chunked value against rows
-    // 100-199 of a 100-chunked coordinate
+    // record-dim chunk UNIFORMITY is load-validated, not assumed: the
+    // reader maps partition c to record chunk c of EVERY column, so a
+    // per-variable chunk encoding (legal Zarr, xarray can write it)
+    // would silently misalign rows — chunk 1 of a 200-chunked value
+    // against rows 100-199 of a 100-chunked coordinate
     val chunk = cols.head.chunk
     cols.foreach(m => require(m.chunk == chunk,
       s"zarr: array '${m.name}' is chunked [${m.chunk}] but '$dim' is " +
         s"[$chunk] — per-variable chunking is not supported (rechunk " +
         "the store so arrays over the record dimension share one chunk size)"))
-    new ZarrTable(path, dim, cols)
+    new ZarrTable(path, dim, cols, conf, sortedCoord = false)
   }
 }
 
 private[zarr] class ZarrTable(path: String, dim: String,
-                              cols: Seq[ZarrMeta.ArrayMeta])
+                              cols: Seq[ZarrMeta.ArrayMeta],
+                              conf: Configuration,
+                              val sortedCoord: Boolean)
     extends Table with SupportsRead {
+  def copyWith(sorted: Boolean): ZarrTable =
+    new ZarrTable(path, dim, cols, conf, sorted)
   override def name(): String = s"zarr:$path"
   override def schema(): StructType =
     StructType(cols.map(m => StructField(m.name, m.sparkType, nullable = true)))
@@ -107,12 +208,14 @@ private[zarr] class ZarrTable(path: String, dim: String,
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(path, dim, cols,
-      sortedCoord = options.getBoolean("sortedCoord", false))
+      sortedCoord = options.getBoolean("sortedCoord", sortedCoord),
+      conf = conf)
 }
 
 private[zarr] class ZarrScanBuilder(path: String, dim: String,
                                     cols: Seq[ZarrMeta.ArrayMeta],
-                                    sortedCoord: Boolean = false)
+                                    sortedCoord: Boolean = false,
+                                    conf: Configuration = ZarrIO.driverConf())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -127,44 +230,49 @@ private[zarr] class ZarrScanBuilder(path: String, dim: String,
   /** Record-coordinate range filters prune chunks; EVERY filter is
     * returned as unhandled (pruning is chunk-granular — Spark re-applies
     * the exact predicate post scan, like parquet row-group skipping).
+    * Pruning needs a SCALAR coordinate array named after the record dim;
+    * a store without one scans every chunk (still correct).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val coord = cols.head // sorted coordinate-first
-    var lo = Double.NegativeInfinity
-    var hi = Double.PositiveInfinity
-    def num(v: Any): Option[Double] = v match {
-      case n: Number => Some(n.doubleValue())
-      case t: java.sql.Timestamp =>
-        Some(t.getTime * 1000.0 + (t.getNanos / 1000) % 1000)
-      case i: java.time.Instant =>
-        Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
-      case d: java.sql.Date => Some(d.getTime * 1000.0)
-      case _ => None
+    val coordOpt = cols.headOption.filter(m => m.name == dim && !m.is2D)
+    coordOpt.foreach { coord =>
+      var lo = Double.NegativeInfinity
+      var hi = Double.PositiveInfinity
+      def num(v: Any): Option[Double] = v match {
+        case n: Number => Some(n.doubleValue())
+        case t: java.sql.Timestamp =>
+          Some(t.getTime * 1000.0 + (t.getNanos / 1000) % 1000)
+        case i: java.time.Instant =>
+          Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
+        case d: java.sql.Date => Some(d.getTime * 1000.0)
+        case _ => None
+      }
+      filters.foreach {
+        case GreaterThan(a, v) if a == coord.name => num(v).foreach(x => lo = math.max(lo, x))
+        case GreaterThanOrEqual(a, v) if a == coord.name => num(v).foreach(x => lo = math.max(lo, x))
+        case LessThan(a, v) if a == coord.name => num(v).foreach(x => hi = math.min(hi, x))
+        case LessThanOrEqual(a, v) if a == coord.name => num(v).foreach(x => hi = math.min(hi, x))
+        case EqualTo(a, v) if a == coord.name =>
+          num(v).foreach { x => lo = math.max(lo, x); hi = math.min(hi, x) }
+        case _ =>
+      }
+      if (lo > Double.NegativeInfinity || hi < Double.PositiveInfinity)
+        coordBounds = Some((lo, hi))
     }
-    filters.foreach {
-      case GreaterThan(a, v) if a == coord.name => num(v).foreach(x => lo = math.max(lo, x))
-      case GreaterThanOrEqual(a, v) if a == coord.name => num(v).foreach(x => lo = math.max(lo, x))
-      case LessThan(a, v) if a == coord.name => num(v).foreach(x => hi = math.min(hi, x))
-      case LessThanOrEqual(a, v) if a == coord.name => num(v).foreach(x => hi = math.min(hi, x))
-      case EqualTo(a, v) if a == coord.name =>
-        num(v).foreach { x => lo = math.max(lo, x); hi = math.min(hi, x) }
-      case _ =>
-    }
-    if (lo > Double.NegativeInfinity || hi < Double.PositiveInfinity)
-      coordBounds = Some((lo, hi))
     filters // all unhandled: exact filtering stays in the plan
   }
 
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan =
-    new ZarrScan(path, required, cols.head, coordBounds, sortedCoord)
+    new ZarrScan(path, required, cols.head, coordBounds, sortedCoord, conf)
 }
 
 private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
                              coord: ZarrMeta.ArrayMeta,
                              coordBounds: Option[(Double, Double)],
-                             sortedCoord: Boolean = false)
+                             sortedCoord: Boolean,
+                             conf: Configuration)
     extends Scan with Batch {
 
   override def readSchema(): StructType =
@@ -177,7 +285,7 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
     s"zarr $path cols=${required.map(_.name).mkString(",")}$cb"
   }
 
-  /** One partition per surviving chunk. Default pruning reads the
+  /** One partition per surviving record chunk. Default pruning reads the
     * COORDINATE array once at planning: per chunk, decode and take
     * [min, max] — exact bounds with no sortedness assumption (the scan
     * is correct on unsorted coords; only pruning effectiveness needs
@@ -192,15 +300,17 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val nChunks = coord.nChunks
+    val canPrune = !coord.is2D // bounds are only ever set for a scalar coord
     val keep: Seq[Long] = coordBounds match {
       case None => (0L until nChunks)
+      case Some(_) if !canPrune => (0L until nChunks)
       case Some((lo, hi)) if sortedCoord && nChunks > 1 =>
         // first coordinate value of chunk c (None → fall through to the
         // exact full-scan pruning: a missing coordinate chunk OR a NaN
         // first value breaks the monotone first-value sequence the
         // search needs — NaN gap markers are legal in float coords)
         def firstVal(c: Long): Option[Double] =
-          ZarrReader.readChunkBytes(path, coord, c)
+          ZarrReader.readChunkBytes(conf, path, coord, c)
             .map(bytes => coordPruneVals(bytes)(0))
             .filterNot(_.isNaN)
         val probed = scala.collection.mutable.HashMap.empty[Long, Option[Double]]
@@ -262,7 +372,7 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
   private def fullScanPrune(lo: Double, hi: Double,
                             nChunks: Long): Seq[Long] = {
         (0L until nChunks).filter { c =>
-          ZarrReader.readChunkBytes(path, coord, c) match {
+          ZarrReader.readChunkBytes(conf, path, coord, c) match {
             case None => coord.fillValue.exists { f =>
               val v = if (coord.isCfTime) {
                 val (perUnit, epoch) = ZarrMeta.cfTime(coord.units.get)
@@ -290,28 +400,33 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
   override def createReaderFactory(): PartitionReaderFactory =
     // coord rides along as the row-count witness: a fully-pruned
     // projection (count(*)) still needs rowsInChunk
-    new ZarrReaderFactory(required, coord)
+    new ZarrReaderFactory(required, coord, new SerializableHadoopConf(conf))
 }
 
 private[zarr] case class ZarrInputPartition(path: String, chunk: Long)
     extends InputPartition
 
 private[zarr] class ZarrReaderFactory(required: Seq[ZarrMeta.ArrayMeta],
-                                      rowMeta: ZarrMeta.ArrayMeta)
+                                      rowMeta: ZarrMeta.ArrayMeta,
+                                      conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZarrInputPartition]
-    new ZarrChunkReader(p.path, p.chunk, required, rowMeta)
+    new ZarrChunkReader(conf.value, p.path, p.chunk, required, rowMeta)
   }
 }
 
 private[zarr] object ZarrReader {
-  /** Chunk file bytes, or None for a missing chunk (fill_value run). */
-  def readChunkBytes(path: String, meta: ZarrMeta.ArrayMeta,
-                     chunk: Long): Option[Array[Byte]] = {
-    val f = Paths.get(path, meta.name, chunk.toString)
-    if (!Files.exists(f)) None
-    else Some(ZarrMeta.decodeChunk(meta, Files.readAllBytes(f)))
+  /** Chunk file bytes, or None for a missing chunk (fill_value run).
+    * 1-D chunk files are named "c"; 2-D record×extra chunks "c.j".
+    */
+  def readChunkBytes(conf: Configuration, path: String,
+                     meta: ZarrMeta.ArrayMeta, chunk: Long,
+                     extraChunk: Long = 0L): Option[Array[Byte]] = {
+    val fileName =
+      if (meta.is2D) s"$chunk.$extraChunk" else chunk.toString
+    ZarrIO.readIfExists(conf, path, meta.name, fileName)
+      .map(raw => ZarrMeta.decodeChunk(meta, raw))
   }
 
   /** Logical rows in chunk c (the LAST chunk is truncated to the array
@@ -324,9 +439,12 @@ private[zarr] object ZarrReader {
 /** Decodes each required array's chunk once, then iterates rows. Float
   * NaN values surface as null (the domain's missing-value convention —
   * zarr fill_value for float arrays is NaN, and xarray reads gaps the
-  * same way); integral columns keep fill_value literally.
+  * same way); integral columns keep fill_value literally. 2-D arrays
+  * become one ArrayData per row; NaN stays NaN INSIDE arrays (the
+  * array is the value — xarray parity for spectra).
   */
-private[zarr] class ZarrChunkReader(path: String, chunk: Long,
+private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
+                                    chunk: Long,
                                     required: Seq[ZarrMeta.ArrayMeta],
                                     rowMeta: ZarrMeta.ArrayMeta)
     extends PartitionReader[InternalRow] {
@@ -344,10 +462,16 @@ private[zarr] class ZarrChunkReader(path: String, chunk: Long,
   private final case class Doubles(v: Array[Double]) extends Col
   private final case class Longs(v: Array[Long],
                                  nulls: Array[Boolean]) extends Col
+  private final case class Rows2D(v: Array[GenericArrayData]) extends Col
 
   private val columns: Array[Col] =
     required.map { m =>
-      val bytes = ZarrReader.readChunkBytes(path, m, chunk)
+      if (m.is2D) decode2D(m)
+      else decode1D(m)
+    }.toArray
+
+  private def decode1D(m: ZarrMeta.ArrayMeta): Col = {
+      val bytes = ZarrReader.readChunkBytes(conf, path, m, chunk)
       val integral = m.dtypeStr.stripPrefix("<").stripPrefix("|").head != 'f'
       if (m.isCfTime) {
         val (perUnit, epoch) = ZarrMeta.cfTime(m.units.get)
@@ -381,7 +505,73 @@ private[zarr] class ZarrChunkReader(path: String, chunk: Long,
           case None => AllNull
         }
       }
-    }.toArray
+  }
+
+  /** One 2-D array's record chunk: gather every trailing-dim chunk file
+    * (row-major C order inside each), stitch row r's width-W values.
+    * A missing chunk file is a fill_value run; a missing file with NO
+    * fill_value is an error (the data is undefined — fail loudly, the
+    * v1 house rule).
+    */
+  private def decode2D(m: ZarrMeta.ArrayMeta): Col = {
+    val integral = m.dtypeStr.stripPrefix("<").stripPrefix("|").head != 'f'
+    val w = m.extraShape.toInt
+    val cw = m.extraChunk
+    val ncc = m.nExtraChunks.toInt
+    // per trailing chunk j: decoded values or null (fill run), each
+    // chunk is (recordChunk × cw) row-major with edge padding
+    val colChunks: Array[AnyRef] = Array.tabulate(ncc) { j =>
+      ZarrReader.readChunkBytes(conf, path, m, chunk, j) match {
+        case Some(b) =>
+          if (integral) ZarrMeta.longsOf(m, b) else ZarrMeta.doublesOf(m, b)
+        case None =>
+          require(m.fillValue.isDefined,
+            s"zarr: array '${m.name}' chunk $chunk.$j is missing and the " +
+              "array has no fill_value — undefined data")
+          null
+      }
+    }
+    val fill = m.fillValue.getOrElse(Double.NaN)
+    val rows = Array.tabulate(nRows) { r =>
+      val out = new Array[Any](w)
+      var j = 0
+      while (j < ncc) {
+        val base = j * cw
+        val width = math.min(cw, w - base) // trailing chunk edge
+        colChunks(j) match {
+          case null =>
+            val fv = if (integral) box2DLong(m, fill.toLong)
+                     else box2DDouble(m, fill)
+            var k = 0
+            while (k < width) { out(base + k) = fv; k += 1 }
+          case ls: Array[Long] =>
+            var k = 0
+            while (k < width) { out(base + k) = box2DLong(m, ls(r * cw + k)); k += 1 }
+          case ds: Array[Double] =>
+            var k = 0
+            while (k < width) { out(base + k) = box2DDouble(m, ds(r * cw + k)); k += 1 }
+        }
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    Rows2D(rows)
+  }
+
+  private def box2DLong(m: ZarrMeta.ArrayMeta, v: Long): Any =
+    m.scalarType match {
+      case LongType => v
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case _ => v
+    }
+
+  private def box2DDouble(m: ZarrMeta.ArrayMeta, v: Double): Any =
+    m.scalarType match {
+      case DoubleType => v
+      case FloatType => v.toFloat
+      case _ => v
+    }
 
   private var row = -1
 
@@ -409,6 +599,7 @@ private[zarr] class ZarrChunkReader(path: String, chunk: Long,
             case FloatType => out.setFloat(c, v.toFloat)
             case _ => out.update(c, v)
           }
+        case Rows2D(rs) => out.update(c, rs(row))
       }
       c += 1
     }

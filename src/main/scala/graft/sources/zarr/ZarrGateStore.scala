@@ -1,0 +1,127 @@
+package graft.sources.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Tables
+
+/** The correctness-gate Zarr fixture: a consolidated Zarr v2 store built
+  * deterministically from the `events` gate table, so `spark.read
+  * .format("zarr")` results can be value-compared against a DuckDB
+  * oracle over the SAME parquet rows (the round-13 VERDICT item — the
+  * native source's first rows+schema+hash evidence, mirroring
+  * `qaqc/dashboard.py:305-313`'s store-scan role).
+  *
+  * Layout contract (what the oracle replicates in SQL):
+  *  - rows = the first [[SliceRows]] events by `event_id` (a total
+  *    order — unique at every scale incl. grown layouts), re-sorted by
+  *    `(ts, event_id)` so the store's record coordinate is ascending
+  *    (every reference store is time-sorted; enables `sortedCoord`);
+  *  - `time` = ts as int64 CF "microseconds since 1970-01-01" (exact
+  *    µs round-trip), zlib; `event_id` int64 zlib; `user_id` int64 raw;
+  *    `value` f8 zlib; `value_gapped` f8 zlib with NaN planted at
+  *    `event_id % 13 == 3` AND record chunk 3 (store rows 768..1023,
+  *    when it exists) left UNWRITTEN → a fill_value(NaN) run — so the
+  *    gate exercises NaN→null decode and the missing-chunk path, both
+  *    SQL-expressible (rn BETWEEN 769 AND 1024 over the same ordering).
+  *
+  * The store is rebuilt once per (layout, JVM) into a fresh temp dir —
+  * a 4000-row driver-side write, ~1 MB — never cached across processes
+  * (a regenerated testdata layout must never serve a stale store).
+  */
+object ZarrGateStore {
+  val SliceRows = 4000
+  val Chunk = 256
+  /** The record chunk of `value_gapped` left unwritten (fill run). */
+  val MissingChunk = 3
+
+  private val built = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def store(spark: SparkSession, dir: String): String =
+    built.getOrElseUpdate(new java.io.File(dir).getAbsolutePath,
+      build(spark, dir))
+
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  private def build(spark: SparkSession, dir: String): String = {
+    val slice = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "value")
+      .orderBy("event_id").limit(SliceRows)
+      .collect()
+      .sortBy(r => (micros(r.getTimestamp(1)), r.getLong(0)))
+    val n = slice.length
+    require(n > 0, s"zarr gate store: $dir/events.parquet is empty")
+    val time = slice.map(r => micros(r.getTimestamp(1)))
+    val eventId = slice.map(_.getLong(0))
+    val userId = slice.map(_.getLong(2))
+    val value = slice.map(r => if (r.isNullAt(3)) Double.NaN else r.getDouble(3))
+    val gapped = slice.map { r =>
+      if (r.isNullAt(3) || r.getLong(0) % 13 == 3) Double.NaN else r.getDouble(3)
+    }
+
+    val out = Files.createTempDirectory("graft_zarr_gate").toString
+    val nChunks = (n + Chunk - 1) / Chunk
+    def put(arr: String, c: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(out, arr))
+      Files.write(Paths.get(out, arr, c.toString), bytes)
+    }
+    def leL(vs: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putLong); bb.array()
+    }
+    def leD(vs: Array[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putDouble); bb.array()
+    }
+    def deflate(src: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(src); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      bos.toByteArray
+    }
+    // on-disk chunks are PADDED to the full chunk length (zarr spec)
+    def padL(a: Array[Long], c: Int): Array[Long] =
+      Array.tabulate(Chunk)(k => if (c * Chunk + k < n) a(c * Chunk + k) else 0L)
+    def padD(a: Array[Double], c: Int): Array[Double] =
+      Array.tabulate(Chunk)(k =>
+        if (c * Chunk + k < n) a(c * Chunk + k) else Double.NaN)
+    for (c <- 0 until nChunks) {
+      put("time", c, deflate(leL(padL(time, c))))
+      put("event_id", c, deflate(leL(padL(eventId, c))))
+      put("user_id", c, leL(padL(userId, c)))
+      put("value", c, deflate(leD(padD(value, c))))
+      if (c != MissingChunk) // fill_value(NaN) run when it exists
+        put("value_gapped", c, deflate(leD(padD(gapped, c))))
+    }
+    def zarray(dtype: String, comp: Boolean, fill: String): String = {
+      val c = if (comp) """{"id": "zlib", "level": 1}""" else "null"
+      s"""{"shape": [$n], "chunks": [$Chunk], "dtype": "$dtype",
+          "compressor": $c, "fill_value": $fill, "order": "C",
+          "filters": null, "zarr_format": 2}"""
+    }
+    val meta = s"""{"metadata": {
+      "time/.zarray": ${zarray("<i8", comp = true, "0")},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "microseconds since 1970-01-01",
+        "calendar": "proleptic_gregorian"},
+      "event_id/.zarray": ${zarray("<i8", comp = true, "0")},
+      "event_id/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "user_id/.zarray": ${zarray("<i8", comp = false, "0")},
+      "user_id/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "value/.zarray": ${zarray("<f8", comp = true, "\"NaN\"")},
+      "value/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "value_gapped/.zarray": ${zarray("<f8", comp = true, "\"NaN\"")},
+      "value_gapped/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(out, ".zmetadata"), meta.getBytes("UTF-8"))
+    out
+  }
+}

@@ -27,18 +27,30 @@ import org.apache.spark.sql.types._
 private[zarr] object ZarrMeta {
   private val mapper = new ObjectMapper()
 
-  /** One array's .zarray + .zattrs slice of the consolidated metadata. */
+  /** One array's .zarray + .zattrs slice of the consolidated metadata.
+    * `shape`/`chunk` are the RECORD dimension (always dim 0); a 2-D
+    * array over (record × extra) carries the trailing dimension in
+    * `extraShape`/`extraChunk` and surfaces as an `ArrayType` column
+    * (OPTAA `optical_absorption (time × wavelength)`, SUNA
+    * `spectral_channels (N × 256)` — `calculateFunctions.py:317-319,
+    * 691-696`, cap `maxCoordinateSizes.csv:2`).
+    */
   final case class ArrayMeta(
       name: String,
-      shape: Long,            // 1-D length
-      chunk: Int,             // chunk length (last chunk may be partial)
+      shape: Long,            // record-dim length
+      chunk: Int,             // record-dim chunk length (last may be partial)
       dtypeStr: String,
       compressor: Option[JsonNode],
       fillValue: Option[Double],
       dims: Seq[String],      // xarray's _ARRAY_DIMENSIONS
       units: Option[String],  // CF units, e.g. "seconds since 1900-01-01"
-      calendar: Option[String]) {
+      calendar: Option[String],
+      extraShape: Long = 0L,  // trailing-dim length (0 = 1-D array)
+      extraChunk: Int = 0) {  // trailing-dim chunk length
+    def is2D: Boolean = extraShape > 0L
     def nChunks: Long = (shape + chunk - 1) / math.max(chunk, 1)
+    def nExtraChunks: Long =
+      if (!is2D) 1L else (extraShape + extraChunk - 1) / math.max(extraChunk, 1)
     def typeSize: Int = dtypeStr.takeRight(1) match {
       case "8" => 8
       case "4" => 4
@@ -47,8 +59,8 @@ private[zarr] object ZarrMeta {
       case _ => throw new IllegalArgumentException(
         s"zarr: unsupported dtype '$dtypeStr' for array '$name'")
     }
-    def sparkType: DataType = {
-      if (isCfTime) return TimestampType
+    /** The element type of the on-disk dtype (CF time aside). */
+    def scalarType: DataType =
       dtypeStr.stripPrefix("<").stripPrefix("|") match {
         case "f8" => DoubleType
         case "f4" => FloatType
@@ -60,19 +72,23 @@ private[zarr] object ZarrMeta {
           s"zarr: unsupported dtype '<$other' for array '$name' " +
             "(v1 contract: little-endian numeric arrays)")
       }
-    }
+    def sparkType: DataType =
+      if (is2D) ArrayType(scalarType, containsNull = false)
+      else if (isCfTime) TimestampType
+      else scalarType
     /** CF time decode applies when the units attr matches
       * "<unit> since <epoch>" — exactly xarray's decode_cf contract for
-      * the standard calendar.
+      * the standard calendar. Never on a 2-D array (its elements are
+      * data, not the record coordinate).
       */
-    def isCfTime: Boolean = units.exists(_.contains(" since ")) && {
+    def isCfTime: Boolean = !is2D && units.exists(_.contains(" since ")) && {
       val cal = calendar.getOrElse("standard").toLowerCase
       cal == "standard" || cal == "proleptic_gregorian" || cal == "gregorian"
     }
   }
 
   /** Parse `.zmetadata` (consolidated) into per-array metadata, keeping
-    * only 1-D arrays. Zarr consolidated layout: {"metadata":
+    * 1-D and 2-D arrays. Zarr consolidated layout: {"metadata":
     * {"<array>/.zarray": {...}, "<array>/.zattrs": {...}, ...}}.
     */
   def parseConsolidated(zmetadata: String): Map[String, ArrayMeta] = {
@@ -94,7 +110,9 @@ private[zarr] object ZarrMeta {
   private[zarr] def parseArray(name: String, za: JsonNode,
                                attrs: JsonNode): Option[ArrayMeta] = {
     val shape = za.path("shape")
-    if (!shape.isArray || shape.size() != 1) return None // 1-D contract
+    // 1-D and 2-D (record × extra) arrays; higher ranks have no column
+    // representation here and are skipped like non-record-dim arrays
+    if (!shape.isArray || shape.size() < 1 || shape.size() > 2) return None
     val order = za.path("order").asText("C")
     require(order == "C",
       s"zarr: array '$name' has order '$order' (v1 contract: C)")
@@ -126,7 +144,9 @@ private[zarr] object ZarrMeta {
       fillValue = fill,
       dims = dims,
       units = Option(attrs.path("units")).filter(_.isTextual).map(_.asText()),
-      calendar = Option(attrs.path("calendar")).filter(_.isTextual).map(_.asText())))
+      calendar = Option(attrs.path("calendar")).filter(_.isTextual).map(_.asText()),
+      extraShape = if (shape.size() == 2) shape.get(1).asLong() else 0L,
+      extraChunk = if (shape.size() == 2) za.path("chunks").get(1).asInt() else 0))
   }
 
   // ---- CF time ----------------------------------------------------------
@@ -144,14 +164,52 @@ private[zarr] object ZarrMeta {
       case "nanoseconds" | "nanosecond" | "ns" => 1e-3
       case u => throw new IllegalArgumentException(s"zarr: CF unit '$u'")
     }
-    val norm = epochStr.trim.replace(" ", "T") match {
-      case s if s.length == 10 => s + "T00:00:00Z"
-      case s if s.endsWith("Z") || s.contains("+") => s
-      case s => s + "Z"
+    (perUnitMicros, parseCfEpochMicros(epochStr))
+  }
+
+  // the CF/udunits epoch grammar cftime accepts (and xarray through it):
+  // fields may be single-digit ("1992-10-8 15:15:42"), time is optional,
+  // fractional seconds allowed, and the UTC offset may be "Z"/"UTC",
+  // ±H, ±HH, ±H:MM, ±HH:MM or ±HHMM, with or without a space before it.
+  // Instant.parse alone rejects all of those spellings (round-12 ADVICE +
+  // VERDICT item 4), and appending "Z" to a string that already carries
+  // an offset would silently shift the epoch.
+  private val CfEpoch =
+    ("""^(\d{1,4})-(\d{1,2})-(\d{1,2})""" +          // date
+      """(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2})(\.\d+)?)?)?""" + // time
+      """(?:\s*(Z|UTC|[+-]\d{1,2}(?::?\d{2})?))?$""").r // offset
+
+  /** Epoch micros of a CF epoch string, interpreted in its own UTC
+    * offset (none/Z/UTC → UTC) — exactly cftime's decode for the
+    * standard calendar. Fails with the accepted grammar in the message.
+    */
+  private[zarr] def parseCfEpochMicros(epochStr: String): Long = {
+    val s = epochStr.trim
+    s match {
+      case CfEpoch(y, mo, d, h, mi, sec, frac, off) =>
+        val ldt = java.time.LocalDateTime.of(
+          y.toInt, mo.toInt, d.toInt,
+          Option(h).map(_.toInt).getOrElse(0),
+          Option(mi).map(_.toInt).getOrElse(0),
+          Option(sec).map(_.toInt).getOrElse(0))
+        val fracMicros = Option(frac)
+          .map(f => math.round(f.toDouble * 1e6)).getOrElse(0L)
+        val offset = Option(off) match {
+          case None | Some("Z") | Some("UTC") => java.time.ZoneOffset.UTC
+          case Some(o) =>
+            val sign = if (o.head == '-') -1 else 1
+            val body = o.tail.replace(":", "")
+            val (hh, mm) =
+              if (body.length <= 2) (body.toInt, 0)
+              else (body.dropRight(2).toInt, body.takeRight(2).toInt)
+            java.time.ZoneOffset.ofTotalSeconds(sign * (hh * 3600 + mm * 60))
+        }
+        val inst = ldt.toInstant(offset)
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L + fracMicros
+      case _ => throw new IllegalArgumentException(
+        s"zarr: CF epoch '$epochStr' — accepted grammar: " +
+          "Y-M-D[ H:M[:S[.f]]][ ][Z|UTC|±H[H][:MM]]")
     }
-    val epochMicros = java.time.Instant.parse(norm).toEpochMilli * 1000L +
-      (java.time.Instant.parse(norm).getNano / 1000L) % 1000L
-    (perUnitMicros, epochMicros)
   }
 
   /** One CF value → epoch micros (Long). Exact for integral values and
@@ -197,10 +255,21 @@ private[zarr] object ZarrMeta {
     val out = new java.io.ByteArrayOutputStream(
       if (expected > 0) expected else src.length * 4)
     val buf = new Array[Byte](65536)
+    var stalls = 0
     while (!inf.finished()) {
       val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput()) throw new java.io.EOFException(
-        "zarr: truncated zlib chunk")
+      if (n == 0) {
+        if (inf.needsInput()) throw new java.io.EOFException(
+          "zarr: truncated zlib chunk")
+        // a stream demanding a preset dictionary (or any other
+        // no-progress state with input remaining) would otherwise spin
+        // this loop forever on an executor — fail loudly instead
+        if (inf.needsDictionary()) throw new java.io.IOException(
+          "zarr: zlib chunk requires a preset dictionary (unsupported)")
+        stalls += 1
+        if (stalls > 1) throw new java.io.IOException(
+          "zarr: zlib inflate stalled (no progress without needing input)")
+      } else stalls = 0
       out.write(buf, 0, n)
     }
     inf.end()

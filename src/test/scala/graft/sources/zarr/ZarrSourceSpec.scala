@@ -286,6 +286,137 @@ class ZarrSourceSpec extends SparkSpec {
     ZarrMeta.unshuffle(ZarrFixture.shuffle(raw, 8), 8).toSeq shouldBe raw.toSeq
   }
 
+  // ---- round-13: Hadoop FS seam, lenient CF epochs, 2-D arrays ------------
+
+  test("file:// URIs read through the Hadoop FileSystem seam") {
+    // the same store via an explicit scheme — the one-seam IO contract
+    // that makes s3a:// stores work (ZarrIO resolves the FS per scheme)
+    val viaUri = spark.read.format("zarr").load("file://" + store)
+      .orderBy("time").collect()
+    viaUri.length shouldBe ZarrFixture.N
+    viaUri(7).getTimestamp(0).toInstant.getEpochSecond shouldBe 7 * 60L
+  }
+
+  test(".zmetadata parses once per (store, mtime): repeat loads hit the cache") {
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", store))
+    val t1 = ZarrTable.load(opts)
+    val t2 = ZarrTable.load(opts)
+    t2 should be theSameInstanceAs t1
+  }
+
+  test("CF epochs: cftime's lenient grammar (single-digit fields, offsets, UTC)") {
+    def micros(s: String): Long = ZarrMeta.cfTime(s)._2
+    def expect(iso: String): Long = {
+      val i = java.time.Instant.parse(iso)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    // single-digit date/time fields (ADVICE r12)
+    micros("seconds since 1992-10-8 15:15:42") shouldBe expect("1992-10-08T15:15:42Z")
+    micros("hours since 2000-1-1 0:0:0") shouldBe expect("2000-01-01T00:00:00Z")
+    // UTC offsets, incl. single-digit hours and a space before the offset
+    micros("seconds since 1970-01-01 01:00:00 +01:00") shouldBe 0L
+    micros("seconds since 1970-01-01T00:00:00-05:00") shouldBe expect("1970-01-01T05:00:00Z")
+    micros("hours since 2000-1-1 0:0:0 -6:00") shouldBe expect("2000-01-01T06:00:00Z")
+    micros("seconds since 1970-01-01 00:00:00+0530") shouldBe expect("1969-12-31T18:30:00Z")
+    // "UTC" suffix and fractional seconds
+    micros("seconds since 1970-01-01 00:00:00 UTC") shouldBe 0L
+    micros("seconds since 1970-01-01T00:00:00.5Z") shouldBe 500000L
+    // pre-1970 epochs stay exact (negative micros)
+    micros("days since 1900-01-01") shouldBe expect("1900-01-01T00:00:00Z")
+    // malformed spellings fail with the grammar in the message
+    val e = intercept[IllegalArgumentException] {
+      micros("seconds since 1970/01/01")
+    }
+    e.getMessage should include("grammar")
+  }
+
+  test("a store whose CF epoch carries a UTC offset decodes like xarray") {
+    val dir = ZarrFixture.writeOffsetEpoch()
+    val rows = spark.read.format("zarr").load(dir).orderBy("time").collect()
+    // units "seconds since 1970-01-01 01:00:00 -01:00": epoch = 02:00 UTC
+    rows(0).getTimestamp(0).toInstant shouldBe
+      java.time.Instant.parse("1970-01-01T02:00:00Z")
+    rows(3).getTimestamp(0).toInstant shouldBe
+      java.time.Instant.parse("1970-01-01T02:00:03Z")
+  }
+
+  test("2-D (record × extra) arrays surface as ArrayType columns") {
+    val dir = ZarrFixture.write2D()
+    val df = spark.read.format("zarr").load(dir)
+    df.schema.fieldNames.toSeq shouldBe Seq("time", "absorb", "spec_counts")
+    df.schema("absorb").dataType shouldBe
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false)
+    df.schema("spec_counts").dataType shouldBe
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)
+    val rows = df.orderBy("time").collect()
+    rows.length shouldBe 10
+    // absorb row 0: [0.0, 0.1, .., 0.4]; NaN ELEMENT stays NaN (the
+    // array is the value — xarray parity for spectra)
+    val a0 = rows(0).getSeq[Double](1)
+    a0.length shouldBe 5
+    a0(3) shouldBe (0 + 3 * 0.1) // bit-exact vs the fixture's own arithmetic
+    rows(2).getSeq[Double](1)(1).isNaN shouldBe true
+    // record chunk 1 of absorb is MISSING → fill_value (NaN) arrays for
+    // rows 4..7
+    (4 to 7).foreach { r =>
+      all(rows(r).getSeq[Double](1)) should not be 0.0
+      rows(r).getSeq[Double](1).forall(_.isNaN) shouldBe true
+    }
+    // spec_counts is chunked in the TRAILING dim too (widths 2+1):
+    // stitching must cross the col-chunk edge
+    rows(7).getSeq[Int](2) shouldBe Seq(70, 71, 72)
+    rows(9).getSeq[Int](2) shouldBe Seq(90, 91, 92)
+    // time filters still prune record chunks with 2-D columns riding along
+    val filtered = df.filter(col("time") >=
+      lit("1970-01-01 00:00:08").cast("timestamp"))
+    filtered.count() shouldBe 2
+    filtered.orderBy("time").collect()(0).getSeq[Int](2) shouldBe Seq(80, 81, 82)
+    // q43's spectral expressions consume these arrays unchanged
+    // (bandRatio over the OPTAA-shaped absorb column)
+    val ratio = df.filter(col("time") <
+        lit("1970-01-01 00:00:02").cast("timestamp"))
+      .select(graft.functions.Spectral.bandRatio(col("absorb"), 4, 0).as("r"))
+      .orderBy("r").collect()
+    ratio.length shouldBe 2
+    ratio(1).getDouble(0) shouldBe (1.4 / 1.0) +- 1e-12
+  }
+
+  test("a CF-looking units attr on a 2-D array does NOT trigger time decode") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = ZarrMeta.parseArray("x",
+      mapper.readTree("""{"shape": [4, 3], "chunks": [2, 3], "dtype": "<f8",
+        "compressor": null, "fill_value": "NaN", "order": "C"}"""),
+      mapper.readTree("""{"_ARRAY_DIMENSIONS": ["time", "wavelength"],
+        "units": "seconds since 1970-01-01"}""")).get
+    m.is2D shouldBe true
+    m.isCfTime shouldBe false
+    m.sparkType shouldBe org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+  }
+
+  test("zlib streams that stall (preset dictionary) fail loudly, never hang") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = ZarrMeta.parseArray("x",
+      mapper.readTree("""{"shape": [1], "chunks": [1], "dtype": "<u1",
+        "compressor": {"id": "zlib"}, "fill_value": 0, "order": "C"}"""),
+      mapper.readTree("{}")).get
+    val dict = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val d = new java.util.zip.Deflater()
+    d.setDictionary(dict)
+    d.setInput("the quick brown fox".getBytes("UTF-8")); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val e = intercept[java.io.IOException] {
+      ZarrMeta.decodeChunk(meta, out.toByteArray)
+    }
+    e.getMessage should include("dictionary")
+  }
+
   test("unsupported inner codecs fail loudly, never return wrong bytes") {
     val meta = ZarrFixture.metas(store).find(_.name == "temp").get
     // a blosc frame claiming blosclz (codec 0), non-memcpy; all-zero
@@ -571,6 +702,79 @@ object ZarrFixture {
         "filters": null, "zarr_format": 2},
       "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
         "units": "seconds since 1970-01-01"}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
+    dir
+  }
+
+  /** 4 rows, CF epoch carrying a −01:00 UTC offset (xarray/cftime accept
+    * these; Instant.parse alone does not — the round-13 grammar fix).
+    */
+  def writeOffsetEpoch(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_off").toString
+    Files.createDirectories(Paths.get(dir, "time"))
+    Files.write(Paths.get(dir, "time", "0"), leL(Array(0L, 1, 2, 3)))
+    val meta = s"""{"metadata": {
+      "time/.zarray": {"shape": [4], "chunks": [4], "dtype": "<i8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "seconds since 1970-01-01 01:00:00 -01:00"}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
+    dir
+  }
+
+  /** 10 rows / record chunk 4 with TWO 2-D arrays over (time × extra):
+    * `absorb` (10 × 5 f8, zlib, trailing dim unchunked, NaN element at
+    * (2,1), record chunk 1 MISSING → NaN-fill arrays) — the OPTAA
+    * optical_absorption shape — and `spec_counts` (10 × 3 i4, raw,
+    * trailing chunk 2 → col chunks of widths 2+1, value = row·10+col) —
+    * the SUNA spectral_channels shape with a col-chunk edge.
+    */
+  def write2D(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_2d").toString
+    def put(arr: String, chunk: String, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, arr))
+      Files.write(Paths.get(dir, arr, chunk), bytes)
+    }
+    val n = 10; val rc = 4
+    for (c <- 0 until 3)
+      put("time", c.toString,
+        leL(Array.tabulate(rc)(k => (c * rc + k).toLong)))
+    for (c <- 0 until 3 if c != 1) { // record chunk 1 missing
+      val buf = new Array[Double](rc * 5)
+      for (r <- 0 until rc; k <- 0 until 5) {
+        val row = c * rc + r
+        buf(r * 5 + k) =
+          if (row >= n) 0.0
+          else if (row == 2 && k == 1) Double.NaN
+          else row + k * 0.1
+      }
+      put("absorb", s"$c.0", deflate(le(buf)))
+    }
+    for (c <- 0 until 3; j <- 0 until 2) { // trailing chunks [0,2) and [2,3)
+      val buf = new Array[Int](rc * 2)
+      for (r <- 0 until rc; k <- 0 until 2) {
+        val row = c * rc + r; val colIdx = j * 2 + k
+        buf(r * 2 + k) = if (row >= n || colIdx >= 3) 0 else row * 10 + colIdx
+      }
+      put("spec_counts", s"$c.$j", leI(buf))
+    }
+    val meta = s"""{"metadata": {
+      "time/.zarray": {"shape": [$n], "chunks": [$rc], "dtype": "<i8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "seconds since 1970-01-01"},
+      "absorb/.zarray": {"shape": [$n, 5], "chunks": [$rc, 5], "dtype": "<f8",
+        "compressor": {"id": "zlib", "level": 1}, "fill_value": "NaN",
+        "order": "C", "filters": null, "zarr_format": 2},
+      "absorb/.zattrs": {"_ARRAY_DIMENSIONS": ["time", "wavelength"]},
+      "spec_counts/.zarray": {"shape": [$n, 3], "chunks": [$rc, 2],
+        "dtype": "<i4", "compressor": null, "fill_value": 0,
+        "order": "C", "filters": null, "zarr_format": 2},
+      "spec_counts/.zattrs": {"_ARRAY_DIMENSIONS": ["time", "spectrum"]}},
       "zarr_consolidated_format": 1}"""
     Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
     dir
