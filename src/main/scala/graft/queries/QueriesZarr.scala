@@ -46,6 +46,20 @@ object QueriesZarr {
         .select(col("time"), col("event_id"), col("value_gapped"))
     }),
 
+    // S1 native path, 2-D: the (time × band) spectrum array read through
+    // the trailing-dim chunk stitch (col chunks of widths 3+1), exploded
+    // to scalar rows so the oracle can value-compare every element —
+    // NaN ELEMENTS stay NaN inside the array (both engines read them as
+    // missing in the compare)
+    "q151_zarr_2d" -> ((s, d) => {
+      val st = ZarrGateStore.store(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("time"), col("event_id"),
+          posexplode(col("spectrum")).as(Seq("band", "amp")))
+        .select(col("time"), col("event_id"),
+          col("band").cast("long").as("band"), col("amp"))
+    }),
+
     // S1 native path joined back to the parquet gate table: zarr-side
     // measures aggregated by a parquet-side dimension — the zarr slice
     // is tiny next to events, so it is the BROADCAST side of the join
@@ -87,6 +101,17 @@ object QueriesZarr {
                     OR event_id % 13 = 3
                   THEN NULL ELSE value END AS value_gapped
       FROM ord""",
+
+    // spectrum[k] = value · (k+1) is IEEE-exact in both engines (double ×
+    // small int); the planted NaN element and a null source value both
+    // surface as missing in the float compare
+    "q151_zarr_2d" -> s"""$sliceCte
+      SELECT s.ts AS time, s.event_id, b.band,
+             CASE WHEN s.value IS NULL
+                    OR (s.event_id % 7 = 5 AND b.band = 2)
+                  THEN CAST('NaN' AS DOUBLE)
+                  ELSE s.value * (b.band + 1) END AS amp
+      FROM slice s CROSS JOIN (SELECT unnest(range(${ZarrGateStore.Bands})) AS band) b""",
 
     "q150_zarr_join" -> s"""$sliceCte
       SELECT e.event_type, count(*) AS cnt,

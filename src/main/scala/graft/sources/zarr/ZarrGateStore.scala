@@ -25,7 +25,12 @@ import graft.sources.Tables
   *    `event_id % 13 == 3` AND record chunk 3 (store rows 768..1023,
   *    when it exists) left UNWRITTEN → a fill_value(NaN) run — so the
   *    gate exercises NaN→null decode and the missing-chunk path, both
-  *    SQL-expressible (rn BETWEEN 769 AND 1024 over the same ordering).
+  *    SQL-expressible (rn BETWEEN 769 AND 1024 over the same ordering);
+  *  - `spectrum` = a 2-D (time × band, n × 4) f8 array with
+  *    spectrum[k] = value · (k+1) (IEEE-exact in both engines) and a
+  *    NaN element at (event_id % 7 == 5, band 2) — trailing dim chunked
+  *    [3] so the gate exercises col-chunk STITCHING (widths 3+1), the
+  *    round-13 2-D contract.
   *
   * The store is rebuilt once per (layout, JVM) into a fresh temp dir —
   * a 4000-row driver-side write, ~1 MB — never cached across processes
@@ -36,6 +41,9 @@ object ZarrGateStore {
   val Chunk = 256
   /** The record chunk of `value_gapped` left unwritten (fill run). */
   val MissingChunk = 3
+  /** spectrum's trailing-dim extent and chunk (4 split as 3+1). */
+  val Bands = 4
+  val BandChunk = 3
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -62,6 +70,11 @@ object ZarrGateStore {
     val value = slice.map(r => if (r.isNullAt(3)) Double.NaN else r.getDouble(3))
     val gapped = slice.map { r =>
       if (r.isNullAt(3) || r.getLong(0) % 13 == 3) Double.NaN else r.getDouble(3)
+    }
+    val spectrum: Array[Array[Double]] = slice.map { r =>
+      Array.tabulate(Bands)(k =>
+        if (r.isNullAt(3) || (r.getLong(0) % 7 == 5 && k == 2)) Double.NaN
+        else r.getDouble(3) * (k + 1))
     }
 
     val out = Files.createTempDirectory("graft_zarr_gate").toString
@@ -100,6 +113,18 @@ object ZarrGateStore {
       put("value", c, deflate(leD(padD(value, c))))
       if (c != MissingChunk) // fill_value(NaN) run when it exists
         put("value_gapped", c, deflate(leD(padD(gapped, c))))
+      // 2-D chunks: (Chunk × BandChunk) row-major, padded in BOTH dims
+      for (j <- 0 until (Bands + BandChunk - 1) / BandChunk) {
+        val buf = new Array[Double](Chunk * BandChunk)
+        for (r <- 0 until Chunk; k <- 0 until BandChunk) {
+          val row = c * Chunk + r; val colIdx = j * BandChunk + k
+          buf(r * BandChunk + k) =
+            if (row >= n || colIdx >= Bands) Double.NaN
+            else spectrum(row)(colIdx)
+        }
+        Files.createDirectories(Paths.get(out, "spectrum"))
+        Files.write(Paths.get(out, "spectrum", s"$c.$j"), deflate(leD(buf)))
+      }
     }
     def zarray(dtype: String, comp: Boolean, fill: String): String = {
       val c = if (comp) """{"id": "zlib", "level": 1}""" else "null"
@@ -119,7 +144,12 @@ object ZarrGateStore {
       "value/.zarray": ${zarray("<f8", comp = true, "\"NaN\"")},
       "value/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
       "value_gapped/.zarray": ${zarray("<f8", comp = true, "\"NaN\"")},
-      "value_gapped/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "value_gapped/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "spectrum/.zarray": {"shape": [$n, $Bands], "chunks": [$Chunk, $BandChunk],
+        "dtype": "<f8", "compressor": {"id": "zlib", "level": 1},
+        "fill_value": "NaN", "order": "C", "filters": null,
+        "zarr_format": 2},
+      "spectrum/.zattrs": {"_ARRAY_DIMENSIONS": ["time", "band"]}},
       "zarr_consolidated_format": 1}"""
     Files.write(Paths.get(out, ".zmetadata"), meta.getBytes("UTF-8"))
     out
