@@ -369,32 +369,45 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
                   else ZarrMeta.cfToMicros(v, perUnit, epoch).toDouble)
     } else ZarrMeta.doublesOf(coord, bytes)
 
+  /** Exact pruning decides each chunk INDEPENDENTLY (read its coordinate
+    * chunk, compare [min, max]), so the driver evaluates chunks in
+    * parallel — at a 65k-chunk store the sequential loop was file-read
+    * bound at ~7 s; the common pool cuts it ~10× (ZarrPlanProbe measures
+    * both). FileSystem reads and the codec layer are thread-safe (pure
+    * decode over per-call buffers). Order of the RESULT is ascending by
+    * construction (the flags array is indexed, not appended).
+    */
   private def fullScanPrune(lo: Double, hi: Double,
                             nChunks: Long): Seq[Long] = {
-        (0L until nChunks).filter { c =>
-          ZarrReader.readChunkBytes(conf, path, coord, c) match {
-            case None => coord.fillValue.exists { f =>
-              val v = if (coord.isCfTime) {
-                val (perUnit, epoch) = ZarrMeta.cfTime(coord.units.get)
-                ZarrMeta.cfToMicros(f, perUnit, epoch).toDouble
-              } else f
-              v >= lo && v <= hi
-            }
-            case Some(bytes) =>
-              val vals = coordPruneVals(bytes)
-              val n = ZarrReader.rowsInChunk(coord, c)
-              var mn = Double.PositiveInfinity
-              var mx = Double.NegativeInfinity
-              var i = 0
-              while (i < n) {
-                val v = vals(i)
-                if (v < mn) mn = v
-                if (v > mx) mx = v
-                i += 1
-              }
-              mx >= lo && mn <= hi
-          }
+    require(nChunks <= Int.MaxValue,
+      s"zarr: $nChunks chunks exceeds the planner's Int range")
+    def intersects(c: Long): Boolean =
+      ZarrReader.readChunkBytes(conf, path, coord, c) match {
+        case None => coord.fillValue.exists { f =>
+          val v = if (coord.isCfTime) {
+            val (perUnit, epoch) = ZarrMeta.cfTime(coord.units.get)
+            ZarrMeta.cfToMicros(f, perUnit, epoch).toDouble
+          } else f
+          v >= lo && v <= hi
         }
+        case Some(bytes) =>
+          val vals = coordPruneVals(bytes)
+          val n = ZarrReader.rowsInChunk(coord, c)
+          var mn = Double.PositiveInfinity
+          var mx = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            val v = vals(i)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          mx >= lo && mn <= hi
+      }
+    val keep = new Array[Boolean](nChunks.toInt)
+    java.util.stream.LongStream.range(0L, nChunks).parallel()
+      .forEach(c => keep(c.toInt) = intersects(c))
+    (0L until nChunks).filter(c => keep(c.toInt))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
