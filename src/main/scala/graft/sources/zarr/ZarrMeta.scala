@@ -18,11 +18,15 @@ import org.apache.spark.sql.types._
   * array and CF-convention time decoding on the record coordinate.
   *
   * Deliberate v1 contract (documented, fail-fast everywhere else):
-  * numeric dtypes (<f8 <f4 <i8 <i4 <i2 <u1), C order, 1-D arrays over
-  * the record dim, codecs: none / zlib / gzip / blosc(lz4, zlib, or
-  * memcpy; byte-shuffle supported, bit-shuffle and delta not). blosclz,
-  * zstd and snappy inner codecs are rejected with a clear error naming
-  * the chunk — no silent wrong bytes.
+  * numeric dtypes (<f8 <f4 <i8 <i4 <i2 <u1), C order, 1-D/2-D arrays
+  * over the record dim, codecs: none / zlib / gzip / zstd / lz4
+  * (numcodecs: int32-LE size prefix + LZ4 block) / blosc(lz4, zlib,
+  * zstd, snappy, or memcpy; byte-shuffle supported, bit-shuffle and
+  * delta not). zstd and snappy ride the libraries Spark itself ships
+  * (zstd-jni, snappy-java — present on every Spark classpath); lz4 and
+  * zlib are pure-JVM from the public block formats. blosclz is
+  * rejected with a clear error naming the chunk — no silent wrong
+  * bytes.
   */
 private[zarr] object ZarrMeta {
   private val mapper = new ObjectMapper()
@@ -236,6 +240,12 @@ private[zarr] object ZarrMeta {
 
   // ---- codecs ------------------------------------------------------------
 
+  /** On-disk bytes of one FULL chunk (edge chunks are padded): the
+    * fallback decompressed size when a codec frame does not carry one.
+    */
+  private def chunkBytes(meta: ArrayMeta): Int =
+    meta.chunk * math.max(meta.extraChunk, 1) * meta.typeSize
+
   /** Decode one chunk file's bytes to the raw little-endian array bytes. */
   def decodeChunk(meta: ArrayMeta, raw: Array[Byte]): Array[Byte] =
     meta.compressor match {
@@ -243,11 +253,40 @@ private[zarr] object ZarrMeta {
       case Some(c) => c.path("id").asText() match {
         case "zlib" => inflate(raw, expected = -1)
         case "gzip" => gunzip(raw)
+        case "zstd" => zstdDecompress(raw, 0, raw.length, chunkBytes(meta))
+        case "lz4" =>
+          // numcodecs LZ4: int32-LE original size, then one LZ4 block
+          if (raw.length < 4) throw new java.io.EOFException(
+            s"zarr: lz4 chunk on '${meta.name}' shorter than its size header")
+          val size = ByteBuffer.wrap(raw, 0, 4)
+            .order(ByteOrder.LITTLE_ENDIAN).getInt()
+          require(size >= 0 && size <= chunkBytes(meta),
+            s"zarr: lz4 chunk on '${meta.name}' declares $size bytes " +
+              s"(chunk is ${chunkBytes(meta)})")
+          lz4Decompress(raw, 4, raw.length - 4, size)
         case "blosc" => bloscDecode(meta, raw)
         case other => throw new IllegalArgumentException(
           s"zarr: unsupported compressor '$other' on array '${meta.name}'")
       }
     }
+
+  /** zstd frame decode over a slice, via the zstd-jni library Spark
+    * itself ships. Trusts the frame's content size when present (a
+    * numcodecs Zstd writer records it), else sizes for a full padded
+    * chunk and truncates to what the frame actually held.
+    */
+  private def zstdDecompress(src: Array[Byte], off: Int, len: Int,
+                             fallbackSize: Int): Array[Byte] = {
+    val slice =
+      if (off == 0 && len == src.length) src
+      else java.util.Arrays.copyOfRange(src, off, off + len)
+    val framed = com.github.luben.zstd.Zstd.getFrameContentSize(slice)
+    val cap = if (framed > 0 && framed <= Int.MaxValue) framed.toInt
+              else fallbackSize
+    val dst = new Array[Byte](cap)
+    val n = com.github.luben.zstd.Zstd.decompress(dst, slice)
+    if (n == cap.toLong) dst else java.util.Arrays.copyOf(dst, n.toInt)
+  }
 
   private def inflate(src: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
@@ -288,7 +327,8 @@ private[zarr] object ZarrMeta {
     * block offsets, each block an int32 csize + codec payload (stored
     * raw when csize == that block's uncompressed size). flags bit 0 =
     * byte shuffle (applied per block, typesize stride); bits 5-7 pick
-    * the inner codec.
+    * the inner codec by c-blosc FORMAT code: 0 blosclz, 1 lz4/lz4hc,
+    * 2 snappy, 3 zlib, 4 zstd.
     */
   private def bloscDecode(meta: ArrayMeta, src: Array[Byte]): Array[Byte] = {
     val bb = ByteBuffer.wrap(src).order(ByteOrder.LITTLE_ENDIAN)
@@ -323,8 +363,11 @@ private[zarr] object ZarrMeta {
         if (csize == ubs) java.util.Arrays.copyOfRange(src, off + 4, off + 4 + ubs)
         else codec match {
           case 1 => lz4Decompress(src, off + 4, csize, ubs)
+          case 2 => org.xerial.snappy.Snappy.uncompress(
+            java.util.Arrays.copyOfRange(src, off + 4, off + 4 + csize))
           case 3 => inflate(
             java.util.Arrays.copyOfRange(src, off + 4, off + 4 + csize), ubs)
+          case 4 => zstdDecompress(src, off + 4, csize, ubs)
           case 0 => throw new IllegalArgumentException(
             s"zarr: blosc inner codec blosclz not supported (array '${meta.name}')")
           case c => throw new IllegalArgumentException(

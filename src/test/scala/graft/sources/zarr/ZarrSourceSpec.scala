@@ -248,8 +248,8 @@ class ZarrSourceSpec extends SparkSpec {
     // incompressible (stored) blocks, and sub-typesize tails
     val rnd = new scala.util.Random(42)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def meta(comp: String): ZarrMeta.ArrayMeta = ZarrMeta.parseArray("x",
-      mapper.readTree(s"""{"shape": [1], "chunks": [1], "dtype": "<u1",
+    def meta(comp: String, n: Int): ZarrMeta.ArrayMeta = ZarrMeta.parseArray("x",
+      mapper.readTree(s"""{"shape": [$n], "chunks": [$n], "dtype": "<u1",
         "compressor": $comp, "fill_value": 0, "order": "C"}"""),
       mapper.readTree("{}")).get
     for (i <- 0 until 120) {
@@ -260,7 +260,7 @@ class ZarrSourceSpec extends SparkSpec {
       else java.util.Arrays.fill(payload, (i % 7).toByte)
       val typesize = Seq(1, 2, 4, 8)(rnd.nextInt(4))
       val blocksize = math.max(typesize, 1 + rnd.nextInt(n + 64))
-      val (frame, comp) = rnd.nextInt(4) match {
+      val (frame, comp) = rnd.nextInt(8) match {
         case 0 => (ZarrFixture.bloscFrame(payload, typesize, codecId = 3,
           shuffle = rnd.nextBoolean(), blocksize = blocksize,
           deflateBlocks = true),
@@ -272,12 +272,67 @@ class ZarrSourceSpec extends SparkSpec {
         case 2 => (ZarrFixture.bloscFrame(payload, typesize, codecId = 1,
           shuffle = false, blocksize = blocksize, memcpy = true),
           """{"id": "blosc", "cname": "lz4"}""")
+        case 3 => (ZarrFixture.bloscFrame(payload, typesize, codecId = 4,
+          shuffle = rnd.nextBoolean(), blocksize = blocksize,
+          blockCompress = ZarrFixture.zstdBytes),
+          """{"id": "blosc", "cname": "zstd"}""")
+        case 4 => (ZarrFixture.bloscFrame(payload, typesize, codecId = 2,
+          shuffle = rnd.nextBoolean(), blocksize = blocksize,
+          blockCompress = ZarrFixture.snappyBytes),
+          """{"id": "blosc", "cname": "snappy"}""")
+        case 5 => (ZarrFixture.bloscFrame(payload, typesize, codecId = 1,
+          shuffle = rnd.nextBoolean(), blocksize = blocksize,
+          blockCompress = ZarrFixture.lz4Block),
+          """{"id": "blosc", "cname": "lz4"}""")
+        case 6 => (ZarrFixture.numcodecsLz4(payload), """{"id": "lz4"}""")
         case _ => (ZarrFixture.deflateBytes(payload), """{"id": "zlib"}""")
       }
       withClue(s"case $i (n=$n, typesize=$typesize, blocksize=$blocksize): ") {
-        ZarrMeta.decodeChunk(meta(comp), frame).toSeq shouldBe payload.toSeq
+        ZarrMeta.decodeChunk(meta(comp, n), frame).toSeq shouldBe payload.toSeq
       }
     }
+  }
+
+  test("zstd / snappy / numcodecs-lz4 codecs decode real compressor output") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def meta(comp: String, n: Int): ZarrMeta.ArrayMeta = ZarrMeta.parseArray("x",
+      mapper.readTree(s"""{"shape": [$n], "chunks": [$n], "dtype": "<u1",
+        "compressor": $comp, "fill_value": 0, "order": "C"}"""),
+      mapper.readTree("{}")).get
+    val rnd = new scala.util.Random(7)
+    val payloads = Seq(
+      Array.fill[Byte](1000)(42),              // compressible run
+      { val a = new Array[Byte](997); rnd.nextBytes(a); a }, // noise
+      Array.tabulate[Byte](2048)(i => (i % 13).toByte))
+    for (p <- payloads) {
+      // standalone zstd (numcodecs Zstd writes standard frames)
+      ZarrMeta.decodeChunk(meta("""{"id": "zstd", "level": 3}""", p.length),
+        ZarrFixture.zstdBytes(p)).toSeq shouldBe p.toSeq
+      // standalone numcodecs LZ4 (size prefix + block): the pure-JVM
+      // lz4 decoder inverting a REAL lz4 compressor's block
+      ZarrMeta.decodeChunk(meta("""{"id": "lz4"}""", p.length),
+        ZarrFixture.numcodecsLz4(p)).toSeq shouldBe p.toSeq
+      // blosc with zstd blocks (format code 4) + byte shuffle
+      ZarrMeta.decodeChunk(meta("""{"id": "blosc", "cname": "zstd"}""", p.length),
+        ZarrFixture.bloscFrame(p, typesize = 4, codecId = 4, shuffle = true,
+          blocksize = 512, blockCompress = ZarrFixture.zstdBytes))
+        .toSeq shouldBe p.toSeq
+      // blosc with snappy blocks (format code 2)
+      ZarrMeta.decodeChunk(meta("""{"id": "blosc", "cname": "snappy"}""", p.length),
+        ZarrFixture.bloscFrame(p, typesize = 2, codecId = 2, shuffle = false,
+          blocksize = 700, blockCompress = ZarrFixture.snappyBytes))
+        .toSeq shouldBe p.toSeq
+      // blosc with lz4-java-compressed blocks through the pure decoder
+      ZarrMeta.decodeChunk(meta("""{"id": "blosc", "cname": "lz4"}""", p.length),
+        ZarrFixture.bloscFrame(p, typesize = 8, codecId = 1, shuffle = true,
+          blocksize = 256, blockCompress = ZarrFixture.lz4Block))
+        .toSeq shouldBe p.toSeq
+    }
+    // a truncated lz4 size header fails loudly
+    val e = intercept[Exception] {
+      ZarrMeta.decodeChunk(meta("""{"id": "lz4"}""", 8), Array[Byte](1, 2))
+    }
+    e.getMessage should include("size header")
   }
 
   test("byte unshuffle inverts shuffle, leftover tail kept in place") {
@@ -469,12 +524,36 @@ object ZarrFixture {
     out.toByteArray
   }
 
+  /** Real-compressor block codecs for frames beyond zlib: the reader's
+    * zstd/snappy decode must invert the actual libraries' output, and the
+    * pure-JVM lz4 decoder must invert a REAL lz4 compressor (lz4-java),
+    * not just handcrafted sequences.
+    */
+  def zstdBytes(src: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(src, 3)
+  def snappyBytes(src: Array[Byte]): Array[Byte] =
+    org.xerial.snappy.Snappy.compress(src)
+  def lz4Block(src: Array[Byte]): Array[Byte] = {
+    val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val out = new Array[Byte](c.maxCompressedLength(src.length))
+    val n = c.compress(src, 0, src.length, out, 0, out.length)
+    java.util.Arrays.copyOf(out, n)
+  }
+  /** numcodecs LZ4 chunk frame: int32-LE original size + one block. */
+  def numcodecsLz4(src: Array[Byte]): Array[Byte] = {
+    val block = lz4Block(src)
+    val bb = ByteBuffer.allocate(4 + block.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(src.length).put(block)
+    bb.array()
+  }
+
   /** c-blosc chunk frame (README_CHUNK_FORMAT layout). */
   def bloscFrame(raw: Array[Byte], typesize: Int, codecId: Int,
                  shuffle: Boolean, blocksize: Int,
                  forceStored: Boolean = false,
                  deflateBlocks: Boolean = false,
-                 memcpy: Boolean = false): Array[Byte] = {
+                 memcpy: Boolean = false,
+                 blockCompress: Array[Byte] => Array[Byte] = null): Array[Byte] = {
     val nbytes = raw.length
     if (memcpy) {
       val bb = ByteBuffer.allocate(16 + nbytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -488,7 +567,11 @@ object ZarrFixture {
       val ubs = math.min(blocksize, nbytes - i * blocksize)
       val slice = java.util.Arrays.copyOfRange(raw, i * blocksize, i * blocksize + ubs)
       val sh = if (shuffle) ZarrFixture.shuffle(slice, typesize) else slice
-      val comp = if (deflateBlocks && !forceStored) deflate(sh) else sh
+      val comp =
+        if (forceStored) sh
+        else if (blockCompress != null) blockCompress(sh)
+        else if (deflateBlocks) deflate(sh)
+        else sh
       if (!forceStored && comp.length < ubs) (comp, ubs) else (sh, ubs)
     }
     val headerAndStarts = 16 + 4 * nblocks
