@@ -102,6 +102,19 @@ object ConfigRegistry {
     }
   }
 
+  /** `maxCoordinateSizes.csv` → instrument → coordinate → max size —
+    * the reference's `load_max_coordinate_sizes` (`qaqc/utils.py:361-366`,
+    * loaded into `MAX_COORD_SIZES` at `constants.py:113`; a harvester-side
+    * cap on extra-dim extents, e.g. OPTAA wavelength ≤ 92 — the same
+    * extents the native Zarr source surfaces as `ArrayType` columns).
+    */
+  def loadMaxCoordinateSizes(path: String): Map[String, Map[String, Int]] =
+    readCsv(path)
+      .groupBy(_("instrument"))
+      .map { case (inst, rows) =>
+        inst -> rows.map(r => r("coordinate") -> r("max_size").toInt).toMap
+      }
+
   def loadVariableMap(path: String): VariableResolver =
     new VariableResolver(readCsv(path).map { r =>
       r("parameter") -> parseListCell(r("variableNames"))

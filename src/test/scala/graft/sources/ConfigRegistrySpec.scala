@@ -50,6 +50,14 @@ class ConfigRegistrySpec extends AnyFunSuite with Matchers {
     r.resolve("temperature", Seq("nope")) shouldBe None
   }
 
+  test("loadMaxCoordinateSizes nests per instrument like the reference dict") {
+    // qaqc/utils.py:361-366 builds {instrument: {coordinate: max_size}}
+    val m = loadMaxCoordinateSizes(fixture("max_coords.csv"))
+    m("OPTAA") shouldBe Map("wavelength" -> 92)
+    m("ADCP") shouldBe Map("bin" -> 40, "beam" -> 4)
+    m.get("NUTNR") shouldBe None
+  }
+
   test("span validation mirrors the per-instrument-class rules") {
     validateSpan("CTD-FIXED", "1") shouldBe true
     validateSpan("CTD-FIXED", "0") shouldBe true // '0' = the deploy span argument
