@@ -475,6 +475,7 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
   private final case class Doubles(v: Array[Double]) extends Col
   private final case class Longs(v: Array[Long],
                                  nulls: Array[Boolean]) extends Col
+  private final case class Strs(v: Array[String]) extends Col
   private final case class Rows2D(v: Array[GenericArrayData]) extends Col
 
   private val columns: Array[Col] =
@@ -486,7 +487,16 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
   private def decode1D(m: ZarrMeta.ArrayMeta): Col = {
       val bytes = ZarrReader.readChunkBytes(conf, path, m, chunk)
       val integral = m.dtypeStr.stripPrefix("<").stripPrefix("|").head != 'f'
-      if (m.isCfTime) {
+      if (m.isString) bytes match {
+        // fixed-width |S/<U strings (SUNA frame_type etc.): NUL padding
+        // trimmed like xarray; a missing chunk is the string fill run,
+        // or null when the store declares none
+        case Some(b) => Strs(ZarrMeta.stringsOf(m, b))
+        case None => m.fillString match {
+          case Some(f) => Strs(Array.fill(nRows)(f))
+          case None => AllNull
+        }
+      } else if (m.isCfTime) {
         val (perUnit, epoch) = ZarrMeta.cfTime(m.units.get)
         bytes match {
           case Some(b) if integral =>
@@ -612,6 +622,8 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
             case FloatType => out.setFloat(c, v.toFloat)
             case _ => out.update(c, v)
           }
+        case Strs(vs) => out.update(c,
+          org.apache.spark.unsafe.types.UTF8String.fromString(vs(row)))
         case Rows2D(rs) => out.update(c, rs(row))
       }
       c += 1

@@ -50,31 +50,45 @@ private[zarr] object ZarrMeta {
       units: Option[String],  // CF units, e.g. "seconds since 1900-01-01"
       calendar: Option[String],
       extraShape: Long = 0L,  // trailing-dim length (0 = 1-D array)
-      extraChunk: Int = 0) {  // trailing-dim chunk length
+      extraChunk: Int = 0,    // trailing-dim chunk length
+      fillString: Option[String] = None) { // string-dtype fill (|S/<U)
     def is2D: Boolean = extraShape > 0L
     def nChunks: Long = (shape + chunk - 1) / math.max(chunk, 1)
     def nExtraChunks: Long =
       if (!is2D) 1L else (extraShape + extraChunk - 1) / math.max(extraChunk, 1)
-    def typeSize: Int = dtypeStr.takeRight(1) match {
-      case "8" => 8
-      case "4" => 4
-      case "2" => 2
-      case "1" => 1
+    /** dtype kind char (f i u S U) and width field of "<f8" / "|S6" / "<U4". */
+    private def kindWidth: (Char, Int) = {
+      val body = dtypeStr.stripPrefix("<").stripPrefix("|").stripPrefix(">")
+      val kind = body.head
+      val w = body.tail
+      require(w.nonEmpty && w.forall(_.isDigit),
+        s"zarr: unsupported dtype '$dtypeStr' for array '$name'")
+      (kind, w.toInt)
+    }
+    def isString: Boolean = { val (k, _) = kindWidth; k == 'S' || k == 'U' }
+    /** Bytes per element on disk: numeric width; |S<n> is n bytes;
+      * <U<n> is UTF-32-LE, 4 bytes per code point.
+      */
+    def typeSize: Int = kindWidth match {
+      case ('S', n) => n
+      case ('U', n) => 4 * n
+      case (_, w @ (8 | 4 | 2 | 1)) => w
       case _ => throw new IllegalArgumentException(
         s"zarr: unsupported dtype '$dtypeStr' for array '$name'")
     }
     /** The element type of the on-disk dtype (CF time aside). */
     def scalarType: DataType =
-      dtypeStr.stripPrefix("<").stripPrefix("|") match {
-        case "f8" => DoubleType
-        case "f4" => FloatType
-        case "i8" => LongType
-        case "i4" => IntegerType
-        case "i2" => ShortType
-        case "u1" => ShortType // widened: Spark has no unsigned byte
-        case other => throw new IllegalArgumentException(
-          s"zarr: unsupported dtype '<$other' for array '$name' " +
-            "(v1 contract: little-endian numeric arrays)")
+      kindWidth match {
+        case ('f', 8) => DoubleType
+        case ('f', 4) => FloatType
+        case ('i', 8) => LongType
+        case ('i', 4) => IntegerType
+        case ('i', 2) => ShortType
+        case ('u', 1) => ShortType // widened: Spark has no unsigned byte
+        case ('S', _) | ('U', _) => StringType
+        case _ => throw new IllegalArgumentException(
+          s"zarr: unsupported dtype '$dtypeStr' for array '$name' " +
+            "(v1 contract: little-endian numeric or fixed-width string arrays)")
       }
     def sparkType: DataType =
       if (is2D) ArrayType(scalarType, containsNull = false)
@@ -83,12 +97,13 @@ private[zarr] object ZarrMeta {
     /** CF time decode applies when the units attr matches
       * "<unit> since <epoch>" — exactly xarray's decode_cf contract for
       * the standard calendar. Never on a 2-D array (its elements are
-      * data, not the record coordinate).
+      * data, not the record coordinate) and never on a string dtype.
       */
-    def isCfTime: Boolean = !is2D && units.exists(_.contains(" since ")) && {
-      val cal = calendar.getOrElse("standard").toLowerCase
-      cal == "standard" || cal == "proleptic_gregorian" || cal == "gregorian"
-    }
+    def isCfTime: Boolean = !is2D && !isString &&
+      units.exists(_.contains(" since ")) && {
+        val cal = calendar.getOrElse("standard").toLowerCase
+        cal == "standard" || cal == "proleptic_gregorian" || cal == "gregorian"
+      }
   }
 
   /** Parse `.zmetadata` (consolidated) into per-array metadata, keeping
@@ -120,6 +135,14 @@ private[zarr] object ZarrMeta {
     val order = za.path("order").asText("C")
     require(order == "C",
       s"zarr: array '$name' has order '$order' (v1 contract: C)")
+    // filter chains (delta, vlen-utf8, ...) transform the bytes BEFORE
+    // the compressor: ignoring one would decode wrong values silently —
+    // the one failure mode this source never allows
+    val filters = za.path("filters")
+    require(filters.isNull || filters.isMissingNode ||
+      (filters.isArray && filters.size() == 0),
+      s"zarr: array '$name' uses filters ${filters.toString} " +
+        "(v1 contract: filters must be null — no silent wrong bytes)")
     val dims = {
       val d = attrs.path("_ARRAY_DIMENSIONS")
       if (d.isArray) (0 until d.size()).map(d.get(_).asText())
@@ -139,18 +162,34 @@ private[zarr] object ZarrMeta {
       }
       else None
     }
+    val dtype = za.path("dtype").asText()
+    val isStr = {
+      val body = dtype.stripPrefix("<").stripPrefix("|").stripPrefix(">")
+      body.nonEmpty && (body.head == 'S' || body.head == 'U')
+    }
+    if (isStr && shape.size() == 2) return None // 2-D strings: no column form
+    // string fills: zarr v2 encodes |S fills BASE64 ("" for empty), <U
+    // fills as plain JSON strings
+    val fillStr = Option(za.path("fill_value"))
+      .filter(f => isStr && f.isTextual).map(_.asText()).map { s =>
+        if (dtype.contains("S"))
+          new String(java.util.Base64.getDecoder.decode(s),
+            StandardCharsets.US_ASCII)
+        else s
+      }
     Some(ArrayMeta(
       name = name,
       shape = shape.get(0).asLong(),
       chunk = za.path("chunks").get(0).asInt(),
-      dtypeStr = za.path("dtype").asText(),
+      dtypeStr = dtype,
       compressor = comp,
-      fillValue = fill,
+      fillValue = if (isStr) None else fill,
       dims = dims,
       units = Option(attrs.path("units")).filter(_.isTextual).map(_.asText()),
       calendar = Option(attrs.path("calendar")).filter(_.isTextual).map(_.asText()),
       extraShape = if (shape.size() == 2) shape.get(1).asLong() else 0L,
-      extraChunk = if (shape.size() == 2) za.path("chunks").get(1).asInt() else 0))
+      extraChunk = if (shape.size() == 2) za.path("chunks").get(1).asInt() else 0,
+      fillString = fillStr))
   }
 
   // ---- CF time ----------------------------------------------------------
@@ -468,6 +507,43 @@ private[zarr] object ZarrMeta {
       case "i2" => while (i < n) { out(i) = bb.getShort(i * 2).toDouble; i += 1 }
       case "u1" => while (i < n) { out(i) = (bytes(i) & 0xff).toDouble; i += 1 }
       case other => throw new IllegalArgumentException(s"zarr: dtype $other")
+    }
+    out
+  }
+
+  /** Fixed-width string chunk decode: |S<n> is n ASCII/latin bytes per
+    * element, <U<n> is n UTF-32-LE code points (numpy's on-disk unicode);
+    * both are right-padded with NULs, which xarray trims — trim the same.
+    * An all-padding element decodes to "" (empty string, NOT null — a
+    * null only comes from a missing chunk with no fill).
+    */
+  def stringsOf(meta: ArrayMeta, bytes: Array[Byte]): Array[String] = {
+    val w = meta.typeSize
+    val n = bytes.length / w
+    val out = new Array[String](n)
+    val isU = meta.dtypeStr.contains("U")
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (isU) {
+          val bb = ByteBuffer.wrap(bytes, i * w, w)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          val sb = new java.lang.StringBuilder(w / 4)
+          var k = 0
+          var done = false
+          while (k < w / 4 && !done) {
+            val cp = bb.getInt(i * w + 4 * k)
+            if (cp == 0) done = true // NUL padding terminates
+            else sb.appendCodePoint(cp)
+            k += 1
+          }
+          sb.toString
+        } else {
+          var end = (i + 1) * w
+          while (end > i * w && bytes(end - 1) == 0) end -= 1
+          new String(bytes, i * w, end - i * w, StandardCharsets.UTF_8)
+        }
+      i += 1
     }
     out
   }

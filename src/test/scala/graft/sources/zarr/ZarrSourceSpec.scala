@@ -293,6 +293,46 @@ class ZarrSourceSpec extends SparkSpec {
     }
   }
 
+  test("fixed-width string dtypes (|S, <U) decode as trimmed StringType columns") {
+    val dir = ZarrFixture.writeStrings()
+    val df = spark.read.format("zarr").load(dir)
+    df.schema("frame_type").dataType shouldBe org.apache.spark.sql.types.StringType
+    df.schema("tag").dataType shouldBe org.apache.spark.sql.types.StringType
+    val rows = df.orderBy("time").collect()
+    rows.length shouldBe 6
+    // |S6, NUL-padded on disk — trimmed like xarray
+    rows.map(_.getString(rows(0).fieldIndex("frame_type"))).toSeq shouldBe
+      Seq("LIGHT", "DARK", "LIGHT", "", "LIGHT", "DARK")
+    // <U4 is UTF-32-LE code points; non-ASCII survives
+    rows(0).getString(rows(0).fieldIndex("tag")) shouldBe "aé1"
+    rows(1).getString(rows(0).fieldIndex("tag")) shouldBe "øk"
+    // frame_type chunk 1 (rows 4..5) exists; tag's chunk 1 is MISSING
+    // with fill "na" → a fill run, not nulls
+    rows(4).getString(rows(0).fieldIndex("tag")) shouldBe "na"
+    rows(5).getString(rows(0).fieldIndex("tag")) shouldBe "na"
+    // and the SQL surface consumes them natively (frame_type gates the
+    // SUNA light-frame fit — calculateFunctions.py:322-324)
+    df.filter(col("frame_type") === "LIGHT").count() shouldBe 3
+  }
+
+  test("filter chains are rejected at parse, never silently misdecoded") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val e = intercept[IllegalArgumentException] {
+      ZarrMeta.parseArray("x",
+        mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "<f8",
+          "compressor": null, "fill_value": 0, "order": "C",
+          "filters": [{"id": "delta", "dtype": "<f8"}]}"""),
+        mapper.readTree("{}"))
+    }
+    e.getMessage should include("filters")
+    // null and [] filters stay accepted (python-zarr writes null)
+    ZarrMeta.parseArray("x",
+      mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "<f8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null}"""),
+      mapper.readTree("{}")).isDefined shouldBe true
+  }
+
   test("zstd / snappy / numcodecs-lz4 codecs decode real compressor output") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def meta(comp: String, n: Int): ZarrMeta.ArrayMeta = ZarrMeta.parseArray("x",
@@ -858,6 +898,55 @@ object ZarrFixture {
         "dtype": "<i4", "compressor": null, "fill_value": 0,
         "order": "C", "filters": null, "zarr_format": 2},
       "spec_counts/.zattrs": {"_ARRAY_DIMENSIONS": ["time", "spectrum"]}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
+    dir
+  }
+
+  /** 6 rows / chunk 4: an int64 time coordinate, a |S6 frame_type
+    * ("LIGHT"/"DARK"/"" NUL-padded — the SUNA shape,
+    * calculateFunctions.py:322-324), and a <U4 tag (UTF-32-LE, one
+    * non-ASCII char; its chunk 1 MISSING with base-less fill "na").
+    */
+  def writeStrings(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_str").toString
+    def put(arr: String, chunk: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, arr))
+      Files.write(Paths.get(dir, arr, chunk.toString), bytes)
+    }
+    for (c <- 0 until 2)
+      put("time", c, leL(Array.tabulate(4)(k => (c * 4 + k).toLong)))
+    def s6(s: String): Array[Byte] = {
+      val out = new Array[Byte](6)
+      val b = s.getBytes("UTF-8")
+      System.arraycopy(b, 0, out, 0, b.length)
+      out
+    }
+    put("frame_type", 0,
+      Array("LIGHT", "DARK", "LIGHT", "").flatMap(s6))
+    put("frame_type", 1,
+      Array("LIGHT", "DARK", "", "").flatMap(s6)) // rows 6,7 are padding
+    def u4(s: String): Array[Byte] = {
+      val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      s.codePoints().toArray.take(4).foreach(bb.putInt)
+      bb.array()
+    }
+    put("tag", 0, Array("aé1", "øk", "x", "yyyy").flatMap(u4))
+    // tag chunk 1 intentionally missing -> fill run "na"
+    val meta = s"""{"metadata": {
+      "time/.zarray": {"shape": [6], "chunks": [4], "dtype": "<i8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "seconds since 1970-01-01"},
+      "frame_type/.zarray": {"shape": [6], "chunks": [4], "dtype": "|S6",
+        "compressor": null, "fill_value": "", "order": "C",
+        "filters": null, "zarr_format": 2},
+      "frame_type/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "tag/.zarray": {"shape": [6], "chunks": [4], "dtype": "<U4",
+        "compressor": null, "fill_value": "na", "order": "C",
+        "filters": null, "zarr_format": 2},
+      "tag/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
       "zarr_consolidated_format": 1}"""
     Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
     dir
