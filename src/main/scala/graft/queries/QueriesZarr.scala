@@ -60,6 +60,15 @@ object QueriesZarr {
           col("band").cast("long").as("band"), col("amp"))
     }),
 
+    // S1 native path, strings: the |S10 fixed-width etype array decoded
+    // to a StringType column (NUL trim), value-compared row by row
+    // against the parquet event_type — the SUNA frame_type shape
+    "q152_zarr_strings" -> ((s, d) => {
+      val st = ZarrGateStore.store(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"), col("etype"))
+    }),
+
     // S1 native path joined back to the parquet gate table: zarr-side
     // measures aggregated by a parquet-side dimension — the zarr slice
     // is tiny next to events, so it is the BROADCAST side of the join
@@ -112,6 +121,11 @@ object QueriesZarr {
                   THEN CAST('NaN' AS DOUBLE)
                   ELSE s.value * (b.band + 1) END AS amp
       FROM slice s CROSS JOIN (SELECT unnest(range(${ZarrGateStore.Bands})) AS band) b""",
+
+    "q152_zarr_strings" -> s"""WITH slice AS (
+        SELECT event_id, event_type FROM events
+        ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
+      SELECT event_id, event_type AS etype FROM slice""",
 
     "q150_zarr_join" -> s"""$sliceCte
       SELECT e.event_type, count(*) AS cnt,

@@ -26,6 +26,8 @@ import graft.sources.Tables
   *    when it exists) left UNWRITTEN → a fill_value(NaN) run — so the
   *    gate exercises NaN→null decode and the missing-chunk path, both
   *    SQL-expressible (rn BETWEEN 769 AND 1024 over the same ordering);
+  *  - `etype` = event_type as a |S10 fixed-width NUL-padded string
+  *    array (zlib) — the string-dtype decode on the oracle gate;
   *  - `spectrum` = a 2-D (time × band, n × 4) f8 array with
   *    spectrum[k] = value · (k+1) (IEEE-exact in both engines) and a
   *    NaN element at (event_id % 7 == 5, band 2) — trailing dim chunked
@@ -58,7 +60,7 @@ object ZarrGateStore {
 
   private def build(spark: SparkSession, dir: String): String = {
     val slice = Tables.events(spark, dir)
-      .select("event_id", "ts", "user_id", "value")
+      .select("event_id", "ts", "user_id", "value", "event_type")
       .orderBy("event_id").limit(SliceRows)
       .collect()
       .sortBy(r => (micros(r.getTimestamp(1)), r.getLong(0)))
@@ -76,6 +78,8 @@ object ZarrGateStore {
         if (r.isNullAt(3) || (r.getLong(0) % 7 == 5 && k == 2)) Double.NaN
         else r.getDouble(3) * (k + 1))
     }
+    val etype: Array[String] = slice.map(r =>
+      if (r.isNullAt(4)) "" else r.getString(4))
 
     val out = Files.createTempDirectory("graft_zarr_gate").toString
     val nChunks = (n + Chunk - 1) / Chunk
@@ -113,6 +117,13 @@ object ZarrGateStore {
       put("value", c, deflate(leD(padD(value, c))))
       if (c != MissingChunk) // fill_value(NaN) run when it exists
         put("value_gapped", c, deflate(leD(padD(gapped, c))))
+      // |S10 fixed-width strings, NUL-padded, zlib
+      val sBuf = new Array[Byte](Chunk * 10)
+      for (r <- 0 until Chunk if c * Chunk + r < n) {
+        val b = etype(c * Chunk + r).getBytes("UTF-8")
+        System.arraycopy(b, 0, sBuf, r * 10, math.min(b.length, 10))
+      }
+      put("etype", c, deflate(sBuf))
       // 2-D chunks: (Chunk × BandChunk) row-major, padded in BOTH dims
       for (j <- 0 until (Bands + BandChunk - 1) / BandChunk) {
         val buf = new Array[Double](Chunk * BandChunk)
@@ -149,7 +160,11 @@ object ZarrGateStore {
         "dtype": "<f8", "compressor": {"id": "zlib", "level": 1},
         "fill_value": "NaN", "order": "C", "filters": null,
         "zarr_format": 2},
-      "spectrum/.zattrs": {"_ARRAY_DIMENSIONS": ["time", "band"]}},
+      "spectrum/.zattrs": {"_ARRAY_DIMENSIONS": ["time", "band"]},
+      "etype/.zarray": {"shape": [$n], "chunks": [$Chunk], "dtype": "|S10",
+        "compressor": {"id": "zlib", "level": 1}, "fill_value": "",
+        "order": "C", "filters": null, "zarr_format": 2},
+      "etype/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
       "zarr_consolidated_format": 1}"""
     Files.write(Paths.get(out, ".zmetadata"), meta.getBytes("UTF-8"))
     out
