@@ -117,11 +117,17 @@ object ZarrGateStore {
       put("value", c, deflate(leD(padD(value, c))))
       if (c != MissingChunk) // fill_value(NaN) run when it exists
         put("value_gapped", c, deflate(leD(padD(gapped, c))))
-      // |S10 fixed-width strings, NUL-padded, zlib
+      // |S10 fixed-width strings, NUL-padded, zlib. A value wider than
+      // the dtype would TRUNCATE and hash-fail the oracle confusingly —
+      // fail at build time with the value instead (a regenerated events
+      // table with longer event types raises here, loudly)
       val sBuf = new Array[Byte](Chunk * 10)
       for (r <- 0 until Chunk if c * Chunk + r < n) {
         val b = etype(c * Chunk + r).getBytes("UTF-8")
-        System.arraycopy(b, 0, sBuf, r * 10, math.min(b.length, 10))
+        require(b.length <= 10,
+          s"zarr gate store: event_type '${etype(c * Chunk + r)}' exceeds " +
+            "the |S10 dtype — widen etype's dtype in ZarrGateStore")
+        System.arraycopy(b, 0, sBuf, r * 10, b.length)
       }
       put("etype", c, deflate(sBuf))
       // 2-D chunks: (Chunk × BandChunk) row-major, padded in BOTH dims
