@@ -107,30 +107,20 @@ private[zarr] object ZarrIO {
   }
 }
 
-/** Hadoop Configuration is not Serializable; this is the standard
-  * write()/readFields() wrapper (what Spark's own sources use) so the
-  * reader factory can ship the driver's conf to executors.
-  */
-private[zarr] class SerializableHadoopConf(@transient var value: Configuration)
-    extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    value.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
-  }
-}
+// Hadoop Configuration is not Serializable; the reader factory ships the
+// driver's conf with Spark's own wrapper (org.apache.spark.util
+// .SerializableConfiguration — the exact class Spark's file sources use).
 
 private[zarr] object ZarrTable {
-  // one parse per (store, dim, .zmetadata mtime+len): inferSchema and
-  // getTable both land here per read, and on an object store the second
-  // GET is a real round-trip. The mtime+len key keeps a rewritten store
-  // fresh instead of serving stale metadata.
+  // one parse per (store, dim) GENERATION: inferSchema and getTable both
+  // land here per read, and on an object store the second GET is a real
+  // round-trip. The stored .zmetadata mtime+len keeps a rewritten store
+  // fresh instead of serving stale metadata, and replacing (not keying
+  // on) the generation means old entries are EVICTED — a long-lived
+  // driver over rotating stores does not leak one table + Configuration
+  // per rewrite.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long), ZarrTable]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long, ZarrTable)]()
 
   def load(options: CaseInsensitiveStringMap): ZarrTable = {
     val path = Option(options.get("path")).getOrElse(
@@ -147,9 +137,10 @@ private[zarr] object ZarrTable {
             s"zarr: $path has no .zmetadata — only consolidated stores are " +
               "supported (zarr.consolidate_metadata in the writer)")
       }
-    val table = cache.computeIfAbsent(
-      (path, dimOpt, st.getModificationTime, st.getLen),
-      _ => parse(path, dimOpt, conf))
+    val table = cache.compute((path, dimOpt), (_, old) =>
+      if (old != null && old._1 == st.getModificationTime &&
+        old._2 == st.getLen) old
+      else (st.getModificationTime, st.getLen, parse(path, dimOpt, conf)))._3
     // sortedCoord is a per-read option, not part of the parsed layout
     if (table.sortedCoord == sortedCoord) table
     else table.copyWith(sortedCoord)
@@ -413,7 +404,7 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
   override def createReaderFactory(): PartitionReaderFactory =
     // coord rides along as the row-count witness: a fully-pruned
     // projection (count(*)) still needs rowsInChunk
-    new ZarrReaderFactory(required, coord, new SerializableHadoopConf(conf))
+    new ZarrReaderFactory(required, coord, new org.apache.spark.util.SerializableConfiguration(conf))
 }
 
 private[zarr] case class ZarrInputPartition(path: String, chunk: Long)
@@ -421,7 +412,7 @@ private[zarr] case class ZarrInputPartition(path: String, chunk: Long)
 
 private[zarr] class ZarrReaderFactory(required: Seq[ZarrMeta.ArrayMeta],
                                       rowMeta: ZarrMeta.ArrayMeta,
-                                      conf: SerializableHadoopConf)
+                                      conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZarrInputPartition]

@@ -66,6 +66,15 @@ object ZarrGateStore {
       .sortBy(r => (micros(r.getTimestamp(1)), r.getLong(0)))
     val n = slice.length
     require(n > 0, s"zarr gate store: $dir/events.parquet is empty")
+    // ts / user_id / event_type are NOT NULL in every testdata
+    // generation to date; a regen that breaks that must fail HERE with
+    // the row, not as an NPE or a confusing oracle hash mismatch (null
+    // value is the one nullable column both sides treat as missing)
+    slice.foreach { r =>
+      require(!r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(4),
+        s"zarr gate store: null ts/user_id/event_type at event_id=" +
+          s"${r.getLong(0)} — the store layout assumes these NOT NULL")
+    }
     val time = slice.map(r => micros(r.getTimestamp(1)))
     val eventId = slice.map(_.getLong(0))
     val userId = slice.map(_.getLong(2))
@@ -78,8 +87,7 @@ object ZarrGateStore {
         if (r.isNullAt(3) || (r.getLong(0) % 7 == 5 && k == 2)) Double.NaN
         else r.getDouble(3) * (k + 1))
     }
-    val etype: Array[String] = slice.map(r =>
-      if (r.isNullAt(4)) "" else r.getString(4))
+    val etype: Array[String] = slice.map(_.getString(4))
 
     val out = Files.createTempDirectory("graft_zarr_gate").toString
     val nChunks = (n + Chunk - 1) / Chunk

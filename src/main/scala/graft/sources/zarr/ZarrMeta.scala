@@ -56,12 +56,16 @@ private[zarr] object ZarrMeta {
     def nChunks: Long = (shape + chunk - 1) / math.max(chunk, 1)
     def nExtraChunks: Long =
       if (!is2D) 1L else (extraShape + extraChunk - 1) / math.max(extraChunk, 1)
-    /** dtype kind char (f i u S U) and width field of "<f8" / "|S6" / "<U4". */
+    /** dtype kind char (f i u S U) and width field of "<f8" / "|S6" /
+      * "<U4". Big-endian ('>') is NOT stripped: parseArray rejects it at
+      * load, and a directly-constructed meta must fail here too — the
+      * whole decode layer is little-endian.
+      */
     private def kindWidth: (Char, Int) = {
-      val body = dtypeStr.stripPrefix("<").stripPrefix("|").stripPrefix(">")
+      val body = dtypeStr.stripPrefix("<").stripPrefix("|")
       val kind = body.head
       val w = body.tail
-      require(w.nonEmpty && w.forall(_.isDigit),
+      require("fiuSU".contains(kind) && w.nonEmpty && w.forall(_.isDigit),
         s"zarr: unsupported dtype '$dtypeStr' for array '$name'")
       (kind, w.toInt)
     }
@@ -135,6 +139,13 @@ private[zarr] object ZarrMeta {
     val order = za.path("order").asText("C")
     require(order == "C",
       s"zarr: array '$name' has order '$order' (v1 contract: C)")
+    // big-endian dtypes fail HERE, at load, with a clear message — the
+    // decode layer is little-endian throughout, and letting '>f8' reach
+    // it would surface as an obscure scan-time error (or, for '>U',
+    // byte-swapped code points — silent wrong bytes)
+    require(!za.path("dtype").asText("").startsWith(">"),
+      s"zarr: array '$name' has big-endian dtype " +
+        s"'${za.path("dtype").asText("")}' (v1 contract: little-endian)")
     // filter chains (delta, vlen-utf8, ...) transform the bytes BEFORE
     // the compressor: ignoring one would decode wrong values silently —
     // the one failure mode this source never allows
@@ -164,7 +175,7 @@ private[zarr] object ZarrMeta {
     }
     val dtype = za.path("dtype").asText()
     val isStr = {
-      val body = dtype.stripPrefix("<").stripPrefix("|").stripPrefix(">")
+      val body = dtype.stripPrefix("<").stripPrefix("|")
       body.nonEmpty && (body.head == 'S' || body.head == 'U')
     }
     if (isStr && shape.size() == 2) return None // 2-D strings: no column form
@@ -413,6 +424,12 @@ private[zarr] object ZarrMeta {
             s"zarr: blosc inner codec id $c not supported (array '${meta.name}')")
         }
       val dec = if (shuffled) unshuffle(block, typesize) else block
+      // a block decoding to the WRONG length means corrupt data: an
+      // over-long one would otherwise truncate silently below, an
+      // under-long one crash with a bare ArrayIndexOutOfBounds
+      require(dec.length == ubs,
+        s"zarr: blosc block $i of array '${meta.name}' decoded " +
+          s"${dec.length} bytes, expected $ubs")
       System.arraycopy(dec, 0, out, i * blocksize, ubs)
       i += 1
     }

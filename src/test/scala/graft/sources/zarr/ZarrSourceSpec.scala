@@ -315,6 +315,43 @@ class ZarrSourceSpec extends SparkSpec {
     df.filter(col("frame_type") === "LIGHT").count() shouldBe 3
   }
 
+  test("big-endian dtypes are rejected at load, not mis-decoded at scan") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val e = intercept[IllegalArgumentException] {
+      ZarrMeta.parseArray("x",
+        mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": ">f8",
+          "compressor": null, "fill_value": 0, "order": "C",
+          "filters": null}"""),
+        mapper.readTree("{}"))
+    }
+    e.getMessage should include("big-endian")
+  }
+
+  test("a blosc block decoding to the wrong length fails loudly") {
+    // header declares nbytes=8 / blocksize=8 (one block) but the zlib
+    // payload inflates to 9 bytes — corrupt data must raise, never
+    // truncate silently
+    val nine = Array.tabulate[Byte](9)(_.toByte)
+    val comp = ZarrFixture.deflateBytes(nine)
+    val bb = ByteBuffer.allocate(16 + 4 + 4 + comp.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(2.toByte).put(1.toByte).put((3 << 5).toByte).put(1.toByte)
+    bb.putInt(8).putInt(8).putInt(bb.capacity()) // nbytes, blocksize, cbytes
+    bb.putInt(20)              // block 0 offset (16 header + 4 start)
+    bb.putInt(comp.length)     // csize (< ubs → codec path)
+    bb.put(comp)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = ZarrMeta.parseArray("x",
+      mapper.readTree("""{"shape": [8], "chunks": [8], "dtype": "<u1",
+        "compressor": {"id": "blosc", "cname": "zlib"}, "fill_value": 0,
+        "order": "C", "filters": null}"""),
+      mapper.readTree("{}")).get
+    val e = intercept[IllegalArgumentException] {
+      ZarrMeta.decodeChunk(meta, bb.array())
+    }
+    e.getMessage should include("decoded 9 bytes, expected 8")
+  }
+
   test("filter chains are rejected at parse, never silently misdecoded") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val e = intercept[IllegalArgumentException] {
