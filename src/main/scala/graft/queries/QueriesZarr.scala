@@ -12,9 +12,10 @@ import graft.sources.zarr.ZarrGateStore
   * ([[graft.sources.zarr.ZarrGateStore]] — first 4000 events by
   * event_id, time-sorted), through `spark.read.format("zarr")`, and the
   * DuckDB oracle replicates the slice over the parquet twin in SQL. The
-  * three queries cover the VERDICT's asked-for shapes: a time-filtered
-  * scan exercising chunk pruning (`sortedCoord` binary-search path), a
-  * CF-time + NaN + missing-chunk(fill_value) decode, and a join back
+  * queries cover: a time-filtered scan exercising chunk pruning (the
+  * binary-search path), a CF-time + NaN + missing-chunk(fill_value)
+  * decode, a 2-D stitch, fixed-width (|S) and variable-length
+  * (|O + vlen-utf8) string decodes, the |b1 bool dtype, and a join back
   * against a gate table. Mirrors `qaqc/dashboard.py:305-313`
   * (`xr.open_zarr` as the pipeline's entry scan).
   */
@@ -67,6 +68,16 @@ object QueriesZarr {
       val st = ZarrGateStore.store(s, d)
       s.read.format("zarr").load(st)
         .select(col("event_id"), col("etype"))
+    }),
+
+    // S1 native path, VARIABLE-length strings + widened dtypes: the
+    // object-dtype (|O + numcodecs vlen-utf8) etype twin — xarray's
+    // DEFAULT on-disk encoding for str variables — and the |b1 bool
+    // flag, both value-compared row by row against the parquet twin
+    "q153_zarr_vlen" -> ((s, d) => {
+      val st = ZarrGateStore.store(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"), col("etype_vlen"), col("flag"))
     }),
 
     // S1 native path joined back to the parquet gate table: zarr-side
@@ -126,6 +137,12 @@ object QueriesZarr {
         SELECT event_id, event_type FROM events
         ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
       SELECT event_id, event_type AS etype FROM slice""",
+
+    "q153_zarr_vlen" -> s"""WITH slice AS (
+        SELECT event_id, event_type FROM events
+        ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
+      SELECT event_id, event_type AS etype_vlen,
+             event_id % 2 = 0 AS flag FROM slice""",
 
     "q150_zarr_join" -> s"""$sliceCte
       SELECT e.event_type, count(*) AS cnt,

@@ -24,6 +24,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.read.format("zarr").load("/path/to/store.zarr")
   *   // options: dim=<record dimension>  (default: auto — the dimension
   *   //          shared by the most arrays)
+  *   //          sortedCoord=auto|true|false  (default auto — probe the
+  *   //          record coordinate and binary-search-prune when it
+  *   //          qualifies; see [[SortedMode]])
   * }}}
   *
   * Scale design (the reason this is a DSv2 source and not a driver
@@ -111,6 +114,38 @@ private[zarr] object ZarrIO {
 // driver's conf with Spark's own wrapper (org.apache.spark.util
 // .SerializableConfiguration — the exact class Spark's file sources use).
 
+/** How coordinate-chunk pruning treats the record coordinate's order:
+  *  - `Auto` (default): probe the first and last coordinate chunks at
+  *    planning (2 reads) — if both are internally non-decreasing,
+  *    NaN-free, and ordered against each other, use the O(log nChunks)
+  *    binary search, with every chunk the search probes ALSO verified
+  *    internally monotone (its bytes are already decoded to read the
+  *    first value — the check is a free scan); any violation anywhere
+  *    falls back to the exact per-chunk min/max pass.
+  *  - `Forced` (`option("sortedCoord", "true")`): the user declares the
+  *    coordinate globally sorted; binary search with the same per-probe
+  *    verification.
+  *  - `Exact` (`option("sortedCoord", "false")`): always the exact
+  *    per-chunk min/max pass — the opt-out for adversarial stores that
+  *    are sorted at every probed chunk yet disordered between them
+  *    (the one shape Auto's verification cannot see).
+  */
+private[zarr] sealed trait SortedMode
+private[zarr] object SortedMode {
+  case object Auto extends SortedMode
+  case object Forced extends SortedMode
+  case object Exact extends SortedMode
+  def parse(opt: String): SortedMode = opt match {
+    case null | "" | "auto" => Auto
+    case "true" => Forced
+    case "false" => Exact
+    case other => throw new IllegalArgumentException(
+      s"zarr: sortedCoord must be auto/true/false, got '$other'")
+  }
+  def of(options: CaseInsensitiveStringMap): SortedMode =
+    parse(Option(options.get("sortedCoord")).map(_.toLowerCase).orNull)
+}
+
 private[zarr] object ZarrTable {
   // one parse per (store, dim) GENERATION: inferSchema and getTable both
   // land here per read, and on an object store the second GET is a real
@@ -121,12 +156,17 @@ private[zarr] object ZarrTable {
   // per rewrite.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long, ZarrTable)]()
+  // distinct (path, dim) keys are bounded too: a driver enumerating
+  // thousands of stores must not grow this map forever. Eviction is
+  // whole-map (entries re-parse on demand — correctness never depends
+  // on a hit).
+  private val MaxEntries = 64
 
   def load(options: CaseInsensitiveStringMap): ZarrTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("zarr: .load(path) is required"))
     val dimOpt = Option(options.get("dim")).getOrElse("")
-    val sortedCoord = options.getBoolean("sortedCoord", false)
+    val sorted = SortedMode.of(options)
     val conf = ZarrIO.driverConf()
     val zp = ZarrIO.resolve(path, ".zmetadata")
     val st =
@@ -137,13 +177,20 @@ private[zarr] object ZarrTable {
             s"zarr: $path has no .zmetadata — only consolidated stores are " +
               "supported (zarr.consolidate_metadata in the writer)")
       }
+    if (!cache.containsKey((path, dimOpt)) && cache.size() >= MaxEntries)
+      cache.clear()
     val table = cache.compute((path, dimOpt), (_, old) =>
       if (old != null && old._1 == st.getModificationTime &&
         old._2 == st.getLen) old
       else (st.getModificationTime, st.getLen, parse(path, dimOpt, conf)))._3
+    // a cache HIT must still see THIS session's Hadoop settings:
+    // refreshed s3a credentials/STS tokens or changed spark.hadoop.*
+    // keys land in the freshly-computed conf, not the one pinned at
+    // first load (round-13 ADVICE)
+    table.refreshConf(conf)
     // sortedCoord is a per-read option, not part of the parsed layout
-    if (table.sortedCoord == sortedCoord) table
-    else table.copyWith(sortedCoord)
+    if (table.sorted == sorted) table
+    else table.copyWith(sorted)
   }
 
   private def parse(path: String, dimOpt: String,
@@ -181,17 +228,22 @@ private[zarr] object ZarrTable {
       s"zarr: array '${m.name}' is chunked [${m.chunk}] but '$dim' is " +
         s"[$chunk] — per-variable chunking is not supported (rechunk " +
         "the store so arrays over the record dimension share one chunk size)"))
-    new ZarrTable(path, dim, cols, conf, sortedCoord = false)
+    new ZarrTable(path, dim, cols, conf, SortedMode.Auto)
   }
 }
 
 private[zarr] class ZarrTable(path: String, dim: String,
                               cols: Seq[ZarrMeta.ArrayMeta],
-                              conf: Configuration,
-                              val sortedCoord: Boolean)
+                              @volatile private var conf: Configuration,
+                              val sorted: SortedMode)
     extends Table with SupportsRead {
-  def copyWith(sorted: Boolean): ZarrTable =
-    new ZarrTable(path, dim, cols, conf, sorted)
+  def copyWith(s: SortedMode): ZarrTable =
+    new ZarrTable(path, dim, cols, conf, s)
+  /** Swap in the current session's Hadoop conf — a cache hit must not
+    * pin the FIRST load's credentials/endpoints for the store's whole
+    * cached lifetime (see [[ZarrTable.load]]).
+    */
+  def refreshConf(c: Configuration): Unit = { conf = c }
   override def name(): String = s"zarr:$path"
   override def schema(): StructType =
     StructType(cols.map(m => StructField(m.name, m.sparkType, nullable = true)))
@@ -199,13 +251,14 @@ private[zarr] class ZarrTable(path: String, dim: String,
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(path, dim, cols,
-      sortedCoord = options.getBoolean("sortedCoord", sortedCoord),
+      sorted = if (options.containsKey("sortedCoord")) SortedMode.of(options)
+               else sorted,
       conf = conf)
 }
 
 private[zarr] class ZarrScanBuilder(path: String, dim: String,
                                     cols: Seq[ZarrMeta.ArrayMeta],
-                                    sortedCoord: Boolean = false,
+                                    sorted: SortedMode = SortedMode.Auto,
                                     conf: Configuration = ZarrIO.driverConf())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -256,13 +309,13 @@ private[zarr] class ZarrScanBuilder(path: String, dim: String,
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan =
-    new ZarrScan(path, required, cols.head, coordBounds, sortedCoord, conf)
+    new ZarrScan(path, required, cols.head, coordBounds, sorted, conf)
 }
 
 private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
                              coord: ZarrMeta.ArrayMeta,
                              coordBounds: Option[(Double, Double)],
-                             sortedCoord: Boolean,
+                             sorted: SortedMode,
                              conf: Configuration)
     extends Scan with Batch {
 
@@ -276,34 +329,71 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
     s"zarr $path cols=${required.map(_.name).mkString(",")}$cb"
   }
 
-  /** One partition per surviving record chunk. Default pruning reads the
-    * COORDINATE array once at planning: per chunk, decode and take
-    * [min, max] — exact bounds with no sortedness assumption (the scan
-    * is correct on unsorted coords; only pruning effectiveness needs
-    * ordering). That is O(nChunks) driver-side chunk decodes — fine for
-    * dashboards' per-instrument stores (thousands of chunks), a funnel
-    * at a 1M-chunk 100 TB store: `option("sortedCoord", true)` declares
-    * the record coordinate globally sorted (true of every reference
-    * time series) and switches to an O(log nChunks) binary search over
-    * chunk FIRST values. The option is a correctness contract — on an
-    * unsorted coordinate it can prune matching chunks — so it is
-    * opt-in, never inferred.
+  /** One partition per surviving record chunk. Pruning strategy per
+    * [[SortedMode]]:
+    *
+    * The EXACT path reads the coordinate array once at planning: per
+    * chunk, decode and take [min, max] — exact bounds with no
+    * sortedness assumption (the scan is correct on unsorted coords;
+    * only pruning effectiveness needs ordering). That is O(nChunks)
+    * driver-side chunk decodes — fine for dashboards' per-instrument
+    * stores (thousands of chunks), a funnel at a 1M-chunk 100 TB
+    * store.
+    *
+    * The SORTED path is an O(log nChunks) binary search over chunk
+    * FIRST values. By default (`Auto`) it self-qualifies: a 2-read
+    * first/last-chunk monotonicity probe gates entry, and every chunk
+    * the search touches is verified internally non-decreasing (its
+    * bytes are already decoded — the check is a free array scan); any
+    * violation falls back to the exact pass. `option("sortedCoord",
+    * "true")` skips the entry probe (the user's contract — every
+    * reference time series is time-sorted); `"false"` forces the exact
+    * pass, the opt-out for a store sorted at every probed chunk yet
+    * disordered between probes — the one residual shape the
+    * verification cannot observe.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val nChunks = coord.nChunks
     val canPrune = !coord.is2D // bounds are only ever set for a scalar coord
+    // decoded coordinate chunk in pruning space, or None when missing
+    def chunkVals(c: Long): Option[Array[Double]] =
+      ZarrReader.readChunkBytes(conf, path, coord, c).map(coordPruneVals)
+    // non-decreasing and NaN-free over the chunk's LOGICAL rows (the
+    // padded tail of the last chunk is not data)
+    def monotone(vals: Array[Double], c: Long): Boolean = {
+      val rows = ZarrReader.rowsInChunk(coord, c)
+      var ok = rows > 0 && !vals(0).isNaN
+      var i = 1
+      while (ok && i < rows) {
+        ok = !vals(i).isNaN && vals(i) >= vals(i - 1)
+        i += 1
+      }
+      ok
+    }
+    def binarySearchApplies: Boolean = sorted match {
+      case SortedMode.Forced => true
+      case SortedMode.Exact => false
+      case SortedMode.Auto =>
+        // the 2-read qualification probe: first and last chunks sorted
+        // internally AND against each other
+        (chunkVals(0), chunkVals(nChunks - 1)) match {
+          case (Some(v0), Some(vl)) =>
+            monotone(v0, 0) && monotone(vl, nChunks - 1) &&
+              v0(ZarrReader.rowsInChunk(coord, 0) - 1) <= vl(0)
+          case _ => false
+        }
+    }
     val keep: Seq[Long] = coordBounds match {
       case None => (0L until nChunks)
       case Some(_) if !canPrune => (0L until nChunks)
-      case Some((lo, hi)) if sortedCoord && nChunks > 1 =>
+      case Some((lo, hi)) if nChunks > 1 && binarySearchApplies =>
         // first coordinate value of chunk c (None → fall through to the
-        // exact full-scan pruning: a missing coordinate chunk OR a NaN
-        // first value breaks the monotone first-value sequence the
-        // search needs — NaN gap markers are legal in float coords)
+        // exact full-scan pruning: a missing coordinate chunk, a NaN,
+        // or an internally-disordered chunk breaks the monotone
+        // first-value sequence the search needs — NaN gap markers are
+        // legal in float coords)
         def firstVal(c: Long): Option[Double] =
-          ZarrReader.readChunkBytes(conf, path, coord, c)
-            .map(bytes => coordPruneVals(bytes)(0))
-            .filterNot(_.isNaN)
+          chunkVals(c).filter(vals => monotone(vals, c)).map(_(0))
         val probed = scala.collection.mutable.HashMap.empty[Long, Option[Double]]
         def fv(c: Long): Option[Double] = probed.getOrElseUpdate(c, firstVal(c))
         // largest chunk whose first value ≤ bound (strict: < bound);
@@ -363,9 +453,13 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
   /** Exact pruning decides each chunk INDEPENDENTLY (read its coordinate
     * chunk, compare [min, max]), so the driver evaluates chunks in
     * parallel — at a 65k-chunk store the sequential loop was file-read
-    * bound at ~7 s; the common pool cuts it ~10× (ZarrPlanProbe measures
-    * both). FileSystem reads and the codec layer are thread-safe (pure
-    * decode over per-call buffers). Order of the RESULT is ascending by
+    * bound at ~7 s; parallelizing cuts it ~10× (ZarrPlanProbe measures
+    * both). The work runs on a DEDICATED ForkJoinPool, not the JVM-wide
+    * commonPool: blocking object-store IO + decompression on the shared
+    * pool would serialize concurrent scans behind each other and starve
+    * unrelated parallel-stream users driver-wide (round-13 ADVICE).
+    * FileSystem reads and the codec layer are thread-safe (pure decode
+    * over per-call buffers). Order of the RESULT is ascending by
     * construction (the flags array is indexed, not appended).
     */
   private def fullScanPrune(lo: Double, hi: Double,
@@ -396,8 +490,20 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
           mx >= lo && mn <= hi
       }
     val keep = new Array[Boolean](nChunks.toInt)
-    java.util.stream.LongStream.range(0L, nChunks).parallel()
-      .forEach(c => keep(c.toInt) = intersects(c))
+    // a parallel stream submitted from inside a ForkJoinPool task runs
+    // on THAT pool (the standard containment idiom) — per-call pool,
+    // bounded parallelism, torn down after the pass
+    val pool = new java.util.concurrent.ForkJoinPool(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    try {
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          java.util.stream.LongStream.range(0L, nChunks).parallel()
+            .forEach(c => keep(c.toInt) = intersects(c))
+      }).get()
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
     (0L until nChunks).filter(c => keep(c.toInt))
   }
 
@@ -577,6 +683,8 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
       case LongType => v
       case IntegerType => v.toInt
       case ShortType => v.toShort
+      case ByteType => v.toByte
+      case BooleanType => v != 0L
       case _ => v
     }
 
@@ -603,6 +711,8 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
             case TimestampType | LongType => out.setLong(c, vs(row))
             case IntegerType => out.setInt(c, vs(row).toInt)
             case ShortType => out.setShort(c, vs(row).toShort)
+            case ByteType => out.setByte(c, vs(row).toByte)
+            case BooleanType => out.setBoolean(c, vs(row) != 0L)
             case _ => out.update(c, vs(row))
           }
         case Doubles(ds) =>

@@ -28,6 +28,12 @@ import graft.sources.Tables
   *    SQL-expressible (rn BETWEEN 769 AND 1024 over the same ordering);
   *  - `etype` = event_type as a |S10 fixed-width NUL-padded string
   *    array (zlib) — the string-dtype decode on the oracle gate;
+  *  - `etype_vlen` = the SAME event_type as an object (`|O`) array
+  *    behind the numcodecs `vlen-utf8` filter + zlib — xarray's default
+  *    str encoding (round-14: the variable-length decode on the oracle
+  *    gate, value-identical to `etype` by construction);
+  *  - `flag` = (event_id % 2 == 0) as a raw `|b1` bool array with a
+  *    JSON-boolean fill — the widened-dtype decode on the oracle gate;
   *  - `spectrum` = a 2-D (time × band, n × 4) f8 array with
   *    spectrum[k] = value · (k+1) (IEEE-exact in both engines) and a
   *    NaN element at (event_id % 7 == 5, band 2) — trailing dim chunked
@@ -138,6 +144,24 @@ object ZarrGateStore {
         System.arraycopy(b, 0, sBuf, r * 10, b.length)
       }
       put("etype", c, deflate(sBuf))
+      // the same values as a VLenUTF8 object chunk (numcodecs format:
+      // u4-LE item count, then per item u4-LE length + UTF-8 bytes;
+      // edge chunks padded with "" like numpy's 0-fill)
+      val items = Array.tabulate(Chunk)(r =>
+        if (c * Chunk + r < n) etype(c * Chunk + r) else "")
+      val vbos = new java.io.ByteArrayOutputStream()
+      def u4le(v: Int): Unit = {
+        vbos.write(v & 0xff); vbos.write((v >> 8) & 0xff)
+        vbos.write((v >> 16) & 0xff); vbos.write((v >> 24) & 0xff)
+      }
+      u4le(items.length)
+      items.foreach { s =>
+        val b = s.getBytes("UTF-8"); u4le(b.length); vbos.write(b, 0, b.length)
+      }
+      put("etype_vlen", c, deflate(vbos.toByteArray))
+      // |b1 bool, raw bytes
+      put("flag", c, Array.tabulate[Byte](Chunk)(r =>
+        if (c * Chunk + r < n && eventId(c * Chunk + r) % 2 == 0) 1 else 0))
       // 2-D chunks: (Chunk × BandChunk) row-major, padded in BOTH dims
       for (j <- 0 until (Bands + BandChunk - 1) / BandChunk) {
         val buf = new Array[Double](Chunk * BandChunk)
@@ -178,7 +202,15 @@ object ZarrGateStore {
       "etype/.zarray": {"shape": [$n], "chunks": [$Chunk], "dtype": "|S10",
         "compressor": {"id": "zlib", "level": 1}, "fill_value": "",
         "order": "C", "filters": null, "zarr_format": 2},
-      "etype/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "etype/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "etype_vlen/.zarray": {"shape": [$n], "chunks": [$Chunk], "dtype": "|O",
+        "compressor": {"id": "zlib", "level": 1}, "fill_value": null,
+        "order": "C", "filters": [{"id": "vlen-utf8"}], "zarr_format": 2},
+      "etype_vlen/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "flag/.zarray": {"shape": [$n], "chunks": [$Chunk], "dtype": "|b1",
+        "compressor": null, "fill_value": false,
+        "order": "C", "filters": null, "zarr_format": 2},
+      "flag/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
       "zarr_consolidated_format": 1}"""
     Files.write(Paths.get(out, ".zmetadata"), meta.getBytes("UTF-8"))
     out

@@ -17,16 +17,19 @@ import org.apache.spark.sql.types._
   * time-series dataset — surfaced as a Spark table with one column per
   * array and CF-convention time decoding on the record coordinate.
   *
-  * Deliberate v1 contract (documented, fail-fast everywhere else):
-  * numeric dtypes (<f8 <f4 <i8 <i4 <i2 <u1), C order, 1-D/2-D arrays
-  * over the record dim, codecs: none / zlib / gzip / zstd / lz4
-  * (numcodecs: int32-LE size prefix + LZ4 block) / blosc(lz4, zlib,
-  * zstd, snappy, or memcpy; byte-shuffle supported, bit-shuffle and
-  * delta not). zstd and snappy ride the libraries Spark itself ships
-  * (zstd-jni, snappy-java — present on every Spark classpath); lz4 and
-  * zlib are pure-JVM from the public block formats. blosclz is
-  * rejected with a clear error naming the chunk — no silent wrong
-  * bytes.
+  * Deliberate contract (documented, fail-fast everywhere else):
+  * little-endian numeric dtypes (<f8 <f4 <i8 <i4 <i2 |i1 |u1 <u2 <u4 —
+  * unsigned widened to the next signed Spark type, u8 rejected), |b1
+  * bool, fixed-width strings (|S<n>, <U<n>), object strings (|O + a
+  * sole numcodecs vlen-utf8 filter — xarray's default str encoding); C
+  * order, 1-D/2-D arrays over the record dim; codecs: none / zlib /
+  * gzip / zstd / lz4 (numcodecs: int32-LE size prefix + LZ4 block) /
+  * blosc(blosclz, lz4, zlib, zstd, snappy, or memcpy; byte-shuffle
+  * supported, bit-shuffle and delta not). zstd and snappy ride the
+  * libraries Spark itself ships (zstd-jni, snappy-java — present on
+  * every Spark classpath); lz4, blosclz and zlib are pure-JVM from the
+  * public block formats. Any other filter chain is rejected with a
+  * clear error naming the array — no silent wrong bytes.
   */
 private[zarr] object ZarrMeta {
   private val mapper = new ObjectMapper()
@@ -56,7 +59,12 @@ private[zarr] object ZarrMeta {
     def nChunks: Long = (shape + chunk - 1) / math.max(chunk, 1)
     def nExtraChunks: Long =
       if (!is2D) 1L else (extraShape + extraChunk - 1) / math.max(extraChunk, 1)
-    /** dtype kind char (f i u S U) and width field of "<f8" / "|S6" /
+    /** Object dtype (`|O`) — only reachable when parseArray validated a
+      * sole VLenUTF8 filter: numpy object arrays of Python str, xarray's
+      * DEFAULT on-disk encoding for string variables (numcodecs VLenUTF8).
+      */
+    def isVlen: Boolean = dtypeStr == "|O"
+    /** dtype kind char (f i u b S U) and width field of "<f8" / "|S6" /
       * "<U4". Big-endian ('>') is NOT stripped: parseArray rejects it at
       * load, and a directly-constructed meta must fail here too — the
       * whole decode layer is little-endian.
@@ -65,34 +73,50 @@ private[zarr] object ZarrMeta {
       val body = dtypeStr.stripPrefix("<").stripPrefix("|")
       val kind = body.head
       val w = body.tail
-      require("fiuSU".contains(kind) && w.nonEmpty && w.forall(_.isDigit),
+      require("fiubSU".contains(kind) && w.nonEmpty && w.forall(_.isDigit),
         s"zarr: unsupported dtype '$dtypeStr' for array '$name'")
       (kind, w.toInt)
     }
-    def isString: Boolean = { val (k, _) = kindWidth; k == 'S' || k == 'U' }
+    def isString: Boolean =
+      isVlen || { val (k, _) = kindWidth; k == 'S' || k == 'U' }
     /** Bytes per element on disk: numeric width; |S<n> is n bytes;
-      * <U<n> is UTF-32-LE, 4 bytes per code point.
+      * <U<n> is UTF-32-LE, 4 bytes per code point. Variable-length
+      * (`|O`) elements have no fixed size — callers branch on [[isVlen]]
+      * first; reaching here with one is a bug, not a data error.
       */
-    def typeSize: Int = kindWidth match {
-      case ('S', n) => n
-      case ('U', n) => 4 * n
-      case (_, w @ (8 | 4 | 2 | 1)) => w
-      case _ => throw new IllegalArgumentException(
-        s"zarr: unsupported dtype '$dtypeStr' for array '$name'")
-    }
-    /** The element type of the on-disk dtype (CF time aside). */
-    def scalarType: DataType =
+    def typeSize: Int = {
+      require(!isVlen,
+        s"zarr: array '$name' is variable-length (|O) — no fixed element size")
       kindWidth match {
+        case ('S', n) => n
+        case ('U', n) => 4 * n
+        case (_, w @ (8 | 4 | 2 | 1)) => w
+        case _ => throw new IllegalArgumentException(
+          s"zarr: unsupported dtype '$dtypeStr' for array '$name'")
+      }
+    }
+    /** The element type of the on-disk dtype (CF time aside). Unsigned
+      * widths widen to the next signed Spark type (u1→short, u2→int,
+      * u4→long — Spark has no unsigned integrals); u8 has no lossless
+      * home and stays rejected.
+      */
+    def scalarType: DataType =
+      if (isVlen) StringType
+      else kindWidth match {
         case ('f', 8) => DoubleType
         case ('f', 4) => FloatType
         case ('i', 8) => LongType
         case ('i', 4) => IntegerType
         case ('i', 2) => ShortType
+        case ('i', 1) => ByteType
         case ('u', 1) => ShortType // widened: Spark has no unsigned byte
+        case ('u', 2) => IntegerType
+        case ('u', 4) => LongType
+        case ('b', 1) => BooleanType
         case ('S', _) | ('U', _) => StringType
         case _ => throw new IllegalArgumentException(
           s"zarr: unsupported dtype '$dtypeStr' for array '$name' " +
-            "(v1 contract: little-endian numeric or fixed-width string arrays)")
+            "(v1 contract: little-endian numeric, bool, or string arrays)")
       }
     def sparkType: DataType =
       if (is2D) ArrayType(scalarType, containsNull = false)
@@ -146,14 +170,30 @@ private[zarr] object ZarrMeta {
     require(!za.path("dtype").asText("").startsWith(">"),
       s"zarr: array '$name' has big-endian dtype " +
         s"'${za.path("dtype").asText("")}' (v1 contract: little-endian)")
-    // filter chains (delta, vlen-utf8, ...) transform the bytes BEFORE
+    // filter chains (delta, quantize, ...) transform the bytes BEFORE
     // the compressor: ignoring one would decode wrong values silently —
-    // the one failure mode this source never allows
+    // the one failure mode this source never allows. The single
+    // exception: a SOLE numcodecs `vlen-utf8` filter on an object
+    // (`|O`) dtype — xarray's DEFAULT encoding for Python-str
+    // variables — which the decode layer implements (u4-LE item count,
+    // then per item u4-LE byte length + UTF-8 bytes).
     val filters = za.path("filters")
-    require(filters.isNull || filters.isMissingNode ||
-      (filters.isArray && filters.size() == 0),
-      s"zarr: array '$name' uses filters ${filters.toString} " +
-        "(v1 contract: filters must be null — no silent wrong bytes)")
+    val dtype0 = za.path("dtype").asText("")
+    val isVlenUtf8 = filters.isArray && filters.size() == 1 &&
+      filters.get(0).path("id").asText() == "vlen-utf8"
+    if (isVlenUtf8) require(dtype0 == "|O",
+      s"zarr: array '$name' pairs vlen-utf8 with dtype '$dtype0' " +
+        "(numcodecs only writes it on object arrays)")
+    else {
+      require(filters.isNull || filters.isMissingNode ||
+        (filters.isArray && filters.size() == 0),
+        s"zarr: array '$name' uses filters ${filters.toString} " +
+          "(v1 contract: filters must be null or a sole vlen-utf8 — " +
+          "no silent wrong bytes)")
+      require(dtype0 != "|O",
+        s"zarr: array '$name' is object dtype without a vlen-utf8 filter " +
+          "— its bytes have no defined layout")
+    }
     val dims = {
       val d = attrs.path("_ARRAY_DIMENSIONS")
       if (d.isArray) (0 until d.size()).map(d.get(_).asText())
@@ -165,6 +205,7 @@ private[zarr] object ZarrMeta {
     // through as JSON numbers
     val fill = Option(za.path("fill_value")).flatMap { f =>
       if (f.isNumber) Some(f.asDouble())
+      else if (f.isBoolean) Some(if (f.asBoolean()) 1.0 else 0.0) // |b1 fills
       else if (f.isTextual) f.asText() match {
         case "NaN" => Some(Double.NaN)
         case "Infinity" => Some(Double.PositiveInfinity)
@@ -174,19 +215,24 @@ private[zarr] object ZarrMeta {
       else None
     }
     val dtype = za.path("dtype").asText()
-    val isStr = {
+    val isStr = dtype == "|O" || {
       val body = dtype.stripPrefix("<").stripPrefix("|")
       body.nonEmpty && (body.head == 'S' || body.head == 'U')
     }
     if (isStr && shape.size() == 2) return None // 2-D strings: no column form
-    // string fills: zarr v2 encodes |S fills BASE64 ("" for empty), <U
-    // fills as plain JSON strings
+    // string fills: zarr v2 encodes |S fills BASE64 ("" for empty) —
+    // writers that pad the fill to the dtype width need the same
+    // trailing-NUL trim as real elements, or fill-run rows compare
+    // unequal to identical written ones — <U and vlen fills as plain
+    // JSON strings
     val fillStr = Option(za.path("fill_value"))
       .filter(f => isStr && f.isTextual).map(_.asText()).map { s =>
-        if (dtype.contains("S"))
-          new String(java.util.Base64.getDecoder.decode(s),
-            StandardCharsets.US_ASCII)
-        else s
+        if (dtype.contains("S")) {
+          val b = java.util.Base64.getDecoder.decode(s)
+          var end = b.length
+          while (end > 0 && b(end - 1) == 0) end -= 1
+          new String(b, 0, end, StandardCharsets.US_ASCII)
+        } else s
       }
     Some(ArrayMeta(
       name = name,
@@ -296,43 +342,68 @@ private[zarr] object ZarrMeta {
   private def chunkBytes(meta: ArrayMeta): Int =
     meta.chunk * math.max(meta.extraChunk, 1) * meta.typeSize
 
-  /** Decode one chunk file's bytes to the raw little-endian array bytes. */
-  def decodeChunk(meta: ArrayMeta, raw: Array[Byte]): Array[Byte] =
-    meta.compressor match {
+  /** Decompressed-size cap for a VARIABLE-length (vlen-utf8) chunk,
+    * whose true size only the decoded item lengths know: bounds what a
+    * corrupt/hostile frame can make one executor allocate.
+    */
+  private val VlenChunkCap = 1 << 30
+
+  /** The largest decoded size any codec may produce for this chunk —
+    * the allocation bound every size-declaring codec checks BEFORE
+    * allocating (a hostile frame declaring ~Int.MaxValue must not force
+    * a 2 GiB allocation per chunk).
+    */
+  private def maxDecodedBytes(meta: ArrayMeta): Int =
+    if (meta.isVlen) VlenChunkCap else chunkBytes(meta)
+
+  /** Decode one chunk file's bytes to the raw little-endian array bytes.
+    * Fixed-width dtypes decode to EXACTLY the padded chunk size (the
+    * Zarr spec pads edge chunks) — anything else is corrupt data and
+    * fails here with the array name, never as a downstream
+    * index-out-of-bounds or a silent short column.
+    */
+  def decodeChunk(meta: ArrayMeta, raw: Array[Byte]): Array[Byte] = {
+    val out = meta.compressor match {
       case None => raw
       case Some(c) => c.path("id").asText() match {
         case "zlib" => inflate(raw, expected = -1)
         case "gzip" => gunzip(raw)
-        case "zstd" => zstdDecompress(raw, 0, raw.length, chunkBytes(meta))
+        case "zstd" => zstdDecompress(raw, 0, raw.length, maxDecodedBytes(meta))
         case "lz4" =>
           // numcodecs LZ4: int32-LE original size, then one LZ4 block
           if (raw.length < 4) throw new java.io.EOFException(
             s"zarr: lz4 chunk on '${meta.name}' shorter than its size header")
           val size = ByteBuffer.wrap(raw, 0, 4)
             .order(ByteOrder.LITTLE_ENDIAN).getInt()
-          require(size >= 0 && size <= chunkBytes(meta),
+          require(size >= 0 && size <= maxDecodedBytes(meta),
             s"zarr: lz4 chunk on '${meta.name}' declares $size bytes " +
-              s"(chunk is ${chunkBytes(meta)})")
+              s"(cap is ${maxDecodedBytes(meta)})")
           lz4Decompress(raw, 4, raw.length - 4, size)
         case "blosc" => bloscDecode(meta, raw)
         case other => throw new IllegalArgumentException(
           s"zarr: unsupported compressor '$other' on array '${meta.name}'")
       }
     }
+    if (!meta.isVlen) require(out.length == chunkBytes(meta),
+      s"zarr: chunk of array '${meta.name}' decoded ${out.length} bytes, " +
+        s"expected ${chunkBytes(meta)} (corrupt chunk or wrong metadata)")
+    out
+  }
 
   /** zstd frame decode over a slice, via the zstd-jni library Spark
-    * itself ships. Trusts the frame's content size when present (a
-    * numcodecs Zstd writer records it), else sizes for a full padded
-    * chunk and truncates to what the frame actually held.
+    * itself ships. A self-declared frame content size is BOUNDED by the
+    * chunk's maximum before allocating (never trusted raw); frames
+    * without one size for the cap and truncate to what the frame held.
     */
   private def zstdDecompress(src: Array[Byte], off: Int, len: Int,
-                             fallbackSize: Int): Array[Byte] = {
+                             maxBytes: Int): Array[Byte] = {
     val slice =
       if (off == 0 && len == src.length) src
       else java.util.Arrays.copyOfRange(src, off, off + len)
     val framed = com.github.luben.zstd.Zstd.getFrameContentSize(slice)
-    val cap = if (framed > 0 && framed <= Int.MaxValue) framed.toInt
-              else fallbackSize
+    require(framed <= maxBytes,
+      s"zarr: zstd frame declares $framed bytes (chunk cap is $maxBytes)")
+    val cap = if (framed > 0) framed.toInt else maxBytes
     val dst = new Array[Byte](cap)
     val n = com.github.luben.zstd.Zstd.decompress(dst, slice)
     if (n == cap.toLong) dst else java.util.Arrays.copyOf(dst, n.toInt)
@@ -412,14 +483,13 @@ private[zarr] object ZarrMeta {
       val block =
         if (csize == ubs) java.util.Arrays.copyOfRange(src, off + 4, off + 4 + ubs)
         else codec match {
+          case 0 => blosclzDecompress(src, off + 4, csize, ubs)
           case 1 => lz4Decompress(src, off + 4, csize, ubs)
           case 2 => org.xerial.snappy.Snappy.uncompress(
             java.util.Arrays.copyOfRange(src, off + 4, off + 4 + csize))
           case 3 => inflate(
             java.util.Arrays.copyOfRange(src, off + 4, off + 4 + csize), ubs)
           case 4 => zstdDecompress(src, off + 4, csize, ubs)
-          case 0 => throw new IllegalArgumentException(
-            s"zarr: blosc inner codec blosclz not supported (array '${meta.name}')")
           case c => throw new IllegalArgumentException(
             s"zarr: blosc inner codec id $c not supported (array '${meta.name}')")
         }
@@ -485,6 +555,75 @@ private[zarr] object ZarrMeta {
     dst
   }
 
+  /** blosclz block decode — c-blosc's own default inner codec (format
+    * code 0), a FastLZ-level-2-derived LZ77 format (public source:
+    * c-blosc `blosclz.c`, the format numcodecs/python-blosc ship):
+    *
+    *  - the FIRST byte's low 5 bits are always a literal-run token;
+    *  - token < 32: literal run of `token + 1` bytes (1..32) copied
+    *    from the input;
+    *  - token ≥ 32: a match. Length code `token >>> 5` (1..7) gives
+    *    `code + 2` bytes; code 7 adds 255-terminated extension bytes.
+    *    Distance = `((token & 31) << 8) + nextByte + 1` (1..8192); when
+    *    that next byte is 255 AND the high bits were all-ones (31), a
+    *    16-bit BIG-endian far offset follows and distance =
+    *    `offset16 + 8192` (the MAX_DISTANCE rebase). Matches may
+    *    overlap (distance 1 = RLE) — copied byte-wise;
+    *  - after each token, one byte of input (if any remains) is the
+    *    next token.
+    *
+    * Safe bounds like [[lz4Decompress]]: every read is checked against
+    * the block slice, every write against `dstLen` — malformed input
+    * raises, never reads the next block's bytes or writes past the
+    * chunk.
+    */
+  private[zarr] def blosclzDecompress(src: Array[Byte], srcOff: Int,
+                                      srcLen: Int, dstLen: Int): Array[Byte] = {
+    val dst = new Array[Byte](dstLen)
+    var s = srcOff
+    val end = srcOff + srcLen
+    var d = 0
+    def eof(what: String): Nothing =
+      throw new java.io.EOFException(s"zarr: malformed blosclz $what")
+    def next(): Int = { if (s >= end) eof("truncated"); val b = src(s) & 0xff; s += 1; b }
+    if (srcLen <= 0) {
+      if (dstLen == 0) return dst else eof("empty input")
+    }
+    var ctrl = next() & 31 // the first token is forced literal
+    var more = true
+    while (more) {
+      if (ctrl >= 32) {
+        var len = (ctrl >>> 5) - 1
+        if (len == 6) { // length code 7: 255-terminated extensions
+          var b = 0
+          do { b = next(); len += b } while (b == 255)
+        }
+        val code = next()
+        len += 3
+        var distance = ((ctrl & 31) << 8) + code + 1
+        if (code == 255 && (ctrl & 31) == 31) {
+          // far match: 16-bit big-endian offset rebased past 8191
+          val hi = next(); val lo = next()
+          distance = ((hi << 8) | lo) + 8192
+        }
+        var m = d - distance
+        if (m < 0) eof("match reaches before the output start")
+        if (d + len > dstLen) eof("match overruns the block")
+        var k = 0
+        while (k < len) { dst(d) = dst(m); d += 1; m += 1; k += 1 }
+      } else {
+        val run = ctrl + 1
+        if (s + run > end) eof("literal run")
+        if (d + run > dstLen) eof("literal run overruns the block")
+        System.arraycopy(src, s, dst, d, run); s += run; d += run
+      }
+      if (s < end) ctrl = next() else more = false
+    }
+    if (d != dstLen) throw new java.io.EOFException(
+      s"zarr: blosclz block decoded $d of $dstLen bytes")
+    dst
+  }
+
   /** Byte unshuffle (typesize stride) over the shuffled prefix; the
     * sub-typesize tail is stored unshuffled (c-blosc leftover rule).
     */
@@ -522,19 +661,28 @@ private[zarr] object ZarrMeta {
       case "i8" => while (i < n) { out(i) = bb.getLong(i * 8).toDouble; i += 1 }
       case "i4" => while (i < n) { out(i) = bb.getInt(i * 4).toDouble; i += 1 }
       case "i2" => while (i < n) { out(i) = bb.getShort(i * 2).toDouble; i += 1 }
+      case "i1" => while (i < n) { out(i) = bytes(i).toDouble; i += 1 }
       case "u1" => while (i < n) { out(i) = (bytes(i) & 0xff).toDouble; i += 1 }
+      case "u2" => while (i < n) { out(i) = (bb.getShort(i * 2) & 0xffff).toDouble; i += 1 }
+      case "u4" => while (i < n) { out(i) = (bb.getInt(i * 4) & 0xffffffffL).toDouble; i += 1 }
+      case "b1" => while (i < n) { out(i) = if (bytes(i) != 0) 1.0 else 0.0; i += 1 }
       case other => throw new IllegalArgumentException(s"zarr: dtype $other")
     }
     out
   }
 
-  /** Fixed-width string chunk decode: |S<n> is n ASCII/latin bytes per
+  /** String chunk decode. Fixed-width: |S<n> is n ASCII/latin bytes per
     * element, <U<n> is n UTF-32-LE code points (numpy's on-disk unicode);
-    * both are right-padded with NULs, which xarray trims — trim the same.
-    * An all-padding element decodes to "" (empty string, NOT null — a
-    * null only comes from a missing chunk with no fill).
+    * both are right-padded with NULs, which xarray trims — trim the same,
+    * TRAILING only (an embedded NUL is data: numpy keeps 'a b' in a
+    * <U3 intact, so a first-NUL terminator would silently drop the
+    * tail). Variable-length (|O + vlen-utf8) chunks route to
+    * [[vlenStringsOf]]. An all-padding element decodes to "" (empty
+    * string, NOT null — a null only comes from a missing chunk with no
+    * fill).
     */
   def stringsOf(meta: ArrayMeta, bytes: Array[Byte]): Array[String] = {
+    if (meta.isVlen) return vlenStringsOf(meta, bytes)
     val w = meta.typeSize
     val n = bytes.length / w
     val out = new Array[String](n)
@@ -545,13 +693,13 @@ private[zarr] object ZarrMeta {
         if (isU) {
           val bb = ByteBuffer.wrap(bytes, i * w, w)
             .order(ByteOrder.LITTLE_ENDIAN)
-          val sb = new java.lang.StringBuilder(w / 4)
+          val cps = w / 4
+          var last = cps // code points kept: up to the last non-NUL
+          while (last > 0 && bb.getInt(i * w + 4 * (last - 1)) == 0) last -= 1
+          val sb = new java.lang.StringBuilder(last)
           var k = 0
-          var done = false
-          while (k < w / 4 && !done) {
-            val cp = bb.getInt(i * w + 4 * k)
-            if (cp == 0) done = true // NUL padding terminates
-            else sb.appendCodePoint(cp)
+          while (k < last) {
+            sb.appendCodePoint(bb.getInt(i * w + 4 * k))
             k += 1
           }
           sb.toString
@@ -560,6 +708,40 @@ private[zarr] object ZarrMeta {
           while (end > i * w && bytes(end - 1) == 0) end -= 1
           new String(bytes, i * w, end - i * w, StandardCharsets.UTF_8)
         }
+      i += 1
+    }
+    out
+  }
+
+  /** numcodecs VLenUTF8 chunk decode (public format, numcodecs
+    * `vlen.pyx`): a u4-LE item count, then each item as a u4-LE byte
+    * length + UTF-8 payload. numcodecs always encodes the FULL padded
+    * chunk buffer, so the item count must equal the chunk length —
+    * anything else (or any length running past the buffer) is corrupt
+    * and fails with the array name.
+    */
+  def vlenStringsOf(meta: ArrayMeta, bytes: Array[Byte]): Array[String] = {
+    if (bytes.length < 4) throw new java.io.EOFException(
+      s"zarr: vlen-utf8 chunk on '${meta.name}' shorter than its item-count header")
+    def u4(off: Int): Int = ByteBuffer.wrap(bytes, off, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt()
+    val n = u4(0)
+    require(n == meta.chunk,
+      s"zarr: vlen-utf8 chunk on '${meta.name}' holds $n items, expected " +
+        s"${meta.chunk} (the padded chunk length)")
+    val out = new Array[String](n)
+    var off = 4
+    var i = 0
+    while (i < n) {
+      if (off + 4 > bytes.length) throw new java.io.EOFException(
+        s"zarr: vlen-utf8 chunk on '${meta.name}' truncated at item $i")
+      val len = u4(off)
+      if (len < 0 || off + 4 + len > bytes.length)
+        throw new java.io.EOFException(
+          s"zarr: vlen-utf8 item $i on '${meta.name}' declares $len bytes " +
+            s"past the chunk end")
+      out(i) = new String(bytes, off + 4, len, StandardCharsets.UTF_8)
+      off += 4 + len
       i += 1
     }
     out
@@ -575,7 +757,11 @@ private[zarr] object ZarrMeta {
       case "i8" => while (i < n) { out(i) = bb.getLong(i * 8); i += 1 }
       case "i4" => while (i < n) { out(i) = bb.getInt(i * 4).toLong; i += 1 }
       case "i2" => while (i < n) { out(i) = bb.getShort(i * 2).toLong; i += 1 }
+      case "i1" => while (i < n) { out(i) = bytes(i).toLong; i += 1 }
       case "u1" => while (i < n) { out(i) = (bytes(i) & 0xff).toLong; i += 1 }
+      case "u2" => while (i < n) { out(i) = (bb.getShort(i * 2) & 0xffff).toLong; i += 1 }
+      case "u4" => while (i < n) { out(i) = bb.getInt(i * 4) & 0xffffffffL; i += 1 }
+      case "b1" => while (i < n) { out(i) = if (bytes(i) != 0) 1L else 0L; i += 1 }
       case "f8" => while (i < n) { out(i) = math.round(bb.getDouble(i * 8)); i += 1 }
       case "f4" => while (i < n) { out(i) = math.round(bb.getFloat(i * 4).toDouble); i += 1 }
       case other => throw new IllegalArgumentException(s"zarr: dtype $other")

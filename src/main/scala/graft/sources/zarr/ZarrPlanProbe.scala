@@ -6,16 +6,21 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
 
 /** Measured evidence for the source's planning-scale story (the scaladoc
-  * claims it; this probe measures it): at a MANY-chunK store, the default
+  * claims it; this probe measures it): at a MANY-chunK store, the
   * exact per-chunk min/max pruning is O(nChunks) driver-side chunk reads,
-  * while `sortedCoord` is O(log nChunks) — the difference between a
-  * planning pass that reads 65k coordinate chunk files and one that reads
-  * ~2·log2(65k) ≈ 32. Builds a synthetic store (int64 CF-seconds
-  * coordinate, ascending, `chunk` rows per chunk file, raw codec), then
-  * times `planInputPartitions()` for a narrow span in three modes:
-  * no-filter (partition enumeration only), exact full-scan prune, and
-  * sortedCoord binary search. The two pruning modes must keep the SAME
-  * chunk range (the sorted path may keep ≤ 1 extra boundary chunk).
+  * while the sorted binary search is O(log nChunks) — the difference
+  * between a planning pass that reads 65k coordinate chunk files and one
+  * that reads ~2·log2(65k) ≈ 32. Builds a synthetic store (int64
+  * CF-seconds coordinate, ascending, `chunk` rows per chunk file, raw
+  * codec), then times `planInputPartitions()` for a narrow span in four
+  * modes: no-filter (partition enumeration only), forced-exact prune
+  * (`sortedCoord=false`), forced binary search (`sortedCoord=true`), and
+  * the DEFAULT `Auto` with no option set — which must land in
+  * binary-search territory on this (sorted) store, the round-14 item:
+  * an unadorned 1M-chunk read no longer pays the full planning pass.
+  * The pruning modes must keep the SAME chunk range (the sorted path
+  * may keep ≤ 1 extra boundary chunk). An UNSORTED store is probed
+  * last: Auto must fall back to the exact pass and keep the exact set.
   *
   * Usage: runMain graft.sources.zarr.ZarrPlanProbe [nChunks]
   */
@@ -53,26 +58,68 @@ object ZarrPlanProbe {
     // a narrow span in the middle: rows [n/2, n/2 + 1000)
     val lo = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(n / 2))
     val hi = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(n / 2 + 999))
-    def plan(sorted: Boolean, filtered: Boolean, label: String): Long = {
-      val sb = new ZarrScanBuilder(dir, "time", metas, sortedCoord = sorted)
-      if (filtered)
-        sb.pushFilters(Array(GreaterThanOrEqual("time", lo),
-          LessThanOrEqual("time", hi)))
+    def planAt(d: String, ms: Seq[ZarrMeta.ArrayMeta], mode: SortedMode,
+               span: Option[(java.sql.Timestamp, java.sql.Timestamp)],
+               label: String): Long = {
+      val sb = new ZarrScanBuilder(d, "time", ms, sorted = mode)
+      span.foreach { case (l, h) =>
+        sb.pushFilters(Array(GreaterThanOrEqual("time", l),
+          LessThanOrEqual("time", h)))
+      }
       val t = System.nanoTime()
       val kept = sb.build().toBatch.planInputPartitions().length
-      val ms = (System.nanoTime() - t) / 1e6
-      println(f"ZARRPLAN $label%-22s kept=$kept%7d  plan=${ms}%10.1f ms")
+      val dur = (System.nanoTime() - t) / 1e6
+      println(f"ZARRPLAN $label%-22s kept=$kept%7d  plan=${dur}%10.1f ms")
       kept
     }
-    plan(sorted = false, filtered = false, "enumerate(no filter)")
+    def plan(mode: SortedMode, filtered: Boolean, label: String): Long =
+      planAt(dir, metas, mode, if (filtered) Some((lo, hi)) else None, label)
+    plan(SortedMode.Exact, filtered = false, "enumerate(no filter)")
     // min-of-2 each: the second run has warm fs caches, like a driver
     // that just wrote/loaded the store
-    val e1 = (1 to 2).map(_ => plan(sorted = false, filtered = true,
+    val e1 = (1 to 2).map(_ => plan(SortedMode.Exact, filtered = true,
       "exact full-scan prune")).last
-    val s1 = (1 to 2).map(_ => plan(sorted = true, filtered = true,
+    val s1 = (1 to 2).map(_ => plan(SortedMode.Forced, filtered = true,
       "sortedCoord search")).last
+    val a1 = (1 to 2).map(_ => plan(SortedMode.Auto, filtered = true,
+      "auto (default)")).last
     require(math.abs(e1 - s1) <= 2,
       s"pruning modes disagree: exact=$e1 sorted=$s1")
+    require(a1 == s1,
+      s"auto did not take the sorted path on a sorted store: auto=$a1 sorted=$s1")
     println("ZARRPLAN modes agree on the kept chunk range")
+
+    // an UNSORTED store (first and last chunks internally sorted would
+    // be the adversarial case — here even the first chunk is descending,
+    // the common shape): Auto must fall back to the exact per-chunk pass
+    val udir = Files.createTempDirectory("graft_zarr_plan_unsorted").toString
+    Files.createDirectories(Paths.get(udir, "time"))
+    val un = 64L * chunk
+    for (c2 <- 0 until 64) {
+      val bb = ByteBuffer.allocate(chunk * 8).order(ByteOrder.LITTLE_ENDIAN)
+      var k = 0
+      // descending within and across chunks
+      while (k < chunk) { bb.putLong(un - (c2.toLong * chunk + k) - 1); k += 1 }
+      Files.write(Paths.get(udir, "time", c2.toString), bb.array())
+    }
+    Files.write(Paths.get(udir, ".zmetadata"),
+      s"""{"metadata": {
+        "time/.zarray": {"shape": [$un], "chunks": [$chunk], "dtype": "<i8",
+          "compressor": null, "fill_value": 0, "order": "C",
+          "filters": null, "zarr_format": 2},
+        "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+          "units": "seconds since 1970-01-01"}},
+        "zarr_consolidated_format": 1}""".getBytes("UTF-8"))
+    val umetas = ZarrMeta.parseConsolidated(new String(
+      Files.readAllBytes(Paths.get(udir, ".zmetadata")), "UTF-8")).values.toSeq
+    // a narrow span INSIDE the unsorted store's [0, un) value range
+    val uspan = Some((
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(un / 2)),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(un / 2 + 31))))
+    val ue = planAt(udir, umetas, SortedMode.Exact, uspan, "unsorted: exact")
+    val ua = planAt(udir, umetas, SortedMode.Auto, uspan, "unsorted: auto")
+    require(ua == ue,
+      s"auto mis-pruned an unsorted store: auto=$ua exact=$ue")
+    println("ZARRPLAN auto fell back to the exact pass on the unsorted store")
   }
 }

@@ -65,12 +65,20 @@ class ZarrSourceSpec extends SparkSpec {
     val full = new ZarrScanBuilder(store, "time", ZarrFixture.metas(store))
       .build().toBatch.planInputPartitions().length
     full shouldBe 10 // ceil(950/100)
+    // rows 600.. → chunks 6..9 intersect. The default (Auto) qualifies
+    // this sorted store for the binary search, whose strict lower floor
+    // keeps ONE safe boundary chunk extra (chunk 5 could end at the
+    // bound under duplicates); forced-exact pruning keeps exactly 4
     val sb = new ZarrScanBuilder(store, "time", ZarrFixture.metas(store))
-    // rows 600.. → chunks 6..9 survive
     sb.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual(
       "time", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(600 * 60)))))
     val pruned = sb.build().toBatch.planInputPartitions().length
-    pruned shouldBe 4
+    pruned shouldBe 5
+    val sbE = new ZarrScanBuilder(store, "time", ZarrFixture.metas(store),
+      sorted = SortedMode.Exact)
+    sbE.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual(
+      "time", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(600 * 60)))))
+    sbE.build().toBatch.planInputPartitions().length shouldBe 4
     // and the end-to-end filtered frame is row-identical to filtering
     // the full scan (the exact predicate stays in the plan)
     // times span 0 .. 949*60 s; 10:00:00 = row 600, chunk boundary
@@ -88,7 +96,7 @@ class ZarrSourceSpec extends SparkSpec {
   test("sortedCoord binary-search pruning matches the exact full-scan pruning") {
     def partsFor(sorted: Boolean, lo: Long, hi: Long): Seq[Long] = {
       val sb = new ZarrScanBuilder(store, "time", ZarrFixture.metas(store),
-        sortedCoord = sorted)
+        sorted = if (sorted) SortedMode.Forced else SortedMode.Exact)
       sb.pushFilters(Array(
         org.apache.spark.sql.sources.GreaterThanOrEqual("time",
           java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(lo))),
@@ -131,7 +139,7 @@ class ZarrSourceSpec extends SparkSpec {
     // keep chunk 0 (its last rows equal the bound)
     val dir = ZarrFixture.writeDupBoundary()
     val sb = new ZarrScanBuilder(dir, "time", ZarrFixture.metas(dir),
-      sortedCoord = true)
+      sorted = SortedMode.Forced)
     sb.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual(
       "time", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(10)))))
     val kept = sb.build().toBatch.planInputPartitions().toSeq
@@ -551,17 +559,319 @@ class ZarrSourceSpec extends SparkSpec {
 
   test("unsupported inner codecs fail loudly, never return wrong bytes") {
     val meta = ZarrFixture.metas(store).find(_.name == "temp").get
-    // a blosc frame claiming blosclz (codec 0), non-memcpy; all-zero
-    // payload so the deflated block is genuinely SMALLER than raw
-    // (csize != ubs → the reader must take the codec path)
+    // a blosc frame claiming codec id 5 (out of the c-blosc format
+    // range), non-memcpy; all-zero payload so the deflated block is
+    // genuinely SMALLER than raw (csize != ubs → the codec path)
     val frame = ZarrFixture.bloscFrame(
-      new Array[Byte](32), typesize = 4, codecId = 0,
+      new Array[Byte](32), typesize = 4, codecId = 5,
       shuffle = false, blocksize = 32, forceStored = false,
       deflateBlocks = true)
     val e = intercept[IllegalArgumentException] {
-      ZarrMeta.decodeChunk(meta.copy(name = "x"), frame)
+      ZarrMeta.decodeChunk(meta.copy(name = "x", shape = 8, chunk = 8), frame)
     }
-    e.getMessage should include("blosclz")
+    e.getMessage should include("codec id 5")
+  }
+
+  // ---- round-14: blosclz, vlen-utf8, widened dtypes, auto pruning ---------
+
+  test("blosclz: handcrafted token streams decode per the c-blosc format") {
+    // literal-only: one token (run length − 1), then the bytes
+    val lit = Array[Byte](4, 'h', 'e', 'l', 'l', 'o')
+    new String(ZarrMeta.blosclzDecompress(lit, 0, lit.length, 5)) shouldBe "hello"
+    // RLE via a distance-1 match: 1 literal 'x', then copy 60 from d−1.
+    // Length code 7 (0xE0) → len = 6 + ext + 3; ext = 51 → 60; code
+    // byte 0 → distance (0<<8)+0+1 = 1
+    val rle = Array[Byte](0, 'x', 0xE0.toByte, 51, 0)
+    new String(ZarrMeta.blosclzDecompress(rle, 0, rle.length, 61)) shouldBe "x" * 61
+    // short match: 4 literals "ABCD", then ctrl 0x40 (length code 2 →
+    // copy (2−1)+3 = 4), code 3 → distance 4 → "ABCDABCD"
+    val m = Array[Byte](3, 'A', 'B', 'C', 'D', 0x40, 3)
+    new String(ZarrMeta.blosclzDecompress(m, 0, m.length, 8)) shouldBe "ABCDABCD"
+    // 255-terminated length extension: ext bytes [255, 0] → len =
+    // 6 + 255 + 0 + 3 = 264
+    val ext = Array[Byte](0, 'y', 0xE0.toByte, 0xFF.toByte, 0, 0)
+    new String(ZarrMeta.blosclzDecompress(ext, 0, ext.length, 265)) shouldBe "y" * 265
+  }
+
+  test("blosclz: far match (16-bit offset past 8191) reaches back exactly") {
+    // 8193 literal bytes, then a far match: ctrl 0x7F (length code 3,
+    // distance-high 31), code byte 255 triggers the far path, then the
+    // BIG-endian offset [0, 1] → distance 1 + 8192 = 8193, copy 5 bytes
+    // from the stream start
+    val payload = Array.tabulate[Byte](8193)(i => (i % 251).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < payload.length) {
+      val run = math.min(32, payload.length - off)
+      bos.write(run - 1)
+      bos.write(payload, off, run)
+      off += run
+    }
+    bos.write(0x7F); bos.write(0xFF); bos.write(0); bos.write(1)
+    val src = bos.toByteArray
+    val out = ZarrMeta.blosclzDecompress(src, 0, src.length, 8198)
+    out.take(8193).toSeq shouldBe payload.toSeq
+    out.slice(8193, 8198).toSeq shouldBe payload.take(5).toSeq
+  }
+
+  test("blosclz: blosc frames with blosclz blocks round-trip through decodeChunk") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def meta(n: Int): ZarrMeta.ArrayMeta = ZarrMeta.parseArray("x",
+      mapper.readTree(s"""{"shape": [$n], "chunks": [$n], "dtype": "<u1",
+        "compressor": {"id": "blosc", "cname": "blosclz"}, "fill_value": 0,
+        "order": "C"}"""),
+      mapper.readTree("{}")).get
+    val rnd = new scala.util.Random(99)
+    for (i <- 0 until 40) {
+      val n = 1 + rnd.nextInt(2000)
+      val payload = new Array[Byte](n)
+      if (i % 3 == 0) rnd.nextBytes(payload)
+      else {
+        // runs the test-side compressor turns into RLE matches
+        var p = 0
+        while (p < n) {
+          val run = math.min(1 + rnd.nextInt(200), n - p)
+          java.util.Arrays.fill(payload, p, p + run, rnd.nextInt(5).toByte)
+          p += run
+        }
+      }
+      val typesize = Seq(1, 2, 4, 8)(rnd.nextInt(4))
+      val blocksize = math.max(typesize, 1 + rnd.nextInt(n + 64))
+      val frame = ZarrFixture.bloscFrame(payload, typesize, codecId = 0,
+        shuffle = rnd.nextBoolean(), blocksize = blocksize,
+        blockCompress = ZarrFixture.blosclzBytes)
+      withClue(s"case $i (n=$n, typesize=$typesize, blocksize=$blocksize): ") {
+        ZarrMeta.decodeChunk(meta(n), frame).toSeq shouldBe payload.toSeq
+      }
+    }
+  }
+
+  test("blosclz: malformed streams raise, never hang or write out of bounds") {
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 0 until 300) {
+      val n = 1 + rnd.nextInt(64)
+      val junk = new Array[Byte](n)
+      rnd.nextBytes(junk)
+      val dstLen = rnd.nextInt(256)
+      try {
+        val out = ZarrMeta.blosclzDecompress(junk, 0, n, dstLen)
+        out.length shouldBe dstLen // only a full decode may return
+      } catch {
+        case _: java.io.EOFException => // the contract: loud, typed
+      }
+    }
+    // truncated mid-match and a match before the output start
+    intercept[java.io.EOFException] {
+      ZarrMeta.blosclzDecompress(Array[Byte](0, 'x', 0x40), 0, 3, 10)
+    }
+    intercept[java.io.EOFException] {
+      // distance 5 with only 1 byte written
+      ZarrMeta.blosclzDecompress(Array[Byte](0, 'x', 0x40, 4), 0, 4, 10)
+    }
+  }
+
+  test("vlen-utf8 (object dtype) stores decode as StringType columns") {
+    val dir = ZarrFixture.writeVlen()
+    val df = spark.read.format("zarr").load(dir)
+    df.schema("note").dataType shouldBe org.apache.spark.sql.types.StringType
+    val rows = df.orderBy("time").collect()
+    rows.length shouldBe 6
+    val idx = rows(0).fieldIndex("note")
+    // variable lengths, non-ASCII, empties — decoded exactly
+    rows.take(4).map(_.getString(idx)).toSeq shouldBe
+      Seq("hello", "", "héllo wörld", "日本語テキスト")
+    // chunk 1 is MISSING with fill "na" → a fill run, not nulls
+    rows(4).getString(idx) shouldBe "na"
+    rows(5).getString(idx) shouldBe "na"
+    df.filter(col("note") === "hello").count() shouldBe 1
+  }
+
+  test("vlen-utf8: corrupt chunks fail loudly (count, truncation, runaway length)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = ZarrMeta.parseArray("x",
+      mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "|O",
+        "compressor": null, "fill_value": null, "order": "C",
+        "filters": [{"id": "vlen-utf8"}]}"""),
+      mapper.readTree("{}")).get
+    meta.isVlen shouldBe true
+    // wrong item count
+    val wrongN = ZarrFixture.vlenUtf8(Array("a", "b")) // 2 items, chunk is 4
+    val e1 = intercept[IllegalArgumentException] {
+      ZarrMeta.stringsOf(meta, wrongN)
+    }
+    e1.getMessage should include("2 items")
+    // an item length running past the buffer
+    val runaway = ZarrFixture.vlenUtf8(Array("a", "b", "c", "d"))
+    runaway(5) = 0x7F // item 0's length beyond the chunk end
+    intercept[java.io.EOFException] { ZarrMeta.stringsOf(meta, runaway) }
+    // truncated header
+    intercept[java.io.EOFException] {
+      ZarrMeta.stringsOf(meta, Array[Byte](1, 0))
+    }
+  }
+
+  test("object dtype without vlen-utf8 (and other filters) stays rejected") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // |O with null filters: bytes have no defined layout
+    val e1 = intercept[IllegalArgumentException] {
+      ZarrMeta.parseArray("x",
+        mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "|O",
+          "compressor": null, "fill_value": null, "order": "C",
+          "filters": null}"""),
+        mapper.readTree("{}"))
+    }
+    e1.getMessage should include("object dtype")
+    // vlen-utf8 on a non-object dtype: numcodecs never writes this
+    val e2 = intercept[IllegalArgumentException] {
+      ZarrMeta.parseArray("x",
+        mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "<f8",
+          "compressor": null, "fill_value": 0, "order": "C",
+          "filters": [{"id": "vlen-utf8"}]}"""),
+        mapper.readTree("{}"))
+    }
+    e2.getMessage should include("vlen-utf8")
+    // a CHAIN containing vlen-utf8 plus another filter is still a chain
+    val e3 = intercept[IllegalArgumentException] {
+      ZarrMeta.parseArray("x",
+        mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "|O",
+          "compressor": null, "fill_value": null, "order": "C",
+          "filters": [{"id": "vlen-utf8"}, {"id": "delta"}]}"""),
+        mapper.readTree("{}"))
+    }
+    e3.getMessage should include("filters")
+  }
+
+  test("widened dtypes: |b1, |i1, <u2, <u4 decode with exact values and types") {
+    val dir = ZarrFixture.writeWideDtypes()
+    val df = spark.read.format("zarr").load(dir)
+    import org.apache.spark.sql.types._
+    df.schema("ok").dataType shouldBe BooleanType
+    df.schema("delta").dataType shouldBe ByteType
+    df.schema("count16").dataType shouldBe IntegerType // u2 widened
+    df.schema("count32").dataType shouldBe LongType    // u4 widened
+    val rows = df.orderBy("time").collect()
+    rows.length shouldBe 6
+    def at[T](r: Int, c: String): T =
+      rows(r).getAs[T](rows(r).fieldIndex(c))
+    // bool: any nonzero byte is true (numpy writes 0/1)
+    (0 until 6).map(i => at[Boolean](i, "ok")) shouldBe
+      Seq(true, false, true, false, true, false)
+    // i1 is SIGNED
+    at[Byte](0, "delta") shouldBe (-5).toByte
+    at[Byte](5, "delta") shouldBe 120.toByte
+    // u2 values past Short.MaxValue survive the widening
+    at[Int](0, "count16") shouldBe 65535
+    at[Int](1, "count16") shouldBe 0
+    // u4 values past Int.MaxValue survive
+    at[Long](0, "count32") shouldBe 4000000000L
+    // `ok_fill` chunk 1 is MISSING with a JSON-boolean fill (false) →
+    // a false run for rows 4..5
+    (0 until 6).map(i => at[Boolean](i, "ok_fill")) shouldBe
+      Seq(true, true, false, false, false, false)
+    // the SQL surface consumes them natively
+    df.filter(col("ok") && col("count32") > 2000000000L).count() should be >= 1L
+  }
+
+  test("<U strings keep EMBEDDED NULs, trimming trailing padding only (xarray parity)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = ZarrMeta.parseArray("x",
+      mapper.readTree("""{"shape": [3], "chunks": [3], "dtype": "<U3",
+        "compressor": null, "fill_value": "", "order": "C",
+        "filters": null}"""),
+      mapper.readTree("{}")).get
+    val bb = ByteBuffer.allocate(3 * 12).order(ByteOrder.LITTLE_ENDIAN)
+    // "a b" (embedded NUL is DATA), "ab " (trailing pad), "   "
+    Seq('a'.toInt, 0, 'b'.toInt, 'a'.toInt, 'b'.toInt, 0, 0, 0, 0).foreach(bb.putInt)
+    val out = ZarrMeta.stringsOf(meta, bb.array())
+    out(0) shouldBe "a b" // numpy keeps it; first-NUL would drop 'b'
+    out(1) shouldBe "ab"
+    out(2) shouldBe ""
+  }
+
+  test("|S fill_value padded to the dtype width is NUL-trimmed like elements") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // base64 of "LIGHT " — a writer padding the fill to |S6
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      Array[Byte]('L', 'I', 'G', 'H', 'T', 0))
+    val meta = ZarrMeta.parseArray("x",
+      mapper.readTree(s"""{"shape": [4], "chunks": [4], "dtype": "|S6",
+        "compressor": null, "fill_value": "$b64", "order": "C",
+        "filters": null}"""),
+      mapper.readTree("{}")).get
+    meta.fillString shouldBe Some("LIGHT") // equal to written "LIGHT" rows
+  }
+
+  test("zstd frames declaring more than the chunk size are rejected before allocating") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = ZarrMeta.parseArray("x",
+      mapper.readTree("""{"shape": [100], "chunks": [100], "dtype": "<u1",
+        "compressor": {"id": "zstd"}, "fill_value": 0, "order": "C",
+        "filters": null}"""),
+      mapper.readTree("{}")).get
+    // a real frame whose declared content (2000 B) exceeds the 100-B chunk
+    val big = ZarrFixture.zstdBytes(new Array[Byte](2000))
+    val e = intercept[IllegalArgumentException] {
+      ZarrMeta.decodeChunk(meta, big)
+    }
+    e.getMessage should include("cap")
+  }
+
+  test("corrupt chunks decoding to the wrong fixed size fail with the array name") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = ZarrMeta.parseArray("readings",
+      mapper.readTree("""{"shape": [8], "chunks": [8], "dtype": "<f8",
+        "compressor": {"id": "zlib"}, "fill_value": 0, "order": "C",
+        "filters": null}"""),
+      mapper.readTree("{}")).get
+    // inflates to 9 bytes; the chunk needs 64
+    val e = intercept[IllegalArgumentException] {
+      ZarrMeta.decodeChunk(meta, ZarrFixture.deflateBytes(
+        Array.tabulate[Byte](9)(_.toByte)))
+    }
+    e.getMessage should include("readings")
+    e.getMessage should include("expected 64")
+  }
+
+  test("auto pruning: sorted stores binary-search by default, unsorted fall back exactly") {
+    def kept(d: String, mode: SortedMode,
+             loSec: Long, hiSec: Long): Seq[Long] = {
+      val sb = new ZarrScanBuilder(d, "time", ZarrFixture.metas(d), sorted = mode)
+      sb.pushFilters(Array(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("time",
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(loSec))),
+        org.apache.spark.sql.sources.LessThanOrEqual("time",
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(hiSec)))))
+      sb.build().toBatch.planInputPartitions().toSeq
+        .map(_.asInstanceOf[ZarrInputPartition].chunk)
+    }
+    // the main fixture store is time-sorted: Auto == Forced on a narrow span
+    kept(store, SortedMode.Auto, 130 * 60, 180 * 60) shouldBe
+      kept(store, SortedMode.Forced, 130 * 60, 180 * 60)
+    // a DESCENDING store: the 2-read probe fails → exact per-chunk pruning
+    val desc = ZarrFixture.writeDescending()
+    val span = (20L, 27L)
+    kept(desc, SortedMode.Auto, span._1, span._2) shouldBe
+      kept(desc, SortedMode.Exact, span._1, span._2)
+    kept(desc, SortedMode.Auto, span._1, span._2) should not be empty
+    // end-to-end with NO option set (the default): row-identical to the
+    // forced-exact read
+    def rows(opts: Map[String, String]): Seq[String] = {
+      val r = opts.foldLeft(spark.read.format("zarr")) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      r.load(desc)
+        .filter(col("time") >= lit("1970-01-01 00:00:20").cast("timestamp") &&
+          col("time") <= lit("1970-01-01 00:00:27").cast("timestamp"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    rows(Map.empty) shouldBe rows(Map("sortedCoord" -> "false"))
+    rows(Map.empty).size shouldBe 8
+    // a store sorted at its first/last chunks but DISORDERED inside: the
+    // search's per-probe verification catches the probed chunk and falls
+    // back — same kept set as exact
+    val interior = ZarrFixture.writeInteriorDisorder()
+    kept(interior, SortedMode.Auto, 5, 9) shouldBe
+      kept(interior, SortedMode.Exact, 5, 9)
   }
 }
 
@@ -984,6 +1294,203 @@ object ZarrFixture {
         "compressor": null, "fill_value": "na", "order": "C",
         "filters": null, "zarr_format": 2},
       "tag/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
+    dir
+  }
+
+  /** numcodecs VLenUTF8 encode (u4-LE item count, then per item u4-LE
+    * byte length + UTF-8 payload) — the fixture side of the vlen decode.
+    */
+  def vlenUtf8(items: Array[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u4le(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    u4le(items.length)
+    items.foreach { s =>
+      val b = s.getBytes("UTF-8"); u4le(b.length); bos.write(b, 0, b.length)
+    }
+    bos.toByteArray
+  }
+
+  /** A naive but VALID blosclz stream (literal runs + distance-1 RLE
+    * matches with length extensions) for round-tripping the decoder —
+    * no blosclz compressor exists in the container, so the fixture
+    * writes the format directly like the lz4/blosc frame writers above.
+    */
+  def blosclzBytes(src: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def literals(from: Int, n: Int): Unit = {
+      var o = from; var r = n
+      while (r > 0) {
+        val k = math.min(32, r)
+        bos.write(k - 1); bos.write(src, o, k); o += k; r -= k
+      }
+    }
+    def rleMatch(len: Int): Unit = { // distance 1, len ≥ 3
+      if (len <= 8) { bos.write(((len - 2) << 5) | 0); bos.write(0) }
+      else {
+        bos.write((7 << 5) | 0)
+        var rem = len - 9
+        while (rem >= 255) { bos.write(255); rem -= 255 }
+        bos.write(rem)
+        bos.write(0)
+      }
+    }
+    var i = 0
+    while (i < src.length) {
+      var j = i + 1
+      while (j < src.length && src(j) == src(i)) j += 1
+      val run = j - i
+      if (run >= 4) { literals(i, 1); rleMatch(run - 1) }
+      else literals(i, run)
+      i = j
+    }
+    bos.toByteArray
+  }
+
+  /** 6 rows / chunk 4: an object-dtype (|O + vlen-utf8) `note` column
+    * behind zlib — xarray's default str encoding — with chunk 1 MISSING
+    * and fill "na".
+    */
+  def writeVlen(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_vlen").toString
+    def put(arr: String, chunk: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, arr))
+      Files.write(Paths.get(dir, arr, chunk.toString), bytes)
+    }
+    for (c <- 0 until 2)
+      put("time", c, leL(Array.tabulate(4)(k => (c * 4 + k).toLong)))
+    put("note", 0, deflate(vlenUtf8(Array(
+      "hello", "", "héllo wörld", "日本語テキスト"))))
+    // note chunk 1 intentionally missing → fill run "na"
+    val meta = s"""{"metadata": {
+      "time/.zarray": {"shape": [6], "chunks": [4], "dtype": "<i8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "seconds since 1970-01-01"},
+      "note/.zarray": {"shape": [6], "chunks": [4], "dtype": "|O",
+        "compressor": {"id": "zlib", "level": 1}, "fill_value": "na",
+        "order": "C", "filters": [{"id": "vlen-utf8"}], "zarr_format": 2},
+      "note/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
+    dir
+  }
+
+  /** 6 rows / chunk 4 with the round-14 widened dtypes: |b1 bools (one
+    * fully written, one with a missing chunk + JSON-boolean fill),
+    * signed |i1, and unsigned <u2 / <u4 values past the signed halves'
+    * ranges.
+    */
+  def writeWideDtypes(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_wide").toString
+    def put(arr: String, chunk: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, arr))
+      Files.write(Paths.get(dir, arr, chunk.toString), bytes)
+    }
+    for (c <- 0 until 2)
+      put("time", c, leL(Array.tabulate(4)(k => (c * 4 + k).toLong)))
+    val ok = Array[Byte](1, 0, 1, 0, 1, 0)
+    val okf = Array[Byte](1, 1, 0, 0) // chunk 0 only; chunk 1 missing
+    val delta = Array[Byte](-5, -1, 0, 1, 64, 120)
+    val c16 = Array(65535, 0, 1, 32768, 40000, 7)
+    val c32 = Array(4000000000L, 0L, 1L, 2147483648L, 3000000000L, 9L)
+    for (c <- 0 until 2) {
+      def slice[T: scala.reflect.ClassTag](a: Array[T], pad: T): Array[T] =
+        Array.tabulate(4)(k => if (c * 4 + k < 6) a(c * 4 + k) else pad)
+      put("ok", c, slice(ok, 0.toByte))
+      put("delta", c, slice(delta, 0.toByte))
+      val bb16 = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      slice(c16, 0).foreach(v => bb16.putShort((v & 0xffff).toShort))
+      put("count16", c, bb16.array())
+      val bb32 = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      slice(c32, 0L).foreach(v => bb32.putInt((v & 0xffffffffL).toInt))
+      put("count32", c, bb32.array())
+    }
+    put("ok_fill", 0, okf)
+    val meta = s"""{"metadata": {
+      "time/.zarray": {"shape": [6], "chunks": [4], "dtype": "<i8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "seconds since 1970-01-01"},
+      "ok/.zarray": {"shape": [6], "chunks": [4], "dtype": "|b1",
+        "compressor": null, "fill_value": false, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "ok/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "ok_fill/.zarray": {"shape": [6], "chunks": [4], "dtype": "|b1",
+        "compressor": null, "fill_value": false, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "ok_fill/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "delta/.zarray": {"shape": [6], "chunks": [4], "dtype": "|i1",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "delta/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "count16/.zarray": {"shape": [6], "chunks": [4], "dtype": "<u2",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "count16/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "count32/.zarray": {"shape": [6], "chunks": [4], "dtype": "<u4",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "count32/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
+    dir
+  }
+
+  /** 32 rows / chunk 4, coordinate DESCENDING (31..0 seconds) — the
+    * auto-probe must reject it and fall back to exact pruning.
+    */
+  def writeDescending(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_desc").toString
+    def put(arr: String, chunk: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, arr))
+      Files.write(Paths.get(dir, arr, chunk.toString), bytes)
+    }
+    for (c <- 0 until 8) {
+      put("time", c, leL(Array.tabulate(4)(k => (31 - (c * 4 + k)).toLong)))
+      put("v", c, le(Array.tabulate(4)(k => (c * 4 + k) * 0.5)))
+    }
+    val meta = s"""{"metadata": {
+      "time/.zarray": {"shape": [32], "chunks": [4], "dtype": "<i8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "seconds since 1970-01-01"},
+      "v/.zarray": {"shape": [32], "chunks": [4], "dtype": "<f8",
+        "compressor": null, "fill_value": "NaN", "order": "C",
+        "filters": null, "zarr_format": 2},
+      "v/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
+    dir
+  }
+
+  /** 16 rows / chunk 4: first and last chunks sorted and ordered against
+    * each other, but chunk 1 internally DISORDERED — only the binary
+    * search's per-probe verification can see it.
+    */
+  def writeInteriorDisorder(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_interior").toString
+    def put(arr: String, chunk: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, arr))
+      Files.write(Paths.get(dir, arr, chunk.toString), bytes)
+    }
+    val times = Array(0L, 1, 2, 3, /*chunk1*/ 7, 5, 6, 8,
+      /*chunk2*/ 9, 10, 11, 12, /*chunk3*/ 13, 14, 15, 16)
+    for (c <- 0 until 4)
+      put("time", c, leL(Array.tabulate(4)(k => times(c * 4 + k))))
+    val meta = s"""{"metadata": {
+      "time/.zarray": {"shape": [16], "chunks": [4], "dtype": "<i8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "seconds since 1970-01-01"}},
       "zarr_consolidated_format": 1}"""
     Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
     dir
