@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ApproxTopItems, CosineSimilarity, DuckRound, Fingerprint40, GopherStatsExpr, LangId, LinearScore, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, RebuildTrimmed, RepetitionStats, ShingleHashes, SimHash40, SortedJaccard, StopwordRatio, TopKByScore, WindowPairs, WordNgrams}
+import graft.functions.expressions.{ApproxTopItems, CharClassRatio, CosineSimilarity, DuckRound, Fingerprint40, GopherStatsExpr, LangId, LinearScore, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, RebuildTrimmed, RepetitionStats, ShingleHashes, SimHash40, SortedJaccard, StopwordRatio, TopKByScore, WindowPairs, WordNgrams}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -139,6 +139,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "stopword_ratio(text, stopwords) takes two arguments")
         StopwordRatio(children.head,
           constStopwords(children(1), "stopword_ratio stopwords"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_class_ratio"),
+      new ExpressionInfo(classOf[CharClassRatio].getName, "char_class_ratio"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "char_class_ratio(text, class) takes two arguments")
+        val cls = constArg(children(1), "char_class_ratio class") match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"char_class_ratio class must be a string constant, got $other")
+        }
+        CharClassRatio(children.head, cls)
       }))
     ext.injectFunction((
       FunctionIdentifier("quality_score"),

@@ -70,12 +70,55 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Ratio of characters in `text` matching regex `charClass` (e.g.
-    * "[.,!?;:]"); 0 for empty text.
+    * "[.,!?;:]"); 0 for empty text; null text → null.
+    *
+    * Classes inside [[CharClassSpec]]'s supported subset route to the
+    * native `char_class_ratio` expression — ONE code-point pass, no
+    * replaced-string build — when the extensions are installed; anything
+    * else keeps the regexp_replace spelling (identical values: both
+    * divide the same two exact integer counts once). The regex
+    * double-`length` spelling was q139's per-row cost at 10× — two full
+    * regex replaces + result strings per document (round-14 receipts in
+    * PLANS.md).
     */
-  def charRatio(text: Column, charClass: String): Column =
+  def charRatio(text: Column, charClass: String,
+                spark: SparkSession = null): Column =
+    if (CharClassSpec.parse(charClass).isDefined &&
+        routeNative(spark, "char_class_ratio"))
+      call_function("char_class_ratio", text, lit(charClass))
+    else charRatioRegex(text, charClass)
+
+  /** The regexp_replace formulation of [[charRatio]] — the fallback for
+    * classes outside the compiled subset and the spec's equivalence
+    * anchor.
+    */
+  private[functions] def charRatioRegex(text: Column, charClass: String): Column =
     when(length(text) === 0, 0.0).otherwise(
       (length(text) - length(regexp_replace(text, charClass, ""))).cast("double") /
         length(text))
+
+  /** [[charRatio]]'s per-row kernel over a non-null UTF8String — the
+    * native `char_class_ratio` expression's entry point. One code-point
+    * scan; the ratio divides the SAME two exact integers the regex
+    * spelling divides (matching count = length − length(after-removal)),
+    * so the doubles are bit-identical.
+    */
+  def charClassRatioData(text: org.apache.spark.unsafe.types.UTF8String,
+                         spec: CharClassSpec): Double = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return 0.0
+    var i = 0
+    var total = 0
+    var hits = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      total += 1
+      if (spec.matchesCp(cp)) hits += 1
+      i += Character.charCount(cp)
+    }
+    hits.toDouble / total
+  }
 
   /** Mean token length (0 for blank). */
   def meanTokenLength(text: Column): Column = {

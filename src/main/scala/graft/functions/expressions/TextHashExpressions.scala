@@ -80,6 +80,39 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `char_class_ratio(text, class)` — fraction of code points matching a
+  * (construction-constant) compiled character class; null text → null,
+  * empty → 0.0. Value-identical to the `regexp_replace` double-`length`
+  * spelling of [[graft.functions.TextFunctions.charRatio]] — both divide
+  * the same two exact integer counts once — at one code-point scan per
+  * row instead of a regex replace + result-string build (the
+  * quality-signal hot path, round-14).
+  */
+case class CharClassRatio(child: Expression, cls: String)
+    extends UnaryExpression {
+  private lazy val spec: graft.functions.CharClassSpec =
+    graft.functions.CharClassSpec.parse(cls).getOrElse(
+      throw new IllegalArgumentException(
+        s"char_class_ratio: unsupported character class '$cls'"))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_class_ratio expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_class_ratio"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextFunctions.charClassRatioData(
+      input.asInstanceOf[UTF8String], spec)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val specRef = ctx.addReferenceObj("spec", spec,
+      classOf[graft.functions.CharClassSpec].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextFunctions.charClassRatioData($c, $specRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `stopword_ratio(text, stopwords)` — fraction of whitespace tokens in
   * the (construction-constant) stopword set; null text → null, blank →
   * 0.0, exactly the kernel UDF's contract.

@@ -692,8 +692,8 @@ object Curation {
     * that tells you which curation signals are redundant (|r| → 1) before
     * you weight them. Input columns must be 6-dp-ROUNDED signals in
     * roughly [0, 1]; each is snapped to an exact ×10⁶ integer grid, so
-    * every power sum is an EXACT integer (decimal accumulators — no
-    * float-sum order ambiguity), and the textbook
+    * every power sum is an EXACT integer (no float-sum order ambiguity),
+    * and the textbook
     * `(nΣxy − ΣxΣy)/√(nΣx²−(Σx)²)√(nΣy²−(Σy)²)` runs ONCE on the exact
     * sums cast to double, spelled identically on both engines. Returns
     * one row per unordered pair: (sig_x, sig_y, n, r); zero-variance
@@ -703,7 +703,18 @@ object Curation {
     *
     * Scale shape: ONE map-side-combined aggregate over the corpus
     * computing all k + k·(k+1) sums in a single pass; the pair fan-out
-    * explodes a literal array on the 1-row result.
+    * explodes a literal array on the 1-row result. The square/product
+    * sums are SPLIT-LONG exact (round-14): each per-row product
+    * `p = (p >> 23)·2²³ + (p & (2²³−1))` — the floor shift + non-negative
+    * mask identity holds for negative p too — and the two halves
+    * accumulate in plain LONG hash-agg slots (whole-stage codegen, no
+    * per-row Decimal allocation — the previous decimal accumulators were
+    * the aggregate's cost), recombined into a decimal on the ONE result
+    * row. Exactness domain: snapped |signal·10⁶| < 2²³ (signals to ±8.3)
+    * keeps every half-sum below 2²³·n — exact past 10¹² rows; larger
+    * values or counts overflow a LONG half-sum and raise under ANSI
+    * (loud, never silently wrong), exactly like the previous decimal
+    * spelling's precision ceiling.
     */
   def signalCorrelation(docs: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two signal columns")
@@ -713,24 +724,32 @@ object Curation {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
+    val B = 23
+    val mask = (1L << B) - 1
+    def halves(e: Column, tag: String): Seq[Column] = Seq(
+      sum(shiftright(e, B)).as(s"hi_$tag"),
+      sum(e.bitwiseAND(lit(mask))).as(s"lo_$tag"))
     val aggExprs: Seq[Column] =
       (count(lit(1)).as("n") +:
-        cols.flatMap(c => Seq(
-          sum(col(s"__$c").cast("decimal(20,0)")).as(s"s_$c"),
-          sum((col(s"__$c") * col(s"__$c")).cast("decimal(20,0)"))
-            .as(s"ss_$c")))) ++
-        pairs.map { case (a, b) =>
-          sum((col(s"__$a") * col(s"__$b")).cast("decimal(20,0)"))
-            .as(s"sp_${a}_$b")
+        cols.flatMap(c => Seq(sum(col(s"__$c")).as(s"s_$c")) ++
+          halves(col(s"__$c") * col(s"__$c"), s"ss_$c"))) ++
+        pairs.flatMap { case (a, b) =>
+          halves(col(s"__$a") * col(s"__$b"), s"sp_${a}_$b")
         }
     val one = scaled.agg(aggExprs.head, aggExprs.tail: _*)
+    // recombine the split halves exactly on the single result row:
+    // 2²³·hi + lo as decimal (the halves are exact longs; the decimal
+    // product/sum is exact integers well inside 38 digits)
+    def joined(tag: String): Column =
+      (col(s"hi_$tag").cast("decimal(38,0)") * lit(1L << B) +
+        col(s"lo_$tag").cast("decimal(38,0)")).cast("double")
     val nd = col("n").cast("double")
     val rows = pairs.map { case (a, b) =>
       val sx = col(s"s_$a").cast("double")
       val sy = col(s"s_$b").cast("double")
-      val vx = nd * col(s"ss_$a").cast("double") - sx * sx
-      val vy = nd * col(s"ss_$b").cast("double") - sy * sy
-      val sxy = col(s"sp_${a}_$b").cast("double")
+      val vx = nd * joined(s"ss_$a") - sx * sx
+      val vy = nd * joined(s"ss_$b") - sy * sy
+      val sxy = joined(s"sp_${a}_$b")
       struct(lit(a).as("sig_x"), lit(b).as("sig_y"), col("n").as("n"),
         when(vx <= 0 || vy <= 0, lit(null).cast("double"))
           .otherwise(round((nd * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)), 6))

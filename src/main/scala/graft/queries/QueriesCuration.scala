@@ -126,9 +126,9 @@ object QueriesCuration {
       val sig = t.select(
         round(least(length(col("text")).cast("double") / 500.0, lit(1.0)), 6)
           .as("len_score"),
-        round(TextFunctions.charRatio(col("text"), "[^A-Za-z0-9\\s]"), 6)
+        round(TextFunctions.charRatio(col("text"), "[^A-Za-z0-9\\s]", s), 6)
           .as("punct_ratio"),
-        round(TextFunctions.charRatio(col("text"), "[0-9]"), 6)
+        round(TextFunctions.charRatio(col("text"), "[0-9]", s), 6)
           .as("digit_ratio"),
         round(TextFunctions.stopwordRatio(col("text"), enStop, s), 6)
           .as("stop_ratio"))

@@ -36,8 +36,8 @@ object QueriesDocs {
     "q23_char_ratios" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        round(TextFunctions.charRatio(col("text"), "[0-9]"), 6).as("digit_ratio"),
-        round(TextFunctions.charRatio(col("text"), "[.,!?;:]"), 6).as("punct_ratio"))),
+        round(TextFunctions.charRatio(col("text"), "[0-9]", s), 6).as("digit_ratio"),
+        round(TextFunctions.charRatio(col("text"), "[.,!?;:]", s), 6).as("punct_ratio"))),
 
     // Rolling-hash document fingerprint (modular, engine-portable)
     "q24_fingerprint" -> ((s, d) =>

@@ -25,6 +25,63 @@ class TextFunctionsSpec extends SparkSpec {
     r(2) shouldBe 0.0
   }
 
+  test("CharClassSpec matches Java regex on every BMP code point (+ astral samples)") {
+    // every class the engine ships plus grammar-edge synthetics —
+    // exhaustive over the BMP (surrogates excluded: not code points),
+    // sampled over astral planes
+    val classes = Seq("[^A-Za-z0-9\\s]", "[0-9]", "[.,!?;:]", "[.]",
+      "[\\d]", "[\\w]", "[a-fA-F0-9]", "[-abc]", "[abc-]", "[^\\w\\s]",
+      "[\\n\\t]", "[é∑日]", "[à-ÿ]")
+    for (cls <- classes) {
+      val spec = CharClassSpec.parse(cls).getOrElse(
+        fail(s"parser rejected supported class $cls"))
+      val p = java.util.regex.Pattern.compile(cls)
+      val astral = Seq(0x10000, 0x1F600, 0x2070E, 0x10FFFF)
+      val cps = (0 until 0xD800) ++ (0xE000 to 0xFFFF) ++ astral
+      for (cp <- cps) {
+        val s = new String(Character.toChars(cp))
+        withClue(f"$cls cp=U+$cp%04X: ") {
+          spec.matchesCp(cp) shouldBe p.matcher(s).matches()
+        }
+      }
+    }
+    // outside the subset → None (the caller keeps the regex engine)
+    for (bad <- Seq("[a-z&&[^f]]", "[[:alpha:]]", "[\\S]", "[\\p{L}]",
+      "[a-b-c]", "abc", "[]", "[\\x41]", "[\\s-z]"))
+      withClue(s"$bad: ") { CharClassSpec.parse(bad) shouldBe None }
+  }
+
+  test("native char_class_ratio is bit-identical to the regexp_replace spelling") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abzAZ09 .,!?;:\t\n√é∑日😀-_&^]["
+    val texts = Seq("", " ", "a", "....", "æøå 123", "a b",
+      new String(Character.toChars(0x1F600)) * 3) ++
+      (0 until 60).map(_ => Seq.fill(1 + rnd.nextInt(80))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = texts.toDF("t")
+    for (cls <- Seq("[^A-Za-z0-9\\s]", "[0-9]", "[.,!?;:]", "[é∑日]")) {
+      val both = df.select(
+        TextFunctions.charRatio(col("t"), cls, spark).as("native"),
+        TextFunctions.charRatioRegex(col("t"), cls).as("regex")).collect()
+      // the plan must actually use the native expression, not fall back
+      df.select(TextFunctions.charRatio(col("t"), cls, spark))
+        .queryExecution.analyzed.toString should include("char_class_ratio")
+      both.zip(texts).foreach { case (r, t) =>
+        withClue(s"$cls on '$t': ") {
+          // bit-identical, not approximately equal — the oracle hashes
+          java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+            java.lang.Double.doubleToLongBits(r.getDouble(1))
+        }
+      }
+    }
+    // null text → null on both spellings
+    val nulls = Seq[String](null).toDF("t")
+      .select(TextFunctions.charRatio(col("t"), "[0-9]", spark).as("n"),
+        TextFunctions.charRatioRegex(col("t"), "[0-9]").as("r")).collect()
+    nulls(0).isNullAt(0) shouldBe true
+    nulls(0).isNullAt(1) shouldBe true
+  }
+
   test("stopwordRatio is case-insensitive fraction of stopword tokens") {
     val df = Seq("The cat and THE dog").toDF("t")
     val r = df.select(TextFunctions.stopwordRatio(col("t"), Seq("the", "and")))

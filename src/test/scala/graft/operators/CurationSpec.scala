@@ -798,6 +798,42 @@ class CurationSpec extends SparkSpec {
     out.size shouldBe 6
   }
 
+  test("signalCorrelation: split-long power sums match a BigDecimal reference exactly") {
+    // values whose ×10⁶ squares exceed 2³¹ (hi half nonzero) and
+    // NEGATIVE values (the arithmetic-shift + mask identity must hold
+    // below zero) — r recomputed from exact BigDecimal power sums with
+    // the same formula and rounding
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 500).map { _ =>
+      (BigDecimal(rnd.nextDouble() * 16 - 8)
+         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+       BigDecimal(rnd.nextDouble() * 4 - 2)
+         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val out = Curation.signalCorrelation(data.toDF("x", "y"), Seq("x", "y"))
+      .as[(String, String, Long, Option[Double])].collect()
+    out.length shouldBe 1
+    val got = out(0)._4.get
+    // exact integer reference
+    val xs = data.map(d => BigDecimal(d._1 * 1e6).setScale(0,
+      BigDecimal.RoundingMode.HALF_UP).toLongExact)
+    val ys = data.map(d => BigDecimal(d._2 * 1e6).setScale(0,
+      BigDecimal.RoundingMode.HALF_UP).toLongExact)
+    val n = BigDecimal(xs.length)
+    def bsum(vs: Seq[BigDecimal]) = vs.foldLeft(BigDecimal(0))(_ + _)
+    val sx = bsum(xs.map(BigDecimal(_))); val sy = bsum(ys.map(BigDecimal(_)))
+    val ssx = bsum(xs.map(v => BigDecimal(v) * BigDecimal(v)))
+    val ssy = bsum(ys.map(v => BigDecimal(v) * BigDecimal(v)))
+    val sxy = bsum(xs.zip(ys).map { case (a, b) => BigDecimal(a) * BigDecimal(b) })
+    val nd = n.toDouble
+    val vx = nd * ssx.toDouble - sx.toDouble * sx.toDouble
+    val vy = nd * ssy.toDouble - sy.toDouble * sy.toDouble
+    val expected = BigDecimal((nd * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(vx) * math.sqrt(vy)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got shouldBe expected
+  }
+
   test("centroidDrift: hand-computed cosine; zero centroid yields null") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
       .toDF("doc_id", "source")
