@@ -1115,15 +1115,25 @@ object Curation {
     * row; zero-token documents get n_tokens 0 and null logratio.
     *
     * Scale shape: two map-side-combined token counts (target is small by
-    * assumption, raw shuffles 8-byte-hashable tokens), a full-outer vocab
-    * merge, then ONE keyed join of exploded corpus tokens against the
-    * weight table — co-partitioned on token, no broadcast of anything
-    * corpus-sized. The three scalars (token totals + vocab size) are a
-    * bounded driver collect.
+    * assumption, raw shuffles 8-byte-hashable tokens) and a full-outer
+    * vocab merge build the weight table; scoring then routes on the
+    * vocab size the totals action already computed. At or under
+    * `maxBroadcastVocab` entries the (token → weight) map collects to the
+    * driver (bounded by the gate count — same discipline as
+    * [[ingestGate]]) and scoring is a MAP-ONLY pass over the corpus: no
+    * explode, no shuffle of the token stream, no per-token join — the
+    * hot-token skew of a token-keyed join (every "the" on one partition)
+    * never materializes. Over the gate, scoring falls back to the keyed
+    * join of exploded corpus tokens against the weight table —
+    * co-partitioned on token, nothing corpus-sized on the driver. Both
+    * routes fold each document's weights in byte-order of the token
+    * (code-point order == UTF-8 binary order, Spark's `sort_array`
+    * collation), so they emit bit-identical rows (spec-pinned).
     */
   def importanceWeights(corpus: DataFrame, target: DataFrame,
                         idCol: String, textCol: String,
-                        alpha: Double = 0.5): DataFrame = {
+                        alpha: Double = 0.5,
+                        maxBroadcastVocab: Long = 2000000L): DataFrame = {
     def toks(df: DataFrame) =
       df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
     val tCnt = toks(target).groupBy(col("tok")).agg(count(lit(1)).as("ct"))
@@ -1141,23 +1151,87 @@ object Curation {
     val weights = vocab.select(col("tok"),
       (log((col("ct") + alpha) / lit(nT + alpha * v)) -
         log((col("cr") + alpha) / lit(nR + alpha * v))).as("w"))
-    val scored = corpus
-      .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
-      .join(weights, Seq("tok"))
-      .groupBy(col(idCol))
-      // order-exact mean: fold the doc's (tok, w) list sorted by token —
-      // w is a function of tok, so ties fold identically — then divide by
-      // the count, so partial-aggregate merge order can never wobble the
+    if (v <= maxBroadcastVocab && v < Int.MaxValue.toLong) {
+      // map-only route: the totals action above already proved the vocab
+      // fits the gate, so collect the weight map directly (CollectGuard:
+      // bounded by maxBroadcastVocab). Every corpus token is in the map
+      // by construction (the vocab is a full outer over the corpus
+      // counts), so a miss is a logic error — the null unboxing below
+      // fails the task rather than scoring with a silent default.
+      val spark = corpus.sparkSession
+      val wMap = new java.util.HashMap[String, java.lang.Double](v.toInt * 2)
+      weights.collect().foreach(r => wMap.put(r.getString(0), r.getDouble(1)))
+      val bc = spark.sparkContext.broadcast(wMap)
+      // per-doc exact fold: token instances added in code-point order of
+      // the token (== sort_array's UTF8 binary order on the join route),
+      // equal tokens consecutively — bit-identical to the sorted
+      // collect_list fold, so partial-merge order can never wobble the
       // 6-dp hash gate (the bm25TopK/tokenEntropy convention)
-      .agg(count(lit(1)).as("n_tokens"),
-        round(
-          aggregate(sort_array(collect_list(struct(col("tok"), col("w")))),
-            lit(0.0), (acc, e) => acc + e.getField("w")) / count(lit(1)),
-          6).as("logratio"))
-    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        col("logratio"))
+      val sumUdf = udf { ts: Seq[String] =>
+        if (ts == null || ts.isEmpty) 0.0
+        else {
+          val m = new java.util.TreeMap[String, java.lang.Integer](codePointOrder)
+          ts.foreach { t =>
+            val prev = m.get(t)
+            m.put(t, if (prev == null) 1 else prev.intValue() + 1)
+          }
+          var s = 0.0
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val w: Double = bc.value.get(e.getKey)
+            var k = e.getValue.intValue()
+            while (k > 0) { s += w; k -= 1 }
+          }
+          s
+        }
+      }
+      corpus
+        .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("__t"))
+        .select(col(idCol),
+          coalesce(size(col("__t")), lit(0)).cast("long").as("n_tokens"),
+          sumUdf(col("__t")).as("__s"))
+        .select(col(idCol), greatest(col("n_tokens"), lit(0L)).as("n_tokens"),
+          when(col("n_tokens") > 0,
+            round(col("__s") / col("n_tokens"), 6)).as("logratio"))
+    } else {
+      val scored = corpus
+        .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+        .join(weights, Seq("tok"))
+        .groupBy(col(idCol))
+        // order-exact mean: fold the doc's (tok, w) list sorted by token —
+        // w is a function of tok, so ties fold identically
+        .agg(count(lit(1)).as("n_tokens"),
+          round(
+            aggregate(sort_array(collect_list(struct(col("tok"), col("w")))),
+              lit(0.0), (acc, e) => acc + e.getField("w")) / count(lit(1)),
+            6).as("logratio"))
+      corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          col("logratio"))
+    }
   }
+
+  /** Code-point comparator for strings — the order `sort_array` applies
+    * to UTF8String (unsigned UTF-8 byte comparison == code-point order),
+    * which differs from Java's char-wise `compareTo` for supplementary
+    * characters (surrogates sort before U+E000..U+FFFF in UTF-16).
+    */
+  private[graft] val codePointOrder: java.util.Comparator[String] =
+    new java.util.Comparator[String] with Serializable {
+      override def compare(a: String, b: String): Int = {
+        var i = 0
+        var j = 0
+        while (i < a.length && j < b.length) {
+          val ca = a.codePointAt(i)
+          val cb = b.codePointAt(j)
+          if (ca != cb) return Integer.compare(ca, cb)
+          i += Character.charCount(ca)
+          j += Character.charCount(cb)
+        }
+        Integer.compare(a.length - i, b.length - j)
+      }
+    }
 
   /** CCNet-style LM quality scoring with a bigram model: per-document
     * cross-entropy `-mean ln p(tok_i | tok_{i-1})` under an add-`alpha`

@@ -583,7 +583,7 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
 
   private def decode1D(m: ZarrMeta.ArrayMeta): Col = {
       val bytes = ZarrReader.readChunkBytes(conf, path, m, chunk)
-      val integral = m.dtypeStr.stripPrefix("<").stripPrefix("|").head != 'f'
+      val integral = m.dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|").head != 'f'
       if (m.isString) bytes match {
         // fixed-width |S/<U strings (SUNA frame_type etc.): NUL padding
         // trimmed like xarray; a missing chunk is the string fill run,
@@ -634,7 +634,7 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
     * v1 house rule).
     */
   private def decode2D(m: ZarrMeta.ArrayMeta): Col = {
-    val integral = m.dtypeStr.stripPrefix("<").stripPrefix("|").head != 'f'
+    val integral = m.dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|").head != 'f'
     val w = m.extraShape.toInt
     val cw = m.extraChunk
     val ncc = m.nExtraChunks.toInt

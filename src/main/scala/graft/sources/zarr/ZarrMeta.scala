@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   * array and CF-convention time decoding on the record coordinate.
   *
   * Deliberate contract (documented, fail-fast everywhere else):
-  * little-endian numeric dtypes (<f8 <f4 <i8 <i4 <i2 |i1 |u1 <u2 <u4 —
-  * unsigned widened to the next signed Spark type, u8 rejected), |b1
-  * bool, fixed-width strings (|S<n>, <U<n>), object strings (|O + a
+  * numeric dtypes f8 f4 i8 i4 i2 i1 u1 u2 u4 in either byte order
+  * ('<'/'>' — unsigned widened to the next signed Spark type, u8
+  * rejected), |b1 bool, fixed-width strings (|S<n>, <U<n>/>U<n>),
+  * object strings (|O + a
   * sole numcodecs vlen-utf8 filter — xarray's default str encoding); C
   * order, 1-D/2-D arrays over the record dim; codecs: none / zlib /
   * gzip / zstd / lz4 (numcodecs: int32-LE size prefix + LZ4 block) /
@@ -65,12 +66,13 @@ private[zarr] object ZarrMeta {
       */
     def isVlen: Boolean = dtypeStr == "|O"
     /** dtype kind char (f i u b S U) and width field of "<f8" / "|S6" /
-      * "<U4". Big-endian ('>') is NOT stripped: parseArray rejects it at
-      * load, and a directly-constructed meta must fail here too — the
-      * whole decode layer is little-endian.
+      * "<U4" / ">i4". Endianness is carried separately ([[byteOrder]]):
+      * every multi-byte decode wraps its buffer in the meta's order, so
+      * '>' dtypes (NetCDF-converted and Fortran-lineage stores) decode
+      * exactly like their '<' twins.
       */
     private def kindWidth: (Char, Int) = {
-      val body = dtypeStr.stripPrefix("<").stripPrefix("|")
+      val body = dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|")
       val kind = body.head
       val w = body.tail
       require("fiubSU".contains(kind) && w.nonEmpty && w.forall(_.isDigit),
@@ -79,6 +81,14 @@ private[zarr] object ZarrMeta {
     }
     def isString: Boolean =
       isVlen || { val (k, _) = kindWidth; k == 'S' || k == 'U' }
+    /** On-disk byte order of multi-byte elements. numpy spells it in the
+      * dtype's first char: '<' little, '>' big, '|' not-applicable
+      * (single-byte and |S). Zarr v2 stores raw numpy bytes, so this is
+      * the ONLY thing that differs between '<f8' and '>f8' chunks.
+      */
+    def byteOrder: ByteOrder =
+      if (dtypeStr.startsWith(">")) ByteOrder.BIG_ENDIAN
+      else ByteOrder.LITTLE_ENDIAN
     /** Bytes per element on disk: numeric width; |S<n> is n bytes;
       * <U<n> is UTF-32-LE, 4 bytes per code point. Variable-length
       * (`|O`) elements have no fixed size — callers branch on [[isVlen]]
@@ -116,7 +126,8 @@ private[zarr] object ZarrMeta {
         case ('S', _) | ('U', _) => StringType
         case _ => throw new IllegalArgumentException(
           s"zarr: unsupported dtype '$dtypeStr' for array '$name' " +
-            "(v1 contract: little-endian numeric, bool, or string arrays)")
+            "(v1 contract: numeric, bool, or string arrays — u8 has no " +
+            "lossless Spark home)")
       }
     def sparkType: DataType =
       if (is2D) ArrayType(scalarType, containsNull = false)
@@ -163,13 +174,9 @@ private[zarr] object ZarrMeta {
     val order = za.path("order").asText("C")
     require(order == "C",
       s"zarr: array '$name' has order '$order' (v1 contract: C)")
-    // big-endian dtypes fail HERE, at load, with a clear message — the
-    // decode layer is little-endian throughout, and letting '>f8' reach
-    // it would surface as an obscure scan-time error (or, for '>U',
-    // byte-swapped code points — silent wrong bytes)
-    require(!za.path("dtype").asText("").startsWith(">"),
-      s"zarr: array '$name' has big-endian dtype " +
-        s"'${za.path("dtype").asText("")}' (v1 contract: little-endian)")
+    // big-endian dtypes ('>f8', '>i4', '>U6' — NetCDF-converted and
+    // Fortran-lineage stores) are accepted: ArrayMeta.byteOrder carries
+    // the order and every multi-byte decode wraps its buffer in it
     // filter chains (delta, quantize, ...) transform the bytes BEFORE
     // the compressor: ignoring one would decode wrong values silently —
     // the one failure mode this source never allows. The single
@@ -216,7 +223,7 @@ private[zarr] object ZarrMeta {
     }
     val dtype = za.path("dtype").asText()
     val isStr = dtype == "|O" || {
-      val body = dtype.stripPrefix("<").stripPrefix("|")
+      val body = dtype.stripPrefix("<").stripPrefix(">").stripPrefix("|")
       body.nonEmpty && (body.head == 'S' || body.head == 'U')
     }
     if (isStr && shape.size() == 2) return None // 2-D strings: no column form
@@ -651,11 +658,11 @@ private[zarr] object ZarrMeta {
     * would not, but CF time goes through [[longsOf]] instead).
     */
   def doublesOf(meta: ArrayMeta, bytes: Array[Byte]): Array[Double] = {
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.wrap(bytes).order(meta.byteOrder)
     val n = bytes.length / meta.typeSize
     val out = new Array[Double](n)
     var i = 0
-    meta.dtypeStr.stripPrefix("<").stripPrefix("|") match {
+    meta.dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|") match {
       case "f8" => while (i < n) { out(i) = bb.getDouble(i * 8); i += 1 }
       case "f4" => while (i < n) { out(i) = bb.getFloat(i * 4).toDouble; i += 1 }
       case "i8" => while (i < n) { out(i) = bb.getLong(i * 8).toDouble; i += 1 }
@@ -692,7 +699,7 @@ private[zarr] object ZarrMeta {
       out(i) =
         if (isU) {
           val bb = ByteBuffer.wrap(bytes, i * w, w)
-            .order(ByteOrder.LITTLE_ENDIAN)
+            .order(meta.byteOrder) // <U is UTF-32-LE, >U UTF-32-BE
           val cps = w / 4
           var last = cps // code points kept: up to the last non-NUL
           while (last > 0 && bb.getInt(i * w + 4 * (last - 1)) == 0) last -= 1
@@ -749,11 +756,11 @@ private[zarr] object ZarrMeta {
 
   /** Integral view (exact for i8 CF-time values). */
   def longsOf(meta: ArrayMeta, bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.wrap(bytes).order(meta.byteOrder)
     val n = bytes.length / meta.typeSize
     val out = new Array[Long](n)
     var i = 0
-    meta.dtypeStr.stripPrefix("<").stripPrefix("|") match {
+    meta.dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|") match {
       case "i8" => while (i < n) { out(i) = bb.getLong(i * 8); i += 1 }
       case "i4" => while (i < n) { out(i) = bb.getInt(i * 4).toLong; i += 1 }
       case "i2" => while (i < n) { out(i) = bb.getShort(i * 2).toLong; i += 1 }

@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   *    (forced with `minBloomItems = 0`: the grown seen side sits under
   *    the default small-side floor) vs plain co-partitioned anti-join
   *    (forced with `maxBloomItems = 0`)
+  *  - `Curation.importanceWeights` — broadcast-map scoring vs the
+  *    keyed-join fallback (gated on the vocabulary count)
   *
   * Usage: runMain graft.tools.RoutingFlipProbe [grownDir]
   * Prints one JSON line; every `*_match` must be true.
@@ -124,6 +126,18 @@ object RoutingFlipProbe {
     val (winP, winPlainS) = timed(fingerprint(Dedup.incrementalDedup(
       synBatch, synSeen, "doc_id", "text", maxBloomItems = 0L)))
 
+    // 6. importanceWeights: broadcast-map scoring (vocab under the gate)
+    //    vs the keyed-join fallback (gate at 0) — both fold each doc's
+    //    weights in code-point token order, so rows must be IDENTICAL
+    import graft.operators.Curation
+    val iwTarget = docs.filter(col("doc_id") % 97 === 0)
+    val iwCorpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val (iwB, iwMapS) = timed(fingerprint(Curation.importanceWeights(
+      iwCorpus, iwTarget, "doc_id", "text",
+      maxBroadcastVocab = Long.MaxValue)))
+    val (iwJ, iwJoinS) = timed(fingerprint(Curation.importanceWeights(
+      iwCorpus, iwTarget, "doc_id", "text", maxBroadcastVocab = 0L)))
+
     def j(m: (Long, Long)) = s"""{"rows":${m._1},"xh":${m._2}}"""
     println(
       s"""{"dir":"$dir","edges":$nEdges,""" +
@@ -132,9 +146,10 @@ object RoutingFlipProbe {
       s""""bpe_match":${bpeD == bpeX},"bpe_merges":${bpeD.length},""" +
       s""""inc_match":${incB == incP},"inc_bloom":${j(incB)},"inc_plain":${j(incP)},""" +
       s""""win_match":${winB == winP},"win_bloom":${j(winB)},"win_plain":${j(winP)},""" +
+      s""""iw_match":${iwB == iwJ},"iw_map":${j(iwB)},"iw_join":${j(iwJ)},""" +
       f""""secs":{"cc":[$ccDriverS%.2f,$ccDistS%.2f],"pr":[$prDriverS%.2f,$prDistS%.2f],""" +
       f""""bpe":[$bpeDriverS%.2f,$bpeDistS%.2f],"inc":[$incBloomS%.2f,$incPlainS%.2f],""" +
-      f""""win":[$winBloomS%.2f,$winPlainS%.2f]}}""")
+      f""""win":[$winBloomS%.2f,$winPlainS%.2f],"iw":[$iwMapS%.2f,$iwJoinS%.2f]}}""")
     spark.stop()
   }
 }

@@ -47,8 +47,9 @@ class CollectGuardSpec extends AnyFunSuite with Matchers {
       "distinct (depth_lo, depth_hi) climatology brackets: config-table-size by contract"),
     "graft/operators/Bpe.scala" -> (2,
       "size-gated driver/distributed routing: collects only under the gate's ceiling"),
-    "graft/operators/Curation.scala" -> (2,
-      "benchmarkGramSet: overflow-proof limit(max+1)+require; ingestMixture bench grams: count-gated broadcast"),
+    "graft/operators/Curation.scala" -> (3,
+      "benchmarkGramSet: overflow-proof limit(max+1)+require; ingestMixture bench grams: count-gated broadcast; " +
+        "importanceWeights vocab map: count-gated (maxBroadcastVocab) with a keyed-join fallback"),
     "graft/operators/Dedup.scala" -> (1,
       "connectedComponents driver union-find: count-gated, large graphs route to pointer-jumping"),
     "graft/operators/GapFill.scala" -> (1,

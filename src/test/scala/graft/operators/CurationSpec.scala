@@ -633,6 +633,44 @@ class CurationSpec extends SparkSpec {
       (2L, 0L, None)) // zero-token doc: counted, unscored
   }
 
+  test("importanceWeights: broadcast-map and keyed-join routes emit bit-identical rows") {
+    // repeats, a zero-token doc, a null text, and a supplementary-plane
+    // token (🚀 sorts AFTER BMP chars in code-point/UTF-8 order but
+    // BEFORE U+E000..U+FFFF in Java's char-wise compareTo — the exact
+    // divergence codePointOrder exists to avoid)
+    val target = Seq((100L, "apple apple banana 🚀ship"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "apple cherry apple 🚀ship �tail apple"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "cherry banana cherry"))
+      .toDF("doc_id", "text")
+    val broadcastRoute = Curation.importanceWeights(corpus, target,
+        "doc_id", "text", alpha = 0.5) // vocab ≤ gate: map-only route
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    val joinRoute = Curation.importanceWeights(corpus, target,
+        "doc_id", "text", alpha = 0.5, maxBroadcastVocab = 0L)
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    broadcastRoute shouldBe joinRoute
+    broadcastRoute.map(_._1) shouldBe Array(1L, 2L, 3L, 4L)
+    broadcastRoute(1)._2 shouldBe 0L // zero-token: counted, unscored
+    broadcastRoute(1)._3 shouldBe None
+    broadcastRoute(2)._2 shouldBe 0L // null text: same contract
+    broadcastRoute(2)._3 shouldBe None
+  }
+
+  test("codePointOrder matches UTF-8 binary order where Java compareTo diverges") {
+    // U+1F680 (surrogate pair, code point 0x1F680) vs U+FFFD: UTF-8/code
+    // point order puts FFFD first; Java char order puts the surrogate
+    // (0xD83D) first
+    Curation.codePointOrder.compare("�", "🚀") should be < 0
+    "�".compareTo("🚀") should be > 0 // the Java divergence
+    Curation.codePointOrder.compare("ab", "ab") shouldBe 0
+    Curation.codePointOrder.compare("ab", "abc") should be < 0
+    Curation.codePointOrder.compare("b", "a") should be > 0
+  }
+
   test("trimDupGrams removes corpus-duplicated spans, passes unique and short docs") {
     val span = "one two three four five six seven eight" // the shared 8-gram
     val docs = Seq(

@@ -323,16 +323,32 @@ class ZarrSourceSpec extends SparkSpec {
     df.filter(col("frame_type") === "LIGHT").count() shouldBe 3
   }
 
-  test("big-endian dtypes are rejected at load, not mis-decoded at scan") {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val e = intercept[IllegalArgumentException] {
-      ZarrMeta.parseArray("x",
-        mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": ">f8",
-          "compressor": null, "fill_value": 0, "order": "C",
-          "filters": null}"""),
-        mapper.readTree("{}"))
-    }
-    e.getMessage should include("big-endian")
+  test("big-endian dtypes (>f8 >i8 >i2 >u2 >U) decode exactly like their LE twins") {
+    val dir = ZarrFixture.writeBigEndian()
+    val df = spark.read.format("zarr").load(dir)
+    import org.apache.spark.sql.types._
+    df.schema("time").dataType shouldBe TimestampType // >i8 CF seconds
+    df.schema("temp").dataType shouldBe DoubleType
+    df.schema("depth").dataType shouldBe ShortType
+    df.schema("count16").dataType shouldBe IntegerType // >u2 widened
+    df.schema("tag").dataType shouldBe StringType      // >U3: UTF-32-BE
+    val rows = df.orderBy("time").collect()
+    rows.length shouldBe 6
+    def at[T](r: Int, c: String): T = rows(r).getAs[T](rows(r).fieldIndex(c))
+    at[Double](0, "temp") shouldBe 1.5
+    at[Double](5, "temp") shouldBe -273.25
+    // BE NaN bit pattern decodes and, matching the fill, nulls out —
+    // the same NaN-fill → null contract the LE fixtures pin
+    rows(2).isNullAt(rows(2).fieldIndex("temp")) shouldBe true
+    (0 until 6).map(i => at[Short](i, "depth")) shouldBe
+      Seq[Short](-5, 0, 7, 300, -300, 32000)
+    at[Int](0, "count16") shouldBe 65535 // past Short.MaxValue, BE bytes
+    at[String](0, "tag") shouldBe "aé1"  // non-ASCII UTF-32-BE code points
+    at[String](1, "tag") shouldBe "øk"
+    // time pruning works on a BE coordinate (the auto sorted-probe
+    // decodes first/last chunks through the same BE path)
+    df.filter(col("time") >= java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(4))).count() shouldBe 2
   }
 
   test("a blosc block decoding to the wrong length fails loudly") {
@@ -1443,7 +1459,61 @@ object ZarrFixture {
     dir
   }
 
-  /** 32 rows / chunk 4, coordinate DESCENDING (31..0 seconds) — the
+  /** 6 rows / chunk 4, every array big-endian (">") — the byte-order
+    * twin of the LE fixtures: NetCDF-converted and Fortran-lineage
+    * stores write '>f8'/'>i4' dtypes, same chunk layout otherwise.
+    */
+  def writeBigEndian(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_be").toString
+    def put(arr: String, chunk: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, arr))
+      Files.write(Paths.get(dir, arr, chunk.toString), bytes)
+    }
+    def be(n: Int)(f: ByteBuffer => Unit): Array[Byte] = {
+      val bb = ByteBuffer.allocate(n).order(ByteOrder.BIG_ENDIAN)
+      f(bb); bb.array()
+    }
+    val temp = Array(1.5, 2.0, Double.NaN, 8.25, 1e9, -273.25)
+    val depth = Array[Short](-5, 0, 7, 300, -300, 32000)
+    val c16 = Array(65535, 0, 1, 32768, 40000, 7)
+    val tags = Array("aé1", "øk", "", "x", "yz", "πр3") // ≤3 code points
+    for (c <- 0 until 2) {
+      put("time", c, be(32)(bb =>
+        (0 until 4).foreach(k => bb.putLong((c * 4 + k).toLong))))
+      def idx(k: Int): Int = math.min(c * 4 + k, 5) // pad tail with row 5
+      put("temp", c, be(32)(bb =>
+        (0 until 4).foreach(k => bb.putDouble(temp(idx(k))))))
+      put("depth", c, be(8)(bb =>
+        (0 until 4).foreach(k => bb.putShort(depth(idx(k))))))
+      put("count16", c, be(8)(bb =>
+        (0 until 4).foreach(k => bb.putShort((c16(idx(k)) & 0xffff).toShort))))
+      put("tag", c, be(48)(bb => (0 until 4).foreach { k =>
+        val cps = tags(idx(k)).codePoints().toArray
+        (0 until 3).foreach(j => bb.putInt(if (j < cps.length) cps(j) else 0))
+      }))
+    }
+    def za(dtype: String, fill: String): String =
+      s"""{"shape": [6], "chunks": [4], "dtype": "$dtype",
+        "compressor": null, "fill_value": $fill, "order": "C",
+        "filters": null, "zarr_format": 2}"""
+    val meta = s"""{"metadata": {
+      "time/.zarray": ${za(">i8", "0")},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
+        "units": "seconds since 1970-01-01"},
+      "temp/.zarray": ${za(">f8", "\"NaN\"")},
+      "temp/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "depth/.zarray": ${za(">i2", "0")},
+      "depth/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "count16/.zarray": ${za(">u2", "0")},
+      "count16/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "tag/.zarray": ${za(">U3", "\"\"")},
+      "tag/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
+    dir
+  }
+
+  /** 32 rows / chunk 4, coordinate DESCENDING (31..0 seconds)— the
     * auto-probe must reject it and fall back to exact pruning.
     */
   def writeDescending(): String = {
