@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ApproxTopItems, CharClassRatio, CosineSimilarity, DuckRound, Fingerprint40, GopherStatsExpr, LangId, LinearScore, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, RebuildTrimmed, RepetitionStats, ShingleHashes, SimHash40, SortedJaccard, StopwordRatio, TopKByScore, WindowPairs, WordNgrams}
+import graft.functions.expressions.{ApproxTopItems, CharClassRatio, CosineSimilarity, DuckRound, Fingerprint40, GopherStatsExpr, LangId, LinearScore, MinHashBandKeys, PosGramHashes, PqAdc, PqEncode, QualityScore, RebuildTrimmed, RebuildTrimmedSpans, RepetitionStats, ShingleHashes, SimHash40, SortedJaccard, SpansCovered, StopwordRatio, TopKByScore, WindowPairs, WordNgrams}
 
 /** Engine extension point, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (the public
@@ -208,6 +208,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "rebuild_trimmed(tokens, covered) takes two arguments")
         RebuildTrimmed(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rebuild_trimmed_spans"),
+      new ExpressionInfo(classOf[RebuildTrimmedSpans].getName, "rebuild_trimmed_spans"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "rebuild_trimmed_spans(tokens, starts, n) takes three arguments")
+        val n = constArg(children(2), "rebuild_trimmed_spans n") match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"rebuild_trimmed_spans n must be an integer constant, got $other")
+        }
+        RebuildTrimmedSpans(children.head, children(1), n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("spans_covered"),
+      new ExpressionInfo(classOf[SpansCovered].getName, "spans_covered"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "spans_covered(starts, n) takes two arguments")
+        val n = constArg(children(1), "spans_covered n") match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"spans_covered n must be an integer constant, got $other")
+        }
+        SpansCovered(children.head, n)
       }))
     ext.injectFunction((
       FunctionIdentifier("repetition_stats"),

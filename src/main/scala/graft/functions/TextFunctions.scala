@@ -689,6 +689,116 @@ object TextFunctions {
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
 
+  /** [[rebuildTrimmedData]]'s span form: drop every token covered by an
+    * n-gram starting at any of the SORTED `starts` positions (token i is
+    * covered iff some start s has s ≤ i ≤ s+n-1). Feeding the aggregate
+    * only gram STARTS instead of every covered position cuts the
+    * dup-span trim's shuffle by the gram width (n=8 in q101) — on a
+    * heavily duplicated corpus nearly every position is covered, so the
+    * covered-position explode was the operator's scale tail. Null/empty
+    * starts keep mkString(" ") semantics like the empty-cover branch
+    * above.
+    */
+  def rebuildTrimmedSpansData(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      starts: org.apache.spark.sql.catalyst.util.ArrayData,
+      w: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val sb = new java.lang.StringBuilder
+    val nSt = if (starts == null) 0 else starts.numElements()
+    val n = toks.numElements()
+    var i = 0
+    if (nSt == 0) {
+      while (i < n) {
+        if (i > 0) sb.append(' ')
+        if (!toks.isNullAt(i)) sb.append(toks.getUTF8String(i).toString)
+        i += 1
+      }
+    } else {
+      var ci = 0
+      var maxEnd = -1
+      while (i < n) {
+        while (ci < nSt && starts.getInt(ci) <= i) {
+          val e = starts.getInt(ci) + w - 1
+          if (e > maxEnd) maxEnd = e
+          ci += 1
+        }
+        if (i > maxEnd) {
+          if (sb.length > 0) sb.append(' ')
+          if (!toks.isNullAt(i)) sb.append(toks.getUTF8String(i).toString)
+        }
+        i += 1
+      }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  /** Total positions covered by the union of `[s, s+w-1]` intervals over
+    * the SORTED start positions — the dup-span trim's `n_removed`
+    * without materializing covered positions. O(|starts|). Null → 0.
+    */
+  def spansCoveredData(
+      starts: org.apache.spark.sql.catalyst.util.ArrayData, w: Int): Int = {
+    if (starts == null) return 0
+    val m = starts.numElements()
+    var covered = 0
+    var curStart = 0
+    var curEnd = -1 // current merged interval [curStart, curEnd]
+    var i = 0
+    while (i < m) {
+      val s = starts.getInt(i)
+      val e = s + w - 1
+      if (curEnd < 0) { curStart = s; curEnd = e }
+      else if (s <= curEnd + 1) { if (e > curEnd) curEnd = e }
+      else { covered += curEnd - curStart + 1; curStart = s; curEnd = e }
+      i += 1
+    }
+    if (curEnd >= 0) covered += curEnd - curStart + 1
+    covered
+  }
+
+  def rebuildTrimmedSpansUdf(w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((toks: Seq[String], starts: Seq[Int]) => {
+      if (toks == null) null
+      else if (starts == null || starts.isEmpty) toks.mkString(" ")
+      else {
+        val sb = new java.lang.StringBuilder
+        var ci = 0
+        var maxEnd = -1
+        var i = 0
+        while (i < toks.length) {
+          while (ci < starts.length && starts(ci) <= i) {
+            val e = starts(ci) + w - 1
+            if (e > maxEnd) maxEnd = e
+            ci += 1
+          }
+          if (i > maxEnd) {
+            if (sb.length > 0) sb.append(' ')
+            if (toks(i) != null) sb.append(toks(i))
+          }
+          i += 1
+        }
+        sb.toString
+      }
+    })
+
+  def spansCoveredUdf(w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((starts: Seq[Int]) => {
+      if (starts == null) 0
+      else {
+        var covered = 0
+        var curStart = 0
+        var curEnd = -1
+        starts.foreach { s =>
+          val e = s + w - 1
+          if (curEnd < 0) { curStart = s; curEnd = e }
+          else if (s <= curEnd + 1) { if (e > curEnd) curEnd = e }
+          else { covered += curEnd - curStart + 1; curStart = s; curEnd = e }
+        }
+        if (curEnd >= 0) covered += curEnd - curStart + 1
+        covered
+      }
+    })
+
   /** Normalized sliding-window token pairs for collocation statistics:
     * for each position i and offset 1..w, the unordered pair
     * `"min max"` of `t(i)` and `t(i+k)` — equal tokens skipped (a

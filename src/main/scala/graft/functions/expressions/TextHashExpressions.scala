@@ -378,6 +378,92 @@ case class RebuildTrimmed(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `rebuild_trimmed_spans(tokens, starts, n)` — [[RebuildTrimmed]]'s span
+  * form: token i is dropped iff some start s in the SORTED `starts` has
+  * s ≤ i ≤ s+n-1. The dup-span trim aggregates only gram START positions
+  * (one per duplicated gram) instead of exploding every covered position
+  * n-fold; null starts act as empty (left-join miss), null tokens → null.
+  */
+case class RebuildTrimmedSpans(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }) && (right.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }) && n > 0
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rebuild_trimmed_spans expects (array<string>, array<int>, " +
+        s"positive int n), got (${left.dataType.simpleString}, " +
+        s"${right.dataType.simpleString}, n=$n)")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "rebuild_trimmed_spans"
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) null
+    else graft.functions.TextFunctions.rebuildTrimmedSpansData(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      right.eval(input)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = l.code + r.code + code"""
+      boolean ${ev.isNull} = ${l.isNull};
+      $javaType ${ev.value} = ${ev.isNull}
+        ? null
+        : graft.functions.TextFunctions.rebuildTrimmedSpansData(
+            ${l.value}, ${r.isNull} ? null : ${r.value}, $n);""")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `spans_covered(starts, n)` — total token positions covered by the
+  * union of `[s, s+n-1]` intervals over the SORTED starts (the trim's
+  * `n_removed` in O(|starts|), no covered-position materialization).
+  * Null starts → 0 (a left-join miss removes nothing).
+  */
+case class SpansCovered(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = child.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok && n > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"spans_covered expects (array<int>, positive int n), got " +
+        s"(${child.dataType.simpleString}, n=$n)")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "spans_covered"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    graft.functions.TextFunctions.spansCoveredData(
+      if (v == null) null
+      else v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = c.code + code"""
+      $javaType ${ev.value} = graft.functions.TextFunctions.spansCoveredData(
+        ${c.isNull} ? null : ${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `pos_gram_hashes(tokens, n)` — hash of the space-joined n-gram at every
   * start position (order-preserving, not distinct); null tokens → EMPTY
   * array (never null), like the kernel UDF it replaces.

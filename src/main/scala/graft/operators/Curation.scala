@@ -435,8 +435,10 @@ object Curation {
     *
     * Scale shape: positioned grams shuffle as xxhash64 keys into a
     * document-frequency count over DISTINCT (doc, gram) pairs, join back
-    * co-partitioned on the hash, and the covered-position set aggregates
-    * per doc (bounded by the document's own length). The rebuild is a
+    * co-partitioned on the hash, and only dup-gram START positions
+    * aggregate per doc (bounded by the document's own length; coverage
+    * is reconstructed span-wise in the rebuild kernel, so the old
+    * n-fold covered-position explode never ships). The rebuild is a
     * local array filter — no token-level shuffle. 64-bit gram-hash
     * collisions conflate distinct grams' frequencies (the [[dedupLines]]
     * convention: negligible below ~10^9 distinct grams; widen to two
@@ -463,41 +465,33 @@ object Curation {
     val freq = posGrams.select(col(idCol), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocFreq)
-    val covered = posGrams.join(freq, Seq("__h"))
-      .select(col(idCol),
-        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__cp"))
+    // per-doc dup-gram START positions only: on a heavily duplicated
+    // corpus nearly every position is covered by some duplicated gram,
+    // so exploding each dup gram to its n covered positions multiplied
+    // the post-join shuffle by the gram width (the operator's measured
+    // scale tail at 10×). The span kernels reconstruct coverage from the
+    // sorted starts: token i is covered iff some start s has
+    // s ≤ i ≤ s+n-1, and n_removed is the merged-interval total —
+    // bit-identical to the covered-position spelling (CurationSpec pins
+    // both routes).
+    val starts = posGrams.join(freq, Seq("__h"))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("__cp"))).as("__cov"))
-    // rebuild kernel: linear merge walk of the token array against the
-    // SORTED covered positions — an array_contains per token would be
-    // O(len × |covered|), quadratic for a long fully-duplicated document
-    val rebuildUdf = udf((toks: Seq[String], cov: Seq[Int]) => {
-      if (cov == null || cov.isEmpty) toks.mkString(" ")
-      else {
-        val sb = new java.lang.StringBuilder
-        var ci = 0
-        var i = 0
-        while (i < toks.length) {
-          if (ci < cov.length && cov(ci) == i) ci += 1
-          else {
-            if (sb.length > 0) sb.append(' ')
-            sb.append(toks(i))
-          }
-          i += 1
-        }
-        sb.toString
-      }
-    })
+      .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    val native = graft.functions.NativeFunctions.registered(
+      docs.sparkSession, "rebuild_trimmed_spans")
     val rebuilt =
-      if (graft.functions.NativeFunctions.registered(
-          docs.sparkSession, "rebuild_trimmed"))
-        call_function("rebuild_trimmed", col("__t"), col("__cov"))
-      else rebuildUdf(col("__t"), col("__cov"))
-    base.join(covered, Seq(idCol), "left")
+      if (native)
+        call_function("rebuild_trimmed_spans", col("__t"), col("__starts"), lit(n))
+      else graft.functions.TextFunctions.rebuildTrimmedSpansUdf(n)(
+        col("__t"), col("__starts"))
+    val nRemoved =
+      if (native) call_function("spans_covered", col("__starts"), lit(n))
+      else graft.functions.TextFunctions.spansCoveredUdf(n)(col("__starts"))
+    base.join(starts, Seq(idCol), "left")
       .select(col(idCol),
         rebuilt.as("text"),
         size(col("__t")).as("n_tokens"),
-        coalesce(size(col("__cov")), lit(0)).as("n_removed"))
+        nRemoved.as("n_removed"))
   }
 
   /** Domain-mixture reweighting (the Pile / DoReMi-static shape): given

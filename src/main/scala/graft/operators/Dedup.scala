@@ -687,15 +687,35 @@ object Dedup {
     * compare with [[sortedSetJaccard]] — evaluating the shingle HOFs per
     * pair row multiplies the hashing cost by the pair count.
     */
-  def ngramJaccard(a: Column, b: Column, k: Int): Column = {
-    val sa = shingleHashes(a, k)
-    val sb = shingleHashes(b, k)
-    size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
-  }
+  def ngramJaccard(a: Column, b: Column, k: Int): Column =
+    sortedSetJaccard(sortedShingleHashes(a, k), sortedShingleHashes(b, k))
 
-  /** Sorted distinct shingle hashes — precompute once per document. */
-  def sortedShingleHashes(text: Column, k: Int): Column =
-    sort_array(shingleHashes(text, k))
+  /** Sorted distinct shingle hashes — precompute once per document.
+    * Routes through the codegen'd `shingle_hashes` expression when
+    * [[graft.GraftExtensions]] is installed: the HOF spelling
+    * (transform + xxhash64 + array_distinct + sort_array) runs
+    * interpreted and dominated q146/q28/q92's invariant passes — the
+    * kernel is one JVM call per row inside whole-stage codegen (measured
+    * 24× on the sf0.1 documents scan).
+    *
+    * The two spellings hash shingles DIFFERENTLY (the kernel is
+    * FNV-1a+mix64, the HOF xxhash64), so raw values must never cross
+    * spellings. Every consumer compares sets that come from THIS
+    * function on both sides (pair jaccard, invariant recomputes), and
+    * set size / pairwise jaccard are invariant under the hash
+    * relabeling — MinHashExpressionsSpec pins exactly that equivalence
+    * on edge-case texts. The routing also puts these consumers in the
+    * SAME hash space as the kernel-side miners ([[minHashDupPairs]],
+    * the streaming gate), removing the old cross-space reliance.
+    */
+  def sortedShingleHashes(text: Column, k: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes")))
+      call_function("shingle_hashes", text, lit(k))
+    else
+      sort_array(shingleHashes(text, k))
+  }
 
   /** Jaccard of two pre-sorted hash-set columns, through the codegen'd
     * `sorted_jaccard` expression when [[graft.GraftExtensions]] is

@@ -38,6 +38,43 @@ class MinHashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("shingle_hashes is jaccard-equivalent to the HOF spelling") {
+    // Dedup.sortedShingleHashes routes to the native expression when the
+    // extensions are installed; the interpreted HOF chain is its
+    // fallback. The two spellings hash shingles DIFFERENTLY (FNV-1a+mix64
+    // vs xxhash64), so raw values are not comparable across spellings —
+    // what every consumer (q40 pair jaccard, the q28/q92/q146 invariant
+    // recomputes) relies on is that set SIZE and pairwise JACCARD are
+    // invariant under the hash relabeling. Pin exactly that: equal set
+    // sizes per text, equal jaccard per text pair, and both outputs
+    // sorted distinct with the same null propagation.
+    import graft.operators.Dedup
+    import graft.functions.HashKernels
+    for (k <- Seq(1, 3, 5)) {
+      val df = texts.toDF("text")
+      val native = df.select(
+          call_function("shingle_hashes", $"text", lit(k)).as("sh"))
+        .as[Seq[Long]].collect().toSeq
+      val viaHof = df.select(
+          sort_array(Dedup.shingleHashes($"text", k)).as("sh"))
+        .as[Seq[Long]].collect().toSeq
+      native.map(_.size) shouldBe viaHof.map(_.size)
+      native.foreach { sh => sh shouldBe sh.distinct.sorted }
+      viaHof.foreach { sh => sh shouldBe sh.distinct.sorted }
+      for (i <- native.indices; j <- native.indices) {
+        val jN = HashKernels.sortedJaccard(native(i), native(j))
+        val jH = HashKernels.sortedJaccard(viaHof(i), viaHof(j))
+        withClue(s"k=$k pair ($i,$j): ") { jN shouldBe jH }
+      }
+    }
+    // null text propagates as null through both spellings
+    val nullRow = Seq[Option[String]](None).toDF("text")
+    nullRow.select(call_function("shingle_hashes", $"text", lit(3)))
+      .collect().head.isNullAt(0) shouldBe true
+    nullRow.select(sort_array(graft.operators.Dedup.shingleHashes($"text", 3)))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
   test("minhash_band_keys equals bandKeys(minHashSig(...)) bit for bit") {
     for ((numHashes, bands) <- Seq((64, 16), (128, 32), (8, 4))) {
       val sh = texts.toDF("text")

@@ -172,6 +172,44 @@ class TextHashExpressionsSpec extends SparkSpec {
     native.last shouldBe None
   }
 
+  test("rebuild_trimmed_spans + spans_covered equal the covered-position spelling") {
+    // the q101 span route must be bit-identical to the old spelling that
+    // exploded every covered position: expand starts -> covered set ->
+    // rebuild_trimmed / set size, vs the span kernels straight off starts
+    val n = 3
+    val cases = Seq(
+      (Some(Seq("a", "b", "c", "d", "e", "f")), Some(Seq(1))),       // one span
+      (Some(Seq("a", "b", "c", "d", "e", "f")), Some(Seq(0, 1))),    // overlap
+      (Some(Seq("a", "b", "c", "d", "e", "f", "g")), Some(Seq(0, 3))), // adjacent merge
+      (Some(Seq("a", "b", "c", "d", "e", "f", "g", "h")), Some(Seq(0, 5))), // disjoint
+      (Some(Seq("a", "b", "c")), Some(Seq(0))),                      // full coverage
+      (Some(Seq("a", "b")), Some(Seq.empty[Int])),                   // empty starts
+      (Some(Seq("", "a", "b")), None),                               // null starts + leading empty
+      (None, None))                                                  // null tokens
+    val df = cases.toDF("t", "st")
+    val viaSpans = df.select(
+        call_function("rebuild_trimmed_spans", $"t", $"st", lit(n)).as("x"),
+        call_function("spans_covered", $"st", lit(n)).as("r"))
+      .as[(Option[String], Int)].collect().toSeq
+    val viaCovered = df.select(
+        call_function("rebuild_trimmed", $"t",
+          sort_array(array_distinct(flatten(transform($"st",
+            s => sequence(s, s + (n - 1))))))).as("x"),
+        coalesce(org.apache.spark.sql.functions.size(
+          array_distinct(flatten(transform($"st",
+            s => sequence(s, s + (n - 1)))))), lit(0)).as("r"))
+      .as[(Option[String], Int)].collect().toSeq
+    viaSpans shouldBe viaCovered
+    // and the UDF fallbacks match the native expressions
+    val viaUdf = df.select(
+        graft.functions.TextFunctions.rebuildTrimmedSpansUdf(n)($"t", $"st").as("x"),
+        graft.functions.TextFunctions.spansCoveredUdf(n)($"st").as("r"))
+      .as[(Option[String], Int)].collect().toSeq
+    viaSpans shouldBe viaUdf
+    viaSpans(4) shouldBe ((Some(""), 3))   // fully trimmed
+    viaSpans.last._1 shouldBe None         // null tokens propagate
+  }
+
   test("window_pairs equals the kernel UDF with multiplicity and skip rules") {
     val toks = Seq(
       Some(Seq("a", "b", "c", "a")),
