@@ -472,8 +472,8 @@ object Curation {
     // scale tail at 10×). The span kernels reconstruct coverage from the
     // sorted starts: token i is covered iff some start s has
     // s ≤ i ≤ s+n-1, and n_removed is the merged-interval total —
-    // bit-identical to the covered-position spelling (CurationSpec pins
-    // both routes).
+    // bit-identical to the covered-position spelling
+    // (TextHashExpressionsSpec pins both spellings and the UDF fallbacks).
     val starts = posGrams.join(freq, Seq("__h"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__pos"))).as("__starts"))

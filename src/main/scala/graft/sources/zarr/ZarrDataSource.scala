@@ -448,6 +448,14 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
         // are false), the sorted path's firstVal rejects them
         .map(v => if (v.isNaN) Double.NaN
                   else ZarrMeta.cfToMicros(v, perUnit, epoch).toDouble)
+    } else if (coord.isDatetime) {
+      // raw datetime64 coordinate: same micros pruning space as CF time
+      // (the pushed Timestamp/Instant filter values are micros); NaT
+      // rides as NaN so min/max skips it and the sorted path rejects it
+      val unit = coord.datetimeUnit
+      ZarrMeta.longsOf(coord, bytes).map(v =>
+        if (v == ZarrMeta.NaT) Double.NaN
+        else ZarrMeta.dt64ToMicros(v, unit).toDouble)
     } else ZarrMeta.doublesOf(coord, bytes)
 
   /** Exact pruning decides each chunk INDEPENDENTLY (read its coordinate
@@ -468,13 +476,16 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
       s"zarr: $nChunks chunks exceeds the planner's Int range")
     def intersects(c: Long): Boolean =
       ZarrReader.readChunkBytes(conf, path, coord, c) match {
-        case None => coord.fillValue.exists { f =>
-          val v = if (coord.isCfTime) {
+        case None => coord.fillValue.flatMap { f =>
+          if (coord.isCfTime) {
             val (perUnit, epoch) = ZarrMeta.cfTime(coord.units.get)
-            ZarrMeta.cfToMicros(f, perUnit, epoch).toDouble
-          } else f
-          v >= lo && v <= hi
-        }
+            Some(ZarrMeta.cfToMicros(f, perUnit, epoch).toDouble)
+          } else if (coord.isDatetime) {
+            // NaT fill = missing timestamps: never inside a time range
+            if (f.toLong == ZarrMeta.NaT) None
+            else Some(ZarrMeta.dt64ToMicros(f.toLong, coord.datetimeUnit).toDouble)
+          } else Some(f)
+        }.exists(v => v >= lo && v <= hi)
         case Some(bytes) =>
           val vals = coordPruneVals(bytes)
           val n = ZarrReader.rowsInChunk(coord, c)
@@ -610,6 +621,29 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
               Longs(Array.fill(nRows)(
                 ZarrMeta.cfToMicros(f, perUnit, epoch)), null)
             case _ => AllNull // no fill, or NaN fill = missing timestamps
+          }
+        }
+      } else if (m.isDatetime) {
+        // raw datetime64: int64 epoch offsets in the dtype's unit,
+        // NaT (Long.MinValue) → null timestamp like a CF NaN gap
+        val unit = m.datetimeUnit
+        bytes match {
+          case Some(b) =>
+            val raw = ZarrMeta.longsOf(m, b)
+            val nulls =
+              if (raw.exists(_ == ZarrMeta.NaT)) raw.map(_ == ZarrMeta.NaT)
+              else null
+            Longs(raw.map(v =>
+              if (v == ZarrMeta.NaT) 0L else ZarrMeta.dt64ToMicros(v, unit)),
+              nulls)
+          case None => m.fillValue match {
+            // a NaT fill arrives as the saturated Long.MinValue double
+            // (or was dropped at parse when spelled "NaT") — either way
+            // the fill run is null timestamps
+            case Some(f) if f.toLong != ZarrMeta.NaT =>
+              Longs(Array.fill(nRows)(
+                ZarrMeta.dt64ToMicros(f.toLong, unit)), null)
+            case _ => AllNull
           }
         }
       } else if (integral) bytes match {

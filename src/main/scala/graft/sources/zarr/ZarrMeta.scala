@@ -73,11 +73,31 @@ private[zarr] object ZarrMeta {
       */
     private def kindWidth: (Char, Int) = {
       val body = dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|")
+      if (body.startsWith("M8[")) return ('M', 8) // datetime64: 8-byte epoch offsets
       val kind = body.head
       val w = body.tail
       require("fiubSU".contains(kind) && w.nonEmpty && w.forall(_.isDigit),
         s"zarr: unsupported dtype '$dtypeStr' for array '$name'")
       (kind, w.toInt)
+    }
+    /** numpy datetime64 (`<M8[ns]`, `>M8[us]`, ...): int64 offsets from
+      * the 1970 epoch in the bracketed unit, NaT = Long.MinValue. Raw
+      * zarr-python writes of pandas/numpy datetime data carry these
+      * directly (xarray CF-encodes instead — [[isCfTime]]).
+      */
+    def isDatetime: Boolean =
+      dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|").startsWith("M8")
+    /** The datetime64 unit, validated to the sub-day set this source can
+      * represent as Spark micros. Calendar units (D/W/M/Y — variable
+      * length or lossy) fail loudly at schema time.
+      */
+    def datetimeUnit: String = {
+      val body = dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|")
+      val u = body.stripPrefix("M8").stripPrefix("[").stripSuffix("]")
+      require(Set("s", "ms", "us", "ns").contains(u),
+        s"zarr: datetime64 unit '$u' on array '$name' is not representable " +
+          "as timestamps (supported: s, ms, us, ns)")
+      u
     }
     def isString: Boolean =
       isVlen || { val (k, _) = kindWidth; k == 'S' || k == 'U' }
@@ -113,6 +133,7 @@ private[zarr] object ZarrMeta {
     def scalarType: DataType =
       if (isVlen) StringType
       else kindWidth match {
+        case ('M', 8) => datetimeUnit; TimestampType // validate the unit at schema time
         case ('f', 8) => DoubleType
         case ('f', 4) => FloatType
         case ('i', 8) => LongType
@@ -130,7 +151,13 @@ private[zarr] object ZarrMeta {
             "lossless Spark home)")
       }
     def sparkType: DataType =
-      if (is2D) ArrayType(scalarType, containsNull = false)
+      if (is2D) {
+        // 2-D datetime64 would need per-element unit conversion the
+        // stitch path doesn't do — no silent raw-long emit
+        require(!isDatetime,
+          s"zarr: 2-D datetime64 array '$name' is not supported")
+        ArrayType(scalarType, containsNull = false)
+      }
       else if (isCfTime) TimestampType
       else scalarType
     /** CF time decode applies when the units attr matches
@@ -138,7 +165,7 @@ private[zarr] object ZarrMeta {
       * the standard calendar. Never on a 2-D array (its elements are
       * data, not the record coordinate) and never on a string dtype.
       */
-    def isCfTime: Boolean = !is2D && !isString &&
+    def isCfTime: Boolean = !is2D && !isString && !isDatetime &&
       units.exists(_.contains(" since ")) && {
         val cal = calendar.getOrElse("standard").toLowerCase
         cal == "standard" || cal == "proleptic_gregorian" || cal == "gregorian"
@@ -217,6 +244,7 @@ private[zarr] object ZarrMeta {
         case "NaN" => Some(Double.NaN)
         case "Infinity" => Some(Double.PositiveInfinity)
         case "-Infinity" => Some(Double.NegativeInfinity)
+        case "NaT" => None // datetime64 missing marker: no fill → null rows
         case _ => None
       }
       else None
@@ -771,8 +799,28 @@ private[zarr] object ZarrMeta {
       case "b1" => while (i < n) { out(i) = if (bytes(i) != 0) 1L else 0L; i += 1 }
       case "f8" => while (i < n) { out(i) = math.round(bb.getDouble(i * 8)); i += 1 }
       case "f4" => while (i < n) { out(i) = math.round(bb.getFloat(i * 4).toDouble); i += 1 }
+      case m8 if m8.startsWith("M8[") =>
+        while (i < n) { out(i) = bb.getLong(i * 8); i += 1 } // raw epoch offsets; unit scaling is the caller's
       case other => throw new IllegalArgumentException(s"zarr: dtype $other")
     }
     out
   }
+
+  /** datetime64 epoch offset → Spark micros. Sub-second units divide
+    * with FLOOR (order-preserving for pre-epoch values — numpy's
+    * datetime64 downcasts floor too); coarser units multiply exactly and
+    * fail loudly on overflow rather than wrapping into a wrong date.
+    * NaT (Long.MinValue) never reaches here — callers null it first.
+    */
+  def dt64ToMicros(v: Long, unit: String): Long = unit match {
+    case "s" => Math.multiplyExact(v, 1000000L)
+    case "ms" => Math.multiplyExact(v, 1000L)
+    case "us" => v
+    case "ns" => Math.floorDiv(v, 1000L)
+    case other => throw new IllegalArgumentException(
+      s"zarr: datetime64 unit '$other'")
+  }
+
+  /** numpy NaT: the int64 sentinel for a missing datetime64. */
+  val NaT: Long = Long.MinValue
 }

@@ -788,6 +788,75 @@ class ZarrSourceSpec extends SparkSpec {
     df.filter(col("ok") && col("count32") > 2000000000L).count() should be >= 1L
   }
 
+  test("raw datetime64 dtypes decode as timestamps: NaT → null, floor ns, BE, pruning") {
+    val dir = ZarrFixture.writeDatetime()
+    val df = spark.read.format("zarr").load(dir)
+    import org.apache.spark.sql.types._
+    Seq("time", "stamp_s", "stamp_be", "fine").foreach { c =>
+      df.schema(c).dataType shouldBe TimestampType
+    }
+    val rows = df.orderBy("time").collect()
+    rows.length shouldBe 6
+    def inst(r: Int, c: String): java.time.Instant =
+      rows(r).getTimestamp(rows(r).fieldIndex(c)).toInstant
+    // the M8[ns] record coordinate decodes to whole seconds
+    (0 until 6).map(i => inst(i, "time")) shouldBe
+      (0 until 6).map(i => java.time.Instant.ofEpochSecond(i.toLong))
+    // M8[s] values scale to micros exactly; the NaT element is null
+    inst(0, "stamp_s") shouldBe java.time.Instant.ofEpochSecond(86400L)
+    rows(2).isNullAt(rows(2).fieldIndex("stamp_s")) shouldBe true
+    // the missing chunk with a NaT fill is a null run (rows 4-5)
+    rows(4).isNullAt(rows(4).fieldIndex("stamp_s")) shouldBe true
+    rows(5).isNullAt(rows(5).fieldIndex("stamp_s")) shouldBe true
+    // big-endian micros, incl. a pre-epoch value
+    inst(0, "stamp_be") shouldBe java.time.Instant.ofEpochMilli(-1500L)
+    inst(3, "stamp_be") shouldBe java.time.Instant.ofEpochMilli(2500L)
+    inst(5, "stamp_be") shouldBe java.time.Instant.ofEpochMilli(4500L)
+    // ns → µs floors (order-preserving for pre-epoch): 1500 → 1 µs,
+    // -1500 → -2 µs, 999 → 0, -999 → -1
+    inst(0, "fine") shouldBe java.time.Instant.ofEpochSecond(0, 1000L)
+    inst(1, "fine") shouldBe java.time.Instant.ofEpochSecond(0, -2000L)
+    inst(2, "fine") shouldBe java.time.Instant.EPOCH
+    inst(3, "fine") shouldBe java.time.Instant.ofEpochSecond(0, -1000L)
+    // an M8[ns] record coordinate prunes chunks like a CF-time one:
+    // time >= 4.5 s keeps only chunk 1 (a bound exactly on a chunk's
+    // first value keeps the chunk before it too — the strict-floor
+    // duplicate-spanning rule)
+    val sb = new ZarrScanBuilder(dir, "time", ZarrFixture.metas(dir),
+      sorted = SortedMode.Auto)
+    sb.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual(
+      "time", java.sql.Timestamp.from(
+        java.time.Instant.ofEpochMilli(4500L)))))
+    sb.build().toBatch.planInputPartitions().length shouldBe 1
+    // and the pushed-filter frame matches post-scan filtering exactly
+    val lo = lit("1970-01-01 00:00:04").cast("timestamp")
+    df.filter(col("time") >= lo).count() shouldBe 2L
+  }
+
+  test("datetime64 calendar units and 2-D datetime64 fail loudly at schema time") {
+    val dir = ZarrFixture.writeDatetime()
+    // rewrite the store's metadata with a day-unit dtype: not
+    // representable as micros — must fail with the unit named
+    val metaPath = Paths.get(dir, ".zmetadata")
+    val dayMeta = new String(Files.readAllBytes(metaPath), "UTF-8")
+      .replace("<M8[s]", "<M8[D]")
+    Files.write(metaPath, dayMeta.getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      spark.read.format("zarr").load(dir).schema
+    }
+    e.getMessage should include("datetime64 unit 'D'")
+    // 2-D datetime64 would need per-element unit scaling the stitch
+    // path doesn't do — rejected at schema time, never raw longs
+    val m2 = ZarrMeta.parseConsolidated("""{"metadata": {
+      "x/.zarray": {"shape": [6, 2], "chunks": [4, 2], "dtype": "<M8[ns]",
+        "compressor": null, "fill_value": null, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "x/.zattrs": {"_ARRAY_DIMENSIONS": ["time", "d"]}},
+      "zarr_consolidated_format": 1}""")("x")
+    intercept[IllegalArgumentException] { m2.sparkType }
+      .getMessage should include("2-D datetime64")
+  }
+
   test("<U strings keep EMBEDDED NULs, trimming trailing padding only (xarray parity)") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = ZarrMeta.parseArray("x",
@@ -1561,6 +1630,55 @@ object ZarrFixture {
         "filters": null, "zarr_format": 2},
       "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"],
         "units": "seconds since 1970-01-01"}},
+      "zarr_consolidated_format": 1}"""
+    Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
+    dir
+  }
+
+  /** 6 rows / chunk 4 of raw numpy datetime64: an '<M8[ns]' record
+    * coordinate (sorted — the auto probe qualifies it), an '<M8[s]'
+    * value column with a NaT element and a NaT-fill missing chunk, a
+    * '>M8[us]' big-endian column with a pre-epoch value, and an
+    * '<M8[ns]' column with sub-microsecond remainders (the floor
+    * conversion pin). zarr-python writes these dtypes directly for
+    * pandas/numpy datetime data; xarray CF-encodes time instead.
+    */
+  def writeDatetime(): String = {
+    val dir = Files.createTempDirectory("graft_zarr_dt").toString
+    def put(arr: String, chunk: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, arr))
+      Files.write(Paths.get(dir, arr, chunk.toString), bytes)
+    }
+    val NaT = Long.MinValue
+    for (c <- 0 until 2) // 0..5 seconds as nanosecond offsets
+      put("time", c, leL(Array.tabulate(4)(k => (c * 4 + k) * 1000000000L)))
+    put("stamp_s", 0, leL(Array(86400L, 172800L, NaT, 259200L)))
+    // chunk 1 of stamp_s intentionally missing → NaT-fill run (null rows)
+    def beL(ls: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(ls.length * 8).order(ByteOrder.BIG_ENDIAN)
+      ls.foreach(bb.putLong); bb.array()
+    }
+    put("stamp_be", 0, beL(Array(-1500000L, 0L, 1500000L, 2500000L)))
+    put("stamp_be", 1, beL(Array(3500000L, 4500000L, 0L, 0L))) // rows 4-5 + pad
+    put("fine", 0, leL(Array(1500L, -1500L, 999L, -999L)))
+    put("fine", 1, leL(Array(0L, 1000L, 0L, 0L)))
+    val meta = s"""{"metadata": {
+      "time/.zarray": {"shape": [6], "chunks": [4], "dtype": "<M8[ns]",
+        "compressor": null, "fill_value": null, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "time/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "stamp_s/.zarray": {"shape": [6], "chunks": [4], "dtype": "<M8[s]",
+        "compressor": null, "fill_value": -9223372036854775808, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "stamp_s/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "stamp_be/.zarray": {"shape": [6], "chunks": [4], "dtype": ">M8[us]",
+        "compressor": null, "fill_value": null, "order": "C",
+        "filters": null, "zarr_format": 2},
+      "stamp_be/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "fine/.zarray": {"shape": [6], "chunks": [4], "dtype": "<M8[ns]",
+        "compressor": null, "fill_value": "NaT", "order": "C",
+        "filters": null, "zarr_format": 2},
+      "fine/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
       "zarr_consolidated_format": 1}"""
     Files.write(Paths.get(dir, ".zmetadata"), meta.getBytes("UTF-8"))
     dir
