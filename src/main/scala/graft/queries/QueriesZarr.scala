@@ -15,7 +15,8 @@ import graft.sources.zarr.ZarrGateStore
   * queries cover: a time-filtered scan exercising chunk pruning (the
   * binary-search path), a CF-time + NaN + missing-chunk(fill_value)
   * decode, a 2-D stitch, fixed-width (|S) and variable-length
-  * (|O + vlen-utf8) string decodes, the |b1 bool dtype, and a join back
+  * (|O + vlen-utf8) string decodes, the |b1 bool dtype, a raw
+  * datetime64 (`<M8[ns]`, NaT → null) decode, and a join back
   * against a gate table. Mirrors `qaqc/dashboard.py:305-313`
   * (`xr.open_zarr` as the pipeline's entry scan).
   */
@@ -78,6 +79,16 @@ object QueriesZarr {
       val st = ZarrGateStore.store(s, d)
       s.read.format("zarr").load(st)
         .select(col("event_id"), col("etype_vlen"), col("flag"))
+    }),
+
+    // S1 native path, raw datetime64: the <M8[ns] stamp twin of ts
+    // (zarr-python's direct spelling for pandas datetimes — xarray
+    // CF-encodes instead), with planted NaT elements decoding to null
+    // timestamps; value-compared row by row against the parquet ts
+    "q154_zarr_datetime" -> ((s, d) => {
+      val st = ZarrGateStore.store(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"), col("stamp"))
     }),
 
     // S1 native path joined back to the parquet gate table: zarr-side
@@ -143,6 +154,13 @@ object QueriesZarr {
         ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
       SELECT event_id, event_type AS etype_vlen,
              event_id % 2 = 0 AS flag FROM slice""",
+
+    "q154_zarr_datetime" -> s"""WITH slice AS (
+        SELECT event_id, ts FROM events
+        ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 7 THEN NULL ELSE ts END AS stamp
+      FROM slice""",
 
     "q150_zarr_join" -> s"""$sliceCte
       SELECT e.event_type, count(*) AS cnt,

@@ -34,6 +34,9 @@ import graft.sources.Tables
   *    gate, value-identical to `etype` by construction);
   *  - `flag` = (event_id % 2 == 0) as a raw `|b1` bool array with a
   *    JSON-boolean fill — the widened-dtype decode on the oracle gate;
+  *  - `stamp` = ts as a raw `<M8[ns]` datetime64 array (ns = µs·1000,
+  *    exact) with NaT planted at `event_id % 11 == 7` — the round-14
+  *    raw-datetime decode on the oracle gate (NaT → null timestamp);
   *  - `spectrum` = a 2-D (time × band, n × 4) f8 array with
   *    spectrum[k] = value · (k+1) (IEEE-exact in both engines) and a
   *    NaN element at (event_id % 7 == 5, band 2) — trailing dim chunked
@@ -94,6 +97,12 @@ object ZarrGateStore {
         else r.getDouble(3) * (k + 1))
     }
     val etype: Array[String] = slice.map(_.getString(4))
+    // raw datetime64 twin of ts: <M8[ns] epoch offsets with NaT planted
+    // at event_id % 11 == 7 — the round-14 datetime decode on the oracle
+    // gate (ns = µs·1000, exact in int64 well past 2200; NaT → null)
+    val stampNs: Array[Long] = slice.map(r =>
+      if (r.getLong(0) % 11 == 7) Long.MinValue
+      else Math.multiplyExact(micros(r.getTimestamp(1)), 1000L))
 
     val out = Files.createTempDirectory("graft_zarr_gate").toString
     val nChunks = (n + Chunk - 1) / Chunk
@@ -162,6 +171,8 @@ object ZarrGateStore {
       // |b1 bool, raw bytes
       put("flag", c, Array.tabulate[Byte](Chunk)(r =>
         if (c * Chunk + r < n && eventId(c * Chunk + r) % 2 == 0) 1 else 0))
+      // <M8[ns] raw datetime64, zlib (pad value never read)
+      put("stamp", c, deflate(leL(padL(stampNs, c))))
       // 2-D chunks: (Chunk × BandChunk) row-major, padded in BOTH dims
       for (j <- 0 until (Bands + BandChunk - 1) / BandChunk) {
         val buf = new Array[Double](Chunk * BandChunk)
@@ -210,7 +221,9 @@ object ZarrGateStore {
       "flag/.zarray": {"shape": [$n], "chunks": [$Chunk], "dtype": "|b1",
         "compressor": null, "fill_value": false,
         "order": "C", "filters": null, "zarr_format": 2},
-      "flag/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "flag/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "stamp/.zarray": ${zarray("<M8[ns]", comp = true, "-9223372036854775808")},
+      "stamp/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
       "zarr_consolidated_format": 1}"""
     Files.write(Paths.get(out, ".zmetadata"), meta.getBytes("UTF-8"))
     out
