@@ -122,6 +122,10 @@ object QueriesInvariants {
   private[queries] def contamChecks(rawOut: DataFrame, corpus: DataFrame,
                                     bench: DataFrame): DataFrame = {
     val out = rawOut.localCheckpoint(false)
+    // no checkpoint here (unlike q146's docSh): these are EQUI-joins
+    // with ≤1 match per corpus/benchmark id, so even a codegen-deferred
+    // shingle evaluates at most once per matched row — a barrier would
+    // only add materialization cost (measured +2 s at sf0.1)
     val corpusT = corpus
       .join(out.select(col("corpus_id")).distinct(), Seq("corpus_id"),
         "left_semi")
@@ -395,8 +399,17 @@ object QueriesInvariants {
         .select(col("doc_id"))
       val refSh = Tables.plantedBenchmark(s, d)
         .select(Dedup.sortedShingleHashes(col("text"), 3).as("ref_sh"))
+      // localCheckpoint = a MATERIALIZATION BARRIER, not just reuse:
+      // whole-stage codegen defers a Project's expressions to their
+      // first USE, and with a codegen-able shingle kernel feeding a
+      // nested-loop join that first use sits INSIDE the per-pair loop —
+      // shingling each doc once per benchmark row (measured: the 100×
+      // layout's 6k-row benchmark turned this query's ~8 min into 55+
+      // min when the barrier was a codegen-incompatible HOF no more).
+      // The checkpoint pins one shingle pass per doc, hashes-only blocks.
       val docSh = docs.select(col("doc_id"),
         Dedup.sortedShingleHashes(col("text"), 3).as("sh"))
+        .localCheckpoint(false)
       // exact best-reference Jaccard per doc: the reference side is the
       // broadcast-size benchmark (documents/83 rows), so the crossJoin is
       // a broadcast fan-out, not an all-pairs shuffle
