@@ -149,4 +149,27 @@ class InvariantsSpec extends SparkSpec {
     cc(outDf((10L, 10L, 1.0), (10L, 12L, 1.0)))
       .getAs[Long]("n_multi_per_corpus") shouldBe 1L
   }
+
+  test("q146's doc-side shingle pass is materialized below its join (no codegen deferral)") {
+    // Whole-stage codegen defers a Project's expressions to first USE —
+    // without a materialization barrier the per-doc shingle kernel
+    // would evaluate INSIDE the broadcast nested-loop join's per-pair
+    // loop, once per benchmark row per doc (55+ min at the 100x
+    // layout; see the localCheckpoint comment in the query). With the
+    // barrier, the doc-side shingle projection runs in the checkpoint's
+    // own job and is ABSENT from this plan: the only shingle_hashes
+    // left is the benchmark (broadcast) side's. A cleanup that drops
+    // the barrier puts the doc projection back into this plan → 2
+    // occurrences → this fails.
+    val df = graft.SparkEntry.queries("q146_decontam_invariants")(spark, sf)
+    df.collect() // materialize so AQE finalizes the physical plan
+    val shingleLines = df.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("shingle_hashes")).toSeq
+    // the benchmark projection legitimately appears (possibly twice —
+    // AQE prints reused exchanges' subtrees again); the doc side must not
+    shingleLines should not be empty
+    withClue("expected only the broadcast benchmark side to shingle in-plan: ") {
+      all(shingleLines) should include("AS ref_sh")
+    }
+  }
 }
