@@ -699,12 +699,34 @@ object TextFunctions {
     * starts keep mkString(" ") semantics like the empty-cover branch
     * above.
     */
+  /** The merge walks below assume ASCENDING `starts`; a disordered array
+    * would silently under-trim (the walk passes unmerged intervals by).
+    * trimDupGrams always sorts, but `rebuild_trimmed_spans` /
+    * `spans_covered` are registered SQL functions an ad-hoc caller can
+    * feed anything — one comparison per element buys a loud error
+    * instead of a wrong answer (round-14 ADVICE).
+    */
+  private def requireSortedStarts(
+      starts: org.apache.spark.sql.catalyst.util.ArrayData,
+      fn: String): Unit = {
+    val m = starts.numElements()
+    var i = 1
+    while (i < m) {
+      if (starts.getInt(i) < starts.getInt(i - 1))
+        throw new IllegalArgumentException(
+          s"$fn: starts must be sorted ascending — element $i " +
+            s"(${starts.getInt(i)}) < element ${i - 1} (${starts.getInt(i - 1)})")
+      i += 1
+    }
+  }
+
   def rebuildTrimmedSpansData(
       toks: org.apache.spark.sql.catalyst.util.ArrayData,
       starts: org.apache.spark.sql.catalyst.util.ArrayData,
       w: Int): org.apache.spark.unsafe.types.UTF8String = {
     val sb = new java.lang.StringBuilder
     val nSt = if (starts == null) 0 else starts.numElements()
+    if (nSt > 0) requireSortedStarts(starts, "rebuild_trimmed_spans")
     val n = toks.numElements()
     var i = 0
     if (nSt == 0) {
@@ -739,6 +761,7 @@ object TextFunctions {
   def spansCoveredData(
       starts: org.apache.spark.sql.catalyst.util.ArrayData, w: Int): Int = {
     if (starts == null) return 0
+    requireSortedStarts(starts, "spans_covered")
     val m = starts.numElements()
     var covered = 0
     var curStart = 0
@@ -761,6 +784,13 @@ object TextFunctions {
       if (toks == null) null
       else if (starts == null || starts.isEmpty) toks.mkString(" ")
       else {
+        var si = 1
+        while (si < starts.length) { // loud like the kernel (bit parity)
+          if (starts(si) < starts(si - 1)) throw new IllegalArgumentException(
+            s"rebuild_trimmed_spans: starts must be sorted ascending — " +
+              s"element $si (${starts(si)}) < element ${si - 1} (${starts(si - 1)})")
+          si += 1
+        }
         val sb = new java.lang.StringBuilder
         var ci = 0
         var maxEnd = -1
@@ -785,6 +815,13 @@ object TextFunctions {
     udf((starts: Seq[Int]) => {
       if (starts == null) 0
       else {
+        var si = 1
+        while (si < starts.length) { // loud like the kernel (bit parity)
+          if (starts(si) < starts(si - 1)) throw new IllegalArgumentException(
+            s"spans_covered: starts must be sorted ascending — " +
+              s"element $si (${starts(si)}) < element ${si - 1} (${starts(si - 1)})")
+          si += 1
+        }
         var covered = 0
         var curStart = 0
         var curEnd = -1

@@ -1153,7 +1153,12 @@ object Curation {
       // counts), so a miss is a logic error — the null unboxing below
       // fails the task rather than scoring with a silent default.
       val spark = corpus.sparkSession
-      val wMap = new java.util.HashMap[String, java.lang.Double](v.toInt * 2)
+      // capacity clamped: v * 2 as an Int overflows negative past
+      // Int.MaxValue/2 and HashMap would throw — the route guard only
+      // requires v < Int.MaxValue (a raised maxBroadcastVocab can land
+      // in between)
+      val wMap = new java.util.HashMap[String, java.lang.Double](
+        math.min(1 << 30, v * 2L).toInt)
       weights.collect().foreach(r => wMap.put(r.getString(0), r.getDouble(1)))
       val bc = spark.sparkContext.broadcast(wMap)
       // per-doc exact fold: token instances added in code-point order of

@@ -91,6 +91,27 @@ object QueriesZarr {
         .select(col("event_id"), col("stamp"))
     }),
 
+    // S1 native path, numcodecs FILTER chains (round-15): eid_delta sits
+    // behind delta(<i8 → <i4) and press behind a
+    // [fixedscaleoffset, shuffle] chain — both decoded through the
+    // filter-undo layer and value-compared row by row (press values are
+    // exact quarters: the scale is a power of two, so the oracle's
+    // arithmetic is IEEE-identical)
+    "q155_zarr_filters" -> ((s, d) => {
+      val st = ZarrGateStore.store(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"), col("eid_delta"), col("press"))
+    }),
+
+    // S1 native path, M8[D] day-unit datetime64 (round-15): the day
+    // array decodes as DateType with planted NaT → null dates;
+    // value-compared against CAST(ts AS DATE) over the parquet twin
+    "q156_zarr_date" -> ((s, d) => {
+      val st = ZarrGateStore.store(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"), col("day"))
+    }),
+
     // S1 native path joined back to the parquet gate table: zarr-side
     // measures aggregated by a parquet-side dimension — the zarr slice
     // is tiny next to events, so it is the BROADCAST side of the join
@@ -160,6 +181,24 @@ object QueriesZarr {
         ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
       SELECT event_id,
              CASE WHEN event_id % 11 = 7 THEN NULL ELSE ts END AS stamp
+      FROM slice""",
+
+    // eid_delta decodes back to event_id exactly; press = m/4 − 1000
+    // with m = event_id % 9000 (both engines: exact power-of-two
+    // division, then an exactly-representable subtraction)
+    "q155_zarr_filters" -> s"""WITH slice AS (
+        SELECT event_id FROM events
+        ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
+      SELECT event_id, event_id AS eid_delta,
+             (event_id % 9000) / 4.0 - 1000.0 AS press
+      FROM slice""",
+
+    "q156_zarr_date" -> s"""WITH slice AS (
+        SELECT event_id, ts FROM events
+        ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
+      SELECT event_id,
+             CASE WHEN event_id % 17 = 11 THEN NULL
+                  ELSE CAST(ts AS DATE) END AS day
       FROM slice""",
 
     "q150_zarr_join" -> s"""$sliceCte

@@ -155,7 +155,7 @@ private[zarr] object ZarrTable {
   // driver over rotating stores does not leak one table + Configuration
   // per rewrite.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long, ZarrTable)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean), (Long, Long, ZarrTable)]()
   // distinct (path, dim) keys are bounded too: a driver enumerating
   // thousands of stores must not grow this map forever. Eviction is
   // whole-map (entries re-parse on demand — correctness never depends
@@ -167,6 +167,15 @@ private[zarr] object ZarrTable {
       throw new IllegalArgumentException("zarr: .load(path) is required"))
     val dimOpt = Option(options.get("dim")).getOrElse("")
     val sorted = SortedMode.of(options)
+    // u8 dtype policy: "reject" (default — no lossless integral home) or
+    // "decimal" (opt-in Decimal(20,0), exact over the full unsigned
+    // range). Part of the cache key: it changes the SCHEMA.
+    val u8Decimal = Option(options.get("u8")).map(_.toLowerCase) match {
+      case None | Some("reject") => false
+      case Some("decimal") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"zarr: u8 must be reject/decimal, got '$other'")
+    }
     val conf = ZarrIO.driverConf()
     val zp = ZarrIO.resolve(path, ".zmetadata")
     val st =
@@ -177,12 +186,13 @@ private[zarr] object ZarrTable {
             s"zarr: $path has no .zmetadata — only consolidated stores are " +
               "supported (zarr.consolidate_metadata in the writer)")
       }
-    if (!cache.containsKey((path, dimOpt)) && cache.size() >= MaxEntries)
+    if (!cache.containsKey((path, dimOpt, u8Decimal)) && cache.size() >= MaxEntries)
       cache.clear()
-    val table = cache.compute((path, dimOpt), (_, old) =>
+    val table = cache.compute((path, dimOpt, u8Decimal), (_, old) =>
       if (old != null && old._1 == st.getModificationTime &&
         old._2 == st.getLen) old
-      else (st.getModificationTime, st.getLen, parse(path, dimOpt, conf)))._3
+      else (st.getModificationTime, st.getLen,
+        parse(path, dimOpt, u8Decimal, conf)))._3
     // a cache HIT must still see THIS session's Hadoop settings:
     // refreshed s3a credentials/STS tokens or changed spark.hadoop.*
     // keys land in the freshly-computed conf, not the one pinned at
@@ -193,12 +203,12 @@ private[zarr] object ZarrTable {
     else table.copyWith(sorted)
   }
 
-  private def parse(path: String, dimOpt: String,
+  private def parse(path: String, dimOpt: String, u8Decimal: Boolean,
                     conf: Configuration): ZarrTable = {
     val zmeta = ZarrIO.readIfExists(conf, path, ".zmetadata").getOrElse(
       throw new IllegalArgumentException(s"zarr: $path has no .zmetadata"))
     val arrays = ZarrMeta.parseConsolidated(
-      new String(zmeta, java.nio.charset.StandardCharsets.UTF_8))
+      new String(zmeta, java.nio.charset.StandardCharsets.UTF_8), u8Decimal)
     require(arrays.nonEmpty, s"zarr: $path holds no 1-D/2-D arrays")
     val dim = if (dimOpt.nonEmpty) dimOpt else {
       // the record dimension: shared by the most arrays as dim 0
@@ -289,6 +299,8 @@ private[zarr] class ZarrScanBuilder(path: String, dim: String,
         case i: java.time.Instant =>
           Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
         case d: java.sql.Date => Some(d.getTime * 1000.0)
+        case ld: java.time.LocalDate => // DateType filters (Java-8 API)
+          Some(ld.toEpochDay * 86400e6)
         case _ => None
       }
       filters.foreach {
@@ -450,12 +462,13 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
                   else ZarrMeta.cfToMicros(v, perUnit, epoch).toDouble)
     } else if (coord.isDatetime) {
       // raw datetime64 coordinate: same micros pruning space as CF time
-      // (the pushed Timestamp/Instant filter values are micros); NaT
-      // rides as NaN so min/max skips it and the sorted path rejects it
+      // (the pushed Timestamp/Instant/Date filter values are micros —
+      // M8[D] day offsets scale to day-start micros); NaT rides as NaN
+      // so min/max skips it and the sorted path rejects it
       val unit = coord.datetimeUnit
       ZarrMeta.longsOf(coord, bytes).map(v =>
         if (v == ZarrMeta.NaT) Double.NaN
-        else ZarrMeta.dt64ToMicros(v, unit).toDouble)
+        else ZarrMeta.dt64PruneMicros(v, unit).toDouble)
     } else ZarrMeta.doublesOf(coord, bytes)
 
   /** Exact pruning decides each chunk INDEPENDENTLY (read its coordinate
@@ -481,9 +494,13 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
             val (perUnit, epoch) = ZarrMeta.cfTime(coord.units.get)
             Some(ZarrMeta.cfToMicros(f, perUnit, epoch).toDouble)
           } else if (coord.isDatetime) {
-            // NaT fill = missing timestamps: never inside a time range
-            if (f.toLong == ZarrMeta.NaT) None
-            else Some(ZarrMeta.dt64ToMicros(f.toLong, coord.datetimeUnit).toDouble)
+            // NaT fill = missing timestamps: never inside a time range.
+            // A JSON "NaN" fill on a datetime64 array is the same
+            // missing marker (Double.NaN.toLong is 0 — without this
+            // guard the fill run would wrongly claim the 1970 epoch)
+            if (f.isNaN || f.toLong == ZarrMeta.NaT) None
+            else Some(ZarrMeta.dt64PruneMicros(
+              coord.fillLong.getOrElse(f.toLong), coord.datetimeUnit).toDouble)
           } else Some(f)
         }.exists(v => v >= lo && v <= hi)
         case Some(bytes) =>
@@ -625,8 +642,12 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
         }
       } else if (m.isDatetime) {
         // raw datetime64: int64 epoch offsets in the dtype's unit,
-        // NaT (Long.MinValue) → null timestamp like a CF NaN gap
+        // NaT (Long.MinValue) → null like a CF NaN gap. Sub-day units
+        // convert to micros (TimestampType); M8[D] keeps epoch DAYS —
+        // DateType's own representation (emitted as Int below).
         val unit = m.datetimeUnit
+        def toOut(v: Long): Long =
+          if (unit == "D") v else ZarrMeta.dt64ToMicros(v, unit)
         bytes match {
           case Some(b) =>
             val raw = ZarrMeta.longsOf(m, b)
@@ -634,22 +655,28 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
               if (raw.exists(_ == ZarrMeta.NaT)) raw.map(_ == ZarrMeta.NaT)
               else null
             Longs(raw.map(v =>
-              if (v == ZarrMeta.NaT) 0L else ZarrMeta.dt64ToMicros(v, unit)),
+              if (v == ZarrMeta.NaT) 0L else toOut(v)),
               nulls)
           case None => m.fillValue match {
             // a NaT fill arrives as the saturated Long.MinValue double
-            // (or was dropped at parse when spelled "NaT") — either way
-            // the fill run is null timestamps
-            case Some(f) if f.toLong != ZarrMeta.NaT =>
+            // (or was dropped at parse when spelled "NaT"), and a JSON
+            // "NaN" fill is the same missing marker (NaN.toLong is 0 —
+            // the CF branch above treats NaN fills as missing; emitting
+            // dt64ToMicros(0) here would fabricate 1970-epoch rows) —
+            // either way the fill run is null timestamps
+            case Some(f) if !f.isNaN && f.toLong != ZarrMeta.NaT =>
               Longs(Array.fill(nRows)(
-                ZarrMeta.dt64ToMicros(f.toLong, unit)), null)
+                toOut(m.fillLong.getOrElse(f.toLong))), null)
             case _ => AllNull
           }
         }
       } else if (integral) bytes match {
         case Some(b) => Longs(ZarrMeta.longsOf(m, b), null)
         case None => m.fillValue match {
-          case Some(f) => Longs(Array.fill(nRows)(f.toLong), null)
+          // fillLong preferred: an i8/u8 fill past 2^53 is exact only
+          // through the JSON-integer path (the double leg rounds)
+          case Some(f) => Longs(Array.fill(nRows)(
+            m.fillLong.getOrElse(f.toLong)), null)
           case None => AllNull
         }
       } else bytes match {
@@ -719,6 +746,8 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
       case ShortType => v.toShort
       case ByteType => v.toByte
       case BooleanType => v != 0L
+      case _: DecimalType => org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(java.lang.Long.toUnsignedString(v)), 20, 0)
       case _ => v
     }
 
@@ -743,10 +772,15 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
           if (nulls != null && nulls(row)) out.setNullAt(c)
           else required(c).sparkType match {
             case TimestampType | LongType => out.setLong(c, vs(row))
+            case DateType => out.setInt(c, vs(row).toInt) // epoch days
             case IntegerType => out.setInt(c, vs(row).toInt)
             case ShortType => out.setShort(c, vs(row).toShort)
             case ByteType => out.setByte(c, vs(row).toByte)
             case BooleanType => out.setBoolean(c, vs(row) != 0L)
+            case _: DecimalType => // u8 opt-in: raw bits → unsigned decimal
+              out.update(c, org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(
+                  java.lang.Long.toUnsignedString(vs(row))), 20, 0))
             case _ => out.update(c, vs(row))
           }
         case Doubles(ds) =>

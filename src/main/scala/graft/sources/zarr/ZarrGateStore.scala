@@ -37,6 +37,17 @@ import graft.sources.Tables
   *  - `stamp` = ts as a raw `<M8[ns]` datetime64 array (ns = µs·1000,
   *    exact) with NaT planted at `event_id % 11 == 7` — the round-14
   *    raw-datetime decode on the oracle gate (NaT → null timestamp);
+  *  - `eid_delta` = event_id behind a numcodecs `delta` filter
+  *    (dtype `<i8`, astype `<i4`) + zlib — the round-15 filter-chain
+  *    decode on the oracle gate (value-identical to `event_id`);
+  *  - `press` = `(event_id % 9000) · 0.25 − 1000` behind a
+  *    `[fixedscaleoffset(offset −1000, scale 4, astype <i2), shuffle]`
+  *    CHAIN + zlib — every value an exact quarter (scale is a power of
+  *    two), so the oracle expresses the decode as
+  *    `(event_id % 9000) / 4.0 - 1000.0` with zero rounding ambiguity;
+  *  - `day` = ts floored to epoch days as a raw `<M8[D]` array
+  *    (DateType) with NaT planted at `event_id % 17 == 11` — the
+  *    round-15 day-unit decode on the oracle gate;
   *  - `spectrum` = a 2-D (time × band, n × 4) f8 array with
   *    spectrum[k] = value · (k+1) (IEEE-exact in both engines) and a
   *    NaN element at (event_id % 7 == 5, band 2) — trailing dim chunked
@@ -103,6 +114,12 @@ object ZarrGateStore {
     val stampNs: Array[Long] = slice.map(r =>
       if (r.getLong(0) % 11 == 7) Long.MinValue
       else Math.multiplyExact(micros(r.getTimestamp(1)), 1000L))
+    // M8[D] twin: ts floored to epoch days, NaT at event_id % 17 == 11
+    val dayOf: Array[Long] = slice.map(r =>
+      if (r.getLong(0) % 17 == 11) Long.MinValue
+      else Math.floorDiv(micros(r.getTimestamp(1)), 86400000000L))
+    // fixedscaleoffset payload: m = event_id % 9000 fits <i2 exactly
+    val pressEnc: Array[Short] = slice.map(r => (r.getLong(0) % 9000).toShort)
 
     val out = Files.createTempDirectory("graft_zarr_gate").toString
     val nChunks = (n + Chunk - 1) / Chunk
@@ -173,6 +190,34 @@ object ZarrGateStore {
         if (c * Chunk + r < n && eventId(c * Chunk + r) % 2 == 0) 1 else 0))
       // <M8[ns] raw datetime64, zlib (pad value never read)
       put("stamp", c, deflate(leL(padL(stampNs, c))))
+      // <M8[D] raw datetime64 day unit, zlib
+      put("day", c, deflate(leL(padL(dayOf, c))))
+      // delta(<i8 → <i4) + zlib: encode restarts per chunk (enc[0] is
+      // the chunk's first raw value). Every encoded value must fit the
+      // astype — fail HERE with the value if a regenerated layout grows
+      // event ids past i4, never as a silent wrong decode
+      val padEid = padL(eventId, c)
+      val enc = Array.tabulate(Chunk) { k =>
+        val d = if (k == 0) padEid(0) else padEid(k) - padEid(k - 1)
+        require(d >= Int.MinValue && d <= Int.MaxValue,
+          s"zarr gate store: delta $d of eid_delta exceeds the <i4 astype " +
+            "— widen the astype in ZarrGateStore")
+        d.toInt
+      }
+      val encBytes = ByteBuffer.allocate(Chunk * 4).order(ByteOrder.LITTLE_ENDIAN)
+      enc.foreach(encBytes.putInt)
+      put("eid_delta", c, deflate(encBytes.array()))
+      // [fixedscaleoffset(<f8 → <i2), shuffle(2)] + zlib: on-disk bytes
+      // are zlib(shuffle(i2-LE(m)))
+      val pBytes = ByteBuffer.allocate(Chunk * 2).order(ByteOrder.LITTLE_ENDIAN)
+      for (k <- 0 until Chunk)
+        pBytes.putShort(if (c * Chunk + k < n) pressEnc(c * Chunk + k) else 0)
+      val pArr = pBytes.array()
+      val shuffled = new Array[Byte](pArr.length)
+      val neles = pArr.length / 2
+      for (i <- 0 until neles; b <- 0 until 2)
+        shuffled(b * neles + i) = pArr(i * 2 + b)
+      put("press", c, deflate(shuffled))
       // 2-D chunks: (Chunk × BandChunk) row-major, padded in BOTH dims
       for (j <- 0 until (Bands + BandChunk - 1) / BandChunk) {
         val buf = new Array[Double](Chunk * BandChunk)
@@ -223,7 +268,24 @@ object ZarrGateStore {
         "order": "C", "filters": null, "zarr_format": 2},
       "flag/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
       "stamp/.zarray": ${zarray("<M8[ns]", comp = true, "-9223372036854775808")},
-      "stamp/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
+      "stamp/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "day/.zarray": ${zarray("<M8[D]", comp = true, "-9223372036854775808")},
+      "day/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "eid_delta/.zarray": {"shape": [$n], "chunks": [$Chunk], "dtype": "<i8",
+        "compressor": {"id": "zlib", "level": 1}, "fill_value": 0,
+        "order": "C",
+        "filters": [{"id": "delta", "dtype": "<i8", "astype": "<i4"}],
+        "zarr_format": 2},
+      "eid_delta/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "press/.zarray": {"shape": [$n], "chunks": [$Chunk], "dtype": "<f8",
+        "compressor": {"id": "zlib", "level": 1}, "fill_value": "NaN",
+        "order": "C",
+        "filters": [
+          {"id": "fixedscaleoffset", "offset": -1000.0, "scale": 4.0,
+           "dtype": "<f8", "astype": "<i2"},
+          {"id": "shuffle", "elementsize": 2}],
+        "zarr_format": 2},
+      "press/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]}},
       "zarr_consolidated_format": 1}"""
     Files.write(Paths.get(out, ".zmetadata"), meta.getBytes("UTF-8"))
     out

@@ -19,14 +19,18 @@ import org.apache.spark.sql.types._
   *
   * Deliberate contract (documented, fail-fast everywhere else):
   * numeric dtypes f8 f4 i8 i4 i2 i1 u1 u2 u4 in either byte order
-  * ('<'/'>' — unsigned widened to the next signed Spark type, u8
-  * rejected), |b1 bool, fixed-width strings (|S<n>, <U<n>/>U<n>),
-  * object strings (|O + a
+  * ('<'/'>' — unsigned widened to the next signed Spark type; u8
+  * rejected by default, `option("u8", "decimal")` opts into
+  * Decimal(20,0)), |b1 bool, datetime64 (`M8[s|ms|us|ns]` →
+  * TimestampType, `M8[D]` → DateType), fixed-width strings (|S<n>,
+  * <U<n>/>U<n>), object strings (|O + a
   * sole numcodecs vlen-utf8 filter — xarray's default str encoding); C
   * order, 1-D/2-D arrays over the record dim; codecs: none / zlib /
   * gzip / zstd / lz4 (numcodecs: int32-LE size prefix + LZ4 block) /
   * blosc(blosclz, lz4, zlib, zstd, snappy, or memcpy; byte-shuffle
-  * supported, bit-shuffle and delta not). zstd and snappy ride the
+  * supported, bit-shuffle not); numcodecs filter chains of
+  * delta / fixedscaleoffset / shuffle on numeric dtypes
+  * ([[ZarrFilter]]). zstd and snappy ride the
   * libraries Spark itself ships (zstd-jni, snappy-java — present on
   * every Spark classpath); lz4, blosclz and zlib are pure-JVM from the
   * public block formats. Any other filter chain is rejected with a
@@ -34,6 +38,57 @@ import org.apache.spark.sql.types._
   */
 private[zarr] object ZarrMeta {
   private val mapper = new ObjectMapper()
+
+  /** A numcodecs FILTER: an elementwise byte transform applied (encode
+    * direction) BEFORE the compressor. The supported set is the three
+    * provider-written stores actually use on numeric variables
+    * (numcodecs `delta.py` / `fixedscaleoffset.py` / `shuffle.py`,
+    * public formats):
+    *
+    *  - `delta`: out[0] = x[0], out[i] = x[i] − x[i−1], stored as
+    *    `astype`; decode is a cumulative sum accumulated in `dtype`
+    *    (numpy `cumsum(enc, out=dec)` — partial sums WRAP at the dtype's
+    *    width, mirrored exactly here);
+    *  - `fixedscaleoffset`: out = round((x − offset) · scale) stored as
+    *    `astype`; decode is enc / scale + offset cast to `dtype` (float
+    *    dtypes keep the IEEE result, integer dtypes truncate toward
+    *    zero like numpy's astype);
+    *  - `shuffle`: the plain byte shuffle at `elementsize` stride
+    *    (same transform as blosc's shuffle bit, as a standalone filter).
+    *
+    * Anything else stays loudly rejected — ignoring a filter would
+    * decode wrong values silently, the one failure mode this source
+    * never allows. Chains compose (decode runs in REVERSE declaration
+    * order); each typed filter's `dtype` must match the stage it sees,
+    * validated at parse time against the array dtype.
+    */
+  sealed trait ZarrFilter
+  final case class DeltaFilter(dtype: String, astype: String) extends ZarrFilter
+  final case class FixedScaleOffsetFilter(offset: Double, scale: Double,
+                                          dtype: String, astype: String) extends ZarrFilter
+  final case class ShuffleFilter(elementsize: Int) extends ZarrFilter
+
+  /** Element width in bytes of a fixed-width NUMERIC dtype string (the
+    * only kinds filters may carry — validated at parse).
+    */
+  private[zarr] def numericWidth(dtype: String, name: String): Int = {
+    val body = dtype.stripPrefix("<").stripPrefix(">").stripPrefix("|")
+    require(body.length >= 2 && "fiu".contains(body.head) &&
+      body.tail.forall(_.isDigit),
+      s"zarr: filter dtype '$dtype' on array '$name' is not a fixed-width " +
+        "numeric dtype (filters are supported on f/i/u kinds only)")
+    body.tail.toInt
+  }
+
+  /** The dtype of the bytes ON DISK after the encode-direction filter
+    * chain (what the compressor layer must produce when decoding).
+    */
+  private[zarr] def diskDtype(dtype: String, filters: Seq[ZarrFilter]): String =
+    filters.foldLeft(dtype) {
+      case (_, DeltaFilter(_, a)) => a
+      case (_, FixedScaleOffsetFilter(_, _, _, a)) => a
+      case (st, ShuffleFilter(_)) => st
+    }
 
   /** One array's .zarray + .zattrs slice of the consolidated metadata.
     * `shape`/`chunk` are the RECORD dimension (always dim 0); a 2-D
@@ -55,7 +110,13 @@ private[zarr] object ZarrMeta {
       calendar: Option[String],
       extraShape: Long = 0L,  // trailing-dim length (0 = 1-D array)
       extraChunk: Int = 0,    // trailing-dim chunk length
-      fillString: Option[String] = None) { // string-dtype fill (|S/<U)
+      fillString: Option[String] = None, // string-dtype fill (|S/<U)
+      filters: Seq[ZarrFilter] = Nil, // numcodecs filter chain (decode reverses)
+      // integral fill read EXACTLY from the JSON (no double leg): an i8/u8
+      // fill past 2^53 — a large sentinel id, u8's common 2^64−1 "max" —
+      // corrupts silently through fillValue's double
+      fillLong: Option[Long] = None,
+      u8Decimal: Boolean = false) { // opt-in u8 → Decimal(20,0) (option "u8")
     def is2D: Boolean = extraShape > 0L
     def nChunks: Long = (shape + chunk - 1) / math.max(chunk, 1)
     def nExtraChunks: Long =
@@ -87,16 +148,19 @@ private[zarr] object ZarrMeta {
       */
     def isDatetime: Boolean =
       dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|").startsWith("M8")
-    /** The datetime64 unit, validated to the sub-day set this source can
-      * represent as Spark micros. Calendar units (D/W/M/Y — variable
-      * length or lossy) fail loudly at schema time.
+    /** The datetime64 unit, validated to the set this source can
+      * represent: sub-day units (s/ms/us/ns) as Spark micros
+      * (TimestampType), and `D` — day-resolution axes in aggregated
+      * provider products — as DateType (epoch-day offsets map 1:1 to
+      * Spark's date representation). The remaining calendar units
+      * (W/M/Y — variable length) fail loudly at schema time.
       */
     def datetimeUnit: String = {
       val body = dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|")
       val u = body.stripPrefix("M8").stripPrefix("[").stripSuffix("]")
-      require(Set("s", "ms", "us", "ns").contains(u),
+      require(Set("s", "ms", "us", "ns", "D").contains(u),
         s"zarr: datetime64 unit '$u' on array '$name' is not representable " +
-          "as timestamps (supported: s, ms, us, ns)")
+          "as timestamps or dates (supported: s, ms, us, ns, D)")
       u
     }
     def isString: Boolean =
@@ -133,7 +197,8 @@ private[zarr] object ZarrMeta {
     def scalarType: DataType =
       if (isVlen) StringType
       else kindWidth match {
-        case ('M', 8) => datetimeUnit; TimestampType // validate the unit at schema time
+        case ('M', 8) => // validate the unit at schema time
+          if (datetimeUnit == "D") DateType else TimestampType
         case ('f', 8) => DoubleType
         case ('f', 4) => FloatType
         case ('i', 8) => LongType
@@ -143,12 +208,17 @@ private[zarr] object ZarrMeta {
         case ('u', 1) => ShortType // widened: Spark has no unsigned byte
         case ('u', 2) => IntegerType
         case ('u', 4) => LongType
+        // u8 has no lossless INTEGRAL Spark home; `option("u8",
+        // "decimal")` opts into Decimal(20,0) — exact for the full
+        // unsigned range — otherwise the documented loud rejection
+        case ('u', 8) if u8Decimal => DecimalType(20, 0)
         case ('b', 1) => BooleanType
         case ('S', _) | ('U', _) => StringType
         case _ => throw new IllegalArgumentException(
           s"zarr: unsupported dtype '$dtypeStr' for array '$name' " +
             "(v1 contract: numeric, bool, or string arrays — u8 has no " +
-            "lossless Spark home)")
+            "lossless integral Spark home; pass option(\"u8\", \"decimal\") " +
+            "to read it as Decimal(20,0))")
       }
     def sparkType: DataType =
       if (is2D) {
@@ -176,7 +246,8 @@ private[zarr] object ZarrMeta {
     * 1-D and 2-D arrays. Zarr consolidated layout: {"metadata":
     * {"<array>/.zarray": {...}, "<array>/.zattrs": {...}, ...}}.
     */
-  def parseConsolidated(zmetadata: String): Map[String, ArrayMeta] = {
+  def parseConsolidated(zmetadata: String,
+                        u8Decimal: Boolean = false): Map[String, ArrayMeta] = {
     val root = mapper.readTree(zmetadata)
     val meta = root.path("metadata")
     require(!meta.isMissingNode,
@@ -188,12 +259,13 @@ private[zarr] object ZarrMeta {
     names.iterator.flatMap { name =>
       val za = meta.path(s"$name/.zarray")
       val attrs = meta.path(s"$name/.zattrs")
-      parseArray(name, za, attrs)
+      parseArray(name, za, attrs, u8Decimal)
     }.map(m => m.name -> m).toMap
   }
 
   private[zarr] def parseArray(name: String, za: JsonNode,
-                               attrs: JsonNode): Option[ArrayMeta] = {
+                               attrs: JsonNode,
+                               u8Decimal: Boolean = false): Option[ArrayMeta] = {
     val shape = za.path("shape")
     // 1-D and 2-D (record × extra) arrays; higher ranks have no column
     // representation here and are skipped like non-record-dim arrays
@@ -203,30 +275,78 @@ private[zarr] object ZarrMeta {
       s"zarr: array '$name' has order '$order' (v1 contract: C)")
     // big-endian dtypes ('>f8', '>i4', '>U6' — NetCDF-converted and
     // Fortran-lineage stores) are accepted: ArrayMeta.byteOrder carries
-    // the order and every multi-byte decode wraps its buffer in it
-    // filter chains (delta, quantize, ...) transform the bytes BEFORE
-    // the compressor: ignoring one would decode wrong values silently —
-    // the one failure mode this source never allows. The single
-    // exception: a SOLE numcodecs `vlen-utf8` filter on an object
-    // (`|O`) dtype — xarray's DEFAULT encoding for Python-str
-    // variables — which the decode layer implements (u4-LE item count,
-    // then per item u4-LE byte length + UTF-8 bytes).
+    // the order and every multi-byte decode wraps its buffer in it.
+    // Filter chains transform the bytes BEFORE the compressor: ignoring
+    // one would decode wrong values silently — the one failure mode this
+    // source never allows. The implemented set ([[ZarrFilter]]): a SOLE
+    // numcodecs `vlen-utf8` on an object (`|O`) dtype — xarray's DEFAULT
+    // encoding for Python-str variables — plus `delta`,
+    // `fixedscaleoffset` and `shuffle` chains on numeric dtypes, the
+    // filters provider-written stores put on integer/QC variables (the
+    // reference's `xr.open_zarr` reads them transparently,
+    // `qaqc/dashboard.py:311`). Anything else stays a loud rejection.
     val filters = za.path("filters")
     val dtype0 = za.path("dtype").asText("")
-    val isVlenUtf8 = filters.isArray && filters.size() == 1 &&
-      filters.get(0).path("id").asText() == "vlen-utf8"
+    val filterNodes: Seq[JsonNode] =
+      if (filters.isArray) (0 until filters.size()).map(filters.get(_))
+      else Seq.empty
+    val hasVlen = filterNodes.exists(_.path("id").asText() == "vlen-utf8")
+    val isVlenUtf8 = hasVlen && filterNodes.length == 1
+    var parsedFilters: Seq[ZarrFilter] = Nil
     if (isVlenUtf8) require(dtype0 == "|O",
       s"zarr: array '$name' pairs vlen-utf8 with dtype '$dtype0' " +
         "(numcodecs only writes it on object arrays)")
     else {
-      require(filters.isNull || filters.isMissingNode ||
-        (filters.isArray && filters.size() == 0),
-        s"zarr: array '$name' uses filters ${filters.toString} " +
-          "(v1 contract: filters must be null or a sole vlen-utf8 — " +
-          "no silent wrong bytes)")
+      require(!hasVlen,
+        s"zarr: array '$name' composes vlen-utf8 with other filters " +
+          s"(${filters.toString}) — vlen-utf8 is only supported as the " +
+          "sole filter (numcodecs writes it alone on object arrays)")
       require(dtype0 != "|O",
         s"zarr: array '$name' is object dtype without a vlen-utf8 filter " +
           "— its bytes have no defined layout")
+      // typed filters: validate each against the dtype STAGE it sees
+      // (encode order), so a chain with a wrong inner dtype fails here
+      // with the array name, never as silently wrong values
+      var stage = dtype0
+      parsedFilters = filterNodes.map { f =>
+        f.path("id").asText() match {
+          case "delta" =>
+            val dt = f.path("dtype").asText("")
+            val at = Option(f.path("astype")).filter(_.isTextual)
+              .map(_.asText()).filterNot(_.isEmpty).getOrElse(dt)
+            require(dt == stage,
+              s"zarr: delta filter on array '$name' declares dtype '$dt' " +
+                s"but the stage it decodes to is '$stage' (wrong metadata)")
+            numericWidth(dt, name); numericWidth(at, name)
+            stage = at
+            DeltaFilter(dt, at)
+          case "fixedscaleoffset" =>
+            val dt = f.path("dtype").asText("")
+            val at = Option(f.path("astype")).filter(_.isTextual)
+              .map(_.asText()).filterNot(_.isEmpty).getOrElse(dt)
+            require(dt == stage,
+              s"zarr: fixedscaleoffset filter on array '$name' declares " +
+                s"dtype '$dt' but the stage it decodes to is '$stage'")
+            numericWidth(dt, name); numericWidth(at, name)
+            val scale = f.path("scale").asDouble(Double.NaN)
+            val offset = f.path("offset").asDouble(Double.NaN)
+            require(!scale.isNaN && !offset.isNaN && scale != 0.0,
+              s"zarr: fixedscaleoffset filter on array '$name' needs " +
+                "numeric offset and non-zero scale")
+            stage = at
+            FixedScaleOffsetFilter(offset, scale, dt, at)
+          case "shuffle" =>
+            val es = f.path("elementsize").asInt(-1)
+            require(es > 0,
+              s"zarr: shuffle filter on array '$name' needs a positive " +
+                "elementsize")
+            ShuffleFilter(es)
+          case other => throw new IllegalArgumentException(
+            s"zarr: array '$name' uses unsupported filter '$other' " +
+              s"(${filters.toString}) — supported: a sole vlen-utf8, or " +
+              "delta/fixedscaleoffset/shuffle chains — no silent wrong bytes")
+        }
+      }
     }
     val dims = {
       val d = attrs.path("_ARRAY_DIMENSIONS")
@@ -269,6 +389,13 @@ private[zarr] object ZarrMeta {
           new String(b, 0, end, StandardCharsets.US_ASCII)
         } else s
       }
+    // integral fills EXACTLY from the JSON integer (BigInteger.longValue
+    // keeps the low 64 bits — the right bit pattern for u8 fills up to
+    // 2^64−1 and i8 fills past 2^53, both of which the double `fill`
+    // corrupts)
+    val fillL = Option(za.path("fill_value"))
+      .filter(f => !isStr && f.isIntegralNumber)
+      .map(_.bigIntegerValue().longValue())
     Some(ArrayMeta(
       name = name,
       shape = shape.get(0).asLong(),
@@ -281,7 +408,10 @@ private[zarr] object ZarrMeta {
       calendar = Option(attrs.path("calendar")).filter(_.isTextual).map(_.asText()),
       extraShape = if (shape.size() == 2) shape.get(1).asLong() else 0L,
       extraChunk = if (shape.size() == 2) za.path("chunks").get(1).asInt() else 0,
-      fillString = fillStr))
+      fillString = fillStr,
+      filters = parsedFilters,
+      fillLong = fillL,
+      u8Decimal = u8Decimal))
   }
 
   // ---- CF time ----------------------------------------------------------
@@ -371,11 +501,21 @@ private[zarr] object ZarrMeta {
 
   // ---- codecs ------------------------------------------------------------
 
-  /** On-disk bytes of one FULL chunk (edge chunks are padded): the
-    * fallback decompressed size when a codec frame does not carry one.
+  /** In-memory bytes of one FULL chunk (edge chunks are padded) in the
+    * ARRAY dtype — what the filter-undone chunk must measure.
     */
   private def chunkBytes(meta: ArrayMeta): Int =
     meta.chunk * math.max(meta.extraChunk, 1) * meta.typeSize
+
+  /** On-disk bytes of one FULL chunk in the DISK dtype (after the
+    * encode-direction filter chain — delta/fixedscaleoffset may narrow
+    * elements to their astype): what the COMPRESSOR must decode to, and
+    * the fallback size when a codec frame does not carry one.
+    */
+  private def diskChunkBytes(meta: ArrayMeta): Int =
+    if (meta.filters.isEmpty) chunkBytes(meta)
+    else meta.chunk * math.max(meta.extraChunk, 1) *
+      numericWidth(diskDtype(meta.dtypeStr, meta.filters), meta.name)
 
   /** Decompressed-size cap for a VARIABLE-length (vlen-utf8) chunk,
     * whose true size only the decoded item lengths know: bounds what a
@@ -389,16 +529,19 @@ private[zarr] object ZarrMeta {
     * a 2 GiB allocation per chunk).
     */
   private def maxDecodedBytes(meta: ArrayMeta): Int =
-    if (meta.isVlen) VlenChunkCap else chunkBytes(meta)
+    if (meta.isVlen) VlenChunkCap else diskChunkBytes(meta)
 
-  /** Decode one chunk file's bytes to the raw little-endian array bytes.
-    * Fixed-width dtypes decode to EXACTLY the padded chunk size (the
-    * Zarr spec pads edge chunks) — anything else is corrupt data and
-    * fails here with the array name, never as a downstream
-    * index-out-of-bounds or a silent short column.
+  /** Decode one chunk file's bytes to the raw array bytes: decompress,
+    * then undo the filter chain in REVERSE declaration order (numcodecs'
+    * decode contract). Fixed-width dtypes decode to EXACTLY the padded
+    * chunk size (the Zarr spec pads edge chunks) — at BOTH stages, the
+    * compressor's disk-dtype output and the filter-undone array-dtype
+    * output — anything else is corrupt data and fails here with the
+    * array name, never as a downstream index-out-of-bounds or a silent
+    * short column.
     */
   def decodeChunk(meta: ArrayMeta, raw: Array[Byte]): Array[Byte] = {
-    val out = meta.compressor match {
+    val out0 = meta.compressor match {
       case None => raw
       case Some(c) => c.path("id").asText() match {
         case "zlib" => inflate(raw, expected = -1)
@@ -419,10 +562,166 @@ private[zarr] object ZarrMeta {
           s"zarr: unsupported compressor '$other' on array '${meta.name}'")
       }
     }
+    if (!meta.isVlen) require(out0.length == diskChunkBytes(meta),
+      s"zarr: chunk of array '${meta.name}' decompressed ${out0.length} " +
+        s"bytes, expected ${diskChunkBytes(meta)} (corrupt chunk or wrong " +
+        "metadata)")
+    val out = meta.filters.foldRight(out0)((f, b) => undoFilter(meta, f, b))
     if (!meta.isVlen) require(out.length == chunkBytes(meta),
       s"zarr: chunk of array '${meta.name}' decoded ${out.length} bytes, " +
         s"expected ${chunkBytes(meta)} (corrupt chunk or wrong metadata)")
     out
+  }
+
+  // ---- numcodecs filters ---------------------------------------------------
+
+  /** Read one filter stage's elements. Integral kinds return exact
+    * longs (unsigned zero-extended, u8 raw bits); float kinds return
+    * doubles. The Boolean in the result marks the integral case.
+    */
+  private def stageLongs(bytes: Array[Byte], dtype: String,
+                         name: String): Array[Long] = {
+    val w = numericWidth(dtype, name)
+    val order = if (dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
+                else ByteOrder.LITTLE_ENDIAN
+    val bb = ByteBuffer.wrap(bytes).order(order)
+    val n = bytes.length / w
+    val out = new Array[Long](n)
+    val body = dtype.stripPrefix("<").stripPrefix(">").stripPrefix("|")
+    var i = 0
+    body match {
+      case "i8" | "u8" => while (i < n) { out(i) = bb.getLong(i * 8); i += 1 }
+      case "i4" => while (i < n) { out(i) = bb.getInt(i * 4).toLong; i += 1 }
+      case "i2" => while (i < n) { out(i) = bb.getShort(i * 2).toLong; i += 1 }
+      case "i1" => while (i < n) { out(i) = bytes(i).toLong; i += 1 }
+      case "u1" => while (i < n) { out(i) = (bytes(i) & 0xff).toLong; i += 1 }
+      case "u2" => while (i < n) { out(i) = (bb.getShort(i * 2) & 0xffff).toLong; i += 1 }
+      case "u4" => while (i < n) { out(i) = bb.getInt(i * 4) & 0xffffffffL; i += 1 }
+      case other => throw new IllegalArgumentException(
+        s"zarr: filter stage dtype '$other' on array '$name' is not integral")
+    }
+    out
+  }
+
+  private def stageDoubles(bytes: Array[Byte], dtype: String,
+                           name: String): Array[Double] = {
+    val body = dtype.stripPrefix("<").stripPrefix(">").stripPrefix("|")
+    if (body.head == 'f') {
+      val order = if (dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
+                  else ByteOrder.LITTLE_ENDIAN
+      val bb = ByteBuffer.wrap(bytes).order(order)
+      val n = bytes.length / (if (body == "f8") 8 else 4)
+      val out = new Array[Double](n)
+      var i = 0
+      if (body == "f8") while (i < n) { out(i) = bb.getDouble(i * 8); i += 1 }
+      else while (i < n) { out(i) = bb.getFloat(i * 4).toDouble; i += 1 }
+      out
+    } else stageLongs(bytes, dtype, name).map { l =>
+      // u8 raw bits → unsigned double (Long.toUnsignedString's split)
+      if (body == "u8" && l < 0) ((l >>> 1) | (l & 1L)).toDouble * 2.0
+      else l.toDouble
+    }
+  }
+
+  /** Write one filter stage's elements as `dtype` bytes (the stage's
+    * declared byte order; integral values truncate to the dtype's low
+    * bits — they were produced by that width's wrapping arithmetic).
+    */
+  private def writeStageLongs(vals: Array[Long], dtype: String,
+                              name: String): Array[Byte] = {
+    val w = numericWidth(dtype, name)
+    val order = if (dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
+                else ByteOrder.LITTLE_ENDIAN
+    val bb = ByteBuffer.allocate(vals.length * w).order(order)
+    var i = 0
+    w match {
+      case 8 => while (i < vals.length) { bb.putLong(i * 8, vals(i)); i += 1 }
+      case 4 => while (i < vals.length) { bb.putInt(i * 4, vals(i).toInt); i += 1 }
+      case 2 => while (i < vals.length) { bb.putShort(i * 2, vals(i).toShort); i += 1 }
+      case 1 => while (i < vals.length) { bb.put(i, vals(i).toByte); i += 1 }
+    }
+    bb.array()
+  }
+
+  private def writeStageDoubles(vals: Array[Double], dtype: String,
+                                name: String): Array[Byte] = {
+    val body = dtype.stripPrefix("<").stripPrefix(">").stripPrefix("|")
+    val order = if (dtype.startsWith(">")) ByteOrder.BIG_ENDIAN
+                else ByteOrder.LITTLE_ENDIAN
+    body match {
+      case "f8" =>
+        val bb = ByteBuffer.allocate(vals.length * 8).order(order)
+        var i = 0
+        while (i < vals.length) { bb.putDouble(i * 8, vals(i)); i += 1 }
+        bb.array()
+      case "f4" =>
+        val bb = ByteBuffer.allocate(vals.length * 4).order(order)
+        var i = 0
+        while (i < vals.length) { bb.putFloat(i * 4, vals(i).toFloat); i += 1 }
+        bb.array()
+      case _ =>
+        // integer target: numpy astype truncates toward zero (C cast)
+        writeStageLongs(vals.map(_.toLong), dtype, name)
+    }
+  }
+
+  /** Wrap a partial sum at the accumulator dtype's width — numpy's
+    * `cumsum(enc, out=dec)` accumulates IN dec's dtype, so each partial
+    * sum wraps exactly like the matching C integer.
+    */
+  private def wrapTo(v: Long, body: String): Long = body match {
+    case "i8" | "u8" => v
+    case "i4" => v.toInt.toLong
+    case "i2" => v.toShort.toLong
+    case "i1" => v.toByte.toLong
+    case "u1" => v & 0xffL
+    case "u2" => v & 0xffffL
+    case "u4" => v & 0xffffffffL
+    case other => throw new IllegalArgumentException(
+      s"zarr: delta accumulator dtype '$other'")
+  }
+
+  /** Undo ONE filter (decode direction): bytes in the filter's astype →
+    * bytes in its dtype. Exactly numcodecs' decode per filter:
+    * delta = cumsum accumulated in the dtype; fixedscaleoffset =
+    * enc / scale + offset cast to the dtype; shuffle = byte unshuffle.
+    */
+  private def undoFilter(meta: ArrayMeta, f: ZarrFilter,
+                         bytes: Array[Byte]): Array[Byte] = f match {
+    case ShuffleFilter(es) => unshuffle(bytes, es)
+    case DeltaFilter(dtype, astype) =>
+      val body = dtype.stripPrefix("<").stripPrefix(">").stripPrefix("|")
+      if (body.head == 'f') {
+        val enc = stageDoubles(bytes, astype, meta.name)
+        val out = new Array[Double](enc.length)
+        if (body == "f4") { // accumulate in float32 like numpy's f4 cumsum
+          var acc = 0.0f
+          var i = 0
+          while (i < enc.length) { acc += enc(i).toFloat; out(i) = acc.toDouble; i += 1 }
+        } else {
+          var acc = 0.0
+          var i = 0
+          while (i < enc.length) { acc += enc(i); out(i) = acc; i += 1 }
+        }
+        writeStageDoubles(out, dtype, meta.name)
+      } else {
+        val enc = stageLongs(bytes, astype, meta.name)
+        val out = new Array[Long](enc.length)
+        var acc = 0L
+        var i = 0
+        while (i < enc.length) {
+          acc = wrapTo(acc + enc(i), body)
+          out(i) = acc
+          i += 1
+        }
+        writeStageLongs(out, dtype, meta.name)
+      }
+    case FixedScaleOffsetFilter(offset, scale, dtype, astype) =>
+      val enc = stageDoubles(bytes, astype, meta.name)
+      val dec = new Array[Double](enc.length)
+      var i = 0
+      while (i < enc.length) { dec(i) = enc(i) / scale + offset; i += 1 }
+      writeStageDoubles(dec, dtype, meta.name)
   }
 
   /** zstd frame decode over a slice, via the zstd-jni library Spark
@@ -700,6 +999,10 @@ private[zarr] object ZarrMeta {
       case "u1" => while (i < n) { out(i) = (bytes(i) & 0xff).toDouble; i += 1 }
       case "u2" => while (i < n) { out(i) = (bb.getShort(i * 2) & 0xffff).toDouble; i += 1 }
       case "u4" => while (i < n) { out(i) = (bb.getInt(i * 4) & 0xffffffffL).toDouble; i += 1 }
+      case "u8" => while (i < n) { // unsigned 64-bit → nearest double
+        val l = bb.getLong(i * 8)
+        out(i) = if (l >= 0) l.toDouble else ((l >>> 1) | (l & 1L)).toDouble * 2.0
+        i += 1 }
       case "b1" => while (i < n) { out(i) = if (bytes(i) != 0) 1.0 else 0.0; i += 1 }
       case other => throw new IllegalArgumentException(s"zarr: dtype $other")
     }
@@ -709,7 +1012,7 @@ private[zarr] object ZarrMeta {
   /** String chunk decode. Fixed-width: |S<n> is n ASCII/latin bytes per
     * element, <U<n> is n UTF-32-LE code points (numpy's on-disk unicode);
     * both are right-padded with NULs, which xarray trims — trim the same,
-    * TRAILING only (an embedded NUL is data: numpy keeps 'a b' in a
+    * TRAILING only (an embedded NUL is data: numpy keeps 'a\0b' in a
     * <U3 intact, so a first-NUL terminator would silently drop the
     * tail). Variable-length (|O + vlen-utf8) chunks route to
     * [[vlenStringsOf]]. An all-padding element decodes to "" (empty
@@ -789,7 +1092,7 @@ private[zarr] object ZarrMeta {
     val out = new Array[Long](n)
     var i = 0
     meta.dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|") match {
-      case "i8" => while (i < n) { out(i) = bb.getLong(i * 8); i += 1 }
+      case "i8" | "u8" => while (i < n) { out(i) = bb.getLong(i * 8); i += 1 } // u8: raw bits, unsigned at emit
       case "i4" => while (i < n) { out(i) = bb.getInt(i * 4).toLong; i += 1 }
       case "i2" => while (i < n) { out(i) = bb.getShort(i * 2).toLong; i += 1 }
       case "i1" => while (i < n) { out(i) = bytes(i).toLong; i += 1 }
@@ -820,6 +1123,15 @@ private[zarr] object ZarrMeta {
     case other => throw new IllegalArgumentException(
       s"zarr: datetime64 unit '$other'")
   }
+
+  /** datetime64 offset → the chunk-pruning micros space. Unlike
+    * [[dt64ToMicros]] this INCLUDES `M8[D]`: a date column decodes to
+    * epoch DAYS (DateType), but pushed date filters arrive as
+    * micros-comparable values, so pruning compares day-start micros.
+    */
+  def dt64PruneMicros(v: Long, unit: String): Long =
+    if (unit == "D") Math.multiplyExact(v, 86400000000L)
+    else dt64ToMicros(v, unit)
 
   /** numpy NaT: the int64 sentinel for a missing datetime64. */
   val NaT: Long = Long.MinValue

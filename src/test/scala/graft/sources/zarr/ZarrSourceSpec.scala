@@ -376,16 +376,38 @@ class ZarrSourceSpec extends SparkSpec {
     e.getMessage should include("decoded 9 bytes, expected 8")
   }
 
-  test("filter chains are rejected at parse, never silently misdecoded") {
+  test("unsupported filter chains are rejected at parse, never silently misdecoded") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // an UNIMPLEMENTED filter id (quantize is lossy-encode-only in
+    // numcodecs) must reject — ignoring it would decode wrong values
     val e = intercept[IllegalArgumentException] {
       ZarrMeta.parseArray("x",
         mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "<f8",
           "compressor": null, "fill_value": 0, "order": "C",
-          "filters": [{"id": "delta", "dtype": "<f8"}]}"""),
+          "filters": [{"id": "quantize", "digits": 2, "dtype": "<f8"}]}"""),
         mapper.readTree("{}"))
     }
-    e.getMessage should include("filters")
+    e.getMessage should include("unsupported filter 'quantize'")
+    // a SUPPORTED filter whose declared dtype contradicts the array
+    // dtype is wrong metadata — loud, not a silent misdecode
+    val e2 = intercept[IllegalArgumentException] {
+      ZarrMeta.parseArray("x",
+        mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "<f8",
+          "compressor": null, "fill_value": 0, "order": "C",
+          "filters": [{"id": "delta", "dtype": "<i4"}]}"""),
+        mapper.readTree("{}"))
+    }
+    e2.getMessage should include("declares dtype '<i4'")
+    // a filter dtype outside the numeric kinds rejects too (delta on a
+    // string dtype has no defined arithmetic)
+    val e3 = intercept[IllegalArgumentException] {
+      ZarrMeta.parseArray("x",
+        mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "|S4",
+          "compressor": null, "fill_value": null, "order": "C",
+          "filters": [{"id": "delta", "dtype": "|S4"}]}"""),
+        mapper.readTree("{}"))
+    }
+    e3.getMessage should include("not a fixed-width numeric dtype")
     // null and [] filters stay accepted (python-zarr writes null)
     ZarrMeta.parseArray("x",
       mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "<f8",
@@ -835,16 +857,18 @@ class ZarrSourceSpec extends SparkSpec {
 
   test("datetime64 calendar units and 2-D datetime64 fail loudly at schema time") {
     val dir = ZarrFixture.writeDatetime()
-    // rewrite the store's metadata with a day-unit dtype: not
-    // representable as micros — must fail with the unit named
+    // rewrite the store's metadata with a week-unit dtype: variable
+    // calendar length, not representable — must fail with the unit
+    // named. (M8[D] is NOT in this set any more: day units map to
+    // DateType since round 15.)
     val metaPath = Paths.get(dir, ".zmetadata")
-    val dayMeta = new String(Files.readAllBytes(metaPath), "UTF-8")
-      .replace("<M8[s]", "<M8[D]")
-    Files.write(metaPath, dayMeta.getBytes("UTF-8"))
+    val weekMeta = new String(Files.readAllBytes(metaPath), "UTF-8")
+      .replace("<M8[s]", "<M8[W]")
+    Files.write(metaPath, weekMeta.getBytes("UTF-8"))
     val e = intercept[Exception] {
       spark.read.format("zarr").load(dir).schema
     }
-    e.getMessage should include("datetime64 unit 'D'")
+    e.getMessage should include("datetime64 unit 'W'")
     // 2-D datetime64 would need per-element unit scaling the stitch
     // path doesn't do — rejected at schema time, never raw longs
     val m2 = ZarrMeta.parseConsolidated("""{"metadata": {
@@ -865,17 +889,17 @@ class ZarrSourceSpec extends SparkSpec {
         "filters": null}"""),
       mapper.readTree("{}")).get
     val bb = ByteBuffer.allocate(3 * 12).order(ByteOrder.LITTLE_ENDIAN)
-    // "a b" (embedded NUL is DATA), "ab " (trailing pad), "   "
+    // "a\0b" (embedded NUL is DATA), "ab\0" (trailing pad), "\0\0\0"
     Seq('a'.toInt, 0, 'b'.toInt, 'a'.toInt, 'b'.toInt, 0, 0, 0, 0).foreach(bb.putInt)
     val out = ZarrMeta.stringsOf(meta, bb.array())
-    out(0) shouldBe "a b" // numpy keeps it; first-NUL would drop 'b'
+    out(0) shouldBe "a\u0000b" // numpy keeps it; first-NUL would drop 'b'
     out(1) shouldBe "ab"
     out(2) shouldBe ""
   }
 
   test("|S fill_value padded to the dtype width is NUL-trimmed like elements") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    // base64 of "LIGHT " — a writer padding the fill to |S6
+    // base64 of "LIGHT\0" — a writer padding the fill to |S6
     val b64 = java.util.Base64.getEncoder.encodeToString(
       Array[Byte]('L', 'I', 'G', 'H', 'T', 0))
     val meta = ZarrMeta.parseArray("x",
