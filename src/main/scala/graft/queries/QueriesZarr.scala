@@ -16,7 +16,9 @@ import graft.sources.zarr.ZarrGateStore
   * binary-search path), a CF-time + NaN + missing-chunk(fill_value)
   * decode, a 2-D stitch, fixed-width (|S) and variable-length
   * (|O + vlen-utf8) string decodes, the |b1 bool dtype, a raw
-  * datetime64 (`<M8[ns]`, NaT → null) decode, and a join back
+  * datetime64 (`<M8[ns]`, NaT → null) decode, numcodecs FILTER chains
+  * (delta + a fixedscaleoffset/shuffle composition), an `M8[D]` →
+  * DateType decode, and a join back
   * against a gate table. Mirrors `qaqc/dashboard.py:305-313`
   * (`xr.open_zarr` as the pipeline's entry scan).
   */

@@ -29,8 +29,8 @@ import org.apache.spark.sql.types._
   * gzip / zstd / lz4 (numcodecs: int32-LE size prefix + LZ4 block) /
   * blosc(blosclz, lz4, zlib, zstd, snappy, or memcpy; byte-shuffle
   * supported, bit-shuffle not); numcodecs filter chains of
-  * delta / fixedscaleoffset / shuffle on numeric dtypes
-  * ([[ZarrFilter]]). zstd and snappy ride the
+  * delta / fixedscaleoffset / shuffle / astype / quantize on numeric
+  * dtypes ([[ZarrFilter]]). zstd and snappy ride the
   * libraries Spark itself ships (zstd-jni, snappy-java — present on
   * every Spark classpath); lz4, blosclz and zlib are pure-JVM from the
   * public block formats. Any other filter chain is rejected with a
@@ -67,6 +67,13 @@ private[zarr] object ZarrMeta {
   final case class FixedScaleOffsetFilter(offset: Double, scale: Double,
                                           dtype: String, astype: String) extends ZarrFilter
   final case class ShuffleFilter(elementsize: Int) extends ZarrFilter
+  /** numcodecs `astype` (decode = `view(encode_dtype).astype(decode_
+    * dtype)`) and `quantize` (LOSSY on encode — rounds to `digits`
+    * significant decimals — but its decode is the same pure dtype cast;
+    * the stored values are already the quantized ones). One node:
+    * dtype is the array-side type, astype the disk-side.
+    */
+  final case class AsTypeFilter(dtype: String, astype: String) extends ZarrFilter
 
   /** Element width in bytes of a fixed-width NUMERIC dtype string (the
     * only kinds filters may carry — validated at parse).
@@ -87,6 +94,7 @@ private[zarr] object ZarrMeta {
     filters.foldLeft(dtype) {
       case (_, DeltaFilter(_, a)) => a
       case (_, FixedScaleOffsetFilter(_, _, _, a)) => a
+      case (_, AsTypeFilter(_, a)) => a
       case (st, ShuffleFilter(_)) => st
     }
 
@@ -341,10 +349,38 @@ private[zarr] object ZarrMeta {
               s"zarr: shuffle filter on array '$name' needs a positive " +
                 "elementsize")
             ShuffleFilter(es)
+          case "astype" =>
+            // numcodecs spells the pair encode_dtype/decode_dtype;
+            // decode_dtype is the array-side stage
+            val dt = f.path("decode_dtype").asText("")
+            val at = f.path("encode_dtype").asText("")
+            require(dt == stage,
+              s"zarr: astype filter on array '$name' declares decode_dtype " +
+                s"'$dt' but the stage it decodes to is '$stage'")
+            numericWidth(dt, name); numericWidth(at, name)
+            stage = at
+            AsTypeFilter(dt, at)
+          case "quantize" =>
+            // lossy ENCODE (round to `digits`), but the stored values are
+            // final — decode is a pure astype(dtype) cast
+            val dt = f.path("dtype").asText("")
+            val at = Option(f.path("astype")).filter(_.isTextual)
+              .map(_.asText()).filterNot(_.isEmpty).getOrElse(dt)
+            require(dt == stage,
+              s"zarr: quantize filter on array '$name' declares dtype '$dt' " +
+                s"but the stage it decodes to is '$stage'")
+            require(dt.stripPrefix("<").stripPrefix(">").stripPrefix("|")
+              .headOption.contains('f'),
+              s"zarr: quantize filter on array '$name' requires a float " +
+                s"dtype, got '$dt' (numcodecs only quantizes floats)")
+            numericWidth(dt, name); numericWidth(at, name)
+            stage = at
+            AsTypeFilter(dt, at)
           case other => throw new IllegalArgumentException(
             s"zarr: array '$name' uses unsupported filter '$other' " +
               s"(${filters.toString}) — supported: a sole vlen-utf8, or " +
-              "delta/fixedscaleoffset/shuffle chains — no silent wrong bytes")
+              "delta/fixedscaleoffset/shuffle/astype/quantize chains — " +
+              "no silent wrong bytes")
         }
       }
     }
@@ -722,6 +758,17 @@ private[zarr] object ZarrMeta {
       var i = 0
       while (i < enc.length) { dec(i) = enc(i) / scale + offset; i += 1 }
       writeStageDoubles(dec, dtype, meta.name)
+    case AsTypeFilter(dtype, astype) =>
+      def isInt(d: String): Boolean =
+        d.stripPrefix("<").stripPrefix(">").stripPrefix("|").head != 'f'
+      if (isInt(dtype) && isInt(astype))
+        // integer→integer keeps the exact low bits (numpy C cast —
+        // a double leg would corrupt values past 2^53)
+        writeStageLongs(stageLongs(bytes, astype, meta.name), dtype, meta.name)
+      else
+        // a float on either side: numpy casts through the value space
+        // (float targets keep IEEE, int targets truncate toward zero)
+        writeStageDoubles(stageDoubles(bytes, astype, meta.name), dtype, meta.name)
   }
 
   /** zstd frame decode over a slice, via the zstd-jni library Spark

@@ -229,6 +229,53 @@ class ZarrFilterSpec extends SparkSpec {
     e.getMessage should include("stage it decodes to is '<i4'")
   }
 
+  test("astype filter casts between dtypes: integer path keeps exact low bits") {
+    // array <i8 stored as <i4 on disk (decode = view(i4).astype(i8))
+    val meta = ZarrMeta.parseArray("x",
+      mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "<i8",
+        "compressor": null, "fill_value": 0, "order": "C",
+        "filters": [{"id": "astype", "encode_dtype": "<i4",
+                     "decode_dtype": "<i8"}]}"""),
+      mapper.readTree("{}")).get
+    val out = ZarrMeta.decodeChunk(meta, leI(Array(5, -7, Int.MaxValue, 0)))
+    val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 4).map(i => bb.getLong(i * 8)) shouldBe
+      Seq(5L, -7L, Int.MaxValue.toLong, 0L)
+    // a decode_dtype contradicting the array dtype is wrong metadata
+    intercept[IllegalArgumentException] {
+      ZarrMeta.parseArray("x",
+        mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "<i8",
+          "compressor": null, "fill_value": 0, "order": "C",
+          "filters": [{"id": "astype", "encode_dtype": "<i4",
+                       "decode_dtype": "<i2"}]}"""),
+        mapper.readTree("{}"))
+    }.getMessage should include("decode_dtype")
+  }
+
+  test("quantize filter decodes as the identity cast (lossy on encode only)") {
+    val meta = ZarrMeta.parseArray("x",
+      mapper.readTree("""{"shape": [3], "chunks": [3], "dtype": "<f8",
+        "compressor": null, "fill_value": "NaN", "order": "C",
+        "filters": [{"id": "quantize", "digits": 2, "dtype": "<f8",
+                     "astype": "<f8"}]}"""),
+      mapper.readTree("{}")).get
+    // the STORED values are already quantized; decode must not touch them
+    val vals = Array(1.23, -45.67, 0.0)
+    val bb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putDouble)
+    val out = ZarrMeta.decodeChunk(meta, bb.array())
+    val ob = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 3).map(i => ob.getDouble(i * 8)) shouldBe vals.toSeq
+    // quantize on an integer dtype is not a thing numcodecs writes
+    intercept[IllegalArgumentException] {
+      ZarrMeta.parseArray("x",
+        mapper.readTree("""{"shape": [3], "chunks": [3], "dtype": "<i4",
+          "compressor": null, "fill_value": 0, "order": "C",
+          "filters": [{"id": "quantize", "digits": 2, "dtype": "<i4"}]}"""),
+        mapper.readTree("{}"))
+    }.getMessage should include("float")
+  }
+
   // ---- fixture: M8[D] (DateType) store --------------------------------------
 
   private lazy val dateStore: String = {

@@ -378,16 +378,16 @@ class ZarrSourceSpec extends SparkSpec {
 
   test("unsupported filter chains are rejected at parse, never silently misdecoded") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    // an UNIMPLEMENTED filter id (quantize is lossy-encode-only in
-    // numcodecs) must reject — ignoring it would decode wrong values
+    // an UNIMPLEMENTED filter id (packbits bit-packs bools) must
+    // reject — ignoring it would decode wrong values
     val e = intercept[IllegalArgumentException] {
       ZarrMeta.parseArray("x",
-        mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "<f8",
+        mapper.readTree("""{"shape": [4], "chunks": [4], "dtype": "|b1",
           "compressor": null, "fill_value": 0, "order": "C",
-          "filters": [{"id": "quantize", "digits": 2, "dtype": "<f8"}]}"""),
+          "filters": [{"id": "packbits"}]}"""),
         mapper.readTree("{}"))
     }
-    e.getMessage should include("unsupported filter 'quantize'")
+    e.getMessage should include("unsupported filter 'packbits'")
     // a SUPPORTED filter whose declared dtype contradicts the array
     // dtype is wrong metadata — loud, not a silent misdecode
     val e2 = intercept[IllegalArgumentException] {
