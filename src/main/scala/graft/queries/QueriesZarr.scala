@@ -18,7 +18,9 @@ import graft.sources.zarr.ZarrGateStore
   * (|O + vlen-utf8) string decodes, the |b1 bool dtype, a raw
   * datetime64 (`<M8[ns]`, NaT → null) decode, numcodecs FILTER chains
   * (delta + a fixedscaleoffset/shuffle composition), an `M8[D]` →
-  * DateType decode, and a join back
+  * DateType decode, blosc BIT-shuffle frames (round-16: zlib and
+  * stored blocks, incl. the round-to-8 leftover path), `M8[h]`/`M8[m]`
+  * coarse datetime units, a 2-D |S16 string stitch, and a join back
   * against a gate table. Mirrors `qaqc/dashboard.py:305-313`
   * (`xr.open_zarr` as the pipeline's entry scan).
   */
@@ -114,6 +116,38 @@ object QueriesZarr {
         .select(col("event_id"), col("day"))
     }),
 
+    // S1 native path, blosc BIT-shuffle (round-16): seq4 sits behind a
+    // bitshuffled zlib-block frame whose 400-byte blocksize makes every
+    // full block hit the c-blosc round-to-8 + leftover-copy path, and
+    // qflag behind a bitshuffled STORED-block frame — both recomputable
+    // from event_id in exact integer SQL
+    "q157_zarr_bitshuffle" -> ((s, d) => {
+      val st = ZarrGateStore.store(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"), col("seq4"), col("qflag"))
+    }),
+
+    // S1 native path, M8[h]/M8[m] coarse datetime64 units (round-16):
+    // hour- and minute-resolution epoch offsets decode to exact-micros
+    // timestamps with planted NaT → null; the oracle recomputes both as
+    // date_trunc over the parquet ts
+    "q158_zarr_hours" -> ((s, d) => {
+      val st = ZarrGateStore.store(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"), col("hstamp"), col("mstamp"))
+    }),
+
+    // S1 native path, 2-D STRINGS (round-16): the (time × slot) |S16
+    // tags array read through the same trailing-dim stitch as 2-D
+    // numerics (col chunks of widths 2+1), exploded to scalar rows so
+    // the oracle value-compares every element
+    "q159_zarr_str2d" -> ((s, d) => {
+      val st = ZarrGateStore.store(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"), posexplode(col("tags")).as(Seq("slot", "tag")))
+        .select(col("event_id"), col("slot").cast("long").as("slot"), col("tag"))
+    }),
+
     // S1 native path joined back to the parquet gate table: zarr-side
     // measures aggregated by a parquet-side dimension — the zarr slice
     // is tiny next to events, so it is the BROADCAST side of the join
@@ -202,6 +236,31 @@ object QueriesZarr {
              CASE WHEN event_id % 17 = 11 THEN NULL
                   ELSE CAST(ts AS DATE) END AS day
       FROM slice""",
+
+    "q157_zarr_bitshuffle" -> s"""WITH slice AS (
+        SELECT event_id FROM events
+        ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
+      SELECT event_id, CAST(event_id % 100000 AS INTEGER) AS seq4,
+             CAST(event_id % 5 AS TINYINT) AS qflag
+      FROM slice""",
+
+    "q158_zarr_hours" -> s"""WITH slice AS (
+        SELECT event_id, ts FROM events
+        ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
+      SELECT event_id,
+             CASE WHEN event_id % 19 = 13 THEN NULL
+                  ELSE date_trunc('hour', ts) END AS hstamp,
+             CASE WHEN event_id % 23 = 17 THEN NULL
+                  ELSE date_trunc('minute', ts) END AS mstamp
+      FROM slice""",
+
+    "q159_zarr_str2d" -> s"""WITH slice AS (
+        SELECT event_id, event_type FROM events
+        ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
+      SELECT event_id, b.slot,
+             event_type || '_' || CAST(b.slot AS VARCHAR) AS tag
+      FROM slice CROSS JOIN
+        (SELECT unnest(range(${ZarrGateStore.Slots})) AS slot) b""",
 
     "q150_zarr_join" -> s"""$sliceCte
       SELECT e.event_type, count(*) AS cnt,

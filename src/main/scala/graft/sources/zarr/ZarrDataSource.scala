@@ -298,7 +298,11 @@ private[zarr] class ZarrScanBuilder(path: String, dim: String,
           Some(t.getTime * 1000.0 + (t.getNanos / 1000) % 1000)
         case i: java.time.Instant =>
           Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
-        case d: java.sql.Date => Some(d.getTime * 1000.0)
+        case d: java.sql.Date => // calendar field, NOT getTime: getTime is
+          // local-midnight millis, but M8[D] chunk coords prune in UTC
+          // day-start micros — on a non-UTC JVM the instant-based bound
+          // shifts by the tz offset and can prune chunks holding matches.
+          Some(d.toLocalDate.toEpochDay * 86400e6)
         case ld: java.time.LocalDate => // DateType filters (Java-8 API)
           Some(ld.toEpochDay * 86400e6)
         case _ => None
@@ -704,9 +708,12 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
     val colChunks: Array[AnyRef] = Array.tabulate(ncc) { j =>
       ZarrReader.readChunkBytes(conf, path, m, chunk, j) match {
         case Some(b) =>
-          if (integral) ZarrMeta.longsOf(m, b) else ZarrMeta.doublesOf(m, b)
+          if (m.isString) ZarrMeta.stringsOf(m, b)
+          else if (integral) ZarrMeta.longsOf(m, b)
+          else ZarrMeta.doublesOf(m, b)
         case None =>
-          require(m.fillValue.isDefined,
+          require(if (m.isString) m.fillString.isDefined
+                  else m.fillValue.isDefined,
             s"zarr: array '${m.name}' chunk $chunk.$j is missing and the " +
               "array has no fill_value — undefined data")
           null
@@ -721,8 +728,14 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
         val width = math.min(cw, w - base) // trailing chunk edge
         colChunks(j) match {
           case null =>
-            val fv = if (integral) box2DLong(m, fill.toLong)
-                     else box2DDouble(m, fill)
+            // fillLong preferred, matching the 1-D path: an i8/u8 fill
+            // past 2^53 (e.g. u8's 2^64-1 sentinel) corrupts through the
+            // double leg.
+            val fv =
+              if (m.isString) org.apache.spark.unsafe.types.UTF8String
+                .fromString(m.fillString.get)
+              else if (integral) box2DLong(m, m.fillLong.getOrElse(fill.toLong))
+              else box2DDouble(m, fill)
             var k = 0
             while (k < width) { out(base + k) = fv; k += 1 }
           case ls: Array[Long] =>
@@ -731,6 +744,13 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
           case ds: Array[Double] =>
             var k = 0
             while (k < width) { out(base + k) = box2DDouble(m, ds(r * cw + k)); k += 1 }
+          case ss: Array[String] =>
+            var k = 0
+            while (k < width) {
+              out(base + k) = org.apache.spark.unsafe.types.UTF8String
+                .fromString(ss(r * cw + k))
+              k += 1
+            }
         }
         j += 1
       }

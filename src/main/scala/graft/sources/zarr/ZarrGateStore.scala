@@ -48,6 +48,17 @@ import graft.sources.Tables
   *  - `day` = ts floored to epoch days as a raw `<M8[D]` array
   *    (DateType) with NaT planted at `event_id % 17 == 11` — the
   *    round-15 day-unit decode on the oracle gate;
+  *  - `hstamp` / `mstamp` = ts floored to hours / minutes as raw
+  *    `<M8[h]` / `<M8[m]` arrays (NaT at `event_id % 19 == 13` /
+  *    `% 23 == 17`) — the round-16 coarse-unit datetime decode;
+  *  - `seq4` = `event_id % 100000` as `<i4` behind a blosc frame with
+  *    the BIT-shuffle flag, zlib blocks of 400 bytes (100 elements —
+  *    NOT a multiple of 8, so the c-blosc round-to-8 + leftover-copy
+  *    path is on the oracle gate), and `qflag` = `event_id % 5` as
+  *    `|i1` behind a bitshuffled STORED-block frame — round-16;
+  *  - `tags` = a 2-D (time × slot, n × 3) `|S16` array with
+  *    `tags[k] = event_type || '_' || k`, trailing dim chunked [2]
+  *    (widths 2+1) — the round-16 2-D string stitch on the oracle gate;
   *  - `spectrum` = a 2-D (time × band, n × 4) f8 array with
   *    spectrum[k] = value · (k+1) (IEEE-exact in both engines) and a
   *    NaN element at (event_id % 7 == 5, band 2) — trailing dim chunked
@@ -66,6 +77,14 @@ object ZarrGateStore {
   /** spectrum's trailing-dim extent and chunk (4 split as 3+1). */
   val Bands = 4
   val BandChunk = 3
+  /** tags' trailing-dim extent and chunk (3 split as 2+1). */
+  val Slots = 3
+  val SlotChunk = 2
+  /** seq4's blosc blocksize: 100 i4 elements — deliberately NOT a
+    * multiple of 8, so every full block exercises bitshuffle's
+    * round-to-8 + 4-element verbatim tail.
+    */
+  val BitBlockBytes = 400
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -76,6 +95,51 @@ object ZarrGateStore {
   private def micros(t: java.sql.Timestamp): Long = {
     val i = t.toInstant
     i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** A c-blosc chunk frame with the BIT-shuffle flag (0x4) set: 16-byte
+    * header (format version 2), int32-LE block starts, then per block an
+    * int32-LE csize + payload — zlib-compressed (codec id 3) when that
+    * wins, STORED (csize == uncompressed size) otherwise. Each block's
+    * payload is `bitshuffleBytes` of its slice, exactly what
+    * [[ZarrMeta.bitunshuffle]] inverts.
+    */
+  private def bloscBitFrame(raw: Array[Byte], typesize: Int, blocksize: Int,
+                            deflateBlocks: Boolean): Array[Byte] = {
+    val nbytes = raw.length
+    val nblocks = (nbytes + blocksize - 1) / blocksize
+    val blocks = (0 until nblocks).map { i =>
+      val ubs = math.min(blocksize, nbytes - i * blocksize)
+      val sh = ZarrMeta.bitshuffleBytes(
+        java.util.Arrays.copyOfRange(raw, i * blocksize, i * blocksize + ubs),
+        typesize)
+      val comp = if (deflateBlocks) deflateBytes(sh) else sh
+      if (comp.length < ubs) (comp, ubs) else (sh, ubs)
+    }
+    val headerAndStarts = 16 + 4 * nblocks
+    val offsets = blocks.scanLeft(headerAndStarts) {
+      case (off, (data, _)) => off + 4 + data.length
+    }
+    val bb = ByteBuffer.allocate(offsets.last).order(ByteOrder.LITTLE_ENDIAN)
+    val flags = 0x4 | (3 << 5) // bit-shuffle, zlib inner codec
+    bb.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
+    bb.putInt(nbytes).putInt(blocksize).putInt(offsets.last)
+    offsets.init.foreach(bb.putInt)
+    blocks.foreach { case (data, ubs) =>
+      bb.putInt(if (data.length == ubs) ubs else data.length)
+      bb.put(data)
+    }
+    bb.array()
+  }
+
+  private def deflateBytes(src: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(src); d.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
   }
 
   private def build(spark: SparkSession, dir: String): String = {
@@ -120,6 +184,19 @@ object ZarrGateStore {
       else Math.floorDiv(micros(r.getTimestamp(1)), 86400000000L))
     // fixedscaleoffset payload: m = event_id % 9000 fits <i2 exactly
     val pressEnc: Array[Short] = slice.map(r => (r.getLong(0) % 9000).toShort)
+    // M8[h] / M8[m] twins: ts floored to hours / minutes, NaT planted
+    val hourOf: Array[Long] = slice.map(r =>
+      if (r.getLong(0) % 19 == 13) Long.MinValue
+      else Math.floorDiv(micros(r.getTimestamp(1)), 3600000000L))
+    val minuteOf: Array[Long] = slice.map(r =>
+      if (r.getLong(0) % 23 == 17) Long.MinValue
+      else Math.floorDiv(micros(r.getTimestamp(1)), 60000000L))
+    // bitshuffle payloads (both SQL-recomputable from event_id)
+    val seq4: Array[Int] = slice.map(r => (r.getLong(0) % 100000).toInt)
+    val qflag: Array[Byte] = slice.map(r => (r.getLong(0) % 5).toByte)
+    // 2-D |S16 strings: tags[k] = event_type || '_' || k
+    val tags: Array[Array[String]] = slice.map(r =>
+      Array.tabulate(Slots)(k => s"${r.getString(4)}_$k"))
 
     val out = Files.createTempDirectory("graft_zarr_gate").toString
     val nChunks = (n + Chunk - 1) / Chunk
@@ -135,15 +212,7 @@ object ZarrGateStore {
       val bb = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       vs.foreach(bb.putDouble); bb.array()
     }
-    def deflate(src: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater()
-      d.setInput(src); d.finish()
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](65536)
-      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-      d.end()
-      bos.toByteArray
-    }
+    def deflate(src: Array[Byte]): Array[Byte] = deflateBytes(src)
     // on-disk chunks are PADDED to the full chunk length (zarr spec)
     def padL(a: Array[Long], c: Int): Array[Long] =
       Array.tabulate(Chunk)(k => if (c * Chunk + k < n) a(c * Chunk + k) else 0L)
@@ -192,6 +261,39 @@ object ZarrGateStore {
       put("stamp", c, deflate(leL(padL(stampNs, c))))
       // <M8[D] raw datetime64 day unit, zlib
       put("day", c, deflate(leL(padL(dayOf, c))))
+      // <M8[h] / <M8[m] raw datetime64 coarse units, zlib
+      put("hstamp", c, deflate(leL(padL(hourOf, c))))
+      put("mstamp", c, deflate(leL(padL(minuteOf, c))))
+      // <i4 behind a blosc BIT-shuffle frame with zlib blocks of
+      // BitBlockBytes (100 elements → round-to-96 + 4-element tail on
+      // every full block)
+      val sBytes = ByteBuffer.allocate(Chunk * 4).order(ByteOrder.LITTLE_ENDIAN)
+      for (k <- 0 until Chunk)
+        sBytes.putInt(if (c * Chunk + k < n) seq4(c * Chunk + k) else 0)
+      put("seq4", c, bloscBitFrame(sBytes.array(), typesize = 4,
+        blocksize = BitBlockBytes, deflateBlocks = true))
+      // |i1 behind a bitshuffled STORED-block blosc frame (one block)
+      val qBytes = Array.tabulate[Byte](Chunk)(k =>
+        if (c * Chunk + k < n) qflag(c * Chunk + k) else 0)
+      put("qflag", c, bloscBitFrame(qBytes, typesize = 1,
+        blocksize = Chunk, deflateBlocks = false))
+      // 2-D |S16 string chunks: (Chunk × SlotChunk) row-major,
+      // NUL-padded elements, zlib — col chunks of widths 2+1
+      for (j <- 0 until (Slots + SlotChunk - 1) / SlotChunk) {
+        val buf = new Array[Byte](Chunk * SlotChunk * 16)
+        for (r <- 0 until Chunk; k <- 0 until SlotChunk) {
+          val row = c * Chunk + r; val colIdx = j * SlotChunk + k
+          if (row < n && colIdx < Slots) {
+            val b = tags(row)(colIdx).getBytes("UTF-8")
+            require(b.length <= 16,
+              s"zarr gate store: tag '${tags(row)(colIdx)}' exceeds the " +
+                "|S16 dtype — widen tags' dtype in ZarrGateStore")
+            System.arraycopy(b, 0, buf, (r * SlotChunk + k) * 16, b.length)
+          }
+        }
+        Files.createDirectories(Paths.get(out, "tags"))
+        Files.write(Paths.get(out, "tags", s"$c.$j"), deflate(buf))
+      }
       // delta(<i8 → <i4) + zlib: encode restarts per chunk (enc[0] is
       // the chunk's first raw value). Every encoded value must fit the
       // astype — fail HERE with the value if a regenerated layout grows
@@ -271,6 +373,24 @@ object ZarrGateStore {
       "stamp/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
       "day/.zarray": ${zarray("<M8[D]", comp = true, "-9223372036854775808")},
       "day/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "hstamp/.zarray": ${zarray("<M8[h]", comp = true, "-9223372036854775808")},
+      "hstamp/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "mstamp/.zarray": ${zarray("<M8[m]", comp = true, "-9223372036854775808")},
+      "mstamp/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "seq4/.zarray": {"shape": [$n], "chunks": [$Chunk], "dtype": "<i4",
+        "compressor": {"id": "blosc", "cname": "zlib", "clevel": 1,
+          "shuffle": 2, "blocksize": $BitBlockBytes},
+        "fill_value": 0, "order": "C", "filters": null, "zarr_format": 2},
+      "seq4/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "qflag/.zarray": {"shape": [$n], "chunks": [$Chunk], "dtype": "|i1",
+        "compressor": {"id": "blosc", "cname": "zlib", "clevel": 0,
+          "shuffle": 2, "blocksize": $Chunk},
+        "fill_value": 0, "order": "C", "filters": null, "zarr_format": 2},
+      "qflag/.zattrs": {"_ARRAY_DIMENSIONS": ["time"]},
+      "tags/.zarray": {"shape": [$n, $Slots], "chunks": [$Chunk, $SlotChunk],
+        "dtype": "|S16", "compressor": {"id": "zlib", "level": 1},
+        "fill_value": "", "order": "C", "filters": null, "zarr_format": 2},
+      "tags/.zattrs": {"_ARRAY_DIMENSIONS": ["time", "slot"]},
       "eid_delta/.zarray": {"shape": [$n], "chunks": [$Chunk], "dtype": "<i8",
         "compressor": {"id": "zlib", "level": 1}, "fill_value": 0,
         "order": "C",

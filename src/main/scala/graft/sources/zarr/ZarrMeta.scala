@@ -27,8 +27,8 @@ import org.apache.spark.sql.types._
   * sole numcodecs vlen-utf8 filter — xarray's default str encoding); C
   * order, 1-D/2-D arrays over the record dim; codecs: none / zlib /
   * gzip / zstd / lz4 (numcodecs: int32-LE size prefix + LZ4 block) /
-  * blosc(blosclz, lz4, zlib, zstd, snappy, or memcpy; byte-shuffle
-  * supported, bit-shuffle not); numcodecs filter chains of
+  * blosc(blosclz, lz4, zlib, zstd, snappy, or memcpy; byte-shuffle and
+  * bit-shuffle both supported); numcodecs filter chains of
   * delta / fixedscaleoffset / shuffle / astype / quantize on numeric
   * dtypes ([[ZarrFilter]]). zstd and snappy ride the
   * libraries Spark itself ships (zstd-jni, snappy-java — present on
@@ -157,18 +157,20 @@ private[zarr] object ZarrMeta {
     def isDatetime: Boolean =
       dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|").startsWith("M8")
     /** The datetime64 unit, validated to the set this source can
-      * represent: sub-day units (s/ms/us/ns) as Spark micros
-      * (TimestampType), and `D` — day-resolution axes in aggregated
-      * provider products — as DateType (epoch-day offsets map 1:1 to
-      * Spark's date representation). The remaining calendar units
-      * (W/M/Y — variable length) fail loudly at schema time.
+      * represent: sub-day units (h/m/s/ms/us/ns — all fixed-length and
+      * exactly micros-convertible) as Spark micros (TimestampType), and
+      * `D` — day-resolution axes in aggregated provider products — as
+      * DateType (epoch-day offsets map 1:1 to Spark's date
+      * representation). The remaining calendar units (W/M/Y — variable
+      * length) fail loudly at schema time. Case matters: numpy's `m` is
+      * minutes, `M` months.
       */
     def datetimeUnit: String = {
       val body = dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|")
       val u = body.stripPrefix("M8").stripPrefix("[").stripSuffix("]")
-      require(Set("s", "ms", "us", "ns", "D").contains(u),
+      require(Set("h", "m", "s", "ms", "us", "ns", "D").contains(u),
         s"zarr: datetime64 unit '$u' on array '$name' is not representable " +
-          "as timestamps or dates (supported: s, ms, us, ns, D)")
+          "as timestamps or dates (supported: h, m, s, ms, us, ns, D)")
       u
     }
     def isString: Boolean =
@@ -348,6 +350,11 @@ private[zarr] object ZarrMeta {
             require(es > 0,
               s"zarr: shuffle filter on array '$name' needs a positive " +
                 "elementsize")
+            // shuffle carries no dtype of its own, but a chain on a
+            // non-numeric stage (|S/M8) would otherwise pass parse and
+            // only fail at first chunk read with a confusingly-attributed
+            // message — reject at parse like every other filter arm
+            numericWidth(stage, name)
             ShuffleFilter(es)
           case "astype" =>
             // numcodecs spells the pair encode_dtype/decode_dtype;
@@ -410,7 +417,9 @@ private[zarr] object ZarrMeta {
       val body = dtype.stripPrefix("<").stripPrefix(">").stripPrefix("|")
       body.nonEmpty && (body.head == 'S' || body.head == 'U')
     }
-    if (isStr && shape.size() == 2) return None // 2-D strings: no column form
+    // 2-D strings surface as ArrayType(StringType) through the same
+    // trailing-dim stitch as 2-D numerics (round-16: this was a silent
+    // `return None` schema drop — the one silent behavior left)
     // string fills: zarr v2 encodes |S fills BASE64 ("" for empty) —
     // writers that pad the fill to the dtype width need the same
     // trailing-NUL trim as real elements, or fill-run rows compare
@@ -828,13 +837,14 @@ private[zarr] object ZarrMeta {
     * either the raw payload (flags bit 1 = memcpyed) or nblocks int32
     * block offsets, each block an int32 csize + codec payload (stored
     * raw when csize == that block's uncompressed size). flags bit 0 =
-    * byte shuffle (applied per block, typesize stride); bits 5-7 pick
-    * the inner codec by c-blosc FORMAT code: 0 blosclz, 1 lz4/lz4hc,
-    * 2 snappy, 3 zlib, 4 zstd.
+    * byte shuffle, bit 2 = bit shuffle (each applied per block, typesize
+    * stride — mutually exclusive); bits 5-7 pick the inner codec by
+    * c-blosc FORMAT code: 0 blosclz, 1 lz4/lz4hc, 2 snappy, 3 zlib,
+    * 4 zstd.
     */
   private def bloscDecode(meta: ArrayMeta, src: Array[Byte]): Array[Byte] = {
     val bb = ByteBuffer.wrap(src).order(ByteOrder.LITTLE_ENDIAN)
-    bb.get() // version
+    val version = bb.get() & 0xff
     bb.get() // versionlz
     val flags = bb.get() & 0xff
     val typesize = bb.get() & 0xff
@@ -843,8 +853,20 @@ private[zarr] object ZarrMeta {
     bb.getInt() // cbytes
     val shuffled = (flags & 0x1) != 0
     val memcpyed = (flags & 0x2) != 0
-    if ((flags & 0x4) != 0) throw new IllegalArgumentException(
-      s"zarr: blosc bit-shuffle not supported (array '${meta.name}')")
+    val bitshuffled = (flags & 0x4) != 0
+    // the two shuffle modes are mutually exclusive in c-blosc (DOSHUFFLE
+    // vs DOBITSHUFFLE); both bits set means a corrupt header, and
+    // pre-format-2 bitshuffle streams used the pre-1.18 block layout
+    // this decode does not speak — both fail loudly, never wrong bytes
+    if (bitshuffled) {
+      require(!shuffled,
+        s"zarr: blosc chunk of array '${meta.name}' sets BOTH shuffle " +
+          "and bit-shuffle flags (corrupt header)")
+      require(version >= 2,
+        s"zarr: blosc format version $version with bit-shuffle on array " +
+          s"'${meta.name}' predates the c-blosc 1.18 block layout " +
+          "(unsupported)")
+    }
     val out = new Array[Byte](nbytes)
     if (memcpyed) {
       System.arraycopy(src, 16, out, 0, nbytes)
@@ -874,7 +896,10 @@ private[zarr] object ZarrMeta {
           case c => throw new IllegalArgumentException(
             s"zarr: blosc inner codec id $c not supported (array '${meta.name}')")
         }
-      val dec = if (shuffled) unshuffle(block, typesize) else block
+      val dec =
+        if (bitshuffled) bitunshuffle(block, typesize)
+        else if (shuffled) unshuffle(block, typesize)
+        else block
       // a block decoding to the WRONG length means corrupt data: an
       // over-long one would otherwise truncate silently below, an
       // under-long one crash with a bare ArrayIndexOutOfBounds
@@ -1027,6 +1052,108 @@ private[zarr] object ZarrMeta {
     out
   }
 
+  /** The 8×8 bit-matrix transpose on a 64-bit word (the classic
+    * delta-swap network — Hacker's Delight §7-3, the same kernel as
+    * c-blosc's TRANS_BIT_8X8): with byte k of the word = matrix row k
+    * and bit j within a byte = column j, the result T satisfies
+    * `T byte i bit j == input byte j bit i`. The map is
+    * convention-symmetric (reversing both row and column numbering
+    * preserves a transpose), so only the LITTLE-ENDIAN byte→word load
+    * order below fixes the on-disk layout. An involution: applying it
+    * twice is the identity, which is why encode and decode share it.
+    */
+  private[zarr] def trans8x8(x0: Long): Long = {
+    var x = x0
+    var t = (x ^ (x >>> 7)) & 0x00AA00AA00AA00AAL
+    x = x ^ t ^ (t << 7)
+    t = (x ^ (x >>> 14)) & 0x0000CCCC0000CCCCL
+    x = x ^ t ^ (t << 14)
+    t = (x ^ (x >>> 28)) & 0x00000000F0F0F0F0L
+    x = x ^ t ^ (t << 28)
+    x
+  }
+
+  /** c-blosc BITSHUFFLE (flags bit 2) block decode — the inverse of the
+    * bitshuffle library's `bshuf_trans_bit_elem` as c-blosc ≥1.18
+    * integrates it (format version 2, `blosc/shuffle.c bitunshuffle`):
+    * the first `size − size % 8` elements (size = blockLen / typesize)
+    * are stored BIT-PLANE-MAJOR — for byte position b of the element and
+    * bit k (LSB-first: bit k means `(byte >> k) & 1`), a run of size/8
+    * bytes whose bit j holds bit k of byte b of element 8g + j — and any
+    * leftover tail bytes are copied verbatim. Layout derivation: the
+    * library composes byte-transpose → per-8-byte bit transpose
+    * (little-endian word load + [[trans8x8]], planes written LSB-first)
+    * → row-of-8 regroup; composing the three index maps gives
+    * `S[b·size + k·(size/8) + g] bit j  =  D[(8g+j)·ts + b] bit k`,
+    * which this decode inverts one 8-element × 8-bit tile at a time
+    * through the same transpose kernel.
+    */
+  private[zarr] def bitunshuffle(in: Array[Byte], typesize: Int): Array[Byte] = {
+    val ts = math.max(typesize, 1)
+    var size = in.length / ts
+    size -= size % 8
+    val out = new Array[Byte](in.length)
+    val size8 = size / 8
+    var b = 0
+    while (b < ts) {
+      var g = 0
+      while (g < size8) {
+        var w = 0L
+        var k = 0
+        while (k < 8) {
+          w |= (in(b * size + k * size8 + g) & 0xffL) << (8 * k)
+          k += 1
+        }
+        val t = trans8x8(w)
+        var j = 0
+        while (j < 8) {
+          out((8 * g + j) * ts + b) = (t >>> (8 * j)).toByte
+          j += 1
+        }
+        g += 1
+      }
+      b += 1
+    }
+    val done = size * ts
+    System.arraycopy(in, done, out, done, in.length - done)
+    out
+  }
+
+  /** Forward bitshuffle (the exact inverse of [[bitunshuffle]]) — used
+    * by the gate-store writer and the decode pins; a real reader never
+    * encodes. Same tile kernel, read/write indices swapped.
+    */
+  private[zarr] def bitshuffleBytes(in: Array[Byte], typesize: Int): Array[Byte] = {
+    val ts = math.max(typesize, 1)
+    var size = in.length / ts
+    size -= size % 8
+    val out = new Array[Byte](in.length)
+    val size8 = size / 8
+    var b = 0
+    while (b < ts) {
+      var g = 0
+      while (g < size8) {
+        var w = 0L
+        var j = 0
+        while (j < 8) {
+          w |= (in((8 * g + j) * ts + b) & 0xffL) << (8 * j)
+          j += 1
+        }
+        val t = trans8x8(w)
+        var k = 0
+        while (k < 8) {
+          out(b * size + k * size8 + g) = (t >>> (8 * k)).toByte
+          k += 1
+        }
+        g += 1
+      }
+      b += 1
+    }
+    val done = size * ts
+    System.arraycopy(in, done, out, done, in.length - done)
+    out
+  }
+
   /** Values of one decoded chunk as doubles (the reader's uniform
     * working form; integral types stay exact — i8 values above 2^53
     * would not, but CF time goes through [[longsOf]] instead).
@@ -1111,9 +1238,10 @@ private[zarr] object ZarrMeta {
     def u4(off: Int): Int = ByteBuffer.wrap(bytes, off, 4)
       .order(ByteOrder.LITTLE_ENDIAN).getInt()
     val n = u4(0)
-    require(n == meta.chunk,
+    val padded = meta.chunk * math.max(meta.extraChunk, 1)
+    require(n == padded,
       s"zarr: vlen-utf8 chunk on '${meta.name}' holds $n items, expected " +
-        s"${meta.chunk} (the padded chunk length)")
+        s"$padded (the padded chunk element count)")
     val out = new Array[String](n)
     var off = 4
     var i = 0
@@ -1163,6 +1291,8 @@ private[zarr] object ZarrMeta {
     * NaT (Long.MinValue) never reaches here — callers null it first.
     */
   def dt64ToMicros(v: Long, unit: String): Long = unit match {
+    case "h" => Math.multiplyExact(v, 3600000000L)
+    case "m" => Math.multiplyExact(v, 60000000L)
     case "s" => Math.multiplyExact(v, 1000000L)
     case "ms" => Math.multiplyExact(v, 1000L)
     case "us" => v
