@@ -85,7 +85,17 @@ object Bench {
       // default; still selectable explicitly via SPARK_GRAFT_ONLY.
       case None => SparkEntry.queries.filter(!_._1.endsWith("_invariants"))
     }
-    val (results, errors) = measure(spark, sfDir, selected)
+    // TWO full suite passes, per-query min across them (round-15 VERDICT
+    // item 5: a single suite pass moves in a ±15% same-HEAD band — 106.4
+    // vs 90.2 s back to back — so the recorded number takes the min of
+    // two passes; each pass is itself min-of-2 per query). A query that
+    // errors in EITHER pass is excluded from timings entirely.
+    val (r1, e1) = measure(spark, sfDir, selected)
+    val (r2, e2) = measure(spark, sfDir, selected)
+    val errors = e1 ++ e2
+    val results = (r1.keySet ++ r2.keySet).filterNot(errors.contains)
+      .map(k => k -> math.min(r1.getOrElse(k, Double.MaxValue),
+                              r2.getOrElse(k, Double.MaxValue))).toMap
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
@@ -94,10 +104,14 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    def passTotal(r: Map[String, Double]): Double =
+      if (r.nonEmpty) r.values.sum else 0.0
     // metric/value LAST: the driver keeps only the trailing bytes of the
     // run log, and with 70+ per-query entries a leading total would be
     // truncated out of the captured tail
-    println(s"""{"queries":$qs,"errors":$errs,"error_count":${errors.size},"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
+    println(s"""{"queries":$qs,"errors":$errs,"error_count":${errors.size},""" +
+      f""""pass_totals":[${passTotal(r1)}%.1f,${passTotal(r2)}%.1f],""" +
+      s""""sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.{Bench, SparkEntry}
+import graft.Bench
 
 /** Times named gate queries on EXISTING layouts with [[Bench.measure]]'s
   * min-of-2, without rebuilding anything — the standalone before/after
@@ -14,7 +14,7 @@ import graft.{Bench, SparkEntry}
 object QueryTimeProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: QueryTimeProbe <qCsv> <dir> [dir2 ...]")
-    val qNames = args(0).split(",").toSeq
+    val qNames = ProbeQueries.resolve(args(0)) // `all` → full gate surface
     val dirs = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -26,13 +26,13 @@ object QueryTimeProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sel = SparkEntry.queries.filter(kv => qNames.contains(kv._1))
-    require(sel.nonEmpty, s"no gate queries match: ${qNames.mkString(",")}")
+    val sel = ProbeQueries.select(qNames)
     dirs.foreach { d =>
       val (times, errs) = Bench.measure(spark, d, sel)
+      val parity = ProbeQueries.parityLine(qNames, times.keys, errs.keys)
       val body = times.toSeq.sortBy(_._1)
         .map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
-      println(s"""QTIME {"dir":"$d",$body,"errors":${errs.size}}""")
+      println(s"""QTIME {"dir":"$d",$parity,$body,"errors":${errs.size}}""")
     }
     spark.stop()
   }

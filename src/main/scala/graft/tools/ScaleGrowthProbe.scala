@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{Bench, SparkEntry}
+import graft.Bench
 
 /** sf0.1 → sf1 scale-growth probe (round-10 VERDICT item 5): the AQE
   * stage-job-floor analysis predicts per-query cost at sf0.1 is
@@ -86,7 +86,11 @@ object ScaleGrowthProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
-    val qNames = if (args.length > 3) args(3).split(",").toSeq else DefaultQueries
+    // `all` → the full gate surface straight from SparkEntry.queries
+    // (round-15: an external CSV filter silently dropped a query; the
+    // list now resolves structurally and unknown names ERROR)
+    val qNames = if (args.length > 3) ProbeQueries.resolve(args(3))
+                 else DefaultQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,7 +102,7 @@ object ScaleGrowthProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     buildBig(spark, sfDir, outDir, copies, nFiles = 8)
-    val sel = SparkEntry.queries.filter(kv => qNames.contains(kv._1))
+    val sel = ProbeQueries.select(qNames)
     val (small, errS) = Bench.measure(spark, sfDir, sel)
     val (big, errB) = Bench.measure(spark, outDir, sel)
     def fmt(m: Map[String, Double]): String =
@@ -106,7 +110,12 @@ object ScaleGrowthProbe {
     val ratios = qNames.flatMap { q =>
       for (s <- small.get(q); b <- big.get(q)) yield f""""$q":${b / s}%.2f"""
     }.mkString("{", ",", "}")
-    println(s"""{"copies":$copies,"small":${fmt(small)},"big":${fmt(big)},""" +
+    // the parity self-check REQUIRES every requested query measured or
+    // errored at both scales — a list that shrank anywhere fails here
+    val parity = ProbeQueries.parityLine(qNames,
+      small.keys.filter(big.contains),
+      (errS.keySet ++ errB.keySet).toSeq)
+    println(s"""{"copies":$copies,$parity,"small":${fmt(small)},"big":${fmt(big)},""" +
       s""""ratio_big_over_small":$ratios,"errors":${errS.size + errB.size}}""")
     spark.stop()
   }
