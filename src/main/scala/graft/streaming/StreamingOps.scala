@@ -451,6 +451,91 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** State metrics of a bounded streaming replay, read from the query's
+    * progress events: `peakRows`/`peakBytes` are the largest per-batch
+    * state-store footprint, `removed` counts state rows EVICTED by the
+    * advancing watermark across the run (the sizing contract's proof of
+    * eviction), `droppedLate` counts late input rows discarded (0 on a
+    * time-ordered replay), `dataBatches` the micro-batches that carried
+    * input.
+    */
+  final case class StreamStateSummary(peakRows: Long, peakBytes: Long,
+                                      removed: Long, droppedLate: Long,
+                                      dataBatches: Int)
+
+  /** The SIZING run for the stream-stream interval join's buffered
+    * state (round-15 VERDICT item 6): stage `events` into `batches`
+    * time-ordered slice files and replay one file per trigger, so the
+    * watermark genuinely advances batch over batch and Spark EVICTS
+    * buffered rows older than `watermark − window` while the stream is
+    * still running. Arrival is globally time-ordered, so no row is ever
+    * late and the result STILL equals the batch join — while peak state
+    * is bounded by the rows inside one `(horizon + window)` frontier
+    * span, the `O(rate × (horizon + window))` contract PLANS.md
+    * documents — instead of the whole-corpus burst the single-batch gate
+    * replay buffers. Returns the joined result and the measured state
+    * summary.
+    */
+  def runStreamIntervalJoinSequenced(spark: SparkSession, dir: String,
+                                     batches: Int = 8,
+                                     window: String = "30 minutes",
+                                     horizon: String = "1 hour",
+                                     queryName: String = "graft_stream_ij_seq"): (DataFrame, StreamStateSummary) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(batches >= 2, "sequenced replay needs at least 2 batches")
+    val src = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    // time slice boundaries at the ts quantiles (exact: relativeError 0)
+    val cuts = src.select(unix_micros(col("ts")).as("us"))
+      .stat.approxQuantile("us",
+        (1 until batches).map(_.toDouble / batches).toArray, 0.0)
+      .map(_.toLong)
+    val fixture = java.nio.file.Files.createTempDirectory("graft_ij_seq").toFile
+    fixture.deleteOnExit()
+    for (b <- 0 until batches) {
+      val lo = if (b == 0) Long.MinValue else cuts(b - 1)
+      val hi = if (b == batches - 1) Long.MaxValue else cuts(b)
+      val stage = new java.io.File(fixture, s"stage$b")
+      src.filter(unix_micros(col("ts")) > lo && unix_micros(col("ts")) <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(fixture, f"slice$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      // FileStreamSource replays by (mtime, path): pin both ascending
+      dest.setLastModified(1700000000000L + b * 600000L)
+    }
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(fixture.getAbsolutePath + "/slice*.parquet")
+    val joined = streamIntervalJoin(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "view"),
+      keyCol = "user_id", window = window, horizon = horizon)
+    // no-data batches stay ON here: the trailing batch's eviction is
+    // part of what this run measures
+    val progress = withReplayPartitions(spark) {
+      replayCheckpoint { ckpt =>
+        val w = joined.writeStream
+          .format("memory")
+          .queryName(queryName)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+        val q = ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+        q.awaitTermination()
+        q.recentProgress.toSeq
+      }
+    }
+    def per(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long): Seq[Long] =
+      progress.map(_.stateOperators.map(f).sum)
+    val summary = StreamStateSummary(
+      peakRows = (0L +: per(_.numRowsTotal)).max,
+      peakBytes = (0L +: per(_.memoryUsedBytes)).max,
+      removed = per(_.numRowsRemoved).sum,
+      droppedLate = per(_.numRowsDroppedByWatermark).sum,
+      dataBatches = progress.count(_.numInputRows > 0))
+    (spark.table(queryName), summary)
+  }
+
   /** Run the [[graft.operators.Curation.ingestGate]] curation chain over
     * the documents parquet as a bounded stream: the at-ingest formulation
     * of quality + decontamination + stratified sampling. The benchmark

