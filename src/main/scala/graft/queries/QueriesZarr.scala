@@ -20,7 +20,9 @@ import graft.sources.zarr.ZarrGateStore
   * (delta + a fixedscaleoffset/shuffle composition), an `M8[D]` →
   * DateType decode, blosc BIT-shuffle frames (round-16: zlib and
   * stored blocks, incl. the round-to-8 leftover path), `M8[h]`/`M8[m]`
-  * coarse datetime units, a 2-D |S16 string stitch, and a join back
+  * coarse datetime units, a 2-D |S16 string stitch, a Zarr V3 twin
+  * store (root zarr.json dialect, c/<i> chunk names, zstd+crc32c and
+  * vlen-utf8+zstd codec lists), and a join back
   * against a gate table. Mirrors `qaqc/dashboard.py:305-313`
   * (`xr.open_zarr` as the pipeline's entry scan).
   */
@@ -148,6 +150,17 @@ object QueriesZarr {
         .select(col("event_id"), col("slot").cast("long").as("slot"), col("tag"))
     }),
 
+    // S1 native path, Zarr V3 (round-16 stretch): the same slice written
+    // as a v3 store — root zarr.json + consolidated_metadata, c/<i>
+    // chunk names, codecs lists (zstd + crc32c on value, vlen-utf8 +
+    // zstd on etype, CF-µs time) — read through the shared decode layer
+    // and value-compared row by row against the parquet twin
+    "q160_zarr_v3" -> ((s, d) => {
+      val st = ZarrGateStore.storeV3(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("time"), col("event_id"), col("value"), col("etype"))
+    }),
+
     // S1 native path joined back to the parquet gate table: zarr-side
     // measures aggregated by a parquet-side dimension — the zarr slice
     // is tiny next to events, so it is the BROADCAST side of the join
@@ -261,6 +274,12 @@ object QueriesZarr {
              event_type || '_' || CAST(b.slot AS VARCHAR) AS tag
       FROM slice CROSS JOIN
         (SELECT unnest(range(${ZarrGateStore.Slots})) AS slot) b""",
+
+    "q160_zarr_v3" -> s"""WITH slice AS (
+        SELECT event_id, ts, value, event_type FROM events
+        ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
+      SELECT ts AS time, event_id, value, event_type AS etype
+      FROM slice""",
 
     "q150_zarr_join" -> s"""$sliceCte
       SELECT e.event_type, count(*) AS cnt,

@@ -91,6 +91,16 @@ private[zarr] object ZarrIO {
   def resolve(store: String, parts: String*): Path =
     parts.foldLeft(new Path(store))((p, s) => new Path(p, s))
 
+  /** Immediate child directory names of the store root — the
+    * non-consolidated Zarr v3 discovery path (each array child holds its
+    * own zarr.json).
+    */
+  def listChildDirs(conf: Configuration, store: String): Seq[String] = {
+    val p = new Path(store)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
   /** Whole-file bytes, or None when the file does not exist (a missing
     * chunk = fill_value run per the Zarr spec).
     */
@@ -177,14 +187,23 @@ private[zarr] object ZarrTable {
         s"zarr: u8 must be reject/decimal, got '$other'")
     }
     val conf = ZarrIO.driverConf()
+    // generation stat: the v2 consolidated .zmetadata, else the v3 root
+    // zarr.json (v3 needs no consolidation — arrays are discoverable by
+    // listing; a consolidated_metadata block is used when present)
     val zp = ZarrIO.resolve(path, ".zmetadata")
+    val v3p = ZarrIO.resolve(path, "zarr.json")
     val st =
       try zp.getFileSystem(conf).getFileStatus(zp)
       catch {
         case _: java.io.FileNotFoundException =>
-          throw new IllegalArgumentException(
-            s"zarr: $path has no .zmetadata — only consolidated stores are " +
-              "supported (zarr.consolidate_metadata in the writer)")
+          try v3p.getFileSystem(conf).getFileStatus(v3p)
+          catch {
+            case _: java.io.FileNotFoundException =>
+              throw new IllegalArgumentException(
+                s"zarr: $path has neither .zmetadata (consolidated v2 — " +
+                  "zarr.consolidate_metadata in the writer) nor zarr.json " +
+                  "(v3 root)")
+          }
       }
     if (!cache.containsKey((path, dimOpt, u8Decimal)) && cache.size() >= MaxEntries)
       cache.clear()
@@ -205,10 +224,21 @@ private[zarr] object ZarrTable {
 
   private def parse(path: String, dimOpt: String, u8Decimal: Boolean,
                     conf: Configuration): ZarrTable = {
-    val zmeta = ZarrIO.readIfExists(conf, path, ".zmetadata").getOrElse(
-      throw new IllegalArgumentException(s"zarr: $path has no .zmetadata"))
-    val arrays = ZarrMeta.parseConsolidated(
-      new String(zmeta, java.nio.charset.StandardCharsets.UTF_8), u8Decimal)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def utf8(b: Array[Byte]) = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    val arrays = ZarrIO.readIfExists(conf, path, ".zmetadata") match {
+      case Some(zmeta) => ZarrMeta.parseConsolidated(utf8(zmeta), u8Decimal)
+      case None => // Zarr v3: root zarr.json; arrays from its
+        // consolidated_metadata when present, else a child listing
+        val root = ZarrIO.readIfExists(conf, path, "zarr.json").getOrElse(
+          throw new IllegalArgumentException(
+            s"zarr: $path has neither .zmetadata nor zarr.json"))
+        ZarrMeta.parseV3(mapper.readTree(utf8(root)),
+          childNames = () => ZarrIO.listChildDirs(conf, path),
+          childJson = n => ZarrIO.readIfExists(conf, path, n, "zarr.json")
+            .map(b => mapper.readTree(utf8(b))),
+          u8Decimal = u8Decimal)
+    }
     require(arrays.nonEmpty, s"zarr: $path holds no 1-D/2-D arrays")
     val dim = if (dimOpt.nonEmpty) dimOpt else {
       // the record dimension: shared by the most arrays as dim 0
@@ -560,13 +590,15 @@ private[zarr] class ZarrReaderFactory(required: Seq[ZarrMeta.ArrayMeta],
 
 private[zarr] object ZarrReader {
   /** Chunk file bytes, or None for a missing chunk (fill_value run).
-    * 1-D chunk files are named "c"; 2-D record×extra chunks "c.j".
+    * v2 names chunks "c" / "c.j"; v3 per the array's chunk_key_encoding
+    * (`keyPrefix`/`keySep` — e.g. "c/0" / "c/0/1").
     */
   def readChunkBytes(conf: Configuration, path: String,
                      meta: ZarrMeta.ArrayMeta, chunk: Long,
                      extraChunk: Long = 0L): Option[Array[Byte]] = {
     val fileName =
-      if (meta.is2D) s"$chunk.$extraChunk" else chunk.toString
+      if (meta.is2D) s"${meta.keyPrefix}$chunk${meta.keySep}$extraChunk"
+      else s"${meta.keyPrefix}$chunk"
     ZarrIO.readIfExists(conf, path, meta.name, fileName)
       .map(raw => ZarrMeta.decodeChunk(meta, raw))
   }

@@ -87,10 +87,23 @@ object ZarrGateStore {
   val BitBlockBytes = 400
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val builtV3 = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def store(spark: SparkSession, dir: String): String =
     built.getOrElseUpdate(new java.io.File(dir).getAbsolutePath,
       build(spark, dir))
+
+  /** The v3 twin (round-16): the same events slice written as a Zarr v3
+    * store — root `zarr.json` with consolidated_metadata, `c/<i>` chunk
+    * names, codecs lists — so the v3 metadata dialect and the crc32c /
+    * zstd / vlen codec paths get oracle rows, not just spec pins.
+    * Arrays: `time` (int64 CF-µs attrs), `event_id` (int64 raw),
+    * `value` (float64, zstd + crc32c, NaN for null), `etype`
+    * (string, vlen-utf8 + zstd).
+    */
+  def storeV3(spark: SparkSession, dir: String): String =
+    builtV3.getOrElseUpdate(new java.io.File(dir).getAbsolutePath,
+      buildV3(spark, dir))
 
   private def micros(t: java.sql.Timestamp): Long = {
     val i = t.toInstant
@@ -130,6 +143,85 @@ object ZarrGateStore {
       bb.put(data)
     }
     bb.array()
+  }
+
+  private def buildV3(spark: SparkSession, dir: String): String = {
+    val slice = Tables.events(spark, dir)
+      .select("event_id", "ts", "value", "event_type")
+      .orderBy("event_id").limit(SliceRows)
+      .collect()
+      .sortBy(r => (micros(r.getTimestamp(1)), r.getLong(0)))
+    val n = slice.length
+    require(n > 0, s"zarr v3 gate store: $dir/events.parquet is empty")
+    val out = Files.createTempDirectory("graft_zarr_v3_gate").toString
+    val nChunks = (n + Chunk - 1) / Chunk
+    def put(arr: String, c: Int, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(out, arr, "c"))
+      Files.write(Paths.get(out, arr, "c", c.toString), bytes)
+    }
+    def leL(vs: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putLong); bb.array()
+    }
+    def withCrc(src: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(src, 0, src.length)
+      val bb = ByteBuffer.allocate(src.length + 4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(src).putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    def zstd(src: Array[Byte]): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(src, 3)
+    val time = slice.map(r => micros(r.getTimestamp(1)))
+    val eventId = slice.map(_.getLong(0))
+    val value = slice.map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+    val etype = slice.map(_.getString(3))
+    for (c <- 0 until nChunks) {
+      def padL(a: Array[Long]): Array[Long] =
+        Array.tabulate(Chunk)(k => if (c * Chunk + k < n) a(c * Chunk + k) else 0L)
+      put("time", c, leL(padL(time)))
+      put("event_id", c, leL(padL(eventId)))
+      val vb = ByteBuffer.allocate(Chunk * 8).order(ByteOrder.LITTLE_ENDIAN)
+      for (k <- 0 until Chunk)
+        vb.putDouble(if (c * Chunk + k < n) value(c * Chunk + k) else Double.NaN)
+      put("value", c, withCrc(zstd(vb.array())))
+      val bos = new java.io.ByteArrayOutputStream()
+      def u4le(v: Int): Unit = {
+        bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+      }
+      u4le(Chunk)
+      for (k <- 0 until Chunk) {
+        val s = if (c * Chunk + k < n) etype(c * Chunk + k) else ""
+        val b = s.getBytes("UTF-8"); u4le(b.length); bos.write(b, 0, b.length)
+      }
+      put("etype", c, zstd(bos.toByteArray))
+    }
+    val bytesLE = """{"name": "bytes", "configuration": {"endian": "little"}}"""
+    def arr(dtype: String, fill: String, codecs: String,
+            attrs: String = "{}"): String =
+      s"""{"zarr_format": 3, "node_type": "array", "shape": [$n],
+          "data_type": $dtype,
+          "chunk_grid": {"name": "regular",
+            "configuration": {"chunk_shape": [$Chunk]}},
+          "chunk_key_encoding": {"name": "default",
+            "configuration": {"separator": "/"}},
+          "fill_value": $fill, "codecs": $codecs,
+          "dimension_names": ["time"], "attributes": $attrs}"""
+    val meta = s"""{"zarr_format": 3, "node_type": "group",
+      "consolidated_metadata": {"kind": "inline", "must_understand": false,
+        "metadata": {
+          "time": ${arr("\"int64\"", "0", s"[$bytesLE]",
+            """{"units": "microseconds since 1970-01-01",
+                "calendar": "proleptic_gregorian"}""")},
+          "event_id": ${arr("\"int64\"", "0", s"[$bytesLE]")},
+          "value": ${arr("\"float64\"", "\"NaN\"",
+            s"""[$bytesLE, {"name": "zstd", "configuration": {"level": 3}},
+                {"name": "crc32c"}]""")},
+          "etype": ${arr("\"string\"", "\"\"",
+            """[{"name": "vlen-utf8"}, {"name": "zstd"}]""")}}}}"""
+    Files.write(Paths.get(out, "zarr.json"), meta.getBytes("UTF-8"))
+    out
   }
 
   private def deflateBytes(src: Array[Byte]): Array[Byte] = {

@@ -62,8 +62,9 @@ class CollectGuardSpec extends AnyFunSuite with Matchers {
       "k×d centroid/codebook aggregates and capped 4096-row training samples"),
     "graft/sources/Providers.scala" -> (1,
       "operational-status snapshot: one JSON row per read by contract"),
-    "graft/sources/zarr/ZarrGateStore.scala" -> (1,
-      "gate fixture build: enforced limit(SliceRows=4000) before the collect"),
+    "graft/sources/zarr/ZarrGateStore.scala" -> (2,
+      "gate fixture builds (v2 + v3 twin): both enforce " +
+        "limit(SliceRows=4000) before the collect"),
     "graft/streaming/StreamingOps.scala" -> (1,
       "nearDupGate reference index: enforced overflow-proof limit(max+1)+require"),
     "graft/tools/JobCount.scala" -> (1, "probe main (not operator surface)"),

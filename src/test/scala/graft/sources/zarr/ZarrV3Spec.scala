@@ -1,0 +1,285 @@
+package graft.sources.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Round-16 stretch: Zarr v3 read support (zarr-python 3 writes v3 by
+  * default). The v3 dialect is translated onto the SAME ArrayMeta +
+  * decode layer as v2 (`ZarrMeta.parseV3Array`), so these pins focus on
+  * what v3 moves around: byte order in the `bytes` codec (not the
+  * dtype), chunk layout in `chunk_grid`/`chunk_key_encoding` ("c/0"
+  * names), the ordered `codecs` list (compressor + trailing crc32c),
+  * extension data types (numpy.datetime64, string+vlen-utf8), and the
+  * two discovery paths (consolidated_metadata vs child listing).
+  */
+class ZarrV3Spec extends SparkSpec {
+
+  private def leL(ls: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(ls.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    ls.foreach(bb.putLong); bb.array()
+  }
+  private def beS(ss: Array[Short]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(ss.length * 2).order(ByteOrder.BIG_ENDIAN)
+    ss.foreach(bb.putShort); bb.array()
+  }
+  private def leD(ds: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(ds.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    ds.foreach(bb.putDouble); bb.array()
+  }
+  private def gzip(src: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(src); g.close()
+    bos.toByteArray
+  }
+  private def withCrc(src: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32C()
+    crc.update(src, 0, src.length)
+    val bb = ByteBuffer.allocate(src.length + 4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(src).putInt(crc.getValue.toInt)
+    bb.array()
+  }
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** 6-row store, chunks [4]: `time` i8 raw; `val` f8 zstd+crc32c with
+    * chunk 1 MISSING → NaN fill run; `cnt` int16 BIG-endian gzip; `flag`
+    * bool raw; `stamp` numpy.datetime64[ms] zstd with a NaT; `label`
+    * string vlen-utf8 zstd; `spec` 2-D (6 × 3) f8 raw, slot chunks [2].
+    * Chunk names use the v3 default encoding ("c/0", "c/0/1").
+    */
+  private def writeV3(consolidated: Boolean): String = {
+    val dir = Files.createTempDirectory("graft_zarr_v3").toString
+    def put(parts: Seq[String], bytes: Array[Byte]): Unit = {
+      Files.createDirectories(Paths.get(dir, parts.init: _*))
+      Files.write(Paths.get(dir, parts: _*), bytes)
+    }
+    def zstd(b: Array[Byte]): Array[Byte] = ZarrFixture.zstdBytes(b)
+    put(Seq("time", "c", "0"), leL(Array(0L, 1L, 2L, 3L)))
+    put(Seq("time", "c", "1"), leL(Array(4L, 5L, 0L, 0L)))
+    put(Seq("val", "c", "0"), withCrc(zstd(leD(Array(1.5, -2.5, Double.NaN, 4.0)))))
+    // val chunk 1 missing → NaN fill run
+    put(Seq("cnt", "c", "0"), gzip(beS(Array[Short](100, -7, 32767, 0))))
+    put(Seq("cnt", "c", "1"), gzip(beS(Array[Short](5, 6, 0, 0))))
+    put(Seq("flag", "c", "0"), Array[Byte](1, 0, 1, 0))
+    put(Seq("flag", "c", "1"), Array[Byte](1, 1, 0, 0))
+    // datetime64[ms]: epoch, 2024-01-01, NaT, pre-epoch −1 ms
+    put(Seq("stamp", "c", "0"), zstd(leL(Array(0L, 1704067200000L,
+      Long.MinValue, -1L))))
+    put(Seq("stamp", "c", "1"), zstd(leL(Array(1000L, 2000L, 0L, 0L))))
+    // vlen-utf8 string chunks (numcodecs layout: u4-LE count + items)
+    for (c <- 0 until 2) {
+      val bos = new java.io.ByteArrayOutputStream()
+      def u4(v: Int): Unit = {
+        bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+      }
+      u4(4)
+      for (r <- 0 until 4) {
+        val row = c * 4 + r
+        val s = if (row < 6) s"label_$row" else ""
+        val b = s.getBytes("UTF-8"); u4(b.length); bos.write(b, 0, b.length)
+      }
+      put(Seq("label", "c", c.toString), zstd(bos.toByteArray))
+    }
+    // 2-D (6 × 3) f8, chunks [4, 2]: spec[r][k] = r * 10 + k
+    for (c <- 0 until 2; j <- 0 until 2) {
+      val buf = Array.tabulate(4 * 2) { i =>
+        val (r, k) = (c * 4 + i / 2, j * 2 + i % 2)
+        if (r < 6 && k < 3) r * 10.0 + k else Double.NaN
+      }
+      put(Seq("spec", "c", c.toString, j.toString), leD(buf))
+    }
+    def arr(shape: String, chunks: String, dtype: String, fill: String,
+            codecs: String, dims: String, attrs: String = "{}"): String =
+      s"""{"zarr_format": 3, "node_type": "array", "shape": $shape,
+          "data_type": $dtype,
+          "chunk_grid": {"name": "regular",
+            "configuration": {"chunk_shape": $chunks}},
+          "chunk_key_encoding": {"name": "default",
+            "configuration": {"separator": "/"}},
+          "fill_value": $fill, "codecs": $codecs,
+          "dimension_names": $dims, "attributes": $attrs}"""
+    val bytesLE = """{"name": "bytes", "configuration": {"endian": "little"}}"""
+    val bytesBE = """{"name": "bytes", "configuration": {"endian": "big"}}"""
+    val metas: Seq[(String, String)] = Seq(
+      "time" -> arr("[6]", "[4]", "\"int64\"", "0",
+        s"[$bytesLE]", """["time"]"""),
+      "val" -> arr("[6]", "[4]", "\"float64\"", "\"NaN\"",
+        s"""[$bytesLE, {"name": "zstd", "configuration": {"level": 3}},
+            {"name": "crc32c"}]""", """["time"]"""),
+      "cnt" -> arr("[6]", "[4]", "\"int16\"", "0",
+        s"""[$bytesBE, {"name": "gzip", "configuration": {"level": 1}}]""",
+        """["time"]"""),
+      "flag" -> arr("[6]", "[4]", "\"bool\"", "false",
+        s"[$bytesLE]", """["time"]"""),
+      "stamp" -> arr("[6]", "[4]",
+        """{"name": "numpy.datetime64",
+           "configuration": {"unit": "ms", "scale_factor": 1}}""",
+        "-9223372036854775808",
+        s"""[$bytesLE, {"name": "zstd"}]""", """["time"]"""),
+      "label" -> arr("[6]", "[4]", "\"string\"", "\"\"",
+        s"""[{"name": "vlen-utf8"}, {"name": "zstd"}]""", """["time"]"""),
+      "spec" -> arr("[6, 3]", "[4, 2]", "\"float64\"", "\"NaN\"",
+        s"[$bytesLE]", """["time", "slot"]"""))
+    val rootBase = """"zarr_format": 3, "node_type": "group""""
+    val root =
+      if (consolidated) {
+        val inner = metas.map { case (n, m) => s""""$n": $m""" }.mkString(",\n")
+        s"""{$rootBase, "consolidated_metadata":
+            {"kind": "inline", "must_understand": false,
+             "metadata": {$inner}}}"""
+      } else {
+        metas.foreach { case (n, m) =>
+          put(Seq(n, "zarr.json"), m.getBytes("UTF-8"))
+        }
+        s"{$rootBase}"
+      }
+    Files.write(Paths.get(dir, "zarr.json"), root.getBytes("UTF-8"))
+    dir
+  }
+
+  private def checkStore(dir: String): Unit = {
+    val df = spark.read.format("zarr").load(dir)
+    df.schema("time").dataType shouldBe LongType
+    df.schema("val").dataType shouldBe DoubleType
+    df.schema("cnt").dataType shouldBe ShortType
+    df.schema("flag").dataType shouldBe BooleanType
+    df.schema("stamp").dataType shouldBe TimestampType
+    df.schema("label").dataType shouldBe StringType
+    df.schema("spec").dataType shouldBe ArrayType(DoubleType, containsNull = false)
+    val rows = df.orderBy("time").collect()
+    rows.length shouldBe 6
+    def col[T](r: Int, c: String): T = rows(r).getAs[T](c)
+    // crc32c+zstd floats: NaN → null, chunk-1 fill run → nulls
+    rows(0).getDouble(rows(0).fieldIndex("val")) shouldBe 1.5
+    rows(1).getDouble(rows(1).fieldIndex("val")) shouldBe -2.5
+    rows(2).isNullAt(rows(2).fieldIndex("val")) shouldBe true
+    rows(4).isNullAt(rows(4).fieldIndex("val")) shouldBe true
+    rows(5).isNullAt(rows(5).fieldIndex("val")) shouldBe true
+    // big-endian int16 through gzip
+    (0 until 6).map(col[Short](_, "cnt")) shouldBe
+      Seq[Short](100, -7, 32767, 0, 5, 6)
+    (0 until 6).map(col[Boolean](_, "flag")) shouldBe
+      Seq(true, false, true, false, true, true)
+    // datetime64[ms] incl. NaT and pre-epoch
+    val ts = df.orderBy("time").select(org.apache.spark.sql.functions.col("stamp").cast("string")).collect()
+    def s(r: Int): String = if (ts(r).isNullAt(0)) null else ts(r).getString(0)
+    (0 until 6).map(s) shouldBe Seq(
+      "1970-01-01 00:00:00", "2024-01-01 00:00:00", null,
+      "1969-12-31 23:59:59.999", "1970-01-01 00:00:01", "1970-01-01 00:00:02")
+    (0 until 6).map(col[String](_, "label")) shouldBe
+      (0 until 6).map(i => s"label_$i")
+    (0 until 6).foreach { r =>
+      rows(r).getSeq[Double](rows(r).fieldIndex("spec")) shouldBe
+        Seq(r * 10.0, r * 10.0 + 1, r * 10.0 + 2)
+    }
+  }
+
+  test("v3 store with consolidated_metadata reads like its v2 twin would") {
+    checkStore(writeV3(consolidated = true))
+  }
+
+  test("v3 store WITHOUT consolidation discovers arrays by child listing") {
+    checkStore(writeV3(consolidated = false))
+  }
+
+  test("v3 coordinate pruning works through the c/<i> chunk names") {
+    val dir = writeV3(consolidated = true)
+    val df = spark.read.format("zarr").load(dir)
+      .filter(col("time") >= 5L).select("time", "cnt")
+    df.collect().map(_.getLong(0)).sorted shouldBe Array(5L)
+    // and the planner really pruned to the second chunk (bound 5 sits
+    // STRICTLY above chunk 1's first value 4, so the conservative
+    // strict-floor search drops chunk 0)
+    val metas = {
+      val root = mapper.readTree(new String(
+        Files.readAllBytes(Paths.get(dir, "zarr.json")), "UTF-8"))
+      // coordinate first, like ZarrTable.parse orders the columns
+      ZarrMeta.parseV3(root, () => Nil, _ => None).values.toSeq
+        .sortBy(m => if (m.name == "time") 0 else 1)
+    }
+    val sb = new ZarrScanBuilder(dir, "time", metas, sorted = SortedMode.Auto)
+    sb.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("time", 5L)))
+    sb.build().toBatch.planInputPartitions().length shouldBe 1
+  }
+
+  test("a corrupt crc32c fails loudly with the array name") {
+    val dir = writeV3(consolidated = true)
+    val p = Paths.get(dir, "val", "c", "0")
+    val b = Files.readAllBytes(p)
+    b(b.length - 1) = (b(b.length - 1) ^ 0x7f).toByte
+    Files.write(p, b)
+    val e = intercept[Exception] {
+      spark.read.format("zarr").load(dir).select("val").collect()
+    }
+    e.getMessage should include("crc32c")
+    e.getMessage should include("val")
+  }
+
+  test("unsupported v3 codecs, grids and dtypes fail loudly at parse") {
+    def v3arr(body: String): String =
+      s"""{"zarr_format": 3, "node_type": "array", "shape": [4],
+          "chunk_grid": {"name": "regular",
+            "configuration": {"chunk_shape": [4]}},
+          "fill_value": 0, "dimension_names": ["t"], $body}"""
+    def parse(json: String): Unit =
+      ZarrMeta.parseV3Array("x", mapper.readTree(json))
+    // sharding is a real v3 codec this source does not speak — loud
+    intercept[IllegalArgumentException] { parse(v3arr(
+      """"data_type": "int64", "codecs": [
+         {"name": "sharding_indexed", "configuration": {}}]"""))
+    }.getMessage should include("sharding_indexed")
+    intercept[IllegalArgumentException] { parse(v3arr(
+      """"data_type": "int64", "codecs": [
+         {"name": "transpose", "configuration": {"order": [1, 0]}},
+         {"name": "bytes"}]"""))
+    }.getMessage should include("transpose")
+    intercept[IllegalArgumentException] { parse(v3arr(
+      """"data_type": "complex64",
+         "codecs": [{"name": "bytes"}]"""))
+    }.getMessage should include("complex64")
+    // crc32c anywhere but last is a layout this decode cannot honor
+    intercept[IllegalArgumentException] { parse(v3arr(
+      """"data_type": "int64", "codecs": [{"name": "bytes"},
+         {"name": "crc32c"}, {"name": "zstd"}]"""))
+    }.getMessage should include("crc32c")
+    // a non-regular chunk grid
+    intercept[IllegalArgumentException] {
+      ZarrMeta.parseV3Array("x", mapper.readTree(
+        """{"zarr_format": 3, "node_type": "array", "shape": [4],
+            "data_type": "int64",
+            "chunk_grid": {"name": "rectangular", "configuration": {}},
+            "fill_value": 0,
+            "codecs": [{"name": "bytes"}]}"""))
+    }.getMessage should include("regular")
+  }
+
+  test("the v2 chunk_key_encoding variant maps to v2-style names") {
+    val m = ZarrMeta.parseV3Array("x", mapper.readTree(
+      """{"zarr_format": 3, "node_type": "array", "shape": [8, 4],
+          "data_type": "float64",
+          "chunk_grid": {"name": "regular",
+            "configuration": {"chunk_shape": [4, 2]}},
+          "chunk_key_encoding": {"name": "v2"},
+          "fill_value": "NaN",
+          "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+          "dimension_names": ["t", "s"]}""")).get
+    m.keyPrefix shouldBe ""
+    m.keySep shouldBe "."
+    val d = ZarrMeta.parseV3Array("y", mapper.readTree(
+      """{"zarr_format": 3, "node_type": "array", "shape": [8],
+          "data_type": "int32",
+          "chunk_grid": {"name": "regular",
+            "configuration": {"chunk_shape": [4]}},
+          "fill_value": 0,
+          "codecs": [{"name": "bytes"}]}""")).get
+    d.keyPrefix shouldBe "c/" // spec default separator is "/"
+    d.dims shouldBe Seq.empty // dimension_names is optional
+  }
+}
