@@ -553,6 +553,7 @@ private[zarr] object ZarrMeta {
     var endian = "little"
     var vlen = false
     var crc = false
+    var sawBytes = false
     var comp: Option[JsonNode] = None
     (0 until codecs.size()).foreach { i =>
       val c = codecs.get(i)
@@ -560,6 +561,7 @@ private[zarr] object ZarrMeta {
         case "bytes" =>
           require(i == 0, s"zarr: array '$name': 'bytes' must be the " +
             "first (array→bytes) codec")
+          sawBytes = true
           endian = Option(c.path("configuration").path("endian"))
             .filter(_.isTextual).map(_.asText()).getOrElse("little")
           require(endian == "little" || endian == "big",
@@ -590,6 +592,11 @@ private[zarr] object ZarrMeta {
             "no silent wrong bytes)")
       }
     }
+    // an array→bytes codec is REQUIRED (v3 core): without one the byte
+    // order of multi-byte elements would be a silent guess
+    require(sawBytes || vlen,
+      s"zarr: array '$name' codecs list has no array→bytes codec " +
+        "(bytes or vlen-utf8)")
     // data_type (string, or the extension-object form) → v2 dtype string
     val dt = node.path("data_type")
     val dtName = if (dt.isTextual) dt.asText() else dt.path("name").asText("")
