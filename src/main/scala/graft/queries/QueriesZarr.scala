@@ -161,6 +161,76 @@ object QueriesZarr {
         .select(col("time"), col("event_id"), col("value"), col("etype"))
     }),
 
+    // S1 native path, Zarr V3 sharding_indexed (round-17): eid_sh rides
+    // a 2-inner shard with the index at the file's START (no index crc,
+    // raw inner chunks); value_sh a 4-inner shard with the index at the
+    // END (crc32c-framed index, zstd+crc32c inner chunks) and global
+    // inner chunk 2 left as the all-ones index SENTINEL — a fill-NaN
+    // run → nulls. Both read inner-chunk-granularly (index + one range
+    // read per inner chunk, never a whole shard)
+    "q161_zarr_v3_shard" -> ((s, d) => {
+      val st = ZarrGateStore.storeV3(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"), col("eid_sh"), col("value_sh"))
+    }),
+
+    // S1 native path, v3 EXTENSION dtype on the gate (round-17): stamp3
+    // is a raw numpy.datetime64[ns] v3 array (extension-object
+    // data_type form) with NaT planted at event_id % 11 == 7 — the v3
+    // twin of q154's v2 raw-datetime row
+    "q162_zarr_v3_datetime" -> ((s, d) => {
+      val st = ZarrGateStore.storeV3(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"), col("stamp3"))
+    }),
+
+    // S1 native path, v3 transpose codec (round-17): spec3 is the 2-D
+    // (time × band) spectrum stored COLUMN-major per chunk (transpose
+    // order [1, 0]) behind zstd, trailing dim chunked [2] — the decode
+    // permutes back to C order before the same stitch q151 exercises
+    "q163_zarr_v3_transpose" -> ((s, d) => {
+      val st = ZarrGateStore.storeV3(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"),
+          posexplode(col("spec3")).as(Seq("band", "amp")))
+        .select(col("event_id"), col("band").cast("long").as("band"),
+          col("amp"))
+    }),
+
+    // S1 native path, 2-D sharding (round-17): spec_sh shards the same
+    // spectrum over BOTH dims (outer [512 × 4], inner [256 × 2] — a
+    // 2 × 2 C-order inner grid per shard, crc32c-framed end index),
+    // including the padded edge shard
+    "q164_zarr_v3_shard2d" -> ((s, d) => {
+      val st = ZarrGateStore.storeV3(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"),
+          posexplode(col("spec_sh")).as(Seq("band", "amp")))
+        .select(col("event_id"), col("band").cast("long").as("band"),
+          col("amp"))
+    }),
+
+    // S1 native path END-TO-END (round-17 stretch): the q48 pipeline
+    // shape — time-filtered scan (chunk pruning via the sorted-coord
+    // binary search), QARTOD gross-range flagging, hourly rollup —
+    // running DIRECTLY over spark.read.format("zarr"), proving the
+    // source composes with the engine's hot path the way the reference
+    // consumes stores (qaqc/dashboard.py:305-313 → flags → plots)
+    "q165_zarr_pipeline" -> ((s, d) => {
+      val st = ZarrGateStore.store(s, d)
+      s.read.format("zarr").option("sortedCoord", "true").load(st)
+        .filter(col("time") >= lit("2024-01-01 06:00:00").cast("timestamp"))
+        .select(col("time"), col("value"))
+        .withColumn("gr_flag", graft.functions.Qartod.grossRangeFlag(
+          col("value"), 0.5, 300.0, 5.0, 150.0))
+        .groupBy(date_trunc("hour", col("time")).as("hour"))
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("gr_flag") === 1, 1)).as("n_pass"),
+          count(when(col("gr_flag") === 3, 1)).as("n_suspect"),
+          count(when(col("gr_flag") === 4, 1)).as("n_fail"),
+          round(sum(when(col("gr_flag") === 1, col("value"))), 2).as("sum_pass"))
+    }),
+
     // S1 native path joined back to the parquet gate table: zarr-side
     // measures aggregated by a parquet-side dimension — the zarr slice
     // is tiny next to events, so it is the BROADCAST side of the join
@@ -280,6 +350,61 @@ object QueriesZarr {
         ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
       SELECT ts AS time, event_id, value, event_type AS etype
       FROM slice""",
+
+    // eid_sh round-trips exactly; value_sh's global inner chunk 2 (rows
+    // 513..768 of the (ts, event_id) store order) is the index sentinel
+    // → a fill-NaN run → nulls
+    "q161_zarr_v3_shard" -> s"""$sliceCte,
+      ord AS (SELECT event_id, value,
+                     row_number() OVER (ORDER BY ts, event_id) AS rn
+              FROM slice)
+      SELECT event_id, event_id AS eid_sh,
+             CASE WHEN rn BETWEEN ${ZarrGateStore.ShardMissingInner * ZarrGateStore.Chunk + 1}
+                            AND ${(ZarrGateStore.ShardMissingInner + 1) * ZarrGateStore.Chunk}
+                  THEN NULL ELSE value END AS value_sh
+      FROM ord""",
+
+    "q162_zarr_v3_datetime" -> s"""WITH slice AS (
+        SELECT event_id, ts FROM events
+        ORDER BY event_id LIMIT ${ZarrGateStore.SliceRows})
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 7 THEN NULL ELSE ts END AS stamp3
+      FROM slice""",
+
+    // spec3/spec_sh replicate q151's spectrum arithmetic (value·(k+1),
+    // IEEE-exact; planted NaN at (event_id % 7 = 5, band 2))
+    "q163_zarr_v3_transpose" -> s"""$sliceCte
+      SELECT s.event_id, b.band,
+             CASE WHEN s.value IS NULL
+                    OR (s.event_id % 7 = 5 AND b.band = 2)
+                  THEN CAST('NaN' AS DOUBLE)
+                  ELSE s.value * (b.band + 1) END AS amp
+      FROM slice s CROSS JOIN (SELECT unnest(range(${ZarrGateStore.Bands})) AS band) b""",
+
+    "q164_zarr_v3_shard2d" -> s"""$sliceCte
+      SELECT s.event_id, b.band,
+             CASE WHEN s.value IS NULL
+                    OR (s.event_id % 7 = 5 AND b.band = 2)
+                  THEN CAST('NaN' AS DOUBLE)
+                  ELSE s.value * (b.band + 1) END AS amp
+      FROM slice s CROSS JOIN (SELECT unnest(range(${ZarrGateStore.Bands})) AS band) b""",
+
+    // the gross-range CASE mirrors Qartod.grossRangeFlag exactly (null
+    // values flag 1 — the reference's numpy comparison semantics); the
+    // store's NaN-encoded nulls decode back to SQL NULL
+    "q165_zarr_pipeline" -> s"""$sliceCte,
+      f AS (SELECT ts, value,
+              CASE WHEN value IS NOT NULL AND (value <= 0.5 OR value >= 300.0) THEN 4
+                   WHEN value IS NOT NULL AND (value <= 5.0 OR value >= 150.0) THEN 3
+                   ELSE 1 END AS gr_flag
+            FROM slice
+            WHERE ts >= TIMESTAMP '2024-01-01 06:00:00')
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
+             count(CASE WHEN gr_flag = 1 THEN 1 END) AS n_pass,
+             count(CASE WHEN gr_flag = 3 THEN 1 END) AS n_suspect,
+             count(CASE WHEN gr_flag = 4 THEN 1 END) AS n_fail,
+             round(sum(CASE WHEN gr_flag = 1 THEN value END), 2) AS sum_pass
+      FROM f GROUP BY 1""",
 
     "q150_zarr_join" -> s"""$sliceCte
       SELECT e.event_type, count(*) AS cnt,

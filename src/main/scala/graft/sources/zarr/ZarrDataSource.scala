@@ -118,6 +118,40 @@ private[zarr] object ZarrIO {
     try in.readFully(0, buf) finally in.close()
     Some(buf)
   }
+
+  /** `len` bytes at the file's head or tail (the v3 shard-index frame),
+    * or None when the file does not exist (a missing shard = fill runs
+    * for every inner chunk). One status + one positional read — on an
+    * object store, two GETs, independent of shard size.
+    */
+  def readEdgeIfExists(conf: Configuration, store: String, atEnd: Boolean,
+                       len: Int, parts: String*): Option[Array[Byte]] = {
+    val p = resolve(store, parts: _*)
+    val fs = p.getFileSystem(conf)
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    require(st.getLen >= len,
+      s"zarr: $p is ${st.getLen} bytes, shorter than its $len-byte shard index")
+    val off = if (atEnd) st.getLen - len else 0L
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(off, buf) finally in.close()
+    Some(buf)
+  }
+
+  /** `len` bytes at `offset` of an existing file (one inner chunk of a
+    * v3 shard) — a single positional read, never the whole shard.
+    */
+  def readRange(conf: Configuration, store: String, offset: Long, len: Int,
+                parts: String*): Array[Byte] = {
+    val p = resolve(store, parts: _*)
+    val fs = p.getFileSystem(conf)
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(offset, buf) finally in.close()
+    buf
+  }
 }
 
 // Hadoop Configuration is not Serializable; the reader factory ships the
@@ -234,7 +268,8 @@ private[zarr] object ZarrTable {
           throw new IllegalArgumentException(
             s"zarr: $path has neither .zmetadata nor zarr.json"))
         ZarrMeta.parseV3(mapper.readTree(utf8(root)),
-          childNames = () => ZarrIO.listChildDirs(conf, path),
+          childNames = p => ZarrIO.listChildDirs(conf,
+            if (p.isEmpty) path else ZarrIO.resolve(path, p).toString),
           childJson = n => ZarrIO.readIfExists(conf, path, n, "zarr.json")
             .map(b => mapper.readTree(utf8(b))),
           u8Decimal = u8Decimal)
@@ -589,18 +624,100 @@ private[zarr] class ZarrReaderFactory(required: Seq[ZarrMeta.ArrayMeta],
 }
 
 private[zarr] object ZarrReader {
+  /** Parsed shard indexes, keyed by (store, array, shard file): 2·n
+    * longs of (offset, nbytes) per inner chunk, or the empty array for
+    * a missing shard file. Many partitions read inner chunks of the
+    * SAME shard, and each index fetch is a real GET on an object store
+    * — caching it halves the steady-state round-trips (1 positional
+    * read per inner chunk). Bounded: cleared wholesale past
+    * [[ShardIndexCacheMax]] entries (an index is ≤ a few KB; 4096 of
+    * them is ~64 MB worst-case, usually far less).
+    */
+  private val shardIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private val ShardIndexCacheMax = 4096
+  private val MissingShard = new Array[Long](0)
+
+  /** Read + verify + parse one shard's index frame (uint64-LE pairs,
+    * optional trailing crc32c), or [[MissingShard]] when the shard file
+    * itself is absent.
+    */
+  private def shardIndex(conf: Configuration, path: String,
+                         meta: ZarrMeta.ArrayMeta, fileName: String,
+                         innerCount: Int): Array[Long] = {
+    val key = s"$path|${meta.name}|$fileName"
+    val hit = shardIndexCache.get(key)
+    if (hit != null) return hit
+    val idxLen = innerCount * 16 + (if (meta.shardIndexCrc) 4 else 0)
+    val idx = ZarrIO.readEdgeIfExists(conf, path, meta.shardIndexAtEnd,
+      idxLen, meta.name, fileName) match {
+      case None => MissingShard
+      case Some(b) =>
+        if (meta.shardIndexCrc) {
+          val crc = new java.util.zip.CRC32C()
+          crc.update(b, 0, b.length - 4)
+          val stored = java.nio.ByteBuffer.wrap(b, b.length - 4, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt() & 0xffffffffL
+          require(crc.getValue == stored,
+            s"zarr: crc32c mismatch on the shard index of array " +
+              s"'${meta.name}' shard $fileName (stored $stored, computed " +
+              s"${crc.getValue}) — corrupt shard")
+        }
+        val bb = java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Array.tabulate(innerCount * 2)(i => bb.getLong(i * 8))
+    }
+    if (shardIndexCache.size() >= ShardIndexCacheMax) shardIndexCache.clear()
+    shardIndexCache.put(key, idx)
+    idx
+  }
+
   /** Chunk file bytes, or None for a missing chunk (fill_value run).
     * v2 names chunks "c" / "c.j"; v3 per the array's chunk_key_encoding
-    * (`keyPrefix`/`keySep` — e.g. "c/0" / "c/0/1").
+    * (`keyPrefix`/`keySep` — e.g. "c/0" / "c/0/1"). For a SHARDED v3
+    * array, `chunk`/`extraChunk` address the INNER chunk: the shard
+    * file is located from the shard grid, its index consulted (cached
+    * per JVM), and only the inner chunk's byte range read — a shard is
+    * never fetched whole, so IO per task stays proportional to the
+    * pruned chunk set at any shard size.
     */
   def readChunkBytes(conf: Configuration, path: String,
                      meta: ZarrMeta.ArrayMeta, chunk: Long,
                      extraChunk: Long = 0L): Option[Array[Byte]] = {
+    if (meta.isSharded) return readInnerChunkBytes(conf, path, meta, chunk, extraChunk)
     val fileName =
       if (meta.is2D) s"${meta.keyPrefix}$chunk${meta.keySep}$extraChunk"
       else s"${meta.keyPrefix}$chunk"
     ZarrIO.readIfExists(conf, path, meta.name, fileName)
       .map(raw => ZarrMeta.decodeChunk(meta, raw))
+  }
+
+  private def readInnerChunkBytes(conf: Configuration, path: String,
+                                  meta: ZarrMeta.ArrayMeta, chunk: Long,
+                                  extraChunk: Long): Option[Array[Byte]] = {
+    val ips0 = meta.shardChunk / meta.chunk // inner chunks per shard, dim 0
+    val ips1 = if (meta.is2D) meta.shardExtraChunk / meta.extraChunk else 1
+    val s0 = chunk / ips0
+    val i0 = (chunk % ips0).toInt
+    val s1 = extraChunk / ips1
+    val i1 = (extraChunk % ips1).toInt
+    val fileName =
+      if (meta.is2D) s"${meta.keyPrefix}$s0${meta.keySep}$s1"
+      else s"${meta.keyPrefix}$s0"
+    val innerCount = ips0 * ips1
+    val idx = shardIndex(conf, path, meta, fileName, innerCount)
+    if (idx.length == 0) return None // whole shard absent → fill run
+    // the index is C-order over the inner chunk grid; the all-ones
+    // sentinel marks an unwritten inner chunk (a fill run)
+    val e = (i0 * ips1 + i1) * 2
+    val off = idx(e)
+    val nb = idx(e + 1)
+    if (off == -1L && nb == -1L) return None
+    require(off >= 0 && nb >= 0 && nb <= Int.MaxValue,
+      s"zarr: shard index of array '${meta.name}' shard $fileName entry " +
+        s"${e / 2} has offset $off nbytes $nb (corrupt index)")
+    val raw = ZarrIO.readRange(conf, path, off, nb.toInt, meta.name, fileName)
+    Some(ZarrMeta.decodeChunk(meta, raw))
   }
 
   /** Logical rows in chunk c (the LAST chunk is truncated to the array

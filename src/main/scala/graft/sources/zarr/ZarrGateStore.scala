@@ -85,6 +85,18 @@ object ZarrGateStore {
     * round-to-8 + 4-element verbatim tail.
     */
   val BitBlockBytes = 400
+  /** v3 sharding geometry (round-17): record-dim shard extents for the
+    * 2-inner (`eid_sh`, `spec_sh`) and 4-inner (`value_sh`) shards, and
+    * the GLOBAL inner-chunk index of value_sh left as the all-ones
+    * index sentinel (rows 513..768 1-based → a fill-NaN run).
+    */
+  val ShardRec = 2 * Chunk
+  val ShardRecBig = 4 * Chunk
+  val ShardMissingInner = 2
+  /** spec3/spec_sh trailing-dim chunk (Bands = 4 split 2 + 2 — evenly,
+    * as v3 sharding requires of inner chunks).
+    */
+  val SpecColChunk = 2
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, String]
   private val builtV3 = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -176,7 +188,115 @@ object ZarrGateStore {
     val eventId = slice.map(_.getLong(0))
     val value = slice.map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
     val etype = slice.map(_.getString(3))
+    def leD(vs: Array[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putDouble); bb.array()
+    }
+    // one padded record chunk of a 1-D array (rows past n → pad)
+    def chunkL(a: Array[Long], c: Int, pad: Long): Array[Long] =
+      Array.tabulate(Chunk)(k => if (c * Chunk + k < n) a(c * Chunk + k) else pad)
+    def chunkD(a: Array[Double], c: Int): Array[Double] =
+      Array.tabulate(Chunk)(k => if (c * Chunk + k < n) a(c * Chunk + k) else Double.NaN)
+    // assemble one SHARD file: data region (present inner chunks
+    // back-to-back, C-order) + uint64-LE (offset, nbytes) index —
+    // all-ones sentinel for absent inners — at `end` or `start`,
+    // crc32c-framed when `idxCrc`
+    def shardFile(inners: Seq[Option[Array[Byte]]], atEnd: Boolean,
+                  idxCrc: Boolean): Array[Byte] = {
+      val idxLen = inners.size * 16 + (if (idxCrc) 4 else 0)
+      val dataLen = inners.flatten.map(_.length).sum
+      val dataBase = if (atEnd) 0L else idxLen.toLong
+      val idx = ByteBuffer.allocate(idxLen).order(ByteOrder.LITTLE_ENDIAN)
+      val data = new java.io.ByteArrayOutputStream()
+      var pos = dataBase
+      inners.foreach {
+        case Some(b) =>
+          idx.putLong(pos).putLong(b.length.toLong)
+          data.write(b, 0, b.length); pos += b.length
+        case None => idx.putLong(-1L).putLong(-1L)
+      }
+      if (idxCrc) {
+        val crc = new java.util.zip.CRC32C()
+        crc.update(idx.array(), 0, inners.size * 16)
+        idx.putInt(crc.getValue.toInt)
+      }
+      val out = ByteBuffer.allocate(idxLen + dataLen)
+      if (atEnd) out.put(data.toByteArray).put(idx.array())
+      else out.put(idx.array()).put(data.toByteArray)
+      out.array()
+    }
+    def putShard(arr: String, key: Seq[Int], bytes: Array[Byte]): Unit = {
+      val p = Paths.get(out, (arr +: "c" +: key.init.map(_.toString)): _*)
+      Files.createDirectories(p)
+      Files.write(p.resolve(key.last.toString), bytes)
+    }
+    // eid_sh: int64, raw inner chunks, shard [ShardRec] of [Chunk]
+    // inners, index at START, index_codecs [bytes] (no crc)
+    val innersPerShard = ShardRec / Chunk
+    val nShards = (nChunks + innersPerShard - 1) / innersPerShard
+    for (s <- 0 until nShards) {
+      val inners = (0 until innersPerShard).map { i =>
+        val c = s * innersPerShard + i
+        if (c >= nChunks) None else Some(leL(chunkL(eventId, c, 0L)))
+      }
+      putShard("eid_sh", Seq(s), shardFile(inners, atEnd = false, idxCrc = false))
+    }
+    // value_sh: float64, inner [bytes, zstd, crc32c], shard [ShardRecBig]
+    // of [Chunk] inners, index at END + crc32c; global inner chunk
+    // [[ShardMissingInner]] is the all-ones SENTINEL (fill-NaN run)
+    val innersPerBig = ShardRecBig / Chunk
+    val nBigShards = (nChunks + innersPerBig - 1) / innersPerBig
+    for (s <- 0 until nBigShards) {
+      val inners = (0 until innersPerBig).map { i =>
+        val c = s * innersPerBig + i
+        if (c >= nChunks || c == ShardMissingInner) None
+        else Some(withCrc(zstd(leD(chunkD(value, c)))))
+      }
+      putShard("value_sh", Seq(s), shardFile(inners, atEnd = true, idxCrc = true))
+    }
+    // stamp3: raw numpy.datetime64[ns] (ts µs · 1000 — exact), NaT at
+    // event_id % 11 == 7 (the v2 `stamp` convention, q154's twin)
+    val NaT = Long.MinValue
+    val stamp3 = Array.tabulate(n)(i =>
+      if (eventId(i) % 11 == 7) NaT else time(i) * 1000L)
+    // spec3: 2-D (n × Bands) float64 behind [transpose [1,0], bytes,
+    // zstd] — stored F-order per (Chunk × SpecColChunk) chunk — with
+    // spec3[k] = value · (k+1) and a NaN element at
+    // (event_id % 7 == 5, band 2), trailing dim chunked [SpecColChunk]
+    def specVal(i: Int, k: Int): Double =
+      if (eventId(i) % 7 == 5 && k == 2) Double.NaN else value(i) * (k + 1)
+    val nColChunks = (Bands + SpecColChunk - 1) / SpecColChunk
+    def specChunkC(c: Int, t: Int): Array[Double] = {
+      // C-order (row-major) elements of chunk (c, t), padded with NaN
+      val w = math.min(SpecColChunk, Bands - t * SpecColChunk)
+      Array.tabulate(Chunk * SpecColChunk) { e =>
+        val i = c * Chunk + e / SpecColChunk
+        val j = e % SpecColChunk
+        if (i < n && j < w) specVal(i, t * SpecColChunk + j) else Double.NaN
+      }
+    }
+    for (c <- 0 until nChunks; t <- 0 until nColChunks) {
+      val corder = specChunkC(c, t)
+      // stored layout under transpose [1, 0]: element (i, j) of the
+      // (Chunk × SpecColChunk) grid at stored position j·Chunk + i
+      val stored = new Array[Double](corder.length)
+      for (i <- 0 until Chunk; j <- 0 until SpecColChunk)
+        stored(j * Chunk + i) = corder(i * SpecColChunk + j)
+      putShard("spec3", Seq(c, t), zstd(leD(stored)))
+    }
+    // spec_sh: the same 2-D values SHARDED — outer [ShardRec × Bands],
+    // inner [Chunk × SpecColChunk] (2 × 2 inners per shard, C-order
+    // index), inner [bytes, zstd], index at END + crc32c
+    for (s <- 0 until nShards) {
+      val inners = for (i0 <- 0 until innersPerShard; i1 <- 0 until nColChunks)
+        yield {
+          val c = s * innersPerShard + i0
+          if (c >= nChunks) None else Some(zstd(leD(specChunkC(c, i1))))
+        }
+      putShard("spec_sh", Seq(s, 0), shardFile(inners, atEnd = true, idxCrc = true))
+    }
     for (c <- 0 until nChunks) {
+      put("stamp3", c, leL(chunkL(stamp3, c, NaT)))
       def padL(a: Array[Long]): Array[Long] =
         Array.tabulate(Chunk)(k => if (c * Chunk + k < n) a(c * Chunk + k) else 0L)
       put("time", c, leL(padL(time)))
@@ -208,6 +328,26 @@ object ZarrGateStore {
             "configuration": {"separator": "/"}},
           "fill_value": $fill, "codecs": $codecs,
           "dimension_names": ["time"], "attributes": $attrs}"""
+    val zstdC = """{"name": "zstd", "configuration": {"level": 3}}"""
+    // a 2-D / sharded / extension-dtype array entry (shape, grid and
+    // codec lists fully caller-specified)
+    def arr2(shape: String, dtype: String, fill: String, grid: String,
+             codecs: String, dims: String): String =
+      s"""{"zarr_format": 3, "node_type": "array", "shape": $shape,
+          "data_type": $dtype,
+          "chunk_grid": {"name": "regular",
+            "configuration": {"chunk_shape": $grid}},
+          "chunk_key_encoding": {"name": "default",
+            "configuration": {"separator": "/"}},
+          "fill_value": $fill, "codecs": $codecs,
+          "dimension_names": $dims, "attributes": {}}"""
+    def sharded(inner: String, codecs: String, indexCodecs: String,
+                loc: String): String =
+      s"""[{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": $inner, "codecs": $codecs,
+            "index_codecs": $indexCodecs, "index_location": "$loc"}}]"""
+    val idxPlain = s"[$bytesLE]"
+    val idxCrc = s"""[$bytesLE, {"name": "crc32c"}]"""
     val meta = s"""{"zarr_format": 3, "node_type": "group",
       "consolidated_metadata": {"kind": "inline", "must_understand": false,
         "metadata": {
@@ -216,10 +356,32 @@ object ZarrGateStore {
                 "calendar": "proleptic_gregorian"}""")},
           "event_id": ${arr("\"int64\"", "0", s"[$bytesLE]")},
           "value": ${arr("\"float64\"", "\"NaN\"",
-            s"""[$bytesLE, {"name": "zstd", "configuration": {"level": 3}},
+            s"""[$bytesLE, $zstdC,
                 {"name": "crc32c"}]""")},
           "etype": ${arr("\"string\"", "\"\"",
-            """[{"name": "vlen-utf8"}, {"name": "zstd"}]""")}}}}"""
+            """[{"name": "vlen-utf8"}, {"name": "zstd"}]""")},
+          "eid_sh": ${arr2(s"[$n]", "\"int64\"", "0", s"[$ShardRec]",
+            sharded(s"[$Chunk]", s"[$bytesLE]", idxPlain, "start"),
+            """["time"]""")},
+          "value_sh": ${arr2(s"[$n]", "\"float64\"", "\"NaN\"",
+            s"[$ShardRecBig]",
+            sharded(s"[$Chunk]", s"[$bytesLE, $zstdC, {\"name\": \"crc32c\"}]",
+              idxCrc, "end"),
+            """["time"]""")},
+          "stamp3": ${arr2(s"[$n]",
+            """{"name": "numpy.datetime64",
+                "configuration": {"unit": "ns", "scale_factor": 1}}""",
+            "\"NaT\"", s"[$Chunk]", s"[$bytesLE]", """["time"]""")},
+          "spec3": ${arr2(s"[$n, $Bands]", "\"float64\"", "\"NaN\"",
+            s"[$Chunk, $SpecColChunk]",
+            s"""[{"name": "transpose", "configuration": {"order": [1, 0]}},
+                 $bytesLE, $zstdC]""",
+            """["time", "band"]""")},
+          "spec_sh": ${arr2(s"[$n, $Bands]", "\"float64\"", "\"NaN\"",
+            s"[$ShardRec, $Bands]",
+            sharded(s"[$Chunk, $SpecColChunk]", s"[$bytesLE, $zstdC]",
+              idxCrc, "end"),
+            """["time", "band"]""")}}}}"""
     Files.write(Paths.get(out, "zarr.json"), meta.getBytes("UTF-8"))
     out
   }

@@ -133,8 +133,24 @@ private[zarr] object ZarrMeta {
       // v3 crc32c codec: chunk files carry a trailing little-endian
       // CRC32C over the compressed payload — verified and stripped
       // before decompression
-      crc32c: Boolean = false) {
+      crc32c: Boolean = false,
+      // v3 transpose codec, order [1, 0] on a rank-2 array: the chunk's
+      // element grid is stored column-major (F order); decode permutes
+      // it back to the C order every downstream consumer assumes
+      transposed: Boolean = false,
+      // v3 sharding_indexed: when shardChunk > 0, `chunk`/`extraChunk`
+      // are the INNER chunk shape (pruning and partitioning stay
+      // inner-chunk-granular) and `shardChunk`/`shardExtraChunk` the
+      // stored shard's shape; each shard file carries a fixed-size
+      // little-endian uint64 (offset, nbytes) index per inner chunk —
+      // at the file's end or start, optionally crc32c-framed — and a
+      // missing inner chunk is the all-ones sentinel (a fill run)
+      shardChunk: Int = 0,
+      shardExtraChunk: Int = 0,
+      shardIndexCrc: Boolean = false,
+      shardIndexAtEnd: Boolean = true) {
     def is2D: Boolean = extraShape > 0L
+    def isSharded: Boolean = shardChunk > 0
     def nChunks: Long = (shape + chunk - 1) / math.max(chunk, 1)
     def nExtraChunks: Long =
       if (!is2D) 1L else (extraShape + extraChunk - 1) / math.max(extraChunk, 1)
@@ -483,13 +499,16 @@ private[zarr] object ZarrMeta {
     * `root` is the store's root `zarr.json` (node_type `group`,
     * zarr_format 3). Arrays come from `consolidated_metadata` when the
     * writer consolidated (zarr-python `zarr.consolidate_metadata`), else
-    * from `childJson` (a per-child `zarr.json` fetch over `childNames`'s
-    * directory listing). Unsupported codecs (sharding, transpose, …)
-    * and data types fail loudly with the array name — no silent wrong
-    * bytes, same house rule as v2.
+    * from `childJson` (a per-node `zarr.json` fetch over `childNames`'s
+    * directory listings, RECURSING through group nodes so nested arrays
+    * surface under their full "grp/arr" path — the same names the
+    * consolidated path yields; round-17 ADVICE fix, previously only the
+    * immediate children were listed). Unsupported codecs and data types
+    * fail loudly with the array name — no silent wrong bytes, same
+    * house rule as v2.
     */
   def parseV3(root: JsonNode,
-              childNames: () => Seq[String],
+              childNames: String => Seq[String],
               childJson: String => Option[JsonNode],
               u8Decimal: Boolean = false): Map[String, ArrayMeta] = {
     require(root.path("zarr_format").asInt(-1) == 3,
@@ -503,7 +522,17 @@ private[zarr] object ZarrMeta {
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, JsonNode)]
         cm.fieldNames().forEachRemaining(n => out += (n -> cm.path(n)))
         out.toSeq
-      } else childNames().sorted.flatMap(n => childJson(n).map(n -> _))
+      } else {
+        def walk(prefix: String): Seq[(String, JsonNode)] =
+          childNames(prefix).sorted.flatMap { n =>
+            val p = if (prefix.isEmpty) n else s"$prefix/$n"
+            childJson(p).toSeq.flatMap { node =>
+              if (node.path("node_type").asText() == "group") walk(p)
+              else Seq(p -> node)
+            }
+          }
+        walk("")
+      }
     nodes.filter(_._2.path("node_type").asText() == "array")
       .flatMap { case (name, node) => parseV3Array(name, node, u8Decimal) }
       .map(m => m.name -> m).toMap
@@ -545,58 +574,74 @@ private[zarr] object ZarrMeta {
         s"zarr: array '$name' uses chunk_key_encoding '$other' " +
           "(supported: default, v2)")
     }
-    // the ordered codecs list: exactly one array→bytes codec first
+    // the ordered codecs list — either the sharding_indexed container
+    // (sole codec; the element chain lives in its configuration) or a
+    // flat chain: optional transpose, exactly one array→bytes codec
     // (bytes or vlen-utf8), at most one compressor, crc32c last
-    val codecs = node.path("codecs")
-    require(codecs.isArray && codecs.size() >= 1,
-      s"zarr: array '$name' has no codecs list (v3 requires one)")
-    var endian = "little"
-    var vlen = false
-    var crc = false
-    var sawBytes = false
-    var comp: Option[JsonNode] = None
-    (0 until codecs.size()).foreach { i =>
-      val c = codecs.get(i)
-      c.path("name").asText() match {
-        case "bytes" =>
-          require(i == 0, s"zarr: array '$name': 'bytes' must be the " +
-            "first (array→bytes) codec")
-          sawBytes = true
-          endian = Option(c.path("configuration").path("endian"))
-            .filter(_.isTextual).map(_.asText()).getOrElse("little")
-          require(endian == "little" || endian == "big",
-            s"zarr: array '$name' bytes codec endian '$endian'")
-        case "vlen-utf8" =>
-          require(i == 0, s"zarr: array '$name': 'vlen-utf8' must be the " +
-            "first (array→bytes) codec")
-          vlen = true
-        case "blosc" =>
-          require(comp.isEmpty && !crc,
-            s"zarr: array '$name': more than one compressor codec")
-          comp = Some(mapper.readTree("""{"id": "blosc"}"""))
-        case "gzip" =>
-          require(comp.isEmpty && !crc,
-            s"zarr: array '$name': more than one compressor codec")
-          comp = Some(mapper.readTree("""{"id": "gzip"}"""))
-        case "zstd" =>
-          require(comp.isEmpty && !crc,
-            s"zarr: array '$name': more than one compressor codec")
-          comp = Some(mapper.readTree("""{"id": "zstd"}"""))
-        case "crc32c" =>
-          require(i == codecs.size() - 1,
-            s"zarr: array '$name': crc32c must be the last codec")
-          crc = true
-        case other => throw new IllegalArgumentException(
-          s"zarr: array '$name' uses unsupported v3 codec '$other' " +
-            "(supported: bytes, vlen-utf8, blosc, gzip, zstd, crc32c — " +
-            "no silent wrong bytes)")
-      }
+    val outerChain = parseV3CodecChain(name, node.path("codecs"),
+      rank = shape.size(), allowSharding = true, what = "array")
+    // sharding_indexed (round-17): the stored object is a SHARD of many
+    // inner chunks plus a fixed-size index of (offset, nbytes) pairs.
+    // The effective chunk — for pruning, partitioning, decode — becomes
+    // the INNER chunk; the outer chunk_grid shape becomes the shard
+    // geometry, so inner-chunk-granular pruning is preserved and one
+    // shard never has to be read whole.
+    val sharding = outerChain.sharding
+    val chain = sharding match {
+      case None => outerChain
+      case Some(sh) =>
+        val cfg = sh.path("configuration")
+        val inner = parseV3CodecChain(name, cfg.path("codecs"),
+          rank = shape.size(), allowSharding = false, what = "shard inner")
+        // index_codecs: the spec default is [bytes(little), crc32c];
+        // uint64 little-endian pairs are the only layout this reader
+        // speaks — anything else fails loudly
+        val ic = cfg.path("index_codecs")
+        require(ic.isArray && ic.size() >= 1 && ic.size() <= 2,
+          s"zarr: array '$name' shard index_codecs must be [bytes] or " +
+            "[bytes, crc32c]")
+        require(ic.get(0).path("name").asText() == "bytes" &&
+          Option(ic.get(0).path("configuration").path("endian"))
+            .filter(_.isTextual).map(_.asText()).getOrElse("little") == "little",
+          s"zarr: array '$name' shard index must be little-endian 'bytes'")
+        val idxCrc = ic.size() == 2
+        if (idxCrc) require(ic.get(1).path("name").asText() == "crc32c",
+          s"zarr: array '$name' shard index_codecs second entry must be " +
+            "crc32c")
+        val loc = {
+          val l = cfg.path("index_location")
+          if (l.isMissingNode || !l.isTextual) "end" else l.asText()
+        }
+        require(loc == "end" || loc == "start",
+          s"zarr: array '$name' shard index_location '$loc'")
+        inner.copy(shardIndexCrc = idxCrc, shardIndexAtEnd = loc == "end",
+          sharding = Some(sh))
     }
-    // an array→bytes codec is REQUIRED (v3 core): without one the byte
-    // order of multi-byte elements would be a silent guess
-    require(sawBytes || vlen,
-      s"zarr: array '$name' codecs list has no array→bytes codec " +
-        "(bytes or vlen-utf8)")
+    // inner (element) chunk shape: with sharding the chunk_grid shape is
+    // the SHARD and the codec's chunk_shape the element chunk — it must
+    // tile the shard exactly (spec: evenly divides)
+    val (recChunk, extChunk, shardRec, shardExt) = sharding match {
+      case None =>
+        (cshape.get(0).asInt(), if (shape.size() == 2) cshape.get(1).asInt() else 0,
+          0, 0)
+      case Some(sh) =>
+        val ics = sh.path("configuration").path("chunk_shape")
+        require(ics.isArray && ics.size() == shape.size(),
+          s"zarr: array '$name' shard inner chunk_shape rank != shape rank")
+        val i0 = ics.get(0).asInt()
+        val i1 = if (shape.size() == 2) ics.get(1).asInt() else 0
+        val o0 = cshape.get(0).asInt()
+        val o1 = if (shape.size() == 2) cshape.get(1).asInt() else 0
+        require(i0 > 0 && o0 % i0 == 0 &&
+          (shape.size() == 1 || (i1 > 0 && o1 % i1 == 0)),
+          s"zarr: array '$name' inner chunk shape does not evenly divide " +
+            "the shard shape")
+        (i0, i1, o0, o1)
+    }
+    val endian = chain.endian
+    val vlen = chain.vlen
+    val crc = chain.crc32c
+    val comp = chain.compressor
     // data_type (string, or the extension-object form) → v2 dtype string
     val dt = node.path("data_type")
     val dtName = if (dt.isTextual) dt.asText() else dt.path("name").asText("")
@@ -654,7 +699,7 @@ private[zarr] object ZarrMeta {
     Some(ArrayMeta(
       name = name,
       shape = shape.get(0).asLong(),
-      chunk = cshape.get(0).asInt(),
+      chunk = recChunk,
       dtypeStr = dtypeStr,
       compressor = comp,
       fillValue = if (isStr) None else fill,
@@ -662,14 +707,134 @@ private[zarr] object ZarrMeta {
       units = Option(attrs.path("units")).filter(_.isTextual).map(_.asText()),
       calendar = Option(attrs.path("calendar")).filter(_.isTextual).map(_.asText()),
       extraShape = if (shape.size() == 2) shape.get(1).asLong() else 0L,
-      extraChunk = if (shape.size() == 2) cshape.get(1).asInt() else 0,
+      extraChunk = extChunk,
       fillString = fillStr,
       filters = Nil,
       fillLong = fillL,
       u8Decimal = u8Decimal,
       keyPrefix = keyPrefix,
       keySep = sep,
-      crc32c = crc))
+      crc32c = crc,
+      transposed = chain.transposed,
+      shardChunk = shardRec,
+      shardExtraChunk = shardExt,
+      shardIndexCrc = chain.shardIndexCrc,
+      shardIndexAtEnd = chain.shardIndexAtEnd))
+  }
+
+  /** One parsed v3 codec chain. With sharding, [[sharding]] carries the
+    * raw codec node and every other field describes the INNER chain
+    * (filled in by the caller); [[shardIndexCrc]]/[[shardIndexAtEnd]]
+    * describe the shard's index framing.
+    */
+  private[zarr] final case class V3CodecChain(
+      endian: String,
+      vlen: Boolean,
+      crc32c: Boolean,
+      compressor: Option[JsonNode],
+      transposed: Boolean,
+      sharding: Option[JsonNode] = None,
+      shardIndexCrc: Boolean = false,
+      shardIndexAtEnd: Boolean = true)
+
+  /** Validate + fold a v3 `codecs` list. Accepted shapes:
+    *  - `[sharding_indexed]` (sole codec; only when `allowSharding`) —
+    *    returned with [[V3CodecChain.sharding]] set for the caller to
+    *    unpack;
+    *  - `[transpose?, bytes | vlen-utf8, (blosc|gzip|zstd)?, crc32c?]`
+    *    in exactly that stage order. `transpose` accepts any identity
+    *    permutation as a no-op and `[1, 0]` on rank-2 arrays (the only
+    *    non-trivial permutation a rank ≤ 2 array admits); it cannot
+    *    pair with vlen-utf8 (no fixed element width to permute).
+    * Everything else — unknown codec names, duplicate stages, stage
+    * order violations — fails loudly with the array name, never silent
+    * wrong bytes.
+    */
+  private[zarr] def parseV3CodecChain(name: String, codecs: JsonNode,
+                                      rank: Int, allowSharding: Boolean,
+                                      what: String): V3CodecChain = {
+    require(codecs.isArray && codecs.size() >= 1,
+      s"zarr: array '$name' has no $what codecs list (v3 requires one)")
+    if (codecs.get(0).path("name").asText() == "sharding_indexed") {
+      require(allowSharding, s"zarr: array '$name' nests sharding_indexed " +
+        "inside a shard (unsupported)")
+      require(codecs.size() == 1,
+        s"zarr: array '$name': sharding_indexed must be the only codec " +
+          "(the element chain belongs in its configuration)")
+      return V3CodecChain("little", vlen = false, crc32c = false, None,
+        transposed = false, sharding = Some(codecs.get(0)))
+    }
+    var endian = "little"
+    var vlen = false
+    var crc = false
+    var transposed = false
+    var sawBytes = false
+    var comp: Option[JsonNode] = None
+    (0 until codecs.size()).foreach { i =>
+      val c = codecs.get(i)
+      c.path("name").asText() match {
+        case "transpose" =>
+          require(!sawBytes && !vlen && comp.isEmpty && !crc,
+            s"zarr: array '$name': transpose is an array→array codec " +
+              "and must precede the array→bytes codec")
+          require(!transposed, s"zarr: array '$name': more than one " +
+            "non-trivial transpose codec")
+          val ord = c.path("configuration").path("order")
+          require(ord.isArray && ord.size() == rank,
+            s"zarr: array '$name' transpose order rank != array rank $rank")
+          val order = (0 until ord.size()).map(ord.get(_).asInt(-1))
+          require(order.sorted == (0 until rank), s"zarr: array '$name' " +
+            s"transpose order ${order.mkString("[", ",", "]")} is not a " +
+            "permutation of the dimensions")
+          if (order != (0 until rank)) {
+            // rank ≤ 2 leaves exactly one non-identity permutation
+            require(rank == 2 && order == Seq(1, 0),
+              s"zarr: array '$name' transpose order " +
+                s"${order.mkString("[", ",", "]")} (only [1, 0] on rank-2 " +
+                "arrays is supported)")
+            transposed = true
+          }
+        case "bytes" =>
+          require(!sawBytes && !vlen, s"zarr: array '$name': more than " +
+            "one array→bytes codec")
+          require(comp.isEmpty && !crc, s"zarr: array '$name': 'bytes' " +
+            "must precede every bytes→bytes codec")
+          sawBytes = true
+          endian = Option(c.path("configuration").path("endian"))
+            .filter(_.isTextual).map(_.asText()).getOrElse("little")
+          require(endian == "little" || endian == "big",
+            s"zarr: array '$name' bytes codec endian '$endian'")
+        case "vlen-utf8" =>
+          require(!sawBytes && !vlen, s"zarr: array '$name': more than " +
+            "one array→bytes codec")
+          require(comp.isEmpty && !crc, s"zarr: array '$name': " +
+            "'vlen-utf8' must precede every bytes→bytes codec")
+          require(!transposed, s"zarr: array '$name': transpose cannot " +
+            "pair with vlen-utf8 (no fixed element width)")
+          vlen = true
+        case "blosc" | "gzip" | "zstd" =>
+          val id = c.path("name").asText()
+          require(!crc, s"zarr: array '$name': compressor codec '$id' " +
+            "must precede crc32c (codec ordering violation)")
+          require(comp.isEmpty,
+            s"zarr: array '$name': more than one compressor codec")
+          comp = Some(mapper.readTree(s"""{"id": "$id"}"""))
+        case "crc32c" =>
+          require(i == codecs.size() - 1,
+            s"zarr: array '$name': crc32c must be the last codec")
+          crc = true
+        case other => throw new IllegalArgumentException(
+          s"zarr: array '$name' uses unsupported v3 codec '$other' " +
+            "(supported: sharding_indexed, transpose, bytes, vlen-utf8, " +
+            "blosc, gzip, zstd, crc32c — no silent wrong bytes)")
+      }
+    }
+    // an array→bytes codec is REQUIRED (v3 core): without one the byte
+    // order of multi-byte elements would be a silent guess
+    require(sawBytes || vlen,
+      s"zarr: array '$name' $what codecs list has no array→bytes codec " +
+        "(bytes or vlen-utf8)")
+    V3CodecChain(endian, vlen, crc, comp, transposed)
   }
 
   // ---- CF time ----------------------------------------------------------
@@ -844,6 +1009,36 @@ private[zarr] object ZarrMeta {
     if (!meta.isVlen) require(out.length == chunkBytes(meta),
       s"zarr: chunk of array '${meta.name}' decoded ${out.length} bytes, " +
         s"expected ${chunkBytes(meta)} (corrupt chunk or wrong metadata)")
+    // v3 transpose (order [1, 0]): transpose is the FIRST encode stage,
+    // so its undo is the LAST decode stage — the stored element grid is
+    // F-order over (chunk × extraChunk) and every downstream consumer
+    // (stitching, stringsOf, longsOf) assumes C order
+    if (meta.transposed) untranspose2D(meta, out) else out
+  }
+
+  /** Undo the v3 `transpose [1, 0]` codec on one decoded chunk: element
+    * (i, j) of the (chunk × extraChunk) grid sits at stored position
+    * (j·chunk + i); move it back to C-order position (i·extraChunk + j).
+    * Pure index permutation — byte-for-byte, dtype-agnostic (fixed
+    * widths only; vlen is rejected at parse).
+    */
+  private[zarr] def untranspose2D(meta: ArrayMeta, in: Array[Byte]): Array[Byte] = {
+    val r = meta.chunk
+    val c = math.max(meta.extraChunk, 1)
+    val w = meta.typeSize
+    require(in.length == r * c * w,
+      s"zarr: transposed chunk of array '${meta.name}' has ${in.length} " +
+        s"bytes, expected ${r * c * w}")
+    val out = new Array[Byte](in.length)
+    var j = 0
+    while (j < c) {
+      var i = 0
+      while (i < r) {
+        System.arraycopy(in, (j * r + i) * w, out, (i * c + j) * w, w)
+        i += 1
+      }
+      j += 1
+    }
     out
   }
 
@@ -1084,17 +1279,25 @@ private[zarr] object ZarrMeta {
     val memcpyed = (flags & 0x2) != 0
     val bitshuffled = (flags & 0x4) != 0
     // the two shuffle modes are mutually exclusive in c-blosc (DOSHUFFLE
-    // vs DOBITSHUFFLE); both bits set means a corrupt header, and
-    // pre-format-2 bitshuffle streams used the pre-1.18 block layout
-    // this decode does not speak — both fail loudly, never wrong bytes
+    // vs DOBITSHUFFLE); both bits set means a corrupt header.
+    //
+    // Bitshuffle tail convention: blocks whose element count is not a
+    // multiple of 8 decode with the c-blosc ≥1.18 convention (bit-plane
+    // transpose of the round-to-8 prefix + VERBATIM leftover bytes).
+    // The header's format-version byte CANNOT discriminate here —
+    // BLOSC_VERSION_FORMAT has been 2 for the entire c-blosc 1.x line
+    // (format 1 is pre-1.0), and the 1.18 leftover fix did not bump it.
+    // That is fine for correctness parity: c-blosc <1.18 WROTE the
+    // leftover bytes of such blocks wrong (the public leftover-copy bug
+    // fixed in 1.18.0), so those legacy streams are corrupt at rest and
+    // no reader — including modern c-blosc itself, which uses this same
+    // convention — recovers them; decoding them is not a goal. This
+    // decode therefore matches what current c-blosc/numcodecs returns
+    // for every stream, byte for byte.
     if (bitshuffled) {
       require(!shuffled,
         s"zarr: blosc chunk of array '${meta.name}' sets BOTH shuffle " +
           "and bit-shuffle flags (corrupt header)")
-      require(version >= 2,
-        s"zarr: blosc format version $version with bit-shuffle on array " +
-          s"'${meta.name}' predates the c-blosc 1.18 block layout " +
-          "(unsupported)")
     }
     val out = new Array[Byte](nbytes)
     if (memcpyed) {

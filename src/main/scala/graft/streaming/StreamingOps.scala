@@ -480,11 +480,24 @@ object StreamingOps {
                                      batches: Int = 8,
                                      window: String = "30 minutes",
                                      horizon: String = "1 hour",
-                                     queryName: String = "graft_stream_ij_seq"): (DataFrame, StreamStateSummary) = {
+                                     queryName: String = "graft_stream_ij_seq",
+                                     limitHours: Option[Double] = None): (DataFrame, StreamStateSummary) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     require(batches >= 2, "sequenced replay needs at least 2 batches")
-    val src = graft.sources.Tables.events(spark, dir)
+    val src0 = graft.sources.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    // limitHours restricts the replay to the table's first N hours of
+    // event time: with the full 30-day span, any practical batch count
+    // leaves each micro-batch covering HOURS of event time, so peak
+    // state floors at one batch's rows and the horizon term of the
+    // sizing formula is invisible (the round-16 measurement's limit).
+    // A bounded span makes batch spans ≪ horizon, so
+    // rate × (horizon + window) dominates and the peak must move with
+    // the horizon — the formula's direct demonstration.
+    val src = limitHours.fold(src0) { h =>
+      val t0 = src0.agg(min(unix_micros(col("ts")))).head().getLong(0)
+      src0.filter(unix_micros(col("ts")) < t0 + (h * 3600e6).toLong)
+    }
     // time slice boundaries at the ts quantiles (exact: relativeError 0)
     val cuts = src.select(unix_micros(col("ts")).as("us"))
       .stat.approxQuantile("us",
@@ -499,7 +512,7 @@ object StreamingOps {
       src.filter(unix_micros(col("ts")) > lo && unix_micros(col("ts")) <= hi)
         .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
       val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dest = new java.io.File(fixture, f"slice$b%02d.parquet")
+      val dest = new java.io.File(fixture, f"slice$b%03d.parquet")
       java.nio.file.Files.move(part.toPath, dest.toPath)
       // FileStreamSource replays by (mtime, path): pin both ascending
       dest.setLastModified(1700000000000L + b * 600000L)

@@ -135,6 +135,31 @@ object StreamStateProbe {
         s""""removed":${s.removed},"dropped_late":${s.droppedLate},""" +
         s""""data_batches":${s.dataBatches},"out_rows":$out}}""")
     }
+
+    // the HORIZON term's demonstration (round-16 VERDICT item 4): the
+    // 8-slice runs above floor at one micro-batch's rows (each slice
+    // spans ~hours of event time, so the watermark — which advances
+    // only between micro-batches — can never hold a frontier narrower
+    // than a slice). Restrict the replay to the table's first 48 h and
+    // cut 96 slices (~30 min of event time each): batch spans are now
+    // ≪ horizon, rate × (horizon + window) dominates, and the peak must
+    // MOVE with the horizon — wide (4 h) vs gate (1 h) should differ
+    // ~(4.5 / 1.5)× with the 30-minute window.
+    for ((horizon, tag) <- Seq(("4 hours", "fine_wide"), ("1 hour", "fine_gate"))) {
+      val (df, s) = graft.streaming.StreamingOps.runStreamIntervalJoinSequenced(
+        spark, bigDir, batches = 96, horizon = horizon,
+        queryName = s"graft_stream_ij_seq_$tag", limitHours = Some(48.0))
+      val out = df.count()
+      require(s.removed > 0,
+        s"fine-sliced interval join ($tag): no watermark eviction observed")
+      require(s.droppedLate == 0,
+        s"fine-sliced interval join ($tag): ${s.droppedLate} late rows dropped")
+      println(s"""{"interval_join_fine":{"horizon":"$horizon","batches":96,""" +
+        s""""limit_hours":48,"peak_state_rows":${s.peakRows},""" +
+        s""""peak_state_bytes":${s.peakBytes},"removed":${s.removed},""" +
+        s""""dropped_late":${s.droppedLate},"data_batches":${s.dataBatches},""" +
+        s""""out_rows":$out}}""")
+    }
     spark.stop()
   }
 }

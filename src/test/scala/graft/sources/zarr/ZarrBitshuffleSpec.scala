@@ -157,16 +157,21 @@ class ZarrBitshuffleSpec extends SparkSpec {
       .toSeq shouldBe bytes.toSeq
   }
 
-  test("bit-shuffle guards: pre-format-2 streams and double-shuffle headers fail loudly") {
+  test("bit-shuffle guards: double-shuffle headers fail loudly; the version byte carries no tail signal") {
     val raw = leI(Array.tabulate(16)(identity))
-    intercept[IllegalArgumentException] {
-      ZarrMeta.decodeChunk(i4Meta(16),
-        bitFrame(raw, 4, 64, deflateBlocks = false, version = 1))
-    }.getMessage should include("format version 1")
     intercept[IllegalArgumentException] {
       ZarrMeta.decodeChunk(i4Meta(16),
         bitFrame(raw, 4, 64, deflateBlocks = false, extraFlags = 0x1))
     }.getMessage should include("BOTH")
+    // BLOSC_VERSION_FORMAT has been 2 for the whole c-blosc 1.x line, so
+    // the version byte CANNOT discriminate the pre-1.18 leftover-copy bug
+    // (those streams are corrupt at rest; modern c-blosc reads them wrong
+    // too). The decode therefore keys the tail convention on nothing but
+    // the layout itself — a frame differing only in the version byte
+    // decodes identically (round-17, ADVICE item on the dropped guard).
+    ZarrMeta.decodeChunk(i4Meta(16),
+      bitFrame(raw, 4, 64, deflateBlocks = false, version = 1))
+      .toSeq shouldBe raw.toSeq
   }
 
   // ---- M8[h] / M8[m] -------------------------------------------------------

@@ -200,7 +200,7 @@ class ZarrV3Spec extends SparkSpec {
       val root = mapper.readTree(new String(
         Files.readAllBytes(Paths.get(dir, "zarr.json")), "UTF-8"))
       // coordinate first, like ZarrTable.parse orders the columns
-      ZarrMeta.parseV3(root, () => Nil, _ => None).values.toSeq
+      ZarrMeta.parseV3(root, _ => Nil, _ => None).values.toSeq
         .sortBy(m => if (m.name == "time") 0 else 1)
     }
     val sb = new ZarrScanBuilder(dir, "time", metas, sorted = SortedMode.Auto)
@@ -230,11 +230,12 @@ class ZarrV3Spec extends SparkSpec {
           "fill_value": 0, "dimension_names": ["t"], $body}"""
     def parse(json: String): Unit =
       ZarrMeta.parseV3Array("x", mapper.readTree(json))
-    // sharding is a real v3 codec this source does not speak — loud
+    // sharding is SUPPORTED since round 17, but a malformed
+    // configuration (no inner codec chain) still fails loudly
     intercept[IllegalArgumentException] { parse(v3arr(
       """"data_type": "int64", "codecs": [
          {"name": "sharding_indexed", "configuration": {}}]"""))
-    }.getMessage should include("sharding_indexed")
+    }.getMessage should include("shard inner codecs")
     intercept[IllegalArgumentException] { parse(v3arr(
       """"data_type": "int64", "codecs": [
          {"name": "transpose", "configuration": {"order": [1, 0]}},
