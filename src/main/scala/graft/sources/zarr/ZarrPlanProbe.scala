@@ -121,5 +121,85 @@ object ZarrPlanProbe {
     require(ua == ue,
       s"auto mis-pruned an unsorted store: auto=$ua exact=$ue")
     println("ZARRPLAN auto fell back to the exact pass on the unsorted store")
+
+    // SHARDED v3 twin (round-17): the SAME coordinate values, inner
+    // chunks [16] packed 16-per-shard (so nChunks/16 shard files, each
+    // with a crc32c-framed end index). Planning must keep the SAME
+    // inner-chunk range as the unsharded store at the same probe count
+    // — each probe costing one shard-index read (cached per JVM after
+    // the first touch of a shard) + one inner-chunk range read, never a
+    // whole shard. The exact pass is the stress case: nChunks range
+    // reads against nChunks/16 index reads — linear like the unsharded
+    // exact pass, just with the extra index hop.
+    val innersPerShard = 16
+    val nShards = nChunks / innersPerShard
+    val sdir = Files.createTempDirectory("graft_zarr_plan_sharded").toString
+    Files.createDirectories(Paths.get(sdir, "time", "c"))
+    val tS = System.nanoTime()
+    var s = 0
+    while (s < nShards) {
+      val idx = ByteBuffer.allocate(innersPerShard * 16 + 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      val data = ByteBuffer.allocate(innersPerShard * chunk * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < innersPerShard) {
+        idx.putLong((i * chunk * 8).toLong).putLong((chunk * 8).toLong)
+        var k = 0
+        while (k < chunk) {
+          data.putLong((s.toLong * innersPerShard + i) * chunk + k); k += 1
+        }
+        i += 1
+      }
+      val crc = new java.util.zip.CRC32C()
+      crc.update(idx.array(), 0, innersPerShard * 16)
+      idx.putInt(crc.getValue.toInt)
+      val out = ByteBuffer.allocate(data.capacity() + idx.capacity())
+        .put(data.array()).put(idx.array())
+      Files.write(Paths.get(sdir, "time", "c", s.toString), out.array())
+      s += 1
+    }
+    Files.write(Paths.get(sdir, "zarr.json"),
+      s"""{"zarr_format": 3, "node_type": "group",
+        "consolidated_metadata": {"kind": "inline", "must_understand": false,
+          "metadata": {"time": {
+            "zarr_format": 3, "node_type": "array", "shape": [$n],
+            "data_type": "int64",
+            "chunk_grid": {"name": "regular",
+              "configuration": {"chunk_shape": [${innersPerShard * chunk}]}},
+            "chunk_key_encoding": {"name": "default",
+              "configuration": {"separator": "/"}},
+            "fill_value": 0,
+            "codecs": [{"name": "sharding_indexed", "configuration": {
+              "chunk_shape": [$chunk],
+              "codecs": [{"name": "bytes",
+                "configuration": {"endian": "little"}}],
+              "index_codecs": [{"name": "bytes",
+                "configuration": {"endian": "little"}}, {"name": "crc32c"}],
+              "index_location": "end"}}],
+            "dimension_names": ["time"],
+            "attributes": {"units": "seconds since 1970-01-01"}}}}}"""
+        .getBytes("UTF-8"))
+    println(f"ZARRPLAN built SHARDED twin nShards=$nShards " +
+      f"(innerChunks=$nChunks) in ${(System.nanoTime() - tS) / 1e9}%.1f s")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val smetas = ZarrMeta.parseV3(
+      mapper.readTree(new String(
+        Files.readAllBytes(Paths.get(sdir, "zarr.json")), "UTF-8")),
+      _ => Nil, _ => None).values.toSeq
+    require(smetas.head.isSharded && smetas.head.chunk == chunk,
+      "sharded probe store did not parse as sharded inner chunks")
+    val ss = (1 to 2).map(_ => planAt(sdir, smetas, SortedMode.Forced,
+      Some((lo, hi)), "sharded: sorted search")).last
+    val sa2 = (1 to 2).map(_ => planAt(sdir, smetas, SortedMode.Auto,
+      Some((lo, hi)), "sharded: auto (default)")).last
+    val se2 = (1 to 2).map(_ => planAt(sdir, smetas, SortedMode.Exact,
+      Some((lo, hi)), "sharded: exact prune")).last
+    require(ss == s1 && sa2 == a1,
+      s"sharded pruning kept a different range: sharded=$ss/$sa2 " +
+        s"unsharded=$s1/$a1")
+    require(math.abs(se2 - e1) <= 2,
+      s"sharded exact pass disagrees: sharded=$se2 unsharded=$e1")
+    println("ZARRPLAN sharded store prunes to the same inner-chunk range")
   }
 }
