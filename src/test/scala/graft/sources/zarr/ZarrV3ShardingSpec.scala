@@ -167,6 +167,18 @@ class ZarrV3ShardingSpec extends SparkSpec {
     }
   }
 
+  test("a MISSING shard file is a fill run for every inner chunk it would hold") {
+    val dir = writeShardedStore()
+    // drop b's shard 1 entirely (rows 6..9): the whole-shard-missing
+    // path must behave like v2's missing chunk — a fill run, here the
+    // int64 fill 0 — and the per-JVM index cache must key it per store
+    // (a fresh temp dir per call keeps runs independent)
+    java.nio.file.Files.delete(Paths.get(dir, "b", "c", "1"))
+    val rows = spark.read.format("zarr").load(dir).orderBy("t").collect()
+    (0 until 6).foreach(r => rows(r).getAs[Long]("b") shouldBe 100L + r)
+    (6 until 10).foreach(r => rows(r).getAs[Long]("b") shouldBe 0L)
+  }
+
   test("a corrupt shard index crc fails loudly with the array name") {
     val dir = writeShardedStore()
     // flip one byte of a's shard-0 index (the last 4 bytes are the crc;
