@@ -39,9 +39,21 @@ object Bench {
     (results, errors.toMap)
   }
 
+  /** 1/5/15-minute load averages at a point in time — the campaign's
+    * own noise disclosure (this host is shared: same-HEAD totals move
+    * in a ±15% band with background load, see PLANS.md bench protocol).
+    */
+  private def loadAvg(): String =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
+        .trim.split("\\s+")
+      s"[${parts(0)},${parts(1)},${parts(2)}]"
+    } catch { case _: Throwable => "null" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -112,6 +124,21 @@ object Bench {
     println(s"""{"queries":$qs,"errors":$errs,"error_count":${errors.size},""" +
       f""""pass_totals":[${passTotal(r1)}%.1f,${passTotal(r2)}%.1f],""" +
       s""""sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
+    // ONE COMPACT, COMPLETE final line (round-18 VERDICT item 3): the
+    // driver captures only the log's trailing ~2000 bytes, so the full
+    // per-query line above arrives truncated mid-map and parses as
+    // nothing ("parsed": null in BENCH_r15-r17). This line carries the
+    // totals, the 10 slowest queries, and the campaign's own noise
+    // context (host load at start and end) in well under the capture
+    // window — machine-readable by construction.
+    val top10 = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      f""""pass_totals":[${passTotal(r1)}%.1f,${passTotal(r2)}%.1f],""" +
+      s""""n_queries":${results.size},"error_count":${errors.size},""" +
+      s""""sf":"$sfDir","host_load_start":$loadStart,""" +
+      s""""host_load_end":${loadAvg()},"top10":$top10}""")
     spark.stop()
   }
 }

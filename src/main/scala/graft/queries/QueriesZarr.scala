@@ -231,6 +231,58 @@ object QueriesZarr {
           round(sum(when(col("gr_flag") === 1, col("value"))), 2).as("sum_pass"))
     }),
 
+    // S1 native path, rank-3 (round-18): beam3 is a (time × bin × beam)
+    // array decoded as ArrayType(ArrayType(double)) — ADCP's
+    // (time × bin × beam) shape, the pH (N × 23 × 4) light measurements
+    // (`calculateFunctions.py:904-918`) — with chunk seams in BOTH
+    // trailing dims (bins 2+1, beams 1+1). Double-exploded to scalar
+    // rows so the oracle value-compares every element
+    "q166_zarr_3d" -> ((s, d) => {
+      val st = ZarrGateStore.store(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"), posexplode(col("beam3")).as(Seq("bin", "bm")))
+        .select(col("event_id"), col("bin"),
+          posexplode(col("bm")).as(Seq("beam", "bv")))
+        .select(col("event_id"), col("bin").cast("long").as("bin"),
+          col("beam").cast("long").as("beam"), col("bv"))
+    }),
+
+    // S1 native path, v2 Fortran order (round-18): spec_f stores the
+    // SAME spectrum values with `order: "F"` — each chunk column-major,
+    // the index permutation the v3 transpose kernel undoes — so the
+    // decode must be value-identical to q151's C-order twin
+    "q167_zarr_forder" -> ((s, d) => {
+      val st = ZarrGateStore.store(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"),
+          posexplode(col("spec_f")).as(Seq("band", "amp")))
+        .select(col("event_id"), col("band").cast("long").as("band"),
+          col("amp"))
+    }),
+
+    // S1 native path, SHARDED end-to-end (round-18): the q165 pipeline
+    // shape — time-filtered scan (sorted-coord chunk pruning), QARTOD
+    // gross-range flags, hourly rollup — running over the v3 store's
+    // SHARDED value_sh array (inner-chunk byte-range reads through the
+    // per-JVM index cache, incl. the all-ones-sentinel fill run →
+    // nulls → flag 1), closing the seam between q161 (sharded decode)
+    // and q165 (pipeline composition)
+    "q168_zarr_shard_pipeline" -> ((s, d) => {
+      val st = ZarrGateStore.storeV3(s, d)
+      s.read.format("zarr").option("sortedCoord", "true").load(st)
+        .filter(col("time") >= lit("2024-01-01 06:00:00").cast("timestamp"))
+        .select(col("time"), col("value_sh"))
+        .withColumn("gr_flag", graft.functions.Qartod.grossRangeFlag(
+          col("value_sh"), 0.5, 300.0, 5.0, 150.0))
+        .groupBy(date_trunc("hour", col("time")).as("hour"))
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("gr_flag") === 1, 1)).as("n_pass"),
+          count(when(col("gr_flag") === 3, 1)).as("n_suspect"),
+          count(when(col("gr_flag") === 4, 1)).as("n_fail"),
+          round(sum(when(col("gr_flag") === 1, col("value_sh"))), 2)
+            .as("sum_pass"))
+    }),
+
     // S1 native path joined back to the parquet gate table: zarr-side
     // measures aggregated by a parquet-side dimension — the zarr slice
     // is tiny next to events, so it is the BROADCAST side of the join
@@ -404,6 +456,55 @@ object QueriesZarr {
              count(CASE WHEN gr_flag = 3 THEN 1 END) AS n_suspect,
              count(CASE WHEN gr_flag = 4 THEN 1 END) AS n_fail,
              round(sum(CASE WHEN gr_flag = 1 THEN value END), 2) AS sum_pass
+      FROM f GROUP BY 1""",
+
+    // beam3[j][k] = value·(j+1) + k·0.5 is IEEE-exact in both engines
+    // (exact product + exactly-representable half); the planted NaN at
+    // (event_id % 7 = 5, bin 1, beam 0) and null source values both
+    // surface as missing in the float compare
+    "q166_zarr_3d" -> s"""$sliceCte
+      SELECT s.event_id, b.bin, m.beam,
+             CASE WHEN s.value IS NULL
+                    OR (s.event_id % 7 = 5 AND b.bin = 1 AND m.beam = 0)
+                  THEN CAST('NaN' AS DOUBLE)
+                  ELSE s.value * (b.bin + 1) + m.beam * 0.5 END AS bv
+      FROM slice s
+      CROSS JOIN (SELECT unnest(range(${ZarrGateStore.Bins})) AS bin) b
+      CROSS JOIN (SELECT unnest(range(${ZarrGateStore.Beams})) AS beam) m""",
+
+    // spec_f is value-identical to spectrum (q151) by construction —
+    // the F-order store must decode to the same elements
+    "q167_zarr_forder" -> s"""$sliceCte
+      SELECT s.event_id, b.band,
+             CASE WHEN s.value IS NULL
+                    OR (s.event_id % 7 = 5 AND b.band = 2)
+                  THEN CAST('NaN' AS DOUBLE)
+                  ELSE s.value * (b.band + 1) END AS amp
+      FROM slice s CROSS JOIN (SELECT unnest(range(${ZarrGateStore.Bands})) AS band) b""",
+
+    // value_sh = value except the sentinel inner chunk's rows (store
+    // order rn 513..768) → NULL; the gross-range CASE mirrors
+    // Qartod.grossRangeFlag exactly (nulls flag 1)
+    "q168_zarr_shard_pipeline" -> s"""$sliceCte,
+      ord AS (SELECT ts, value,
+                     row_number() OVER (ORDER BY ts, event_id) AS rn
+              FROM slice),
+      g AS (SELECT ts,
+              CASE WHEN rn BETWEEN ${ZarrGateStore.ShardMissingInner * ZarrGateStore.Chunk + 1}
+                             AND ${(ZarrGateStore.ShardMissingInner + 1) * ZarrGateStore.Chunk}
+                   THEN NULL ELSE value END AS value_sh
+            FROM ord),
+      f AS (SELECT ts, value_sh,
+              CASE WHEN value_sh IS NOT NULL AND (value_sh <= 0.5 OR value_sh >= 300.0) THEN 4
+                   WHEN value_sh IS NOT NULL AND (value_sh <= 5.0 OR value_sh >= 150.0) THEN 3
+                   ELSE 1 END AS gr_flag
+            FROM g
+            WHERE ts >= TIMESTAMP '2024-01-01 06:00:00')
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
+             count(CASE WHEN gr_flag = 1 THEN 1 END) AS n_pass,
+             count(CASE WHEN gr_flag = 3 THEN 1 END) AS n_suspect,
+             count(CASE WHEN gr_flag = 4 THEN 1 END) AS n_fail,
+             round(sum(CASE WHEN gr_flag = 1 THEN value_sh END), 2) AS sum_pass
       FROM f GROUP BY 1""",
 
     "q150_zarr_join" -> s"""$sliceCte

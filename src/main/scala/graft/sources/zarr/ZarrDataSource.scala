@@ -286,7 +286,8 @@ private[zarr] object ZarrTable {
     }
     val cols = arrays.values.filter(m =>
       m.dims == Seq(dim) ||
-        (m.is2D && m.dims.length == 2 && m.dims.head == dim)).toSeq.sortBy { m =>
+        (m.is2D && m.dims.length == 2 && m.dims.head == dim) ||
+        (m.is3D && m.dims.length == 3 && m.dims.head == dim)).toSeq.sortBy { m =>
       (if (m.name == dim) 0 else 1, m.name) // coordinate column first
     }
     require(cols.nonEmpty, s"zarr: no arrays over dimension '$dim' in $path")
@@ -353,7 +354,8 @@ private[zarr] class ZarrScanBuilder(path: String, dim: String,
     * a store without one scans every chunk (still correct).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val coordOpt = cols.headOption.filter(m => m.name == dim && !m.is2D)
+    val coordOpt = cols.headOption.filter(m =>
+      m.name == dim && !m.is2D && !m.is3D)
     coordOpt.foreach { coord =>
       var lo = Double.NegativeInfinity
       var hi = Double.PositiveInfinity
@@ -435,7 +437,7 @@ private[zarr] class ZarrScan(path: String, required: Seq[ZarrMeta.ArrayMeta],
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val nChunks = coord.nChunks
-    val canPrune = !coord.is2D // bounds are only ever set for a scalar coord
+    val canPrune = !coord.is2D && !coord.is3D // bounds: scalar coord only
     // decoded coordinate chunk in pruning space, or None when missing
     def chunkVals(c: Long): Option[Array[Double]] =
       ZarrReader.readChunkBytes(conf, path, coord, c).map(coordPruneVals)
@@ -629,13 +631,39 @@ private[zarr] object ZarrReader {
     * a missing shard file. Many partitions read inner chunks of the
     * SAME shard, and each index fetch is a real GET on an object store
     * — caching it halves the steady-state round-trips (1 positional
-    * read per inner chunk). Bounded: cleared wholesale past
-    * [[ShardIndexCacheMax]] entries (an index is ≤ a few KB; 4096 of
-    * them is ~64 MB worst-case, usually far less).
+    * read per inner chunk).
+    *
+    * IMMUTABLE-STORE ASSUMPTION (documented contract, round-18 ADVICE):
+    * entries — including negative MissingShard ones — are never
+    * invalidated for the JVM's lifetime, exactly like [[ZarrTable]]'s
+    * metadata generations are only re-checked at `load`. Zarr stores
+    * this source reads are write-once provider products (the reference
+    * never mutates a published store in place); a store rewritten AT
+    * THE SAME PATH must be re-read in a fresh session or under a new
+    * path. Keying on the shard file's (mtime, length) instead would
+    * put a getFileStatus round-trip in front of EVERY cache hit —
+    * paying the GET the cache exists to avoid.
+    *
+    * Bounded as a true LRU (access-order LinkedHashMap, one eldest
+    * entry evicted at the bound): the former wholesale `clear()` made
+    * every concurrent task re-fetch its index at once — a burst of
+    * GETs on object stores — right when the working set crossed the
+    * bound. An index is ≤ a few KB; 4096 of them is ~64 MB worst-case,
+    * usually far less. Evicted entries (and MissingShard negatives)
+    * simply re-resolve on next access — correctness never depends on a
+    * hit ([[ZarrShardCacheSpec]] drives >4096 distinct shards through
+    * one JVM to pin both properties).
     */
-  private val shardIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
   private val ShardIndexCacheMax = 4096
+  private val shardIndexCache: java.util.Map[String, Array[Long]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Array[Long]](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Long]]): Boolean =
+          size() > ShardIndexCacheMax
+      })
+  /** Test seam: current entry count (the spec pins the LRU bound). */
+  private[zarr] def shardIndexCacheSize: Int = shardIndexCache.size()
   private val MissingShard = new Array[Long](0)
 
   /** Read + verify + parse one shard's index frame (uint64-LE pairs,
@@ -667,8 +695,7 @@ private[zarr] object ZarrReader {
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         Array.tabulate(innerCount * 2)(i => bb.getLong(i * 8))
     }
-    if (shardIndexCache.size() >= ShardIndexCacheMax) shardIndexCache.clear()
-    shardIndexCache.put(key, idx)
+    shardIndexCache.put(key, idx) // LRU-bounded; see the cache contract
     idx
   }
 
@@ -683,10 +710,13 @@ private[zarr] object ZarrReader {
     */
   def readChunkBytes(conf: Configuration, path: String,
                      meta: ZarrMeta.ArrayMeta, chunk: Long,
-                     extraChunk: Long = 0L): Option[Array[Byte]] = {
+                     extraChunk: Long = 0L,
+                     extra2Chunk: Long = 0L): Option[Array[Byte]] = {
     if (meta.isSharded) return readInnerChunkBytes(conf, path, meta, chunk, extraChunk)
     val fileName =
-      if (meta.is2D) s"${meta.keyPrefix}$chunk${meta.keySep}$extraChunk"
+      if (meta.is3D)
+        s"${meta.keyPrefix}$chunk${meta.keySep}$extraChunk${meta.keySep}$extra2Chunk"
+      else if (meta.is2D) s"${meta.keyPrefix}$chunk${meta.keySep}$extraChunk"
       else s"${meta.keyPrefix}$chunk"
     ZarrIO.readIfExists(conf, path, meta.name, fileName)
       .map(raw => ZarrMeta.decodeChunk(meta, raw))
@@ -758,7 +788,8 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
 
   private val columns: Array[Col] =
     required.map { m =>
-      if (m.is2D) decode2D(m)
+      if (m.is3D) decode3D(m)
+      else if (m.is2D) decode2D(m)
       else decode1D(m)
     }.toArray
 
@@ -904,6 +935,76 @@ private[zarr] class ZarrChunkReader(conf: Configuration, path: String,
         j += 1
       }
       new GenericArrayData(out)
+    }
+    Rows2D(rows)
+  }
+
+  /** One 3-D array's record chunk: gather every (d1, d2) trailing-dim
+    * chunk file (each is (recordChunk × c1 × c2) row-major C order with
+    * edge padding in all dims), stitch row r's nested (d1 × d2) arrays —
+    * ADCP (time × bin × beam), the pH (N × 23 × 4) light measurements
+    * (`calculateFunctions.py:904-918`). Missing chunk files are
+    * fill_value runs; missing with NO fill is an error (the 2-D house
+    * rule). The nested GenericArrayData rides the same [[Rows2D]]
+    * column shape (an ArrayData per row either way).
+    */
+  private def decode3D(m: ZarrMeta.ArrayMeta): Col = {
+    val integral = m.dtypeStr.stripPrefix("<").stripPrefix(">").stripPrefix("|").head != 'f'
+    val d1 = m.extraShape.toInt
+    val d2 = m.extra2Shape.toInt
+    val c1 = m.extraChunk
+    val c2 = m.extra2Chunk
+    val n1 = m.nExtraChunks.toInt
+    val n2 = m.nExtra2Chunks.toInt
+    // per (j1, j2): decoded values or null (fill run)
+    val chunks: Array[AnyRef] = Array.tabulate(n1 * n2) { jj =>
+      val j1 = jj / n2; val j2 = jj % n2
+      ZarrReader.readChunkBytes(conf, path, m, chunk, j1, j2) match {
+        case Some(b) =>
+          if (m.isString) ZarrMeta.stringsOf(m, b)
+          else if (integral) ZarrMeta.longsOf(m, b)
+          else ZarrMeta.doublesOf(m, b)
+        case None =>
+          require(if (m.isString) m.fillString.isDefined
+                  else m.fillValue.isDefined,
+            s"zarr: array '${m.name}' chunk $chunk.$j1.$j2 is missing and " +
+              "the array has no fill_value — undefined data")
+          null
+      }
+    }
+    val fill = m.fillValue.getOrElse(Double.NaN)
+    // fillLong preferred, matching the 1-D/2-D paths (exact past 2^53)
+    lazy val fillBoxed: Any =
+      if (m.isString) org.apache.spark.unsafe.types.UTF8String
+        .fromString(m.fillString.get)
+      else if (integral) box2DLong(m, m.fillLong.getOrElse(fill.toLong))
+      else box2DDouble(m, fill)
+    val rows = Array.tabulate(nRows) { r =>
+      val outer = new Array[Any](d1)
+      var i = 0
+      while (i < d1) {
+        val j1 = i / c1
+        val iL = i % c1
+        val inner = new Array[Any](d2)
+        var j = 0
+        while (j < d2) {
+          val j2 = j / c2
+          val jL = j % c2
+          val e = (r * c1 + iL) * c2 + jL // element (r, iL, jL) of the chunk
+          chunks(j1 * n2 + j2) match {
+            case null => inner(j) = fillBoxed
+            case ls: Array[Long] => inner(j) = box2DLong(m, ls(e))
+            case ds: Array[Double] => inner(j) = box2DDouble(m, ds(e))
+            case ss: Array[String] =>
+              inner(j) = org.apache.spark.unsafe.types.UTF8String
+                .fromString(ss(e))
+          }
+          j += 1
+        }
+        outer(i) = new GenericArrayData(inner)
+        i += 1
+      }
+      new GenericArrayData(outer)
     }
     Rows2D(rows)
   }

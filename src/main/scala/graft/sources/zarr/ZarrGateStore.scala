@@ -63,7 +63,15 @@ import graft.sources.Tables
   *    spectrum[k] = value · (k+1) (IEEE-exact in both engines) and a
   *    NaN element at (event_id % 7 == 5, band 2) — trailing dim chunked
   *    [3] so the gate exercises col-chunk STITCHING (widths 3+1), the
-  *    round-13 2-D contract.
+  *    round-13 2-D contract;
+  *  - `spec_f` = the SAME spectrum values with `order: "F"` (each chunk
+  *    stored column-major) — the round-18 v2 Fortran-order decode,
+  *    value-identical to `spectrum` by construction;
+  *  - `beam3` = a rank-3 (time × bin × beam, n × 3 × 2) f8 array with
+  *    beam3[j][k] = value · (j+1) + k · 0.5 and a NaN element at
+  *    (event_id % 7 == 5, bin 1, beam 0), bins chunked [2] (widths
+  *    2+1), beams chunked [1] — the round-18 nested-array decode with
+  *    stitch seams in BOTH trailing dims.
   *
   * The store is rebuilt once per (layout, JVM) into a fresh temp dir —
   * a 4000-row driver-side write, ~1 MB — never cached across processes
@@ -97,6 +105,15 @@ object ZarrGateStore {
     * as v3 sharding requires of inner chunks).
     */
   val SpecColChunk = 2
+  /** beam3's rank-3 geometry (round-18): (time × bin × beam) with bins
+    * chunked [2] (widths 2+1 — a padded trailing edge) and beams
+    * chunked [1] (two files along the last dim), so the 3-D stitch
+    * crosses chunk seams in BOTH trailing dimensions.
+    */
+  val Bins = 3
+  val BinChunk = 2
+  val Beams = 2
+  val BeamChunk = 1
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, String]
   private val builtV3 = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -585,6 +602,37 @@ object ZarrGateStore {
         }
         Files.createDirectories(Paths.get(out, "spectrum"))
         Files.write(Paths.get(out, "spectrum", s"$c.$j"), deflate(leD(buf)))
+        // spec_f: the SAME spectrum chunk stored Fortran-order
+        // (`order: "F"` — element (r, k) at stored position k·Chunk + r),
+        // the round-18 v2 F-order decode on the oracle gate
+        val stored = new Array[Double](Chunk * BandChunk)
+        for (r <- 0 until Chunk; k <- 0 until BandChunk)
+          stored(k * Chunk + r) = buf(r * BandChunk + k)
+        Files.createDirectories(Paths.get(out, "spec_f"))
+        Files.write(Paths.get(out, "spec_f", s"$c.$j"), deflate(leD(stored)))
+      }
+      // beam3: rank-3 (time × bin × beam) f8 chunks, C-order
+      // (Chunk × BinChunk × BeamChunk), padded in every dim —
+      // beam3[i][j][k] = value·(j+1) + k·0.5 (IEEE-exact in both
+      // engines: an exact product plus an exactly-representable half),
+      // NaN element planted at (event_id % 7 == 5, bin 1, beam 0)
+      def beamVal(i: Int, j: Int, k: Int): Double =
+        if (value(i).isNaN || (eventId(i) % 7 == 5 && j == 1 && k == 0))
+          Double.NaN
+        else value(i) * (j + 1) + k * 0.5
+      for (j1 <- 0 until (Bins + BinChunk - 1) / BinChunk;
+           j2 <- 0 until (Beams + BeamChunk - 1) / BeamChunk) {
+        val buf = new Array[Double](Chunk * BinChunk * BeamChunk)
+        for (r <- 0 until Chunk; jj <- 0 until BinChunk; kk <- 0 until BeamChunk) {
+          val row = c * Chunk + r
+          val bin = j1 * BinChunk + jj
+          val beam = j2 * BeamChunk + kk
+          buf((r * BinChunk + jj) * BeamChunk + kk) =
+            if (row >= n || bin >= Bins || beam >= Beams) Double.NaN
+            else beamVal(row, bin, beam)
+        }
+        Files.createDirectories(Paths.get(out, "beam3"))
+        Files.write(Paths.get(out, "beam3", s"$c.$j1.$j2"), deflate(leD(buf)))
       }
     }
     def zarray(dtype: String, comp: Boolean, fill: String): String = {
@@ -611,6 +659,17 @@ object ZarrGateStore {
         "fill_value": "NaN", "order": "C", "filters": null,
         "zarr_format": 2},
       "spectrum/.zattrs": {"_ARRAY_DIMENSIONS": ["time", "band"]},
+      "spec_f/.zarray": {"shape": [$n, $Bands], "chunks": [$Chunk, $BandChunk],
+        "dtype": "<f8", "compressor": {"id": "zlib", "level": 1},
+        "fill_value": "NaN", "order": "F", "filters": null,
+        "zarr_format": 2},
+      "spec_f/.zattrs": {"_ARRAY_DIMENSIONS": ["time", "band"]},
+      "beam3/.zarray": {"shape": [$n, $Bins, $Beams],
+        "chunks": [$Chunk, $BinChunk, $BeamChunk],
+        "dtype": "<f8", "compressor": {"id": "zlib", "level": 1},
+        "fill_value": "NaN", "order": "C", "filters": null,
+        "zarr_format": 2},
+      "beam3/.zattrs": {"_ARRAY_DIMENSIONS": ["time", "bin", "beam"]},
       "etype/.zarray": {"shape": [$n], "chunks": [$Chunk], "dtype": "|S10",
         "compressor": {"id": "zlib", "level": 1}, "fill_value": "",
         "order": "C", "filters": null, "zarr_format": 2},

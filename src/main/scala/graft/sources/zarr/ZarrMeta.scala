@@ -38,6 +38,7 @@ import org.apache.spark.sql.types._
   */
 private[zarr] object ZarrMeta {
   private val mapper = new ObjectMapper()
+  private val log = org.slf4j.LoggerFactory.getLogger(ZarrMeta.getClass)
 
   /** A numcodecs FILTER: an elementwise byte transform applied (encode
     * direction) BEFORE the compressor. The supported set is the three
@@ -148,12 +149,24 @@ private[zarr] object ZarrMeta {
       shardChunk: Int = 0,
       shardExtraChunk: Int = 0,
       shardIndexCrc: Boolean = false,
-      shardIndexAtEnd: Boolean = true) {
-    def is2D: Boolean = extraShape > 0L
+      shardIndexAtEnd: Boolean = true,
+      // rank-3 (record × d1 × d2) arrays — ADCP (time × bin × beam),
+      // the pH (N × 23 × 4) light measurements the reference's store
+      // happened to flatten (`calculateFunctions.py:904-918`) — carry
+      // the SECOND trailing dimension here and surface as nested
+      // ArrayType(ArrayType(scalar)) columns (round-18; closes the
+      // rank-3 silent-skip)
+      extra2Shape: Long = 0L,
+      extra2Chunk: Int = 0) {
+    def is2D: Boolean = extraShape > 0L && extra2Shape == 0L
+    def is3D: Boolean = extra2Shape > 0L
     def isSharded: Boolean = shardChunk > 0
     def nChunks: Long = (shape + chunk - 1) / math.max(chunk, 1)
     def nExtraChunks: Long =
-      if (!is2D) 1L else (extraShape + extraChunk - 1) / math.max(extraChunk, 1)
+      if (extraShape == 0L) 1L
+      else (extraShape + extraChunk - 1) / math.max(extraChunk, 1)
+    def nExtra2Chunks: Long =
+      if (!is3D) 1L else (extra2Shape + extra2Chunk - 1) / math.max(extra2Chunk, 1)
     /** Object dtype (`|O`) — only reachable when parseArray validated a
       * sole VLenUTF8 filter: numpy object arrays of Python str, xarray's
       * DEFAULT on-disk encoding for string variables (numcodecs VLenUTF8).
@@ -256,7 +269,15 @@ private[zarr] object ZarrMeta {
             "to read it as Decimal(20,0))")
       }
     def sparkType: DataType =
-      if (is2D) {
+      if (is3D) {
+        // multi-dim datetime64 would need per-element unit conversion
+        // the stitch path doesn't do — no silent raw-long emit
+        require(!isDatetime,
+          s"zarr: 3-D datetime64 array '$name' is not supported")
+        ArrayType(ArrayType(scalarType, containsNull = false),
+          containsNull = false)
+      }
+      else if (is2D) {
         // 2-D datetime64 would need per-element unit conversion the
         // stitch path doesn't do — no silent raw-long emit
         require(!isDatetime,
@@ -270,7 +291,7 @@ private[zarr] object ZarrMeta {
       * the standard calendar. Never on a 2-D array (its elements are
       * data, not the record coordinate) and never on a string dtype.
       */
-    def isCfTime: Boolean = !is2D && !isString && !isDatetime &&
+    def isCfTime: Boolean = !is2D && !is3D && !isString && !isDatetime &&
       units.exists(_.contains(" since ")) && {
         val cal = calendar.getOrElse("standard").toLowerCase
         cal == "standard" || cal == "proleptic_gregorian" || cal == "gregorian"
@@ -302,12 +323,36 @@ private[zarr] object ZarrMeta {
                                attrs: JsonNode,
                                u8Decimal: Boolean = false): Option[ArrayMeta] = {
     val shape = za.path("shape")
-    // 1-D and 2-D (record × extra) arrays; higher ranks have no column
-    // representation here and are skipped like non-record-dim arrays
-    if (!shape.isArray || shape.size() < 1 || shape.size() > 2) return None
+    require(shape.isArray, s"zarr: array '$name' has no shape list")
+    // ranks 1-3 have a column representation (scalar / ArrayType /
+    // nested ArrayType over the record dim); rank-0 and rank-4+ arrays
+    // are skipped LOUDLY, by name (round-18: the former bare
+    // `return None` was a silent schema omission — the same drop class
+    // round 16 closed for 2-D strings)
+    if (shape.size() < 1 || shape.size() > 3) {
+      log.warn(s"zarr: SKIPPING array '$name' (rank ${shape.size()} — " +
+        "only ranks 1-3 have a column representation here; the store's " +
+        "other arrays still load)")
+      return None
+    }
     val order = za.path("order").asText("C")
-    require(order == "C",
-      s"zarr: array '$name' has order '$order' (v1 contract: C)")
+    // `order: "F"` (Fortran-lineage stores) on a rank-2 array is the
+    // SAME per-chunk index permutation as the v3 `transpose [1, 0]`
+    // codec — decoded by the shared untranspose kernel; on a rank-1
+    // array F == C (no-op). Rank-3 F-order stays a loud fail (the 2-D
+    // kernel does not generalize without a 3-D permutation pass).
+    require(order == "C" || order == "F",
+      s"zarr: array '$name' has order '$order' (expected C or F)")
+    require(order == "C" || shape.size() <= 2,
+      s"zarr: rank-3 array '$name' has order 'F' (F-order decode is " +
+        "supported for ranks 1-2 only)")
+    val fOrder2D = order == "F" && shape.size() == 2
+    // a vlen F-order array has no fixed element width to permute —
+    // reject at parse like every other undecodable layout
+    if (fOrder2D)
+      require(za.path("dtype").asText("") != "|O",
+        s"zarr: array '$name' pairs order 'F' with object dtype " +
+          "(variable-length elements have no fixed width to permute)")
     // big-endian dtypes ('>f8', '>i4', '>U6' — NetCDF-converted and
     // Fortran-lineage stores) are accepted: ArrayMeta.byteOrder carries
     // the order and every multi-byte decode wraps its buffer in it.
@@ -476,12 +521,17 @@ private[zarr] object ZarrMeta {
       dims = dims,
       units = Option(attrs.path("units")).filter(_.isTextual).map(_.asText()),
       calendar = Option(attrs.path("calendar")).filter(_.isTextual).map(_.asText()),
-      extraShape = if (shape.size() == 2) shape.get(1).asLong() else 0L,
-      extraChunk = if (shape.size() == 2) za.path("chunks").get(1).asInt() else 0,
+      extraShape = if (shape.size() >= 2) shape.get(1).asLong() else 0L,
+      extraChunk = if (shape.size() >= 2) za.path("chunks").get(1).asInt() else 0,
       fillString = fillStr,
       filters = parsedFilters,
       fillLong = fillL,
-      u8Decimal = u8Decimal))
+      u8Decimal = u8Decimal,
+      // F-order rank-2 chunks decode through the same untranspose
+      // kernel as the v3 transpose codec
+      transposed = fOrder2D,
+      extra2Shape = if (shape.size() == 3) shape.get(2).asLong() else 0L,
+      extra2Chunk = if (shape.size() == 3) za.path("chunks").get(2).asInt() else 0))
   }
 
   // ---- Zarr v3 ----------------------------------------------------------
@@ -538,8 +588,9 @@ private[zarr] object ZarrMeta {
       .map(m => m.name -> m).toMap
   }
 
-  /** One v3 array's `zarr.json` → [[ArrayMeta]]. Rank 1-2 like v2;
-    * higher ranks return None (no column form).
+  /** One v3 array's `zarr.json` → [[ArrayMeta]]. Ranks 1-3 like v2
+    * (rank 3 → nested ArrayType); rank-0 / rank-4+ arrays are skipped
+    * LOUDLY by name (round-18 — same house rule as v2).
     */
   private[zarr] def parseV3Array(name: String, node: JsonNode,
                                  u8Decimal: Boolean = false): Option[ArrayMeta] = {
@@ -547,7 +598,13 @@ private[zarr] object ZarrMeta {
       s"zarr: array '$name' zarr.json declares zarr_format " +
         s"${node.path("zarr_format").asText("?")} (expected 3)")
     val shape = node.path("shape")
-    if (!shape.isArray || shape.size() < 1 || shape.size() > 2) return None
+    require(shape.isArray, s"zarr: array '$name' has no shape list")
+    if (shape.size() < 1 || shape.size() > 3) {
+      log.warn(s"zarr: SKIPPING array '$name' (rank ${shape.size()} — " +
+        "only ranks 1-3 have a column representation here; the store's " +
+        "other arrays still load)")
+      return None
+    }
     val grid = node.path("chunk_grid")
     require(grid.path("name").asText() == "regular",
       s"zarr: array '$name' uses chunk grid " +
@@ -620,9 +677,15 @@ private[zarr] object ZarrMeta {
     // inner (element) chunk shape: with sharding the chunk_grid shape is
     // the SHARD and the codec's chunk_shape the element chunk — it must
     // tile the shard exactly (spec: evenly divides)
+    // rank-3 arrays are supported UNSHARDED; a rank-3 sharding_indexed
+    // array fails loudly (the inner-chunk index math here is rank ≤ 2)
+    require(sharding.isEmpty || shape.size() <= 2,
+      s"zarr: rank-3 array '$name' uses sharding_indexed (supported on " +
+        "ranks 1-2 only)")
+    val ext2Chunk = if (shape.size() == 3) cshape.get(2).asInt() else 0
     val (recChunk, extChunk, shardRec, shardExt) = sharding match {
       case None =>
-        (cshape.get(0).asInt(), if (shape.size() == 2) cshape.get(1).asInt() else 0,
+        (cshape.get(0).asInt(), if (shape.size() >= 2) cshape.get(1).asInt() else 0,
           0, 0)
       case Some(sh) =>
         val ics = sh.path("configuration").path("chunk_shape")
@@ -706,7 +769,7 @@ private[zarr] object ZarrMeta {
       dims = dims,
       units = Option(attrs.path("units")).filter(_.isTextual).map(_.asText()),
       calendar = Option(attrs.path("calendar")).filter(_.isTextual).map(_.asText()),
-      extraShape = if (shape.size() == 2) shape.get(1).asLong() else 0L,
+      extraShape = if (shape.size() >= 2) shape.get(1).asLong() else 0L,
       extraChunk = extChunk,
       fillString = fillStr,
       filters = Nil,
@@ -719,7 +782,9 @@ private[zarr] object ZarrMeta {
       shardChunk = shardRec,
       shardExtraChunk = shardExt,
       shardIndexCrc = chain.shardIndexCrc,
-      shardIndexAtEnd = chain.shardIndexAtEnd))
+      shardIndexAtEnd = chain.shardIndexAtEnd,
+      extra2Shape = if (shape.size() == 3) shape.get(2).asLong() else 0L,
+      extra2Chunk = ext2Chunk))
   }
 
   /** One parsed v3 codec chain. With sharding, [[sharding]] carries the
@@ -928,7 +993,8 @@ private[zarr] object ZarrMeta {
     * ARRAY dtype — what the filter-undone chunk must measure.
     */
   private def chunkBytes(meta: ArrayMeta): Int =
-    meta.chunk * math.max(meta.extraChunk, 1) * meta.typeSize
+    meta.chunk * math.max(meta.extraChunk, 1) *
+      math.max(meta.extra2Chunk, 1) * meta.typeSize
 
   /** On-disk bytes of one FULL chunk in the DISK dtype (after the
     * encode-direction filter chain — delta/fixedscaleoffset may narrow
@@ -938,6 +1004,7 @@ private[zarr] object ZarrMeta {
   private def diskChunkBytes(meta: ArrayMeta): Int =
     if (meta.filters.isEmpty) chunkBytes(meta)
     else meta.chunk * math.max(meta.extraChunk, 1) *
+      math.max(meta.extra2Chunk, 1) *
       numericWidth(diskDtype(meta.dtypeStr, meta.filters), meta.name)
 
   /** Decompressed-size cap for a VARIABLE-length (vlen-utf8) chunk,
@@ -1670,7 +1737,8 @@ private[zarr] object ZarrMeta {
     def u4(off: Int): Int = ByteBuffer.wrap(bytes, off, 4)
       .order(ByteOrder.LITTLE_ENDIAN).getInt()
     val n = u4(0)
-    val padded = meta.chunk * math.max(meta.extraChunk, 1)
+    val padded = meta.chunk * math.max(meta.extraChunk, 1) *
+      math.max(meta.extra2Chunk, 1)
     require(n == padded,
       s"zarr: vlen-utf8 chunk on '${meta.name}' holds $n items, expected " +
         s"$padded (the padded chunk element count)")

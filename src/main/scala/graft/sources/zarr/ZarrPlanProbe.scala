@@ -132,6 +132,13 @@ object ZarrPlanProbe {
     // reads against nChunks/16 index reads — linear like the unsharded
     // exact pass, just with the extra index hop.
     val innersPerShard = 16
+    // the sharded twin declares the SAME total shape `n`; a non-multiple
+    // nChunks would truncate here and the tail rows would silently
+    // decode as fill, skewing the pruning comparison (round-18 ADVICE)
+    require(nChunks % innersPerShard == 0,
+      s"ZarrPlanProbe: nChunks=$nChunks must be a multiple of " +
+        s"$innersPerShard (the sharded twin packs $innersPerShard inner " +
+        "chunks per shard over the same declared shape)")
     val nShards = nChunks / innersPerShard
     val sdir = Files.createTempDirectory("graft_zarr_plan_sharded").toString
     Files.createDirectories(Paths.get(sdir, "time", "c"))
