@@ -118,18 +118,22 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def passTotal(r: Map[String, Double]): Double =
       if (r.nonEmpty) r.values.sum else 0.0
-    // metric/value LAST: the driver keeps only the trailing bytes of the
-    // run log, and with 70+ per-query entries a leading total would be
-    // truncated out of the captured tail
-    println(s"""{"queries":$qs,"errors":$errs,"error_count":${errors.size},""" +
+    // Full per-query detail line, for humans and local cross-round
+    // diffs. DELIBERATELY carries no "metric" key: the driver parses
+    // the FIRST line matching "metric":"total", and this line is long
+    // enough to arrive truncated mid-map in the driver's ~2 KB log-tail
+    // capture — round 18 added the compact line below but left
+    // "metric":"total" here too, so the truncated line still won the
+    // match and BENCH_r18.json recorded "parsed": null (round-18
+    // ADVICE item 1).
+    println(s"""{"detail":"per_query_full","queries":$qs,""" +
+      s""""errors":$errs,"error_count":${errors.size},""" +
       f""""pass_totals":[${passTotal(r1)}%.1f,${passTotal(r2)}%.1f],""" +
-      s""""sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
-    // ONE COMPACT, COMPLETE final line (round-18 VERDICT item 3): the
-    // driver captures only the log's trailing ~2000 bytes, so the full
-    // per-query line above arrives truncated mid-map and parses as
-    // nothing ("parsed": null in BENCH_r15-r17). This line carries the
-    // totals, the 10 slowest queries, and the campaign's own noise
-    // context (host load at start and end) in well under the capture
+      s""""sf":"$sfDir","total_sec":$total}""")
+    // THE one machine-parseable line (round-17 VERDICT item 3): the
+    // only line containing "metric":"total". Carries the totals, the
+    // 10 slowest queries, and the campaign's own noise context (host
+    // load at start and end) in well under the driver's capture
     // window — machine-readable by construction.
     val top10 = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.2f" }

@@ -653,17 +653,38 @@ private[zarr] object ZarrReader {
     * simply re-resolve on next access — correctness never depends on a
     * hit ([[ZarrShardCacheSpec]] drives >4096 distinct shards through
     * one JVM to pin both properties).
+    *
+    * STRIPED 16 ways (round-18 ADVICE item 3): a single
+    * `Collections.synchronizedMap` put every hit across all 32 scan
+    * threads behind one mutex — an access-order LinkedHashMap mutates
+    * its recency list even on `get`, so reads can't be lock-free — and
+    * the map is touched once per inner-chunk read. Sixteen
+    * independently-locked segments (key-hash selected, 256-entry LRU
+    * each, 16×256 = the same 4096 global bound) cut expected
+    * contention 16× with zero change to the contract: the spec's
+    * global-bound and re-resolve assertions hold unchanged. A hot
+    * segment may evict slightly before a cold one fills — standard
+    * striped-LRU behavior; eviction is always just a re-fetch.
     */
+  private val ShardIndexStripes = 16
   private val ShardIndexCacheMax = 4096
-  private val shardIndexCache: java.util.Map[String, Array[Long]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Array[Long]](256, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Array[Long]]): Boolean =
-          size() > ShardIndexCacheMax
-      })
-  /** Test seam: current entry count (the spec pins the LRU bound). */
-  private[zarr] def shardIndexCacheSize: Int = shardIndexCache.size()
+  private final class Stripe extends java.util.LinkedHashMap[String, Array[Long]](
+      64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Array[Long]]): Boolean =
+      size() > ShardIndexCacheMax / ShardIndexStripes
+  }
+  private val shardIndexStripes: Array[java.util.Map[String, Array[Long]]] =
+    Array.fill(ShardIndexStripes)(
+      java.util.Collections.synchronizedMap(new Stripe))
+  private def stripeFor(key: String): java.util.Map[String, Array[Long]] =
+    // mask, not .abs: Int.MinValue.abs is still negative
+    shardIndexStripes((key.hashCode & 0x7fffffff) % ShardIndexStripes)
+  /** Test seam: current entry count across stripes (the spec pins the
+    * global LRU bound).
+    */
+  private[zarr] def shardIndexCacheSize: Int =
+    shardIndexStripes.map(_.size()).sum
   private val MissingShard = new Array[Long](0)
 
   /** Read + verify + parse one shard's index frame (uint64-LE pairs,
@@ -674,7 +695,8 @@ private[zarr] object ZarrReader {
                          meta: ZarrMeta.ArrayMeta, fileName: String,
                          innerCount: Int): Array[Long] = {
     val key = s"$path|${meta.name}|$fileName"
-    val hit = shardIndexCache.get(key)
+    val stripe = stripeFor(key)
+    val hit = stripe.get(key)
     if (hit != null) return hit
     val idxLen = innerCount * 16 + (if (meta.shardIndexCrc) 4 else 0)
     val idx = ZarrIO.readEdgeIfExists(conf, path, meta.shardIndexAtEnd,
@@ -695,7 +717,7 @@ private[zarr] object ZarrReader {
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         Array.tabulate(innerCount * 2)(i => bb.getLong(i * 8))
     }
-    shardIndexCache.put(key, idx) // LRU-bounded; see the cache contract
+    stripe.put(key, idx) // striped-LRU-bounded; see the cache contract
     idx
   }
 

@@ -323,7 +323,15 @@ private[zarr] object ZarrMeta {
                                attrs: JsonNode,
                                u8Decimal: Boolean = false): Option[ArrayMeta] = {
     val shape = za.path("shape")
-    require(shape.isArray, s"zarr: array '$name' has no shape list")
+    // a malformed entry (no shape list) is skipped LOUDLY like the
+    // rank-0/rank-4+ case — one junk auxiliary entry must not fail the
+    // whole store load (round-18 ADVICE item 2)
+    if (!shape.isArray) {
+      log.warn(s"zarr: SKIPPING array '$name' (its .zarray has no " +
+        "shape list — malformed entry; the store's other arrays " +
+        "still load)")
+      return None
+    }
     // ranks 1-3 have a column representation (scalar / ArrayType /
     // nested ArrayType over the record dim); rank-0 and rank-4+ arrays
     // are skipped LOUDLY, by name (round-18: the former bare
@@ -598,7 +606,13 @@ private[zarr] object ZarrMeta {
       s"zarr: array '$name' zarr.json declares zarr_format " +
         s"${node.path("zarr_format").asText("?")} (expected 3)")
     val shape = node.path("shape")
-    require(shape.isArray, s"zarr: array '$name' has no shape list")
+    // same loud-skip rule as v2 parseArray: malformed entry ≠ dead store
+    if (!shape.isArray) {
+      log.warn(s"zarr: SKIPPING array '$name' (its zarr.json has no " +
+        "shape list — malformed entry; the store's other arrays " +
+        "still load)")
+      return None
+    }
     if (shape.size() < 1 || shape.size() > 3) {
       log.warn(s"zarr: SKIPPING array '$name' (rank ${shape.size()} — " +
         "only ranks 1-3 have a column representation here; the store's " +

@@ -212,6 +212,27 @@ class ZarrRank3Spec extends SparkSpec {
     ev.getMessage should include("order 'F'")
   }
 
+  test("malformed entry (no shape list) is skipped loudly, not a store-wide fail") {
+    // round-18 ADVICE item 2: one junk auxiliary entry in a store's
+    // metadata must load as `None` (log.warn'd by name) like the
+    // rank-0/rank-4+ case — not throw and kill the whole store load
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def za(json: String) = mapper.readTree(json)
+    ZarrMeta.parseArray("junk", za(
+      """{"chunks": [4], "dtype": "<f8", "compressor": null,
+          "fill_value": 0, "order": "C", "filters": null,
+          "zarr_format": 2}"""), za("{}")) shouldBe None
+    ZarrMeta.parseV3Array("junk3", za(
+      """{"zarr_format": 3, "node_type": "array",
+          "data_type": "float64",
+          "chunk_grid": {"name": "regular",
+            "configuration": {"chunk_shape": [4]}},
+          "fill_value": 0,
+          "codecs": [{"name": "bytes",
+            "configuration": {"endian": "little"}}],
+          "attributes": {}}""")) shouldBe None
+  }
+
   test("v3 rank-3 parses (nested type, c/<c>/<i>/<j> keys); sharding + rank-3 loud") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(
