@@ -283,6 +283,23 @@ object QueriesZarr {
             .as("sum_pass"))
     }),
 
+    // S1 native path, rank-3 + sharding_indexed composed (round-19):
+    // beam3_sh stores the q166 (time × bin × beam) values SHARDED —
+    // outer [ShardRec, 2, 2], inner [Chunk, 2, 1], C-order index over
+    // the rank-3 inner grid, zstd inners, crc32c-framed end index,
+    // edge-padded bin shard — so the rank-3 inner-chunk index math
+    // gets an oracle row, not just spec pins
+    "q169_zarr_3d_sharded" -> ((s, d) => {
+      val st = ZarrGateStore.storeV3(s, d)
+      s.read.format("zarr").load(st)
+        .select(col("event_id"),
+          posexplode(col("beam3_sh")).as(Seq("bin", "bm")))
+        .select(col("event_id"), col("bin"),
+          posexplode(col("bm")).as(Seq("beam", "bv")))
+        .select(col("event_id"), col("bin").cast("long").as("bin"),
+          col("beam").cast("long").as("beam"), col("bv"))
+    }),
+
     // S1 native path joined back to the parquet gate table: zarr-side
     // measures aggregated by a parquet-side dimension — the zarr slice
     // is tiny next to events, so it is the BROADCAST side of the join
@@ -463,6 +480,18 @@ object QueriesZarr {
     // (event_id % 7 = 5, bin 1, beam 0) and null source values both
     // surface as missing in the float compare
     "q166_zarr_3d" -> s"""$sliceCte
+      SELECT s.event_id, b.bin, m.beam,
+             CASE WHEN s.value IS NULL
+                    OR (s.event_id % 7 = 5 AND b.bin = 1 AND m.beam = 0)
+                  THEN CAST('NaN' AS DOUBLE)
+                  ELSE s.value * (b.bin + 1) + m.beam * 0.5 END AS bv
+      FROM slice s
+      CROSS JOIN (SELECT unnest(range(${ZarrGateStore.Bins})) AS bin) b
+      CROSS JOIN (SELECT unnest(range(${ZarrGateStore.Beams})) AS beam) m""",
+
+    // beam3_sh is value-identical to beam3 by construction — the
+    // sharded rank-3 store must decode to the q166 elements
+    "q169_zarr_3d_sharded" -> s"""$sliceCte
       SELECT s.event_id, b.bin, m.beam,
              CASE WHEN s.value IS NULL
                     OR (s.event_id % 7 = 5 AND b.bin = 1 AND m.beam = 0)

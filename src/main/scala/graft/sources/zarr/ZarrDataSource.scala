@@ -734,7 +734,8 @@ private[zarr] object ZarrReader {
                      meta: ZarrMeta.ArrayMeta, chunk: Long,
                      extraChunk: Long = 0L,
                      extra2Chunk: Long = 0L): Option[Array[Byte]] = {
-    if (meta.isSharded) return readInnerChunkBytes(conf, path, meta, chunk, extraChunk)
+    if (meta.isSharded)
+      return readInnerChunkBytes(conf, path, meta, chunk, extraChunk, extra2Chunk)
     val fileName =
       if (meta.is3D)
         s"${meta.keyPrefix}$chunk${meta.keySep}$extraChunk${meta.keySep}$extra2Chunk"
@@ -746,22 +747,29 @@ private[zarr] object ZarrReader {
 
   private def readInnerChunkBytes(conf: Configuration, path: String,
                                   meta: ZarrMeta.ArrayMeta, chunk: Long,
-                                  extraChunk: Long): Option[Array[Byte]] = {
+                                  extraChunk: Long,
+                                  extra2Chunk: Long): Option[Array[Byte]] = {
     val ips0 = meta.shardChunk / meta.chunk // inner chunks per shard, dim 0
-    val ips1 = if (meta.is2D) meta.shardExtraChunk / meta.extraChunk else 1
+    val ips1 =
+      if (meta.is2D || meta.is3D) meta.shardExtraChunk / meta.extraChunk else 1
+    val ips2 = if (meta.is3D) meta.shardExtra2Chunk / meta.extra2Chunk else 1
     val s0 = chunk / ips0
     val i0 = (chunk % ips0).toInt
     val s1 = extraChunk / ips1
     val i1 = (extraChunk % ips1).toInt
+    val s2 = extra2Chunk / ips2
+    val i2 = (extra2Chunk % ips2).toInt
     val fileName =
-      if (meta.is2D) s"${meta.keyPrefix}$s0${meta.keySep}$s1"
+      if (meta.is3D)
+        s"${meta.keyPrefix}$s0${meta.keySep}$s1${meta.keySep}$s2"
+      else if (meta.is2D) s"${meta.keyPrefix}$s0${meta.keySep}$s1"
       else s"${meta.keyPrefix}$s0"
-    val innerCount = ips0 * ips1
+    val innerCount = ips0 * ips1 * ips2
     val idx = shardIndex(conf, path, meta, fileName, innerCount)
     if (idx.length == 0) return None // whole shard absent → fill run
-    // the index is C-order over the inner chunk grid; the all-ones
-    // sentinel marks an unwritten inner chunk (a fill run)
-    val e = (i0 * ips1 + i1) * 2
+    // the index is C-order over the (rank-1/2/3) inner chunk grid; the
+    // all-ones sentinel marks an unwritten inner chunk (a fill run)
+    val e = ((i0 * ips1 + i1) * ips2 + i2) * 2
     val off = idx(e)
     val nb = idx(e + 1)
     if (off == -1L && nb == -1L) return None

@@ -312,6 +312,41 @@ object ZarrGateStore {
         }
       putShard("spec_sh", Seq(s, 0), shardFile(inners, atEnd = true, idxCrc = true))
     }
+    // beam3_sh: the rank-3 (time × bin × beam) shape SHARDED (round-19)
+    // — outer [ShardRec, 2, 2], inner [Chunk, BinChunk, BeamChunk] =
+    // [Chunk, 2, 1] → 2 × 1 × 2 inners per shard, C-order index over
+    // the rank-3 inner grid, inner [bytes, zstd], index END + crc32c.
+    // Bins = 3 → the s1 = 1 bin-shard is EDGE-PADDED (bin 3 = NaN pad);
+    // values are the v2 beam3 formula, so the q166 oracle shape
+    // re-oracles the sharded rank-3 read byte-for-byte.
+    def beamVal(i: Int, j: Int, k: Int): Double =
+      if (value(i).isNaN || (eventId(i) % 7 == 5 && j == 1 && k == 0))
+        Double.NaN
+      else value(i) * (j + 1) + k * 0.5
+    def beamInner(c: Int, t1: Int, t2: Int): Array[Double] =
+      Array.tabulate(Chunk * BinChunk * BeamChunk) { e =>
+        val r = e / (BinChunk * BeamChunk)
+        val jj = (e / BeamChunk) % BinChunk
+        val kk = e % BeamChunk
+        val row = c * Chunk + r
+        val bin = t1 * BinChunk + jj
+        val beam = t2 * BeamChunk + kk
+        if (row >= n || bin >= Bins || beam >= Beams) Double.NaN
+        else beamVal(row, bin, beam)
+      }
+    val nBinShards = (Bins + BinChunk - 1) / BinChunk // shard bin extent = BinChunk
+    val beamsPerShard = 2 / BeamChunk // shard beam extent 2, inner 1
+    for (s0 <- 0 until nShards; s1 <- 0 until nBinShards) {
+      val inners =
+        for (i0 <- 0 until innersPerShard; i1 <- 0 until 1;
+             i2 <- 0 until beamsPerShard) yield {
+          val c = s0 * innersPerShard + i0
+          if (c >= nChunks) None
+          else Some(zstd(leD(beamInner(c, s1 + i1, i2))))
+        }
+      putShard("beam3_sh", Seq(s0, s1, 0),
+        shardFile(inners, atEnd = true, idxCrc = true))
+    }
     for (c <- 0 until nChunks) {
       put("stamp3", c, leL(chunkL(stamp3, c, NaT)))
       def padL(a: Array[Long]): Array[Long] =
@@ -398,7 +433,12 @@ object ZarrGateStore {
             s"[$ShardRec, $Bands]",
             sharded(s"[$Chunk, $SpecColChunk]", s"[$bytesLE, $zstdC]",
               idxCrc, "end"),
-            """["time", "band"]""")}}}}"""
+            """["time", "band"]""")},
+          "beam3_sh": ${arr2(s"[$n, $Bins, $Beams]", "\"float64\"",
+            "\"NaN\"", s"[$ShardRec, $BinChunk, ${2 * BeamChunk}]",
+            sharded(s"[$Chunk, $BinChunk, $BeamChunk]",
+              s"[$bytesLE, $zstdC]", idxCrc, "end"),
+            """["time", "bin", "beam"]""")}}}}"""
     Files.write(Paths.get(out, "zarr.json"), meta.getBytes("UTF-8"))
     out
   }

@@ -148,6 +148,7 @@ private[zarr] object ZarrMeta {
       // missing inner chunk is the all-ones sentinel (a fill run)
       shardChunk: Int = 0,
       shardExtraChunk: Int = 0,
+      shardExtra2Chunk: Int = 0,
       shardIndexCrc: Boolean = false,
       shardIndexAtEnd: Boolean = true,
       // rank-3 (record × d1 × d2) arrays — ADCP (time × bin × beam),
@@ -690,31 +691,34 @@ private[zarr] object ZarrMeta {
     }
     // inner (element) chunk shape: with sharding the chunk_grid shape is
     // the SHARD and the codec's chunk_shape the element chunk — it must
-    // tile the shard exactly (spec: evenly divides)
-    // rank-3 arrays are supported UNSHARDED; a rank-3 sharding_indexed
-    // array fails loudly (the inner-chunk index math here is rank ≤ 2)
-    require(sharding.isEmpty || shape.size() <= 2,
-      s"zarr: rank-3 array '$name' uses sharding_indexed (supported on " +
-        "ranks 1-2 only)")
-    val ext2Chunk = if (shape.size() == 3) cshape.get(2).asInt() else 0
-    val (recChunk, extChunk, shardRec, shardExt) = sharding match {
-      case None =>
-        (cshape.get(0).asInt(), if (shape.size() >= 2) cshape.get(1).asInt() else 0,
-          0, 0)
-      case Some(sh) =>
-        val ics = sh.path("configuration").path("chunk_shape")
-        require(ics.isArray && ics.size() == shape.size(),
-          s"zarr: array '$name' shard inner chunk_shape rank != shape rank")
-        val i0 = ics.get(0).asInt()
-        val i1 = if (shape.size() == 2) ics.get(1).asInt() else 0
-        val o0 = cshape.get(0).asInt()
-        val o1 = if (shape.size() == 2) cshape.get(1).asInt() else 0
-        require(i0 > 0 && o0 % i0 == 0 &&
-          (shape.size() == 1 || (i1 > 0 && o1 % i1 == 0)),
-          s"zarr: array '$name' inner chunk shape does not evenly divide " +
-            "the shard shape")
-        (i0, i1, o0, o1)
-    }
+    // tile the shard exactly (spec: evenly divides) in EVERY dim.
+    // Ranks 1-3 all shard (round-19 closed the rank-3 loud-fail: an
+    // ADCP time × bin × beam store shards exactly like its 2-D peers —
+    // the index is C-order over the rank-3 inner grid).
+    val (recChunk, extChunk, ext2Chunk, shardRec, shardExt, shardExt2) =
+      sharding match {
+        case None =>
+          (cshape.get(0).asInt(),
+            if (shape.size() >= 2) cshape.get(1).asInt() else 0,
+            if (shape.size() == 3) cshape.get(2).asInt() else 0,
+            0, 0, 0)
+        case Some(sh) =>
+          val ics = sh.path("configuration").path("chunk_shape")
+          require(ics.isArray && ics.size() == shape.size(),
+            s"zarr: array '$name' shard inner chunk_shape rank != shape rank")
+          val i0 = ics.get(0).asInt()
+          val i1 = if (shape.size() >= 2) ics.get(1).asInt() else 0
+          val i2 = if (shape.size() == 3) ics.get(2).asInt() else 0
+          val o0 = cshape.get(0).asInt()
+          val o1 = if (shape.size() >= 2) cshape.get(1).asInt() else 0
+          val o2 = if (shape.size() == 3) cshape.get(2).asInt() else 0
+          require(i0 > 0 && o0 % i0 == 0 &&
+            (shape.size() < 2 || (i1 > 0 && o1 % i1 == 0)) &&
+            (shape.size() < 3 || (i2 > 0 && o2 % i2 == 0)),
+            s"zarr: array '$name' inner chunk shape does not evenly divide " +
+              "the shard shape")
+          (i0, i1, i2, o0, o1, o2)
+      }
     val endian = chain.endian
     val vlen = chain.vlen
     val crc = chain.crc32c
@@ -795,6 +799,7 @@ private[zarr] object ZarrMeta {
       transposed = chain.transposed,
       shardChunk = shardRec,
       shardExtraChunk = shardExt,
+      shardExtra2Chunk = shardExt2,
       shardIndexCrc = chain.shardIndexCrc,
       shardIndexAtEnd = chain.shardIndexAtEnd,
       extra2Shape = if (shape.size() == 3) shape.get(2).asLong() else 0L,

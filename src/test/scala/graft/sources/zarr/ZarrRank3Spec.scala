@@ -233,7 +233,7 @@ class ZarrRank3Spec extends SparkSpec {
           "attributes": {}}""")) shouldBe None
   }
 
-  test("v3 rank-3 parses (nested type, c/<c>/<i>/<j> keys); sharding + rank-3 loud") {
+  test("v3 rank-3 parses (nested type, c/<c>/<i>/<j> keys); rank-3 sharding parses") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(
       s"""{"zarr_format": 3, "node_type": "array", "shape": [10, 3, 2],
@@ -263,7 +263,9 @@ class ZarrRank3Spec extends SparkSpec {
           "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
           "attributes": {}}""")
     ZarrMeta.parseV3Array("r4", n4) shouldBe None
-    // rank-3 + sharding_indexed → loud fail (inner-index math is rank ≤ 2)
+    // rank-3 + sharding_indexed parses (round-19): the effective chunk
+    // is the INNER chunk in all three dims, the chunk_grid shape the
+    // shard geometry — same contract as ranks 1-2
     val sh = mapper.readTree(
       s"""{"zarr_format": 3, "node_type": "array", "shape": [10, 3, 2],
           "data_type": "float64",
@@ -277,10 +279,15 @@ class ZarrRank3Spec extends SparkSpec {
               "configuration": {"endian": "little"}}],
             "index_location": "end"}}],
           "attributes": {}}""")
-    val es = intercept[IllegalArgumentException] {
-      ZarrMeta.parseV3Array("sh3", sh)
-    }
-    es.getMessage should include("sharding_indexed")
+    val ms = ZarrMeta.parseV3Array("sh3", sh).get
+    ms.isSharded shouldBe true
+    ms.is3D shouldBe true
+    ms.chunk shouldBe 2
+    ms.extraChunk shouldBe 2
+    ms.extra2Chunk shouldBe 1
+    ms.shardChunk shouldBe 4
+    ms.shardExtraChunk shouldBe 2
+    ms.shardExtra2Chunk shouldBe 2
   }
 
   test("v3 rank-3 end-to-end read (c/<c>/<i>/<j> chunk files)") {
@@ -337,6 +344,99 @@ class ZarrRank3Spec extends SparkSpec {
       val outer = rows(i).getSeq[scala.collection.Seq[Double]](1)
       for (j <- 0 until Bins; k <- 0 until Beams)
         outer(j)(k) shouldBe cubeVal(i, j, k)
+    }
+  }
+
+  test("v3 rank-3 SHARDED end-to-end read (padded edge shards, sentinel, missing shard)") {
+    // shape [10, 3, 2]; shards [4, 2, 2]; inner chunks [2, 2, 1] →
+    // 2×1×2 = 4 inner chunks per shard, index C-order over that grid.
+    // Shard (2, 1) (rows 8-9, bin 2) is DELETED → whole-shard fill run;
+    // shard (0, 0)'s inner (i0=1, i2=1) (rows 2-3, bins 0-1, beam 1) is
+    // the all-ones sentinel → unwritten-inner fill run. fill "NaN".
+    val dir = Files.createTempDirectory("graft_zarr_rank3_sh").toString
+    val (sRec, sBin, sBeam) = (4, 2, 2)
+    val (iRec, iBin, iBeam) = (2, 2, 1)
+    val (ips0, ips1, ips2) = (sRec / iRec, sBin / iBin, sBeam / iBeam)
+    val nS0 = (N + sRec - 1) / sRec
+    val nS1 = (Bins + sBin - 1) / sBin
+    val missing = (2, 1)
+    for (s0 <- 0 until nS0; s1 <- 0 until nS1; s2 <- 0 until 1
+         if (s0, s1) != missing) {
+      val idx = ByteBuffer.allocate(ips0 * ips1 * ips2 * 16)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      val data = new java.io.ByteArrayOutputStream()
+      var pos = 0L
+      for (i0 <- 0 until ips0; i1 <- 0 until ips1; i2 <- 0 until ips2) {
+        if (s0 == 0 && s1 == 0 && i0 == 1 && i2 == 1) {
+          idx.putLong(-1L).putLong(-1L) // unwritten inner → fill run
+        } else {
+          val buf = new Array[Double](iRec * iBin * iBeam)
+          for (r <- 0 until iRec; jj <- 0 until iBin; kk <- 0 until iBeam) {
+            val i = s0 * sRec + i0 * iRec + r
+            val j = s1 * sBin + i1 * iBin + jj
+            val k = s2 * sBeam + i2 * iBeam + kk
+            buf((r * iBin + jj) * iBeam + kk) =
+              if (i >= N || j >= Bins || k >= Beams) Double.NaN
+              else cubeVal(i, j, k)
+          }
+          val b = leD(buf)
+          idx.putLong(pos).putLong(b.length.toLong)
+          data.write(b, 0, b.length); pos += b.length
+        }
+      }
+      val out = ByteBuffer.allocate(data.size() + idx.capacity())
+        .put(data.toByteArray).put(idx.array())
+      val p = Paths.get(dir, "cube_sh", "c", s0.toString, s1.toString)
+      Files.createDirectories(p)
+      Files.write(p.resolve(s2.toString), out.array())
+    }
+    // scalar t at the INNER record chunking (the effective chunk grid)
+    Files.createDirectories(Paths.get(dir, "t", "c"))
+    for (c <- 0 until (N + iRec - 1) / iRec)
+      Files.write(Paths.get(dir, "t", "c", c.toString),
+        leL(Array.tabulate(iRec)(r => (c * iRec + r).toLong)))
+    val bytesLE = """{"name": "bytes", "configuration": {"endian": "little"}}"""
+    Files.write(Paths.get(dir, "zarr.json"),
+      s"""{"zarr_format": 3, "node_type": "group",
+        "consolidated_metadata": {"kind": "inline", "must_understand": false,
+          "metadata": {
+            "t": {"zarr_format": 3, "node_type": "array", "shape": [$N],
+              "data_type": "int64",
+              "chunk_grid": {"name": "regular",
+                "configuration": {"chunk_shape": [$iRec]}},
+              "chunk_key_encoding": {"name": "default",
+                "configuration": {"separator": "/"}},
+              "fill_value": 0, "codecs": [$bytesLE],
+              "dimension_names": ["t"], "attributes": {}},
+            "cube_sh": {"zarr_format": 3, "node_type": "array",
+              "shape": [$N, $Bins, $Beams],
+              "data_type": "float64",
+              "chunk_grid": {"name": "regular",
+                "configuration": {"chunk_shape": [$sRec, $sBin, $sBeam]}},
+              "chunk_key_encoding": {"name": "default",
+                "configuration": {"separator": "/"}},
+              "fill_value": "NaN",
+              "codecs": [{"name": "sharding_indexed", "configuration": {
+                "chunk_shape": [$iRec, $iBin, $iBeam],
+                "codecs": [$bytesLE],
+                "index_codecs": [$bytesLE],
+                "index_location": "end"}}],
+              "dimension_names": ["t", "bin", "beam"],
+              "attributes": {}}}}}""".getBytes("UTF-8"))
+    val rows = spark.read.format("zarr").load(dir)
+      .select(col("t"), col("cube_sh")).orderBy("t").collect()
+    rows.length shouldBe N
+    for (i <- 0 until N) {
+      val outer = rows(i).getSeq[scala.collection.Seq[Double]](1)
+      outer.length shouldBe Bins
+      for (j <- 0 until Bins; k <- 0 until Beams) {
+        val inMissingShard = i >= 8 && j >= 2
+        val inSentinel = (i == 2 || i == 3) && j < 2 && k == 1
+        if (inMissingShard || inSentinel)
+          assert(outer(j)(k).isNaN,
+            s"($i, $j, $k) should be a fill-run NaN")
+        else outer(j)(k) shouldBe cubeVal(i, j, k)
+      }
     }
   }
 }
