@@ -135,10 +135,13 @@ private[zarr] object ZarrMeta {
       // CRC32C over the compressed payload — verified and stripped
       // before decompression
       crc32c: Boolean = false,
-      // v3 transpose codec, order [1, 0] on a rank-2 array: the chunk's
-      // element grid is stored column-major (F order); decode permutes
-      // it back to the C order every downstream consumer assumes
+      // v3 transpose codec / v2 order "F": the chunk's element grid is
+      // stored with its dims permuted; decode permutes it back to the
+      // C order every downstream consumer assumes. `transposeOrder` is
+      // the stored axis order (v3 `order`; dim reversal for v2 F) —
+      // [1, 0] on rank 2, any non-identity permutation on rank 3
       transposed: Boolean = false,
+      transposeOrder: Seq[Int] = Nil,
       // v3 sharding_indexed: when shardChunk > 0, `chunk`/`extraChunk`
       // are the INNER chunk shape (pruning and partitioning stay
       // inner-chunk-granular) and `shardChunk`/`shardExtraChunk` the
@@ -345,20 +348,16 @@ private[zarr] object ZarrMeta {
       return None
     }
     val order = za.path("order").asText("C")
-    // `order: "F"` (Fortran-lineage stores) on a rank-2 array is the
-    // SAME per-chunk index permutation as the v3 `transpose [1, 0]`
-    // codec — decoded by the shared untranspose kernel; on a rank-1
-    // array F == C (no-op). Rank-3 F-order stays a loud fail (the 2-D
-    // kernel does not generalize without a 3-D permutation pass).
+    // `order: "F"` (Fortran-lineage stores) is the dimension-REVERSAL
+    // index permutation — the v3 `transpose [1, 0]` / [2, 1, 0] codec —
+    // decoded by the shared untranspose kernel on ranks 2-3; on a
+    // rank-1 array F == C (no-op).
     require(order == "C" || order == "F",
       s"zarr: array '$name' has order '$order' (expected C or F)")
-    require(order == "C" || shape.size() <= 2,
-      s"zarr: rank-3 array '$name' has order 'F' (F-order decode is " +
-        "supported for ranks 1-2 only)")
-    val fOrder2D = order == "F" && shape.size() == 2
+    val fOrder = order == "F" && shape.size() >= 2
     // a vlen F-order array has no fixed element width to permute —
     // reject at parse like every other undecodable layout
-    if (fOrder2D)
+    if (fOrder)
       require(za.path("dtype").asText("") != "|O",
         s"zarr: array '$name' pairs order 'F' with object dtype " +
           "(variable-length elements have no fixed width to permute)")
@@ -536,9 +535,11 @@ private[zarr] object ZarrMeta {
       filters = parsedFilters,
       fillLong = fillL,
       u8Decimal = u8Decimal,
-      // F-order rank-2 chunks decode through the same untranspose
-      // kernel as the v3 transpose codec
-      transposed = fOrder2D,
+      // F-order rank-2/3 chunks decode through the same untranspose
+      // kernel as the v3 transpose codec (F = full dim reversal)
+      transposed = fOrder,
+      transposeOrder =
+        if (fOrder) (shape.size() - 1) to 0 by -1 else Nil,
       extra2Shape = if (shape.size() == 3) shape.get(2).asLong() else 0L,
       extra2Chunk = if (shape.size() == 3) za.path("chunks").get(2).asInt() else 0))
   }
@@ -797,6 +798,7 @@ private[zarr] object ZarrMeta {
       keySep = sep,
       crc32c = crc,
       transposed = chain.transposed,
+      transposeOrder = chain.transposeOrder,
       shardChunk = shardRec,
       shardExtraChunk = shardExt,
       shardExtra2Chunk = shardExt2,
@@ -817,6 +819,7 @@ private[zarr] object ZarrMeta {
       crc32c: Boolean,
       compressor: Option[JsonNode],
       transposed: Boolean,
+      transposeOrder: Seq[Int] = Nil,
       sharding: Option[JsonNode] = None,
       shardIndexCrc: Boolean = false,
       shardIndexAtEnd: Boolean = true)
@@ -852,6 +855,7 @@ private[zarr] object ZarrMeta {
     var vlen = false
     var crc = false
     var transposed = false
+    var transposeOrder: Seq[Int] = Nil
     var sawBytes = false
     var comp: Option[JsonNode] = None
     (0 until codecs.size()).foreach { i =>
@@ -871,12 +875,15 @@ private[zarr] object ZarrMeta {
             s"transpose order ${order.mkString("[", ",", "]")} is not a " +
             "permutation of the dimensions")
           if (order != (0 until rank)) {
-            // rank ≤ 2 leaves exactly one non-identity permutation
-            require(rank == 2 && order == Seq(1, 0),
+            // rank 2 leaves exactly [1, 0]; rank 3 any of its five
+            // non-identity permutations (round-19 — the general
+            // untranspose3D kernel handles them all); rank 1 has none
+            require(rank == 2 || rank == 3,
               s"zarr: array '$name' transpose order " +
-                s"${order.mkString("[", ",", "]")} (only [1, 0] on rank-2 " +
-                "arrays is supported)")
+                s"${order.mkString("[", ",", "]")} (non-identity " +
+                "transpose is supported on rank-2/3 arrays only)")
             transposed = true
+            transposeOrder = order
           }
         case "bytes" =>
           require(!sawBytes && !vlen, s"zarr: array '$name': more than " +
@@ -918,7 +925,7 @@ private[zarr] object ZarrMeta {
     require(sawBytes || vlen,
       s"zarr: array '$name' $what codecs list has no array→bytes codec " +
         "(bytes or vlen-utf8)")
-    V3CodecChain(endian, vlen, crc, comp, transposed)
+    V3CodecChain(endian, vlen, crc, comp, transposed, transposeOrder)
   }
 
   // ---- CF time ----------------------------------------------------------
@@ -1095,11 +1102,13 @@ private[zarr] object ZarrMeta {
     if (!meta.isVlen) require(out.length == chunkBytes(meta),
       s"zarr: chunk of array '${meta.name}' decoded ${out.length} bytes, " +
         s"expected ${chunkBytes(meta)} (corrupt chunk or wrong metadata)")
-    // v3 transpose (order [1, 0]): transpose is the FIRST encode stage,
+    // v3 transpose / v2 order "F": transpose is the FIRST encode stage,
     // so its undo is the LAST decode stage — the stored element grid is
-    // F-order over (chunk × extraChunk) and every downstream consumer
+    // dim-permuted over the chunk extents and every downstream consumer
     // (stitching, stringsOf, longsOf) assumes C order
-    if (meta.transposed) untranspose2D(meta, out) else out
+    if (meta.transposed) {
+      if (meta.is3D) untranspose3D(meta, out) else untranspose2D(meta, out)
+    } else out
   }
 
   /** Undo the v3 `transpose [1, 0]` codec on one decoded chunk: element
@@ -1124,6 +1133,51 @@ private[zarr] object ZarrMeta {
         i += 1
       }
       j += 1
+    }
+    out
+  }
+
+  /** Undo a rank-3 transpose (any non-identity permutation, incl. the
+    * [2, 1, 0] full reversal that is v2 `order: "F"`) on one decoded
+    * chunk. `transposeOrder` is the STORED axis order: stored layout is
+    * C-order over (dim p0, dim p1, dim p2), so logical element
+    * (x0, x1, x2) sits at stored position
+    * (x_{p0}·C_{p1} + x_{p1})·C_{p2} + x_{p2}; move it back to the
+    * C-order position every downstream consumer assumes. Pure index
+    * permutation, dtype-agnostic like the 2-D kernel.
+    */
+  private[zarr] def untranspose3D(meta: ArrayMeta, in: Array[Byte]): Array[Byte] = {
+    val ext = Array(meta.chunk, math.max(meta.extraChunk, 1),
+      math.max(meta.extra2Chunk, 1))
+    val p = meta.transposeOrder
+    require(p.length == 3 && p.sorted == Seq(0, 1, 2),
+      s"zarr: array '${meta.name}' rank-3 transpose order " +
+        s"${p.mkString("[", ",", "]")} is not a dim permutation")
+    val w = meta.typeSize
+    require(in.length.toLong == ext(0).toLong * ext(1) * ext(2) * w,
+      s"zarr: transposed chunk of array '${meta.name}' has ${in.length} " +
+        s"bytes, expected ${ext(0).toLong * ext(1) * ext(2) * w}")
+    // stored element-stride of each LOGICAL dim under the stored order
+    val stride = new Array[Int](3)
+    stride(p(2)) = 1
+    stride(p(1)) = ext(p(2))
+    stride(p(0)) = ext(p(2)) * ext(p(1))
+    val out = new Array[Byte](in.length)
+    var pos = 0 // C-order output position, in elements
+    var i = 0
+    while (i < ext(0)) {
+      var j = 0
+      while (j < ext(1)) {
+        var k = 0
+        val base = i * stride(0) + j * stride(1)
+        while (k < ext(2)) {
+          System.arraycopy(in, (base + k * stride(2)) * w, out, pos * w, w)
+          pos += 1
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
     }
     out
   }

@@ -105,6 +105,24 @@ class ZarrRank3Spec extends SparkSpec {
       Files.createDirectories(Paths.get(dir, "mat_f"))
       Files.write(Paths.get(dir, "mat_f", s"$c.$j1"), leD(stored))
     }
+    // cube_f: the cube values stored rank-3 order "F" (round-19) —
+    // each chunk C-order over the REVERSED dims: element (r, jj, kk)
+    // at stored position (kk·BinChunk + jj)·Chunk + r
+    for (c <- 0 until nChunks;
+         j1 <- 0 until (Bins + BinChunk - 1) / BinChunk;
+         j2 <- 0 until (Beams + BeamChunk - 1) / BeamChunk) {
+      val stored = new Array[Double](Chunk * BinChunk * BeamChunk)
+      for (r <- 0 until Chunk; jj <- 0 until BinChunk; kk <- 0 until BeamChunk) {
+        val i = c * Chunk + r
+        val j = j1 * BinChunk + jj
+        val k = j2 * BeamChunk + kk
+        stored((kk * BinChunk + jj) * Chunk + r) =
+          if (i >= N || j >= Bins || k >= Beams) Double.NaN
+          else cubeVal(i, j, k)
+      }
+      Files.createDirectories(Paths.get(dir, "cube_f"))
+      Files.write(Paths.get(dir, "cube_f", s"$c.$j1.$j2"), leD(stored))
+    }
     // vec_f: rank-1, order "F" (== C, a no-op)
     for (c <- 0 until nChunks) {
       Files.createDirectories(Paths.get(dir, "vec_f"))
@@ -129,6 +147,9 @@ class ZarrRank3Spec extends SparkSpec {
       "mat_f/.zarray": ${zarr3(s"[$N, $Bins]", s"[$Chunk, $BinChunk]",
         "<f8", "F", "\"NaN\"")},
       "mat_f/.zattrs": {"_ARRAY_DIMENSIONS": ["t", "bin"]},
+      "cube_f/.zarray": ${zarr3(s"[$N, $Bins, $Beams]",
+        s"[$Chunk, $BinChunk, $BeamChunk]", "<f8", "F", "\"NaN\"")},
+      "cube_f/.zattrs": {"_ARRAY_DIMENSIONS": ["t", "bin", "beam"]},
       "vec_f/.zarray": ${zarr3(s"[$N]", s"[$Chunk]", "<f8", "F", "\"NaN\"")},
       "vec_f/.zattrs": {"_ARRAY_DIMENSIONS": ["t"]},
       "r4/.zarray": ${zarr3(s"[$N, 2, 2, 2]", s"[$Chunk, 2, 2, 2]",
@@ -171,6 +192,19 @@ class ZarrRank3Spec extends SparkSpec {
     }
   }
 
+  test("rank-3 F-order decode is value-identical to the C-order cube") {
+    val rows = spark.read.format("zarr").load(store)
+      .select(col("t"), col("cube_f")).orderBy("t").collect()
+    rows.length shouldBe N
+    for (i <- 0 until N) {
+      val outer = rows(i).getSeq[scala.collection.Seq[Double]](1)
+      outer.length shouldBe Bins
+      for (j <- 0 until Bins; k <- 0 until Beams)
+        assert(outer(j)(k) == cubeVal(i, j, k),
+          s"cube_f($i)($j)($k): got ${outer(j)(k)}")
+    }
+  }
+
   test("rank-3 i4 decode: integral nested path, padded edges never leak") {
     val rows = spark.read.format("zarr").load(store)
       .select(col("t"), col("cube_i")).orderBy("t").collect()
@@ -193,16 +227,17 @@ class ZarrRank3Spec extends SparkSpec {
     }
   }
 
-  test("rank-3 order-F fails loudly; F-order vlen fails loudly") {
+  test("rank-3 order-F parses (reversal transpose); F-order vlen fails loudly") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def za(json: String) = mapper.readTree(json)
-    val e = intercept[IllegalArgumentException] {
-      ZarrMeta.parseArray("bad3f", za(
-        s"""{"shape": [8, 2, 2], "chunks": [4, 2, 2], "dtype": "<f8",
-            "compressor": null, "fill_value": 0, "order": "F",
-            "filters": null, "zarr_format": 2}"""), za("{}"))
-    }
-    e.getMessage should include("order 'F'")
+    // round-19: rank-3 F is the [2, 1, 0] reversal through the general
+    // untranspose3D kernel — no longer a loud fail
+    val m3f = ZarrMeta.parseArray("cube_f", za(
+      s"""{"shape": [8, 2, 2], "chunks": [4, 2, 2], "dtype": "<f8",
+          "compressor": null, "fill_value": 0, "order": "F",
+          "filters": null, "zarr_format": 2}"""), za("{}")).get
+    m3f.transposed shouldBe true
+    m3f.transposeOrder shouldBe Seq(2, 1, 0)
     val ev = intercept[IllegalArgumentException] {
       ZarrMeta.parseArray("badvf", za(
         s"""{"shape": [8, 2], "chunks": [4, 2], "dtype": "|O",
@@ -210,6 +245,39 @@ class ZarrRank3Spec extends SparkSpec {
             "filters": [{"id": "vlen-utf8"}], "zarr_format": 2}"""), za("{}"))
     }
     ev.getMessage should include("order 'F'")
+  }
+
+  test("untranspose3D: every rank-3 permutation round-trips to C order") {
+    // (2 × 3 × 4) i8 grid, value = its C-order index; for each stored
+    // axis order p, lay the elements out C-order over the permuted
+    // dims, then assert the kernel restores exact C order
+    val (c0, c1, c2) = (2, 3, 4)
+    val ext = Array(c0, c1, c2)
+    for (p <- Seq(Seq(1, 0, 2), Seq(2, 1, 0), Seq(0, 2, 1),
+                  Seq(1, 2, 0), Seq(2, 0, 1))) {
+      val meta = ZarrMeta.ArrayMeta("perm", shape = c0, chunk = c0,
+        dtypeStr = "<i8", compressor = None, fillValue = None,
+        dims = Seq("a", "b", "c"), units = None, calendar = None,
+        extraShape = c1, extraChunk = c1,
+        extra2Shape = c2, extra2Chunk = c2,
+        transposed = true, transposeOrder = p)
+      val stored = new Array[Long](c0 * c1 * c2)
+      // stored C-order over (dim p0, dim p1, dim p2)
+      var sPos = 0
+      for (a <- 0 until ext(p(0)); b <- 0 until ext(p(1));
+           c <- 0 until ext(p(2))) {
+        val x = new Array[Int](3)
+        x(p(0)) = a; x(p(1)) = b; x(p(2)) = c
+        stored(sPos) = ((x(0) * c1 + x(1)) * c2 + x(2)).toLong
+        sPos += 1
+      }
+      val out = ZarrMeta.untranspose3D(meta, leL(stored))
+      val got = java.nio.ByteBuffer.wrap(out)
+        .order(ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+      for (e <- 0 until c0 * c1 * c2)
+        assert(got.get(e) == e.toLong,
+          s"perm ${p.mkString("[", ",", "]")} element $e: got ${got.get(e)}")
+    }
   }
 
   test("malformed entry (no shape list) is skipped loudly, not a store-wide fail") {
