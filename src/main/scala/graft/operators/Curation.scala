@@ -372,9 +372,16 @@ object Curation {
           .as(Seq("__pos", "__line")))
       .withColumn("__h", xxhash64(col("__line")))
       .withColumn("__len", length(col("__line")))
-    val counts = lines.groupBy(col("__h"), col("__len"))
-      .agg(count(lit(1)).as("__cnt"))
-    lines.join(counts, Seq("__h", "__len"))
+    // r19: per-line corpus counts via a count-over-window on the SAME
+    // key the old aggregate+join used — one evaluation of the split scan
+    // instead of two (the counts side re-ran the whole posexplode), and
+    // no separate counts shuffle: line text crosses exactly two
+    // exchanges (the window's and the per-doc rebuild's), the minimum
+    // for corpus-frequency + per-doc rebuild. Identical __cnt: the
+    // window partition IS the old group, and the old inner join never
+    // dropped rows (every line's key exists in its own count).
+    val wCnt = Window.partitionBy(col("__h"), col("__len"))
+    lines.withColumn("__cnt", count(lit(1)).over(wCnt))
       .groupBy(col(idCol))
       .agg(
         concat_ws(separator, transform(
@@ -629,10 +636,17 @@ object Curation {
     */
   def vocabOverlap(docs: DataFrame, classCol: String,
                    textCol: String): DataFrame = {
+    // r19: the distinct (class, token) table feeds FOUR consumers (the
+    // self-join's two sides + two broadcast size subqueries) — pin ONE
+    // evaluation of the tokenize + distinct shuffle with a lazy
+    // checkpoint (the table is vocabulary × classes rows, O(vocab), not
+    // O(corpus); previously each consumer re-ran the full corpus
+    // tokenize pass)
     val pairs = docs
       .select(col(classCol).as("cls"),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
       .distinct()
+      .localCheckpoint(false)
     val sizes = pairs.groupBy(col("cls")).agg(count(lit(1)).as("n"))
     val a = pairs.select(col("cls").as("class_a"), col("token"))
     val b = pairs.select(col("cls").as("class_b"), col("token"))
@@ -1292,13 +1306,19 @@ object Curation {
     * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)` — the retrieval primitive
     * behind query-based decontamination and targeted corpus audits.
     *
-    * Scale shape: the corpus tokenizes in one scan; the term filter is
-    * applied BEFORE the tf aggregation, so only query-term hits (a sliver
-    * of the token stream) cross the shuffle; df and the corpus stats are
-    * broadcast-size; the query-term table is a broadcast literal; the
-    * final per-query top-k reduces through the `topk_by_score` partial
-    * heap — no per-query reducer. At 100 TB the stats scan would be a
-    * precomputed corpus statistic; here it is one extra 1-row aggregate.
+    * Scale shape: the corpus tokenizes in ONE scan total — a compact
+    * per-doc projection `(doc_id, len, hits)` (hits = the query-term
+    * tokens only, a sliver of the token stream) is lazily checkpointed
+    * and feeds BOTH the corpus stats aggregate and the tf aggregate, so
+    * the expensive tokenize pass never runs twice (r19: the previous
+    * spelling evaluated the tokenize subtree once under the stats
+    * broadcast and again under tf — two full corpus scans). Only hits
+    * cross the tf shuffle; df and the corpus stats are broadcast-size;
+    * the query-term table is a broadcast literal; the final per-query
+    * top-k reduces through the `topk_by_score` partial heap — no
+    * per-query reducer. At 100 TB the checkpoint is O(corpus rows) of
+    * ~16 bytes + hit terms, not O(corpus bytes); the stats would be a
+    * precomputed corpus statistic there anyway.
     * Document length uses the whitespace-token convention of
     * [[TextFunctions.tokens]] (lowercased), matching the oracle's CTE.
     */
@@ -1307,16 +1327,18 @@ object Curation {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-        TextFunctions.tokens(lower(col(textCol))).as("ws"))
-      .withColumn("len", coalesce(size(col("ws")), lit(0)))
-    val stats = base.agg(count(lit(1)).as("n_docs"),
-      sum(col("len")).cast("long").as("tot"))
     val allTerms = queryTerms.flatMap(_._2).distinct
+    // one tokenize pass: keep length + query-term hits, drop the tokens
+    val compact = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(lower(col(textCol))).as("ws"))
+      .select(col("doc_id"), coalesce(size(col("ws")), lit(0)).as("len"),
+        filter(col("ws"), t => t.isInCollection(allTerms)).as("hits"))
+      .localCheckpoint(false)
+    val stats = compact.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).cast("long").as("tot"))
     val qt = broadcast(queryTerms.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "term"))
-    val tf = base.select(col("doc_id"), col("len"), explode(col("ws")).as("term"))
-      .where(col("term").isin(allTerms: _*))
+    val tf = compact.select(col("doc_id"), col("len"), explode(col("hits")).as("term"))
       .groupBy(col("doc_id"), col("len"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1501,11 +1523,15 @@ object Curation {
     * lexicographically smaller term.
     *
     * Scale shape: [[bm25TopK]] provides the feedback set (queries ×
-    * kDocs rows — broadcast-small), which joins the token stream at scan
-    * rate; the weight aggregate is map-side combined on (query, term);
-    * original query terms leave via a broadcast anti-join. The top-k
-    * window partitions by query id (bounded rows per group: the
-    * feedback docs' vocabulary).
+    * kDocs rows — broadcast-small), which broadcast-joins the corpus on
+    * doc id BEFORE tokenization, so only the feedback documents are ever
+    * tokenized/exploded (r19: the previous spelling exploded the WHOLE
+    * corpus's token stream and then broadcast-filtered it — a full
+    * corpus tokenize pass to keep queries × kDocs documents); the weight
+    * aggregate is map-side combined on (query, term); original query
+    * terms leave via a broadcast anti-join. The top-k window partitions
+    * by query id (bounded rows per group: the feedback docs'
+    * vocabulary).
     */
   def queryExpansion(docs: DataFrame, idCol: String, textCol: String,
                      queryTerms: Seq[(Long, Seq[String])],
@@ -1515,11 +1541,17 @@ object Curation {
     import spark.implicits._
     val feedback = bm25TopK(docs, idCol, textCol, queryTerms, kDocs, k1, b)
       .select(col("query_id"), col("doc_id"))
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
     val qt = broadcast(queryTerms.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "term"))
-    val weights = toks.join(broadcast(feedback), Seq("doc_id"))
+    // join the broadcast-small feedback set BEFORE tokenizing: only the
+    // queries × kDocs feedback documents pay the tokenize + explode (the
+    // inner join on doc id commutes with exploding a non-key column, so
+    // the (query_id, term) multiset is identical to exploding first)
+    val weights = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .join(broadcast(feedback), Seq("doc_id"))
+      .select(col("query_id"),
+        explode(TextFunctions.tokens(lower(col("__text")))).as("term"))
       .groupBy(col("query_id"), col("term"))
       .agg(count(lit(1)).as("weight"))
       .join(qt, Seq("query_id", "term"), "left_anti")

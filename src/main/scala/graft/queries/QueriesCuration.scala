@@ -407,14 +407,22 @@ object QueriesCuration {
       val hits = Curation.bm25TopK(docs, "doc_id", "text",
         queryTerms = probeTerms, k = 25)
       val flagged = hits.filter(col("score") >= 2.0)
-        .select(col("doc_id")).distinct()
-      val clean = docs.join(broadcast(flagged), Seq("doc_id"), "left_anti")
-      docs.groupBy(col("source")).agg(count(lit(1)).as("n_before"))
-        .join(clean.groupBy(col("source")).agg(count(lit(1)).as("n_after")),
-          Seq("source"), "left")
+        .select(col("doc_id")).distinct().withColumn("__hit", lit(1))
+      // r19: ONE corpus scan for the per-source stats — the broadcast-tiny
+      // flagged set (≤ k·queries ids) marks dropped docs in the same
+      // aggregate that counts n_before, instead of a second full scan
+      // through an anti-join (n_after = n_before − n_dropped by
+      // construction: doc ids are unique and flagged is distinct, so the
+      // left join never duplicates and count(__hit) counts exactly the
+      // docs the anti-join would have removed; a null doc_id matches
+      // neither spelling)
+      docs.select(col("source"), col("doc_id"))
+        .join(broadcast(flagged), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_before"), count(col("__hit")).as("n_dropped"))
         .select(col("source"), col("n_before"),
-          coalesce(col("n_after"), lit(0L)).as("n_after"),
-          (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_dropped"))
+          (col("n_before") - col("n_dropped")).as("n_after"),
+          col("n_dropped"))
     }),
 
     // Hybrid retrieval: BM25 keyword lists fused with embedding-cosine

@@ -55,9 +55,15 @@ class CurationSpec extends SparkSpec {
     // top-k reduces through the partial heap aggregate, not a window
     plan should include("partial_topk_by_score")
     plan should not include "Window"
-    // the scored side never shuffles unfiltered tokens: the isin filter
-    // sits under the tf aggregate in the optimized plan
-    out.queryExecution.optimizedPlan.toString should include("IN (apple,banana)")
+    // r19 single-scan shape: every consumer (stats, df, tf) reads the
+    // lazily-checkpointed compact (doc_id, len, hits) frame, so the
+    // served plan contains NO tokenize (the split/filter ran exactly
+    // once, inside the checkpoint build) and no raw-corpus subtree
+    val opt = out.queryExecution.optimizedPlan.toString
+    opt should not include "split("
+    opt should include("LogicalRDD") // the compact checkpoint
+    // ...and the checkpoint build itself applied the term filter to the
+    // token array (hits ⊆ query terms), which the value specs pin
   }
 
   // --- rrfFuse ---
