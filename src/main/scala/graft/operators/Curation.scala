@@ -417,6 +417,12 @@ object Curation {
       // which would count every zero-gram document as one shared "gram"
       .withColumn("__h", when(col("__g").isNotNull, xxhash64(col("__g"))))
       .drop("__g")
+      // r19: lazily checkpointed — grams feeds BOTH the df count and the
+      // join-back, and each evaluation re-runs the corpus-wide n-gram
+      // hashing (the operator's dominant cost; the trimDupGrams
+      // convention). The checkpoint is (id, 8-byte hash) per gram, never
+      // gram text.
+      .localCheckpoint(false)
     val freq = grams.filter(col("__h").isNotNull)
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     grams.join(freq, Seq("__h"), "left")
@@ -1208,20 +1214,31 @@ object Curation {
           when(col("n_tokens") > 0,
             round(col("__s") / col("n_tokens"), 6)).as("logratio"))
     } else {
-      val scored = corpus
-        .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
-        .join(weights, Seq("tok"))
+      // r19: explode_outer + left join keep zero-token documents as one
+      // null-tok row through the single aggregation (the
+      // bigramCrossEntropy rewrite) — the old corpus-id re-scan +
+      // corpus-sized left join that restored them is gone. The
+      // weights join was effectively total anyway (the vocab is a full
+      // outer over the corpus counts, so every non-null token matches);
+      // null-tok rows are skipped by count(col("tok")) and the masked
+      // collect_list, and the zero-token guard emits a null logratio —
+      // row-for-row the old result (RoutingFlipProbe pins the route
+      // against the broadcast twin).
+      corpus
+        .select(col(idCol), explode_outer(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+        .join(weights, Seq("tok"), "left")
         .groupBy(col(idCol))
         // order-exact mean: fold the doc's (tok, w) list sorted by token —
         // w is a function of tok, so ties fold identically
-        .agg(count(lit(1)).as("n_tokens"),
-          round(
-            aggregate(sort_array(collect_list(struct(col("tok"), col("w")))),
-              lit(0.0), (acc, e) => acc + e.getField("w")) / count(lit(1)),
-            6).as("logratio"))
-      corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
-        .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          col("logratio"))
+        .agg(count(col("tok")).as("n_tokens"),
+          when(count(col("tok")) > 0,
+            round(
+              aggregate(
+                sort_array(collect_list(when(col("tok").isNotNull,
+                  struct(col("tok"), col("w"))))),
+                lit(0.0), (acc, e) => acc + e.getField("w")) / count(col("tok")),
+              6)).as("logratio"))
+        .select(col(idCol), col("n_tokens"), col("logratio"))
     }
   }
 
@@ -1280,8 +1297,16 @@ object Curation {
       .groupBy(col("prefix")).agg(count(lit(1)).as("cu"))
       .localCheckpoint(false)
     val v = refUni.count()
-    val scored = corpus
-      .select(col(idCol), explode(bigrams(t)).as("bg"))
+    // r19: explode_outer keeps zero-bigram documents (null/blank/<2-token
+    // text) as a single null-bg row through the ONE aggregation, so the
+    // old corpus-id re-scan + corpus-sized sort-merge left join that
+    // restored them is gone outright (guide §2.4 — one less exchange and
+    // one less scan at any scale). Null bg rows join nothing (left
+    // joins), are skipped by the collect_list (the `when` yields null)
+    // and count(col("bg")), and the entropy guard emits null for them —
+    // row-for-row the old left-join result.
+    corpus
+      .select(col(idCol), explode_outer(bigrams(t)).as("bg"))
       .withColumn("prefix", element_at(split(col("bg"), " ", 2), 1))
       .join(refBi, Seq("bg"), "left")
       .join(refUni, Seq("prefix"), "left")
@@ -1291,13 +1316,15 @@ object Curation {
       .groupBy(col(idCol))
       // order-exact mean, as in importanceWeights: lp is a function of the
       // bigram string, so the bg-sorted fold is bit-deterministic
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-(aggregate(sort_array(collect_list(struct(col("bg"), col("lp")))),
-          lit(0.0), (acc, e) => acc + e.getField("lp")) / count(lit(1))),
-          6).as("cross_entropy"))
-    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("cross_entropy"))
+      .agg(count(col("bg")).as("n_bigrams"),
+        // null (not NaN) for zero-bigram docs — the old left join's gap
+        when(count(col("bg")) > 0,
+          round(-(aggregate(
+            sort_array(collect_list(when(col("bg").isNotNull,
+              struct(col("bg"), col("lp"))))),
+            lit(0.0), (acc, e) => acc + e.getField("lp")) / count(col("bg"))),
+            6)).as("cross_entropy"))
+      .select(col(idCol), col("n_bigrams"), col("cross_entropy"))
   }
 
   /** BM25 keyword retrieval: for each query (a small set of terms), the

@@ -74,18 +74,33 @@ object OrderedPosition {
       .repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val baseSchema = sorted.schema
-    val augRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // r19: InternalRow boundary instead of `df.rdd` — the external-Row
+    // path deserialized every column into boxed objects and re-encoded
+    // them through `createDataFrame` (one full row-codec round trip per
+    // row; the dominant per-task cost of this operator at bench scale).
+    // The id append rides a reused JoinedRow over the scan's UnsafeRows:
+    // safe without copies because the only consumer is the RDD scan's
+    // per-element unsafe projection, which materializes each row before
+    // the iterator advances. The RDD boundary itself (and both
+    // load-bearing properties documented above — the un-eliminable sort,
+    // the shuffle shared across the offsets and caller jobs) is
+    // unchanged.
+    val augRdd = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      extra.update(0, pid)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       var i = 0L
       it.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ pid :+ i)
+        extra.update(1, i)
         i += 1
-        out
+        joined(r, extra): org.apache.spark.sql.catalyst.InternalRow
       }
     }
     val augSchema = StructType(baseSchema.fields :+
       StructField("__pid", IntegerType, nullable = false) :+
       StructField("__lrn", LongType, nullable = false))
-    val ranged = spark.createDataFrame(augRdd, augSchema)
+    val ranged = org.apache.spark.sql.GraftBridge
+      .internalCreateDataFrame(spark, augRdd, augSchema)
     val partKeys = col("__pid") +: keyCols.map(col)
     val counts = ranged
       .groupBy(partKeys: _*)
@@ -152,21 +167,28 @@ object OrderedPosition {
       .sortWithinPartitions(sortCols: _*)
     val baseSchema = sorted.schema
     val vPos = baseSchema.fieldIndex("__v")
-    val augRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // r19: InternalRow boundary — see withPositionCounted; identical
+    // reasoning (the running-sum read is a primitive getLong either way)
+    val augRdd = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+      extra.update(0, pid)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       var i = 0L
       var s = 0L
       it.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ pid :+ i :+ s)
+        extra.update(1, i)
+        extra.update(2, s)
         i += 1
         s += r.getLong(vPos)
-        out
+        joined(r, extra): org.apache.spark.sql.catalyst.InternalRow
       }
     }
     val augSchema = StructType(baseSchema.fields :+
       StructField("__pid", IntegerType, nullable = false) :+
       StructField("__lrn", LongType, nullable = false) :+
       StructField("__lps", LongType, nullable = false))
-    val ranged = spark.createDataFrame(augRdd, augSchema)
+    val ranged = org.apache.spark.sql.GraftBridge
+      .internalCreateDataFrame(spark, augRdd, augSchema)
     val partKeys = col("__pid") +: keyCols.map(col)
     val stats = ranged
       .groupBy(partKeys: _*)

@@ -12,4 +12,17 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** DataFrame over an `RDD[InternalRow]` without the external-Row round
+    * trip (`df.rdd` + `createDataFrame` deserializes every column into
+    * boxed objects and re-encodes them — the per-row cost the
+    * optimization guide's "noop sink" section warns about). Used by
+    * [[graft.operators.OrderedPosition]], whose row-id append needs an
+    * RDD boundary but none of the external-row machinery.
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }
