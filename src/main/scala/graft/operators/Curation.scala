@@ -863,9 +863,14 @@ object Curation {
         col(idCol) === col(vecIdCol))
       .select(col(classCol), posexplode(col(embCol)).as(Seq("dim", "v")))
     val scaled = floor(col("v").cast("double") * 1048576).cast("long")
+    // r19: lazily checkpointed — grid feeds both the corpus-centroid agg
+    // and the final scoring join, and each evaluation re-runs the
+    // docs⋈embeddings join + full posexplode (the operator's dominant
+    // cost); the checkpoint is classes × dims rows, trivially small
     val grid = joined.select(col(classCol), col("dim"), scaled.as("sv"))
       .groupBy(col(classCol), col("dim"))
       .agg(sum(col("sv")).as("s"), count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val corpus = grid.groupBy(col("dim")).agg(sum(col("s")).as("cs"))
     def orderedFold(c: Column): Column = aggregate(
       transform(sort_array(collect_list(struct(col("dim"), c.as("v")))),
