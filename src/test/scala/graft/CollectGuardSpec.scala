@@ -71,7 +71,8 @@ class CollectGuardSpec extends AnyFunSuite with Matchers {
     "graft/tools/ProbeCoreset.scala" -> (1, "probe main (not operator surface)"),
     "graft/tools/RecallProbe.scala" -> (1,
       "probe main: one-row mean-recall aggregate per method"),
-    "graft/tools/ReshardProbe.scala" -> (1, "probe main (not operator surface)"))
+    "graft/tools/ReshardProbe.scala" -> (1, "probe main (not operator surface)"),
+    "graft/tools/StreamCostProbe.scala" -> (1, "probe main (not operator surface)"))
 
   test("every driver-side collect in src/main is on the documented allowlist") {
     val root = new java.io.File("src/main/scala")
