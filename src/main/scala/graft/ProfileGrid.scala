@@ -74,9 +74,15 @@ object ProfileGrid {
 
   /** `status` is the S7 operational-status string painted into every
     * artifact title (dashboard.py:448,462), default = the degrade rule.
+    * `gridTimes` (r20) is the distinct, ascending set of the grid's `t`
+    * values (the kept profiles' seconds-truncated peaks) — already on the
+    * driver from the stats collect, exported so overlay consumers don't
+    * re-derive it with a distinct over the grid (guide §8: use what the
+    * driver knows that the optimizer cannot). Empty for an empty grid.
     */
   final case class Result(data: DataFrame, manifest: Seq[String],
-                          status: String = graft.sources.OperationalStatus.Default) {
+                          status: String = graft.sources.OperationalStatus.Default,
+                          gridTimes: Seq[Timestamp] = Nil) {
     def statusColor: String = graft.sources.OperationalStatus.colorFor(status)
   }
 
@@ -214,7 +220,13 @@ object ProfileGrid {
     // 'anno' files are saved but never recorded by the reference (see doc)
     val manifest = Seq("none", "clim").flatMap(o =>
       Scales.map(sc => s"${fileNameBase}_${spanString}_${o}_$sc.png"))
-    Result(data, manifest, status)
+    // the grid's distinct t values: every kept peak emits nSteps grid rows
+    // and t = timestamp_seconds(unix_timestamp(peak)) — floorDiv matches
+    // unix_timestamp's floor-to-seconds for all epochs
+    val gridTimes = kept.map(r => new Timestamp(
+        Math.floorDiv(r.getTimestamp(0).getTime, 1000L) * 1000L))
+      .distinct.sortBy(_.getTime).toSeq
+    Result(data, manifest, status, gridTimes)
   }
 
   /** C3 fallback grid — the reference's "old method" used when the profile
@@ -346,13 +358,18 @@ object ProfileGrid {
     * and `clim_diff = value − clim` appended. `clim` columns:
     * (month 1-12, depth, lo, hi).
     */
-  def climDiffOverlay(gridIn: DataFrame, clim: DataFrame, refYear: Int): DataFrame = {
-    // the grid feeds TWO plan branches (distinct times, the u2 union) and
-    // is itself a multi-scan union+window plan — materialize it once
-    // instead of recomputing the lineage per branch.
-    // LAZY: the first branch that runs stores the blocks (block-level
-    // locking serializes racing readers), so no dedicated checkpoint job
-    val grid = gridIn.localCheckpoint(eager = false)
+  def climDiffOverlay(gridIn: DataFrame, clim: DataFrame, refYear: Int,
+                      gridTimes: Option[Seq[Timestamp]] = None): DataFrame = {
+    // r20: when the caller already KNOWS the grid's distinct times (the
+    // [[run]] stats collect has them — [[Result.gridTimes]]), the times
+    // branch becomes a driver literal: the grid then feeds exactly ONE
+    // plan branch (the u2 union), so the r19 localCheckpoint (a
+    // lineage-truncating materialization barrier) and the distinct's two
+    // exchanges disappear — guide §2.4 (remove shuffles outright) + §8
+    // (use what the driver knows). The generic path is unchanged for
+    // callers without driver-side times.
+    val grid = if (gridTimes.isDefined) gridIn
+      else gridIn.localCheckpoint(eager = false)
     val pts = clim.select(
         col("month").cast("int").as("m"),
         col("depth").cast("double").as("cd"),
@@ -364,7 +381,17 @@ object ProfileGrid {
         unix_micros(make_timestamp(col("yy"), col("m"), lit(15),
           lit(0), lit(0), lit(0))).as("ctu"))
 
-    val gtimes = grid.select(unix_micros(col("t")).as("tu")).distinct()
+    val gtimes = gridTimes match {
+      case Some(ts) =>
+        val spark = gridIn.sparkSession
+        // ms → µs; the caller contract is the grid's own t values
+        // (seconds-truncated), so this IS unix_micros(t) per distinct t
+        val micros = ts.map(t => t.getTime * 1000L).distinct.sorted
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(micros.map(Row(_)), 1),
+          StructType(Seq(StructField("tu", org.apache.spark.sql.types.LongType))))
+      case None => grid.select(unix_micros(col("t")).as("tu")).distinct()
+    }
     // pass 1: per clim depth, interpolate along time onto the grid times
     val u1 = pts.select(col("cd"), col("ctu").as("x"), col("cv").as("v"),
         lit(0).as("is_grid"))
