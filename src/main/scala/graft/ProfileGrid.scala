@@ -127,21 +127,21 @@ object ProfileGrid {
     val sliceLo = if (descentSampled) "peak" else "start"
     val sliceHi = if (descentSampled) "end" else "peak"
 
-    // localCheckpoint: the slice feeds BOTH the driver-side stats collect
+    // Reuse.pinned: the slice feeds BOTH the driver-side stats collect
     // below and every downstream branch of the returned plan — without it
     // the sample scan + profile join execute twice (or four times in the
     // q66 overlay composition). The materialized slice is one (site, span)
-    // window, the same working set the reference holds in memory. LAZY:
-    // the stats collect below is the first action and doubles as the
-    // materializing scan (the BPE-round convention — an eager checkpoint
-    // would spend a whole extra job on the same pass)
+    // window, the same working set the reference holds in memory — but at
+    // 100 TB a big one, hence pinned (recompute path kept) rather than a
+    // lineage-truncating checkpoint. LAZY: the stats collect below is the
+    // first action and doubles as the materializing scan
     val pts = base.join(
         broadcast(inWin),
         col(timeCol) >= col(sliceLo) && col(timeCol) <= col(sliceHi))
       .select(col("peak"),
         col(pressParam).cast("double").as("p"),
         col(yParam).cast("double").as("v"))
-      .localCheckpoint(eager = false)
+      .transform(graft.operators.Reuse.pinned)
 
     // per-profile stats: one tiny agg, one row per surviving cast. The gap
     // mask needs each column's successor, so it is computed here on the

@@ -236,9 +236,8 @@ object Curation {
     */
   def sourceDivergence(docs: DataFrame, classCol: String, textCol: String,
                        topK: Int): DataFrame = {
-    val toks = docs.select(col(classCol).as("cls"),
-        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
-      .localCheckpoint(false)
+    val toks = Reuse.pinned(docs.select(col(classCol).as("cls"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token")))
     val counts = toks.groupBy(col("cls"), col("token"))
       .agg(count(lit(1)).as("cnt"))
     val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("qcnt"))
@@ -417,12 +416,15 @@ object Curation {
       // which would count every zero-gram document as one shared "gram"
       .withColumn("__h", when(col("__g").isNotNull, xxhash64(col("__g"))))
       .drop("__g")
-      // r19: lazily checkpointed — grams feeds BOTH the df count and the
-      // join-back, and each evaluation re-runs the corpus-wide n-gram
-      // hashing (the operator's dominant cost; the trimDupGrams
-      // convention). The checkpoint is (id, 8-byte hash) per gram, never
-      // gram text.
-      .localCheckpoint(false)
+      // grams feeds BOTH the df count and the join-back, and each
+      // evaluation re-runs the corpus-wide n-gram hashing (r20 dedicated
+      // A/B: removing the reuse costs +40% in both rounds — the r19
+      // "reuse is free" reading was suite-noise). r20: Reuse.pinned, not
+      // localCheckpoint — this frame is TOKEN-proportional (one row per
+      // n-gram, the largest intermediate in the engine), so truncating
+      // its lineage would make any executor loss after materialization
+      // fatal at 100 TB; the pinned RDD keeps the recompute path.
+      .transform(Reuse.pinned)
     val freq = grams.filter(col("__h").isNotNull)
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     grams.join(freq, Seq("__h"), "left")
@@ -474,7 +476,7 @@ object Curation {
             call_function("pos_gram_hashes", col("__t"), lit(n))
           else graft.functions.HashKernels.posGramHashesUdf(n)(col("__t"))))
       .toDF(idCol, "__pos", "__h")
-      .localCheckpoint(false)
+      .transform(Reuse.pinned)
     val freq = posGrams.select(col(idCol), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocFreq)
@@ -1360,12 +1362,16 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val allTerms = queryTerms.flatMap(_._2).distinct
-    // one tokenize pass: keep length + query-term hits, drop the tokens
-    val compact = docs.select(col(idCol).cast("long").as("doc_id"),
+    // one tokenize pass: keep length + query-term hits, drop the tokens.
+    // r20: Reuse.pinned, not localCheckpoint — the compact frame is
+    // CORPUS-PROPORTIONAL (one row per doc), so a lineage-truncating
+    // checkpoint would make any executor loss after materialization fatal
+    // at the 100 TB design point; the pinned RDD keeps the recompute path
+    // at the same storage level (see [[Reuse]]).
+    val compact = Reuse.pinned(docs.select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(lower(col(textCol))).as("ws"))
       .select(col("doc_id"), coalesce(size(col("ws")), lit(0)).as("len"),
-        filter(col("ws"), t => t.isInCollection(allTerms)).as("hits"))
-      .localCheckpoint(false)
+        filter(col("ws"), t => t.isInCollection(allTerms)).as("hits")))
     val stats = compact.agg(count(lit(1)).as("n_docs"),
       sum(col("len")).cast("long").as("tot"))
     val qt = broadcast(queryTerms.flatMap { case (q, ts) => ts.map(t => (q, t)) }
@@ -1427,7 +1433,7 @@ object Curation {
       .where(col("doc_id").isNotNull)
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .transform(Reuse.pinned)
     val native = spark.sessionState.functionRegistry.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by_score"))
     val sel =
@@ -1479,7 +1485,7 @@ object Curation {
         explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .transform(Reuse.pinned)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, Seq("term"))
@@ -1516,7 +1522,7 @@ object Curation {
                       minCount: Long = 5, k: Int = 50): DataFrame = {
     val toks = docs
       .select(TextFunctions.tokens(lower(col(textCol))).as("t"))
-      .localCheckpoint(false)
+      .transform(Reuse.pinned)
     val cab = toks
       .select(explode(
         if (graft.functions.NativeFunctions.registered(
@@ -1524,7 +1530,7 @@ object Curation {
           call_function("window_pairs", col("t"), lit(window))
         else TextFunctions.windowPairsUdf(window)(col("t"))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint(false)
+      .transform(Reuse.pinned)
     val ct = toks.select(explode(col("t")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
     val nTok = toks.agg(sum(coalesce(size(col("t")), lit(0)))

@@ -155,7 +155,7 @@ object Dedup {
     // lazy checkpoint: the seen keys feed both the filter build and the
     // anti join probe — pin one evaluation
     val seenKeys = keyed(seen).select(col("__k"), col("__len")).distinct()
-      .localCheckpoint(false)
+      .transform(Reuse.pinned)
     if (seenCount > maxBloomItems || seenCount < minBloomItems) {
       // seen too large for a broadcastable bitmap — or small enough that
       // the anti join broadcasts the key set itself: plain anti join
@@ -177,7 +177,7 @@ object Dedup {
     // scan+window evaluation for the candidate count and the final pass.
     val flagged = keyed(exactDedup(newDocs, textCol, idCol))
       .withColumn("__might", coalesce(mightContain(col("__k")), lit(false)))
-      .localCheckpoint(false)
+      .transform(Reuse.pinned)
     val candKeys = flagged.filter(col("__might"))
       .select(col("__k"), col("__len")).distinct()
     val candCount = candKeys.count()
@@ -287,11 +287,13 @@ object Dedup {
     *    docs would otherwise collide in every band;
     *  2. per distinct text, one scan computes the sorted shingle-hash set +
     *    signature (tight-loop kernels, [[graft.functions.HashKernels]]);
-    *    cached via lazy `localCheckpoint` so candidate and verification
-    *    stages don't recompute — NOT `persist`, which registers in the
-    *    session CacheManager and outlives the query (a corpus-sized block
-    *    leak per call); checkpoint blocks are reclaimed by the
-    *    ContextCleaner once the caller drops the result;
+    *    cached via [[Reuse.pinned]] so candidate and verification
+    *    stages don't recompute — NOT `Dataset.persist`, which registers in
+    *    the session CacheManager and outlives the query (a corpus-sized
+    *    block leak per call), and NOT a lineage-truncating checkpoint
+    *    (corpus-proportional blocks must keep their recompute path);
+    *    pinned blocks are reclaimed by the ContextCleaner once the caller
+    *    drops the result;
     *  3. candidates come from `groupBy(band, band_hash)` + per-bucket pair
     *    expansion — the shuffle carries only (band_hash, id) pairs, never
     *    documents, and there is no self-join. A bucket larger than
@@ -329,7 +331,7 @@ object Dedup {
                       crossOnly: Boolean = false): DataFrame = {
     require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
     import graft.functions.HashKernels
-    val groups = exactGroups(df, idCol, textCol).localCheckpoint(false)
+    val groups = Reuse.pinned(exactGroups(df, idCol, textCol))
     // 2. signatures per distinct text — through the codegen'd native
     //    expressions when GraftExtensions is installed (the whole scan
     //    stays in one codegen stage, and the MinHash signature is fused
@@ -342,7 +344,7 @@ object Dedup {
       else HashKernels.shingleHashSetUdf(k)(col("text"))
     val sigs = spreadForKernelStage(groups)
       .select(col("rep").as("id"), shCol.as("sh"))
-      .localCheckpoint(false)
+      .transform(Reuse.pinned)
     def bandKeysOf(sh: Column): Column =
       if (native) call_function("minhash_band_keys", sh, lit(numHashes), lit(bands))
       else HashKernels.bandKeysUdf(bands, rowsPerBand)(
@@ -460,7 +462,7 @@ object Dedup {
     val edges0 = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(false)
+      .transform(Reuse.pinned)
     if (smallGraphEdges > 0 && edges0.count() <= smallGraphEdges) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -853,7 +855,7 @@ object Dedup {
     val assigned = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("cluster", assignUdf(col("v")))
-      .localCheckpoint(false)
+      .transform(Reuse.pinned)
     // null ids/vectors sit out of the kernel (they can never pair: a
     // null id never equi-joined in the old spelling, a null vector has
     // null cosine) and would misalign the two collect_lists — the same

@@ -68,6 +68,8 @@ class CollectGuardSpec extends AnyFunSuite with Matchers {
     "graft/streaming/StreamingOps.scala" -> (1,
       "nearDupGate reference index: enforced overflow-proof limit(max+1)+require"),
     "graft/tools/JobCount.scala" -> (1, "probe main (not operator surface)"),
+    "graft/tools/JobTrace.scala" -> (1, "probe main (not operator surface)"),
+    "graft/tools/ReuseAB.scala" -> (2, "probe main (not operator surface)"),
     "graft/tools/ProbeCoreset.scala" -> (1, "probe main (not operator surface)"),
     "graft/tools/RecallProbe.scala" -> (1,
       "probe main: one-row mean-recall aggregate per method"),
