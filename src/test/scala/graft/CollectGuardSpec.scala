@@ -69,6 +69,7 @@ class CollectGuardSpec extends AnyFunSuite with Matchers {
       "nearDupGate reference index: enforced overflow-proof limit(max+1)+require"),
     "graft/tools/JobCount.scala" -> (1, "probe main (not operator surface)"),
     "graft/tools/JobTrace.scala" -> (1, "probe main (not operator surface)"),
+    "graft/tools/Q41AB.scala" -> (1, "probe main (not operator surface)"),
     "graft/tools/ReuseAB.scala" -> (2, "probe main (not operator surface)"),
     "graft/tools/ProbeCoreset.scala" -> (1, "probe main (not operator surface)"),
     "graft/tools/RecallProbe.scala" -> (1,

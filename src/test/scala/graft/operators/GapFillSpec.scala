@@ -107,4 +107,64 @@ class GapFillSpec extends SparkSpec {
         df.filter("v is not null").count()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("interpolateOntoStepGrid matches the union+window composition bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val step = 10L
+    // randomized-but-seeded obs: ~60 series covering the edge zoo —
+    // anchors exactly ON grid points (incl. first/last), two anchors
+    // inside one step, NaN and null values, all-NaN series, single-row
+    // series, series entirely inside one step
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 60).flatMap { u =>
+      val n = u % 7 match { case 0 => 1; case 1 => 2; case x => 3 + rnd.nextInt(18) }
+      // distinct t per series; mix exact multiples of step with offsets
+      val ts = scala.util.Random.shuffle((0 until 40).toList).take(n)
+        .map(i => i * 7 + (if (rnd.nextBoolean()) 0 else rnd.nextInt(5)))
+        .distinct.sorted
+      ts.map { t =>
+        val v: java.lang.Double = u % 11 match {
+          case 3 => Double.NaN                      // all-NaN series
+          case 4 if t % 3 == 0 => null              // null holes
+          case 5 if t % 2 == 0 => Double.NaN        // NaN holes
+          case _ => t * 1.7 + u
+        }
+        (u.toLong, t.toDouble, v)
+      }
+    }
+    val obs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)), 7),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+    // the classic composition (exactly the pre-r20 q41 spelling)
+    val grid = obs.groupBy(col("k"))
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      .select(col("k"), explode(sequence(
+        floor(col("lo") / step).cast("long"),
+        floor(col("hi") / step).cast("long"))).as("gi"))
+      .select(col("k"), (col("gi") * step).cast("double").as("t"),
+        lit(null).cast("double").as("v"), lit(1).as("is_grid"))
+    val classic = GapFill.interpolateLinear(
+        obs.withColumn("is_grid", lit(0)).unionByName(grid),
+        Seq("k"), "t", "v", "o", tieBreak = Seq("is_grid"))
+      .filter(col("is_grid") === 1).select("k", "t", "o")
+    val fused = GapFill.interpolateOntoStepGrid(
+      obs, Seq("k"), "t", "v", step, "o").select("k", "t", "o")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) -1L
+        else java.lang.Double.doubleToLongBits(r.getDouble(2))))
+        .sortBy(x => (x._1, x._2)).toSeq
+    canon(fused) shouldBe canon(classic)
+    // sanity: the zoo produced real rows and real nulls
+    fused.count() should be > 100L
+    fused.filter(col("o").isNull).count() should be > 0L
+    fused.filter(col("o").isNotNull).count() should be > 0L
+  }
 }
