@@ -141,12 +141,16 @@ object Bench {
     // a perf diff, sized so the whole line (~1.3 KB) survives the tail
     // intact; "queries_top" names the truncation loudly and the
     // complete map is on the preceding detail line for humans.
-    val top = results.toSeq.sortBy(-_._2).take(40)
+    // r19 ADVICE: one constant for the truncation, and queries_top
+    // reports the map's TRUE size so the two can't drift on edits
+    val topN = 40
+    val top = results.toSeq.sortBy(-_._2).take(topN)
       .map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       f""""pass_totals":[${passTotal(r1)}%.1f,${passTotal(r2)}%.1f],""" +
-      s""""n_queries":${results.size},"queries_top":40,"error_count":${errors.size},""" +
+      s""""n_queries":${results.size},""" +
+      s""""queries_top":${math.min(topN, results.size)},"error_count":${errors.size},""" +
       s""""sf":"$sfDir","host_load_start":$loadStart,""" +
       s""""host_load_end":${loadAvg()},"queries":$top}""")
     spark.stop()

@@ -352,11 +352,18 @@ object Curation {
     * not a regex) selects the span granularity: "\n" = lines (default),
     * "\n\n" = the RefinedWeb paragraph-level variant.
     *
-    * Scale shape: the global count groups by `(xxhash64(line), length)` —
-    * the [[Dedup.exactDedup]] convention — so the counting shuffle carries
-    * 16 bytes per line, not line text; the count join is a co-partitioned
-    * shuffle join on the same key (both sides partition identically — one
-    * exchange each, no broadcast needed at corpus scale); reassembly
+    * Scale shape (r19 count-over-window spelling): per-line corpus counts
+    * come from `count().over(Window.partitionBy(xxhash64(line), length))`
+    * — the split+posexplode scan evaluates ONCE and there is no separate
+    * counts join; line text crosses exactly two exchanges (the count
+    * window's, keyed by the 16-byte hash+length, and the per-doc rebuild
+    * aggregate's — both fundamental to corpus-frequency + per-doc
+    * rebuild). Skew trade, documented: the window buffers every duplicate
+    * of a hot boilerplate line (full text rows) in ONE window group —
+    * correct at any size (WindowExec spills via its unsafe-row array)
+    * where the pre-r19 aggregate+join streamed the line side against
+    * 1-row count groups; for a corpus where one line repeats across
+    * millions of pages, prefer the agg+join spelling back. Reassembly
     * aggregates by document id (high cardinality, map-side combine).
     * 64-bit+length collisions conflate distinct lines' counts (odds
     * negligible below ~10^9 DISTINCT lines; above that, widen to two
@@ -1356,6 +1363,21 @@ object Curation {
     * Document length uses the whitespace-token convention of
     * [[TextFunctions.tokens]] (lowercased), matching the oracle's CTE.
     */
+  /** The compact per-doc projection [[bm25TopK]] pins: one tokenize pass
+    * into (doc_id, len, hits) where `len` is the FULL whitespace-token
+    * count (the BM25 length normalization) and `hits` keeps only the
+    * query-term tokens — the sliver the tf/df aggregates need. Exposed
+    * package-private so the spec can assert the hits-subset invariant
+    * directly against the build.
+    */
+  private[operators] def bm25Compact(docs: DataFrame, idCol: String,
+                                     textCol: String,
+                                     allTerms: Seq[String]): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(lower(col(textCol))).as("ws"))
+      .select(col("doc_id"), coalesce(size(col("ws")), lit(0)).as("len"),
+        filter(col("ws"), t => t.isInCollection(allTerms)).as("hits"))
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[(Long, Seq[String])], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -1368,10 +1390,7 @@ object Curation {
     // checkpoint would make any executor loss after materialization fatal
     // at the 100 TB design point; the pinned RDD keeps the recompute path
     // at the same storage level (see [[Reuse]]).
-    val compact = Reuse.pinned(docs.select(col(idCol).cast("long").as("doc_id"),
-        TextFunctions.tokens(lower(col(textCol))).as("ws"))
-      .select(col("doc_id"), coalesce(size(col("ws")), lit(0)).as("len"),
-        filter(col("ws"), t => t.isInCollection(allTerms)).as("hits")))
+    val compact = Reuse.pinned(bm25Compact(docs, idCol, textCol, allTerms))
     val stats = compact.agg(count(lit(1)).as("n_docs"),
       sum(col("len")).cast("long").as("tot"))
     val qt = broadcast(queryTerms.flatMap { case (q, ts) => ts.map(t => (q, t)) }

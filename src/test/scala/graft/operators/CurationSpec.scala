@@ -61,9 +61,22 @@ class CurationSpec extends SparkSpec {
     // once, inside the checkpoint build) and no raw-corpus subtree
     val opt = out.queryExecution.optimizedPlan.toString
     opt should not include "split("
-    opt should include("LogicalRDD") // the compact checkpoint
-    // ...and the checkpoint build itself applied the term filter to the
-    // token array (hits ⊆ query terms), which the value specs pin
+    opt should include("LogicalRDD") // the compact pinned frame
+  }
+
+  test("bm25 compact frame keeps only query-term hits and the FULL length") {
+    // r19 ADVICE: the served plan no longer exposes the compact build, so
+    // assert the hits-subset invariant directly against the builder
+    val compact = Curation.bm25Compact(bm25Corpus, "doc_id", "text",
+      Seq("apple", "banana"))
+      .as[(Long, Int, Seq[String])].collect().sortBy(_._1)
+    compact.map(_._1).toSeq shouldBe Seq(1L, 2L, 3L)
+    // len is the full token count (BM25 normalization), NOT the hit count
+    compact.map(_._2).toSeq shouldBe Seq(3, 2, 4)
+    // hits arrays contain only query terms, with multiplicity preserved
+    compact.flatMap(_._3).toSet.subsetOf(Set("apple", "banana")) shouldBe true
+    compact.map(_._3).toSeq shouldBe Seq(
+      Seq("apple", "banana", "apple"), Seq("banana"), Nil)
   }
 
   // --- rrfFuse ---
